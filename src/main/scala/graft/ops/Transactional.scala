@@ -1,0 +1,246 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic duals of the reference's STM/transaction workloads.
+  *
+  * opusdb's observable semantics are folds over keyed mutable state:
+  * transfers (/root/reference/src/opusdb/benchmark/bank.clj:10-18),
+  * counter increments (benchmark/throughput.clj:6-24), read/write mixes
+  * (throughput.clj:59-100), and versioned as-of reads
+  * (atomic/stm.clj:55-65, MAX_HISTORY=16 at stm.clj:10). In Spark the
+  * mutable cell becomes an event stream folded into state with
+  * `groupBy(key).agg(...)`; the version history becomes a ranked window.
+  *
+  * Semantics note (SURVEY.md §7.5): the reference's transfer is
+  * conditional on sufficient funds (bank.clj:14), which is inherently
+  * order-dependent. The oracle-checked query here is the unconditional
+  * fold — the same invariant-checkable computation the reference's own
+  * throughput benchmark verifies (sum of deltas == expected total).
+  */
+object Transactional {
+  type Q = (SparkSession, String) => DataFrame
+
+  // q_transfer_fold — signed-delta fold over events joined to the initial
+  // balance table (customer.c_acctbal = bank of refs). purchase = debit,
+  // signup = credit. One shuffle on user_id; customer is broadcast.
+  val transferFold: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val c = Tables.customer(s, d)
+    val deltas = e
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase",
+             -col("value").cast("decimal(18,4)"))
+          .otherwise(col("value").cast("decimal(18,4)")).as("delta"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("delta")).as("net"), count(lit(1)).as("n_tx"))
+    // The folded per-key state (deltas) is bounded by the distinct-key
+    // count — broadcast it against the full account table, which at scale
+    // is the big side.
+    broadcast(deltas).join(c, deltas("user_id") === c("c_custkey"))
+      .select(col("user_id"),
+              col("c_acctbal").as("initial_bal"),
+              col("net").cast("double").as("net_delta"),
+              (col("c_acctbal").cast("decimal(18,4)") + col("net"))
+                .cast("double").as("final_bal"),
+              col("n_tx"))
+      .orderBy(col("user_id"))
+  }
+
+  val transferFoldSql: String =
+    """SELECT user_id, c_acctbal AS initial_bal,
+      |CAST(net AS DOUBLE) AS net_delta,
+      |CAST(CAST(c_acctbal AS DECIMAL(18,4)) + net AS DOUBLE) AS final_bal,
+      |n_tx
+      |FROM (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase'
+      |                  THEN -CAST(value AS DECIMAL(18,4))
+      |                  ELSE CAST(value AS DECIMAL(18,4)) END) AS net,
+      |         count(*) AS n_tx
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'signup')
+      |  GROUP BY user_id
+      |) f JOIN customer ON user_id = c_custkey
+      |ORDER BY user_id""".stripMargin
+
+  // q_counter_increments — exactness invariant of throughput.clj:6-24:
+  // every counter's count equals the number of increment events applied.
+  val counterIncrements: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_increments"),
+           dsum(col("value")).as("value_total"),
+           countDistinct(col("user_id")).as("d_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val counterIncrementsSql: String =
+    s"""SELECT event_type, count(*) AS n_increments,
+       |${sqlDsum("value")} AS value_total,
+       |count(DISTINCT user_id) AS d_users
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q_read_write_mix — the reference's read/write mix
+  // (throughput.clj:59-100): a point lookup (single-ref read) and a global
+  // sum (all-refs read) in one result, tagged per op. The point lookup's
+  // predicate is pushed to the parquet scan.
+  val readWriteMix: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val point = e.filter(col("user_id") === 7)
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(lit("point_user_7").as("op"), col("n"), col("total"))
+    val global = e
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(lit("global_sum").as("op"), col("n"), col("total"))
+    point.unionAll(global).orderBy(col("op"))
+  }
+
+  val readWriteMixSql: String =
+    s"""SELECT * FROM (
+       |  SELECT 'point_user_7' AS op, count(*) AS n, ${sqlDsum("value")} AS total
+       |  FROM events WHERE user_id = 7
+       |  UNION ALL
+       |  SELECT 'global_sum' AS op, count(*) AS n, ${sqlDsum("value")} AS total
+       |  FROM events
+       |) t ORDER BY op""".stripMargin
+
+  // q_asof_read — the versioned read (atomic/stm.clj:160-178): latest
+  // value per key at or before a read-point, here event_id <= 5000 with
+  // event_id standing in for the write-point. Ranked window, rn = 1.
+  val asofRead: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("event_id") <= 5000)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("asof_version"),
+              col("value").as("asof_value"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofReadSql: String =
+    """SELECT user_id, event_id AS asof_version, value AS asof_value, event_type
+      |FROM (
+      |  SELECT user_id, event_id, value, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_id <= 5000
+      |) t WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // q_version_history — MAX_HISTORY=16 retention (atomic/stm.clj:10,42-53):
+  // keep only the newest 16 versions per key, aggregated to a per-key
+  // retention summary.
+  val versionHistory: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_retained"),
+           min(col("event_id")).as("oldest_version"),
+           max(col("event_id")).as("newest_version"),
+           dsum(col("value")).as("retained_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val versionHistorySql: String =
+    s"""SELECT user_id, count(*) AS n_retained,
+       |min(event_id) AS oldest_version,
+       |max(event_id) AS newest_version,
+       |${sqlDsum("value")} AS retained_total
+       |FROM (
+       |  SELECT user_id, event_id, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       |  FROM events
+       |) t WHERE rn <= 16
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q_snapshot_consistency — snapshot stability (stm_test.clj:156-173):
+  // two reads of the same snapshot agree. Relationally: the same aggregate
+  // computed through two different plans (direct vs via per-user partials)
+  // must be identical; emitted as a one-row equality witness.
+  val snapshotConsistency: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val direct = e.agg(dsum(col("value")).as("t"))
+      .select(col("t").as("total_direct"))
+    val viaUsers = e.groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("u"))
+      .agg(sum(col("u")).cast("double").as("total_via_users"))
+    direct.crossJoin(viaUsers)
+      .select(col("total_direct"), col("total_via_users"),
+              (col("total_direct") === col("total_via_users"))
+                .as("snapshot_stable"))
+  }
+
+  val snapshotConsistencySql: String =
+    s"""SELECT total_direct, total_via_users,
+       |total_direct = total_via_users AS snapshot_stable
+       |FROM (SELECT ${sqlDsum("value")} AS total_direct FROM events) a,
+       |     (SELECT CAST(SUM(u) AS DOUBLE) AS total_via_users FROM (
+       |        SELECT SUM(CAST(value AS DECIMAL(18,4))) AS u
+       |        FROM events GROUP BY user_id) p) b""".stripMargin
+
+  // q_lru_sim — the analytic shadow of the splay/LRU caches
+  // (cache/splay.clj:72-91): re-reference distance distribution of the
+  // event access stream. Distance = gap in the global access sequence
+  // between consecutive touches of the same key.
+  val lruSim: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_id").isNotNull)
+      .withColumn("dist", col("event_id") - col("prev_id"))
+      .withColumn("bucket",
+        when(col("dist") <= 10, "d_0010")
+          .when(col("dist") <= 100, "d_0100")
+          .when(col("dist") <= 1000, "d_1000")
+          .otherwise("d_more"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("dist")).as("min_dist"),
+           max(col("dist")).as("max_dist"),
+           sum(col("dist")).as("sum_dist"))
+      .orderBy(col("bucket"))
+  }
+
+  val lruSimSql: String =
+    """SELECT bucket, count(*) AS n, min(dist) AS min_dist,
+      |max(dist) AS max_dist, SUM(dist) AS sum_dist
+      |FROM (
+      |  SELECT CASE WHEN dist <= 10 THEN 'd_0010'
+      |              WHEN dist <= 100 THEN 'd_0100'
+      |              WHEN dist <= 1000 THEN 'd_1000'
+      |              ELSE 'd_more' END AS bucket, dist
+      |  FROM (
+      |    SELECT event_id - lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS dist
+      |    FROM events
+      |  ) g WHERE dist IS NOT NULL
+      |) b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_transfer_fold" -> transferFold,
+    "q_counter_increments" -> counterIncrements,
+    "q_read_write_mix" -> readWriteMix,
+    "q_asof_read" -> asofRead,
+    "q_version_history" -> versionHistory,
+    "q_snapshot_consistency" -> snapshotConsistency,
+    "q_lru_sim" -> lruSim,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_transfer_fold" -> transferFoldSql,
+    "q_counter_increments" -> counterIncrementsSql,
+    "q_read_write_mix" -> readWriteMixSql,
+    "q_asof_read" -> asofReadSql,
+    "q_version_history" -> versionHistorySql,
+    "q_snapshot_consistency" -> snapshotConsistencySql,
+    "q_lru_sim" -> lruSimSql,
+  )
+}
