@@ -20,12 +20,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
-      ops.Transactional.queries
+      ops.Transactional.queries ++
+      ops.TextPipeline.queries ++
+      ops.Embeddings.queries ++
+      ops.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
-      ops.Transactional.oracleSql
+      ops.Transactional.oracleSql ++
+      ops.TextPipeline.oracleSql ++
+      ops.Embeddings.oracleSql ++
+      ops.Temporal.oracleSql
 }

@@ -38,7 +38,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = eventsRaw(s, d)
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integral div: ns ≈ 1.7e18 exceeds double's 53-bit mantissa, so a
+    // floating `/ 1000` would corrupt the low-order digits.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

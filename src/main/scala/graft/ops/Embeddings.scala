@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Hashing._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * array<float> dim=64, label).
+  *
+  * All dot products are accumulated sequentially in double precision in
+  * index order on both engines (graft.functions.Hashing.dot), which makes
+  * cosine scores bit-identical between Spark and the DuckDB oracle — the
+  * similarity queries are hash-checked exactly, not approximately.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k is the correctness baseline: a broadcast of the
+  *    (small) query set against the full collection — one pass, no
+  *    shuffle of the collection, per-partition top-k via window.
+  *  - the scale path is LSH bucketing (random-hyperplane sign bits):
+  *    candidates only materialize within a bucket; the bucket key is the
+  *    shuffle key, so the candidate join is linear in bucket sizes, not
+  *    O(n²). IVF would replace the hash with learned centroids; the
+  *    plumbing (bucket → within-bucket rerank) is identical.
+  *  - label-blocked near-dup: the blocking key bounds pair generation
+  *    exactly like the text dedup blocks.
+  */
+object Embeddings {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query-set predicate: every 50th vector is a "query". */
+  private val queryStride = 50
+
+  // ---------------------------------------------------------------------
+  // q_similarity_topk — brute-force cosine top-5 per query vector.
+  // Broadcast the query side; the big collection is scanned once.
+  // ---------------------------------------------------------------------
+  val similarityTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e
+      .filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val similarityTopkSql: String =
+    s"""SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ${sqlCosine("q.embedding", "e.embedding")} AS cos
+       |    FROM embeddings e
+       |    JOIN (SELECT * FROM embeddings WHERE vec_id % $queryStride = 0) q
+       |      ON e.vec_id != q.vec_id))
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_similarity_lsh — the ANN scale path: 8 random-hyperplane sign bits
+  // → 256 buckets; query vectors only score candidates in their own
+  // bucket. Emits the per-query bucket top-3 plus the bucket size the
+  // query searched (the work bound, which is what matters at scale).
+  // ---------------------------------------------------------------------
+  private val lshBits = 8
+
+  val similarityLsh: Q = (s, d) => {
+    val e = Tables
+      .embeddings(s, d)
+      .withColumn("bucket", lshBucket(col("embedding"), lshBits))
+    val q = e
+      .filter(col("vec_id") % queryStride === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("bucket")
+      )
+    val cand = e
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("bucket"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val sizes = cand
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(sizes, Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("bucket"),
+        col("n_candidates"),
+        col("rank"),
+        col("neighbor_id"),
+        col("cos")
+      )
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val similarityLshSql: String = {
+    val bucketE = sqlLshBucket("embedding", lshBits)
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketE AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+       |      WHERE vec_id % $queryStride = 0),
+       |cand AS (
+       |  SELECT q.query_id, b.bucket, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("q.qv", "b.embedding")} AS cos
+       |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+       |sizes AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+       |ranked AS (
+       |  SELECT query_id, bucket, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM cand)
+       |SELECT r.query_id, r.bucket, s.n_candidates, r.rank, r.neighbor_id, r.cos
+       |FROM ranked r JOIN sizes s ON r.query_id = s.query_id
+       |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_embed_neardup — embedding-cosine near-duplicate detection, blocked
+  // by label (the cluster id doubles as the blocking key): pairwise
+  // cosine within a label only. Per label: pair count, near-dup count at
+  // two thresholds, max cosine observed.
+  // ---------------------------------------------------------------------
+  val embedNearDup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(
+      col("label"),
+      col("vec_id").as("id_a"),
+      col("embedding").as("v_a")
+    )
+    val b = e.select(
+      col("label"),
+      col("vec_id").as("id_b"),
+      col("embedding").as("v_b")
+    )
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") > 0.8, 1L).otherwise(0L)).as("n_near_080"),
+        sum(when(col("cos") > 0.5, 1L).otherwise(0L)).as("n_near_050"),
+        max(col("cos")).as("max_cos")
+      )
+      .orderBy(col("label"))
+  }
+
+  val embedNearDupSql: String =
+    s"""SELECT label, count(*) AS n_pairs,
+       |SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS n_near_080,
+       |SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS n_near_050,
+       |max(cos) AS max_cos
+       |FROM (
+       |  SELECT a.label, ${sqlCosine("a.embedding", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_embed_stats — vector-collection statistics per label: counts, norm
+  // summary (exact double via sequential accumulation), centroid norm
+  // proxy (sum of per-dimension means is NOT emitted — means of floats
+  // are order-dependent; instead integer-exact counts + min/max norms).
+  // ---------------------------------------------------------------------
+  val embedStats: Q = (s, d) => {
+    Tables
+      .embeddings(s, d)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        countDistinct(col("vec_id")).as("d_ids")
+      )
+      .orderBy(col("label"))
+  }
+
+  val embedStatsSql: String =
+    s"""SELECT label, count(*) AS n_vectors,
+       |min(nrm) AS min_norm, max(nrm) AS max_norm,
+       |count(DISTINCT vec_id) AS d_ids
+       |FROM (SELECT label, vec_id,
+       |      sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_similarity_topk" -> similarityTopk,
+    "q_similarity_lsh" -> similarityLsh,
+    "q_embed_neardup" -> embedNearDup,
+    "q_embed_stats" -> embedStats
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_similarity_topk" -> similarityTopkSql,
+    "q_similarity_lsh" -> similarityLshSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_stats" -> embedStatsSql
+  )
+}

@@ -1,0 +1,459 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.Hashing
+import graft.functions.Hashing._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-training-data pipeline: deduplication + text analysis over the
+  * `documents` table. The reference has no text processing at all; these
+  * are the north-star operators (BASELINE.json) built Spark-first.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: hash-groupBy on md5 of normalized text — one shuffle
+  *    keyed by a 128-bit digest, never by the document body.
+  *  - MinHash/LSH: per-row signature (codegen'd scalar exprs, no UDF),
+  *    then groupBy on (band, band-signature) buckets — candidate pairs
+  *    only ever materialize within a bucket, never O(n²).
+  *  - SimHash: 64-bit per-doc sketch, bucketed by high bits.
+  *  - N-gram Jaccard: pairwise only within (lang, length-bucket) blocks
+  *    — the block key is the partition key, so the self-join is
+  *    shuffle-local per block.
+  *  - All hash math is md5-based (graft.functions.Hashing) so every
+  *    query here is exactly reproducible by the DuckDB oracle.
+  */
+object TextPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalization used by every dedup flavor: lowercase + collapse
+    * whitespace runs + trim.
+    */
+  private def norm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  private val sqlNorm: String => String =
+    e => s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  // ---------------------------------------------------------------------
+  // q_dedup_exact — hash-groupBy exact dedup. Per source: docs, distinct
+  // normalized texts, dupes removed, chars saved.
+  // ---------------------------------------------------------------------
+  val dedupExact: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .select(
+        col("source"),
+        col("n_chars"),
+        md5(norm(col("text"))).as("h")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"),
+        sum(col("n_chars")).as("total_chars")
+      )
+      .orderBy(col("source"))
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |count(DISTINCT h) AS n_distinct,
+       |count(*) - count(DISTINCT h) AS n_dupes,
+       |SUM(n_chars) AS total_chars
+       |FROM (SELECT source, n_chars, md5(${sqlNorm("text")}) AS h FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_dedup_minhash — MinHash + LSH banding. 16 hash components, 4 bands
+  // of 4 rows. Output: per-band bucket statistics + candidate pair count
+  // (sum over buckets of c*(c-1)/2) — the quantity that stays bounded at
+  // scale because pairs only form within buckets.
+  // ---------------------------------------------------------------------
+  private val MinhashK = 16
+  private val Bands = 4
+  private val RowsPerBand = MinhashK / Bands
+
+  val dedupMinhash: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("sh", shingles(norm(col("text")), 5))
+    val withSig = (0 until MinhashK).foldLeft(docs) { (df, j) =>
+      df.withColumn(s"mh_$j", minhash(col("sh"), j))
+    }
+    val banded = (0 until Bands).foldLeft(withSig) { (df, b) =>
+      val parts = (0 until RowsPerBand)
+        .map(r => col(s"mh_${b * RowsPerBand + r}").cast("string"))
+      df.withColumn(s"band_$b", concat_ws("_", parts: _*))
+    }
+    val perBand = (0 until Bands).map { b =>
+      banded
+        .groupBy(col(s"band_$b").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(b).as("band"), col("bucket"), col("c"))
+    }
+    perBand
+      .reduce(_ unionAll _)
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_candidate_pairs")
+      )
+      .orderBy(col("band"))
+  }
+
+  val dedupMinhashSql: String = {
+    val shingleExpr = sqlShingles(sqlNorm("text"), 5)
+    val mhCols = (0 until MinhashK)
+      .map(j => s"${sqlMinhash("sh", j)} AS mh_$j")
+      .mkString(", ")
+    val bandCols = (0 until Bands)
+      .map { b =>
+        val parts = (0 until RowsPerBand)
+          .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)")
+          .mkString(", ")
+        s"concat_ws('_', $parts) AS band_$b"
+      }
+      .mkString(", ")
+    val unions = (0 until Bands)
+      .map(b => s"SELECT $b AS band, band_$b AS bucket FROM banded")
+      .mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT $shingleExpr AS sh FROM documents),
+       |sig AS (SELECT $mhCols FROM sh),
+       |banded AS (SELECT $bandCols FROM sig),
+       |tagged AS ($unions),
+       |buckets AS (SELECT band, bucket, count(*) AS c FROM tagged GROUP BY band, bucket)
+       |SELECT band, count(*) AS n_buckets, SUM(c) AS n_docs, max(c) AS max_bucket,
+       |CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_dedup_simhash — 64-bit SimHash over word tokens: per token a
+  // 60-bit md5-derived hash votes +1/-1 on each bit position; the sketch
+  // bit is the vote majority. Output: docs bucketed by the top 8 bits
+  // (the scale path: near-dup candidates share high bits).
+  // ---------------------------------------------------------------------
+  private val SimBits = 32
+
+  val dedupSimhash: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("th", transform(col("toks"), t => h32(99, t)))
+    val bitCols = (0 until SimBits).map { b =>
+      val votes = aggregate(
+        col("th"),
+        lit(0L),
+        (acc, h) =>
+          acc + when(
+            (h.bitwiseAND(lit(1L << b))) =!= 0L,
+            lit(1L)
+          ).otherwise(lit(-1L))
+      )
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs
+      .withColumn("simhash", bitCols.reduce(_ + _))
+      .withColumn("bucket", shiftright(col("simhash"), SimBits - 8))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("simhash")).as("n_distinct_sketches")
+      )
+      .orderBy(col("bucket"))
+  }
+
+  val dedupSimhashSql: String = {
+    val bitTerms = (0 until SimBits)
+      .map { b =>
+        val votes =
+          s"list_reduce(list_prepend(0::BIGINT, list_transform(th, " +
+            s"h -> CASE WHEN (h & ${1L << b}) != 0 THEN 1::BIGINT ELSE (-1)::BIGINT END)), " +
+            s"(a, v) -> a + v)"
+        s"(CASE WHEN $votes > 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+    s"""WITH th AS (SELECT list_transform(${sqlTokens("text")}, t -> ${sqlH32(99, "t")}) AS th
+       |FROM documents),
+       |sk AS (SELECT $bitTerms AS simhash FROM th)
+       |SELECT simhash >> ${SimBits - 8} AS bucket, count(*) AS n_docs,
+       |count(DISTINCT simhash) AS n_distinct_sketches
+       |FROM sk GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ngram_jaccard — word-bigram Jaccard similarity across documents,
+  // blocked by (lang, n_chars/100) so the self-join is bounded per block
+  // (the 100 TB strategy: candidate pairs never cross a block). Exact
+  // integer |intersection| / |union| arithmetic → oracle-exact.
+  // ---------------------------------------------------------------------
+  val ngramJaccard: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        floor(col("n_chars") / 100).as("lenb"),
+        array_distinct(
+          transform(
+            // size>=2 guaranteed never exceeds bounds; single-token docs
+            // produce the lone token as their only "gram" on both engines
+            // (concat_ws skips the null second element).
+            sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+            i =>
+              concat_ws(
+                " ",
+                try_element_at(col("toks"), i),
+                try_element_at(col("toks"), i + 1)
+              )
+          )
+        ).as("grams")
+      )
+    val a = docs.select(
+      col("lang"),
+      col("lenb"),
+      col("doc_id").as("id_a"),
+      col("grams").as("g_a")
+    )
+    val b = docs.select(
+      col("lang"),
+      col("lenb"),
+      col("doc_id").as("id_b"),
+      col("grams").as("g_b")
+    )
+    a.join(b, Seq("lang", "lenb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("ni", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn(
+        "nu",
+        size(col("g_a")) + size(col("g_b")) -
+          size(array_intersect(col("g_a"), col("g_b")))
+      )
+      .groupBy(col("lang"), col("lenb"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ni").cast("long")).as("sum_intersect"),
+        sum(col("nu").cast("long")).as("sum_union"),
+        max(col("ni").cast("double") / col("nu")).as("max_jaccard")
+      )
+      .orderBy(col("lang"), col("lenb"))
+  }
+
+  val ngramJaccardSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS lenb,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len($toks) - 1, 1) + 1),
+       |      i -> concat_ws(' ', $toks[i], $toks[i + 1]))) AS grams
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.lang, a.lenb,
+       |    len(list_intersect(a.grams, b.grams)) AS ni,
+       |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS nu
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb
+       |    AND a.doc_id < b.doc_id)
+       |SELECT lang, lenb, count(*) AS n_pairs,
+       |SUM(CAST(ni AS BIGINT)) AS sum_intersect,
+       |SUM(CAST(nu AS BIGINT)) AS sum_union,
+       |max(CAST(ni AS DOUBLE) / nu) AS max_jaccard
+       |FROM p GROUP BY lang, lenb ORDER BY lang, lenb""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_lang_id — n-gram-heuristic language ID: score each document
+  // against per-language marker-token sets and take the argmax
+  // (deterministic tie-break by language order). Output: confusion
+  // counts (actual label × predicted).
+  // ---------------------------------------------------------------------
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "data", "group"),
+    "en" -> Seq("the", "a", "of", "scan", "join"),
+    "es" -> Seq("el", "la", "de", "sort", "merge"),
+    "fr" -> Seq("le", "la", "et", "filter", "window"),
+    "zh" -> Seq("spark", "batch", "stream", "hash", "query")
+  )
+
+  val langId: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+    val scored = langMarkers.foldLeft(docs) { case (df, (lg, markers)) =>
+      df.withColumn(
+        s"score_$lg",
+        size(array_intersect(col("toks"), array(markers.map(lit): _*)))
+      )
+    }
+    val scoreCols = langMarkers.map { case (lg, _) => col(s"score_$lg") }
+    val best = greatest(scoreCols: _*)
+    val pred = langMarkers.foldRight(lit("??"): org.apache.spark.sql.Column) {
+      case ((lg, _), acc) => when(col(s"score_$lg") === best, lit(lg)).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdSql: String = {
+    val toks = sqlTokens("text")
+    val scoreExprs = langMarkers
+      .map { case (lg, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect($toks, $arr)) AS score_$lg"
+      }
+      .mkString(", ")
+    val best = langMarkers.map { case (lg, _) => s"score_$lg" }
+      .mkString("greatest(", ", ", ")")
+    val pred = langMarkers.foldRight("'??'") { case ((lg, _), acc) =>
+      s"CASE WHEN score_$lg = best THEN '$lg' ELSE $acc END"
+    }
+    s"""WITH scored AS (SELECT lang, $scoreExprs FROM documents),
+       |withbest AS (SELECT *, $best AS best FROM scored),
+       |pred AS (SELECT lang, $pred AS predicted FROM withbest)
+       |SELECT lang, predicted, count(*) AS n
+       |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_token_count — tokenization statistics per source: whitespace
+  // tokens, alnum-run tokens ("BPE-ish"), chars. All integer-exact.
+  // ---------------------------------------------------------------------
+  val tokenCount: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .select(
+        col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(tokens(col("text"))).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("chars")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        sum(col("chars")).as("total_chars"),
+        max(col("re_tokens")).as("max_doc_tokens"),
+        min(col("re_tokens")).as("min_doc_tokens")
+      )
+      .orderBy(col("source"))
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |SUM(ws_tokens) AS total_ws_tokens,
+       |SUM(re_tokens) AS total_re_tokens,
+       |SUM(chars) AS total_chars,
+       |max(re_tokens) AS max_doc_tokens,
+       |min(re_tokens) AS min_doc_tokens
+       |FROM (
+       |  SELECT source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS re_tokens,
+       |    CAST(len(text) AS BIGINT) AS chars
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_text_quality — quality scoring per language: doc length, token
+  // diversity (distinct/total), stopword ratio. Ratios are emitted as
+  // exact integer sums (numerator/denominator) plus a decimal-exact
+  // mean length, so the oracle hash-matches.
+  // ---------------------------------------------------------------------
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val textQuality: Q = (s, d) => {
+    val sw = array(stopwords.map(lit): _*)
+    Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("lang"),
+        col("n_chars"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_toks"),
+        size(
+          filter(col("toks"), t => array_contains(sw, t))
+        ).cast("long").as("n_stop")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_toks")).as("sum_toks"),
+        sum(col("n_distinct_toks")).as("sum_distinct_toks"),
+        sum(col("n_stop")).as("sum_stopwords"),
+        davg(col("n_chars")).as("avg_chars")
+      )
+      .orderBy(col("lang"))
+  }
+
+  val textQualitySql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT lang, count(*) AS n_docs,
+       |SUM(n_chars) AS sum_chars, SUM(n_toks) AS sum_toks,
+       |SUM(n_distinct_toks) AS sum_distinct_toks,
+       |SUM(n_stop) AS sum_stopwords,
+       |${sqlDavg("n_chars")} AS avg_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_toks,
+       |    CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) AS n_stop
+       |  FROM (SELECT lang, n_chars, ${sqlTokens("text")} AS toks FROM documents))
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_doc_fingerprint — polynomial rolling-hash fingerprint per document
+  // (content-addressable identity without carrying the body). Emits each
+  // doc's fingerprint plus a global collision summary row shape:
+  // (doc_id, fp) — collisions would appear as duplicate fp values.
+  // ---------------------------------------------------------------------
+  val docFingerprint: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        Hashing.fingerprint(norm(col("text"))).as("fp")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id, ${sqlFingerprint(sqlNorm("text"))} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_ngram_jaccard" -> ngramJaccard,
+    "q_lang_id" -> langId,
+    "q_token_count" -> tokenCount,
+    "q_text_quality" -> textQuality,
+    "q_doc_fingerprint" -> docFingerprint
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_lang_id" -> langIdSql,
+    "q_token_count" -> tokenCountSql,
+    "q_text_quality" -> textQualitySql,
+    "q_doc_fingerprint" -> docFingerprintSql
+  )
+}
