@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   *
@@ -18,15 +19,24 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy conf) and
-    * convert to Spark's native microsecond TimestampType. Queries should
-    * still avoid emitting raw `ts` values to the oracle compare (DuckDB
-    * keeps ns precision); derive coarser columns (date_trunc, epoch secs).
+    * vectorized reader rejects under schema inference. Reading with an
+    * explicit user schema typing `ts` as LONG yields the raw nanos
+    * directly — scoped to this read only (no session-wide legacy conf, no
+    * order-dependent state, race-free under concurrent query builds).
+    * Queries should still avoid emitting raw `ts` values to the oracle
+    * compare (DuckDB keeps ns precision); derive coarser columns
+    * (date_trunc, epoch secs).
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  private val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -59,6 +59,13 @@ object Hashing {
     * small enough that 31*p + 255 never overflows a signed 64-bit int on
     * either engine (DuckDB raises on BIGINT overflow rather than
     * wrapping, so the mod is applied at every step).
+    *
+    * ASCII-ONLY INPUT CONTRACT: Spark's `ascii()` returns the first UTF-8
+    * byte (sign-extended) while the DuckDB twin uses `unicode()` (full
+    * codepoint); they agree only on 7-bit ASCII. Callers must feed a
+    * string from an ASCII alphabet — e.g. the `[a-z0-9 ]` token stream
+    * produced by [[tokens]] joined with spaces (what q_doc_fingerprint
+    * does), never raw multilingual text.
     */
   val FpPrime = 100000000000000003L
 

@@ -170,8 +170,8 @@ object Embeddings {
 
   val embedNearDupSql: String =
     s"""SELECT label, count(*) AS n_pairs,
-       |SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS n_near_080,
-       |SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS n_near_050,
+       |CAST(SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_080,
+       |CAST(SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_050,
        |max(cos) AS max_cos
        |FROM (
        |  SELECT a.label, ${sqlCosine("a.embedding", "b.embedding")} AS cos

@@ -82,7 +82,7 @@ object Relational {
 
   val pricingSummarySql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        |${sqlDsum("l_extendedprice")} AS sum_base_price,
        |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
        |${sqlDavg("l_quantity")} AS avg_qty,
@@ -150,7 +150,7 @@ object Relational {
   val brandRevenueSql: String =
     s"""SELECT p_brand,
        |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
-       |SUM(CAST(l_quantity AS BIGINT)) AS units,
+       |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
        |count(DISTINCT l_orderkey) AS n_orders
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -250,7 +250,7 @@ object Relational {
       |  UNION ALL
       |  SELECT 'except' AS op, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM building) e
       |)
-      |SELECT op, count(*) AS n, SUM(c_custkey) AS key_sum
+      |SELECT op, count(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
       |FROM tagged GROUP BY op ORDER BY op""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -287,7 +287,7 @@ object Relational {
 
   val cubeReturnsSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |SUM(CAST(l_quantity AS BIGINT)) AS qty,
+      |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
       |GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -449,8 +449,8 @@ object Relational {
 
   val stringFuncsSql: String =
     """SELECT upper(p_brand) AS brand_u, count(*) AS n,
-      |SUM(CAST(length(p_name) AS BIGINT)) AS name_chars,
-      |SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS n_green,
+      |CAST(SUM(CAST(length(p_name) AS BIGINT)) AS BIGINT) AS name_chars,
+      |CAST(SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
       |count(DISTINCT substring(p_type, 1, 5)) AS d_type_pfx
       |FROM part GROUP BY 1 ORDER BY brand_u""".stripMargin
 

@@ -53,7 +53,7 @@ object Temporal {
   val walGapcheckSql: String =
     """SELECT count(*) AS n_events, min(event_id) AS min_lsn,
       |max(event_id) AS max_lsn,
-      |SUM(CASE WHEN g != 1 THEN 1 ELSE 0 END) AS n_gaps,
+      |CAST(SUM(CASE WHEN g != 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
       |max(g) AS max_gap
       |FROM (SELECT event_id,
       |      event_id - lag(event_id, 1) OVER (ORDER BY event_id) AS g
@@ -176,7 +176,7 @@ object Temporal {
     s"""SELECT user_id, count(*) AS n_sessions,
        |max(dur_us) AS max_session_us,
        |max(n_events) AS max_session_events,
-       |SUM(n_events) AS total_events
+       |CAST(SUM(n_events) AS BIGINT) AS total_events
        |FROM (
        |  SELECT user_id, sess_id, count(*) AS n_events,
        |         max(t_us) - min(t_us) AS dur_us
@@ -215,7 +215,7 @@ object Temporal {
 
   val eventsJsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |SUM(k) AS k_total, min(k) AS k_min, max(k) AS k_max,
+      |CAST(SUM(k) AS BIGINT) AS k_total, min(k) AS k_min, max(k) AS k_max,
       |count(DISTINCT k) AS d_k
       |FROM (SELECT event_type,
       |      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - MinHash/LSH: per-row signature (codegen'd scalar exprs, no UDF),
   *    then groupBy on (band, band-signature) buckets — candidate pairs
   *    only ever materialize within a bucket, never O(n²).
-  *  - SimHash: 64-bit per-doc sketch, bucketed by high bits.
+  *  - SimHash: 32-bit per-doc sketch, bucketed by high bits.
   *  - N-gram Jaccard: pairwise only within (lang, length-bucket) blocks
   *    — the block key is the partition key, so the self-join is
   *    shuffle-local per block.
@@ -63,7 +63,7 @@ object TextPipeline {
     s"""SELECT source, count(*) AS n_docs,
        |count(DISTINCT h) AS n_distinct,
        |count(*) - count(DISTINCT h) AS n_dupes,
-       |SUM(n_chars) AS total_chars
+       |CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM (SELECT source, n_chars, md5(${sqlNorm("text")}) AS h FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
@@ -128,16 +128,18 @@ object TextPipeline {
        |banded AS (SELECT $bandCols FROM sig),
        |tagged AS ($unions),
        |buckets AS (SELECT band, bucket, count(*) AS c FROM tagged GROUP BY band, bucket)
-       |SELECT band, count(*) AS n_buckets, SUM(c) AS n_docs, max(c) AS max_bucket,
+       |SELECT band, count(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_docs, max(c) AS max_bucket,
        |CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_candidate_pairs
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
   }
 
   // ---------------------------------------------------------------------
-  // q_dedup_simhash — 64-bit SimHash over word tokens: per token a
-  // 60-bit md5-derived hash votes +1/-1 on each bit position; the sketch
-  // bit is the vote majority. Output: docs bucketed by the top 8 bits
-  // (the scale path: near-dup candidates share high bits).
+  // q_dedup_simhash — 32-bit SimHash over word tokens: per token a
+  // 32-bit md5-derived hash (h32) votes +1/-1 on each bit position; the
+  // sketch bit is the vote majority. Output: docs bucketed by the top 8
+  // of the 32 sketch bits (the scale path: near-dup candidates share
+  // high bits). 32 bits keeps the per-token hash a single h32 call while
+  // still giving 2^24 effective sketch space below the bucket prefix.
   // ---------------------------------------------------------------------
   private val SimBits = 32
 
@@ -261,8 +263,8 @@ object TextPipeline {
        |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb
        |    AND a.doc_id < b.doc_id)
        |SELECT lang, lenb, count(*) AS n_pairs,
-       |SUM(CAST(ni AS BIGINT)) AS sum_intersect,
-       |SUM(CAST(nu AS BIGINT)) AS sum_union,
+       |CAST(SUM(ni) AS BIGINT) AS sum_intersect,
+       |CAST(SUM(nu) AS BIGINT) AS sum_union,
        |max(CAST(ni AS DOUBLE) / nu) AS max_jaccard
        |FROM p GROUP BY lang, lenb ORDER BY lang, lenb""".stripMargin
   }
@@ -350,9 +352,9 @@ object TextPipeline {
 
   val tokenCountSql: String =
     s"""SELECT source, count(*) AS n_docs,
-       |SUM(ws_tokens) AS total_ws_tokens,
-       |SUM(re_tokens) AS total_re_tokens,
-       |SUM(chars) AS total_chars,
+       |CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       |CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+       |CAST(SUM(chars) AS BIGINT) AS total_chars,
        |max(re_tokens) AS max_doc_tokens,
        |min(re_tokens) AS min_doc_tokens
        |FROM (
@@ -401,9 +403,10 @@ object TextPipeline {
   val textQualitySql: String = {
     val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT lang, count(*) AS n_docs,
-       |SUM(n_chars) AS sum_chars, SUM(n_toks) AS sum_toks,
-       |SUM(n_distinct_toks) AS sum_distinct_toks,
-       |SUM(n_stop) AS sum_stopwords,
+       |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       |CAST(SUM(n_distinct_toks) AS BIGINT) AS sum_distinct_toks,
+       |CAST(SUM(n_stop) AS BIGINT) AS sum_stopwords,
        |${sqlDavg("n_chars")} AS avg_chars
        |FROM (
        |  SELECT lang, n_chars,
@@ -416,22 +419,25 @@ object TextPipeline {
 
   // ---------------------------------------------------------------------
   // q_doc_fingerprint — polynomial rolling-hash fingerprint per document
-  // (content-addressable identity without carrying the body). Emits each
-  // doc's fingerprint plus a global collision summary row shape:
-  // (doc_id, fp) — collisions would appear as duplicate fp values.
+  // (content-addressable identity without carrying the body). The input
+  // is the space-joined token stream, not the raw text: tokens are
+  // [a-z0-9]+ runs, so every fingerprinted character is 7-bit ASCII and
+  // Spark ascii() == DuckDB unicode() for ANY source document, including
+  // multilingual ones (Hashing.fingerprint's input contract).
+  // Collisions would appear as duplicate fp values.
   // ---------------------------------------------------------------------
   val docFingerprint: Q = (s, d) => {
     Tables
       .documents(s, d)
       .select(
         col("doc_id"),
-        Hashing.fingerprint(norm(col("text"))).as("fp")
+        Hashing.fingerprint(array_join(tokens(col("text")), " ")).as("fp")
       )
       .orderBy(col("doc_id"))
   }
 
   val docFingerprintSql: String =
-    s"""SELECT doc_id, ${sqlFingerprint(sqlNorm("text"))} AS fp
+    s"""SELECT doc_id, ${sqlFingerprint(s"array_to_string(${sqlTokens("text")}, ' ')")} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------

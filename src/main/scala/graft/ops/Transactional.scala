@@ -27,7 +27,7 @@ object Transactional {
 
   // q_transfer_fold — signed-delta fold over events joined to the initial
   // balance table (customer.c_acctbal = bank of refs). purchase = debit,
-  // signup = credit. One shuffle on user_id; customer is broadcast.
+  // signup = credit. Shuffles on user_id for the fold and the join.
   val transferFold: Q = (s, d) => {
     val e = Tables.events(s, d)
     val c = Tables.customer(s, d)
@@ -39,10 +39,11 @@ object Transactional {
           .otherwise(col("value").cast("decimal(18,4)")).as("delta"))
       .groupBy(col("user_id"))
       .agg(sum(col("delta")).as("net"), count(lit(1)).as("n_tx"))
-    // The folded per-key state (deltas) is bounded by the distinct-key
-    // count — broadcast it against the full account table, which at scale
-    // is the big side.
-    broadcast(deltas).join(c, deltas("user_id") === c("c_custkey"))
+    // The folded per-key state has O(distinct user_id) cardinality —
+    // comparable to the account table itself, so it is NOT broadcastable
+    // at scale. A plain shuffle join on the key is the scale-safe default;
+    // AQE may still choose broadcast at small SFs from observed sizes.
+    deltas.join(c, deltas("user_id") === c("c_custkey"))
       .select(col("user_id"),
               col("c_acctbal").as("initial_bal"),
               col("net").cast("double").as("net_delta"),
@@ -212,7 +213,7 @@ object Transactional {
 
   val lruSimSql: String =
     """SELECT bucket, count(*) AS n, min(dist) AS min_dist,
-      |max(dist) AS max_dist, SUM(dist) AS sum_dist
+      |max(dist) AS max_dist, CAST(SUM(dist) AS BIGINT) AS sum_dist
       |FROM (
       |  SELECT CASE WHEN dist <= 10 THEN 'd_0010'
       |              WHEN dist <= 100 THEN 'd_0100'
