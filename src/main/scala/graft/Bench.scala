@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JIT, codegen compilation, parquet footer reads. Without it
+    // the first timed query absorbs several seconds of one-time JVM cost.
+    try {
+      ops.Relational.bankConservation(spark, sfDir).count()
+      ops.Temporal.walReplay(spark, sfDir).count()
+      ops.Embeddings.embedStats(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

