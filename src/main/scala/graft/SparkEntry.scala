@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Transactional.queries ++
       ops.TextPipeline.queries ++
       ops.Embeddings.queries ++
-      ops.Temporal.queries
+      ops.Temporal.queries ++
+      ops.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       ops.Transactional.oracleSql ++
       ops.TextPipeline.oracleSql ++
       ops.Embeddings.oracleSql ++
-      ops.Temporal.oracleSql
+      ops.Temporal.oracleSql ++
+      ops.Analytics.oracleSql
 }

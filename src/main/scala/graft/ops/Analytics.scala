@@ -1,0 +1,399 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wider analytic operator surface: pivot, exact percentiles, range
+  * (band) joins, as-of joins, date/array scalar families, grouping sets,
+  * windowed argmax, and correlated subqueries.
+  *
+  * The reference has none of these (SURVEY.md §2.11 — no relational
+  * operators at all); they are the north-star expansion built on Spark
+  * built-ins. Every query keeps the cross-engine exactness discipline of
+  * graft.functions.Exact: integer arithmetic or decimal-exact sums only,
+  * so the DuckDB oracle hash-matches bit-for-bit.
+  *
+  * Scale notes (100 TB):
+  *  - the as-of join is the union+merge form (one shuffle on the key,
+  *    running `last` over the interleaved stream) — NOT a pairwise theta
+  *    join, whose intermediate blows up as |left|×|events per key|;
+  *  - the range join keys on the equi column (user) and applies the band
+  *    predicate inside the per-key sort — candidate pairs are bounded by
+  *    the band width, never the cross product;
+  *  - pivot / grouping sets are single-shuffle hash aggregates with
+  *    map-side partials; the percentile query is one shuffle + one
+  *    window pass, no global sort of the fact table.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HourUs = 3600L * 1000000L
+
+  // ---------------------------------------------------------------------
+  // q_pivot — nation × market-segment balance matrix. Fixed pivot-value
+  // list keeps the output schema static (and matches the oracle's
+  // conditional-aggregation columns). Empty combinations stay NULL on
+  // both engines.
+  // ---------------------------------------------------------------------
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val pivotBalances: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(dsum(col("c_acctbal")))
+      .orderBy(col("n_name"))
+  }
+
+  val pivotBalancesSql: String = {
+    val cells = segments
+      .map(seg =>
+        s"CAST(SUM(CASE WHEN c_mktsegment = '$seg' " +
+          s"THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE) AS \"$seg\"")
+      .mkString(",\n")
+    s"""SELECT n_name,
+       |$cells
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_median_exact — exact median + p25/p75 per order priority WITHOUT
+  // engine-native percentile functions (whose interpolation arithmetic
+  // differs between engines in the last ulp). Both engines pick the same
+  // middle element(s) by rank and average them in exact decimal.
+  // ---------------------------------------------------------------------
+  val medianExact: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = o
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    ranked
+      .filter(
+        col("rnk") === expr("(cnt + 1) div 2") ||
+          col("rnk") === expr("(cnt + 2) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        davg(col("o_totalprice")).as("median_price"),
+        max(col("cnt")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val medianExactSql: String =
+    s"""SELECT o_orderpriority,
+       |${sqlDavg("o_totalprice")} AS median_price,
+       |max(cnt) AS n_orders
+       |FROM (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
+       |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+       |  FROM orders) t
+       |WHERE rnk = (cnt + 1) // 2 OR rnk = (cnt + 2) // 2
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_range_join — band join: for each 'error' event, the 'click' events
+  // of the SAME user within the following hour. Equi key (user_id) +
+  // band predicate on the time axis; aggregated per user so output stays
+  // bounded by the key count.
+  // ---------------------------------------------------------------------
+  val rangeJoin: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val errs = e
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id"),
+        col("event_id").as("err_id"),
+        col("t_us").as("err_t"))
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_us").as("click_t"))
+    errs
+      .join(
+        clicks,
+        errs("user_id") === clicks("user_id") &&
+          col("click_t") >= col("err_t") &&
+          col("click_t") < col("err_t") + HourUs)
+      .groupBy(errs("user_id").as("user_id"))
+      .agg(
+        countDistinct(col("err_id")).as("n_errors_followed"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT e.user_id AS user_id,
+       |count(DISTINCT e.event_id) AS n_errors_followed,
+       |count(*) AS n_pairs
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS err_t
+       |      FROM events WHERE event_type = 'error') e
+       |JOIN (SELECT user_id, epoch_us(ts) AS click_t
+       |      FROM events WHERE event_type = 'click') c
+       |  ON e.user_id = c.user_id
+       | AND c.click_t >= e.err_t AND c.click_t < e.err_t + $HourUs
+       |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_asof_join — for each 'purchase' event, the most recent prior
+  // 'view' event of the same user (attribution as-of join). Implemented
+  // as the UNION + running-last merge — one shuffle on user_id, linear
+  // in the event count — not a pairwise theta join whose intermediate is
+  // |purchases| × |views per user|. Ties at the same timestamp order
+  // views before purchases ('p' > 'v' lexically), then by event_id:
+  // a view at exactly the purchase time is visible to it.
+  // ---------------------------------------------------------------------
+  val asofJoin: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("t_us"),
+        col("event_id").as("src_id"),
+        lit("v").as("kind"),
+        col("value").as("v_val"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("t_us"),
+        col("event_id").as("src_id"),
+        lit("p").as("kind"),
+        lit(null).cast("double").as("v_val"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("kind").asc, col("src_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views
+      .unionAll(purchases)
+      .withColumn("asof_view_val", last(col("v_val"), ignoreNulls = true).over(w))
+      .filter(col("kind") === "p")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("asof_view_val").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        dsum(coalesce(col("asof_view_val"), lit(0.0))).as("attributed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofJoinSql: String =
+    s"""SELECT user_id, count(*) AS n_purchases,
+       |CAST(SUM(CASE WHEN asof_view_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       |${sqlDsum("COALESCE(asof_view_val, 0.0)")} AS attributed_total
+       |FROM (
+       |  SELECT user_id, kind,
+       |    last_value(v_val IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY t_us ASC, kind ASC, src_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_val
+       |  FROM (
+       |    SELECT user_id, epoch_us(ts) AS t_us, event_id AS src_id,
+       |           'v' AS kind, value AS v_val
+       |    FROM events WHERE event_type = 'view'
+       |    UNION ALL
+       |    SELECT user_id, epoch_us(ts) AS t_us, event_id AS src_id,
+       |           'p' AS kind, CAST(NULL AS DOUBLE) AS v_val
+       |    FROM events WHERE event_type = 'purchase') u) m
+       |WHERE kind = 'p'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_date_funcs — calendar scalar family over orders: year/quarter
+  // buckets, month cardinality, day-of-week histogram (Spark dayofweek
+  // is 1=Sunday, DuckDB's is 0=Sunday — normalized to DuckDB's), and an
+  // integer datediff to month-end. All integer-exact.
+  // ---------------------------------------------------------------------
+  val dateFuncs: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(month(col("o_orderdate"))).as("d_months"),
+        sum(when(dayofweek(col("o_orderdate")) - 1 === 0, 1L).otherwise(0L))
+          .as("n_sunday"),
+        sum(
+          datediff(last_day(col("o_orderdate")), col("o_orderdate"))
+            .cast("long")).as("days_to_eom"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
+  val dateFuncsSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |count(*) AS n_orders,
+      |count(DISTINCT month(o_orderdate)) AS d_months,
+      |CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sunday,
+      |CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS days_to_eom
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_array_funcs — array scalar family over document tokens: distinct +
+  // sort + slice + join. Token alphabet is [a-z0-9]+ so binary string
+  // sort order agrees between engines.
+  // ---------------------------------------------------------------------
+  val arrayFuncs: Q = (s, d) => {
+    val toks = graft.functions.Hashing.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("lang"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), "-")
+          .as("sig"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("sig")).as("d_sigs"),
+        min(col("sig")).as("min_sig"),
+        sum(col("n_distinct")).as("sum_distinct"))
+      .orderBy(col("lang"))
+  }
+
+  val arrayFuncsSql: String = {
+    val toks = graft.functions.Hashing.sqlTokens("text")
+    s"""SELECT lang, count(*) AS n_docs,
+       |count(DISTINCT sig) AS d_sigs,
+       |min(sig) AS min_sig,
+       |CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct
+       |FROM (
+       |  SELECT lang,
+       |    array_to_string(list_sort(list_distinct($toks))[1:3], '-') AS sig,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct
+       |  FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_grouping_sets — explicit GROUPING SETS ((priority, status),
+  // (priority), ()) — the general form behind rollup/cube.
+  // ---------------------------------------------------------------------
+  val groupingSets: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")),
+          Seq()),
+        col("o_orderpriority"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val groupingSetsSql: String =
+    s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       |${sqlDsum("o_totalprice")} AS total,
+       |GROUPING(o_orderpriority, o_orderstatus) AS gid
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+       |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_argmax — deterministic per-group argmax/argmin via ranked windows
+  // (ties broken by event_id, so both engines pick the same row — unlike
+  // max_by/arg_max, whose tie choice is undefined). Emits, per event
+  // type, the extreme-value events.
+  // ---------------------------------------------------------------------
+  val argmax: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val wMax = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val wMin = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    e.withColumn("rn_max", row_number().over(wMax))
+      .withColumn("rn_min", row_number().over(wMin))
+      .filter(col("rn_max") === 1 || col("rn_min") === 1)
+      .select(
+        col("event_type"),
+        when(col("rn_max") === 1, lit("max")).otherwise(lit("min")).as("ext"),
+        col("event_id"),
+        col("user_id"),
+        col("value"))
+      .orderBy(col("event_type"), col("ext"))
+  }
+
+  val argmaxSql: String =
+    """SELECT event_type,
+      |CASE WHEN rn_max = 1 THEN 'max' ELSE 'min' END AS ext,
+      |event_id, user_id, value
+      |FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id DESC) AS rn_max,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC) AS rn_min
+      |  FROM events) t
+      |WHERE rn_max = 1 OR rn_min = 1
+      |ORDER BY event_type, ext""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_scalar_subquery — correlated scalar subquery (customers above
+  // their nation's exact mean balance), exercising Catalyst's subquery
+  // decorrelation. Expressed in SQL over a temp view; the decimal-exact
+  // mean keeps both engines bit-identical.
+  // ---------------------------------------------------------------------
+  val scalarSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_above,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS above_total
+        |FROM graft_customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT c_nationkey, count(*) AS n_above,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS above_total
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_pivot" -> pivotBalances,
+    "q_median_exact" -> medianExact,
+    "q_range_join" -> rangeJoin,
+    "q_asof_join" -> asofJoin,
+    "q_date_funcs" -> dateFuncs,
+    "q_array_funcs" -> arrayFuncs,
+    "q_grouping_sets" -> groupingSets,
+    "q_argmax" -> argmax,
+    "q_scalar_subquery" -> scalarSubquery
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pivot" -> pivotBalancesSql,
+    "q_median_exact" -> medianExactSql,
+    "q_range_join" -> rangeJoinSql,
+    "q_asof_join" -> asofJoinSql,
+    "q_date_funcs" -> dateFuncsSql,
+    "q_array_funcs" -> arrayFuncsSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_argmax" -> argmaxSql,
+    "q_scalar_subquery" -> scalarSubquerySql
+  )
+}

@@ -79,6 +79,50 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("n_retained") > 16).count() == 0)
   }
 
+  test("as-of join: attribution never exceeds purchase count") {
+    val df = ops.Analytics.asofJoin(spark, sf)
+    assert(df.filter(col("n_attributed") > col("n_purchases")).count() == 0)
+  }
+
+  test("exact median lies within the group's value range") {
+    val med = ops.Analytics.medianExact(spark, sf)
+    val rng = Tables
+      .orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val bad = med
+      .join(rng, "o_orderpriority")
+      .filter(col("median_price") < col("lo") || col("median_price") > col("hi"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("grouping sets: grand total row equals table count") {
+    val gs = ops.Analytics.groupingSets(spark, sf)
+    val grand = gs
+      .filter(col("gid") === 3)
+      .select(col("n"))
+      .first()
+      .getLong(0)
+    assert(grand == Tables.orders(spark, sf).count())
+  }
+
+  test("range join pairs only within the hour band") {
+    // invariant proxy: every (error, click) pair is same-user and the
+    // aggregate never counts more errors than exist for that user
+    val rj = ops.Analytics.rangeJoin(spark, sf)
+    val errCounts = Tables
+      .events(spark, sf)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_err"))
+    val bad = rj
+      .join(errCounts, "user_id")
+      .filter(col("n_errors_followed") > col("n_err"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val plan = ops.Relational
       .filterPushdown(spark, sf)
