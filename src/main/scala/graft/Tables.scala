@@ -27,7 +27,7 @@ object Tables {
     * compare (DuckDB keeps ns precision); derive coarser columns
     * (date_trunc, epoch secs).
     */
-  private val eventsSchema: StructType = StructType(Seq(
+  private[graft] val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface — the streaming duals of the batch
+  * temporal queries in [[graft.ops.Temporal]] and the STM fold in
+  * [[graft.ops.Transactional]].
+  *
+  * Reference analogue: opusdb's WAL is an append-only ordered stream with
+  * replay (/root/reference/src/opusdb/logging/log_mgr.clj:16-33,46-66) and
+  * its benchmark threads produce concurrent event streams folded into
+  * keyed state (/root/reference/src/opusdb/benchmark/throughput.clj:102-147).
+  * Here: `readStream` file source plays the WAL tail, watermarked window
+  * aggregations play the replay folds, and `mapGroupsWithState` holds the
+  * per-key mutable state the reference kept in refs — with Spark's
+  * checkpoint WAL providing the flush-before-data durability contract the
+  * reference implemented by hand (buffer.clj:44-54).
+  *
+  * Scale notes: every pipeline below is keyed (shuffle on user_id /
+  * window key) with map-side partial aggregation; state stores are
+  * per-key incremental (RocksDB-backable via conf at deployment — no code
+  * change). Watermarks bound state: late events beyond 1 hour are
+  * dropped, so state size is O(active keys × windows-in-horizon), not
+  * O(stream length).
+  *
+  * These are NOT in SparkEntry.queries: streaming sinks aren't
+  * DuckDB-oracle-checkable. StreamingSpec verifies each pipeline against
+  * its batch twin on identical input (same-result-on-same-data is the
+  * snapshot-consistency idiom of the reference's own tests,
+  * stm_test.clj:156-173).
+  */
+object Streams {
+
+  /** Typed event row for the streaming Datasets (micros timestamp). */
+  case class EventRow(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      props: String)
+
+  /** Per-account folded state: exact integer cents (doubles carry ≤2
+    * decimals in the testdata, so cents are lossless — the streaming
+    * twin of the decimal-exact batch fold).
+    */
+  case class AccountState(netCents: Long, nTx: Long)
+
+  case class AccountUpdate(user_id: Long, net_cents: Long, n_tx: Long)
+
+  case class SessionUpdate(
+      user_id: Long,
+      session_start_us: Long,
+      n_events: Long)
+
+  /** File-source stream over the events table: the WAL tail. Reads with
+    * the explicit nanos-as-long schema (Tables.eventsSchema) and converts
+    * to a micros TimestampType column, exactly like the batch reader.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windows per event type — streaming twin of
+    * q_window_tumbling. Watermark bounds state to one hour of lateness.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("value_total"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n"),
+        col("value_total"))
+
+  /** Sliding 1-hour windows every 15 minutes — streaming twin of
+    * q_window_sliding.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows (30-minute gap) per user — streaming twin of
+    * q_window_session's sessionization rule.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("user_id"),
+        col("n_events"))
+
+  /** Keyed mutable state via mapGroupsWithState: per-user running net
+    * balance folded from signed deltas (purchase = debit, signup =
+    * credit) — the streaming dual of the reference's bank-of-refs
+    * transfer fold and of the batch q_transfer_fold. Emits the updated
+    * running state per key per micro-batch.
+    */
+  def runningBalances(
+      spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[AccountUpdate] = {
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "signup")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[AccountState, AccountUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[AccountState]) =>
+          val prev = state.getOption.getOrElse(AccountState(0L, 0L))
+          var net = prev.netCents
+          var n = prev.nTx
+          it.foreach { e =>
+            val cents = math.round(e.value * 100.0)
+            net += (if (e.event_type == "purchase") -cents else cents)
+            n += 1
+          }
+          val next = AccountState(net, n)
+          state.update(next)
+          AccountUpdate(uid, net, n)
+      }
+  }
+}
