@@ -24,7 +24,8 @@ object SparkEntry {
       ops.TextPipeline.queries ++
       ops.Embeddings.queries ++
       ops.Temporal.queries ++
-      ops.Analytics.queries
+      ops.Analytics.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       ops.TextPipeline.oracleSql ++
       ops.Embeddings.oracleSql ++
       ops.Temporal.oracleSql ++
-      ops.Analytics.oracleSql
+      ops.Analytics.oracleSql ++
+      ops.Multimodal.oracleSql
 }

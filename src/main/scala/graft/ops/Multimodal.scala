@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque BinaryType
+  * payloads with typed metadata, processed by partition-local typed
+  * transforms (`mapPartitions` over `Dataset[T]` — the Scala-native
+  * equivalent of a Pandas `mapInPandas` batch UDF: one iterator per
+  * partition, streaming through rows without collecting).
+  *
+  * DECODE IS STUBBED: this container has no image/audio codecs, so
+  * `decodeImage` / `decodeAudio` produce a clearly-marked DETERMINISTIC
+  * FAKE (bytes of the payload re-projected as "pixels"/"samples"). The
+  * Spark-side plumbing is real and tested: BinaryType schema, typed
+  * Encoders, partition-preserving iterator transforms, fixed batch
+  * shapes (every feature row has a statically-known arity). Swapping the
+  * fake for javax.imageio / a JNI codec changes ONE function body and no
+  * plumbing.
+  *
+  * Scale notes (100 TB): payloads never shuffle — every transform below
+  * is a narrow mapPartitions (no exchange in the plan, asserted in
+  * MultimodalSpec); only the small extracted feature rows flow into
+  * joins/aggregations. Frame sampling emits at most `maxFrames` rows per
+  * video, bounding the fan-out of the explode.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Opaque media payload + typed metadata. `payload` stands in for the
+    * encoded image/audio/video bytes; metadata is the typed companion a
+    * real ingest would carry (dimensions, sample rate, frame count).
+    */
+  case class MediaRow(
+      doc_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      mean_pixel: Double,
+      max_pixel: Int)
+
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      energy: Double,
+      zero_crossings: Long)
+
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Deterministic media table derived from `documents`: the text bytes
+    * play the encoded payload; metadata fields are stable functions of
+    * doc_id. (A real pipeline would read these from an object store —
+    * the schema and partitioning are what matter here.)
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .map { r =>
+        val id = r.getLong(0)
+        val payload = r.getString(1).getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(
+          doc_id = id,
+          kind = kind,
+          payload = payload,
+          width = 16 + (id % 16).toInt,
+          height = 16 + (id % 8).toInt,
+          sample_rate = 8000 + 1000 * (id % 5).toInt,
+          n_frames = 1 + (payload.length / FrameBytes))
+      }
+  }
+
+  private val FrameBytes = 256
+
+  /** STUB — deterministic fake image decode. A real implementation
+    * replaces the body with an actual codec (e.g. javax.imageio) reading
+    * `m.payload`; everything around it (typed Dataset in/out, partition-
+    * local iterator, fixed output arity) is production plumbing.
+    */
+  private def fakePixels(m: MediaRow): Array[Int] = {
+    val n = m.width * m.height
+    val p = m.payload
+    Array.tabulate(n)(i =>
+      if (p.isEmpty) 0 else p(((i * 31) % p.length + p.length) % p.length) & 0xff)
+  }
+
+  /** Image decode + feature extraction: one pass per partition, no
+    * shuffle; output shape is fixed (6 columns per image).
+    */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { m =>
+          val px = fakePixels(m) // STUB decode (see Scaladoc)
+          val mean =
+            if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+          ImageFeatures(
+            doc_id = m.doc_id,
+            width = m.width,
+            height = m.height,
+            n_bytes = m.payload.length.toLong,
+            mean_pixel = mean,
+            max_pixel = if (px.isEmpty) 0 else px.max)
+        }
+      }
+  }
+
+  /** Average-pool "resize" of the fake pixel grid to target×target.
+    * The pooling math is real (and what a thumbnail stage does); only
+    * the pixels underneath are the stubbed fake.
+    */
+  def resize(
+      media: Dataset[MediaRow],
+      target: Int): Dataset[(Long, Array[Double])] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { m =>
+          val px = fakePixels(m) // STUB decode
+          val out = Array.tabulate(target * target) { cell =>
+            val cy = cell / target
+            val cx = cell % target
+            val y0 = cy * m.height / target
+            val y1 = math.max(y0 + 1, (cy + 1) * m.height / target)
+            val x0 = cx * m.width / target
+            val x1 = math.max(x0 + 1, (cx + 1) * m.width / target)
+            var acc = 0L
+            var cnt = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                acc += px(y * m.width + x); cnt += 1; x += 1
+              }
+              y += 1
+            }
+            acc.toDouble / cnt
+          }
+          (m.doc_id, out)
+        }
+      }
+  }
+
+  /** STUB — deterministic fake audio decode: payload bytes as signed
+    * samples. Real codec goes here; the energy / zero-crossing math and
+    * the plumbing are real.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.map { m =>
+          val samples = m.payload.map(_.toInt) // STUB decode
+          var energy = 0.0
+          var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            energy += samples(i).toDouble * samples(i)
+            if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          AudioFeatures(
+            doc_id = m.doc_id,
+            sample_rate = m.sample_rate,
+            n_samples = samples.length.toLong,
+            energy = energy,
+            zero_crossings = zc)
+        }
+      }
+  }
+
+  /** Frame sampling for "video": split the payload into fixed 256-byte
+    * frames and keep every `stride`-th, capped at `maxFrames` — bounds
+    * the fan-out per video regardless of payload size (the property that
+    * matters at 100 TB; a real pipeline samples keyframes the same way).
+    */
+  def frameSample(
+      media: Dataset[MediaRow],
+      stride: Int,
+      maxFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val p = m.payload
+          val nFrames = (p.length + FrameBytes - 1) / FrameBytes
+          Iterator
+            .range(0, nFrames, stride)
+            .take(maxFrames)
+            .map { f =>
+              val start = f * FrameBytes
+              val end = math.min(start + FrameBytes, p.length)
+              var sum = 0L
+              var i = start
+              while (i < end) { sum = sum * 31 + (p(i) & 0xff); i += 1 }
+              Frame(m.doc_id, f, end - start, sum)
+            }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // q_binary_meta — the oracle-able slice of the binary pipeline: typed
+  // metadata over the payload bytes (octet length, content digest) with
+  // no decode involved. Spark md5(BINARY of UTF-8 text) == DuckDB
+  // md5(VARCHAR) byte-for-byte.
+  // ---------------------------------------------------------------------
+  val binaryMeta: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("digest")).as("d_digests"),
+        max(col("n_bytes")).as("max_bytes"),
+        min(col("digest")).as("min_digest"))
+      .orderBy(col("source"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |count(DISTINCT digest) AS d_digests,
+      |max(n_bytes) AS max_bytes,
+      |min(digest) AS min_digest
+      |FROM (SELECT source,
+      |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |      md5(text) AS digest
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map("q_binary_meta" -> binaryMeta)
+  val oracleSql: Map[String, String] = Map("q_binary_meta" -> binaryMetaSql)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Multimodal plumbing: schema, determinism, shuffle-freedom, and batch
+  * shape — the contract a real codec would drop into.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.mediaTable(spark, sf)
+
+  test("media table: binary payload column + typed metadata schema") {
+    val schema = media.toDF().schema
+    assert(schema("payload").dataType == BinaryType)
+    assert(
+      Seq("doc_id", "kind", "width", "height", "sample_rate", "n_frames")
+        .forall(schema.fieldNames.contains))
+    // every document lands in exactly one modality
+    assert(media.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("image decode is deterministic and partition-local (no shuffle)") {
+    val feats = Multimodal.decodeImage(media)
+    val a = feats.collect().map(f => f.doc_id -> f).toMap
+    val b = Multimodal.decodeImage(media).collect().map(f => f.doc_id -> f).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, f) =>
+      assert(f.mean_pixel == b(id).mean_pixel && f.max_pixel == b(id).max_pixel)
+      assert(f.mean_pixel >= 0.0 && f.mean_pixel <= 255.0)
+      assert(f.max_pixel >= 0 && f.max_pixel <= 255)
+    }
+    // narrow pipeline: no Exchange in the physical plan
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
+  }
+
+  test("resize pools to a fixed grid with in-range values") {
+    val out = Multimodal.resize(media, 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, grid) =>
+      assert(grid.length == 16)
+      assert(grid.forall(v => v >= 0.0 && v <= 255.0))
+    }
+  }
+
+  test("audio features: fixed arity, non-negative energy") {
+    val a = Multimodal.decodeAudio(media).collect()
+    assert(a.nonEmpty)
+    a.foreach { f =>
+      assert(f.energy >= 0.0)
+      assert(f.zero_crossings >= 0 && f.zero_crossings < f.n_samples)
+    }
+  }
+
+  test("frame sampling bounds fan-out per video") {
+    val frames = Multimodal.frameSample(media, stride = 2, maxFrames = 5)
+    val perDoc = frames
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach(r => assert(r.getLong(1) <= 5))
+    // frame indices respect the stride
+    assert(
+      frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+  }
+}
