@@ -123,6 +123,28 @@ object Hashing {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
 
+  /** Codegen'd dot product via the custom Catalyst expression
+    * [[graft.plans.FloatVecDot]] — bit-identical values to [[dot]] (same
+    * left-to-right double fold), but a primitive loop inside whole-stage
+    * codegen instead of interpreted higher-order lambdas. Use this in
+    * per-pair hot paths; [[dot]] remains the HOF reference formulation.
+    */
+  def fdot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(
+      graft.plans.FloatVecDot(Exprs.expression(a), Exprs.expression(b)))
+  }
+
+  /** Codegen'd plane·vector dot ([[graft.plans.PlaneVecDot]]): double
+    * plane literal against a float vector, value-identical to
+    * `zip_with(plane, v, (p, x) => p * x.cast("double"))` + ordered fold.
+    */
+  def pdot(plane: Column, v: Column): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(
+      graft.plans.PlaneVecDot(Exprs.expression(plane), Exprs.expression(v)))
+  }
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -162,11 +184,7 @@ object Hashing {
       // typedLit: ONE ArrayType literal, not a 64-child CreateArray —
       // keeps the expression tree (and analysis/codegen time) small.
       val plane = typedLit((1 to dim).map(i => planeComponent(j, i)))
-      val planeDot = aggregate(
-        zip_with(plane, v, (p, x) => p * x.cast("double")),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
+      val planeDot = pdot(plane, v)
       when(planeDot >= 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

@@ -44,7 +44,7 @@ object Embeddings {
     // inline-cosine SQL still hash-matches exactly.
     val e = Tables
       .embeddings(s, d)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
     val q = e
       .filter(col("vec_id") % queryStride === 0)
       .select(
@@ -56,7 +56,7 @@ object Embeddings {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
           .as("cos")
       )
     val w = Window
@@ -94,7 +94,7 @@ object Embeddings {
     val e = Tables
       .embeddings(s, d)
       .withColumn("bucket", lshBucket(col("embedding"), lshBits, embedDim))
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
     val q = e
       .filter(col("vec_id") % queryStride === 0)
       .select(
@@ -110,7 +110,7 @@ object Embeddings {
         col("query_id"),
         col("bucket"),
         col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
           .as("cos")
       )
     val w = Window
@@ -162,7 +162,7 @@ object Embeddings {
   val embedNearDup: Q = (s, d) => {
     val e = Tables
       .embeddings(s, d)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
     val a = e.select(
       col("label"),
       col("vec_id").as("id_a"),
@@ -179,7 +179,7 @@ object Embeddings {
       .filter(col("id_a") < col("id_b"))
       .withColumn(
         "cos",
-        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        fdot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -210,7 +210,7 @@ object Embeddings {
   val embedStats: Q = (s, d) => {
     Tables
       .embeddings(s, d)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vectors"),
