@@ -154,6 +154,110 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
+  // q_similarity_ivf — IVF-style ANN: a deterministic centroid set (every
+  // 61st vector plays the "trained" coarse quantizer), each vector
+  // assigned to its nearest centroid cell by exact L2² computed from dot
+  // products (||x||² − 2·x·c + ||c||², identical arithmetic on both
+  // engines, ties → lower centroid id). Queries probe ONLY their own
+  // cell — the IVF scale contract: candidate work is bounded by cell
+  // size, and swapping these stride-centroids for k-means trained ones
+  // changes no plumbing. Emits per-query cell top-3 + probed cell size.
+  // ---------------------------------------------------------------------
+  private val centroidStride = 61
+
+  val similarityIvf: Q = (s, d) => {
+    val e = Tables
+      .embeddings(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+    val cents = e
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(
+        col("vec_id").as("cent_id"),
+        col("embedding").as("cv"),
+        col("nrm2").as("cnrm2"))
+    // assignment: argmin over centroids of exact L2² (broadcast the
+    // small centroid set; one pass over the collection)
+    val wAssign = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    val assigned = e
+      .join(broadcast(cents), lit(true))
+      .withColumn(
+        "l2",
+        col("nrm2") - lit(2.0) * fdot(col("embedding"), col("cv")) +
+          col("cnrm2"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(col("nrm2")).as("nrm"),
+        col("cent_id").as("cell"))
+    val q = assigned
+      .filter(col("vec_id") % queryStride === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        col("cell"))
+    val cand = assigned
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("cell"),
+        col("vec_id").as("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+    val wRank = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val sizes =
+      cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    cand
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(sizes, Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("cell"),
+        col("n_candidates"),
+        col("rank"),
+        col("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val similarityIvfSql: String = {
+    val dotXC = sqlDot("e.embedding", "c.embedding")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |           ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding, nrm2 AS cnrm2 FROM n
+       |          WHERE vec_id % $centroidStride = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, sqrt(e.nrm2) AS nrm, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.nrm2 - 2.0 * ($dotXC) + c.cnrm2 ASC, c.cent_id ASC) AS arn
+       |    FROM n e CROSS JOIN cents c) t
+       |  WHERE arn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cell
+       |      FROM assigned WHERE vec_id % $queryStride = 0),
+       |cand AS (
+       |  SELECT q.query_id, a.cell, a.vec_id AS neighbor_id,
+       |    ${sqlDot("q.qv", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id != q.query_id),
+       |sizes AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+       |ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM cand)
+       |SELECT r.query_id, r.cell, s.n_candidates, r.rank, r.neighbor_id, r.cos
+       |FROM ranked r JOIN sizes s ON r.query_id = s.query_id
+       |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_embed_neardup — embedding-cosine near-duplicate detection, blocked
   // by label (the cluster id doubles as the blocking key): pairwise
   // cosine within a label only. Per label: pair count, near-dup count at
@@ -232,6 +336,7 @@ object Embeddings {
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> similarityTopk,
     "q_similarity_lsh" -> similarityLsh,
+    "q_similarity_ivf" -> similarityIvf,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_stats" -> embedStats
   )
@@ -239,6 +344,7 @@ object Embeddings {
   val oracleSql: Map[String, String] = Map(
     "q_similarity_topk" -> similarityTopkSql,
     "q_similarity_lsh" -> similarityLshSql,
+    "q_similarity_ivf" -> similarityIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_stats" -> embedStatsSql
   )

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audit (the "explain until it's the plan you'd want"
+  * discipline): dimension joins must broadcast, bucketed joins must
+  * co-locate without an exchange, and aggregation pipelines must not
+  * shuffle more than their key structure requires.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    // AQE's toString appends the pre-adaptive "Initial Plan" section,
+    // which would double-count operators — keep only the final plan.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("multi-way star join broadcasts every dimension") {
+    val plan = executed(ops.Relational.multiJoin(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n$plan")
+  }
+
+  test("fact-to-dim join is broadcast, fact side never shuffles for it") {
+    val plan = executed(ops.Relational.brandRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("exact dedup shuffles only on aggregation keys (<= 2 exchanges)") {
+    val plan = executed(ops.TextPipeline.dedupExact(spark, sf))
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    // countDistinct expands to two-phase agg: (source, h) then (source);
+    // +1 for the final tiny orderBy range partitioning
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$plan")
+  }
+
+  test("bucketed join co-locates without any exchange") {
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Tables
+        .orders(spark, sf)
+        .write
+        .mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+      Tables
+        .customer(spark, sf)
+        .write
+        .mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+      val joined = spark
+        .table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val plan = {
+        joined.collect()
+        joined.queryExecution.executedPlan.toString
+      }
+      // the join itself must not repartition either bucketed side — the
+      // only exchange allowed is the one feeding the final aggregation
+      val joinSection = plan.split("HashAggregate").last
+      assert(
+        !joinSection.contains("Exchange hashpartitioning(o_custkey")
+          && !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join re-shuffled a bucketed side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // value sanity vs the unbucketed join
+      val expect = Tables
+        .orders(spark, sf)
+        .join(
+          Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.agg(sum($"n")).first().getLong(0) == expect)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
