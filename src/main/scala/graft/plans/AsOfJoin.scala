@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BinaryNode,
+  LogicalPlan,
+  Project
+}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution,
+  Distribution,
+  Partitioning
+}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
+
+/** Native AS-OF JOIN — a whole-operator Spark extension (SURVEY.md §7.4
+  * case (c)): custom `LogicalPlan` node + `SparkStrategy` + `SparkPlan`,
+  * registered via `SparkSessionExtensions` (or lazily through
+  * `experimental.extraStrategies`).
+  *
+  * Semantics: for each left row, attach the LAST right row with the same
+  * key and `rightTime <= leftTime` (inclusive), or nulls if none — the
+  * exact "latest version at-or-before the read point" rule of the
+  * reference's versioned deref
+  * (/root/reference/src/opusdb/atomic/stm.clj:55-65), generalized from a
+  * point lookup to a relational join. DuckDB's built-in ASOF LEFT JOIN
+  * computes the identical result, which is what makes q_asof_native
+  * oracle-checkable.
+  *
+  * Scale design: this is a MERGE join — both sides hash-cluster on the
+  * key (one shuffle each) and sort per partition by (key, time); the
+  * per-partition merge advances two pointers monotonically, so cost is
+  * O(|L| + |R|) per partition with O(1) state (the last matching right
+  * row). A pairwise theta-join formulation would materialize
+  * |L| × |rows-per-key| intermediates; the window union-trick
+  * (ops.Analytics.asofJoin) is the built-in-only fallback with the same
+  * scan shape but an extra window pass.
+  *
+  * Scope: key and time expressions must be non-null LongType (the
+  * engine's event/version keys). A production generalization would
+  * codegen orderings for arbitrary types; the operator contract and
+  * planning are identical.
+  */
+case class AsOfJoinNode(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan)
+    extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // one shuffle per side, clustered on the join key → zipPartitions-safe
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // per-partition (key, time) sort: the merge relies on monotone input
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val proj = UnsafeProjection.create(out, out)
+      // O(1) merge state: the last right row consumed, and its key
+      var last: InternalRow = null
+      var lastKey: Long = 0L
+      lIter.map { lrow =>
+        val k = lkB.eval(lrow).asInstanceOf[Long]
+        val t = ltB.eval(lrow).asInstanceOf[Long]
+        var continue = true
+        while (continue && rBuf.hasNext) {
+          val head = rBuf.head
+          val hk = rkB.eval(head).asInstanceOf[Long]
+          if (hk < k || (hk == k &&
+              rtB.eval(head).asInstanceOf[Long] <= t)) {
+            last = rBuf.next().copy()
+            lastKey = hk
+          } else {
+            continue = false
+          }
+        }
+        val rrow = if (last != null && lastKey == k) last else nullRight
+        proj(joiner(lrow, rrow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(lk, lt, rk, rt, l, r) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Conf-based registration: `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+/** Public API: `AsOf.join(left, "k", "t", right, "k2", "t2")`. Lazily
+  * registers the strategy on the session if the conf-based extension was
+  * not installed. The right side is re-aliased to fresh attribute ids so
+  * self-joins (the common as-of case: one event table against itself)
+  * never produce ambiguous references.
+  */
+object AsOf {
+  def join(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+    def find(attrs: Seq[Attribute], n: String): Attribute =
+      attrs
+        .find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val node = AsOfJoinNode(
+      find(lPlan.output, leftKey),
+      find(lPlan.output, leftTime),
+      find(rOut, rightKey),
+      find(rOut, rightTime),
+      lPlan,
+      rPlan)
+    org.apache.spark.sql.graft.Exprs.ofRows(spark, node)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+/** Native as-of join operator: semantics vs the union+running-last
+  * formulation, null behavior, plan shape.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("native as-of join == union-trick as-of join (aggregate values)") {
+    val native = ops.Analytics
+      .asofNative(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val unionForm = ops.Analytics
+      .asofJoin(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(native == unionForm)
+  }
+
+  test("left rows with no prior match get nulls, not dropped") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 15L, "a"), (3L, 1L, "b")).toDF("rk", "rt", "v")
+    val out = AsOf
+      .join(left, "k", "t", right, "rk", "rt")
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 10L)).isEmpty) // match is later than t=10
+    assert(out((1L, 20L)).contains("a")) // rt=15 <= 20
+    assert(out((2L, 5L)).isEmpty) // key has no right rows
+  }
+
+  test("inclusive boundary: right row at exactly left time matches") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((7L, 100L)).toDF("k", "t")
+    val right = Seq((7L, 100L, 42.0)).toDF("rk", "rt", "v")
+    val out = AsOf.join(left, "k", "t", right, "rk", "rt").collect()
+    assert(out.length == 1 && out(0).getDouble(4) == 42.0)
+  }
+
+  test("latest of several candidates wins") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 50L)).toDF("k", "t")
+    val right =
+      Seq((1L, 10L, "old"), (1L, 30L, "mid"), (1L, 49L, "new"), (1L, 51L, "future"))
+        .toDF("rk", "rt", "v")
+    val out = AsOf.join(left, "k", "t", right, "rk", "rt").collect()
+    assert(out(0).getString(4) == "new")
+  }
+
+  test("plan: AsOfJoinExec with one exchange+sort per side, no theta join") {
+    val df = ops.Analytics.asofNative(spark, sf)
+    df.collect()
+    val plan =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // SparkPlan.nodeName strips the Exec suffix: the operator prints as
+    // "AsOfJoin <keys>"
+    assert(plan.contains("AsOfJoin "), s"operator not planned:\n$plan")
+    assert(
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"theta-join fallback appeared:\n$plan")
+  }
+}
