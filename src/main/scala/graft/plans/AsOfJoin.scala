@@ -132,6 +132,31 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom optimizer rule: column pruning through [[AsOfJoinNode]].
+  * Catalyst's own ColumnPruning only understands built-in nodes, so a
+  * custom operator blocks pruning — without this rule,
+  * `AsOf.join(events, events, …).select("user_id")` scans every column
+  * of both sides. The rule computes the attributes the parent Project
+  * and the join expressions actually need and inserts narrowing Projects
+  * on both children; physical planning then folds those into the parquet
+  * ReadSchema (asserted in AsOfJoinSpec).
+  */
+object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoinNode)
+        if (AttributeSet(j.output) -- p.references).nonEmpty =>
+      val required = p.references ++
+        AttributeSet(
+          Seq(j.leftKey, j.leftTime, j.rightKey, j.rightTime)
+            .flatMap(_.references))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(required.contains)
+        if (keep.size == child.output.size) child else Project(keep, child)
+      }
+      p.copy(child = j.copy(left = prune(j.left), right = prune(j.right)))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(lk, lt, rk, rt, l, r) =>
@@ -142,8 +167,10 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 /** Conf-based registration: `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinPruning)
+  }
 }
 
 /** Public API: `AsOf.join(left, "k", "t", right, "k2", "t2")`. Lazily
@@ -164,6 +191,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
     }
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed

@@ -58,6 +58,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getString(4) == "new")
   }
 
+  test("pruning rule narrows both scans through the custom node") {
+    // join FULL event tables, then keep only two columns — the custom
+    // rule must narrow both parquet ReadSchemas to the referenced +
+    // key/time columns instead of all six
+    val e = Tables.events(spark, sf)
+      .withColumn("t_us", unix_micros(col("ts")))
+    val right = e
+      .select(
+        col("user_id").as("v_user"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"),
+        col("event_type").as("v_type"),
+        col("props").as("v_props"))
+    val joined = AsOf
+      .join(e, "user_id", "t_us", right, "v_user", "v_t")
+      .select(col("user_id"), col("v_val"))
+    joined.collect()
+    val plan =
+      joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // neither scan should read props (never referenced after pruning)
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.nonEmpty)
+    assert(
+      !schemas.exists(_.contains("props")),
+      s"props survived pruning: $schemas")
+  }
+
   test("plan: AsOfJoinExec with one exchange+sort per side, no theta join") {
     val df = ops.Analytics.asofNative(spark, sf)
     df.collect()
