@@ -488,9 +488,39 @@ object Relational {
        |GROUP BY 1, 2 ORDER BY r_name, order_year""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_ship_priority — TPC-H Q3 shape: selective filters on BOTH join
+  // sides (pushed to each scan), fact-fact join on orderkey, revenue
+  // top-10. The "double filter then join" pattern is the workhorse of
+  // interactive analytics at scale — both scans shrink before any
+  // shuffle happens.
+  // ---------------------------------------------------------------------
+  val shipPriority: Q = (s, d) => {
+    val cutoff = lit("1998-06-17").cast("timestamp")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val shipPrioritySql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '1998-06-17 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-17 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_ship_priority" -> shipPriority,
     "q_bank_conservation" -> bankConservation,
     "q_pricing_summary" -> pricingSummary,
     "q_top_customers" -> topCustomers,
@@ -512,6 +542,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ship_priority" -> shipPrioritySql,
     "q_bank_conservation" -> bankConservationSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_top_customers" -> topCustomersSql,

@@ -456,7 +456,69 @@ object TextPipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_corpus_prep — the end-to-end training-data preparation pipeline in
+  // ONE query: language filter → quality gate (length + stopword-ratio
+  // bounds) → exact dedup (first doc per normalized-text hash wins,
+  // deterministic by doc_id) → per-language corpus statistics. This is
+  // the composition the individual operators exist for; one scan, two
+  // shuffles (dedup hash, final group).
+  // ---------------------------------------------------------------------
+  val corpusPrep: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .filter(col("n_chars").between(100, 20000))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t =>
+          array_contains(array(stopwords.map(lit): _*), t))).cast("long"))
+      .filter(col("n_toks") >= 10)
+      // stopword ratio in [2%, 60%] — integer-exact comparison via
+      // cross-multiplication (no float division)
+      .filter(
+        col("n_stop") * 100 >= col("n_toks") * 2 &&
+          col("n_stop") * 100 <= col("n_toks") * 60)
+      .withColumn("h", md5(norm(col("text"))))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"),
+        countDistinct(col("source")).as("d_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusPrepSql: String = {
+    val sw = stopwords.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""SELECT lang, count(*) AS n_docs,
+       |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |count(DISTINCT source) AS d_sources
+       |FROM (
+       |  SELECT lang, n_chars, source, n_toks,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) AS rn
+       |  FROM (
+       |    SELECT doc_id, lang, source, n_chars,
+       |      CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_toks,
+       |      CAST(len(list_filter(${sqlTokens("text")}, t -> list_contains($sw, t))) AS BIGINT) AS n_stop,
+       |      md5(${sqlNorm("text")}) AS h
+       |    FROM documents
+       |    WHERE lang IN ('en', 'de', 'fr', 'es')
+       |      AND n_chars BETWEEN 100 AND 20000) f
+       |  WHERE n_toks >= 10
+       |    AND n_stop * 100 >= n_toks * 2 AND n_stop * 100 <= n_toks * 60) t
+       |WHERE rn = 1
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -468,6 +530,7 @@ object TextPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_prep" -> corpusPrepSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

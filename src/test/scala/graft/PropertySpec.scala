@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5.2): as-of lookup equals a naive
+  * max-scan on random version histories; dedup is idempotent; the top-k
+  * Aggregator matches a full sort for arbitrary inputs. Uses raw
+  * ScalaCheck generators with fixed seeds (deterministic across runs;
+  * the scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val historyGen: Gen[List[(Long, Long, Double)]] =
+    for {
+      n <- Gen.choose(1, 40)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 4L))
+      vers <- Gen.listOfN(n, Gen.choose(0L, 100L))
+      vals <- Gen.listOfN(n, Gen.choose(0, 99999).map(_ / 100.0))
+    } yield keys.lazyZip(vers).lazyZip(vals).toList.zipWithIndex.map {
+      // make (key, version) unique by folding the index into the version
+      case ((k, v, x), i) => (k, v * 1000 + i, x)
+    }
+
+  test("as-of window lookup == naive per-key max-scan (random histories)") {
+    val s = spark
+    import s.implicits._
+    (1 to 12).foreach { i =>
+      val rows = sample(historyGen, 1000L + i)
+      val readPoint = sample(Gen.choose(0L, 100000L), 2000L + i)
+      val df = rows.toDF("key", "ver", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("ver").desc)
+      val engine = df
+        .filter(col("ver") <= readPoint)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("ver"), col("value"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val naive = rows
+        .filter(_._2 <= readPoint)
+        .groupBy(_._1)
+        .map { case (k, vs) =>
+          val best = vs.maxBy(_._2)
+          k -> (best._2, best._3)
+        }
+      assert(engine == naive, s"seed offset $i")
+    }
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val s = spark
+    import s.implicits._
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "aa", "bb"))
+    (1 to 6).foreach { i =>
+      val texts = sample(textGen, 3000L + i)
+      val df = texts.zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }
+        .toDF("id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text"))
+          .orderBy(col("id").asc)
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+      }
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(twice.exceptAll(once).count() == 0)
+      assert(once.exceptAll(twice).count() == 0)
+      assert(once.select(col("text")).distinct().count() == once.count())
+    }
+  }
+
+  test("TopKAgg.merge/reduce == full sort take k (random buffers)") {
+    import graft.functions.{ScoredId, TopKAgg}
+    val pairGen = for {
+      score <- Gen.choose(-1000, 1000).map(_ / 10.0)
+      id <- Gen.choose(0L, 50L)
+    } yield ScoredId(score, id)
+    val listGen = Gen.listOf(pairGen)
+    (1 to 50).foreach { i =>
+      val items = sample(listGen, 4000L + i)
+      val k = 1 + (i % 7)
+      val agg = TopKAgg(k)
+      val viaReduce = items.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = items.splitAt(items.length / 2)
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val expected = items.sortBy(x => (-x.score, x.id)).take(k)
+      assert(viaReduce == expected, s"reduce mismatch, seed offset $i")
+      assert(viaMerge == expected, s"merge mismatch, seed offset $i")
+    }
+  }
+}

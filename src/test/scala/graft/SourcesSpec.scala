@@ -36,6 +36,32 @@ class SourcesSpec extends SparkSpec {
     roundTrip("json", Formats.writeJson, Formats.readJson)
   }
 
+  test("partitioned parquet write enables partition pruning at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables
+      .events(spark, sf)
+      .write
+      .mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(dir)
+    val pruned = spark.read
+      .parquet(dir)
+      .filter(col("event_type") === "purchase")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(
+      plan.contains("PartitionFilters: [") &&
+        plan.contains("event_type"),
+      s"no partition filter at the scan:\n$plan")
+    // value check: pruned read equals filtered full read
+    val expect = Tables
+      .events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .count()
+    assert(pruned.count() == expect)
+  }
+
   test("TopKAgg == window-based top-k on brute-force similarity pairs") {
     val s = spark
     import s.implicits._
