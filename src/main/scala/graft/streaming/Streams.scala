@@ -107,6 +107,62 @@ object Streams {
         col("user_id"),
         col("n_events"))
 
+  /** Open-session state carried across micro-batches. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  case class ClosedSession(
+      user_id: Long,
+      start_us: Long,
+      dur_us: Long,
+      n_events: Long)
+
+  /** Session stream via flatMapGroupsWithState: emits one row per CLOSED
+    * session (gap > `gapUs` between consecutive events of a user); the
+    * still-open tail session lives in keyed state across micro-batches.
+    * This is the 0..n-rows-per-group generalization mapGroupsWithState
+    * can't express — the streaming dual of q_window_session's
+    * sessionization rule, emitting incrementally instead of
+    * recomputing.
+    */
+  def sessionFlow(
+      spark: SparkSession,
+      events: Dataset[EventRow],
+      gapUs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long,
+         it: Iterator[EventRow],
+         state: GroupState[OpenSession]) =>
+          // full-precision micros: getTime carries whole millis, the
+          // sub-millisecond part lives in getNanos
+          def micros(e: EventRow): Long =
+            e.ts.getTime * 1000 + (e.ts.getNanos % 1000000) / 1000
+          // iterator order within a group is unspecified — sort by event
+          // time (micros) + id for a deterministic fold
+          val sorted = it.toArray.sortBy(e => (micros(e), e.event_id))
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          sorted.foreach { e =>
+            val t = micros(e)
+            open match {
+              case null =>
+                open = OpenSession(t, t, 1L)
+              case o if t - o.lastUs > gapUs =>
+                closed += ClosedSession(uid, o.startUs, o.lastUs - o.startUs, o.n)
+                open = OpenSession(t, t, 1L)
+              case o =>
+                open = o.copy(lastUs = t, n = o.n + 1)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   /** Keyed mutable state via mapGroupsWithState: per-user running net
     * balance folded from signed deltas (purchase = debit, signup =
     * credit) — the streaming dual of the reference's bank-of-refs

@@ -123,6 +123,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessions: closed + open == batch session count") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    ms.addData(rows)
+    val q = Streams
+      .sessionFlow(spark, ms.toDS(), 1800L * 1000000L)
+      .writeStream
+      .format("memory")
+      .queryName("t_flow")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // per user: closed sessions emitted + exactly one still-open tail
+    // session in state == batch sessionization's total count
+    val closed = spark
+      .table("t_flow")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val batch = ops.Temporal
+      .windowSession(spark, sf)
+      .select(col("user_id"), col("n_sessions"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    batch.foreach { case (uid, nSessions) =>
+      assert(
+        closed.getOrElse(uid, 0L) == nSessions - 1,
+        s"user $uid: ${closed.getOrElse(uid, 0L)} closed vs $nSessions batch")
+    }
+  }
+
   test("file-source readStream replays the events table completely") {
     val q = Streams
       .eventsStream(spark, sf)
