@@ -415,7 +415,77 @@ object Analytics {
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_range_frame — RANGE window frame (vs the ROWS frames used
+  // elsewhere): per event, how many events of the same user fell in the
+  // preceding hour (value-range frame over the microsecond time axis),
+  // aggregated per user. The frame bound is a value offset, so peers
+  // with equal timestamps are counted together — semantics ROWS frames
+  // cannot express.
+  // ---------------------------------------------------------------------
+  val rangeFrame: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us"))
+      .rangeBetween(-HourUs, 0)
+    Tables.events(s, d)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("n_last_hour")).as("max_burst"),
+        sum(col("n_last_hour")).as("burst_mass"))
+      .orderBy(col("user_id"))
+  }
+
+  val rangeFrameSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |max(n_last_hour) AS max_burst,
+       |CAST(SUM(n_last_hour) AS BIGINT) AS burst_mass
+       |FROM (
+       |  SELECT user_id,
+       |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |                   RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW) AS n_last_hour
+       |  FROM events) t
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_null_semantics — NULL-handling grammar: nullif/coalesce/null-aware
+  // counts, with every engine-divergent step made explicit (floor before
+  // integer cast — Spark truncates double→int, DuckDB rounds; NULLS
+  // FIRST pinned in the sort — Spark defaults nulls first, DuckDB last).
+  // ---------------------------------------------------------------------
+  val nullSemantics: Q = (s, d) => {
+    Tables.customer(s, d)
+      .withColumn(
+        "x",
+        nullif(pmod(floor(col("c_acctbal")).cast("long"), lit(10L)), lit(0L)))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("x")).as("n_nonnull"),
+        sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(coalesce(col("x"), lit(-1L))).as("coalesced_sum"),
+        countDistinct(col("x")).as("d_x"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val nullSemanticsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |count(x) AS n_nonnull,
+      |CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |CAST(SUM(COALESCE(x, -1)) AS BIGINT) AS coalesced_sum,
+      |count(DISTINCT x) AS d_x
+      |FROM (
+      |  SELECT c_mktsegment,
+      |    nullif(((CAST(floor(c_acctbal) AS BIGINT) % 10) + 10) % 10, 0) AS x
+      |  FROM customer) t
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_range_frame" -> rangeFrame,
+    "q_null_semantics" -> nullSemantics,
     "q_pivot" -> pivotBalances,
     "q_median_exact" -> medianExact,
     "q_range_join" -> rangeJoin,
@@ -429,6 +499,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_frame" -> rangeFrameSql,
+    "q_null_semantics" -> nullSemanticsSql,
     "q_pivot" -> pivotBalancesSql,
     "q_median_exact" -> medianExactSql,
     "q_range_join" -> rangeJoinSql,
