@@ -225,6 +225,54 @@ object Transactional {
       |  ) g WHERE dist IS NOT NULL
       |) b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The reference's ACTUAL conditional transfer semantics
+    * (/root/reference/src/opusdb/benchmark/bank.clj:14-18: debit only if
+    * funds suffice, else reject) — order-dependent, so NOT expressible
+    * as oracle SQL (SURVEY.md §7.5), but exactly expressible as a typed
+    * per-key sequential fold: sort each account's events by time and
+    * walk them once. Batch form here (groupByKey + flatMapGroups, one
+    * shuffle on the key); the streaming twin with persistent state is
+    * graft.streaming.Streams.conditionalBalances — StreamingSpec asserts
+    * both produce identical final states, and the invariant tests mirror
+    * the reference's own (conservation over ACCEPTED transfers, no
+    * negative balance ever).
+    */
+  case class AccountOutcome(
+      user_id: Long,
+      final_cents: Long,
+      accepted: Long,
+      rejected: Long)
+
+  def conditionalFold(
+      spark: SparkSession,
+      dir: String,
+      initialCents: Long): org.apache.spark.sql.Dataset[AccountOutcome] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id"),
+        col("event_type"),
+        col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        var cents = initialCents
+        var acc = 0L
+        var rej = 0L
+        it.toArray.sortBy(e => (e._2, e._3)).foreach {
+          case (_, _, _, kind, value) =>
+            val amt = math.round(value * 100.0)
+            if (kind == "signup") { cents += amt; acc += 1 }
+            else if (cents >= amt) { cents -= amt; acc += 1 }
+            else rej += 1
+        }
+        Iterator.single(AccountOutcome(uid, cents, acc, rej))
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     "q_transfer_fold" -> transferFold,
     "q_counter_increments" -> counterIncrements,

@@ -163,6 +163,53 @@ object Streams {
       }
   }
 
+  /** Conditional-transfer state: balance in exact cents + outcome
+    * counters (the reference's bank account,
+    * /root/reference/src/opusdb/benchmark/bank.clj:6-18).
+    */
+  case class CondState(cents: Long, accepted: Long, rejected: Long)
+
+  case class CondOutcome(
+      user_id: Long,
+      final_cents: Long,
+      accepted: Long,
+      rejected: Long)
+
+  /** Streaming twin of [[graft.ops.Transactional.conditionalFold]]: the
+    * reference's conditional transfer (reject on insufficient funds)
+    * applied in event order per account, with the balance carried in
+    * keyed state across micro-batches. Events inside a batch are sorted
+    * by (time, id); callers must feed batches in time order (the WAL
+    * replay contract).
+    */
+  def conditionalBalances(
+      spark: SparkSession,
+      events: Dataset[EventRow],
+      initialCents: Long): Dataset[CondOutcome] = {
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "signup")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CondState, CondOutcome](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[CondState]) =>
+          def micros(e: EventRow): Long =
+            e.ts.getTime * 1000 + (e.ts.getNanos % 1000000) / 1000
+          var st = state.getOption.getOrElse(CondState(initialCents, 0L, 0L))
+          it.toArray.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+            val amt = math.round(e.value * 100.0)
+            if (e.event_type == "signup") {
+              st = st.copy(cents = st.cents + amt, accepted = st.accepted + 1)
+            } else if (st.cents >= amt) {
+              st = st.copy(cents = st.cents - amt, accepted = st.accepted + 1)
+            } else {
+              st = st.copy(rejected = st.rejected + 1)
+            }
+          }
+          state.update(st)
+          CondOutcome(uid, st.cents, st.accepted, st.rejected)
+      }
+  }
+
   /** Keyed mutable state via mapGroupsWithState: per-user running net
     * balance folded from signed deltas (purchase = debit, signup =
     * credit) — the streaming dual of the reference's bank-of-refs

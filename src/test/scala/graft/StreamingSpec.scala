@@ -160,6 +160,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("conditional transfers: streaming state == batch sequential fold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val initial = 100000L // 1000.00 per account, as in the reference bank
+    val ms = MemoryStream[EventRow]
+    // feed in time order across two batches (WAL replay contract)
+    val ordered = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (h1, h2) = ordered.splitAt(ordered.length / 2)
+    ms.addData(h1)
+    val q = Streams
+      .conditionalBalances(spark, ms.toDS(), initial)
+      .writeStream
+      .format("memory")
+      .queryName("t_cond")
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      ms.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update sink holds one row per (user, micro-batch); the final state
+    // is the one with the largest accepted+rejected counter (monotone
+    // across batches — no reliance on sink row order)
+    val streaming = spark
+      .table("t_cond")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (uid, rs) =>
+        uid -> rs.map(_._2).maxBy(s => s._2 + s._3)
+      }
+    val batch = ops.Transactional
+      .conditionalFold(spark, sf, initial)
+      .collect()
+      .map(o => o.user_id -> (o.final_cents, o.accepted, o.rejected))
+      .toMap
+    assert(streaming == batch)
+    // reference invariants (bank.clj:41-44): conservation over accepted
+    // transfers and no negative balance
+    batch.values.foreach { case (cents, _, rejected) =>
+      assert(cents >= 0, "negative balance")
+      assert(rejected >= 0)
+    }
+  }
+
   test("file-source readStream replays the events table completely") {
     val q = Streams
       .eventsStream(spark, sf)
