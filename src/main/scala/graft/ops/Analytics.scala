@@ -354,23 +354,31 @@ object Analytics {
   // type, the extreme-value events.
   // ---------------------------------------------------------------------
   val argmax: Q = (s, d) => {
+    // Two-phase hash aggregate, NOT a window: partitioning a window by
+    // event_type gives only |distinct types| tasks, each sorting its
+    // whole group — at scale that is a handful of tasks sorting
+    // terabytes. max/min over a struct compares fields lexicographically
+    // (value, then the unique event_id as tie-break — the same order the
+    // oracle's row_number uses), runs with map-side partials, and
+    // carries user_id along without affecting comparisons.
     val e = Tables.events(s, d)
-    val wMax = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("value").desc, col("event_id").desc)
-    val wMin = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    e.withColumn("rn_max", row_number().over(wMax))
-      .withColumn("rn_min", row_number().over(wMin))
-      .filter(col("rn_max") === 1 || col("rn_min") === 1)
-      .select(
-        col("event_type"),
-        when(col("rn_max") === 1, lit("max")).otherwise(lit("min")).as("ext"),
-        col("event_id"),
-        col("user_id"),
-        col("value"))
-      .orderBy(col("event_type"), col("ext"))
+    val keyed = struct(col("value"), col("event_id"), col("user_id"))
+    val agg = e
+      .groupBy(col("event_type"))
+      .agg(max(keyed).as("mx"), min(keyed).as("mn"))
+    val maxRows = agg.select(
+      col("event_type"),
+      lit("max").as("ext"),
+      col("mx.event_id").as("event_id"),
+      col("mx.user_id").as("user_id"),
+      col("mx.value").as("value"))
+    val minRows = agg.select(
+      col("event_type"),
+      lit("min").as("ext"),
+      col("mn.event_id").as("event_id"),
+      col("mn.user_id").as("user_id"),
+      col("mn.value").as("value"))
+    maxRows.unionAll(minRows).orderBy(col("event_type"), col("ext"))
   }
 
   val argmaxSql: String =

@@ -35,6 +35,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$plan")
   }
 
+  test("persist() serves repeated reads from the in-memory cache (§2.7 dual)") {
+    val df = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      df.count() // materialize the cache
+      val again = df.filter(col("n") > 0)
+      again.collect()
+      val plan = again.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(
+        plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"second action did not read the cache:\n$plan")
+    } finally df.unpersist()
+  }
+
   test("bucketed join co-locates without any exchange") {
     val s = spark
     import s.implicits._
