@@ -159,12 +159,21 @@ object TextPipeline {
     // shuffle carries 32 longs per doc, not the token stream. Vote sums
     // are order-independent integers, so the sketch value is identical
     // to the per-row formulation (and to the DuckDB oracle's).
-    val perToken = Tables
+    val exploded = Tables
       .documents(s, d)
       // explode_outer keeps token-less docs: their null hash votes -1 on
       // every bit → all bits 0 → simhash 0, same as an empty token list.
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+    // Hash the DISTINCT vocabulary once and broadcast it back: token
+    // occurrences outnumber distinct tokens by orders of magnitude (a
+    // corpus repeats its vocabulary), so this removes ~all md5 work.
+    // The left join keeps null tokens (token-less docs) → null hash →
+    // the -1 vote branch below, as before.
+    val vocab = exploded
+      .select(col("t"))
+      .distinct()
       .withColumn("h", h32(99, col("t")))
+    val perToken = exploded.join(broadcast(vocab), Seq("t"), "left")
     val voteAggs = (0 until SimBits).map { b =>
       sum(
         when((col("h").bitwiseAND(lit(1L << b))) =!= 0L, lit(1L))
