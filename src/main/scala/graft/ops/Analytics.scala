@@ -70,24 +70,72 @@ object Analytics {
   // middle element(s) by rank and average them in exact decimal.
   // ---------------------------------------------------------------------
   val medianExact: Q = (s, d) => {
+    // Scalable exact order statistics — NOT a window partitioned by the
+    // 5-value priority column (that collapses to 5 tasks, each sorting
+    // its whole group). Instead: (1) value-range histogram per group
+    // (small), (2) locate which bucket holds each target rank via a
+    // cumulative window over the HISTOGRAM, (3) rank rows only inside
+    // the located buckets (per-(group,bucket) windows — each partition
+    // holds one small value range), (4) in-bucket offset = global target
+    // rank − rows in earlier buckets. Exact because bucketing by
+    // floor(price/1000) is monotone in the (price, orderkey) sort order.
     val o = Tables.orders(s, d)
-    val w = Window
-      .partitionBy(col("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("b", floor(col("o_totalprice") / 1000).cast("long"))
+    // every intermediate carries fresh column names so the self-derived
+    // joins below are lineage-unambiguous
+    val cnts = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority").as("cpri"), col("cnt"))
+    // both middle ranks (equal for odd counts)
+    val targets = cnts.select(
+      col("cpri").as("tpri"),
+      explode(
+        array_distinct(
+          array(expr("(cnt + 1) div 2"), expr("(cnt + 2) div 2"))))
+        .as("target"))
+    val wHist = Window
+      .partitionBy(col("hpri"))
+      .orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = o.groupBy(col("o_orderpriority"), col("b"))
+      .agg(count(lit(1)).as("bc"))
+      .select(col("o_orderpriority").as("hpri"), col("b").as("hb"), col("bc"))
+      .withColumn(
+        "cum_before",
+        coalesce(sum(col("bc")).over(wHist), lit(0L)))
+    val located = targets
+      .join(
+        cum,
+        col("tpri") === col("hpri") &&
+          col("target") > col("cum_before") &&
+          col("target") <= col("cum_before") + col("bc"))
+      .select(
+        col("tpri").as("pri"),
+        col("hb").as("lb"),
+        (col("target") - col("cum_before")).as("off"))
+    val needed = located.select(col("pri").as("npri"), col("lb").as("nb")).distinct()
+    val wInBucket = Window
+      .partitionBy(col("o_orderpriority"), col("b"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     val ranked = o
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn(
-        "cnt",
-        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .join(
+        broadcast(needed),
+        col("o_orderpriority") === col("npri") && col("b") === col("nb"))
+      .drop("npri", "nb")
+      .withColumn("r", row_number().over(wInBucket).cast("long"))
     ranked
-      .filter(
-        col("rnk") === expr("(cnt + 1) div 2") ||
-          col("rnk") === expr("(cnt + 2) div 2"))
+      .join(
+        broadcast(located),
+        col("o_orderpriority") === col("pri") &&
+          col("b") === col("lb") && col("r") === col("off"))
       .groupBy(col("o_orderpriority"))
-      .agg(
-        davg(col("o_totalprice")).as("median_price"),
-        max(col("cnt")).as("n_orders"))
+      .agg(davg(col("o_totalprice")).as("median_price"))
+      .join(cnts, col("o_orderpriority") === col("cpri"))
+      .select(
+        col("o_orderpriority"),
+        col("median_price"),
+        col("cnt").as("n_orders"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -36,18 +36,42 @@ object Temporal {
   // invariant: count == max-min+1 and no lag-gap != 1.
   // ---------------------------------------------------------------------
   val walGapcheck: Q = (s, d) => {
-    val e = Tables.events(s, d)
-    val w = Window.orderBy(col("event_id"))
-    e.select(
-      col("event_id"),
-      (col("event_id") - lag(col("event_id"), 1).over(w)).as("g")
-    ).agg(
-      count(lit(1)).as("n_events"),
-      min(col("event_id")).as("min_lsn"),
-      max(col("event_id")).as("max_lsn"),
-      sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n_gaps"),
-      max(col("g")).as("max_gap")
-    )
+    // Two-level gap scan — NOT a global `Window.orderBy(event_id)`,
+    // which moves every row to a single partition. Level 1: rows bucket
+    // by `event_id div B`; the per-bucket window sorts only one bucket
+    // per task. Level 2: a window over the per-bucket (min, max) summary
+    // — |id-range| / B rows, 10^6× smaller than the log — catches
+    // cross-bucket gaps (including wholly missing buckets). Identical
+    // output to the naive single-window form, which remains the DuckDB
+    // oracle's formulation.
+    val B = 100000L
+    val e = Tables.events(s, d).select(col("event_id"))
+    val bucketed = e.withColumn("bkt", expr(s"event_id div $B"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+    val within = bucketed
+      .withColumn("g", col("event_id") - lag(col("event_id"), 1).over(wIn))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_lsn"),
+        max(col("event_id")).as("max_lsn"),
+        sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("within_gaps"),
+        max(col("g")).as("within_max"))
+    val wB = Window.orderBy(col("bkt")) // over the tiny bucket summary
+    val boundary = bucketed
+      .groupBy(col("bkt"))
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .withColumn("g", col("lo") - lag(col("hi"), 1).over(wB))
+      .agg(
+        sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("boundary_gaps"),
+        max(col("g")).as("boundary_max"))
+    within
+      .crossJoin(boundary)
+      .select(
+        col("n_events"),
+        col("min_lsn"),
+        col("max_lsn"),
+        (col("within_gaps") + col("boundary_gaps")).as("n_gaps"),
+        greatest(col("within_max"), col("boundary_max")).as("max_gap"))
   }
 
   val walGapcheckSql: String =
