@@ -39,10 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
   * (ops.Analytics.asofJoin) is the built-in-only fallback with the same
   * scan shape but an extra window pass.
   *
-  * Scope: key and time expressions must be non-null LongType (the
-  * engine's event/version keys). A production generalization would
-  * codegen orderings for arbitrary types; the operator contract and
-  * planning are identical.
+  * Key/time expressions may be ANY orderable type (long, string,
+  * timestamp, decimal, struct, …) — the merge compares through
+  * catalyst's natural ascending orderings, the same comparators the
+  * required child sort uses, so merge order and sort order can never
+  * disagree. Null keys/times sort first (per SortOrder default) and
+  * compare equal to each other, matching the sort.
   */
 case class AsOfJoinNode(
     leftKey: Expression,
@@ -96,31 +98,45 @@ case class AsOfJoinExec(
     val rkB = BindReferences.bindReference(rightKey, right.output)
     val rtB = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generic orderable key/time comparison: single-value rows compared
+      // with catalyst's natural ascending ordering for the type (any
+      // orderable type — long, string, timestamp, decimal, struct …)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      def valueRow(e: Expression, row: InternalRow): InternalRow =
+        InternalRow(e.eval(row))
       val rBuf = rIter.buffered
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(out, out)
       // O(1) merge state: the last right row consumed, and its key
       var last: InternalRow = null
-      var lastKey: Long = 0L
+      var lastKey: InternalRow = null
       lIter.map { lrow =>
-        val k = lkB.eval(lrow).asInstanceOf[Long]
-        val t = ltB.eval(lrow).asInstanceOf[Long]
+        val k = valueRow(lkB, lrow)
+        val t = valueRow(ltB, lrow)
         var continue = true
         while (continue && rBuf.hasNext) {
           val head = rBuf.head
-          val hk = rkB.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k &&
-              rtB.eval(head).asInstanceOf[Long] <= t)) {
+          val hk = valueRow(rkB, head)
+          val keyCmp = keyOrd.compare(hk, k)
+          if (keyCmp < 0 || (keyCmp == 0 &&
+              timeOrd.compare(valueRow(rtB, head), t) <= 0)) {
             last = rBuf.next().copy()
             lastKey = hk
           } else {
             continue = false
           }
         }
-        val rrow = if (last != null && lastKey == k) last else nullRight
+        val rrow =
+          if (last != null && keyOrd.compare(lastKey, k) == 0) last
+          else nullRight
         proj(joiner(lrow, rrow))
       }
     }

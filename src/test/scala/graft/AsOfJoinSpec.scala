@@ -58,6 +58,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getString(4) == "new")
   }
 
+  test("generic key/time types: string keys, timestamp times") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      ("alpha", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1),
+      ("beta", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2))
+      .toDF("k", "t", "n")
+    val right = Seq(
+      ("alpha", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "early"),
+      ("alpha", java.sql.Timestamp.valueOf("2024-01-01 09:59:00"), "late"),
+      ("beta", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "too-late"))
+      .toDF("rk", "rt", "v")
+    val out = AsOf
+      .join(left, "k", "t", right, "rk", "rt")
+      .select(col("k"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+      .toMap
+    assert(out("alpha").contains("late"))
+    assert(out("beta").isEmpty)
+  }
+
   test("pruning rule narrows both scans through the custom node") {
     // join FULL event tables, then keep only two columns — the custom
     // rule must narrow both parquet ReadSchemas to the referenced +
