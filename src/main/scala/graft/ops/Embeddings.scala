@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * array<float> dim=64, label).
   *
   * All dot products are accumulated sequentially in double precision in
-  * index order on both engines (graft.functions.Hashing.dot), which makes
-  * cosine scores bit-identical between Spark and the DuckDB oracle — the
+  * index order on both engines — Spark through the codegen'd custom
+  * expression graft.plans.FloatVecDot (bit-identical to the
+  * Hashing.dot HOF fold), DuckDB through the list_reduce twin — which
+  * makes cosine scores bit-identical between Spark and the oracle: the
   * similarity queries are hash-checked exactly, not approximately.
   *
   * Scale design (100 TB):
