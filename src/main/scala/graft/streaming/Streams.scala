@@ -163,6 +163,37 @@ object Streams {
       }
   }
 
+  /** Stream-stream attribution join: purchases matched to the views of
+    * the same user within the preceding hour. Both sides are watermarked
+    * so the join state is bounded — Spark retains only one hour of
+    * buffered rows per side; older state is evicted as the watermark
+    * advances (the streaming twin of the batch band join q_range_join).
+    */
+  def attributionJoin(
+      purchases: DataFrame,
+      views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val v = views.withWatermark("ts", "1 hour").alias("v")
+    p.join(
+      v,
+      expr(
+        """p.user_id = v.user_id AND
+          |v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin))
+      .select(
+        col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("v.event_id").as("view_id"))
+  }
+
+  /** Streaming exact dedup on the event key with watermark-bounded
+    * state: re-deliveries (at-least-once sources) are dropped; state
+    * holds only keys inside the watermark horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   /** Conditional-transfer state: balance in exact cents + outcome
     * counters (the reference's bank account,
     * /root/reference/src/opusdb/benchmark/bank.clj:6-18).

@@ -38,6 +38,46 @@ class SkewSpec extends SparkSpec {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    // force the skew machinery at toy scale: tiny thresholds, no
+    // broadcast (skew split only applies to sort-merge joins)
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows on ONE key + a sprinkle of others = one fat partition
+      val big = spark.range(0, 50000).select(
+        (col("id") % 50).cast("long").as("pad"),
+        when(col("id") % 100 === 0, col("id") % 7).otherwise(0L).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 7).select(col("id").as("dk"),
+        concat(lit("v"), col("id")).as("dv"))
+      val joined = big.join(dim, col("k") === col("dk"))
+      // collect() (not count()) so THIS QueryExecution runs and AQE
+      // finalizes its plan
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(
+        plan.contains("skew=true") || plan.contains("isSkew=true") ||
+          plan.contains("skewed"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salt is deterministic and in range") {
     val e = Tables.events(spark, sf)
     val s1 = e.select(Skew.salt(col("event_id"), 8).as("s")).collect().map(_.getInt(0))
