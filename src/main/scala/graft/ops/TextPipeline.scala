@@ -442,6 +442,58 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_edit_distance — fuzzy matching via Levenshtein distance, blocked
+  // by (lang, source) so pair generation stays bounded (the same
+  // blocking discipline as every other pairwise operator here). Distance
+  // is computed on the first 30 normalized characters — edit distance is
+  // O(len²) per pair, so production fuzzy-dedup always caps or shingles
+  // the compared prefix. Integer-exact on both engines.
+  // ---------------------------------------------------------------------
+  val editDistance: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        substring(norm(col("text")), 1, 30).as("pfx"))
+    val a = docs.select(
+      col("lang"),
+      col("source"),
+      col("doc_id").as("id_a"),
+      col("pfx").as("p_a"))
+    val b = docs.select(
+      col("lang"),
+      col("source"),
+      col("doc_id").as("id_b"),
+      col("pfx").as("p_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("p_a"), col("p_b")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") <= 5, 1L).otherwise(0L)).as("n_close"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"),
+        sum(col("dist")).as("sum_dist"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val editDistanceSql: String =
+    s"""SELECT lang, source, count(*) AS n_pairs,
+       |CAST(SUM(CASE WHEN dist <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       |min(dist) AS min_dist, max(dist) AS max_dist,
+       |CAST(SUM(dist) AS BIGINT) AS sum_dist
+       |FROM (
+       |  SELECT a.lang, a.source,
+       |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+       |  FROM (SELECT doc_id, lang, source, substr(${sqlNorm("text")}, 1, 30) AS pfx FROM documents) a
+       |  JOIN (SELECT doc_id, lang, source, substr(${sqlNorm("text")}, 1, 30) AS pfx FROM documents) b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_doc_fingerprint — polynomial rolling-hash fingerprint per document
   // (content-addressable identity without carrying the body). The input
   // is the space-joined token stream, not the raw text: tokens are
@@ -532,6 +584,7 @@ object TextPipeline {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_ngram_jaccard" -> ngramJaccard,
+    "q_edit_distance" -> editDistance,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
@@ -544,6 +597,7 @@ object TextPipeline {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_edit_distance" -> editDistanceSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,
