@@ -442,6 +442,61 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_minhash_corpus — corpus-level MinHash signatures via the custom
+  // TypedImperativeAggregate graft.plans.MinHashUnion: per source, the
+  // elementwise-min of all document signatures == the MinHash signature
+  // of the UNION of the source's shingle sets (min is associative, so
+  // partials merge in any order). Estimated cross-source Jaccard then
+  // costs k integer compares per pair instead of touching any document.
+  // The oracle computes the same values declaratively (k min() columns).
+  // ---------------------------------------------------------------------
+  val minhashCorpus: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("sh", shingles(norm(col("text")), 5))
+    val withSig = (0 until Bands)
+      .foldLeft(docs) { (df, b) =>
+        df.withColumn(s"md5_$b", md5Lanes(col("sh"), b))
+      }
+      .withColumn(
+        "sig",
+        array((0 until MinhashK).map { j =>
+          laneMin(col(s"md5_${j / RowsPerBand}"), j % RowsPerBand)
+        }: _*))
+    withSig
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.plans.MinHashUnion.union(col("sig"), MinhashK).as("usig"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        array_join(transform(col("usig"), _.cast("string")), "_")
+          .as("union_signature"))
+      .orderBy(col("source"))
+  }
+
+  val minhashCorpusSql: String = {
+    val shingleExpr = sqlShingles(sqlNorm("text"), 5)
+    val mdCols = (0 until Bands)
+      .map(b => s"${sqlMd5Lanes("sh", b)} AS md5_$b")
+      .mkString(", ")
+    val sigCols = (0 until MinhashK)
+      .map(j => s"${sqlLaneMin(s"md5_${j / RowsPerBand}", j % RowsPerBand)} AS mh_$j")
+      .mkString(", ")
+    val minCols = (0 until MinhashK)
+      .map(j => s"CAST(min(mh_$j) AS VARCHAR)")
+      .mkString(", ")
+    s"""SELECT source, count(*) AS n_docs,
+       |concat_ws('_', $minCols) AS union_signature
+       |FROM (
+       |  SELECT source, $sigCols FROM (
+       |    SELECT source, $mdCols FROM (
+       |      SELECT source, $shingleExpr AS sh FROM documents) s1) s2) s3
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_edit_distance — fuzzy matching via Levenshtein distance, blocked
   // by (lang, source) so pair generation stays bounded (the same
   // blocking discipline as every other pairwise operator here). Distance
@@ -582,6 +637,7 @@ object TextPipeline {
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_minhash_corpus" -> minhashCorpus,
     "q_dedup_simhash" -> dedupSimhash,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_edit_distance" -> editDistance,
@@ -595,6 +651,7 @@ object TextPipeline {
     "q_corpus_prep" -> corpusPrepSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_minhash_corpus" -> minhashCorpusSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_edit_distance" -> editDistanceSql,
