@@ -506,6 +506,63 @@ object Analytics {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_window_funcs — the remaining ranking/navigation window family in
+  // one pass: ntile, percent_rank, cume_dist, first/last/nth_value, all
+  // over per-user partitions (high cardinality — scales) with a unique
+  // (value, event_id) sort. Doubles are only compared or passed through,
+  // never summed, so the hash compare stays exact.
+  // ---------------------------------------------------------------------
+  val windowFuncs: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("value"),
+        col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("value")).over(wFull).as("lo_val"),
+        last(col("value")).over(wFull).as("hi_val"),
+        nth_value(col("value"), 3).over(wFull).as("third_val"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("quartile")).as("d_quartiles"),
+        sum(when(col("pr") <= 0.5, 1L).otherwise(0L)).as("n_below_median"),
+        max(col("cd")).as("max_cd"),
+        min(col("lo_val")).as("min_val"),
+        max(col("hi_val")).as("max_val"),
+        min(col("third_val")).as("third_smallest"))
+      .orderBy(col("user_id"))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |count(DISTINCT quartile) AS d_quartiles,
+      |CAST(SUM(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_median,
+      |max(cd) AS max_cd,
+      |min(lo_val) AS min_val,
+      |max(hi_val) AS max_val,
+      |min(third_val) AS third_smallest
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    first_value(value) OVER wf AS lo_val,
+      |    last_value(value) OVER wf AS hi_val,
+      |    nth_value(value, 3) OVER wf AS third_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
+      |         wf AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |) t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_null_semantics — NULL-handling grammar: nullif/coalesce/null-aware
   // counts, with every engine-divergent step made explicit (floor before
   // integer cast — Spark truncates double→int, DuckDB rounds; NULLS
@@ -541,6 +598,7 @@ object Analytics {
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_range_frame" -> rangeFrame,
+    "q_window_funcs" -> windowFuncs,
     "q_null_semantics" -> nullSemantics,
     "q_pivot" -> pivotBalances,
     "q_median_exact" -> medianExact,
@@ -556,6 +614,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q_range_frame" -> rangeFrameSql,
+    "q_window_funcs" -> windowFuncsSql,
     "q_null_semantics" -> nullSemanticsSql,
     "q_pivot" -> pivotBalancesSql,
     "q_median_exact" -> medianExactSql,
