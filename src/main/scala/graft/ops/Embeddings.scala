@@ -260,6 +260,109 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
+  // q_ann_recall — the ANN quality gate: recall@3 of the LSH bucket path
+  // against the exact brute-force top-3, per query. This is the metric
+  // that justifies (or rejects) an ANN index: how many of the TRUE
+  // nearest neighbors the bucketed search finds. Integer-exact overlap
+  // counts → exact oracle compare. At scale, the exact side runs on a
+  // sampled query set only (here every query — the sample IS small).
+  // ---------------------------------------------------------------------
+  val annRecall: Q = (s, d) => {
+    val e = Tables
+      .embeddings(s, d)
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+      .withColumn("bucket", lshBucket(col("embedding"), lshBits, embedDim))
+    val q = e
+      .filter(col("vec_id") % queryStride === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // exact top-3: every candidate scored
+    val exact = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    // LSH top-3: only same-bucket candidates scored
+    val lsh = e
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("query_id").as("lsh_query_id"),
+        col("neighbor_id").as("lsh_neighbor_id"))
+    val lshCounts = lsh
+      .groupBy(col("lsh_query_id").as("lq"))
+      .agg(count(lit(1)).as("n_lsh"))
+    val overlap = exact
+      .join(
+        lsh,
+        col("query_id") === col("lsh_query_id") &&
+          col("neighbor_id") === col("lsh_neighbor_id"))
+      .groupBy(col("query_id").as("oq"))
+      .agg(count(lit(1)).as("n_overlap"))
+    exact
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(lshCounts, col("query_id") === col("lq"), "left")
+      .join(overlap, col("query_id") === col("oq"), "left")
+      .select(
+        col("query_id"),
+        col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_overlap"), lit(0L)).as("recall_at_3"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String = {
+    val bucketE = sqlLshBucket("embedding", lshBits)
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketE AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket FROM b
+       |      WHERE vec_id % $queryStride = 0),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCosine("q.qv", "b.embedding")} DESC, b.vec_id ASC) AS rnk
+       |    FROM b JOIN q ON b.vec_id != q.query_id) t WHERE rnk <= 3),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCosine("q.qv", "b.embedding")} DESC, b.vec_id ASC) AS rnk
+       |    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id) t
+       |  WHERE rnk <= 3),
+       |lc AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY query_id),
+       |ov AS (SELECT e.query_id, count(*) AS n_overlap
+       |       FROM exact e JOIN lsh l
+       |         ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |       GROUP BY e.query_id)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |COALESCE(max(lc.n_lsh), 0) AS n_lsh,
+       |COALESCE(max(ov.n_overlap), 0) AS recall_at_3
+       |FROM exact e
+       |LEFT JOIN lc ON e.query_id = lc.query_id
+       |LEFT JOIN ov ON e.query_id = ov.query_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_embed_neardup — embedding-cosine near-duplicate detection, blocked
   // by label (the cluster id doubles as the blocking key): pairwise
   // cosine within a label only. Per label: pair count, near-dup count at
@@ -339,6 +442,7 @@ object Embeddings {
     "q_similarity_topk" -> similarityTopk,
     "q_similarity_lsh" -> similarityLsh,
     "q_similarity_ivf" -> similarityIvf,
+    "q_ann_recall" -> annRecall,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_stats" -> embedStats
   )
@@ -347,6 +451,7 @@ object Embeddings {
     "q_similarity_topk" -> similarityTopkSql,
     "q_similarity_lsh" -> similarityLshSql,
     "q_similarity_ivf" -> similarityIvfSql,
+    "q_ann_recall" -> annRecallSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_stats" -> embedStatsSql
   )
