@@ -179,22 +179,24 @@ object Hashing {
     * md5 form (oracle runs once; the values are identical by
     * construction).
     */
-  def lshBucket(v: Column, bits: Int, dim: Int): Column = {
+  def lshBucket(v: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bitCols = (0 until bits).map { j =>
       // typedLit: ONE ArrayType literal, not a 64-child CreateArray —
       // keeps the expression tree (and analysis/codegen time) small.
-      val plane = typedLit((1 to dim).map(i => planeComponent(j, i)))
+      val plane =
+        typedLit((1 to dim).map(i => planeComponent(planeOffset + j, i)))
       val planeDot = pdot(plane, v)
       when(planeDot >= 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
-  def sqlLshBucket(v: String, bits: Int): String = {
+  def sqlLshBucket(v: String, bits: Int, planeOffset: Int = 0): String = {
     val terms = (0 until bits).map { j =>
+      val p = planeOffset + j
       val planeDot =
         s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($v) + 1), " +
-          s"i -> ((CAST(('0x' || substr(md5($j || '_' || i), 1, 8)) AS BIGINT)::DOUBLE " +
+          s"i -> ((CAST(('0x' || substr(md5($p || '_' || i), 1, 8)) AS BIGINT)::DOUBLE " +
           s"/ 2147483648.0) - 1.0) * $v[i]::DOUBLE)), (x, y) -> x + y)"
       s"(CASE WHEN $planeDot >= 0 THEN ${1L << (bits - 1 - j)} ELSE 0 END)"
     }

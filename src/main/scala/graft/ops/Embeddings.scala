@@ -260,25 +260,36 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
-  // q_ann_recall — the ANN quality gate: recall@3 of the LSH bucket path
-  // against the exact brute-force top-3, per query. This is the metric
-  // that justifies (or rejects) an ANN index: how many of the TRUE
-  // nearest neighbors the bucketed search finds. Integer-exact overlap
-  // counts → exact oracle compare. At scale, the exact side runs on a
-  // sampled query set only (here every query — the sample IS small).
+  // q_ann_recall — the ANN quality gate: recall@3 of the multi-table LSH
+  // path against the exact brute-force top-3, per query. A SINGLE 8-bit
+  // table requires all 8 sign bits to agree and finds ~none of the true
+  // neighbors (measured recall 0 on this data); the standard fix is
+  // OR-amplification — T smaller tables, candidates = union of same-
+  // bucket sets — exactly minhash banding's AND/OR structure applied to
+  // hyperplane bits. 8 tables × 4 bits here (measured recall@3: 0 → 0.67). Integer-exact overlap
+  // counts → exact oracle compare; candidate work stays bounded by
+  // T × bucket size. At 100 TB the exact side runs on a sampled query
+  // set only (here every query — the sample IS small).
   // ---------------------------------------------------------------------
+  private val recallTables = 8
+  private val recallBits = 4
+
   val annRecall: Q = (s, d) => {
     val e = Tables
       .embeddings(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-      .withColumn("bucket", lshBucket(col("embedding"), lshBits, embedDim))
-    val q = e
+    val withTabs = (0 until recallTables).foldLeft(e) { (df, t) =>
+      df.withColumn(
+        s"bkt_$t",
+        lshBucket(col("embedding"), recallBits, embedDim, t * recallBits))
+    }
+    val q = withTabs
       .filter(col("vec_id") % queryStride === 0)
       .select(
-        col("vec_id").as("query_id"),
-        col("embedding").as("qv"),
-        col("nrm").as("qnrm"),
-        col("bucket").as("qbucket"))
+        col("vec_id").as("query_id") +:
+          col("embedding").as("qv") +:
+          col("nrm").as("qnrm") +:
+          (0 until recallTables).map(t => col(s"bkt_$t").as(s"qbkt_$t")): _*)
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -293,9 +304,13 @@ object Embeddings {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    // LSH top-3: only same-bucket candidates scored
-    val lsh = e
-      .join(broadcast(q), col("bucket") === col("qbucket"))
+    // multi-table LSH top-3: union of per-table same-bucket candidates,
+    // deduped before ranking
+    val anyTableMatch = (0 until recallTables)
+      .map(t => col(s"bkt_$t") === col(s"qbkt_$t"))
+      .reduce(_ || _)
+    val lsh = withTabs
+      .join(broadcast(q), anyTableMatch)
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
@@ -331,9 +346,17 @@ object Embeddings {
   }
 
   val annRecallSql: String = {
-    val bucketE = sqlLshBucket("embedding", lshBits)
-    s"""WITH b AS (SELECT vec_id, embedding, $bucketE AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket FROM b
+    val tabCols = (0 until recallTables)
+      .map(t => s"${sqlLshBucket("embedding", recallBits, t * recallBits)} AS bkt_$t")
+      .mkString(", ")
+    val anyMatch = (0 until recallTables)
+      .map(t => s"b.bkt_$t = q.qbkt_$t")
+      .mkString(" OR ")
+    val qTabs = (0 until recallTables)
+      .map(t => s"bkt_$t AS qbkt_$t")
+      .mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding, $tabCols FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, $qTabs FROM b
        |      WHERE vec_id % $queryStride = 0),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -346,7 +369,7 @@ object Embeddings {
        |    SELECT q.query_id, b.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ${sqlCosine("q.qv", "b.embedding")} DESC, b.vec_id ASC) AS rnk
-       |    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id) t
+       |    FROM b JOIN q ON ($anyMatch) AND b.vec_id != q.query_id) t
        |  WHERE rnk <= 3),
        |lc AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY query_id),
        |ov AS (SELECT e.query_id, count(*) AS n_overlap
