@@ -83,38 +83,52 @@ object Embeddings {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q_similarity_lsh — the ANN scale path: 8 random-hyperplane sign bits
-  // → 256 buckets; query vectors only score candidates in their own
-  // bucket. Emits the per-query bucket top-3 plus the bucket size the
-  // query searched (the work bound, which is what matters at scale).
+  // q_similarity_lsh — the ANN scale path: multi-table random-hyperplane
+  // LSH (4 tables × 4 sign bits). Candidates are the UNION of per-table
+  // same-bucket sets — each table contributes one bucketed EQUI-join
+  // (bucket is the shuffle key, work linear in bucket sizes), and the
+  // union is deduped before the exact re-rank. One table alone demands
+  // every sign bit agree and finds ~no true neighbors (recall@3 ≈ 0,
+  // measured by q_ann_recall); OR-amplification across tables is what
+  // makes hyperplane LSH usable (recall@3 ≈ 0.4 at 4 tables, 0.67 at 8)
+  // while preserving the bounded-candidate contract. Emits per-query
+  // top-3 plus the candidate count (the work bound).
   // ---------------------------------------------------------------------
-  private val lshBits = 8
+  private val lshTables = 4
+  private val lshTabBits = 4
 
   private val embedDim = 64 // fixed testdata dim (FIXTURES.md)
 
   val similarityLsh: Q = (s, d) => {
     val e = Tables
       .embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding"), lshBits, embedDim))
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-    val q = e
+    val withTabs = (0 until lshTables).foldLeft(e) { (df, t) =>
+      df.withColumn(
+        s"bkt_$t",
+        lshBucket(col("embedding"), lshTabBits, embedDim, t * lshTabBits))
+    }
+    val q = withTabs
       .filter(col("vec_id") % queryStride === 0)
       .select(
-        col("vec_id").as("query_id"),
-        col("embedding").as("qv"),
-        col("nrm").as("qnrm"),
-        col("bucket")
-      )
-    val cand = e
-      .join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("bucket"),
-        col("vec_id").as("neighbor_id"),
-        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-          .as("cos")
-      )
+        col("vec_id").as("query_id") +:
+          col("embedding").as("qv") +:
+          col("nrm").as("qnrm") +:
+          (0 until lshTables).map(t => col(s"bkt_$t").as(s"qbkt_$t")): _*)
+    // one bucketed equi-join per table; union deduped by (query, neighbor)
+    val cand = (0 until lshTables)
+      .map { t =>
+        withTabs
+          .join(broadcast(q), col(s"bkt_$t") === col(s"qbkt_$t"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+              .as("cos"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -127,7 +141,6 @@ object Embeddings {
       .join(sizes, Seq("query_id"))
       .select(
         col("query_id"),
-        col("bucket"),
         col("n_candidates"),
         col("rank"),
         col("neighbor_id"),
@@ -137,20 +150,30 @@ object Embeddings {
   }
 
   val similarityLshSql: String = {
-    val bucketE = sqlLshBucket("embedding", lshBits)
-    s"""WITH b AS (SELECT vec_id, embedding, $bucketE AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+    val tabCols = (0 until lshTables)
+      .map(t =>
+        s"${sqlLshBucket("embedding", lshTabBits, t * lshTabBits)} AS bkt_$t")
+      .mkString(", ")
+    val qTabs = (0 until lshTables)
+      .map(t => s"bkt_$t AS qbkt_$t")
+      .mkString(", ")
+    val unions = (0 until lshTables)
+      .map(t =>
+        s"""SELECT q.query_id, b.vec_id AS neighbor_id,
+           |  ${sqlCosine("q.qv", "b.embedding")} AS cos
+           |FROM b JOIN q ON b.bkt_$t = q.qbkt_$t AND b.vec_id != q.query_id""".stripMargin)
+      .mkString("\n  UNION\n  ")
+    s"""WITH b AS (SELECT vec_id, embedding, $tabCols FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, $qTabs FROM b
        |      WHERE vec_id % $queryStride = 0),
        |cand AS (
-       |  SELECT q.query_id, b.bucket, b.vec_id AS neighbor_id,
-       |    ${sqlCosine("q.qv", "b.embedding")} AS cos
-       |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+       |  $unions),
        |sizes AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
        |ranked AS (
-       |  SELECT query_id, bucket, neighbor_id, cos,
+       |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM cand)
-       |SELECT r.query_id, r.bucket, s.n_candidates, r.rank, r.neighbor_id, r.cos
+       |SELECT r.query_id, s.n_candidates, r.rank, r.neighbor_id, r.cos
        |FROM ranked r JOIN sizes s ON r.query_id = s.query_id
        |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
   }
