@@ -23,6 +23,16 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle except the known sketch-valued ones") {
+    // approx_count_distinct sketches are implementation-specific — the
+    // only sanctioned rows-only query. Anything else missing an oracle
+    // is an accidental gap in the correctness gate.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(
+      noOracle == Set("q_approx_distinct"),
+      s"queries missing an oracle: ${noOracle - "q_approx_distinct"}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
