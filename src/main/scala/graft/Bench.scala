@@ -20,14 +20,21 @@ object Bench {
     // Two timed runs per query, report the min — steady-state timing in
     // the spirit of the reference's Criterium sampling (warmed JIT,
     // compiled codegen), not a cold-start artifact.
+    // A crashed query must be FLAGGED, not reported as its time-to-failure
+    // (which could read as a speedup): failures surface as -1.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val a = timeOnce(fn)
+      val b = if (a < 0) a else timeOnce(fn)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

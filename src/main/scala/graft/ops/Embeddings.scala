@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.Hashing._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * array<float> dim=64, label).
@@ -17,26 +17,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * similarity queries are hash-checked exactly, not approximately.
   *
   * Scale design (100 TB):
-  *  - brute-force top-k is the correctness baseline: a broadcast of the
-  *    (small) query set against the full collection — one pass, no
-  *    shuffle of the collection, per-partition top-k via window.
+  *  - the query side is a FIXED-SIZE deterministic sample ([[queryN]]
+  *    smallest vec_ids via orderBy+limit → TakeOrderedAndProject): its
+  *    size is O(1) in collection size, so broadcasting it never grows
+  *    with the data — unlike a `vec_id % k` predicate, whose match set
+  *    (and broadcast) is proportional to the collection.
+  *  - brute-force top-k is the correctness baseline: broadcast the O(1)
+  *    query set against the full collection — one pass, no shuffle of
+  *    the collection, top-k via window over the scored pairs.
   *  - the scale path is LSH bucketing (random-hyperplane sign bits):
-  *    candidates only materialize within a bucket; the bucket key is the
-  *    shuffle key, so the candidate join is linear in bucket sizes, not
-  *    O(n²). IVF would replace the hash with learned centroids; the
-  *    plumbing (bucket → within-bucket rerank) is identical.
-  *  - label-blocked near-dup: the blocking key bounds pair generation
-  *    exactly like the text dedup blocks.
+  *    candidates only materialize within a bucket; every per-table
+  *    candidate step is an EQUI-join on the bucket (the shuffle key), so
+  *    candidate work is linear in bucket sizes, never all-pairs.
+  *  - IVF assigns each vector to its nearest coarse centroid once and
+  *    probes the P nearest cells per query (multi-probe); candidate work
+  *    is bounded by the probed cells' sizes.
+  *  - near-dup blocking is COMPOUND (label, lsh-bucket): within-block
+  *    pair counts stay bounded even when label cardinality is small.
   */
 object Embeddings {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Query-set predicate: every 50th vector is a "query". */
-  private val queryStride = 50
+  /** Fixed query-sample size: the queryN smallest vec_ids. O(1) in
+    * collection size at any SF — the broadcastability contract.
+    */
+  private val queryN = 32
+
+  private val embedDim = 64 // testdata embedding dim (FIXTURES.md)
+
+  /** Embeddings scan with a loud dimension check: [[lshBucket]] and
+    * FloatVecDot loop to min(plane.length, vec.length), so a dim
+    * mismatch would silently truncate the projection while the DuckDB
+    * twin uses the full `len(v)` — callers get wrong buckets instead of
+    * an error. The per-row `size()` guard turns that into a hard fail.
+    */
+  private def checked(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .withColumn(
+        "embedding",
+        when(size(col("embedding")) === embedDim, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"embedding dim must be $embedDim, got "),
+            size(col("embedding")).cast("string")))))
+
+  /** The deterministic O(1) query sample (smallest queryN vec_ids);
+    * plans as TakeOrderedAndProject — one scan, constant-size result.
+    */
+  private def querySample(e: DataFrame): DataFrame =
+    e.orderBy(col("vec_id")).limit(queryN)
+
+  private val sqlQuerySample =
+    s"ORDER BY vec_id LIMIT $queryN"
 
   // ---------------------------------------------------------------------
   // q_similarity_topk — brute-force cosine top-5 per query vector.
-  // Broadcast the query side; the big collection is scanned once.
+  // Broadcast the O(1) query side; the big collection is scanned once.
   // ---------------------------------------------------------------------
   val similarityTopk: Q = (s, d) => {
     // Norms are computed ONCE per vector (and once per query vector on
@@ -44,11 +80,9 @@ object Embeddings {
     // product instead of three. cos = dot/(qnrm*nrm) evaluates the same
     // double ops in the same order as Hashing.cosine, so the oracle's
     // inline-cosine SQL still hash-matches exactly.
-    val e = Tables
-      .embeddings(s, d)
+    val e = checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-    val q = e
-      .filter(col("vec_id") % queryStride === 0)
+    val q = querySample(e)
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("qv"),
@@ -78,7 +112,7 @@ object Embeddings {
        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |      ${sqlCosine("q.embedding", "e.embedding")} AS cos
        |    FROM embeddings e
-       |    JOIN (SELECT * FROM embeddings WHERE vec_id % $queryStride = 0) q
+       |    JOIN (SELECT vec_id, embedding FROM embeddings $sqlQuerySample) q
        |      ON e.vec_id != q.vec_id))
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -90,26 +124,22 @@ object Embeddings {
   // union is deduped before the exact re-rank. One table alone demands
   // every sign bit agree and finds ~no true neighbors (recall@3 ≈ 0,
   // measured by q_ann_recall); OR-amplification across tables is what
-  // makes hyperplane LSH usable (recall@3 ≈ 0.4 at 4 tables, 0.67 at 8)
-  // while preserving the bounded-candidate contract. Emits per-query
-  // top-3 plus the candidate count (the work bound).
+  // makes hyperplane LSH usable while preserving the bounded-candidate
+  // contract. Emits per-query top-3 plus the candidate count (the work
+  // bound).
   // ---------------------------------------------------------------------
   private val lshTables = 4
   private val lshTabBits = 4
 
-  private val embedDim = 64 // fixed testdata dim (FIXTURES.md)
-
   val similarityLsh: Q = (s, d) => {
-    val e = Tables
-      .embeddings(s, d)
+    val e = checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
     val withTabs = (0 until lshTables).foldLeft(e) { (df, t) =>
       df.withColumn(
         s"bkt_$t",
         lshBucket(col("embedding"), lshTabBits, embedDim, t * lshTabBits))
     }
-    val q = withTabs
-      .filter(col("vec_id") % queryStride === 0)
+    val q = querySample(withTabs)
       .select(
         col("vec_id").as("query_id") +:
           col("embedding").as("qv") +:
@@ -132,13 +162,16 @@ object Embeddings {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val sizes = cand
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_candidates"))
+    // candidate count via an unbounded window over the SAME partition as
+    // the ranking window — one shuffle, and the candidate subtree is
+    // planned ONCE (a groupBy+self-join would duplicate the whole union
+    // subtree in the physical plan)
     cand
+      .withColumn(
+        "n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .join(sizes, Seq("query_id"))
       .select(
         col("query_id"),
         col("n_candidates"),
@@ -165,34 +198,36 @@ object Embeddings {
       .mkString("\n  UNION\n  ")
     s"""WITH b AS (SELECT vec_id, embedding, $tabCols FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, $qTabs FROM b
-       |      WHERE vec_id % $queryStride = 0),
+       |      $sqlQuerySample),
        |cand AS (
        |  $unions),
-       |sizes AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
        |ranked AS (
-       |  SELECT query_id, neighbor_id, cos,
+       |  SELECT query_id, count(*) OVER (PARTITION BY query_id) AS n_candidates,
+       |    neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM cand)
-       |SELECT r.query_id, s.n_candidates, r.rank, r.neighbor_id, r.cos
-       |FROM ranked r JOIN sizes s ON r.query_id = s.query_id
-       |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
+       |SELECT query_id, n_candidates, rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------------
-  // q_similarity_ivf — IVF-style ANN: a deterministic centroid set (every
-  // 61st vector plays the "trained" coarse quantizer), each vector
-  // assigned to its nearest centroid cell by exact L2² computed from dot
-  // products (||x||² − 2·x·c + ||c||², identical arithmetic on both
-  // engines, ties → lower centroid id). Queries probe ONLY their own
-  // cell — the IVF scale contract: candidate work is bounded by cell
-  // size, and swapping these stride-centroids for k-means trained ones
-  // changes no plumbing. Emits per-query cell top-3 + probed cell size.
+  // q_similarity_ivf — IVF-style ANN with MULTI-PROBE: a deterministic
+  // centroid set (every 61st vector plays the "trained" coarse
+  // quantizer), each vector assigned to its nearest centroid cell by
+  // exact L2² computed from dot products (||x||² − 2·x·c + ||c||²,
+  // identical arithmetic on both engines, ties → lower centroid id).
+  // Queries probe their probeP NEAREST cells (single-probe misses true
+  // neighbors that fall just across a cell boundary — the standard IVF
+  // fix is multi-probe, quantified by q_ann_recall's P=1 vs P=3
+  // columns). Candidate work stays bounded by the probed cells' sizes;
+  // swapping stride-centroids for k-means trained ones changes no
+  // plumbing. Emits per-query top-3 + probed candidate count.
   // ---------------------------------------------------------------------
   private val centroidStride = 61
+  private val probeP = 2
 
   val similarityIvf: Q = (s, d) => {
-    val e = Tables
-      .embeddings(s, d)
+    val e = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
     val cents = e
       .filter(col("vec_id") % centroidStride === 0)
@@ -218,15 +253,30 @@ object Embeddings {
         col("embedding"),
         sqrt(col("nrm2")).as("nrm"),
         col("cent_id").as("cell"))
-    val q = assigned
-      .filter(col("vec_id") % queryStride === 0)
+    // multi-probe: the O(1) query sample ranks ALL cells by distance and
+    // keeps the probeP nearest (probe cells are distinct and each vector
+    // lives in exactly one cell, so no candidate dedup is needed)
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    val qprobe = querySample(e)
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("qv"),
-        col("nrm").as("qnrm"),
-        col("cell"))
+        col("nrm2").as("qnrm2"))
+      .join(broadcast(cents), lit(true))
+      .withColumn(
+        "l2",
+        col("qnrm2") - lit(2.0) * fdot(col("qv"), col("cv")) + col("cnrm2"))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= probeP)
+      .select(
+        col("query_id"),
+        col("qv"),
+        sqrt(col("qnrm2")).as("qnrm"),
+        col("cent_id").as("cell"))
     val cand = assigned
-      .join(broadcast(q), Seq("cell"))
+      .join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
@@ -237,12 +287,12 @@ object Embeddings {
     val wRank = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val sizes =
-      cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
     cand
+      .withColumn(
+        "n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 3)
-      .join(sizes, Seq("query_id"))
       .select(
         col("query_id"),
         col("cell"),
@@ -254,10 +304,10 @@ object Embeddings {
   }
 
   val similarityIvfSql: String = {
-    val dotXC = sqlDot("e.embedding", "c.embedding")
+    val dotXC = sqlDot("e.embedding", "c.cv")
     s"""WITH n AS (SELECT vec_id, embedding,
        |           ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, embedding, nrm2 AS cnrm2 FROM n
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm2 AS cnrm2 FROM n
        |          WHERE vec_id % $centroidStride = 0),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, cell FROM (
@@ -266,105 +316,172 @@ object Embeddings {
        |        ORDER BY e.nrm2 - 2.0 * ($dotXC) + c.cnrm2 ASC, c.cent_id ASC) AS arn
        |    FROM n e CROSS JOIN cents c) t
        |  WHERE arn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cell
-       |      FROM assigned WHERE vec_id % $queryStride = 0),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv, nrm2 AS qnrm2 FROM n
+       |       $sqlQuerySample),
+       |qprobe AS (
+       |  SELECT query_id, qv, sqrt(qnrm2) AS qnrm, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm2, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("q.qv", "c.cv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q0 q CROSS JOIN cents c) t
+       |  WHERE prb <= $probeP),
        |cand AS (
        |  SELECT q.query_id, a.cell, a.vec_id AS neighbor_id,
        |    ${sqlDot("q.qv", "a.embedding")} / (q.qnrm * a.nrm) AS cos
-       |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id != q.query_id),
-       |sizes AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+       |  FROM assigned a JOIN qprobe q ON a.cell = q.cell AND a.vec_id != q.query_id),
        |ranked AS (
-       |  SELECT query_id, cell, neighbor_id, cos,
+       |  SELECT query_id, cell, count(*) OVER (PARTITION BY query_id) AS n_candidates,
+       |    neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM cand)
-       |SELECT r.query_id, r.cell, s.n_candidates, r.rank, r.neighbor_id, r.cos
-       |FROM ranked r JOIN sizes s ON r.query_id = s.query_id
-       |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
+       |SELECT query_id, cell, n_candidates, rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------------
-  // q_ann_recall — the ANN quality gate: recall@3 of the multi-table LSH
-  // path against the exact brute-force top-3, per query. A SINGLE 8-bit
-  // table requires all 8 sign bits to agree and finds ~none of the true
-  // neighbors (measured recall 0 on this data); the standard fix is
-  // OR-amplification — T smaller tables, candidates = union of same-
-  // bucket sets — exactly minhash banding's AND/OR structure applied to
-  // hyperplane bits. 8 tables × 4 bits here (measured recall@3: 0 → 0.67). Integer-exact overlap
-  // counts → exact oracle compare; candidate work stays bounded by
-  // T × bucket size. At 100 TB the exact side runs on a sampled query
-  // set only (here every query — the sample IS small).
+  // q_ann_recall — the ANN quality gate: overlap@3 of BOTH approximate
+  // paths (multi-table LSH, and IVF at P=1 vs P=3 probes) against the
+  // exact brute-force top-3, per query. Columns are integer overlap
+  // COUNTS (0..3) named n_*_overlap — recall@3 = n_*_overlap / n_exact
+  // (kept integer-exact for the oracle hash compare).
+  //
+  // The LSH candidate set is the UNION OF PER-TABLE EQUI-JOINS — the
+  // same plan shape q_similarity_lsh runs in production. (An OR of
+  // bucket equalities expresses the same set but plans as a nested-loop
+  // join evaluating every (vector, query) pair — brute force wearing an
+  // LSH costume; PlanSpec asserts no BroadcastNestedLoopJoin survives
+  // here.) A single 8-bit table demands all 8 sign bits agree and finds
+  // ~none of the true neighbors (measured recall 0 on this data);
+  // OR-amplification across 8×4-bit tables lifts measured recall@3 to
+  // ~0.67 with candidate work still bounded by Σ bucket sizes. The IVF
+  // columns quantify multi-probe the same way: P=3 recall ≥ P=1 recall
+  // by construction (its candidate set is a superset).
   // ---------------------------------------------------------------------
   private val recallTables = 8
   private val recallBits = 4
+  private val recallProbeMax = 3
 
   val annRecall: Q = (s, d) => {
-    val e = Tables
-      .embeddings(s, d)
-      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+    val e = checked(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .withColumn("nrm", sqrt(col("nrm2")))
     val withTabs = (0 until recallTables).foldLeft(e) { (df, t) =>
       df.withColumn(
         s"bkt_$t",
         lshBucket(col("embedding"), recallBits, embedDim, t * recallBits))
     }
-    val q = withTabs
-      .filter(col("vec_id") % queryStride === 0)
+    val q = querySample(withTabs)
       .select(
         col("vec_id").as("query_id") +:
           col("embedding").as("qv") +:
           col("nrm").as("qnrm") +:
+          col("nrm2").as("qnrm2") +:
           (0 until recallTables).map(t => col(s"bkt_$t").as(s"qbkt_$t")): _*)
-    val w = Window
+    val cosCol =
+      (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        .as("cos")
+    val wq = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    // exact top-3: every candidate scored
-    val exact = e
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+    def top3(scored: DataFrame): DataFrame =
+      scored
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    // Each top-3 set becomes MARKER rows (query_id, neighbor_id, one
+    // indicator column set) and everything is combined with one
+    // union + two hash aggregates. Joining the sets pairwise instead
+    // would reference each subtree several times, and Catalyst plans
+    // every reference as a full copy — the exact scoring and the IVF
+    // assignment would each run 4× (observed: 24 nested-loop joins in
+    // the naive formulation's plan, 3 in this one).
+    def marked(df: DataFrame, flag: String): DataFrame = {
+      val flags = Seq("e", "l", "i1", "i3")
+      df.select(
+        col("query_id") +: col("neighbor_id") +:
+          flags.map(f =>
+            (if (f == flag) lit(1) else lit(0)).as(f)): _*)
+    }
+    // exact top-3: every candidate scored (the ground truth)
+    val exact = top3(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol))
+    // LSH top-3: union of per-table same-bucket EQUI-joins, deduped
+    val lshTop = top3(
+      (0 until recallTables)
+        .map { t =>
+          withTabs
+            .join(broadcast(q), col(s"bkt_$t") === col(s"qbkt_$t"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol)
+        }
+        .reduce(_ unionAll _)
+        .distinct())
+    // IVF: single assignment per vector; queries rank cells and keep the
+    // recallProbeMax nearest, tagged with the probe rank. ONE candidate
+    // pass yields both the P=1 and P=3 top-3 sets: ranking within the
+    // P=1 subset uses a window partitioned by (query, prb=1) instead of
+    // a second scan of a filtered copy.
+    val cents = e
+      .filter(col("vec_id") % centroidStride === 0)
       .select(
-        col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-          .as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
-    // multi-table LSH top-3: union of per-table same-bucket candidates,
-    // deduped before ranking
-    val anyTableMatch = (0 until recallTables)
-      .map(t => col(s"bkt_$t") === col(s"qbkt_$t"))
-      .reduce(_ || _)
-    val lsh = withTabs
-      .join(broadcast(q), anyTableMatch)
+        col("vec_id").as("cent_id"),
+        col("embedding").as("cv"),
+        col("nrm2").as("cnrm2"))
+    val wAssign = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    val assigned = e
+      .join(broadcast(cents), lit(true))
+      .withColumn(
+        "l2",
+        col("nrm2") - lit(2.0) * fdot(col("embedding"), col("cv")) +
+          col("cnrm2"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    val qprobe = q
+      .select(col("query_id"), col("qv"), col("qnrm"), col("qnrm2"))
+      .join(broadcast(cents), lit(true))
+      .withColumn(
+        "l2",
+        col("qnrm2") - lit(2.0) * fdot(col("qv"), col("cv")) + col("cnrm2"))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= recallProbeMax)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id").as("cell"), col("prb"))
+    val w1 = Window
+      .partitionBy(col("query_id"), col("prb") === 1)
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ivfMarks = assigned
+      .join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-          .as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(
-        col("query_id").as("lsh_query_id"),
-        col("neighbor_id").as("lsh_neighbor_id"))
-    val lshCounts = lsh
-      .groupBy(col("lsh_query_id").as("lq"))
-      .agg(count(lit(1)).as("n_lsh"))
-    val overlap = exact
-      .join(
-        lsh,
-        col("query_id") === col("lsh_query_id") &&
-          col("neighbor_id") === col("lsh_neighbor_id"))
-      .groupBy(col("query_id").as("oq"))
-      .agg(count(lit(1)).as("n_overlap"))
-    exact
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol, col("prb"))
+      .withColumn("rnk3", row_number().over(wq))
+      .withColumn("rnk1", row_number().over(w1))
+      .withColumn("i1", when(col("prb") === 1 && col("rnk1") <= 3, 1).otherwise(0))
+      .withColumn("i3", when(col("rnk3") <= 3, 1).otherwise(0))
+      .filter(col("i1") === 1 || col("i3") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(0).as("e"), lit(0).as("l"), col("i1"), col("i3"))
+    marked(exact, "e")
+      .unionAll(marked(lshTop, "l"))
+      .unionAll(ivfMarks)
+      // per (query, neighbor): which sets contain it
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("e")).as("e"), max(col("l")).as("l"),
+           max(col("i1")).as("i1"), max(col("i3")).as("i3"))
+      // per query: set sizes and exact-overlap counts
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_exact"))
-      .join(lshCounts, col("query_id") === col("lq"), "left")
-      .join(overlap, col("query_id") === col("oq"), "left")
-      .select(
-        col("query_id"),
-        col("n_exact"),
-        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
-        coalesce(col("n_overlap"), lit(0L)).as("recall_at_3"))
+      .agg(
+        sum(col("e")).as("n_exact"),
+        sum(col("l")).as("n_lsh"),
+        sum(col("e") * col("l")).as("n_lsh_overlap"),
+        sum(col("i1")).as("n_ivf1"),
+        sum(col("e") * col("i1")).as("n_ivf1_overlap"),
+        sum(col("i3")).as("n_ivf3"),
+        sum(col("e") * col("i3")).as("n_ivf3_overlap"))
       .orderBy(col("query_id"))
   }
 
@@ -372,69 +489,135 @@ object Embeddings {
     val tabCols = (0 until recallTables)
       .map(t => s"${sqlLshBucket("embedding", recallBits, t * recallBits)} AS bkt_$t")
       .mkString(", ")
-    val anyMatch = (0 until recallTables)
-      .map(t => s"b.bkt_$t = q.qbkt_$t")
-      .mkString(" OR ")
     val qTabs = (0 until recallTables)
       .map(t => s"bkt_$t AS qbkt_$t")
       .mkString(", ")
-    s"""WITH b AS (SELECT vec_id, embedding, $tabCols FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, $qTabs FROM b
-       |      WHERE vec_id % $queryStride = 0),
+    // cosine with pre-aggregated squared norms: same sqrt-of-nrm2
+    // arithmetic as the Spark side
+    def cosN(qv: String, qn2: String, ev: String, en2: String): String =
+      s"${sqlDot(qv, ev)} / (sqrt($qn2) * sqrt($en2))"
+    val lshUnions = (0 until recallTables)
+      .map(t =>
+        s"""SELECT q.query_id, b.vec_id AS neighbor_id,
+           |  ${cosN("q.qv", "q.qnrm2", "b.embedding", "b.nrm2")} AS cos
+           |FROM b JOIN q ON b.bkt_$t = q.qbkt_$t AND b.vec_id != q.query_id""".stripMargin)
+      .mkString("\n  UNION\n  ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${sqlDot("embedding", "embedding")} AS nrm2, $tabCols FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm2 AS qnrm2, $qTabs
+       |      FROM b $sqlQuerySample),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, b.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${sqlCosine("q.qv", "b.embedding")} DESC, b.vec_id ASC) AS rnk
+       |        ORDER BY ${cosN("q.qv", "q.qnrm2", "b.embedding", "b.nrm2")} DESC, b.vec_id ASC) AS rnk
        |    FROM b JOIN q ON b.vec_id != q.query_id) t WHERE rnk <= 3),
+       |lshc AS (
+       |  $lshUnions),
        |lsh AS (
        |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM lshc) t WHERE rnk <= 3),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm2 AS cnrm2 FROM b
+       |          WHERE vec_id % $centroidStride = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm2, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.nrm2 - 2.0 * (${sqlDot("e.embedding", "c.cv")}) + c.cnrm2 ASC, c.cent_id ASC) AS arn
+       |    FROM b e CROSS JOIN cents c) t WHERE arn = 1),
+       |qprobe AS (
+       |  SELECT query_id, qv, qnrm2, cell, prb FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm2, c.cent_id AS cell,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${sqlCosine("q.qv", "b.embedding")} DESC, b.vec_id ASC) AS rnk
-       |    FROM b JOIN q ON ($anyMatch) AND b.vec_id != q.query_id) t
-       |  WHERE rnk <= 3),
-       |lc AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY query_id),
-       |ov AS (SELECT e.query_id, count(*) AS n_overlap
-       |       FROM exact e JOIN lsh l
-       |         ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-       |       GROUP BY e.query_id)
-       |SELECT e.query_id, count(*) AS n_exact,
-       |COALESCE(max(lc.n_lsh), 0) AS n_lsh,
-       |COALESCE(max(ov.n_overlap), 0) AS recall_at_3
-       |FROM exact e
-       |LEFT JOIN lc ON e.query_id = lc.query_id
-       |LEFT JOIN ov ON e.query_id = ov.query_id
-       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("q.qv", "c.cv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q CROSS JOIN cents c) t WHERE prb <= $recallProbeMax),
+       |ivfc AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk3,
+       |    row_number() OVER (PARTITION BY query_id, (prb = 1) ORDER BY cos DESC, neighbor_id ASC) AS rnk1,
+       |    prb
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      ${cosN("p.qv", "p.qnrm2", "a.embedding", "a.nrm2")} AS cos, p.prb
+       |    FROM assigned a JOIN qprobe p ON a.cell = p.cell AND a.vec_id != p.query_id) t),
+       |marks AS (
+       |  SELECT query_id, neighbor_id, 1 AS e, 0 AS l, 0 AS i1, 0 AS i3 FROM exact
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 0, 1, 0, 0 FROM lsh
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 0, 0,
+       |    CASE WHEN prb = 1 AND rnk1 <= 3 THEN 1 ELSE 0 END,
+       |    CASE WHEN rnk3 <= 3 THEN 1 ELSE 0 END
+       |  FROM ivfc WHERE (prb = 1 AND rnk1 <= 3) OR rnk3 <= 3),
+       |flags AS (
+       |  SELECT query_id, neighbor_id, max(e) AS e, max(l) AS l,
+       |         max(i1) AS i1, max(i3) AS i3
+       |  FROM marks GROUP BY query_id, neighbor_id)
+       |SELECT query_id,
+       |  CAST(SUM(e) AS BIGINT) AS n_exact,
+       |  CAST(SUM(l) AS BIGINT) AS n_lsh,
+       |  CAST(SUM(e * l) AS BIGINT) AS n_lsh_overlap,
+       |  CAST(SUM(i1) AS BIGINT) AS n_ivf1,
+       |  CAST(SUM(e * i1) AS BIGINT) AS n_ivf1_overlap,
+       |  CAST(SUM(i3) AS BIGINT) AS n_ivf3,
+       |  CAST(SUM(e * i3) AS BIGINT) AS n_ivf3_overlap
+       |FROM flags GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
-  // q_embed_neardup — embedding-cosine near-duplicate detection, blocked
-  // by label (the cluster id doubles as the blocking key): pairwise
-  // cosine within a label only. Per label: pair count, near-dup count at
-  // two thresholds, max cosine observed.
+  // q_embed_neardup — embedding-cosine near-duplicate detection with a
+  // COMPOUND blocking key (label, lsh-bucket): label alone gives only
+  // |labels| blocks, so within-block pair work is O((n/|labels|)²) on a
+  // skewed shuffle key when labels are few. Adding a hyperplane bucket
+  // splits each label block across 2^ndBits buckets: expected block size
+  // drops 2^ndBits ×, pair work ~2^(2·ndBits) × per table — with
+  // ndTables=2, ndBits=4 the candidate bound is
+  //   2 · Σ_blocks C(B,2) ≈ 2 · |label|²/(2·16²) per label
+  // i.e. ~1/128 of the label-only all-pairs count, while true near-dups
+  // (cos→1 ⇒ equal sign bits with prob→1 per plane) still collide in
+  // some table. Pairs found by both tables are deduped (UNION) before
+  // per-label aggregation.
   // ---------------------------------------------------------------------
+  private val ndBits = 4
+  private val ndTables = 2
+  private val ndPlaneBase = 100 // fresh plane set, disjoint from lsh/recall
+
   val embedNearDup: Q = (s, d) => {
-    val e = Tables
-      .embeddings(s, d)
+    val e0 = checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-    val a = e.select(
-      col("label"),
-      col("vec_id").as("id_a"),
-      col("embedding").as("v_a"),
-      col("nrm").as("nrm_a")
-    )
-    val b = e.select(
-      col("label"),
-      col("vec_id").as("id_b"),
-      col("embedding").as("v_b"),
-      col("nrm").as("nrm_b")
-    )
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn(
-        "cos",
-        fdot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+    val e = (0 until ndTables).foldLeft(e0) { (df, t) =>
+      df.withColumn(
+        s"bkt_$t",
+        lshBucket(col("embedding"), ndBits, embedDim, ndPlaneBase + t * ndBits))
+    }
+    val pairs = (0 until ndTables)
+      .map { t =>
+        val a = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("id_a"),
+          col("embedding").as("v_a"),
+          col("nrm").as("nrm_a"))
+        val b = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("id_b"),
+          col("embedding").as("v_b"),
+          col("nrm").as("nrm_b"))
+        a.join(b, Seq("label", "bkt"))
+          .filter(col("id_a") < col("id_b"))
+          .select(
+            col("label"),
+            col("id_a"),
+            col("id_b"),
+            (fdot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+              .as("cos"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    pairs
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -445,16 +628,27 @@ object Embeddings {
       .orderBy(col("label"))
   }
 
-  val embedNearDupSql: String =
-    s"""SELECT label, count(*) AS n_pairs,
+  val embedNearDupSql: String = {
+    val bktCols = (0 until ndTables)
+      .map(t =>
+        s"${sqlLshBucket("embedding", ndBits, ndPlaneBase + t * ndBits)} AS bkt_$t")
+      .mkString(", ")
+    val branches = (0 until ndTables)
+      .map(t =>
+        s"""SELECT a.label, a.vec_id AS id_a, c.vec_id AS id_b,
+           |  ${sqlCosine("a.embedding", "c.embedding")} AS cos
+           |FROM b a JOIN b c
+           |  ON a.label = c.label AND a.bkt_$t = c.bkt_$t AND a.vec_id < c.vec_id""".stripMargin)
+      .mkString("\n  UNION\n  ")
+    s"""WITH b AS (SELECT label, vec_id, embedding, $bktCols FROM embeddings),
+       |p AS (
+       |  $branches)
+       |SELECT label, count(*) AS n_pairs,
        |CAST(SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_080,
        |CAST(SUM(CASE WHEN cos > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_050,
        |max(cos) AS max_cos
-       |FROM (
-       |  SELECT a.label, ${sqlCosine("a.embedding", "b.embedding")} AS cos
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id)
-       |GROUP BY label ORDER BY label""".stripMargin
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q_embed_stats — vector-collection statistics per label: counts, norm
@@ -463,8 +657,7 @@ object Embeddings {
   // are order-dependent; instead integer-exact counts + min/max norms).
   // ---------------------------------------------------------------------
   val embedStats: Q = (s, d) => {
-    Tables
-      .embeddings(s, d)
+    checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
       .groupBy(col("label"))
       .agg(

@@ -457,7 +457,9 @@ object Relational {
   // ---------------------------------------------------------------------
   // q_multi_join — 5-way star join: region → nation → customer → orders →
   // lineitem; revenue per region per year. The two fact tables join on
-  // orderkey (shuffle), all dims broadcast.
+  // orderkey (shuffle). Only the FIXED-cardinality dims (nation=25,
+  // region=5) carry broadcast hints; customer is sf-proportional, so its
+  // join is left to AQE — broadcast while it fits, shuffle join at 100 TB.
   // ---------------------------------------------------------------------
   val multiJoin: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -466,7 +468,7 @@ object Relational {
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))

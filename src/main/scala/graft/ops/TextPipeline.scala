@@ -164,16 +164,19 @@ object TextPipeline {
       // explode_outer keeps token-less docs: their null hash votes -1 on
       // every bit → all bits 0 → simhash 0, same as an empty token list.
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
-    // Hash the DISTINCT vocabulary once and broadcast it back: token
+    // Hash the DISTINCT vocabulary once and join it back: token
     // occurrences outnumber distinct tokens by orders of magnitude (a
     // corpus repeats its vocabulary), so this removes ~all md5 work.
+    // No forced broadcast — a corpus vocabulary grows with corpus size,
+    // so the join is declared plain and AQE broadcasts it only while the
+    // built side actually fits (shuffle-hash/sort-merge beyond that).
     // The left join keeps null tokens (token-less docs) → null hash →
     // the -1 vote branch below, as before.
     val vocab = exploded
       .select(col("t"))
       .distinct()
       .withColumn("h", h32(99, col("t")))
-    val perToken = exploded.join(broadcast(vocab), Seq("t"), "left")
+    val perToken = exploded.join(vocab, Seq("t"), "left")
     val voteAggs = (0 until SimBits).map { b =>
       sum(
         when((col("h").bitwiseAND(lit(1L << b))) =!= 0L, lit(1L))

@@ -129,7 +129,13 @@ case class AsOfJoinExec(
           if (keyCmp < 0 || (keyCmp == 0 &&
               timeOrd.compare(valueRow(rtB, head), t) <= 0)) {
             last = rBuf.next().copy()
-            lastKey = hk
+            // Re-evaluate the key from the COPIED row: `hk` was evaluated
+            // against the sort iterator's reusable buffer, so for
+            // non-primitive key types (UTF8String/struct) its backing
+            // bytes are overwritten after a spill page turns over —
+            // persisting it across iterations would let lastKey mutate
+            // silently and corrupt the match/null decision.
+            lastKey = valueRow(rkB, last)
           } else {
             continue = false
           }
@@ -204,13 +210,18 @@ object AsOf {
       rightKey: String,
       rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsOfJoinPruning
+    // check-then-append on the experimental Seq fields is not atomic;
+    // serialize first-call registration so concurrent sessions sharing a
+    // SparkSession can't register duplicates or drop an update.
+    AsOf.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
+      if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsOfJoinPruning
+      }
     }
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed

@@ -16,10 +16,36 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
-  test("multi-way star join broadcasts every dimension") {
-    val plan = executed(ops.Relational.multiJoin(spark, sf))
+  test("star join: fixed-size dims hinted, sf-proportional customer left to AQE") {
+    val df = ops.Relational.multiJoin(spark, sf)
+    // only nation (25 rows) and region (5 rows) carry broadcast HINTS;
+    // customer grows with SF, so forcing its broadcast would OOM at
+    // 100 TB — its strategy must be AQE's choice, not a hint.
+    val analyzed = df.queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 2, s"expected exactly 2 broadcast hints (nation, region), got $hints:\n$analyzed")
+    val plan = executed(df)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n$plan")
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$plan")
+  }
+
+  test("ANN recall gate runs the equi-join LSH plan, never a nested-loop join") {
+    // An OR-of-bucket-equalities join predicate expresses the same
+    // candidate set but plans as BroadcastNestedLoopJoin — every
+    // (vector, query) pair evaluated, brute force wearing an LSH
+    // costume. The union-of-per-table-equi-joins form must survive
+    // planning as hash joins only.
+    val plan = executed(ops.Embeddings.annRecall(spark, sf))
+    // Sanctioned non-equi joins, ALL against O(1)-size broadcast sides:
+    // the exact ground-truth scoring (collection × fixed query sample)
+    // and the two IVF centroid fan-outs (rows × centroid set). The 8
+    // LSH bucket joins and the IVF cell probe must all be HASH joins.
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 3, s"unexpected nested-loop joins ($nlj > 3) in ANN recall plan:\n$plan")
+    val hash = "BroadcastHashJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "SortMergeJoin".r.findAllIn(plan).length
+    assert(hash >= 9, s"expected >=9 hash joins (8 LSH buckets + IVF probe), got $hash:\n$plan")
   }
 
   test("fact-to-dim join is broadcast, fact side never shuffles for it") {
