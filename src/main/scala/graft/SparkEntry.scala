@@ -25,7 +25,8 @@ object SparkEntry {
       ops.Embeddings.queries ++
       ops.Temporal.queries ++
       ops.Analytics.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.Embeddings.oracleSql ++
       ops.Temporal.oracleSql ++
       ops.Analytics.oracleSql ++
-      ops.Multimodal.oracleSql
+      ops.Multimodal.oracleSql ++
+      streaming.Streams.oracleSql
 }

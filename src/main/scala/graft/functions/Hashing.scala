@@ -39,6 +39,16 @@ object Hashing {
     s"list_transform(range(1, greatest(len($expr) - ${n - 1}, 1) + 1), " +
       s"i -> substr($expr, i, $n))"
 
+  /** Shingles as ROWS via the custom table-valued Generator
+    * [[graft.plans.NGramShingles]] — row-identical to
+    * `explode(shingles(c, n))` but streamed without the intermediate
+    * array (see the Generator's scaladoc for the value contract).
+    */
+  def ngramShingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.NGramShingles(Exprs.expression(c), n))
+  }
+
   /** Minhash component j: min over shingles of h32(j, shingle). */
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, s => h32(seed, s)))

@@ -636,6 +636,32 @@ object TextPipeline {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_ngram_udtf — character-trigram vocabulary statistics per language
+  // via the custom table-valued Generator (graft.plans.NGramShingles):
+  // the UDTF streams shingle rows straight out of each document (no
+  // intermediate array), then two codegen'd hash aggregates (distinct +
+  // count) keyed by language. Shuffle carries (lang, shingle) pairs —
+  // the same key structure any n-gram LM/vocab counting job needs.
+  // ---------------------------------------------------------------------
+  val ngramUdtf: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .select(col("lang"), ngramShingles(lower(col("text")), 3).as("sh"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct_shingles"))
+      .orderBy(col("lang"))
+  }
+
+  val ngramUdtfSql: String =
+    s"""SELECT lang, count(*) AS n_shingles,
+       |count(DISTINCT sh) AS n_distinct_shingles
+       |FROM (SELECT lang, unnest(${sqlShingles("lower(text)", 3)}) AS sh
+       |      FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
@@ -647,7 +673,8 @@ object TextPipeline {
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
-    "q_doc_fingerprint" -> docFingerprint
+    "q_doc_fingerprint" -> docFingerprint,
+    "q_ngram_udtf" -> ngramUdtf
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -661,6 +688,7 @@ object TextPipeline {
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,
-    "q_doc_fingerprint" -> docFingerprintSql
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_ngram_udtf" -> ngramUdtfSql
   )
 }

@@ -225,6 +225,125 @@ object Transactional {
       |  ) g WHERE dist IS NOT NULL
       |) b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // q_mru_sim — the analytic twin of the splay cache's EVICTION POLICIES
+  // (/root/reference/src/opusdb/cache/splay.clj:72-78: when full, the
+  // "LRU" mode evicts the LEFTMOST tree node — the minimum key — while
+  // MRU evicts the ROOT, which splaying makes the most recently accessed
+  // key; tested at test/opusdb/cache/splay_test.clj:35-89). Per 1000-LSN
+  // window of the access stream this emits the working-set size
+  // (distinct keys a cache of that span must hold) and all three victim
+  // choices: true-LRU (earliest last-touch), MRU (latest last-touch =
+  // the splay root), and leftmost (minimum key — what the reference's
+  // "LRU" mode actually removes). policies_diverge flags windows where
+  // LRU and MRU would evict different keys.
+  //
+  // Scale: two hash aggregates keyed by (batch, user) then (batch) with
+  // map-side partials; victims via struct-extreme aggregates (last_touch
+  // = max event_id per key is globally unique, so arg extremes are
+  // deterministic without a ranked window).
+  val mruSim: Q = (s, d) => {
+    val perKey = Tables
+      .events(s, d)
+      .select(
+        expr("(event_id - 1) div 1000").as("batch"),
+        col("event_id"),
+        col("user_id"))
+      .groupBy(col("batch"), col("user_id"))
+      .agg(max(col("event_id")).as("last_touch"), count(lit(1)).as("n_touches"))
+    perKey
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("ws_size"),
+        sum(col("n_touches")).as("n_accesses"),
+        min(struct(col("last_touch"), col("user_id")))
+          .getField("user_id").as("lru_victim"),
+        max(struct(col("last_touch"), col("user_id")))
+          .getField("user_id").as("mru_victim"),
+        min(col("user_id")).as("leftmost_victim"))
+      .withColumn(
+        "policies_diverge",
+        (col("lru_victim") =!= col("mru_victim")).cast("long"))
+      .orderBy(col("batch"))
+  }
+
+  val mruSimSql: String =
+    """WITH pk AS (
+      |  SELECT (event_id - 1) // 1000 AS batch, user_id,
+      |         max(event_id) AS last_touch, count(*) AS n_touches
+      |  FROM events GROUP BY 1, 2)
+      |SELECT batch, count(*) AS ws_size,
+      |CAST(SUM(n_touches) AS BIGINT) AS n_accesses,
+      |arg_min(user_id, last_touch) AS lru_victim,
+      |arg_max(user_id, last_touch) AS mru_victim,
+      |min(user_id) AS leftmost_victim,
+      |CAST(arg_min(user_id, last_touch) != arg_max(user_id, last_touch) AS BIGINT) AS policies_diverge
+      |FROM pk GROUP BY batch ORDER BY batch""".stripMargin
+
+  // q_snapshot_diff — two-snapshot change detection, the relational
+  // analogue of `ensure-read-consistency`
+  // (/root/reference/src/opusdb/atomic/stm.clj:37-40: a transaction
+  // aborts when a ref's write-point moved past the version its snapshot
+  // read). Here the two read-points are LSN cuts t1 = max/2 and
+  // t2 = max: the visible state per key at a cut is its latest
+  // at-or-before version (the stm.clj:55-65 deref), and the ANTI-join of
+  // the two states yields exactly the keys whose write-point moved —
+  // classified as 'add' (key absent at t1) or 'change' (version moved).
+  //
+  // Scale: the 1-row bounds aggregate broadcasts; each state is one
+  // struct-max hash aggregate keyed by user; the diff is a key-partitioned
+  // anti join + left join (no windows over the full log).
+  val snapshotDiff: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val bounds = e
+      .agg(max(col("event_id")).as("mx"))
+      .select(expr("mx div 2").as("t1"), col("mx").as("t2"))
+    val eb = e.crossJoin(broadcast(bounds)) // 1-row witness join
+    def stateAt(cut: String): DataFrame =
+      eb.filter(col("event_id") <= col(cut))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("event_id"), col("value"))).as("st"))
+        .select(
+          col("user_id"),
+          col("st.event_id").as("version"),
+          col("st.value").as("value"))
+    val v1 = stateAt("t1")
+    val v2 = stateAt("t2")
+    val changed = v2.join(
+      v1.select(col("user_id").as("u1"), col("version").as("ver1")),
+      col("user_id") === col("u1") && col("version") === col("ver1"),
+      "left_anti")
+    changed
+      .join(v1.select(col("user_id").as("u1")), col("user_id") === col("u1"), "left")
+      .select(
+        col("user_id"),
+        when(col("u1").isNull, "add").otherwise("change").as("kind"),
+        col("version").as("new_version"),
+        col("value").as("new_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH bounds AS (SELECT max(event_id) // 2 AS t1, max(event_id) AS t2 FROM events),
+      |v1 AS (SELECT user_id, event_id AS version, value FROM (
+      |  SELECT e.user_id, e.event_id, e.value,
+      |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+      |  FROM events e, bounds WHERE e.event_id <= bounds.t1) t WHERE rn = 1),
+      |v2 AS (SELECT user_id, event_id AS version, value FROM (
+      |  SELECT e.user_id, e.event_id, e.value,
+      |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+      |  FROM events e, bounds WHERE e.event_id <= bounds.t2) t WHERE rn = 1)
+      |SELECT v2.user_id,
+      |  CASE WHEN v1k.user_id IS NULL THEN 'add' ELSE 'change' END AS kind,
+      |  v2.version AS new_version, v2.value AS new_value
+      |FROM v2
+      |LEFT JOIN (SELECT user_id FROM v1) v1k ON v2.user_id = v1k.user_id
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM v1
+      |  WHERE v1.user_id = v2.user_id AND v1.version = v2.version)
+      |ORDER BY v2.user_id""".stripMargin
+
   /** The reference's ACTUAL conditional transfer semantics
     * (/root/reference/src/opusdb/benchmark/bank.clj:14-18: debit only if
     * funds suffice, else reject) — order-dependent, so NOT expressible
@@ -281,6 +400,8 @@ object Transactional {
     "q_version_history" -> versionHistory,
     "q_snapshot_consistency" -> snapshotConsistency,
     "q_lru_sim" -> lruSim,
+    "q_mru_sim" -> mruSim,
+    "q_snapshot_diff" -> snapshotDiff,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,5 +412,7 @@ object Transactional {
     "q_version_history" -> versionHistorySql,
     "q_snapshot_consistency" -> snapshotConsistencySql,
     "q_lru_sim" -> lruSimSql,
+    "q_mru_sim" -> mruSimSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
   )
 }

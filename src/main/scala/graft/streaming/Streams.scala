@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured Streaming surface — the streaming duals of the batch
   * temporal queries in [[graft.ops.Temporal]] and the STM fold in
@@ -26,11 +26,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * dropped, so state size is O(active keys × windows-in-horizon), not
   * O(stream length).
   *
-  * These are NOT in SparkEntry.queries: streaming sinks aren't
-  * DuckDB-oracle-checkable. StreamingSpec verifies each pipeline against
-  * its batch twin on identical input (same-result-on-same-data is the
-  * snapshot-consistency idiom of the reference's own tests,
-  * stm_test.clj:156-173).
+  * Most of these are NOT in SparkEntry.queries: open-ended streaming
+  * sinks aren't DuckDB-oracle-checkable. StreamingSpec verifies each
+  * pipeline against its batch twin on identical input
+  * (same-result-on-same-data is the snapshot-consistency idiom of the
+  * reference's own tests, stm_test.clj:156-173). The exception is
+  * [[streamTumblingGated]]: run to completion with Trigger.AvailableNow
+  * its final sink table IS deterministic, so it sits under the full
+  * oracle gate as q_stream_tumbling.
   */
 object Streams {
 
@@ -270,4 +273,52 @@ object Streams {
           AccountUpdate(uid, net, n)
       }
   }
+
+  // ---------------------------------------------------------------------
+  // q_stream_tumbling — the FULL streaming pipeline under the oracle
+  // gate: readStream file source (the WAL tail) → watermark → tumbling
+  // 1-hour window aggregation → Trigger.AvailableNow run to completion.
+  // AvailableNow processes exactly the files present at start and
+  // terminates, so the final complete-mode sink table is deterministic
+  // and oracle-checkable against the same SQL as the batch twin
+  // (q_window_tumbling, minus countDistinct which streaming aggs don't
+  // support). The memory sink is the verify/bench harness; a production
+  // deployment writes the identical aggregation to parquet/Kafka — the
+  // sink is the only swap. Driver-side state is bounded: one row per
+  // (hour, event_type), not per event.
+  // ---------------------------------------------------------------------
+  private val HourUs = 3600L * 1000000L
+  private val gateN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamTumblingGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_tumbling_${gateN.incrementAndGet()}"
+    val q = tumblingCounts(eventsStream(s, d)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("event_type"),
+        col("n"),
+        col("value_total"))
+      .orderBy(col("hour_idx"), col("event_type"))
+  }
+
+  val streamTumblingGatedSql: String =
+    s"""SELECT epoch_us(ts) // $HourUs AS hour_idx, event_type,
+       |count(*) AS n,
+       |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+       |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> streamTumblingGated
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" -> streamTumblingGatedSql
+  )
 }
