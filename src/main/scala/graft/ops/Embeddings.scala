@@ -134,31 +134,44 @@ object Embeddings {
   val similarityLsh: Q = (s, d) => {
     val e = checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-    val withTabs = (0 until lshTables).foldLeft(e) { (df, t) =>
-      df.withColumn(
-        s"bkt_$t",
-        lshBucket(col("embedding"), lshTabBits, embedDim, t * lshTabBits))
-    }
+    val withTabs = e.withColumn(
+      "bkts",
+      array((0 until lshTables).map(t =>
+        lshBucket(col("embedding"), lshTabBits, embedDim, t * lshTabBits)): _*))
     val q = querySample(withTabs)
       .select(
-        col("vec_id").as("query_id") +:
-          col("embedding").as("qv") +:
-          col("nrm").as("qnrm") +:
-          (0 until lshTables).map(t => col(s"bkt_$t").as(s"qbkt_$t")): _*)
-    // one bucketed equi-join per table; union deduped by (query, neighbor)
-    val cand = (0 until lshTables)
-      .map { t =>
-        withTabs
-          .join(broadcast(q), col(s"bkt_$t") === col(s"qbkt_$t"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(
-            col("query_id"),
-            col("vec_id").as("neighbor_id"),
-            (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-              .as("cos"))
-      }
-      .reduce(_ unionAll _)
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        col("bkts").as("qbkts"))
+    // LONG-FORMAT candidate generation: per-table buckets explode to
+    // (table, bucket) rows and ALL tables join in ONE equi-join on the
+    // compound key — one pass over the collection emitting T rows per
+    // vector, instead of T separate joins each re-scanning the full
+    // collection (the union-of-joins SQL twin computes the identical
+    // set; at 100 TB the scan count is what dominates). Dedup happens on
+    // the slim (query, neighbor) pairs BEFORE the vectors are joined
+    // back for exact re-ranking, so each surviving candidate is scored
+    // exactly once.
+    val bLong = withTabs
+      .select(col("vec_id"), posexplode(col("bkts")).as(Seq("t", "bkt")))
+    val qLong = q
+      .select(col("query_id"), posexplode(col("qbkts")).as(Seq("qt", "qbkt")))
+    val pairs = bLong
+      .join(broadcast(qLong), col("t") === col("qt") && col("bkt") === col("qbkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val cand = pairs
+      .join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -365,18 +378,17 @@ object Embeddings {
     val e = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
       .withColumn("nrm", sqrt(col("nrm2")))
-    val withTabs = (0 until recallTables).foldLeft(e) { (df, t) =>
-      df.withColumn(
-        s"bkt_$t",
-        lshBucket(col("embedding"), recallBits, embedDim, t * recallBits))
-    }
+    val withTabs = e.withColumn(
+      "bkts",
+      array((0 until recallTables).map(t =>
+        lshBucket(col("embedding"), recallBits, embedDim, t * recallBits)): _*))
     val q = querySample(withTabs)
       .select(
-        col("vec_id").as("query_id") +:
-          col("embedding").as("qv") +:
-          col("nrm").as("qnrm") +:
-          col("nrm2").as("qnrm2") +:
-          (0 until recallTables).map(t => col(s"bkt_$t").as(s"qbkt_$t")): _*)
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        col("nrm").as("qnrm"),
+        col("nrm2").as("qnrm2"),
+        col("bkts").as("qbkts"))
     val cosCol =
       (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
         .as("cos")
@@ -406,17 +418,26 @@ object Embeddings {
     val exact = top3(
       e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol))
-    // LSH top-3: union of per-table same-bucket EQUI-joins, deduped
+    // LSH top-3: long-format bucket rows, ONE equi-join on the compound
+    // (table, bucket) key (same candidate set as the per-table join
+    // union, one collection pass instead of T — see similarityLsh),
+    // deduped on slim pairs, vectors joined back for the exact re-rank.
+    val bLong = withTabs
+      .select(col("vec_id"), posexplode(col("bkts")).as(Seq("t", "bkt")))
+    val qLong = q
+      .select(col("query_id"), posexplode(col("qbkts")).as(Seq("qt", "qbkt")))
+    val lshPairs = bLong
+      .join(broadcast(qLong), col("t") === col("qt") && col("bkt") === col("qbkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
     val lshTop = top3(
-      (0 until recallTables)
-        .map { t =>
-          withTabs
-            .join(broadcast(q), col(s"bkt_$t") === col(s"qbkt_$t"))
-            .filter(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol)
-        }
-        .reduce(_ unionAll _)
-        .distinct())
+      lshPairs
+        .join(
+          e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+          Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosCol))
     // IVF: single assignment per vector; queries rank cells and keep the
     // recallProbeMax nearest, tagged with the probe rank. ONE candidate
     // pass yields both the P=1 and P=3 top-3 sets: ranking within the

@@ -645,13 +645,20 @@ object TextPipeline {
   // the same key structure any n-gram LM/vocab counting job needs.
   // ---------------------------------------------------------------------
   val ngramUdtf: Q = (s, d) => {
+    // two-level aggregate instead of count+countDistinct: the mixed form
+    // plans as an Expand (every shingle occurrence shuffled twice);
+    // pre-aggregating on (lang, shingle) lets the map-side partial
+    // collapse occurrences so the shuffle carries only DISTINCT trigrams
+    // (a few k per language), then the per-lang rollup is trivial.
     Tables
       .documents(s, d)
       .select(col("lang"), ngramShingles(lower(col("text")), 3).as("sh"))
+      .groupBy(col("lang"), col("sh"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_shingles"),
-        countDistinct(col("sh")).as("n_distinct_shingles"))
+        sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct_shingles"))
       .orderBy(col("lang"))
   }
 

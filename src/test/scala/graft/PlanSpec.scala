@@ -45,7 +45,9 @@ class PlanSpec extends SparkSpec {
     val hash = "BroadcastHashJoin".r.findAllIn(plan).length +
       "ShuffledHashJoin".r.findAllIn(plan).length +
       "SortMergeJoin".r.findAllIn(plan).length
-    assert(hash >= 9, s"expected >=9 hash joins (8 LSH buckets + IVF probe), got $hash:\n$plan")
+    // long-format LSH: ONE compound-key bucket join + two re-rank joins
+    // + the IVF cell probe — all hash joins
+    assert(hash >= 4, s"expected >=4 hash joins (bucket + 2 re-rank + IVF probe), got $hash:\n$plan")
   }
 
   test("fact-to-dim join is broadcast, fact side never shuffles for it") {
