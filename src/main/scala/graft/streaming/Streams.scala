@@ -197,6 +197,19 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Watermark-BOUNDED streaming dedup: unlike [[dedupStream]] (whose
+    * key state grows with every id ever seen — unbounded on an infinite
+    * stream), `dropDuplicatesWithinWatermark` evicts a key's state once
+    * the watermark passes its event time, so state is O(keys per
+    * watermark horizon). The contract weakens accordingly: only
+    * re-deliveries arriving within the horizon are dropped — exactly
+    * the at-least-once-source retry window it exists for.
+    */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Conditional-transfer state: balance in exact cents + outcome
     * counters (the reference's bank account,
     * /root/reference/src/opusdb/benchmark/bank.clj:6-18).

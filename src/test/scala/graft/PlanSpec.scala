@@ -63,6 +63,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter should reach the FACT scan as a
+    // runtime bloom filter (row-level semi-join reduction before the
+    // shuffle), not only as a post-shuffle join. The size thresholds
+    // exist for plan-cost sanity; lower them to test-scale so the
+    // optimizer treats our MB-scale tables like the TB-scale case.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val p = Tables.part(spark, sf).filter(col("p_brand") === "Brand#23")
+      val joined = li
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val plan = executed(joined)
+      assert(
+        plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("persist() serves repeated reads from the in-memory cache (§2.7 dual)") {
     val df = Tables.customer(spark, sf)
       .groupBy(col("c_mktsegment"))

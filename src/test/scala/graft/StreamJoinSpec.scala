@@ -73,6 +73,38 @@ class StreamJoinSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("watermark-bounded dedup drops re-deliveries while keeping state finite") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val sample = rows.take(200)
+    ms.addData(sample)
+    val q = Streams
+      .dedupStreamBounded(ms.toDF())
+      .select(col("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName("t_dedup_wm")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // re-delivery inside the watermark horizon: dropped either by the
+      // still-live dedup state or (for events already behind the
+      // watermark) by lateness — never emitted twice either way
+      ms.addData(sample)
+      q.processAllAvailable()
+      // state must be bounded by the horizon, not by all ids ever seen
+      val sp = q.lastProgress.stateOperators
+      assert(sp.nonEmpty)
+      assert(sp.head.numRowsTotal <= sample.length.toLong)
+    } finally q.stop()
+    val ids = spark.table("t_dedup_wm").collect().map(_.getLong(0))
+    assert(ids.length == sample.length, s"${ids.length} vs ${sample.length}")
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("foreachBatch transactional sink writes each epoch exactly once") {
     val s = spark
     import s.implicits._
