@@ -669,6 +669,44 @@ object TextPipeline {
        |      FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_hash_split — deterministic train/val/test assignment by CONTENT
+  // hash (md5 of the text, not the doc id): 80/10/10 by hash bucket.
+  // Hashing the content (a) makes the split reproducible across runs,
+  // clusters and engines with no RNG state, and (b) makes leakage
+  // through exact duplicates structurally impossible — byte-identical
+  // texts always land in the same split, so a dedup pass before or
+  // after the split never moves examples across the boundary. Emits
+  // per (lang, split): docs, distinct contents, total chars.
+  // Scale: one scan, one hash aggregate on (lang, split) — the digest
+  // is computed per row inside codegen, no shuffle beyond the agg.
+  // ---------------------------------------------------------------------
+  val hashSplit: Q = (s, d) => {
+    val bucket = h32(7, col("text")) % 100
+    Tables
+      .documents(s, d)
+      .withColumn(
+        "split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_texts"),
+        sum(col("n_chars")).as("tot_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val hashSplitSql: String = {
+    val bucket = s"${sqlH32(7, "text")} % 100"
+    s"""SELECT lang,
+       |CASE WHEN $bucket < 80 THEN 'train'
+       |     WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |count(*) AS n_docs,
+       |count(DISTINCT md5(text)) AS n_texts,
+       |CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
@@ -681,7 +719,8 @@ object TextPipeline {
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
     "q_doc_fingerprint" -> docFingerprint,
-    "q_ngram_udtf" -> ngramUdtf
+    "q_ngram_udtf" -> ngramUdtf,
+    "q_hash_split" -> hashSplit
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -696,6 +735,7 @@ object TextPipeline {
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,
     "q_doc_fingerprint" -> docFingerprintSql,
-    "q_ngram_udtf" -> ngramUdtfSql
+    "q_ngram_udtf" -> ngramUdtfSql,
+    "q_hash_split" -> hashSplitSql
   )
 }
