@@ -672,6 +672,142 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
+  // q_ivf_kmeans — the TRAINED coarse quantizer the IVF queries' comments
+  // promise: two Lloyd iterations from the stride seed, entirely in
+  // DataFrame ops, made bit-deterministic (and therefore oracle-exact)
+  // by QUANTIZED-INTEGER centroid arithmetic — float means are
+  // order-dependent, so each component is quantized to round(x · 2^20)
+  // (exact integer sums in any order), the new centroid component is
+  // floor(sum/count)/2^20 (double division by a power of two is exact
+  // scaling), and every L2 assignment then evaluates identical doubles
+  // on both engines. Emits the per-iteration cell-size distribution:
+  // the operational reason to TRAIN the quantizer at 100 TB is cell
+  // BALANCE — probe cost is bounded by the largest probed cell, and
+  // stride "centroids" leave cells skewed while Lloyd iterations
+  // flatten max_cell toward the mean.
+  //
+  // Scale notes: per iteration, assignment is one broadcast of k
+  // centroid rows + a per-vector argmin (struct-window), and the
+  // recompute is one explode to (cell, dim) partial sums — map-side
+  // combinable, shuffle carries k × dim longs. The lazy DataFrame chain
+  // re-derives earlier iterations for the union'd stats (acceptable at
+  // 2 iterations); a production trainer would checkpoint/persist each
+  // iteration's assignment instead.
+  // ---------------------------------------------------------------------
+  private val kmQ = 1L << 20 // component quantizer: exact in a double
+
+  val ivfKmeans: Q = (s, d) => {
+    val n = checked(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm2"))
+    // iteration-0 centroids: the stride seed, widened to double arrays
+    // (dot(float) == dot(double-widened) bit-for-bit, so cnrm2 = nrm2)
+    val c0 = n
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(
+        col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"),
+        col("nrm2").as("cnrm2"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("l2").asc, col("cent_id").asc)
+      n.join(broadcast(cents), lit(true))
+        .withColumn(
+          "l2",
+          col("nrm2") - lit(2.0) * pdot(col("cv"), col("embedding")) +
+            col("cnrm2"))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(
+          sum(round(col("x").cast("double") * kmQ).cast("long")).as("sq"),
+          count(lit(1)).as("c"))
+        .withColumn("mq", floor(col("sq").cast("double") / col("c")))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("mq")))),
+            e => e.getField("mq").cast("double") / lit(kmQ.toDouble))
+            .as("cv"))
+        .select(
+          col("cell").as("cent_id"),
+          col("cv"),
+          dot(col("cv"), col("cv")).as("cnrm2"))
+    def stats(assigned: DataFrame, iter: Int): DataFrame =
+      assigned
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("sz")).as("n_vecs"),
+          max(col("sz")).as("max_cell"),
+          min(col("sz")).as("min_cell"))
+        .select(lit(iter).as("iter"), col("n_cells"), col("n_vecs"),
+          col("max_cell"), col("min_cell"))
+    val a0 = assign(c0)
+    val a1 = assign(recompute(a0))
+    val a2 = assign(recompute(a1))
+    stats(a0, 0)
+      .unionAll(stats(a1, 1))
+      .unionAll(stats(a2, 2))
+      .orderBy(col("iter"))
+  }
+
+  val ivfKmeansSql: String = {
+    def assignSql(vecs: String, cents: String): String =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.nrm2 - 2.0 * (${sqlDot("c.cv", "v.embedding")}) + c.cnrm2 ASC, c.cent_id ASC) AS arn
+         |    FROM $vecs v CROSS JOIN $cents c) t WHERE arn = 1""".stripMargin
+    def recomputeSql(assigned: String): String =
+      s"""SELECT cell AS cent_id,
+         |    list_transform(list(mq ORDER BY dim), v -> v / $kmQ.0) AS cv
+         |  FROM (
+         |    SELECT cell, dim, floor(CAST(SUM(xq) AS DOUBLE) / count(*)) AS mq
+         |    FROM (
+         |      SELECT a.cell, t.i AS dim,
+         |        CAST(round(a.embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
+         |      FROM $assigned a, range(1, ${embedDim + 1}) AS t(i)) x
+         |    GROUP BY cell, dim) m
+         |  GROUP BY cell""".stripMargin
+    def statsSql(assigned: String, iter: Int): String =
+      s"""SELECT $iter AS iter, count(*) AS n_cells,
+         |  CAST(SUM(sz) AS BIGINT) AS n_vecs, max(sz) AS max_cell, min(sz) AS min_cell
+         |  FROM (SELECT cell, count(*) AS sz FROM $assigned GROUP BY cell) g""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS cv, nrm2 AS cnrm2
+       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |a0 AS (
+       |  ${assignSql("(SELECT * FROM n)", "c0")}),
+       |r1 AS (
+       |  ${recomputeSql("a0")}),
+       |c1 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r1),
+       |a1 AS (
+       |  ${assignSql("(SELECT * FROM n)", "c1")}),
+       |r2 AS (
+       |  ${recomputeSql("a1")}),
+       |c2 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r2),
+       |a2 AS (
+       |  ${assignSql("(SELECT * FROM n)", "c2")})
+       |SELECT * FROM (
+       |  ${statsSql("a0", 0)}
+       |  UNION ALL
+       |  ${statsSql("a1", 1)}
+       |  UNION ALL
+       |  ${statsSql("a2", 2)})
+       |ORDER BY iter""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_embed_stats — vector-collection statistics per label: counts, norm
   // summary (exact double via sequential accumulation), centroid norm
   // proxy (sum of per-dimension means is NOT emitted — means of floats
@@ -704,7 +840,8 @@ object Embeddings {
     "q_similarity_ivf" -> similarityIvf,
     "q_ann_recall" -> annRecall,
     "q_embed_neardup" -> embedNearDup,
-    "q_embed_stats" -> embedStats
+    "q_embed_stats" -> embedStats,
+    "q_ivf_kmeans" -> ivfKmeans
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -713,6 +850,7 @@ object Embeddings {
     "q_similarity_ivf" -> similarityIvfSql,
     "q_ann_recall" -> annRecallSql,
     "q_embed_neardup" -> embedNearDupSql,
-    "q_embed_stats" -> embedStatsSql
+    "q_embed_stats" -> embedStatsSql,
+    "q_ivf_kmeans" -> ivfKmeansSql
   )
 }
