@@ -62,6 +62,58 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("PERMISSIVE JSON reads quarantine corrupt records instead of failing the scan") {
+    // At 100 TB a handful of malformed records must never kill the job:
+    // PERMISSIVE mode (the default) nulls the bad row and captures the
+    // raw text in the corrupt-record column for quarantine/audit.
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.json"),
+      """{"id": 1, "v": 10.0}
+        |not json at all
+        |{"id": 2, "v": "not-a-double"}
+        |{"id": 3, "v": 30.0}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(df.count() == 4)
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2) // ids 1 and 3
+      assert(bad.count() == 2) // the raw garbage line + the type-mismatch line
+      assert(good.agg(sum(col("v"))).collect()(0).getDouble(0) == 40.0)
+    } finally df.unpersist()
+  }
+
+  test("range-partitioned sorted write yields disjoint per-file key ranges (layout for pruning)") {
+    // The data-layout lever at 100 TB: repartitionByRange + sort gives
+    // every output file a disjoint key range, so parquet footer min/max
+    // stats let a point/range read skip all but one file (row-group
+    // skipping inside files works the same way).
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .write.mode("overwrite").parquet(dir)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file key ranges: $ranges")
+      case _ =>
+    }
+  }
+
   test("TopKAgg == window-based top-k on brute-force similarity pairs") {
     val s = spark
     import s.implicits._

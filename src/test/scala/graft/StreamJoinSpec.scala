@@ -96,9 +96,13 @@ class StreamJoinSpec extends SparkSpec {
       ms.addData(sample)
       q.processAllAvailable()
       // state must be bounded by the horizon, not by all ids ever seen
-      val sp = q.lastProgress.stateOperators
-      assert(sp.nonEmpty)
-      assert(sp.head.numRowsTotal <= sample.length.toLong)
+      // (scan recentProgress: lastProgress may be an empty no-data batch
+      // that reports no state operators)
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal)
+      assert(stateRows.nonEmpty, "no state operator progress observed")
+      assert(stateRows.max <= sample.length.toLong)
     } finally q.stop()
     val ids = spark.table("t_dedup_wm").collect().map(_.getLong(0))
     assert(ids.length == sample.length, s"${ids.length} vs ${sample.length}")
