@@ -101,4 +101,37 @@ class PropertySpec extends SparkSpec {
       assert(viaMerge == expected, s"merge mismatch, seed offset $i")
     }
   }
+
+  test("query results are invariant under physical repartitioning") {
+    // The classic distributed-correctness bug class: a result that
+    // depends on partition count or row arrival order (unordered float
+    // sums, undefined tie choices, collect_list without a sort). Every
+    // oracle-checked query must be invariant — spot-check the round-3
+    // additions plus the queries whose shapes are most at risk (exact
+    // decimal sums, struct-argmax, quantized k-means, hash splits) by
+    // comparing collected results under adversarial input partitioning.
+    val names = Seq(
+      "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
+      "q_ngram_udtf", "q_transfer_fold")
+    val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
+    def run(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      names.map { n =>
+        n -> SparkEntry
+          .queries(n)(spark, sf)
+          .collect()
+          .map(_.toString)
+          .toSeq
+      }.toMap
+    }
+    try {
+      val a = run("3")
+      val b = run("17")
+      names.foreach { n =>
+        assert(a(n) == b(n), s"$n differs across shuffle-partition counts")
+        assert(a(n).nonEmpty, s"$n returned no rows")
+      }
+    } finally orig.foreach(v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v))
+  }
 }
