@@ -689,10 +689,13 @@ object Embeddings {
   // Scale notes: per iteration, assignment is one broadcast of k
   // centroid rows + a per-vector argmin (struct-window), and the
   // recompute is one explode to (cell, dim) partial sums — map-side
-  // combinable, shuffle carries k × dim longs. The lazy DataFrame chain
-  // re-derives earlier iterations for the union'd stats (acceptable at
-  // 2 iterations); a production trainer would checkpoint/persist each
-  // iteration's assignment instead.
+  // combinable, shuffle carries k × dim longs. Centroids are MODEL
+  // STATE, not data: k is fixed and each iteration's k×dim quantized
+  // means are collected to the driver and re-injected as a literal
+  // frame (the MLlib k-means pattern). A fully-lazy chain would
+  // re-derive iteration i−1 inside iteration i — QUADRATIC in
+  // iteration count at 100 TB; the driver-held model keeps every
+  // iteration at exactly one pass over the collection.
   // ---------------------------------------------------------------------
   private val kmQ = 1L << 20 // component quantizer: exact in a double
 
@@ -750,12 +753,19 @@ object Embeddings {
           min(col("sz")).as("min_cell"))
         .select(lit(iter).as("iter"), col("n_cells"), col("n_vecs"),
           col("max_cell"), col("min_cell"))
-    val a0 = assign(c0)
-    val a1 = assign(recompute(a0))
-    val a2 = assign(recompute(a1))
-    stats(a0, 0)
-      .unionAll(stats(a1, 1))
-      .unionAll(stats(a2, 2))
+    // one job per iteration: collect the k×dim model, re-inject literal
+    def materialize(cents: DataFrame): DataFrame = {
+      val rows = cents.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        cents.schema)
+    }
+    val c1 = materialize(recompute(assign(c0)))
+    val c2 = materialize(recompute(assign(c1)))
+    stats(assign(c0), 0)
+      .unionAll(stats(assign(c1), 1))
+      .unionAll(stats(assign(c2), 2))
       .orderBy(col("iter"))
   }
 

