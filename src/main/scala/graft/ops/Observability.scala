@@ -65,13 +65,16 @@ object Observability {
     def all: Map[String, Row] = seen.asScala.toMap
   }
 
-  /** Run `body` with a registered capture; returns (body result, capture).
-    * The capture stays registered only for the duration of the call.
+  /** Run `body` with a registered capture. The capture is passed INTO
+    * the body so callers can [[MetricsCapture.await]] delivery while the
+    * listener is still registered — awaiting after unregistration races
+    * the async listener bus (a backed-up bus delivers late, and a
+    * removed listener never receives the pending event).
     */
-  def capturing[A](spark: SparkSession)(body: => A): (A, MetricsCapture) = {
+  def capturing[A](spark: SparkSession)(body: MetricsCapture => A): A = {
     val cap = new MetricsCapture
     spark.listenerManager.register(cap)
-    try { (body, cap) }
+    try body(cap)
     finally spark.listenerManager.unregister(cap)
   }
 }

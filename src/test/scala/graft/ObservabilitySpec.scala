@@ -12,15 +12,16 @@ class ObservabilitySpec extends SparkSpec {
 
   test("observed audit metrics equal a direct aggregation, with no extra scan") {
     val e = Tables.events(spark, sf)
-    val ((rows, obs), cap) = Observability.capturing(spark) {
+    val (rows, m) = Observability.capturing(spark) { cap =>
       val audited = Observability.withAudit(e, "events_audit", "value")
         .filter(col("event_type").isin("purchase", "signup"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       val r = audited.collect()
-      (r, "events_audit")
+      // await while the listener is still registered (async bus)
+      (r, cap.await("events_audit", 30000L)
+        .getOrElse(fail("observed metrics never arrived")))
     }
-    val m = cap.await(obs).getOrElse(fail("observed metrics never arrived"))
     val direct = e.agg(
       count(lit(1)).as("n_rows"),
       sum(col("value").cast("decimal(18,4)")).cast("double").as("value_total"),
