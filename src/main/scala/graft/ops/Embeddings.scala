@@ -45,6 +45,15 @@ object Embeddings {
 
   private val embedDim = 64 // testdata embedding dim (FIXTURES.md)
 
+  /** k-means component quantizer: exact in a double. DECLARED BEFORE the
+    * eagerly-initialized SQL vals that interpolate it — Scala object
+    * vals initialize in declaration order, and a forward reference
+    * silently reads the zero default (this bit: annRecallSql once
+    * rendered `* 0.0`, collapsing every trained centroid to the origin
+    * and every cell to one — caught by the oracle gate, not the types).
+    */
+  private val kmQ = 1L << 20
+
   /** Embeddings scan with a loud dimension check: [[lshBucket]] and
     * FloatVecDot loop to min(plane.length, vec.length), so a dim
     * mismatch would silently truncate the projection while the DuckDB
@@ -408,7 +417,7 @@ object Embeddings {
     // assignment would each run 4× (observed: 24 nested-loop joins in
     // the naive formulation's plan, 3 in this one).
     def marked(df: DataFrame, flag: String): DataFrame = {
-      val flags = Seq("e", "l", "i1", "i3")
+      val flags = Seq("e", "l", "i1", "i3", "ik")
       df.select(
         col("query_id") +: col("neighbor_id") +:
           flags.map(f =>
@@ -485,14 +494,39 @@ object Embeddings {
       .withColumn("i1", when(col("prb") === 1 && col("rnk1") <= 3, 1).otherwise(0))
       .withColumn("i3", when(col("rnk3") <= 3, 1).otherwise(0))
       .filter(col("i1") === 1 || col("i3") === 1)
-      .select(col("query_id"), col("neighbor_id"), lit(0).as("e"), lit(0).as("l"), col("i1"), col("i3"))
+      .select(col("query_id"), col("neighbor_id"), lit(0).as("e"),
+        lit(0).as("l"), col("i1"), col("i3"), lit(0).as("ik"))
+    // TRAINED-quantizer IVF (the q_ivf_kmeans model, 2 Lloyd
+    // iterations, driver-materialized): same probe structure at
+    // P = recallProbeMax — the n_ivfk3 columns measure whether TRAINING
+    // the cells (not just probing more of them) buys recall.
+    val ck1 = kmMaterialize(s, kmRecompute(assigned))
+    val ak1 = kmAssign(e, ck1, Seq("vec_id", "embedding", "nrm2"))
+    val ck2 = kmMaterialize(s, kmRecompute(ak1))
+    val assignedK = kmAssign(e, ck2, Seq("vec_id", "embedding", "nrm"))
+    val qprobeK = q
+      .select(col("query_id"), col("qv"), col("qnrm"), col("qnrm2"))
+      .join(broadcast(ck2), lit(true))
+      .withColumn(
+        "l2",
+        col("qnrm2") - lit(2.0) * pdot(col("cv"), col("qv")) + col("cnrm2"))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= recallProbeMax)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id").as("cell"))
+    val ikTop = top3(
+      assignedK
+        .join(broadcast(qprobeK), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol))
     marked(exact, "e")
       .unionAll(marked(lshTop, "l"))
       .unionAll(ivfMarks)
+      .unionAll(marked(ikTop, "ik"))
       // per (query, neighbor): which sets contain it
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("e")).as("e"), max(col("l")).as("l"),
-           max(col("i1")).as("i1"), max(col("i3")).as("i3"))
+           max(col("i1")).as("i1"), max(col("i3")).as("i3"),
+           max(col("ik")).as("ik"))
       // per query: set sizes and exact-overlap counts
       .groupBy(col("query_id"))
       .agg(
@@ -502,7 +536,9 @@ object Embeddings {
         sum(col("i1")).as("n_ivf1"),
         sum(col("e") * col("i1")).as("n_ivf1_overlap"),
         sum(col("i3")).as("n_ivf3"),
-        sum(col("e") * col("i3")).as("n_ivf3_overlap"))
+        sum(col("e") * col("i3")).as("n_ivf3_overlap"),
+        sum(col("ik")).as("n_ivfk3"),
+        sum(col("e") * col("ik")).as("n_ivfk3_overlap"))
       .orderBy(col("query_id"))
   }
 
@@ -563,18 +599,45 @@ object Embeddings {
        |    SELECT p.query_id, a.vec_id AS neighbor_id,
        |      ${cosN("p.qv", "p.qnrm2", "a.embedding", "a.nrm2")} AS cos, p.prb
        |    FROM assigned a JOIN qprobe p ON a.cell = p.cell AND a.vec_id != p.query_id) t),
+       |ckr1 AS (
+       |  ${sqlKmRecompute("assigned")}),
+       |ck1 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM ckr1),
+       |ak1 AS (
+       |  ${sqlKmAssign("(SELECT vec_id, embedding, nrm2 FROM b)", "ck1")}),
+       |ckr2 AS (
+       |  ${sqlKmRecompute("ak1")}),
+       |ck2 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM ckr2),
+       |ak2 AS (
+       |  ${sqlKmAssign("(SELECT vec_id, embedding, nrm2 FROM b)", "ck2")}),
+       |qprobek AS (
+       |  SELECT query_id, qv, qnrm2, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm2, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("c.cv", "q.qv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q CROSS JOIN ck2 c) t WHERE prb <= $recallProbeMax),
+       |ik AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM (
+       |      SELECT p.query_id, a.vec_id AS neighbor_id,
+       |        ${cosN("p.qv", "p.qnrm2", "a.embedding", "a.nrm2")} AS cos
+       |      FROM ak2 a JOIN qprobek p ON a.cell = p.cell AND a.vec_id != p.query_id) c) t
+       |  WHERE rnk <= 3),
        |marks AS (
-       |  SELECT query_id, neighbor_id, 1 AS e, 0 AS l, 0 AS i1, 0 AS i3 FROM exact
+       |  SELECT query_id, neighbor_id, 1 AS e, 0 AS l, 0 AS i1, 0 AS i3, 0 AS ik FROM exact
        |  UNION ALL
-       |  SELECT query_id, neighbor_id, 0, 1, 0, 0 FROM lsh
+       |  SELECT query_id, neighbor_id, 0, 1, 0, 0, 0 FROM lsh
        |  UNION ALL
        |  SELECT query_id, neighbor_id, 0, 0,
        |    CASE WHEN prb = 1 AND rnk1 <= 3 THEN 1 ELSE 0 END,
-       |    CASE WHEN rnk3 <= 3 THEN 1 ELSE 0 END
-       |  FROM ivfc WHERE (prb = 1 AND rnk1 <= 3) OR rnk3 <= 3),
+       |    CASE WHEN rnk3 <= 3 THEN 1 ELSE 0 END, 0
+       |  FROM ivfc WHERE (prb = 1 AND rnk1 <= 3) OR rnk3 <= 3
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 0, 0, 0, 0, 1 FROM ik),
        |flags AS (
        |  SELECT query_id, neighbor_id, max(e) AS e, max(l) AS l,
-       |         max(i1) AS i1, max(i3) AS i3
+       |         max(i1) AS i1, max(i3) AS i3, max(ik) AS ik
        |  FROM marks GROUP BY query_id, neighbor_id)
        |SELECT query_id,
        |  CAST(SUM(e) AS BIGINT) AS n_exact,
@@ -583,7 +646,9 @@ object Embeddings {
        |  CAST(SUM(i1) AS BIGINT) AS n_ivf1,
        |  CAST(SUM(e * i1) AS BIGINT) AS n_ivf1_overlap,
        |  CAST(SUM(i3) AS BIGINT) AS n_ivf3,
-       |  CAST(SUM(e * i3) AS BIGINT) AS n_ivf3_overlap
+       |  CAST(SUM(e * i3) AS BIGINT) AS n_ivf3_overlap,
+       |  CAST(SUM(ik) AS BIGINT) AS n_ivfk3,
+       |  CAST(SUM(e * ik) AS BIGINT) AS n_ivfk3_overlap
        |FROM flags GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
@@ -697,7 +762,61 @@ object Embeddings {
   // iteration count at 100 TB; the driver-held model keeps every
   // iteration at exactly one pass over the collection.
   // ---------------------------------------------------------------------
-  private val kmQ = 1L << 20 // component quantizer: exact in a double
+  /** One Lloyd assignment: nearest centroid per vector (exact L2² from
+    * dot products, ties → lower centroid id). `vecs` must carry `nrm2`;
+    * every column in `keep` is passed through alongside `cell`.
+    */
+  private def kmAssign(
+      vecs: DataFrame,
+      cents: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    vecs
+      .join(broadcast(cents), lit(true))
+      .withColumn(
+        "l2",
+        col("nrm2") - lit(2.0) * pdot(col("cv"), col("embedding")) +
+          col("cnrm2"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(keep.map(col) :+ col("cent_id").as("cell"): _*)
+  }
+
+  /** Centroid update in quantized-integer arithmetic (order-independent,
+    * bit-deterministic — see q_ivf_kmeans header).
+    */
+  private def kmRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(round(col("x").cast("double") * kmQ).cast("long")).as("sq"),
+        count(lit(1)).as("c"))
+      .withColumn("mq", floor(col("sq").cast("double") / col("c")))
+      .groupBy(col("cell"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("mq")))),
+          e => e.getField("mq").cast("double") / lit(kmQ.toDouble))
+          .as("cv"))
+      .select(
+        col("cell").as("cent_id"),
+        col("cv"),
+        dot(col("cv"), col("cv")).as("cnrm2"))
+
+  /** Collect the k×dim centroid model and re-inject it as a literal
+    * frame (the MLlib pattern): keeps each Lloyd iteration at exactly
+    * one pass over the collection instead of a lazily re-derived chain.
+    */
+  private def kmMaterialize(s: SparkSession, cents: DataFrame): DataFrame = {
+    val rows = cents.collect().toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      cents.schema)
+  }
 
   val ivfKmeans: Q = (s, d) => {
     val n = checked(s, d)
@@ -711,37 +830,8 @@ object Embeddings {
         col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("cv"),
         col("nrm2").as("cnrm2"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("l2").asc, col("cent_id").asc)
-      n.join(broadcast(cents), lit(true))
-        .withColumn(
-          "l2",
-          col("nrm2") - lit(2.0) * pdot(col("cv"), col("embedding")) +
-            col("cnrm2"))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    }
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(
-          sum(round(col("x").cast("double") * kmQ).cast("long")).as("sq"),
-          count(lit(1)).as("c"))
-        .withColumn("mq", floor(col("sq").cast("double") / col("c")))
-        .groupBy(col("cell"))
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("dim"), col("mq")))),
-            e => e.getField("mq").cast("double") / lit(kmQ.toDouble))
-            .as("cv"))
-        .select(
-          col("cell").as("cent_id"),
-          col("cv"),
-          dot(col("cv"), col("cv")).as("cnrm2"))
+    def assign(cents: DataFrame): DataFrame =
+      kmAssign(n, cents, Seq("vec_id", "embedding"))
     def stats(assigned: DataFrame, iter: Int): DataFrame =
       assigned
         .groupBy(col("cell"))
@@ -753,40 +843,40 @@ object Embeddings {
           min(col("sz")).as("min_cell"))
         .select(lit(iter).as("iter"), col("n_cells"), col("n_vecs"),
           col("max_cell"), col("min_cell"))
-    // one job per iteration: collect the k×dim model, re-inject literal
-    def materialize(cents: DataFrame): DataFrame = {
-      val rows = cents.collect().toSeq
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        cents.schema)
-    }
-    val c1 = materialize(recompute(assign(c0)))
-    val c2 = materialize(recompute(assign(c1)))
+    val c1 = kmMaterialize(s, kmRecompute(assign(c0)))
+    val c2 = kmMaterialize(s, kmRecompute(assign(c1)))
     stats(assign(c0), 0)
       .unionAll(stats(assign(c1), 1))
       .unionAll(stats(assign(c2), 2))
       .orderBy(col("iter"))
   }
 
+  /** SQL twins of [[kmAssign]] / [[kmRecompute]] (shared by the kmeans
+    * and recall oracles). `vecs` must expose vec_id, embedding, nrm2.
+    */
+  private def sqlKmAssign(vecs: String, cents: String): String =
+    s"""SELECT vec_id, embedding, nrm2, cell FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm2, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.nrm2 - 2.0 * (${sqlDot("c.cv", "v.embedding")}) + c.cnrm2 ASC, c.cent_id ASC) AS arn
+       |    FROM $vecs v CROSS JOIN $cents c) t WHERE arn = 1""".stripMargin
+
+  private def sqlKmRecompute(assigned: String): String =
+    s"""SELECT cell AS cent_id,
+       |    list_transform(list(mq ORDER BY dim), v -> v / $kmQ.0) AS cv
+       |  FROM (
+       |    SELECT cell, dim, floor(CAST(SUM(xq) AS DOUBLE) / count(*)) AS mq
+       |    FROM (
+       |      SELECT a.cell, t.i AS dim,
+       |        CAST(round(a.embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
+       |      FROM $assigned a, range(1, ${embedDim + 1}) AS t(i)) x
+       |    GROUP BY cell, dim) m
+       |  GROUP BY cell""".stripMargin
+
   val ivfKmeansSql: String = {
     def assignSql(vecs: String, cents: String): String =
-      s"""SELECT vec_id, embedding, cell FROM (
-         |    SELECT v.vec_id, v.embedding, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.nrm2 - 2.0 * (${sqlDot("c.cv", "v.embedding")}) + c.cnrm2 ASC, c.cent_id ASC) AS arn
-         |    FROM $vecs v CROSS JOIN $cents c) t WHERE arn = 1""".stripMargin
-    def recomputeSql(assigned: String): String =
-      s"""SELECT cell AS cent_id,
-         |    list_transform(list(mq ORDER BY dim), v -> v / $kmQ.0) AS cv
-         |  FROM (
-         |    SELECT cell, dim, floor(CAST(SUM(xq) AS DOUBLE) / count(*)) AS mq
-         |    FROM (
-         |      SELECT a.cell, t.i AS dim,
-         |        CAST(round(a.embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
-         |      FROM $assigned a, range(1, ${embedDim + 1}) AS t(i)) x
-         |    GROUP BY cell, dim) m
-         |  GROUP BY cell""".stripMargin
+      sqlKmAssign(vecs, cents)
+    def recomputeSql(assigned: String): String = sqlKmRecompute(assigned)
     def statsSql(assigned: String, iter: Int): String =
       s"""SELECT $iter AS iter, count(*) AS n_cells,
          |  CAST(SUM(sz) AS BIGINT) AS n_vecs, max(sz) AS max_cell, min(sz) AS min_cell
