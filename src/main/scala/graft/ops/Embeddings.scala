@@ -246,13 +246,33 @@ object Embeddings {
   // plumbing. Emits per-query top-3 + probed candidate count.
   // ---------------------------------------------------------------------
   private val centroidStride = 61
+
+  /** Hard cap on the coarse-quantizer size: stride-seeding alone yields
+    * k = n/stride centroids — UNBOUNDED in collection size, so the
+    * centroid broadcast would grow with the data. The cap keeps k O(1)
+    * (a real deployment picks k outright; the stride+cap seed is the
+    * deterministic stand-in). The per-cell candidate bound then comes
+    * from training (q_ivf_kmeans flattens cell sizes), not from k
+    * growing.
+    */
+  private val centroidCap = 64
+
+  /** Seed-centroid predicate: every strideth vector, capped at
+    * [[centroidCap]] — O(1) centroids at any SF.
+    */
+  private def centroidPick: Column =
+    col("vec_id") % centroidStride === 0 &&
+      col("vec_id") < centroidStride * centroidCap
+
+  private val sqlCentroidPick: String =
+    s"vec_id % $centroidStride = 0 AND vec_id < ${centroidStride * centroidCap}"
   private val probeP = 2
 
   val similarityIvf: Q = (s, d) => {
     val e = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
     val cents = e
-      .filter(col("vec_id") % centroidStride === 0)
+      .filter(centroidPick)
       .select(
         col("vec_id").as("cent_id"),
         col("embedding").as("cv"),
@@ -330,7 +350,7 @@ object Embeddings {
     s"""WITH n AS (SELECT vec_id, embedding,
        |           ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm2 AS cnrm2 FROM n
-       |          WHERE vec_id % $centroidStride = 0),
+       |          WHERE $sqlCentroidPick),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, cell FROM (
        |    SELECT e.vec_id, e.embedding, sqrt(e.nrm2) AS nrm, c.cent_id AS cell,
@@ -453,7 +473,7 @@ object Embeddings {
     // P=1 subset uses a window partitioned by (query, prb=1) instead of
     // a second scan of a filtered copy.
     val cents = e
-      .filter(col("vec_id") % centroidStride === 0)
+      .filter(centroidPick)
       .select(
         col("vec_id").as("cent_id"),
         col("embedding").as("cv"),
@@ -577,7 +597,7 @@ object Embeddings {
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
        |    FROM lshc) t WHERE rnk <= 3),
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm2 AS cnrm2 FROM b
-       |          WHERE vec_id % $centroidStride = 0),
+       |          WHERE $sqlCentroidPick),
        |assigned AS (
        |  SELECT vec_id, embedding, nrm2, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.nrm2, c.cent_id AS cell,
@@ -825,7 +845,7 @@ object Embeddings {
     // iteration-0 centroids: the stride seed, widened to double arrays
     // (dot(float) == dot(double-widened) bit-for-bit, so cnrm2 = nrm2)
     val c0 = n
-      .filter(col("vec_id") % centroidStride === 0)
+      .filter(centroidPick)
       .select(
         col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("cv"),
@@ -885,7 +905,7 @@ object Embeddings {
        |  ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id,
        |  list_transform(embedding, x -> x::DOUBLE) AS cv, nrm2 AS cnrm2
-       |  FROM n WHERE vec_id % $centroidStride = 0),
+       |  FROM n WHERE $sqlCentroidPick),
        |a0 AS (
        |  ${assignSql("(SELECT * FROM n)", "c0")}),
        |r1 AS (
