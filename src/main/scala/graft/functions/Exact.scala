@@ -36,12 +36,21 @@ object Exact {
   def revenue(price: Column, discount: Column): Column =
     price.cast(D) * (lit(1).cast(D) - discount.cast(D))
 
-  /** Sum of an already-exact decimal expression (e.g. [[revenue]]) cast to
-    * double for a stable output schema on both engines.
+  /** Sum of an already-exact decimal expression (e.g. [[revenue]]),
+    * RESCALED to DECIMAL(18,4) before the double cast. The rescale is
+    * what keeps the conversion cross-engine-exact: a scale-8 revenue sum
+    * carries an unscaled value past 2^53, where Spark's one-step
+    * BigDecimal→double (correctly rounded) and DuckDB's int128→double
+    * then /10^scale (double-rounded) can disagree by 1 ulp — observed at
+    * sf0.1 on q_pricing_summary. At scale 4 the unscaled value is
+    * exactly representable in a double again and both paths agree
+    * bit-for-bit.
     */
-  def decSum(c: Column): Column = sum(c).cast("double")
+  def decSum(c: Column): Column = sum(c).cast(D).cast("double")
 
   /** SQL fragments for the DuckDB oracle mirroring the helpers above. */
+  def sqlDecSum(expr: String): String =
+    s"CAST(CAST(SUM($expr) AS DECIMAL(18,4)) AS DOUBLE)"
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(expr: String): String =

@@ -84,7 +84,7 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        |${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS sum_disc_price,
        |${sqlDavg("l_quantity")} AS avg_qty,
        |${sqlDavg("l_discount")} AS avg_disc,
        |count(*) AS count_order
@@ -149,7 +149,7 @@ object Relational {
 
   val brandRevenueSql: String =
     s"""SELECT p_brand,
-       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS revenue,
        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
        |count(DISTINCT l_orderkey) AS n_orders
        |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -395,7 +395,7 @@ object Relational {
 
   val filterPushdownSql: String =
     s"""SELECT l_returnflag, count(*) AS n,
-       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS revenue
        |FROM lineitem
        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
        |                     AND TIMESTAMP '1997-12-31 00:00:00'
@@ -480,7 +480,7 @@ object Relational {
 
   val multiJoinSql: String =
     s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
-       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS revenue,
        |count(*) AS n_lines
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -510,7 +510,7 @@ object Relational {
 
   val shipPrioritySql: String =
     s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-       |CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |WHERE o_orderdate < TIMESTAMP '1998-06-17 00:00:00'
        |  AND l_shipdate > TIMESTAMP '1998-06-17 00:00:00'
