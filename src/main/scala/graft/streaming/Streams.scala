@@ -327,11 +327,56 @@ object Streams {
        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
        |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_append — WATERMARK-DRIVEN emission under the oracle gate:
+  // the same tumbling aggregation in APPEND mode, where a window row is
+  // emitted only once the watermark (max event time − 1 h) passes the
+  // window end. Run to completion with AvailableNow (the trailing
+  // no-data micro-batch advances the watermark and flushes eligible
+  // windows), the emitted set is a deterministic function of the input:
+  // exactly the windows with end ≤ final watermark — which is what the
+  // DuckDB twin computes with a scalar subquery. This pins down the
+  // append/watermark contract the complete-mode gate cannot see: the
+  // final (incomplete-horizon) windows are withheld.
+  // ---------------------------------------------------------------------
+  val streamTumblingAppend: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_append_${gateN.incrementAndGet()}"
+    val q = tumblingCounts(eventsStream(s, d)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("event_type"),
+        col("n"),
+        col("value_total"))
+      .orderBy(col("hour_idx"), col("event_type"))
+  }
+
+  /** Watermark arithmetic mirrors Spark exactly: event-time stats are
+    * tracked in MILLISECONDS (micros truncated), watermark = max_ms −
+    * 3600000, and a window is emitted iff window_end_ms ≤ watermark.
+    */
+  val streamTumblingAppendSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events)
+       |SELECT epoch_us(ts) // $HourUs AS hour_idx, event_type,
+       |count(*) AS n,
+       |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+       |FROM events, mx
+       |WHERE (epoch_us(ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000
+       |GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tumbling" -> streamTumblingGated
+    "q_stream_tumbling" -> streamTumblingGated,
+    "q_stream_append" -> streamTumblingAppend
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_stream_tumbling" -> streamTumblingGatedSql
+    "q_stream_tumbling" -> streamTumblingGatedSql,
+    "q_stream_append" -> streamTumblingAppendSql
   )
 }
