@@ -301,6 +301,50 @@ object Analytics {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_asof_tolerance — the native as-of join with a TOLERANCE horizon
+  // (pandas merge_asof semantics): a view older than 1 hour must NOT
+  // attribute the purchase. Exec-side the merge keeps its O(1) state and
+  // simply nulls the match when leftTime − rightTime exceeds the
+  // horizon; the oracle is DuckDB's ASOF LEFT JOIN with the identical
+  // post-condition (the latest-prior row is unique, so nulling it after
+  // the fact is exactly the tolerance rule).
+  // ---------------------------------------------------------------------
+  val asofTolerance: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    graft.plans.AsOf
+      .join(purchases, "user_id", "t_us", views, "v_user", "v_t", HourUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("v_val").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+        dsum(coalesce(col("v_val"), lit(0.0))).as("attributed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofToleranceSql: String =
+    s"""SELECT user_id, count(*) AS n_purchases,
+       |CAST(SUM(CASE WHEN v_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       |${sqlDsum("COALESCE(v_val, 0.0)")} AS attributed_total
+       |FROM (
+       |  SELECT p.user_id,
+       |    CASE WHEN p.t_us - v.v_t <= $HourUs THEN v.v_val ELSE NULL END AS v_val
+       |  FROM (SELECT user_id, epoch_us(ts) AS t_us FROM events
+       |        WHERE event_type = 'purchase') p
+       |  ASOF LEFT JOIN (SELECT user_id AS v_user, epoch_us(ts) AS v_t, value AS v_val
+       |                  FROM events WHERE event_type = 'view') v
+       |    ON p.user_id = v.v_user AND v.v_t <= p.t_us) j
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_date_funcs — calendar scalar family over orders: year/quarter
   // buckets, month cardinality, day-of-week histogram (Spark dayofweek
   // is 1=Sunday, DuckDB's is 0=Sunday — normalized to DuckDB's), and an
@@ -605,6 +649,7 @@ object Analytics {
     "q_range_join" -> rangeJoin,
     "q_asof_join" -> asofJoin,
     "q_asof_native" -> asofNative,
+    "q_asof_tolerance" -> asofTolerance,
     "q_date_funcs" -> dateFuncs,
     "q_array_funcs" -> arrayFuncs,
     "q_grouping_sets" -> groupingSets,
@@ -621,6 +666,7 @@ object Analytics {
     "q_range_join" -> rangeJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_native" -> asofNativeSql,
+    "q_asof_tolerance" -> asofToleranceSql,
     "q_date_funcs" -> dateFuncsSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_grouping_sets" -> groupingSetsSql,

@@ -52,7 +52,8 @@ case class AsOfJoinNode(
     rightKey: Expression,
     rightTime: Expression,
     left: LogicalPlan,
-    right: LogicalPlan)
+    right: LogicalPlan,
+    toleranceUs: Option[Long] = None)
     extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -70,7 +71,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -115,9 +117,20 @@ case class AsOfJoinExec(
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(out, out)
-      // O(1) merge state: the last right row consumed, and its key
+      // O(1) merge state: the last right row consumed, its key and time
       var last: InternalRow = null
       var lastKey: InternalRow = null
+      var lastTime: InternalRow = null
+      // tolerance: matched right row must additionally satisfy
+      // leftTime − rightTime <= toleranceUs (long-backed time types
+      // only; AsOf.join validates). Null times never satisfy it.
+      def withinTolerance(t: InternalRow): Boolean =
+        toleranceUs match {
+          case None => true
+          case Some(tol) =>
+            !t.isNullAt(0) && lastTime != null && !lastTime.isNullAt(0) &&
+              t.getLong(0) - lastTime.getLong(0) <= tol
+        }
       lIter.map { lrow =>
         val k = valueRow(lkB, lrow)
         val t = valueRow(ltB, lrow)
@@ -129,19 +142,20 @@ case class AsOfJoinExec(
           if (keyCmp < 0 || (keyCmp == 0 &&
               timeOrd.compare(valueRow(rtB, head), t) <= 0)) {
             last = rBuf.next().copy()
-            // Re-evaluate the key from the COPIED row: `hk` was evaluated
-            // against the sort iterator's reusable buffer, so for
-            // non-primitive key types (UTF8String/struct) its backing
-            // bytes are overwritten after a spill page turns over —
-            // persisting it across iterations would let lastKey mutate
-            // silently and corrupt the match/null decision.
+            // Re-evaluate key AND time from the COPIED row: values
+            // evaluated against the sort iterator's reusable buffer
+            // (UTF8String/struct) are overwritten after a spill page
+            // turns over — persisting them across iterations would let
+            // the match/null decision silently corrupt.
             lastKey = valueRow(rkB, last)
+            lastTime = valueRow(rtB, last)
           } else {
             continue = false
           }
         }
         val rrow =
-          if (last != null && keyOrd.compare(lastKey, k) == 0) last
+          if (last != null && keyOrd.compare(lastKey, k) == 0 &&
+              withinTolerance(t)) last
           else nullRight
         proj(joiner(lrow, rrow))
       }
@@ -181,8 +195,8 @@ object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, lt, rk, rt, l, r) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -208,7 +222,33 @@ object AsOf {
       leftTime: String,
       right: DataFrame,
       rightKey: String,
-      rightTime: String): DataFrame = {
+      rightTime: String): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, None)
+
+  /** As-of join with a TOLERANCE window (pandas merge_asof semantics):
+    * the latest right row at-or-before the left time is attached only if
+    * `leftTime − rightTime <= toleranceUs`; otherwise nulls — a stale
+    * quote/version older than the horizon must not attribute. Requires a
+    * long-backed time type (long µs or timestamp).
+    */
+  def join(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      toleranceUs: Long): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs))
+
+  private def join(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      toleranceUs: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     // check-then-append on the experimental Seq fields is not atomic;
     // serialize first-call registration so concurrent sessions sharing a
@@ -232,13 +272,27 @@ object AsOf {
       attrs
         .find(_.name == n)
         .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val lt = find(lPlan.output, leftTime)
+    val rt = find(rOut, rightTime)
+    if (toleranceUs.isDefined) {
+      val longBacked = Seq(lt.dataType, rt.dataType).forall {
+        case org.apache.spark.sql.types.LongType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+      require(
+        longBacked,
+        s"as-of tolerance requires long-backed time columns, got " +
+          s"(${lt.dataType}, ${rt.dataType})")
+    }
     val node = AsOfJoinNode(
       find(lPlan.output, leftKey),
-      find(lPlan.output, leftTime),
+      lt,
       find(rOut, rightKey),
-      find(rOut, rightTime),
+      rt,
       lPlan,
-      rPlan)
+      rPlan,
+      toleranceUs)
     org.apache.spark.sql.graft.Exprs.ofRows(spark, node)
   }
 }

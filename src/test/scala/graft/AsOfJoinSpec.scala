@@ -38,6 +38,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out((2L, 5L)).isEmpty) // key has no right rows
   }
 
+  test("tolerance: stale matches null out; boundary diff == tolerance still matches") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (1L, 301L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 195L, "b")).toDF("rk", "rt", "v")
+    val out = AsOf
+      .join(left, "k", "t", right, "rk", "rt", 10L)
+      .select(col("t"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+    assert(out(100L).contains("a")) // diff 10 == tolerance: inclusive
+    assert(out(200L).contains("b")) // diff 5 within tolerance
+    assert(out(301L).isEmpty) // latest prior is b at 195, diff 106 > 10
+  }
+
+  test("tolerance variant == window-computed expected on real events") {
+    val e = Tables.events(spark, sf).withColumn("t_us", unix_micros(col("ts")))
+    val tol = 3600L * 1000000L
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("t_us").as("vt"), col("value").as("vv"))
+    val native = AsOf.join(p, "user_id", "t_us", v, "vu", "vt", tol)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("vv").isNotNull, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: latest prior view per purchase via a window over the
+    // interleaved stream, then the tolerance as a plain post-filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("is_p").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val union = p.withColumn("is_p", lit(1)).withColumn("vt", lit(null).cast("long"))
+      .unionByName(
+        v.select(col("vu").as("user_id"), col("vt").as("t_us"))
+          .withColumn("is_p", lit(0)).withColumn("vt", col("t_us")))
+    val expected = union
+      .withColumn("last_vt", last(col("vt"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("t_us") - col("last_vt") <= tol, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet == expected.keySet)
+    native.foreach { case (u, n) => assert(n == expected(u), s"user $u") }
+  }
+
   test("inclusive boundary: right row at exactly left time matches") {
     val s = spark
     import s.implicits._
