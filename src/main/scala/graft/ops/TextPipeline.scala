@@ -707,6 +707,70 @@ object TextPipeline {
        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_seq_packing — LLM training-sequence packing: documents are laid
+  // out in deterministic doc_id order and cut into fixed token-budget
+  // bins (4096); a doc belongs to the bin holding its START offset (the
+  // greedy packing approximation every large-scale pipeline uses — true
+  // first-fit is inherently sequential). Emits per-bin doc/token/lang
+  // stats: fill = n_tokens/4096 measures packing efficiency.
+  //
+  // Scale: the global running token offset is NOT one global window
+  // (single-partition collapse) — same two-level trick as the WAL gap
+  // check: per-block (doc_id div 1000) prefix sums via a block-local
+  // window, block base offsets via a window over the tiny per-block
+  // total table, global start = base + local prefix. Identical output
+  // to the naive global-window form, which remains the oracle's
+  // formulation.
+  // ---------------------------------------------------------------------
+  private val packTokens = 4096L
+  private val packBlock = 1000L
+
+  val seqPacking: Q = (s, d) => {
+    val base = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("blk", expr(s"doc_id div $packBlock"))
+    val wIn = Window
+      .partitionBy(col("blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrefix = base
+      .withColumn("pre_in", coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val wBlk = Window
+      .orderBy(col("blk")) // over the tiny per-block summary only
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = base
+      .groupBy(col("blk"))
+      .agg(sum(col("n_toks")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("boff"))
+    withPrefix
+      .join(blkOff, Seq("blk"))
+      .withColumn("bin", expr(s"(boff + pre_in) div $packTokens"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("bin"))
+  }
+
+  val seqPackingSql: String =
+    s"""SELECT start // $packTokens AS bin, count(*) AS n_docs,
+       |CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |count(DISTINCT lang) AS n_langs
+       |FROM (
+       |  SELECT lang, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |  FROM (SELECT doc_id, lang, len(${sqlTokens("text")}) AS n_toks
+       |        FROM documents) t) p
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
@@ -720,7 +784,8 @@ object TextPipeline {
     "q_text_quality" -> textQuality,
     "q_doc_fingerprint" -> docFingerprint,
     "q_ngram_udtf" -> ngramUdtf,
-    "q_hash_split" -> hashSplit
+    "q_hash_split" -> hashSplit,
+    "q_seq_packing" -> seqPacking
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -736,6 +801,7 @@ object TextPipeline {
     "q_text_quality" -> textQualitySql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ngram_udtf" -> ngramUdtfSql,
-    "q_hash_split" -> hashSplitSql
+    "q_hash_split" -> hashSplitSql,
+    "q_seq_packing" -> seqPackingSql
   )
 }
