@@ -721,7 +721,10 @@ object TextPipeline {
   // window, block base offsets via a window over the tiny per-block
   // total table, global start = base + local prefix. Identical output
   // to the naive global-window form, which remains the oracle's
-  // formulation.
+  // formulation. Known cost: the tokenized base feeds both phases and
+  // Catalyst plans each reference as a copy, so tokenization runs
+  // twice; a production pipeline persists the (doc_id, n_toks)
+  // projection (O(docs) longs) before the packing pass.
   // ---------------------------------------------------------------------
   private val packTokens = 4096L
   private val packBlock = 1000L
