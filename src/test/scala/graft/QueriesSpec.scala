@@ -145,4 +145,46 @@ class QueriesSpec extends SparkSpec {
       s"shipdate range not pushed"
     )
   }
+
+  test("embedding dim guard fails loudly on a mis-dimensioned collection") {
+    // the guard exists because lshBucket/FloatVecDot would otherwise
+    // silently truncate to min(dim) and return wrong buckets/cosines
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_baddim").toString
+    Seq((0L, Array(1.0f, 2.0f, 3.0f), "a"), (1L, Array(4.0f, 5.0f, 6.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      ops.Embeddings.embedStats(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(
+      messages(ex).exists(_.contains("embedding dim must be 64")),
+      s"unexpected failure: $ex")
+  }
+
+  test("hash split is leakage-proof: identical texts always share a split") {
+    // split is a pure function of md5(text), so byte-identical documents
+    // can never straddle the train/val/test boundary — the sf0.001
+    // corpus carries no byte-identical texts, so duplicates are INJECTED
+    // (a full re-delivery of half the corpus) to make the property bite
+    val bucket = graft.functions.Hashing.h32(7, col("text")) % 100
+    val docs = Tables.documents(spark, sf)
+    val withDups = docs.unionAll(docs.limit(250))
+    val assigned = withDups
+      .select(
+        md5(col("text")).as("h"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    val worst = assigned
+      .groupBy(col("h"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n"))
+      .agg(max(col("n_splits")).as("worst"), max(col("n")).as("max_dup"))
+      .collect()(0)
+    assert(worst.getLong(0) == 1L, "a text appeared in more than one split")
+    assert(worst.getLong(1) >= 2L, "corpus has no exact duplicates — vacuous test")
+  }
 }
