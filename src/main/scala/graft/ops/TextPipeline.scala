@@ -774,6 +774,47 @@ object TextPipeline {
        |        FROM documents) t) p
        |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_vocab_topk — vocabulary construction: the top-5 most frequent
+  // tokens per language with occurrence and document frequencies (the
+  // primitive under tokenizer/vocab building and stopword induction).
+  // Scale: explode → one hash aggregate on (lang, token) with map-side
+  // partials (the shuffle carries distinct tokens, not occurrences),
+  // then a ranked window whose WindowGroupLimit keeps k rows per
+  // language map-side. Ties break on the token string — deterministic
+  // on both engines.
+  // ---------------------------------------------------------------------
+  private val vocabK = 5
+
+  val vocabTopk: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+    Tables
+      .documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= vocabK)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val vocabTopkSql: String =
+    s"""SELECT lang, token, occurrences, doc_freq, rnk FROM (
+       |  SELECT lang, token, occurrences, doc_freq,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY occurrences DESC, token ASC) AS rnk
+       |  FROM (
+       |    SELECT lang, token, count(*) AS occurrences,
+       |      count(DISTINCT doc_id) AS doc_freq
+       |    FROM (SELECT lang, doc_id, unnest(${sqlTokens("text")}) AS token
+       |          FROM documents) t
+       |    GROUP BY lang, token) c) r
+       |WHERE rnk <= $vocabK ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
@@ -788,7 +829,8 @@ object TextPipeline {
     "q_doc_fingerprint" -> docFingerprint,
     "q_ngram_udtf" -> ngramUdtf,
     "q_hash_split" -> hashSplit,
-    "q_seq_packing" -> seqPacking
+    "q_seq_packing" -> seqPacking,
+    "q_vocab_topk" -> vocabTopk
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -805,6 +847,7 @@ object TextPipeline {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ngram_udtf" -> ngramUdtfSql,
     "q_hash_split" -> hashSplitSql,
-    "q_seq_packing" -> seqPackingSql
+    "q_seq_packing" -> seqPackingSql,
+    "q_vocab_topk" -> vocabTopkSql
   )
 }
