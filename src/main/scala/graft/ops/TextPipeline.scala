@@ -768,8 +768,8 @@ object TextPipeline {
        |count(DISTINCT lang) AS n_langs
        |FROM (
        |  SELECT lang, n_toks,
-       |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
        |  FROM (SELECT doc_id, lang, len(${sqlTokens("text")}) AS n_toks
        |        FROM documents) t) p
        |GROUP BY bin ORDER BY bin""".stripMargin

@@ -38,6 +38,11 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
     worst = 0.0
     for c in a.columns:
         av, bv = a[c], b[c]
+        # driver hashes exact values: an int column on one side and a
+        # float on the other (e.g. DuckDB HUGEINT -> pandas float64)
+        # stringifies differently even when numerically equal
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"} or {av.dtype.kind, bv.dtype.kind} == {"u", "f"}:
+            return "DTYPE", f"col {c}: spark={av.dtype} duckdb={bv.dtype} (driver hash would FAIL)"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             aa = av.astype(float).to_numpy()
             bb = bv.astype(float).to_numpy()
