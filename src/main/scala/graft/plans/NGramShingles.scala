@@ -62,8 +62,27 @@ case class NGramShingles(child: Expression, n: Int)
     if (v == null) Iterator.empty
     else {
       val s = v.asInstanceOf[UTF8String]
-      val count = math.max(s.numChars() - n + 1, 1)
-      Iterator.tabulate(count)(i => InternalRow(s.substringSQL(i + 1, n)))
+      val bytes = s.getBytes
+      // One pass over the UTF-8 bytes: byte offset of every codepoint
+      // start (+ end sentinel), then each shingle i is the byte slice
+      // [starts(i), starts(i+n)). substringSQL would rescan from byte 0
+      // per shingle — O(L^2) per document; this is O(L).
+      val nChars = s.numChars()
+      val starts = new Array[Int](nChars + 1)
+      var b = 0
+      var c = 0
+      while (b < bytes.length) {
+        starts(c) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      starts(nChars) = bytes.length
+      val count = math.max(nChars - n + 1, 1)
+      Iterator.tabulate(count) { i =>
+        val lo = starts(i)
+        val hi = starts(math.min(i + n, nChars))
+        InternalRow(UTF8String.fromBytes(bytes, lo, hi - lo))
+      }
     }
   }
 

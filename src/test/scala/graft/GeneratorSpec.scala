@@ -45,6 +45,26 @@ class GeneratorSpec extends SparkSpec {
     assert(rows == Seq((1L, "ab"), (2L, ""), (4L, "abc"), (4L, "bcd")))
   }
 
+  test("NGramShingles counts codepoints, not bytes, on multibyte input") {
+    val s = spark
+    import s.implicits._
+    // é = 2 bytes, 汉 = 3 bytes, 𐍈 = 4 bytes (one codepoint each)
+    val df = Seq((1L, "aé汉𐍈b")).toDF("id", "t")
+    val got = df
+      .select(Hashing.ngramShingles(col("t"), 3).as("sh"))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    assert(got == Seq("aé汉", "é汉𐍈", "汉𐍈b"))
+    // and stays identical to the HOF pipeline on the same input
+    val viaHof = df
+      .select(explode(Hashing.shingles(col("t"), 3)).as("sh"))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    assert(got == viaHof)
+  }
+
   test("generator emits its rows inside a Generate node (planned as UDTF)") {
     val plan = Tables
       .documents(spark, sf)
