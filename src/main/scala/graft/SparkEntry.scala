@@ -26,6 +26,9 @@ object SparkEntry {
       ops.Temporal.queries ++
       ops.Analytics.queries ++
       ops.Multimodal.queries ++
+      ops.Graph.queries ++
+      ops.Search.queries ++
+      ops.Sampling.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +42,8 @@ object SparkEntry {
       ops.Temporal.oracleSql ++
       ops.Analytics.oracleSql ++
       ops.Multimodal.oracleSql ++
+      ops.Graph.oracleSql ++
+      ops.Search.oracleSql ++
+      ops.Sampling.oracleSql ++
       streaming.Streams.oracleSql
 }

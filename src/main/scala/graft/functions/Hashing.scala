@@ -78,6 +78,26 @@ object Hashing {
     s"list_min(list_transform($md5Expr, " +
       s"h -> CAST(('0x' || substr(h, ${1 + 8 * w}, 8)) AS BIGINT)))"
 
+  /** Distinct word bigrams of a token-array column — the gram set the
+    * near-dup Jaccard queries compare. A single-token doc contributes
+    * its lone token as the only "gram" on both engines (concat_ws skips
+    * the null second element; the sequence upper bound is clamped to 1).
+    */
+  def wordBigrams(toks: Column): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i =>
+          concat_ws(
+            " ",
+            try_element_at(toks, i),
+            try_element_at(toks, i + 1))))
+
+  def sqlWordBigrams(toksExpr: String): String =
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len($toksExpr) - 1, 1) + 1), " +
+      s"i -> concat_ws(' ', $toksExpr[i], $toksExpr[i + 1])))"
+
   /** Word tokens: lowercase alnum runs (the BPE-ish tokenizer of the
     * text pipeline; identical regex class on both engines).
     */

@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Hashing._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Distributed iterative graph algorithms over DataFrames — the step a
+  * real dedup pipeline runs AFTER pair generation: near-duplicate PAIRS
+  * are not clusters, and keeping "one of each pair" double-drops
+  * documents that appear in two pairs (A~B, B~C must keep exactly one
+  * of {A,B,C}, not one per pair). Connected components turn the edge
+  * list into canonical duplicate clusters.
+  *
+  * Spark-first design: hash-min label propagation — every node starts
+  * labeled with its own id; each round every node takes the min of its
+  * own and its neighbors' labels; converged when no label changes. Each
+  * round is one shuffle join (edges × labels, partitioned by node id)
+  * plus one min-aggregate, all codegen'd; the driver only sees the
+  * single `sum(label)` convergence scalar per round, never the labels.
+  * Rounds needed = component diameter, and duplicate clusters are
+  * shallow (a chain only forms through overlapping near-dup pairs) —
+  * single digits in practice. For adversarial long-path graphs the
+  * two-phase large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) converges in
+  * O(log² n) rounds with the same per-round shuffle shape; hash-min is
+  * the right default for dedup workloads.
+  *
+  * Reference analogue: opusdb has no graph surface; this extends the
+  * north-star LLM-pipeline family (SURVEY §2.12).
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def normText(c: Column) =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val sqlNormText: String => String =
+    e => s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** Max label-propagation rounds before declaring non-convergence: a
+    * duplicate-cluster graph that still changes after 25 rounds has a
+    * 25-hop near-dup chain and deserves a loud failure, not a silently
+    * wrong cluster id.
+    */
+  private val maxCcRounds = 25
+
+  /** Hash-min connected components. `edges` must be undirected pairs
+    * (u, v); labels converge to the min node id of each component.
+    * Returns (id, cluster_id) for every node that appears in an edge.
+    *
+    * Each round localCheckpoints the label frame: the loop would
+    * otherwise rebuild the full lineage every round (N references to a
+    * DataFrame are N subtree copies — no CSE), turning round k into k
+    * recomputations. Convergence is detected through sum(label): labels
+    * only ever decrease, so the sum strictly decreases iff any label
+    * changed — one scalar job per round instead of a changed-row join.
+    * The sum is aggregated in DECIMAL(38,0) so id magnitude can't
+    * overflow at collection scale.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val bi = edges
+      .select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+    var labels = bi
+      .select(col("s").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labels
+      .agg(sum(col("label").cast("decimal(38,0)")))
+      .head()
+      .getDecimal(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxCcRounds) {
+      val neighborMin = bi
+        .join(labels, bi("s") === labels("id"))
+        .groupBy(col("d"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("d"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next
+        .agg(sum(col("label").cast("decimal(38,0)")))
+        .head()
+        .getDecimal(0)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxCcRounds rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_dup_clusters — canonical duplicate clusters over the documents
+  // table. Edge set (deterministic on both engines):
+  //   (a) near-dup pairs: word-bigram Jaccard >= 0.9 within the same
+  //       (lang, n_chars div 100) block — the integer form
+  //       10*|∩| >= 9*|∪| avoids a float threshold compare;
+  //   (b) exact-dup star edges: every doc sharing an md5(norm(text))
+  //       digest with an earlier doc gets an edge to the group's min
+  //       doc_id — O(group) edges, not O(group²).
+  // Then hash-min connected components; per clustered doc: cluster id
+  // (min member id), cluster size, and the canonical-keep flag (longest
+  // text wins, doc_id breaks ties) — the row a training pipeline keeps.
+  // Scale: pair work is block-bounded (near-dup) or linear (exact), CC
+  // rounds are diameter-bounded shuffle joins on the id key.
+  // ---------------------------------------------------------------------
+  val dupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        floor(col("n_chars") / 100).as("lenb"),
+        wordBigrams(col("toks")).as("grams"))
+    val a = grams.select(
+      col("lang"), col("lenb"),
+      col("doc_id").as("u"), col("grams").as("g_a"))
+    val b = grams.select(
+      col("lang"), col("lenb"),
+      col("doc_id").as("v"), col("grams").as("g_b"))
+    val nearPairs = a
+      .join(b, Seq("lang", "lenb"))
+      .filter(col("u") < col("v"))
+      .withColumn("ni", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("nu", (size(col("g_a")) + size(col("g_b"))).cast("long") - col("ni"))
+      .filter(col("ni") * 10 >= col("nu") * 9)
+      .select(col("u"), col("v"))
+    val wDigest = Window.partitionBy(col("h"))
+    val exactPairs = docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .withColumn("m", min(col("doc_id")).over(wDigest))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("u"), col("doc_id").as("v"))
+    val edges = nearPairs.unionAll(exactPairs).distinct()
+    val labels = connectedComponents(edges)
+    val wCluster = Window.partitionBy(col("cluster_id"))
+    val wKeep = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels
+      .join(docs.select(col("doc_id"), col("n_chars")), col("id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .withColumn("cluster_size", count(lit(1)).over(wCluster))
+      .withColumn(
+        "is_canonical",
+        when(row_number().over(wKeep) === 1, lit(1)).otherwise(lit(0)))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val dupClustersSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH RECURSIVE
+       |g AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS lenb,
+       |    ${sqlWordBigrams(toks)} AS grams
+       |  FROM documents),
+       |np AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb
+       |    AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.grams, b.grams)) >=
+       |    9 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))),
+       |hx AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS m
+       |  FROM (SELECT doc_id, md5(${sqlNormText("text")}) AS h FROM documents)),
+       |edges AS (
+       |  SELECT u, v FROM np
+       |  UNION
+       |  SELECT m AS u, doc_id AS v FROM hx WHERE doc_id != m),
+       |bi AS (
+       |  SELECT u AS s, v AS dd FROM edges
+       |  UNION ALL SELECT v AS s, u AS dd FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM bi
+       |  UNION
+       |  SELECT b.dd AS id, r.lab FROM reach r JOIN bi b ON b.s = r.id),
+       |lbl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id AS doc_id, l.cluster_id,
+       |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       |  CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+       |    ORDER BY dc.n_chars DESC, l.id ASC) = 1 THEN 1 ELSE 0 END AS is_canonical
+       |FROM lbl l JOIN documents dc ON dc.doc_id = l.id
+       |ORDER BY l.cluster_id, doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dup_clusters" -> dupClusters
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dup_clusters" -> dupClustersSql
+  )
+}

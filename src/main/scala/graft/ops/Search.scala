@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Hashing._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Full-text relevance scoring over the documents table — the retrieval
+  * primitive a training-data pipeline uses for targeted corpus probes
+  * (find the docs most about X) and quality slicing.
+  *
+  * Scale design: BM25 needs three corpus statistics — N, avg doc
+  * length, per-term document frequency. All three are one aggregate
+  * each; the per-(doc, term) term frequencies come from one explode +
+  * hash aggregate whose shuffle carries only rows matching the query
+  * terms (the filter is pushed below the aggregate, so the shuffle is
+  * proportional to matching occurrences, not the token stream). The
+  * df/stats sides are O(|terms|) and O(1) and broadcast; the final
+  * top-k is orderBy+limit → TakeOrderedAndProject (per-partition heads,
+  * never a global sort).
+  *
+  * Exactness: the idf uses the RATIONAL form (N − df + 0.5)/(df + 0.5)
+  * rather than the usual log of it — Spark's Math.log and DuckDB's ln
+  * are each correctly rounded in practice but not guaranteed
+  * bit-identical across libm implementations, and a hash-exact oracle
+  * beats the last-ulp of a monotone transform. Ranking order for a
+  * single-term match is identical; multi-term scores weight rare terms
+  * harder than the log form — documented, deliberate.
+  */
+object Search {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val bmTerms = Seq("spark", "shuffle", "query", "join")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  private val bmTopK = 10
+
+  // score(doc, t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  // written with the same association on both engines so every
+  // intermediate double is bit-identical.
+  private def bmScore(tf: Column, dl: Column, avgdl: Column, n: Column, df: Column): Column =
+    ((n - df + lit(0.5)) / (df + lit(0.5))) *
+      ((tf * lit(bmK1 + 1.0)) /
+        (tf + lit(bmK1) * (lit(1.0 - bmB) + lit(bmB) * (dl / avgdl))))
+
+  // every float literal carries an e0 exponent: DuckDB parses bare
+  // decimal literals as DECIMAL and would run exact-decimal arithmetic
+  // where Spark runs double (one ulp apart whenever tf isn't a power
+  // of two); exponent notation forces DOUBLE on both engines
+  private def sqlBmScore(tf: String, dl: String, avgdl: String, n: String, df: String): String =
+    s"(($n - $df + 0.5e0) / ($df + 0.5e0)) * " +
+      s"(($tf * ${bmK1 + 1.0}e0) / " +
+      s"($tf + ${bmK1}e0 * (${1.0 - bmB}e0 + ${bmB}e0 * ($dl / $avgdl))))"
+
+  // ---------------------------------------------------------------------
+  // q_bm25 — BM25 top-10 for a fixed conjunctive-free keyword query.
+  // Per doc: number of distinct query terms present and the summed
+  // per-term score, the terms folded in FIXED declaration order (double
+  // addition is order-dependent; a sum() over an unordered group would
+  // not be reproducible).
+  // ---------------------------------------------------------------------
+  val bm25: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val termArray = array(bmTerms.map(lit): _*)
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isInCollection(bmTerms))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_intersect(termArray, col("toks"))).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(stats)) // 1-row stats witness
+      .withColumn(
+        "s",
+        bmScore(col("tf"), col("dl"), col("avgdl"), col("n_docs"), col("df")))
+    // fixed-order fold over the terms: score = s(t1) + s(t2) + ... with
+    // absent terms contributing an exact 0.0
+    val perTerm = scored
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_match"),
+        bmTerms.map(t =>
+          coalesce(max(when(col("t") === t, col("s"))), lit(0.0))
+            .as(s"s_$t")): _*)
+    perTerm
+      .withColumn("score", bmTerms.map(t => col(s"s_$t")).reduce(_ + _))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_match"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(bmTopK)
+  }
+
+  val bm25Sql: String = {
+    val toks = sqlTokens("text")
+    val termList = bmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val sumExpr = bmTerms
+      .map(t => s"COALESCE(MAX(CASE WHEN t = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    val nMatch = "COUNT(*)"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $toks AS toks, CAST(len($toks) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+       |  WHERE list_contains($termList, t)
+       |  GROUP BY doc_id, dl, t),
+       |df AS (
+       |  SELECT t, count(*) AS df
+       |  FROM (SELECT unnest(list_intersect($termList, toks)) AS t FROM d)
+       |  GROUP BY t),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.t,
+       |    ${sqlBmScore("tf.tf", "tf.dl", "stats.avgdl", "stats.n_docs", "df.df")} AS s
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats),
+       |folded AS (
+       |  SELECT doc_id, CAST($nMatch AS BIGINT) AS n_match, $sumExpr AS score
+       |  FROM scored GROUP BY doc_id)
+       |SELECT f.doc_id, dd.lang, f.n_match, f.score
+       |FROM folded f JOIN documents dd ON dd.doc_id = f.doc_id
+       |ORDER BY f.score DESC, f.doc_id ASC LIMIT $bmTopK""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bm25" -> bm25
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql
+  )
+}

@@ -230,20 +230,7 @@ object TextPipeline {
         col("doc_id"),
         col("lang"),
         floor(col("n_chars") / 100).as("lenb"),
-        array_distinct(
-          transform(
-            // size>=2 guaranteed never exceeds bounds; single-token docs
-            // produce the lone token as their only "gram" on both engines
-            // (concat_ws skips the null second element).
-            sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
-            i =>
-              concat_ws(
-                " ",
-                try_element_at(col("toks"), i),
-                try_element_at(col("toks"), i + 1)
-              )
-          )
-        ).as("grams")
+        wordBigrams(col("toks")).as("grams")
       )
     val a = docs.select(
       col("lang"),
@@ -279,9 +266,7 @@ object TextPipeline {
     val toks = sqlTokens("text")
     s"""WITH g AS (
        |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS lenb,
-       |    list_distinct(list_transform(
-       |      range(1, greatest(len($toks) - 1, 1) + 1),
-       |      i -> concat_ws(' ', $toks[i], $toks[i + 1]))) AS grams
+       |    ${sqlWordBigrams(toks)} AS grams
        |  FROM documents),
        |p AS (
        |  SELECT a.lang, a.lenb,
@@ -708,6 +693,85 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_decontaminate — train→test contamination check over the content-
+  // hash split of q_hash_split: a TEST document is contaminated when it
+  // shares any token 8-gram with ANY train document (the n-gram-overlap
+  // decontamination rule benchmark suites run before evaluation —
+  // 8 tokens here because the synthetic docs average ~50 tokens; the
+  // published rule uses 13 on web-scale text). Emits per language: test
+  // docs, contaminated count, contamination rate.
+  //
+  // Scale: grams are joined by md5 DIGEST, not by the gram string — the
+  // semi-join key is a fixed 32 bytes regardless of n, and the train
+  // side is first collapsed to DISTINCT digests (corpus-wide gram
+  // vocabulary, shuffled once). LEFT SEMI join keeps the probe side a
+  // single pass with no fan-out; both sides shuffle-partition on the
+  // digest. A doc shorter than 8 tokens contributes its whole token
+  // stream as its one gram (same clamp as every shingle helper here).
+  // ---------------------------------------------------------------------
+  private val contamN = 8
+
+  private def tokenGramDigests(toks: org.apache.spark.sql.Column) =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (contamN - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(toks, i, lit(contamN))))))
+
+  private def sqlTokenGramDigests(toksExpr: String): String =
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len($toksExpr) - ${contamN - 1}, 1) + 1), " +
+      s"i -> md5(array_to_string($toksExpr[i:i + ${contamN - 1}], ' '))))"
+
+  val decontaminate: Q = (s, d) => {
+    val bucket = h32(7, col("text")) % 100
+    val docs = Tables
+      .documents(s, d)
+      .withColumn(
+        "split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("g", tokenGramDigests(tokens(col("text"))))
+    val trainGrams = docs
+      .filter(col("split") === "train")
+      .select(explode(col("g")).as("gd"))
+      .distinct()
+    val testGrams = docs
+      .filter(col("split") === "test")
+      .select(col("doc_id"), col("lang"), explode(col("g")).as("gd"))
+    val contaminated = testGrams
+      .join(trainGrams, Seq("gd"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    docs
+      .filter(col("split") === "test")
+      .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_rate", col("n_contaminated") / col("n_test"))
+      .orderBy(col("lang"))
+  }
+
+  val decontaminateSql: String = {
+    val bucket = s"${sqlH32(7, "text")} % 100"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |    ${sqlTokenGramDigests(sqlTokens("text"))} AS g
+       |  FROM documents),
+       |tr AS (SELECT DISTINCT unnest(g) AS gd FROM d WHERE split = 'train'),
+       |te AS (SELECT doc_id, lang, unnest(g) AS gd FROM d WHERE split = 'test'),
+       |hits AS (SELECT DISTINCT te.doc_id FROM te SEMI JOIN tr ON te.gd = tr.gd)
+       |SELECT lang, count(*) AS n_test,
+       |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) / count(*) AS contam_rate
+       |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.split = 'test'
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_seq_packing — LLM training-sequence packing: documents are laid
   // out in deterministic doc_id order and cut into fixed token-budget
   // bins (4096); a doc belongs to the bin holding its START offset (the
@@ -829,6 +893,7 @@ object TextPipeline {
     "q_doc_fingerprint" -> docFingerprint,
     "q_ngram_udtf" -> ngramUdtf,
     "q_hash_split" -> hashSplit,
+    "q_decontaminate" -> decontaminate,
     "q_seq_packing" -> seqPacking,
     "q_vocab_topk" -> vocabTopk
   )
@@ -847,6 +912,7 @@ object TextPipeline {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ngram_udtf" -> ngramUdtfSql,
     "q_hash_split" -> hashSplitSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_seq_packing" -> seqPackingSql,
     "q_vocab_topk" -> vocabTopkSql
   )
