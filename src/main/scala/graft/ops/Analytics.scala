@@ -345,6 +345,47 @@ object Analytics {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_asof_inner — INNER as-of semantics on the native exec: purchases
+  // with no in-horizon prior view are DROPPED, not null-padded, so the
+  // output only carries users with at least one attributed purchase.
+  // The exec skips unmatched rows in the merge (no post-filter plan
+  // node); the oracle is DuckDB's inner ASOF JOIN with the same
+  // tolerance post-condition as q_asof_tolerance.
+  // ---------------------------------------------------------------------
+  val asofInner: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    graft.plans.AsOf
+      .innerJoin(purchases, "user_id", "t_us", views, "v_user", "v_t", HourUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_attributed"),
+        dsum(col("v_val")).as("attributed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofInnerSql: String =
+    s"""SELECT user_id, count(*) AS n_attributed,
+       |${sqlDsum("v_val")} AS attributed_total
+       |FROM (
+       |  SELECT p.user_id, v.v_val
+       |  FROM (SELECT user_id, epoch_us(ts) AS t_us FROM events
+       |        WHERE event_type = 'purchase') p
+       |  ASOF JOIN (SELECT user_id AS v_user, epoch_us(ts) AS v_t, value AS v_val
+       |             FROM events WHERE event_type = 'view') v
+       |    ON p.user_id = v.v_user AND v.v_t <= p.t_us
+       |  WHERE p.t_us - v.v_t <= $HourUs) j
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_date_funcs — calendar scalar family over orders: year/quarter
   // buckets, month cardinality, day-of-week histogram (Spark dayofweek
   // is 1=Sunday, DuckDB's is 0=Sunday — normalized to DuckDB's), and an
@@ -650,6 +691,7 @@ object Analytics {
     "q_asof_join" -> asofJoin,
     "q_asof_native" -> asofNative,
     "q_asof_tolerance" -> asofTolerance,
+    "q_asof_inner" -> asofInner,
     "q_date_funcs" -> dateFuncs,
     "q_array_funcs" -> arrayFuncs,
     "q_grouping_sets" -> groupingSets,
@@ -667,6 +709,7 @@ object Analytics {
     "q_asof_join" -> asofJoinSql,
     "q_asof_native" -> asofNativeSql,
     "q_asof_tolerance" -> asofToleranceSql,
+    "q_asof_inner" -> asofInnerSql,
     "q_date_funcs" -> dateFuncsSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_grouping_sets" -> groupingSetsSql,

@@ -53,11 +53,16 @@ case class AsOfJoinNode(
     rightTime: Expression,
     left: LogicalPlan,
     right: LogicalPlan,
-    toleranceUs: Option[Long] = None)
+    toleranceUs: Option[Long] = None,
+    inner: Boolean = false)
     extends BinaryNode {
 
+  // inner keeps the right side's own nullability: every emitted row has
+  // a real match, so the join adds no nulls of its own
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++
+      (if (inner) right.output
+       else right.output.map(_.withNullability(true)))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,
@@ -72,11 +77,14 @@ case class AsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    toleranceUs: Option[Long] = None)
+    toleranceUs: Option[Long] = None,
+    inner: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++
+      (if (inner) right.output
+       else right.output.map(_.withNullability(true)))
 
   // one shuffle per side, clustered on the join key → zipPartitions-safe
   override def requiredChildDistribution: Seq[Distribution] =
@@ -131,7 +139,7 @@ case class AsOfJoinExec(
             !t.isNullAt(0) && lastTime != null && !lastTime.isNullAt(0) &&
               t.getLong(0) - lastTime.getLong(0) <= tol
         }
-      lIter.map { lrow =>
+      lIter.flatMap { lrow =>
         val k = valueRow(lkB, lrow)
         val t = valueRow(ltB, lrow)
         var continue = true
@@ -153,11 +161,11 @@ case class AsOfJoinExec(
             continue = false
           }
         }
-        val rrow =
-          if (last != null && keyOrd.compare(lastKey, k) == 0 &&
-              withinTolerance(t)) last
-          else nullRight
-        proj(joiner(lrow, rrow))
+        val matched = last != null && keyOrd.compare(lastKey, k) == 0 &&
+          withinTolerance(t)
+        if (matched) Some(proj(joiner(lrow, last)))
+        else if (inner) None // inner: unmatched left rows are dropped
+        else Some(proj(joiner(lrow, nullRight)))
       }
     }
   }
@@ -195,8 +203,8 @@ object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r), tol) :: Nil
+    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol, inner) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r), tol, inner) :: Nil
     case _ => Nil
   }
 }
@@ -241,6 +249,30 @@ object AsOf {
       toleranceUs: Long): DataFrame =
     join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs))
 
+  /** INNER as-of join: left rows with no at-or-before right match (or
+    * none inside the tolerance horizon) are dropped instead of padded
+    * with nulls — the "only attributed events" shape. Same exec, same
+    * O(1) merge state; the emit branch skips instead of null-joining.
+    */
+  def innerJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, None, inner = true)
+
+  def innerJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      toleranceUs: Long): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs), inner = true)
+
   private def join(
       left: DataFrame,
       leftKey: String,
@@ -248,7 +280,8 @@ object AsOf {
       right: DataFrame,
       rightKey: String,
       rightTime: String,
-      toleranceUs: Option[Long]): DataFrame = {
+      toleranceUs: Option[Long],
+      inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // check-then-append on the experimental Seq fields is not atomic;
     // serialize first-call registration so concurrent sessions sharing a
@@ -292,7 +325,8 @@ object AsOf {
       rt,
       lPlan,
       rPlan,
-      toleranceUs)
+      toleranceUs,
+      inner)
     org.apache.spark.sql.graft.Exprs.ofRows(spark, node)
   }
 }

@@ -370,13 +370,88 @@ object Streams {
        |WHERE (epoch_us(ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000
        |GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_session — SESSION windows under the oracle gate: per-user
+  // 30-minute-gap sessions in APPEND mode, Trigger.AvailableNow. Two
+  // boundary contracts the batch twin (q_window_session) cannot pin
+  // down, both mirrored exactly by the DuckDB twin:
+  //  * the MERGE rule is strict: an event exactly gap after its
+  //    predecessor starts a NEW session (Spark merges sessions only
+  //    when next.start < current.end), so the oracle's island break is
+  //    `t - prev >= gap`, not the batch twin's `> gap`;
+  //  * the EMIT rule is watermark-driven: a session row appears iff
+  //    session_end ≤ watermark = max event-time (ms-truncated) − 1 h.
+  // State stays bounded: one open session per (user, gap-island), and
+  // the watermark evicts closed sessions every batch.
+  // ---------------------------------------------------------------------
+  private val SessGapUs = 1800L * 1000000L
+
+  val streamSessionGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_session_${gateN.incrementAndGet()}"
+    val q = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("value_total"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"),
+        col("n_events"),
+        col("value_total"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(
+        col("user_id"),
+        unix_micros(col("sess_start")).as("start_us"),
+        unix_micros(col("sess_end")).as("end_us"),
+        col("n_events"),
+        col("value_total"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val streamSessionGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS max_ms FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $SessGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |sess AS (
+       |  SELECT user_id, t_us, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, min(t_us) AS start_us,
+       |    max(t_us) + $SessGapUs AS end_us,
+       |    count(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+       |  FROM sess GROUP BY user_id, sess_id)
+       |SELECT user_id, start_us, end_us, n_events, value_total
+       |FROM agg, mx
+       |WHERE end_us <= (max_ms - 3600000) * 1000
+       |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumblingGated,
-    "q_stream_append" -> streamTumblingAppend
+    "q_stream_append" -> streamTumblingAppend,
+    "q_stream_session" -> streamSessionGated
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" -> streamTumblingGatedSql,
-    "q_stream_append" -> streamTumblingAppendSql
+    "q_stream_append" -> streamTumblingAppendSql,
+    "q_stream_session" -> streamSessionGatedSql
   )
 }

@@ -54,6 +54,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(301L).isEmpty) // latest prior is b at 195, diff 106 > 10
   }
 
+  test("inner variant drops unmatched/out-of-horizon rows; matched rows identical to outer") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 5L), (1L, 300L)).toDF("k", "t")
+    val right = Seq((1L, 15L, "a"), (3L, 1L, "b")).toDF("rk", "rt", "v")
+    val inner = AsOf
+      .innerJoin(left, "k", "t", right, "rk", "rt", 50L)
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // only (1,20) matches within tolerance 50; (1,300) is stale, (1,10)
+    // precedes the match, (2,5) has no right rows
+    assert(inner == Set((1L, 20L, "a")))
+    // inner == outer-with-tolerance restricted to its matched rows, on real events
+    val e = Tables.events(spark, sf).withColumn("t_us", unix_micros(col("ts")))
+    val tol = 3600L * 1000000L
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("t_us").as("vt"), col("value").as("vv"))
+    val viaInner = AsOf
+      .innerJoin(p, "user_id", "t_us", v, "vu", "vt", tol)
+      .select(col("event_id"), col("vt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaOuter = AsOf
+      .join(p, "user_id", "t_us", v, "vu", "vt", tol)
+      .filter(col("vv").isNotNull)
+      .select(col("event_id"), col("vt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaInner == viaOuter && viaInner.nonEmpty)
+  }
+
   test("tolerance variant == window-computed expected on real events") {
     val e = Tables.events(spark, sf).withColumn("t_us", unix_micros(col("ts")))
     val tol = 3600L * 1000000L
