@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.Hashing._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -138,11 +139,71 @@ object Search {
        |ORDER BY f.score DESC, f.doc_id ASC LIMIT $bmTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_tfidf_terms — top-3 characteristic terms per language by TF-IDF
+  // over the language-partitioned corpus (df = number of LANGUAGES a
+  // token appears in): the feature-extraction primitive under topic
+  // probes and per-source vocabulary drift checks. Same rational idf as
+  // q_bm25; score = tf · idf is one multiply + one divide on identical
+  // operands, so it hash-matches. Ties break on the token string.
+  // Scale: tf is one hash aggregate on (lang, token); df is a second
+  // aggregate OVER THE TF TABLE (distinct langs per token — rows are
+  // already unique per (lang, token), so count(*) suffices); the
+  // language count is a 1-row broadcast witness; top-3 per lang is a
+  // WindowGroupLimit, never a global sort.
+  // ---------------------------------------------------------------------
+  private val tfidfK = 3
+
+  val tfidfTerms: Q = (s, d) => {
+    val tf = Tables
+      .documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
+    val nLangs = tf.select(col("lang")).distinct().agg(count(lit(1)).as("n_langs"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("t").asc)
+    tf.join(df, Seq("t"))
+      .crossJoin(broadcast(nLangs)) // 1-row witness
+      .withColumn(
+        "score",
+        col("tf") * ((col("n_langs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= tfidfK)
+      .select(col("lang"), col("t").as("token"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val tfidfTermsSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tf AS (
+       |  SELECT lang, t, count(*) AS tf
+       |  FROM (SELECT lang, unnest($toks) AS t FROM documents)
+       |  GROUP BY lang, t),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |nl AS (SELECT count(DISTINCT lang) AS n_langs FROM tf),
+       |scored AS (
+       |  SELECT tf.lang, tf.t, tf.tf, df.df,
+       |    tf.tf * ((nl.n_langs - df.df + 0.5e0) / (df.df + 0.5e0)) AS score
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN nl)
+       |SELECT lang, t AS token, tf, df, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY score DESC, t ASC) AS rnk FROM scored)
+       |WHERE rnk <= $tfidfK ORDER BY lang, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_bm25" -> bm25
+    "q_bm25" -> bm25,
+    "q_tfidf_terms" -> tfidfTerms
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_bm25" -> bm25Sql
+    "q_bm25" -> bm25Sql,
+    "q_tfidf_terms" -> tfidfTermsSql
   )
 }

@@ -879,6 +879,54 @@ object TextPipeline {
        |    GROUP BY lang, token) c) r
        |WHERE rnk <= $vocabK ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_unigram_lm — unigram-LM quality scoring: how much of each
+  // language's token mass falls outside the corpus' top-1000 vocabulary
+  // (the cheap KenLM-filter analogue — a doc full of out-of-vocab
+  // tokens is boilerplate/garbled; here aggregated per language).
+  // Integer-exact except the single final division.
+  // Scale: the vocabulary is a FIXED-k head (orderBy+limit →
+  // TakeOrderedAndProject over the aggregated token table, per-
+  // partition heads) and therefore O(1) broadcastable at any corpus
+  // size — unlike broadcasting a full vocabulary, which round 2 flagged
+  // as a scale-killer. Rank ties at the k boundary break on the token
+  // string on both engines.
+  // ---------------------------------------------------------------------
+  private val lmVocabK = 1000
+
+  val unigramLm: Q = (s, d) => {
+    val exploded = Tables
+      .documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+    val vocab = exploded
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc)
+      .limit(lmVocabK)
+      .select(col("t"), lit(1L).as("in_vocab"))
+    exploded
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val unigramLmSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH ex AS (SELECT lang, unnest($toks) AS t FROM documents),
+       |vocab AS (
+       |  SELECT t FROM (SELECT t, count(*) AS cnt FROM ex GROUP BY t)
+       |  ORDER BY cnt DESC, t ASC LIMIT $lmVocabK)
+       |SELECT lang, count(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS oov_rate
+       |FROM ex LEFT JOIN vocab v ON ex.t = v.t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
     "q_dedup_exact" -> dedupExact,
@@ -895,7 +943,8 @@ object TextPipeline {
     "q_hash_split" -> hashSplit,
     "q_decontaminate" -> decontaminate,
     "q_seq_packing" -> seqPacking,
-    "q_vocab_topk" -> vocabTopk
+    "q_vocab_topk" -> vocabTopk,
+    "q_unigram_lm" -> unigramLm
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -914,6 +963,7 @@ object TextPipeline {
     "q_hash_split" -> hashSplitSql,
     "q_decontaminate" -> decontaminateSql,
     "q_seq_packing" -> seqPackingSql,
-    "q_vocab_topk" -> vocabTopkSql
+    "q_vocab_topk" -> vocabTopkSql,
+    "q_unigram_lm" -> unigramLmSql
   )
 }

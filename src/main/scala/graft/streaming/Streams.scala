@@ -300,18 +300,36 @@ object Streams {
   // sink is the only swap. Driver-side state is bounded: one row per
   // (hour, event_type), not per event.
   // ---------------------------------------------------------------------
+  /** Run `f` with the session's shuffle-partition count (which fixes a
+    * streaming query's STATE partition count at start) scoped to `n`,
+    * restoring the previous value afterwards. Stateful operators open
+    * one state store per partition; for the local oracle-gate runs the
+    * per-store fixed cost dominates, so the gated pipelines size state
+    * to the data (a cluster deployment sizes it up the same way —
+    * per-query, at start). Results are partition-count-invariant
+    * (asserted by the partition-invariance property test).
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val HourUs = 3600L * 1000000L
   private val gateN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val streamTumblingGated: (SparkSession, String) => DataFrame = (s, d) => {
     val name = s"graft_stream_tumbling_${gateN.incrementAndGet()}"
-    val q = tumblingCounts(eventsStream(s, d)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = tumblingCounts(eventsStream(s, d)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .select(
         expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
@@ -341,13 +359,15 @@ object Streams {
   // ---------------------------------------------------------------------
   val streamTumblingAppend: (SparkSession, String) => DataFrame = (s, d) => {
     val name = s"graft_stream_append_${gateN.incrementAndGet()}"
-    val q = tumblingCounts(eventsStream(s, d)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = tumblingCounts(eventsStream(s, d)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .select(
         expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
@@ -388,8 +408,9 @@ object Streams {
 
   val streamSessionGated: (SparkSession, String) => DataFrame = (s, d) => {
     val name = s"graft_stream_session_${gateN.incrementAndGet()}"
-    val q = eventsStream(s, d)
-      .withWatermark("ts", "1 hour")
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -402,12 +423,13 @@ object Streams {
         col("n_events"),
         col("value_total"))
       .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .select(
         col("user_id"),
@@ -443,15 +465,81 @@ object Streams {
        |WHERE end_us <= (max_ms - 3600000) * 1000
        |ORDER BY user_id, start_us""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_join — STREAM-STREAM inner interval join under the oracle
+  // gate: the purchases stream joined with the views stream of the same
+  // user within the preceding hour, run to completion with
+  // Trigger.AvailableNow. For an INNER join the watermark only governs
+  // state eviction, never the result: every qualifying pair is emitted
+  // exactly once, so the completed sink table equals the plain batch
+  // interval join — which is the DuckDB twin verbatim. (The append-mode
+  // WITHHOLDING contracts are covered by q_stream_append/session; this
+  // pins the join-matching contract.) State stays bounded: both sides
+  // keep only rows inside the 1-hour horizon per user.
+  // ---------------------------------------------------------------------
+  val streamJoinGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_join_${gateN.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        col("value").as("v_val"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("v_val").cast("decimal(18,4)")).cast("double")
+          .as("viewed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamJoinGatedSql: String =
+    s"""SELECT p.user_id, count(*) AS n_pairs,
+       |count(DISTINCT p.event_id) AS n_purchases,
+       |CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS viewed_total
+       |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+       |  ON p.user_id = v.user_id
+       | AND epoch_us(v.ts) <= epoch_us(p.ts)
+       | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
-    "q_stream_session" -> streamSessionGated
+    "q_stream_session" -> streamSessionGated,
+    "q_stream_join" -> streamJoinGated
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
-    "q_stream_session" -> streamSessionGatedSql
+    "q_stream_session" -> streamSessionGatedSql,
+    "q_stream_join" -> streamJoinGatedSql
   )
 }
