@@ -153,6 +153,171 @@ object Analytics {
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_quantiles_exact — exact p10/p50/p90 per order priority, the
+  // multi-rank generalization of q_median_exact's scalable order
+  // statistic: value-range histogram per group → locate each target
+  // rank's bucket via a cumulative window OVER THE HISTOGRAM → rank
+  // rows only inside located buckets. Type-1 (lower) quantiles — the
+  // ranked element itself, rank = ceil(p·n) — so the output is a
+  // picked value, never interpolated (cross-engine exact by
+  // construction). The oracle uses the naive global-window form.
+  // ---------------------------------------------------------------------
+  val quantilesExact: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("b", floor(col("o_totalprice") / 1000).cast("long"))
+    val cnts = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority").as("cpri"), col("cnt"))
+    val targets = cnts
+      .select(
+        col("cpri").as("tpri"),
+        explode(array(
+          struct(lit("p10").as("tag"), expr("(cnt + 9) div 10").as("target")),
+          struct(lit("p50").as("tag"), expr("(cnt + 1) div 2").as("target")),
+          struct(lit("p90").as("tag"), expr("(9 * cnt + 9) div 10").as("target"))))
+          .as("tg"))
+      .select(col("tpri"), col("tg.tag").as("tag"), col("tg.target").as("target"))
+    val wHist = Window
+      .partitionBy(col("hpri"))
+      .orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = o.groupBy(col("o_orderpriority"), col("b"))
+      .agg(count(lit(1)).as("bc"))
+      .select(col("o_orderpriority").as("hpri"), col("b").as("hb"), col("bc"))
+      .withColumn("cum_before", coalesce(sum(col("bc")).over(wHist), lit(0L)))
+    val located = targets
+      .join(
+        cum,
+        col("tpri") === col("hpri") &&
+          col("target") > col("cum_before") &&
+          col("target") <= col("cum_before") + col("bc"))
+      .select(
+        col("tpri").as("pri"),
+        col("tag"),
+        col("hb").as("lb"),
+        (col("target") - col("cum_before")).as("off"))
+    val needed = located.select(col("pri").as("npri"), col("lb").as("nb")).distinct()
+    val wInBucket = Window
+      .partitionBy(col("o_orderpriority"), col("b"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = o
+      .join(
+        broadcast(needed),
+        col("o_orderpriority") === col("npri") && col("b") === col("nb"))
+      .drop("npri", "nb")
+      .withColumn("r", row_number().over(wInBucket).cast("long"))
+    ranked
+      .join(
+        broadcast(located),
+        col("o_orderpriority") === col("pri") &&
+          col("b") === col("lb") && col("r") === col("off"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("tag") === "p10", col("o_totalprice"))).as("p10"),
+        max(when(col("tag") === "p50", col("o_totalprice"))).as("p50"),
+        max(when(col("tag") === "p90", col("o_totalprice"))).as("p90"))
+      .join(cnts, col("o_orderpriority") === col("cpri"))
+      .select(
+        col("o_orderpriority"),
+        col("p10"), col("p50"), col("p90"),
+        col("cnt").as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val quantilesExactSql: String =
+    """SELECT o_orderpriority,
+      |max(CASE WHEN rnk = (cnt + 9) // 10 THEN o_totalprice END) AS p10,
+      |max(CASE WHEN rnk = (cnt + 1) // 2 THEN o_totalprice END) AS p50,
+      |max(CASE WHEN rnk = (9 * cnt + 9) // 10 THEN o_totalprice END) AS p90,
+      |max(cnt) AS n_orders
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders) t
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_heavy_hitters — exact heavy hitters: per event type, the top-3
+  // users by event count with their traffic share — the skew
+  // diagnostic that decides when ops/Skew's salting is needed. One hash
+  // aggregate on (type, user); the per-type total comes from a window
+  // over the AGGREGATED table (O(distinct users) rows, not the event
+  // stream); WindowGroupLimit keeps the top-3 map-side.
+  // ---------------------------------------------------------------------
+  val heavyHitters: Q = (s, d) => {
+    val wTot = Window.partitionBy(col("event_type"))
+    val wRank = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wTot))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("event_type"),
+        col("rnk"),
+        col("user_id"),
+        col("n"),
+        (col("n") / col("total")).as("share"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, n,
+      |n / total AS share
+      |FROM (
+      |  SELECT event_type, user_id, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY n DESC, user_id ASC) AS rnk
+      |  FROM (SELECT event_type, user_id, count(*) AS n
+      |        FROM events GROUP BY event_type, user_id) c) r
+      |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_topk_agg — the typed Aggregator (graft.functions.TopKAgg) under
+  // the oracle gate: per event type, the top-5 events by value through
+  // the BOUNDED-buffer aggregation-pushdown form of "ORDER BY value
+  // LIMIT k per key" — each map-side partial holds at most k elements,
+  // so the shuffle carries O(k·groups), not the candidate stream. The
+  // oracle is the window formulation; identical output pins the
+  // Aggregator's merge/reduce ordering contract (score DESC, id ASC).
+  // ---------------------------------------------------------------------
+  private val topkAggK = 5
+
+  val topkAgg: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAgg}
+    Tables.events(s, d)
+      .select(col("event_type"), col("value").as("score"), col("event_id").as("id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => ScoredId(r._2, r._3))
+      .agg(TopKAgg(topkAggK).toColumn.name("ids"))
+      .toDF("event_type", "ids")
+      .select(col("event_type"), posexplode(col("ids")).as(Seq("rank0", "event_id")))
+      .select(
+        col("event_type"),
+        (col("rank0") + 1).cast("long").as("rnk"),
+        col("event_id"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val topkAggSql: String =
+    s"""SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id
+       |FROM (
+       |  SELECT event_type, event_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY value DESC, event_id ASC) AS rnk
+       |  FROM events) t
+       |WHERE rnk <= $topkAggK ORDER BY event_type, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_range_join — band join: for each 'error' event, the 'click' events
   // of the SAME user within the following hour. Equi key (user_id) +
   // band predicate on the time axis; aggregated per user so output stays
@@ -692,6 +857,9 @@ object Analytics {
     "q_asof_native" -> asofNative,
     "q_asof_tolerance" -> asofTolerance,
     "q_asof_inner" -> asofInner,
+    "q_quantiles_exact" -> quantilesExact,
+    "q_heavy_hitters" -> heavyHitters,
+    "q_topk_agg" -> topkAgg,
     "q_date_funcs" -> dateFuncs,
     "q_array_funcs" -> arrayFuncs,
     "q_grouping_sets" -> groupingSets,
@@ -710,6 +878,9 @@ object Analytics {
     "q_asof_native" -> asofNativeSql,
     "q_asof_tolerance" -> asofToleranceSql,
     "q_asof_inner" -> asofInnerSql,
+    "q_quantiles_exact" -> quantilesExactSql,
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_topk_agg" -> topkAggSql,
     "q_date_funcs" -> dateFuncsSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_grouping_sets" -> groupingSetsSql,

@@ -344,6 +344,67 @@ object Transactional {
       |  WHERE v1.user_id = v2.user_id AND v1.version = v2.version)
       |ORDER BY v2.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_merge_upsert — CDC-style MERGE: apply a change batch (the WAL tail
+  // past the t1 = max/2 LSN cut) onto the base snapshot at t1, the
+  // relational analogue of the reference's `apply-writes!`
+  // (/root/reference/src/opusdb/atomic/stm.clj:42-53: fold the write-set
+  // into the ref table, newest version wins). Each key's outcome is
+  // classified MERGE-style: 'insert' (key only in the batch), 'update'
+  // (key in both — batch version wins), 'carry' (key untouched by the
+  // batch). Output per outcome: key count, merged-state value sum.
+  //
+  // Scale: two struct-max hash aggregates (base and delta are each one
+  // shuffle on the key) + one key-partitioned FULL OUTER join; no
+  // windows over the log, bounds broadcast as the 1-row witness.
+  // ---------------------------------------------------------------------
+  val mergeUpsert: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val bounds = e.agg(expr("max(event_id) div 2").as("t1"))
+    val eb = e.crossJoin(broadcast(bounds)) // 1-row witness join
+    def latest(df: DataFrame, valName: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("event_id"), col("value"))).as("st"))
+        .select(col("user_id"), col("st.value").as(valName))
+    val base = latest(eb.filter(col("event_id") <= col("t1")), "base_val")
+    val delta = latest(eb.filter(col("event_id") > col("t1")), "new_val")
+      .select(col("user_id").as("d_user"), col("new_val"))
+    base
+      .join(delta, col("user_id") === col("d_user"), "full_outer")
+      .select(
+        when(col("user_id").isNull, "insert")
+          .when(col("d_user").isNull, "carry")
+          .otherwise("update")
+          .as("op"),
+        coalesce(col("new_val"), col("base_val")).as("merged_val"))
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        dsum(col("merged_val")).as("merged_total"))
+      .orderBy(col("op"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH bounds AS (SELECT max(event_id) // 2 AS t1 FROM events),
+       |base AS (SELECT user_id, value AS base_val FROM (
+       |  SELECT e.user_id, e.value,
+       |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+       |  FROM events e, bounds WHERE e.event_id <= bounds.t1) t WHERE rn = 1),
+       |delta AS (SELECT user_id AS d_user, value AS new_val FROM (
+       |  SELECT e.user_id, e.value,
+       |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+       |  FROM events e, bounds WHERE e.event_id > bounds.t1) t WHERE rn = 1)
+       |SELECT op, count(*) AS n_keys, ${sqlDsum("merged_val")} AS merged_total
+       |FROM (
+       |  SELECT CASE WHEN base.user_id IS NULL THEN 'insert'
+       |              WHEN delta.d_user IS NULL THEN 'carry'
+       |              ELSE 'update' END AS op,
+       |         COALESCE(delta.new_val, base.base_val) AS merged_val
+       |  FROM base FULL OUTER JOIN delta ON base.user_id = delta.d_user) m
+       |GROUP BY op ORDER BY op""".stripMargin
+
   /** The reference's ACTUAL conditional transfer semantics
     * (/root/reference/src/opusdb/benchmark/bank.clj:14-18: debit only if
     * funds suffice, else reject) — order-dependent, so NOT expressible
@@ -402,6 +463,7 @@ object Transactional {
     "q_lru_sim" -> lruSim,
     "q_mru_sim" -> mruSim,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_merge_upsert" -> mergeUpsert,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -414,5 +476,6 @@ object Transactional {
     "q_lru_sim" -> lruSimSql,
     "q_mru_sim" -> mruSimSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_merge_upsert" -> mergeUpsertSql,
   )
 }
