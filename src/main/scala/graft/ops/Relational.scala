@@ -519,9 +519,38 @@ object Relational {
        |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_sql_portable — the SQL ENTRY PATH under the oracle gate: the
+  // engine registers its tables as views and executes ONE
+  // dialect-portable ANSI string via spark.sql(...), and the oracle is
+  // that IDENTICAL string run by DuckDB — not a hand-matched twin. The
+  // portable subset this pins down: timestamp literals, decimal-cast
+  // exact sums (the dsum discipline spelled out longhand), e0-exponent
+  // double literals, count(DISTINCT), HUGEINT-safe casts, ORDER BY.
+  // Catalyst plans the string exactly like the DataFrame form of
+  // q_pricing_summary: one hash aggregate with map-side partials,
+  // filter pushed to the scan.
+  // ---------------------------------------------------------------------
+  val sqlPortableText: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+      |CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+      |count(DISTINCT l_suppkey) AS d_suppliers
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val sqlPortable: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlPortableText)
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_sql_portable" -> sqlPortable,
     "q_ship_priority" -> shipPriority,
     "q_bank_conservation" -> bankConservation,
     "q_pricing_summary" -> pricingSummary,
@@ -544,6 +573,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_portable" -> sqlPortableText,
     "q_ship_priority" -> shipPrioritySql,
     "q_bank_conservation" -> bankConservationSql,
     "q_pricing_summary" -> pricingSummarySql,
