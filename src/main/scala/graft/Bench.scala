@@ -31,7 +31,15 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = if (a < 0) a else timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

@@ -269,8 +269,13 @@ object Embeddings {
   private val probeP = 2
 
   val similarityIvf: Q = (s, d) => {
+    // One localCheckpoint of the norms pass: the two Lloyd iterations
+    // reference this frame once per kmAssign (plus the query sample and
+    // the final assignment) — without it each reference re-scans the
+    // source and recomputes every norm.
     val e = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
     // the TRAINED coarse quantizer (2 Lloyd iterations from the capped
     // stride seed, driver-held model — see q_ivf_kmeans): the
     // production ANN path runs against trained cells, which both
@@ -409,13 +414,22 @@ object Embeddings {
   private val recallProbeMax = 3
 
   val annRecall: Q = (s, d) => {
-    val e = checked(s, d)
+    // This measurement composite references the normalized-embeddings
+    // frame ~10× (exact baseline, LSH probe, two IVF variants, k-means
+    // training) and Catalyst plans every reference as a full subtree
+    // copy — so the norms+buckets pass is localCheckpoint'd ONCE and
+    // every downstream branch reads the materialized blocks. At 100 TB
+    // the same one-pass materialization is what a real evaluation
+    // harness does (persist the prepared vectors, then measure).
+    val withTabs = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
       .withColumn("nrm", sqrt(col("nrm2")))
-    val withTabs = e.withColumn(
-      "bkts",
-      array((0 until recallTables).map(t =>
-        lshBucket(col("embedding"), recallBits, embedDim, t * recallBits)): _*))
+      .withColumn(
+        "bkts",
+        array((0 until recallTables).map(t =>
+          lshBucket(col("embedding"), recallBits, embedDim, t * recallBits)): _*))
+      .localCheckpoint()
+    val e = withTabs.drop("bkts")
     val q = querySample(withTabs)
       .select(
         col("vec_id").as("query_id"),
@@ -423,6 +437,7 @@ object Embeddings {
         col("nrm").as("qnrm"),
         col("nrm2").as("qnrm2"),
         col("bkts").as("qbkts"))
+      .localCheckpoint()
     val cosCol =
       (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
         .as("cos")
@@ -495,6 +510,9 @@ object Embeddings {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      // referenced by BOTH the k-means training chain and the IVF
+      // candidate join — materialize once
+      .localCheckpoint()
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("cent_id").asc)
@@ -847,6 +865,8 @@ object Embeddings {
     val n = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm2"))
+      // five assign() passes read this frame — materialize once
+      .localCheckpoint()
     // iteration-0 centroids: the stride seed, widened to double arrays
     // (dot(float) == dot(double-widened) bit-for-bit, so cnrm2 = nrm2)
     val c0 = n
@@ -868,10 +888,14 @@ object Embeddings {
           min(col("sz")).as("min_cell"))
         .select(lit(iter).as("iter"), col("n_cells"), col("n_vecs"),
           col("max_cell"), col("min_cell"))
-    val c1 = kmMaterialize(s, kmRecompute(assign(c0)))
-    val c2 = kmMaterialize(s, kmRecompute(assign(c1)))
-    stats(assign(c0), 0)
-      .unionAll(stats(assign(c1), 1))
+    // each iteration's assignment feeds BOTH the next centroid update
+    // and the emitted cell-size stats — checkpoint so it runs once
+    val a0 = assign(c0).localCheckpoint()
+    val c1 = kmMaterialize(s, kmRecompute(a0))
+    val a1 = assign(c1).localCheckpoint()
+    val c2 = kmMaterialize(s, kmRecompute(a1))
+    stats(a0, 0)
+      .unionAll(stats(a1, 1))
       .unionAll(stats(assign(c2), 2))
       .orderBy(col("iter"))
   }

@@ -547,6 +547,127 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q_exists_corr — correlated EXISTS subquery (TPC-H Q4 shape): orders
+  // in a quarter that have at least one high-quantity line item, counted
+  // per priority. Written as SQL so Catalyst exercises its subquery
+  // DECORRELATION path (RewritePredicateSubquery → left-semi join on
+  // o_orderkey): the EXISTS never executes per-row — at any scale it is
+  // one shuffled semi join, with both filters pushed to the scans. The
+  // oracle runs the identical portable text.
+  // ---------------------------------------------------------------------
+  val existsCorrText: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_quantity > 45.0e0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val existsCorr: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(existsCorrText)
+  }
+
+  // ---------------------------------------------------------------------
+  // q_cust_dist — TPC-H Q13 shape: orders-per-customer distribution via
+  // a LEFT OUTER join with an EXTRA join-side predicate (the filter must
+  // ride the join condition, not a WHERE — a WHERE would silently turn
+  // the outer join inner and drop the 0-order bucket), then a two-level
+  // aggregation: count per customer, then histogram over the counts.
+  // Both aggregates are hash aggs with map-side partials; the second
+  // operates on |customers| rows, the third on distinct counts only.
+  // ---------------------------------------------------------------------
+  val custDist: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= lit("1-URGENT"))
+    val perCust = c
+      .join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_orders"))
+    perCust
+      .groupBy(col("c_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("c_orders").desc)
+  }
+
+  val custDistSql: String =
+    """SELECT c_orders, count(*) AS n_custs FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_orders
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_orders
+      |ORDER BY n_custs DESC, c_orders DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ignore_nulls — IGNORE NULLS window semantics: carry the most
+  // recent purchase value forward across every event of a user
+  // (gap-fill / last-observation-carried-forward). The observation
+  // column is NULL on non-purchase rows; `last(_, ignoreNulls)` over a
+  // running row frame fills it. Leading rows before a user's first
+  // purchase stay NULL — pinned by the hash compare (null vs 0 would
+  // mismatch). Ordering is (event time, event_id) — unique, so both
+  // engines resolve frames identically.
+  // ---------------------------------------------------------------------
+  val ignoreNulls: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 40)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_type"),
+        when(col("event_type") === "purchase", col("value")).as("obs"))
+      .withColumn("last_purchase", last(col("obs"), ignoreNulls = true).over(w))
+      .drop("obs")
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
+  val ignoreNullsSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |FROM events
+      |WHERE user_id < 40
+      |ORDER BY user_id, t_us, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_salted_agg — the skew-mitigation path under the oracle gate: the
+  // two-phase salted aggregation ([[Skew.saltedAgg]]) must be
+  // VALUE-IDENTICAL to the plain one-phase groupBy it replaces — the
+  // oracle is the plain SQL. Phase 1 spreads each (hot) key over 16
+  // deterministic salt lanes, phase 2 merges ≤16 partial rows per key;
+  // decimal partials keep the two-phase sum exact, so salting changes
+  // the plan, never the values.
+  // ---------------------------------------------------------------------
+  val saltedAgg: Q = (s, d) => {
+    Skew
+      .saltedAgg(
+        Tables.events(s, d),
+        "event_type",
+        col("value"),
+        col("event_id"),
+        salts = 16)
+      .orderBy(col("event_type"))
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT event_type,
+       |${sqlDsum("value")} AS value_sum,
+       |count(*) AS n
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
@@ -570,6 +691,10 @@ object Relational {
     "q_case_having" -> caseHaving,
     "q_string_funcs" -> stringFuncs,
     "q_multi_join" -> multiJoin,
+    "q_exists_corr" -> existsCorr,
+    "q_cust_dist" -> custDist,
+    "q_ignore_nulls" -> ignoreNulls,
+    "q_salted_agg" -> saltedAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -592,5 +717,9 @@ object Relational {
     "q_case_having" -> caseHavingSql,
     "q_string_funcs" -> stringFuncsSql,
     "q_multi_join" -> multiJoinSql,
+    "q_exists_corr" -> existsCorrText,
+    "q_cust_dist" -> custDistSql,
+    "q_ignore_nulls" -> ignoreNullsSql,
+    "q_salted_agg" -> saltedAggSql,
   )
 }
