@@ -98,6 +98,27 @@ object Hashing {
       s"range(1, greatest(len($toksExpr) - 1, 1) + 1), " +
       s"i -> concat_ws(' ', $toksExpr[i], $toksExpr[i + 1])))"
 
+  /** Word trigrams of a token-array column, NON-distinct (the
+    * repetition metrics need total vs distinct gram counts). Same
+    * short-doc contract as [[wordBigrams]]: out-of-range elements are
+    * null and concat_ws skips them on both engines, so a ≤2-token doc
+    * contributes exactly one (degenerate) gram.
+    */
+  def wordTrigrams(toks: Column): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i =>
+        concat_ws(
+          " ",
+          try_element_at(toks, i),
+          try_element_at(toks, i + 1),
+          try_element_at(toks, i + 2)))
+
+  def sqlWordTrigrams(toksExpr: String): String =
+    s"list_transform(" +
+      s"range(1, greatest(len($toksExpr) - 2, 1) + 1), " +
+      s"i -> concat_ws(' ', $toksExpr[i], $toksExpr[i + 1], $toksExpr[i + 2]))"
+
   /** Word tokens: lowercase alnum runs (the BPE-ish tokenizer of the
     * text pipeline; identical regex class on both engines).
     */

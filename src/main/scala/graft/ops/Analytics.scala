@@ -846,7 +846,112 @@ object Analytics {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_winsorize — outlier-robust aggregation: per event type, clip
+  // values at the exact type-1 p05/p95 (picked elements, never
+  // interpolated) and report the winsorized vs raw mean. The thresholds
+  // come from the same histogram-locate machinery as q_quantiles_exact
+  // (value-range histogram → cumulative window OVER THE HISTOGRAM →
+  // rank only inside the two located buckets — no global per-group
+  // sort), then one more scan clamps and aggregates in exact decimal.
+  // The oracle uses the naive global-window form.
+  // ---------------------------------------------------------------------
+  val winsorize: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(
+        col("event_type").as("g"),
+        col("value").as("v"),
+        col("event_id").as("tie"))
+      .withColumn("b", floor(col("v") / 10).cast("long"))
+    val cnts = e.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("g").as("cg"), col("cnt"))
+    val targets = cnts
+      .select(
+        col("cg").as("tg"),
+        explode(array(
+          struct(lit("p05").as("tag"), expr("(cnt + 19) div 20").as("target")),
+          struct(lit("p95").as("tag"), expr("(19 * cnt + 19) div 20").as("target"))))
+          .as("t"))
+      .select(col("tg"), col("t.tag").as("tag"), col("t.target").as("target"))
+    val wHist = Window
+      .partitionBy(col("hg"))
+      .orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = e.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("bc"))
+      .select(col("g").as("hg"), col("b").as("hb"), col("bc"))
+      .withColumn("cum_before", coalesce(sum(col("bc")).over(wHist), lit(0L)))
+    val located = targets
+      .join(
+        cum,
+        col("tg") === col("hg") &&
+          col("target") > col("cum_before") &&
+          col("target") <= col("cum_before") + col("bc"))
+      .select(
+        col("tg").as("pg"),
+        col("tag"),
+        col("hb").as("lb"),
+        (col("target") - col("cum_before")).as("off"))
+    val needed = located.select(col("pg").as("ng"), col("lb").as("nb")).distinct()
+    val wIn = Window
+      .partitionBy(col("g"), col("b"))
+      .orderBy(col("v").asc, col("tie").asc)
+    val ranked = e
+      .join(broadcast(needed), col("g") === col("ng") && col("b") === col("nb"))
+      .drop("ng", "nb")
+      .withColumn("r", row_number().over(wIn).cast("long"))
+    val thresholds = ranked
+      .join(
+        broadcast(located),
+        col("g") === col("pg") && col("b") === col("lb") && col("r") === col("off"))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("tag") === "p05", col("v"))).as("v05"),
+        max(when(col("tag") === "p95", col("v"))).as("v95"))
+    e.join(broadcast(thresholds), Seq("g"))
+      .withColumn(
+        "cl",
+        when(col("v") < col("v05"), col("v05"))
+          .when(col("v") > col("v95"), col("v95"))
+          .otherwise(col("v")))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("v05")).as("p05"),
+        max(col("v95")).as("p95"),
+        davg(col("cl")).as("win_mean"),
+        davg(col("v")).as("raw_mean"))
+      .select(
+        col("g").as("event_type"),
+        col("n"), col("p05"), col("p95"), col("win_mean"), col("raw_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events),
+      |th AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rnk = (cnt + 19) // 20 THEN value END) AS p05,
+      |    max(CASE WHEN rnk = (19 * cnt + 19) // 20 THEN value END) AS p95
+      |  FROM ranked GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n, max(t.p05) AS p05, max(t.p95) AS p95,
+      |CAST(CAST(SUM(CAST(CASE WHEN e.value < t.p05 THEN t.p05
+      |                        WHEN e.value > t.p95 THEN t.p95
+      |                        ELSE e.value END AS DECIMAL(18,4))) AS DOUBLE)
+      |  / COUNT(*) AS DOUBLE) AS win_mean,
+      |CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+      |  / COUNT(*) AS DOUBLE) AS raw_mean
+      |FROM events e JOIN th t ON e.event_type = t.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_winsorize" -> winsorize,
     "q_range_frame" -> rangeFrame,
     "q_window_funcs" -> windowFuncs,
     "q_null_semantics" -> nullSemantics,
@@ -868,6 +973,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_winsorize" -> winsorizeSql,
     "q_range_frame" -> rangeFrameSql,
     "q_window_funcs" -> windowFuncsSql,
     "q_null_semantics" -> nullSemanticsSql,

@@ -642,6 +642,32 @@ object Relational {
       |ORDER BY user_id, t_us, event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_lateral_topn — correlated LATERAL subquery with ORDER BY + LIMIT:
+  // each customer's two most expensive orders, written as SQL so
+  // Catalyst exercises its lateral-join decorrelation (the LIMIT inside
+  // a correlated subquery is rewritten to a per-key window rank — the
+  // same WindowGroupLimit-able shape the DataFrame top-n queries use,
+  // so no per-customer subquery ever executes). Inner lateral join:
+  // order-less customers drop out. The oracle runs the identical text.
+  // ---------------------------------------------------------------------
+  val lateralTopnText: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+      |         FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+      |         LIMIT 2) t
+      |WHERE c.c_custkey < 100
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  val lateralTopn: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(lateralTopnText)
+  }
+
+  // ---------------------------------------------------------------------
   // q_salted_agg — the skew-mitigation path under the oracle gate: the
   // two-phase salted aggregation ([[Skew.saltedAgg]]) must be
   // VALUE-IDENTICAL to the plain one-phase groupBy it replaces — the
@@ -695,6 +721,7 @@ object Relational {
     "q_cust_dist" -> custDist,
     "q_ignore_nulls" -> ignoreNulls,
     "q_salted_agg" -> saltedAgg,
+    "q_lateral_topn" -> lateralTopn,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -721,5 +748,6 @@ object Relational {
     "q_cust_dist" -> custDistSql,
     "q_ignore_nulls" -> ignoreNullsSql,
     "q_salted_agg" -> saltedAggSql,
+    "q_lateral_topn" -> lateralTopnText,
   )
 }

@@ -927,8 +927,152 @@ object TextPipeline {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_repetition — repetition-based quality signals (the Gopher-style
+  // "repeated n-gram" family): per doc, the duplicated-trigram fraction
+  // (total trigram instances minus distinct ones) and the top-unigram
+  // share. Both are kept as exact integer pairs so the flags and sums
+  // hash-match the oracle:
+  //   rep_gram: ≥10% of trigram instances are repeats (10·dup ≥ total)
+  //   rep_uni:  the most frequent unigram is ≥20% of tokens (5·m ≥ n)
+  // Scale: the top-unigram count goes through explode + two hash
+  // aggregates keyed by (doc_id, token) — shuffle-based, never a
+  // per-row quadratic HOF; the trigram counts are per-row linear.
+  // ---------------------------------------------------------------------
+  val repetition: Q = (s, d) => {
+    val base = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val topUni = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("m"))
+    val perDoc = base
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("tris", Hashing.wordTrigrams(col("toks")))
+      .withColumn("n_grams", size(col("tris")).cast("long"))
+      .withColumn("n_dup_grams",
+        (size(col("tris")) - size(array_distinct(col("tris")))).cast("long"))
+      .drop("toks", "tris")
+      .join(topUni, Seq("doc_id"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_dup_grams")).as("sum_dup_grams"),
+        sum(when(col("n_dup_grams") * 10 >= col("n_grams"), 1L)
+          .otherwise(0L)).as("n_rep_gram"),
+        sum(when(col("m") * 5 >= col("n_toks"), 1L).otherwise(0L))
+          .as("n_rep_uni"),
+        max(col("m")).as("max_top_unigram"))
+      .orderBy(col("lang"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |topu AS (
+       |  SELECT doc_id, max(c) AS m FROM (
+       |    SELECT doc_id, tok, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) u
+       |    GROUP BY doc_id, tok) t
+       |  GROUP BY doc_id),
+       |per_doc AS (
+       |  SELECT b.lang,
+       |    CAST(len(b.toks) AS BIGINT) AS n_toks,
+       |    CAST(len(tris) AS BIGINT) AS n_grams,
+       |    CAST(len(tris) - len(list_distinct(tris)) AS BIGINT) AS n_dup_grams,
+       |    t.m
+       |  FROM (SELECT lang, doc_id, toks, ${sqlWordTrigrams("toks")} AS tris
+       |        FROM base) b
+       |  JOIN topu t USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+       |CAST(SUM(n_dup_grams) AS BIGINT) AS sum_dup_grams,
+       |CAST(SUM(CASE WHEN n_dup_grams * 10 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_gram,
+       |CAST(SUM(CASE WHEN m * 5 >= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_uni,
+       |max(m) AS max_top_unigram
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_quality_rules — a Gopher-style boolean rule set per document,
+  // reported as per-(lang, source) pass/fail counts. Every rule is an
+  // exact integer comparison (cross-multiplied ratios — no float
+  // thresholds to drift):
+  //   ok_len:     10 ≤ n_toks ≤ 5000
+  //   ok_wordlen: mean token length in [3, 10]  (3n ≤ Σlen ≤ 10n)
+  //   ok_stop:    ≥2 distinct stopwords present
+  //   ok_symbol:  non-[a-z0-9 ] chars ≤10% of text (10·sym ≤ chars)
+  // One scan, per-row codegen'd scalar exprs, one hash aggregate.
+  // ---------------------------------------------------------------------
+  val qualityRules: Q = (s, d) => {
+    val sw = array(stopwords.map(lit): _*)
+    val perDoc = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("lang"),
+        col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("sum_tok_len"),
+        size(array_intersect(array_distinct(col("toks")), sw)).cast("long")
+          .as("n_stop_distinct"),
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          .cast("long").as("n_sym"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("ok_len", col("n_toks") >= 10 && col("n_toks") <= 5000)
+      .withColumn("ok_wordlen",
+        col("sum_tok_len") >= col("n_toks") * 3 &&
+          col("sum_tok_len") <= col("n_toks") * 10)
+      .withColumn("ok_stop", col("n_stop_distinct") >= 2)
+      .withColumn("ok_symbol", col("n_sym") * 10 <= col("n_chars"))
+    perDoc
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ok_len") && col("ok_wordlen") && col("ok_stop") &&
+          col("ok_symbol"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("ok_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!col("ok_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(!col("ok_symbol"), 1L).otherwise(0L)).as("n_fail_symbol"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val qualityRulesSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH per_doc AS (
+       |  SELECT lang, source,
+       |    n_toks >= 10 AND n_toks <= 5000 AS ok_len,
+       |    sum_tok_len >= n_toks * 3 AND sum_tok_len <= n_toks * 10 AS ok_wordlen,
+       |    n_stop_distinct >= 2 AS ok_stop,
+       |    n_sym * 10 <= n_chars AS ok_symbol
+       |  FROM (
+       |    SELECT lang, source,
+       |      CAST(len(toks) AS BIGINT) AS n_toks,
+       |      CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_tok_len,
+       |      CAST(len(list_intersect(list_distinct(toks), $sw)) AS BIGINT) AS n_stop_distinct,
+       |      CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+       |      CAST(len(text) AS BIGINT) AS n_chars
+       |    FROM (SELECT lang, source, text, ${sqlTokens("text")} AS toks
+       |          FROM documents) t0) t1)
+       |SELECT lang, source, count(*) AS n_docs,
+       |CAST(SUM(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       |CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+       |CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+       |CAST(SUM(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol
+       |FROM per_doc GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_prep" -> corpusPrep,
+    "q_repetition" -> repetition,
+    "q_quality_rules" -> qualityRules,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_minhash_corpus" -> minhashCorpus,
@@ -949,6 +1093,8 @@ object TextPipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q_corpus_prep" -> corpusPrepSql,
+    "q_repetition" -> repetitionSql,
+    "q_quality_rules" -> qualityRulesSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_minhash_corpus" -> minhashCorpusSql,

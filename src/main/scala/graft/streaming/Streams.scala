@@ -518,6 +518,50 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_stream_dedup — streaming DEDUPLICATION under the oracle gate:
+  // dropDuplicates keyed on (user_id, event_type, hour window), run to
+  // completion with Trigger.AvailableNow. Emission is immediate (append
+  // passes the FIRST row per key through), but WHICH physical row wins
+  // a key is a race across partitions — so the gated output is the KEY
+  // SET only, which is deterministic: exactly the distinct keys, i.e.
+  // the batch SELECT DISTINCT. The hour window rides the dedup key, so
+  // the watermark evicts each key's state one horizon after its hour
+  // passes — state is O(active keys per horizon), not O(stream length).
+  // ---------------------------------------------------------------------
+  val streamDedupGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_dedup_${gateN.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        // the derived window column CARRIES the event-time/watermark
+        // metadata; `ts` itself must be dropped (one event-time column
+        // per stream) — state eviction keys off `win.end`
+        .select(
+          col("user_id"),
+          col("event_type"),
+          window(col("ts"), "1 hour").as("win"))
+        .dropDuplicates("user_id", "event_type", "win")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win.start) div $HourUs").as("hour_idx"),
+        col("event_type"),
+        col("user_id"))
+      .orderBy(col("hour_idx"), col("event_type"), col("user_id"))
+  }
+
+  val streamDedupGatedSql: String =
+    s"""SELECT DISTINCT epoch_us(ts) // $HourUs AS hour_idx, event_type, user_id
+       |FROM events ORDER BY hour_idx, event_type, user_id""".stripMargin
+
   val streamJoinGatedSql: String =
     s"""SELECT p.user_id, count(*) AS n_pairs,
        |count(DISTINCT p.event_id) AS n_purchases,
@@ -533,13 +577,15 @@ object Streams {
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
     "q_stream_session" -> streamSessionGated,
-    "q_stream_join" -> streamJoinGated
+    "q_stream_join" -> streamJoinGated,
+    "q_stream_dedup" -> streamDedupGated
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
     "q_stream_session" -> streamSessionGatedSql,
-    "q_stream_join" -> streamJoinGatedSql
+    "q_stream_join" -> streamJoinGatedSql,
+    "q_stream_dedup" -> streamDedupGatedSql
   )
 }
