@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Graph.queries ++
       ops.Search.queries ++
       ops.Sampling.queries ++
+      sources.Formats.queries ++
       streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       ops.Graph.oracleSql ++
       ops.Search.oracleSql ++
       ops.Sampling.oracleSql ++
+      sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }

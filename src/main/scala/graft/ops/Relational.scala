@@ -694,6 +694,97 @@ object Relational {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_salted_join — the salted JOIN variant of ops/Skew under the
+  // oracle gate (q_salted_agg covers the aggregation variant): lineitem
+  // joined to orders on (orderkey, salt-in-[0,8)), the dim side
+  // exploded 8 ways, so one hot order key spreads over 8 reducers.
+  // Salting must never change values — the oracle is the PLAIN join.
+  // Use when the dim side is too big to broadcast but far smaller than
+  // the fact side; replication cost is salts × |dim|.
+  // ---------------------------------------------------------------------
+  val saltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Skew
+      .saltedJoin(li, o, "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |${sqlDecSum(sqlRevenue("l_extendedprice", "l_discount"))} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_cust_idle — TPC-H Q22 shape: LAPSED customers — balance above the
+  // average positive balance, but no order since 2000-02-01 — per
+  // market segment. One portable SQL text for both engines; Catalyst
+  // turns the scalar subquery into an independent aggregate (one tiny
+  // broadcast scalar) and the filtered correlated NOT EXISTS into a
+  // left-ANTI join — no per-row subquery execution at any scale.
+  // ---------------------------------------------------------------------
+  val custIdleText: String =
+    s"""WITH avg_bal AS (
+       |  SELECT ${sqlDavg("c_acctbal")} AS ab FROM customer
+       |  WHERE c_acctbal > 0.0e0)
+       |SELECT c_mktsegment, count(*) AS n_cust,
+       |${sqlDsum("c_acctbal")} AS total_bal
+       |FROM customer c, avg_bal a
+       |WHERE c.c_acctbal > a.ab
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '2000-02-01 00:00:00')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  val custIdle: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(custIdleText)
+  }
+
+  // ---------------------------------------------------------------------
+  // q_collect_sorted — ordered list aggregation: per market segment,
+  // the top-5 customers by balance as ONE comma-joined string column
+  // (collect_list has no intrinsic order, so the array is sorted
+  // deterministically by (-balance, custkey) struct sort before the
+  // slice — the engine-portable form of DuckDB's
+  // `list(x ORDER BY ...)[1:5]`). Emitting the joined STRING keeps the
+  // compare scalar (array cells hash differently across engines).
+  // ---------------------------------------------------------------------
+  val collectSorted: Q = (s, d) => {
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        array_join(
+          transform(
+            slice(
+              array_sort(collect_list(struct(
+                (col("c_acctbal") * lit(-1.0)).as("nb"),
+                col("c_custkey").as("k"),
+                col("c_name").as("nm")))),
+              1, 5),
+            e => e.getField("nm")),
+          ",").as("top5"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val collectSortedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |array_to_string(
+      |  (list(c_name ORDER BY c_acctbal DESC, c_custkey ASC))[1:5],
+      |  ',') AS top5
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
@@ -722,6 +813,9 @@ object Relational {
     "q_ignore_nulls" -> ignoreNulls,
     "q_salted_agg" -> saltedAgg,
     "q_lateral_topn" -> lateralTopn,
+    "q_salted_join" -> saltedJoin,
+    "q_cust_idle" -> custIdle,
+    "q_collect_sorted" -> collectSorted,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -749,5 +843,8 @@ object Relational {
     "q_ignore_nulls" -> ignoreNullsSql,
     "q_salted_agg" -> saltedAggSql,
     "q_lateral_topn" -> lateralTopnText,
+    "q_salted_join" -> saltedJoinSql,
+    "q_cust_idle" -> custIdleText,
+    "q_collect_sorted" -> collectSortedSql,
   )
 }

@@ -1,6 +1,9 @@
 package graft.sources
 
+import graft.Tables
+import graft.functions.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface beyond parquet: CSV and JSON-lines, always with
@@ -53,4 +56,52 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  // ---------------------------------------------------------------------
+  // q_csv_roundtrip — the CSV source/sink under the oracle gate: a
+  // lineitem slice is written to CSV (header + explicit timestamp
+  // format), read back with the EXPLICIT schema, and aggregated; the
+  // oracle computes the same aggregate from the original parquet — so
+  // the gate proves the text round-trip is value-exact (doubles print
+  // shortest-round-trip, timestamps pin the ISO pattern), not just
+  // schema-shaped. The write is a per-run temp dir: at scale this is
+  // the export→re-ingest path, one distributed write + one scan.
+  // ---------------------------------------------------------------------
+  val csvRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_csv_rt")
+      .toString
+    val slice = Tables
+      .lineitem(s, d)
+      .filter(col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"),
+        col("l_quantity"),
+        col("l_extendedprice"),
+        col("l_returnflag"),
+        col("l_shipdate"))
+    writeCsv(slice, tmp)
+    readCsv(s, tmp, slice.schema)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_shipdate")).as("d_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val csvRoundtripSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |${sqlDsum("l_extendedprice")} AS sum_price,
+       |count(DISTINCT l_shipdate) AS d_ship
+       |FROM lineitem WHERE l_orderkey < 2000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_csv_roundtrip" -> csvRoundtrip)
+
+  val oracleSql: Map[String, String] =
+    Map("q_csv_roundtrip" -> csvRoundtripSql)
 }
