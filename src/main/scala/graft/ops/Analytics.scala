@@ -510,6 +510,51 @@ object Analytics {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_asof_forward — FORWARD direction on the native exec (pandas
+  // merge_asof direction='forward'): each purchase attributes to the
+  // FIRST view at-or-after it, within a 1-hour horizon — next-touch
+  // attribution, the time-mirror of q_asof_tolerance. The merge peeks
+  // its candidate instead of consuming it (the next purchase of the
+  // user may need the same view); still one shuffle per side,
+  // O(|L|+|R|) per partition, O(1) state. Oracle: DuckDB ASOF LEFT
+  // JOIN with the flipped inequality + the same post-null tolerance.
+  // ---------------------------------------------------------------------
+  val asofForward: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    graft.plans.AsOf
+      .forwardJoin(purchases, "user_id", "t_us", views, "v_user", "v_t", HourUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("v_val").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+        dsum(coalesce(col("v_val"), lit(0.0))).as("attributed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofForwardSql: String =
+    s"""SELECT user_id, count(*) AS n_purchases,
+       |CAST(SUM(CASE WHEN v_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       |${sqlDsum("COALESCE(v_val, 0.0)")} AS attributed_total
+       |FROM (
+       |  SELECT p.user_id,
+       |    CASE WHEN v.v_t - p.t_us <= $HourUs THEN v.v_val ELSE NULL END AS v_val
+       |  FROM (SELECT user_id, epoch_us(ts) AS t_us FROM events
+       |        WHERE event_type = 'purchase') p
+       |  ASOF LEFT JOIN (SELECT user_id AS v_user, epoch_us(ts) AS v_t, value AS v_val
+       |                  FROM events WHERE event_type = 'view') v
+       |    ON p.user_id = v.v_user AND v.v_t >= p.t_us) j
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_asof_inner — INNER as-of semantics on the native exec: purchases
   // with no in-horizon prior view are DROPPED, not null-padded, so the
   // output only carries users with at least one attributed purchase.
@@ -962,6 +1007,7 @@ object Analytics {
     "q_asof_native" -> asofNative,
     "q_asof_tolerance" -> asofTolerance,
     "q_asof_inner" -> asofInner,
+    "q_asof_forward" -> asofForward,
     "q_quantiles_exact" -> quantilesExact,
     "q_heavy_hitters" -> heavyHitters,
     "q_topk_agg" -> topkAgg,
@@ -984,6 +1030,7 @@ object Analytics {
     "q_asof_native" -> asofNativeSql,
     "q_asof_tolerance" -> asofToleranceSql,
     "q_asof_inner" -> asofInnerSql,
+    "q_asof_forward" -> asofForwardSql,
     "q_quantiles_exact" -> quantilesExactSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_topk_agg" -> topkAggSql,

@@ -54,7 +54,8 @@ case class AsOfJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
     toleranceUs: Option[Long] = None,
-    inner: Boolean = false)
+    inner: Boolean = false,
+    forward: Boolean = false)
     extends BinaryNode {
 
   // inner keeps the right side's own nullability: every emitted row has
@@ -78,7 +79,8 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     toleranceUs: Option[Long] = None,
-    inner: Boolean = false)
+    inner: Boolean = false,
+    forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -139,6 +141,49 @@ case class AsOfJoinExec(
             !t.isNullAt(0) && lastTime != null && !lastTime.isNullAt(0) &&
               t.getLong(0) - lastTime.getLong(0) <= tol
         }
+      if (forward) {
+        // FORWARD merge: attach the FIRST right row with rt >= lt
+        // (pandas merge_asof direction='forward'). Rows with
+        // rt < lt (same key) or an earlier key are dead for every
+        // later left row (both sides ascend), so they are consumed;
+        // the candidate itself is PEEKED, never consumed — the next
+        // left row of the key may need the same one. Still O(|L|+|R|)
+        // per partition with O(1) state.
+        lIter.flatMap { lrow =>
+          val k = valueRow(lkB, lrow)
+          val t = valueRow(ltB, lrow)
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = valueRow(rkB, head)
+            val keyCmp = keyOrd.compare(hk, k)
+            if (keyCmp < 0 ||
+                (keyCmp == 0 &&
+                  timeOrd.compare(valueRow(rtB, head), t) < 0)) {
+              rBuf.next()
+            } else {
+              continue = false
+            }
+          }
+          var mrow: InternalRow = null
+          if (rBuf.hasNext) {
+            val head = rBuf.head
+            if (keyOrd.compare(valueRow(rkB, head), k) == 0) {
+              val ht = valueRow(rtB, head)
+              val tolOk = toleranceUs match {
+                case None => true
+                case Some(tol) =>
+                  !ht.isNullAt(0) && !t.isNullAt(0) &&
+                    ht.getLong(0) - t.getLong(0) <= tol
+              }
+              if (tolOk) mrow = head
+            }
+          }
+          if (mrow != null) Some(proj(joiner(lrow, mrow)))
+          else if (inner) None
+          else Some(proj(joiner(lrow, nullRight)))
+        }
+      } else
       lIter.flatMap { lrow =>
         val k = valueRow(lkB, lrow)
         val t = valueRow(ltB, lrow)
@@ -203,8 +248,9 @@ object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol, inner) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r), tol, inner) :: Nil
+    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol, inner, fwd) =>
+      AsOfJoinExec(
+        lk, lt, rk, rt, planLater(l), planLater(r), tol, inner, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -273,6 +319,34 @@ object AsOf {
       toleranceUs: Long): DataFrame =
     join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs), inner = true)
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): attach
+    * the FIRST right row with the same key and `rightTime >= leftTime`
+    * — next-touch attribution, "earliest version at-or-after". Same
+    * one-shuffle-per-side merge exec; the forward scan peeks instead of
+    * consuming its candidate.
+    */
+  def forwardJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, None, forward = true)
+
+  /** Forward as-of join with a tolerance horizon: the first at-or-after
+    * right row attaches only if `rightTime − leftTime <= toleranceUs`.
+    */
+  def forwardJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      toleranceUs: Long): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs), forward = true)
+
   private def join(
       left: DataFrame,
       leftKey: String,
@@ -281,7 +355,8 @@ object AsOf {
       rightKey: String,
       rightTime: String,
       toleranceUs: Option[Long],
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // check-then-append on the experimental Seq fields is not atomic;
     // serialize first-call registration so concurrent sessions sharing a
@@ -326,7 +401,8 @@ object AsOf {
       lPlan,
       rPlan,
       toleranceUs,
-      inner)
+      inner,
+      forward)
     org.apache.spark.sql.graft.Exprs.ofRows(spark, node)
   }
 }

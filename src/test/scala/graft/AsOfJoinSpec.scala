@@ -118,6 +118,64 @@ class AsOfJoinSpec extends SparkSpec {
     native.foreach { case (u, n) => assert(n == expected(u), s"user $u") }
   }
 
+  test("forward: first at-or-after match; shared candidate; tolerance") {
+    val s = spark
+    import s.implicits._
+    // two purchases of key 1 BOTH attach to the same later view (the
+    // candidate is peeked, not consumed); t=100 matches itself-time 100
+    // (inclusive); key 2 has only an EARLIER right row -> null
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 100L), (2L, 50L)).toDF("k", "t")
+    val right =
+      Seq((1L, 25L, "a"), (1L, 100L, "b"), (2L, 5L, "c")).toDF("rk", "rt", "v")
+    val out = AsOf
+      .forwardJoin(left, "k", "t", right, "rk", "rt")
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 10L)).contains("a"))
+    assert(out((1L, 20L)).contains("a")) // same candidate, still buffered
+    assert(out((1L, 100L)).contains("b")) // rt >= t inclusive
+    assert(out((2L, 50L)).isEmpty) // only an earlier right row exists
+    // tolerance: rt - t must be <= horizon
+    val tol = AsOf
+      .forwardJoin(left, "k", "t", right, "rk", "rt", 10L)
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(tol((1L, 10L)).isEmpty) // a at 25 is 15 away > 10
+    assert(tol((1L, 20L)).contains("a")) // 5 away, inclusive horizon
+    assert(tol((1L, 100L)).contains("b")) // 0 away
+  }
+
+  test("forward == window-computed expected on real events") {
+    val e = Tables.events(spark, sf)
+      .withColumn("t_us", unix_micros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val v = e.filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("vu"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    val native = AsOf
+      .forwardJoin(p, "user_id", "t_us", v, "vu", "v_t")
+      .select(col("event_id"), col("v_t"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // expected: per purchase, min view time >= purchase time via a join
+    val expected = p
+      .join(v, col("user_id") === col("vu") && col("v_t") >= col("t_us"), "left")
+      .groupBy(col("event_id"))
+      .agg(coalesce(min(col("v_t")), lit(-1L)).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(native == expected)
+  }
+
   test("inclusive boundary: right row at exactly left time matches") {
     val s = spark
     import s.implicits._
