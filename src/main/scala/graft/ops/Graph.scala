@@ -219,11 +219,107 @@ object Graph {
        |ORDER BY l.cluster_id, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_pagerank — PageRank over the part↔supplier co-occurrence graph
+  // (distinct lineitem (part, supplier) pairs, both directions, so no
+  // dangling nodes), made bit-deterministic by QUANTIZED-INTEGER rank
+  // arithmetic — the same discipline as q_ivf_kmeans's centroids: float
+  // ranks are order-dependent under parallel summation, so ranks live
+  // at scale Q = 10^12 and every step is integer-exact on both engines:
+  //   r0(v)   = Q div N
+  //   c(u)    = (17 · (r(u) div deg(u))) div 20        (damping 0.85)
+  //   r'(v)   = (3·Q) div (20·N) + Σ_in c(u)
+  // (floor division drops sub-ulp mass — documented, identical on both
+  // engines; the RANKING is what the operator ships). Three iterations,
+  // each one shuffle join + one hash aggregate, labels localCheckpoint'd
+  // per round (lineage would otherwise re-run round k, k times); N and
+  // the per-round base are driver-held MODEL STATE like the k-means
+  // centroids. Emits the top-10 nodes. Oracle: three unrolled CTEs.
+  // ---------------------------------------------------------------------
+  private val prQ = 1000000000000L // rank scale 10^12
+  private val prIters = 3
+
+  val pageRank: Q = (s, d) => {
+    val pairs = Tables
+      .lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    val fwd = pairs.select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    // The edge list is the BIG side — pre-partition it by dst ONCE and
+    // checkpoint (localCheckpoint preserves the partitioning): every
+    // iteration's aggregation then reduces in place with no edge
+    // shuffle. The rank vector is node-count-sized (here: parts +
+    // suppliers, dimension-sized at any SF), so it rides a broadcast
+    // join each round; at web-graph node counts the broadcast swaps for
+    // a shuffle join on src with no other change.
+    val edges = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint()
+    val nNodes = deg.count() // driver-held model scalar
+    val base = (3L * prQ) / (20L * nNodes)
+    var r = deg.select(col("node"), lit(prQ / nNodes).as("r"))
+    for (_ <- 1 to prIters) {
+      val model = r.join(deg, Seq("node")) // node-sized: broadcastable
+      val contrib = edges
+        .join(broadcast(model), col("src") === col("node"))
+        .select(
+          col("dst"),
+          expr("(17 * (r div deg)) div 20").as("c"))
+      r = contrib
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), (lit(base) + col("s")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node div 2").as("orig_id"),
+        col("r").as("rank_q"))
+      .orderBy(col("rank_q").desc, col("kind").asc, col("orig_id").asc)
+      .limit(10)
+  }
+
+  val pageRankSql: String = {
+    def cIter(rPrev: String, i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM((17 * (r.r // d.deg)) // 20) AS BIGINT) AS s
+         |  FROM edges e JOIN $rPrev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT node, (3 * $prQ) // (20 * nn.n) + s AS r FROM c$i, nn)""".stripMargin
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |edges AS (
+       |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $prQ // nn.n AS r FROM deg, nn),
+       |${cIter("r0", 1)},
+       |${cIter("r1", 2)},
+       |${cIter("r2", 3)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       |  node // 2 AS orig_id, r AS rank_q
+       |FROM r3
+       |ORDER BY rank_q DESC, kind ASC, orig_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_dup_clusters" -> dupClusters
+    "q_dup_clusters" -> dupClusters,
+    "q_pagerank" -> pageRank
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_dup_clusters" -> dupClustersSql
+    "q_dup_clusters" -> dupClustersSql,
+    "q_pagerank" -> pageRankSql
   )
 }
