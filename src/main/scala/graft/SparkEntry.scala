@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Graph.queries ++
       ops.Search.queries ++
       ops.Sampling.queries ++
+      ops.Sketches.queries ++
       sources.Formats.queries ++
       streaming.Streams.queries
 
@@ -46,6 +47,7 @@ object SparkEntry {
       ops.Graph.oracleSql ++
       ops.Search.oracleSql ++
       ops.Sampling.oracleSql ++
+      ops.Sketches.oracleSql ++
       sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Hashing._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Probabilistic-sketch operators under the EXACT oracle gate.
+  *
+  * Engine-native sketches (HLL, datasketches) hash with engine-private
+  * functions, so their outputs can never be cross-checked value-exactly
+  * (q_approx_distinct is the sanctioned rows-only example). These two
+  * sketches are built from md5-lane hashing (graft.functions.Hashing) —
+  * the SAME bytes on Spark and DuckDB — so the full counter matrix /
+  * bit set, the estimates, and the false positives are deterministic
+  * and hash-compared like any other query.
+  *
+  * Scale design (100 TB):
+  *  - CMS: the counter update is a hash aggregate on (depth, bucket) —
+  *    map-side partials reduce every partition to ≤ depth×width cells
+  *    before the shuffle, so shuffle volume is O(d·w × partitions),
+  *    independent of row count. The sketch itself is O(d·w) — model
+  *    state, broadcastable anywhere.
+  *  - Bloom: the bit set is ≤ m rows (distinct bits of the member set);
+  *    membership probes ride a broadcast join against it. This is the
+  *    semantics of Spark's runtime bloom-pruning, reproduced as an
+  *    auditable operator.
+  *
+  * Reference analogue: none (opusdb has no sketches); north-star
+  * additions per SURVEY §2.12.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q_cms_estimate — count-min sketch (depth 4 × width 64) over event
+  // user_ids, probed for 5 keys against their exact counts. CMS
+  // guarantees est ≥ exact; the overestimate flag is emitted and must
+  // be 1 everywhere on both engines.
+  // ---------------------------------------------------------------------
+  private val cmsDepth = 4
+  private val cmsWidth = 64
+  private val cmsProbeMax = 5 // probe user_ids [0, cmsProbeMax)
+
+  val cmsEstimate: Q = (s, d) => {
+    val uidStr = col("user_id").cast("string")
+    val e = Tables.events(s, d).select(col("user_id"), uidStr.as("us"))
+    val cells = e
+      .select(explode(array((0 until cmsDepth).map(dd =>
+        struct(
+          lit(dd.toLong).as("dep"),
+          (h32(dd, col("us")) % cmsWidth).as("w"))): _*)).as("cell"))
+      .select(col("cell.dep"), col("cell.w"))
+    val counters = cells.groupBy(col("dep"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val probes = e
+      .filter(col("user_id") < cmsProbeMax)
+      .groupBy(col("user_id"), col("us"))
+      .agg(count(lit(1)).as("exact_n"))
+    val pcells = probes
+      .select(
+        col("user_id"),
+        col("exact_n"),
+        explode(array((0 until cmsDepth).map(dd =>
+          struct(
+            lit(dd.toLong).as("dep"),
+            (h32(dd, col("us")) % cmsWidth).as("w"))): _*)).as("cell"))
+      .select(col("user_id"), col("exact_n"), col("cell.dep"), col("cell.w"))
+    pcells
+      .join(broadcast(counters), Seq("dep", "w"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(
+        col("user_id"),
+        col("exact_n"),
+        col("cms_est"),
+        when(col("cms_est") >= col("exact_n"), 1L).otherwise(0L)
+          .as("overestimates"))
+      .orderBy(col("user_id"))
+  }
+
+  val cmsEstimateSql: String = {
+    def cellSelects(src: String, extra: String): String =
+      (0 until cmsDepth)
+        .map(dd =>
+          s"SELECT $extra${dd}::BIGINT AS dep, " +
+            s"${sqlH32(dd, "user_id::VARCHAR")} % $cmsWidth AS w FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH counters AS (
+       |  SELECT dep, w, count(*) AS c FROM (
+       |  ${cellSelects("events", "")}) cells
+       |  GROUP BY dep, w),
+       |probes AS (
+       |  SELECT user_id, count(*) AS exact_n FROM events
+       |  WHERE user_id < $cmsProbeMax GROUP BY user_id),
+       |pcells AS (
+       |  ${cellSelects("probes", "user_id, exact_n, ")})
+       |SELECT p.user_id, p.exact_n, min(c.c) AS cms_est,
+       |  CAST(CASE WHEN min(c.c) >= p.exact_n THEN 1 ELSE 0 END AS BIGINT) AS overestimates
+       |FROM pcells p JOIN counters c ON p.dep = c.dep AND p.w = c.w
+       |GROUP BY p.user_id, p.exact_n
+       |ORDER BY p.user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_bloom_membership — Bloom filter (m = 512 bits, k = 3 md5 lanes)
+  // built over the purchasing users, probed with EVERY user: per
+  // mod-100 user cohort, actual members, claimed members, and false
+  // positives (claimed ∧ ¬actual). No false negatives is a structural
+  // guarantee — n_claimed ≥ n_actual per cohort, hash-checked.
+  // ---------------------------------------------------------------------
+  private val bloomBits = 512
+  private val bloomSeeds = Seq(10, 11, 12)
+
+  val bloomMembership: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val users = e.select(col("user_id")).distinct()
+      .withColumn("us", col("user_id").cast("string"))
+    val members = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("us", col("user_id").cast("string"))
+    val bits = members
+      .select(explode(array(bloomSeeds.map(k =>
+        h32(k, col("us")) % bloomBits): _*)).as("bit"))
+      .distinct() // ≤ m rows: the filter itself
+    val probeBits = users
+      .select(
+        col("user_id"),
+        explode(array(bloomSeeds.map(k =>
+          h32(k, col("us")) % bloomBits): _*)).as("bit"))
+    val claimed = probeBits
+      .join(broadcast(bits.withColumn("present", lit(1L))), Seq("bit"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("present"), lit(0L))).as("claimed"))
+    val actual = members.select(col("user_id"), lit(1L).as("actual"))
+    claimed
+      .join(actual, Seq("user_id"), "left")
+      .select(
+        (col("user_id") % 100).as("cohort"),
+        col("claimed"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+      .groupBy(col("cohort"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("actual")).as("n_actual"),
+        sum(col("claimed")).as("n_claimed"),
+        sum(when(col("claimed") === 1 && col("actual") === 0, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .orderBy(col("cohort"))
+  }
+
+  val bloomMembershipSql: String = {
+    def bitSelects(src: String, extra: String): String =
+      bloomSeeds
+        .map(k =>
+          s"SELECT $extra${sqlH32(k, "user_id::VARCHAR")} % $bloomBits AS bit FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH members AS (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       |users AS (SELECT DISTINCT user_id FROM events),
+       |bits AS (SELECT DISTINCT bit FROM (
+       |  ${bitSelects("members", "")}) b),
+       |probe_bits AS (
+       |  ${bitSelects("users", "user_id, ")}),
+       |claimed AS (
+       |  SELECT p.user_id,
+       |    min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS claimed
+       |  FROM probe_bits p LEFT JOIN bits b ON p.bit = b.bit
+       |  GROUP BY p.user_id)
+       |SELECT c.user_id % 100 AS cohort, count(*) AS n_users,
+       |CAST(SUM(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       |CAST(SUM(c.claimed) AS BIGINT) AS n_claimed,
+       |CAST(SUM(CASE WHEN c.claimed = 1 AND m.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM claimed c LEFT JOIN members m ON c.user_id = m.user_id
+       |GROUP BY cohort ORDER BY cohort""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_cms_estimate" -> cmsEstimate,
+    "q_bloom_membership" -> bloomMembership
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cms_estimate" -> cmsEstimateSql,
+    "q_bloom_membership" -> bloomMembershipSql
+  )
+}
