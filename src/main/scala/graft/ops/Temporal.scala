@@ -246,7 +246,107 @@ object Temporal {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_funnel — ordered conversion funnel: first view → first click
+  // AFTER that view → first purchase AFTER that click, per user; one
+  // summary row of stage counts (monotone by construction — the
+  // hash compare pins the ordering semantics, not just the totals).
+  // Three passes, each a per-user hash aggregate + a user-keyed join of
+  // the per-user stage frame (at scale: same shuffle key every pass,
+  // map-side partials; no windows over the raw stream).
+  // ---------------------------------------------------------------------
+  private val DayUs = 86400L * 1000000L
+
+  val funnel: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") >= col("tc"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+    val users = e.select(col("user_id")).distinct()
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view'
+      |      GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t >= v.tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t >= c.tc GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT count(*) AS n_users,
+      |CAST(SUM(CASE WHEN v.tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |CAST(SUM(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+      |CAST(SUM(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_retention — cohort retention matrix: users grouped by first-seen
+  // day, retained_k = distinct users of the cohort active exactly k
+  // days later (k = 0..3). Built from the DISTINCT (user, day) frame
+  // (one dedup shuffle bounds everything downstream by users × days,
+  // not events); conditional count(DISTINCT CASE ...) emits the four
+  // retention columns in one aggregate.
+  // ---------------------------------------------------------------------
+  val retention: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        // integral div — a float quotient cast long can round across a
+        // day boundary in the last ulp
+        expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ud.join(first, Seq("user_id"))
+      .withColumn("k", col("day") - col("cohort"))
+      .filter(col("k") <= 3)
+      .groupBy(col("cohort"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("k") === 1, col("user_id"))).as("d1"),
+        countDistinct(when(col("k") === 2, col("user_id"))).as("d2"),
+        countDistinct(when(col("k") === 3, col("user_id"))).as("d3"))
+      .orderBy(col("cohort"))
+  }
+
+  val retentionSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+       |            FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+       |SELECT f.cohort,
+       |count(DISTINCT ud.user_id) AS cohort_size,
+       |count(DISTINCT CASE WHEN ud.day - f.cohort = 1 THEN ud.user_id END) AS d1,
+       |count(DISTINCT CASE WHEN ud.day - f.cohort = 2 THEN ud.user_id END) AS d2,
+       |count(DISTINCT CASE WHEN ud.day - f.cohort = 3 THEN ud.user_id END) AS d3
+       |FROM ud JOIN f ON ud.user_id = f.user_id
+       |WHERE ud.day - f.cohort <= 3
+       |GROUP BY f.cohort ORDER BY f.cohort""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel,
+    "q_retention" -> retention,
     "q_wal_gapcheck" -> walGapcheck,
     "q_wal_replay" -> walReplay,
     "q_window_tumbling" -> windowTumbling,
@@ -256,6 +356,8 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_retention" -> retentionSql,
     "q_wal_gapcheck" -> walGapcheckSql,
     "q_wal_replay" -> walReplaySql,
     "q_window_tumbling" -> windowTumblingSql,
