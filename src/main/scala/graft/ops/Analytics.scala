@@ -995,7 +995,69 @@ object Analytics {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_corr_exact — Pearson correlation + regression slope of quantity
+  // vs price per return flag, HASH-EXACT: engine-native corr() sums
+  // doubles in scan order (never reproducible). Here both variables are
+  // integers (quantity; price in cents), the five moment sums
+  // accumulate in DECIMAL(38,0)/HUGEINT — order-independent and exact —
+  // and the closed form touches floating point only at the very end:
+  // each exact integer moment is cast to double ONCE (scale-0 →
+  // single correctly-rounded conversion on both engines, unlike the
+  // scale>0 decSum trap), then the same multiply/sqrt/divide sequence
+  // runs on both sides. One hash aggregate with map-side partials.
+  // ---------------------------------------------------------------------
+  val corrExact: Q = (s, d) => {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = Tables.lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("py"))
+    val a = t.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast(D0)).as("sx"),
+        sum(col("py").cast(D0)).as("sy"),
+        sum((col("qx") * col("qx")).cast(D0)).as("sxx"),
+        // py² ≤ 10^14 per row fits a long; the SUM must not — cast
+        // to decimal before aggregating
+        sum((col("py") * col("py")).cast(D0)).as("syy"),
+        sum((col("qx") * col("py")).cast(D0)).as("sxy"))
+    val nD = col("n").cast(D0)
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    a.select(
+        col("l_returnflag"),
+        col("n"),
+        (num.cast("double") /
+          sqrt(varx.cast("double") * vary.cast("double"))).as("corr_qty_price"),
+        (num.cast("double") / varx.cast("double")).as("beta_cents_per_unit"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val corrExactSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qx,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    SUM(qx)::HUGEINT AS sx, SUM(py)::HUGEINT AS sy,
+      |    SUM(qx * qx)::HUGEINT AS sxx, SUM(py * py)::HUGEINT AS syy,
+      |    SUM(qx * py)::HUGEINT AS sxy
+      |  FROM t GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+      |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |  AS DOUBLE) AS corr_qty_price,
+      |CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+      |  / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS beta_cents_per_unit
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_corr_exact" -> corrExact,
     "q_winsorize" -> winsorize,
     "q_range_frame" -> rangeFrame,
     "q_window_funcs" -> windowFuncs,
@@ -1019,6 +1081,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corr_exact" -> corrExactSql,
     "q_winsorize" -> winsorizeSql,
     "q_range_frame" -> rangeFrameSql,
     "q_window_funcs" -> windowFuncsSql,

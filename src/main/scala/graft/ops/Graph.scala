@@ -313,13 +313,109 @@ object Graph {
        |LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_triangles — triangle counting (the standard graph-motif
+  // benchmark) over the embedding near-dup graph: edges are
+  // (label, lsh-bucket)-blocked pairs with cosine > 0.5 — the same
+  // compound blocking q_embed_neardup ships, so candidate pairs stay
+  // bounded at any collection size — and triangles are counted by the
+  // ordered two-join form: for a < b < c, edges (a,b) ⋈ (b,c) ⋈ (a,c).
+  // Ordering every edge (a < b) makes each triangle count EXACTLY once
+  // with no post-dedup; both joins key on node ids (shuffle-local).
+  // Emits per-label edge/triangle counts.
+  // ---------------------------------------------------------------------
+  private val triBits = 4
+  private val triTables = 2
+  private val triPlaneBase = 100 // same plane family as q_embed_neardup
+  private val triDim = 64
+
+  val triangles: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+    val e = (0 until triTables).foldLeft(e0) { (df, t) =>
+      df.withColumn(
+        s"bkt_$t",
+        lshBucket(col("embedding"), triBits, triDim, triPlaneBase + t * triBits))
+    }
+    val edges = (0 until triTables)
+      .map { t =>
+        val a = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("ia"),
+          col("embedding").as("va"),
+          col("nrm").as("na"))
+        val b = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("ib"),
+          col("embedding").as("vb"),
+          col("nrm").as("nb"))
+        a.join(b, Seq("label", "bkt"))
+          .filter(col("ia") < col("ib") &&
+            fdot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.5)
+          .select(col("label"), col("ia"), col("ib"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+      .localCheckpoint() // referenced three times by the motif join
+    val tri = edges.as("xy")
+      .join(
+        edges.as("yz"),
+        col("xy.label") === col("yz.label") && col("xy.ib") === col("yz.ia"))
+      .join(
+        edges.as("xz"),
+        col("yz.label") === col("xz.label") &&
+          col("xy.ia") === col("xz.ia") && col("yz.ib") === col("xz.ib"))
+      .groupBy(col("xy.label").as("label"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"))
+      .join(tri, Seq("label"), "left")
+      .select(
+        col("label"),
+        col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("label"))
+  }
+
+  val trianglesSql: String = {
+    val bktCols = (0 until triTables)
+      .map(t =>
+        s"${sqlLshBucket("embedding", triBits, triPlaneBase + t * triBits)} AS bkt_$t")
+      .mkString(", ")
+    val branches = (0 until triTables)
+      .map(t =>
+        s"""SELECT a.label, a.vec_id AS ia, c.vec_id AS ib
+           |FROM b a JOIN b c
+           |  ON a.label = c.label AND a.bkt_$t = c.bkt_$t AND a.vec_id < c.vec_id
+           |WHERE ${sqlCosine("a.embedding", "c.embedding")} > 0.5""".stripMargin)
+      .mkString("\n  UNION\n  ")
+    s"""WITH b AS (SELECT label, vec_id, embedding, $bktCols FROM embeddings),
+       |edges AS (
+       |  $branches),
+       |tri AS (
+       |  SELECT xy.label, count(*) AS n_triangles
+       |  FROM edges xy
+       |  JOIN edges yz ON xy.label = yz.label AND xy.ib = yz.ia
+       |  JOIN edges xz ON yz.label = xz.label AND xy.ia = xz.ia AND yz.ib = xz.ib
+       |  GROUP BY xy.label)
+       |SELECT e.label, count(*) AS n_edges,
+       |  COALESCE(max(tri.n_triangles), 0) AS n_triangles
+       |FROM edges e LEFT JOIN tri ON e.label = tri.label
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dup_clusters" -> dupClusters,
-    "q_pagerank" -> pageRank
+    "q_pagerank" -> pageRank,
+    "q_triangles" -> triangles
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
-    "q_pagerank" -> pageRankSql
+    "q_pagerank" -> pageRankSql,
+    "q_triangles" -> trianglesSql
   )
 }
