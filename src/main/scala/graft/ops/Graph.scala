@@ -23,9 +23,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * shallow (a chain only forms through overlapping near-dup pairs) —
   * single digits in practice. For adversarial long-path graphs the
   * two-phase large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) converges in
-  * O(log² n) rounds with the same per-round shuffle shape; hash-min is
-  * the right default for dedup workloads.
+  * Components in MapReduce and Beyond", SoCC'14) is implemented as
+  * [[connectedComponentsStar]]: O(log² n) rounds with the same
+  * per-round shuffle shape; hash-min stays the default for dedup
+  * workloads, star is the fallback when the 25-round cap trips.
   *
   * Reference analogue: opusdb has no graph surface; this extends the
   * north-star LLM-pipeline family (SURVEY §2.12).
@@ -99,8 +100,111 @@ object Graph {
       labels = next
       round += 1
     }
-    require(converged, s"connected components did not converge in $maxCcRounds rounds")
+    require(
+      converged,
+      s"connected components did not converge in $maxCcRounds rounds — " +
+        "component diameter exceeds the hash-min budget; use " +
+        "connectedComponentsStar (O(log² n) rounds) for long-chain graphs")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Round cap for the star algorithm: convergence is proven in
+    * O(log² n) two-phase rounds (SoCC'14 Thm 2), so 50 is far beyond
+    * any graph that fits a cluster; hitting it means a logic bug, not a
+    * big graph.
+    */
+  private val maxStarRounds = 50
+
+  /** Two-phase large-star/small-star connected components (Kiveris et
+    * al., SoCC'14) — same contract as [[connectedComponents]]: input
+    * undirected pairs (u, v), output (id, cluster_id = component min)
+    * for every node appearing in a non-self-loop edge. Unlike hash-min,
+    * round count is O(log² n) rather than O(diameter), so a 100-hop
+    * near-dup chain converges instead of tripping the round cap.
+    *
+    * Per round both phases are the hash-min shuffle shape — a groupBy
+    * on a node key plus an equi-join back — and the edge set only ever
+    * shrinks toward stars rooted at component minima, so partial
+    * aggregation bounds every partition's contribution. Each round
+    * localCheckpoints (lineage discipline as hash-min) and ships the
+    * driver ONE (count, decimal checksum) pair; the edge set is a
+    * distinct set, so an unchanged (count, Σ(s·2³² + d)) pair is the
+    * fixpoint probe (exact compare of a set against itself, not a
+    * monotone potential — the checksum is exact decimal arithmetic).
+    */
+  private[graft] def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    // direct every edge (larger → smaller), drop self loops
+    var e = edges
+      .filter(col("u") =!= col("v"))
+      .select(
+        greatest(col("u"), col("v")).as("s"),
+        least(col("u"), col("v")).as("d"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df
+        .agg(
+          count(lit(1)),
+          coalesce(
+            sum(col("s").cast("decimal(38,0)") * lit(4294967296L) +
+              col("d").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    // large-star: every node u sends its strictly-LARGER neighbors to
+    // m(u) = min(Γ(u) ∪ {u}) — long tails collapse toward minima
+    def largeStar(df: DataFrame): DataFrame = {
+      val bi = df
+        .select(col("s").as("a"), col("d").as("b"))
+        .unionAll(df.select(col("d").as("a"), col("s").as("b")))
+      val m = bi
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      bi.join(m, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("s"), col("m").as("d"))
+        .distinct()
+    }
+
+    // small-star: every node u re-points its SMALLER neighbors (and
+    // itself) at m(u) = min of that neighborhood — stars flatten
+    def smallStar(df: DataFrame): DataFrame = {
+      val m = df.groupBy(col("s")).agg(min(col("d")).as("m"))
+      df.join(m, Seq("s"))
+        .select(col("d").as("v"), col("m"))
+        .unionAll(m.select(col("s").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("s"), col("m").as("d")) // v > m by construction
+        .distinct()
+    }
+
+    var (pc, ps) = probe(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxStarRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (nc, ns) = probe(next)
+      converged = nc == pc && ns.compareTo(ps) == 0
+      pc = nc
+      ps = ns
+      e = next
+      round += 1
+    }
+    require(converged, s"star CC did not converge in $maxStarRounds rounds")
+    // fixpoint = stars rooted at each component min: every non-root
+    // points at exactly one root; roots label themselves
+    val nodes = e
+      .select(col("s").as("id"))
+      .unionAll(e.select(col("d").as("id")))
+      .distinct()
+    val lab = e.groupBy(col("s")).agg(min(col("d")).as("cl"))
+    nodes
+      .join(lab, nodes("id") === lab("s"), "left")
+      .select(col("id"), coalesce(col("cl"), col("id")).as("cluster_id"))
   }
 
   // ---------------------------------------------------------------------

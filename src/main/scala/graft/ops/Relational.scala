@@ -318,19 +318,10 @@ object Relational {
       |count(DISTINCT l_suppkey) AS d_supps
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  // ---------------------------------------------------------------------
-  // q_approx_distinct — HLL sketch (approx_count_distinct). Sketch values
-  // are implementation-specific, so no DuckDB oracle (driver records a
-  // rows-only check); the scale story is the point: fixed-size sketch vs
-  // the O(distinct) exact expand above.
-  // ---------------------------------------------------------------------
-  val approxDistinct: Q = (s, d) => {
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      .orderBy(col("l_returnflag"))
-  }
+  // (q_approx_distinct moved to ops/Sketches.scala: the engine-native
+  // HLL could never be oracle-gated; the KMV reformulation there is.
+  // approx_count_distinct itself keeps an accuracy bound in
+  // SketchAccuracySpec.)
 
   // ---------------------------------------------------------------------
   // q_window_running — per-customer order timeline: running totals, lag
@@ -807,7 +798,6 @@ object Relational {
     "q_rollup" -> rollupBalances,
     "q_cube" -> cubeReturns,
     "q_distinct_counts" -> distinctCounts,
-    "q_approx_distinct" -> approxDistinct,
     "q_window_running" -> windowRunning,
     "q_orders_by_month" -> ordersByMonth,
     "q_filter_pushdown" -> filterPushdown,

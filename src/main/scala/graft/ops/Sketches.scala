@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Engine-native sketches (HLL, datasketches) hash with engine-private
   * functions, so their outputs can never be cross-checked value-exactly
-  * (q_approx_distinct is the sanctioned rows-only example). These two
-  * sketches are built from md5-lane hashing (graft.functions.Hashing) —
+  * (approx_count_distinct carries a SketchAccuracySpec bound instead).
+  * These sketches are built from md5-lane hashing (graft.functions.Hashing) —
   * the SAME bytes on Spark and DuckDB — so the full counter matrix /
   * bit set, the estimates, and the false positives are deterministic
   * and hash-compared like any other query.
@@ -176,12 +176,91 @@ object Sketches {
        |GROUP BY cohort ORDER BY cohort""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_approx_distinct — KMV (k-minimum-values) distinct-count sketch
+  // per lineitem return flag, under the EXACT oracle gate. The engine-
+  // native HLL (approx_count_distinct) hashes with engine-private
+  // functions so its estimates can never be cross-checked (it stayed a
+  // rows-only query for four rounds); KMV over the shared md5 h32 lane
+  // is deterministic on both engines: the k smallest distinct hashes,
+  // the k-th value, and the estimator (k-1)·2^32 div h_(k) — integer
+  // division, no float drift — hash-compare exactly. The HLL built-in
+  // keeps a ScalaTest accuracy bound (SketchAccuracySpec).
+  //
+  // Scale design: distinct (flag, h) is one hash aggregate; the
+  // k-smallest-per-flag rides the BOUNDED TopKAgg buffer (score = -h),
+  // so map-side partials cap every partition's contribution at k and
+  // the shuffle carries O(k·groups) — the sketch never sees the row
+  // stream, matching how a 100 TB cardinality estimate must run.
+  // ---------------------------------------------------------------------
+  private val kmvK = 64
+  private val kmvSeed = 11
+  private val kmvSpace = 4294967296L // h32 hash space: 2^32
+
+  val kmvDistinct: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAgg}
+    val li = Tables
+      .lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey").cast("string").as("ok"))
+    val hashes = li
+      .select(col("l_returnflag"), h32(kmvSeed, col("ok")).as("h"))
+      .distinct()
+    val kmins = hashes
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      // TopKAgg ranks score DESC, id ASC; score = -h makes the buffer
+      // the k SMALLEST hashes, returned ascending — last is h_(k).
+      .mapValues(r => ScoredId(-r._2.toDouble, r._2))
+      .agg(TopKAgg(kmvK).toColumn.name("hs"))
+      .toDF("l_returnflag", "hs")
+    val exact = Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d_exact"))
+    kmins
+      .join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("d_exact"),
+        element_at(col("hs"), size(col("hs"))).as("kmv_kth"),
+        // fewer than k distinct hashes → the sketch IS the exact set
+        when(size(col("hs")) < kmvK, size(col("hs")).cast("long"))
+          .otherwise(
+            expr(s"${(kmvK - 1) * kmvSpace}L div element_at(hs, size(hs))"))
+          .as("est_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH hd AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    ${sqlH32(kmvSeed, "l_orderkey::VARCHAR")} AS h FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS nh
+       |  FROM hd),
+       |kth AS (
+       |  SELECT l_returnflag, h AS kmv_kth, nh FROM r
+       |  WHERE rn = least($kmvK, nh)),
+       |e AS (
+       |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS d_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, e.d_exact, k.kmv_kth,
+       |  CASE WHEN k.nh < $kmvK THEN k.nh
+       |       ELSE ${(kmvK - 1) * kmvSpace} // k.kmv_kth END AS est_distinct
+       |FROM e JOIN kth k ON e.l_returnflag = k.l_returnflag
+       |ORDER BY e.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_approx_distinct" -> kmvDistinct,
     "q_cms_estimate" -> cmsEstimate,
     "q_bloom_membership" -> bloomMembership
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_approx_distinct" -> kmvDistinctSql,
     "q_cms_estimate" -> cmsEstimateSql,
     "q_bloom_membership" -> bloomMembershipSql
   )

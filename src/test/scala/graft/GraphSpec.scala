@@ -40,6 +40,45 @@ class GraphSpec extends SparkSpec {
     assert(labels.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L))
   }
 
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph
+      .connectedComponentsStar(pairs.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("large-star/small-star converges on a 120-hop chain hash-min must abort on") {
+    // diameter 120 ≫ hash-min's 25-round cap: the star variant labels
+    // all 121 nodes with the component min in O(log² n) rounds, while
+    // hash-min fails LOUDLY (wrong-but-silent labels are the bug class
+    // the cap exists to prevent).
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val labels = ccStar(chain)
+    assert(labels.keySet == (0L to 120L).toSet)
+    assert(labels.values.toSet == Set(0L))
+    val err = intercept[IllegalArgumentException] {
+      cc(chain)
+    }
+    assert(err.getMessage.contains("connectedComponentsStar"))
+  }
+
+  test("star CC agrees with hash-min on mixed chains, cliques and singleton pairs") {
+    val edges = Seq(
+      (4L, 3L), (3L, 2L), (2L, 1L),               // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),         // triangle
+      (20L, 21L),                                 // pair
+      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L), // star-ish tree
+      (7L, 7L)                                    // self loop: dropped by both? star drops it
+    )
+    // hash-min keeps self-loop nodes (they appear as bi edges); compare
+    // on the common node set with the self loop removed from input
+    val clean = edges.filter(p => p._1 != p._2)
+    assert(ccStar(clean) == cc(clean))
+  }
+
   test("q_dup_clusters: every cluster has exactly one canonical doc and size >= 2") {
     val out = Graph.dupClusters(spark, sf).cache()
     val perCluster = out

@@ -23,14 +23,13 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("every query has an oracle except the known sketch-valued ones") {
-    // approx_count_distinct sketches are implementation-specific — the
-    // only sanctioned rows-only query. Anything else missing an oracle
-    // is an accidental gap in the correctness gate.
+  test("every query has an oracle — zero rows-only gaps") {
+    // q_approx_distinct was the last sanctioned rows-only query until
+    // its KMV reformulation (ops/Sketches.scala) put the estimate
+    // itself under the exact gate. A query missing an oracle now is an
+    // accidental gap in the correctness gate.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(
-      noOracle == Set("q_approx_distinct"),
-      s"queries missing an oracle: ${noOracle - "q_approx_distinct"}")
+    assert(noOracle.isEmpty, s"queries missing an oracle: $noOracle")
   }
 
   test("entry returns rows") {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy bounds for the cardinality sketches: the engine-native HLL
+  * (approx_count_distinct) can't be oracle-gated — its sketch hashes are
+  * engine-private — so its contract lives here instead: estimates within
+  * the documented relative standard deviation of the exact counts. The
+  * KMV query (ops/Sketches.kmvDistinct) IS oracle-gated; here we pin its
+  * statistical quality too, so a hash-green-but-useless estimator (e.g.
+  * a degenerate k) can't slip through the exactness gate.
+  */
+class SketchAccuracySpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 5x the configured 2% rsd") {
+    val rows = ops.Relational
+      .distinctCounts(spark, sf)
+      .select(col("l_returnflag"), col("d_orders"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val approx = Tables
+      .lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(approx.keySet == rows.keySet)
+    for ((flag, exact) <- rows) {
+      val est = approx(flag)
+      val relErr = math.abs(est - exact).toDouble / exact
+      assert(relErr < 0.10, s"flag $flag: approx $est vs exact $exact (relErr $relErr)")
+    }
+  }
+
+  test("KMV estimate lands within the 1/sqrt(k) band of the exact count") {
+    val rows = ops.Sketches.kmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("d_exact")
+      val est = r.getAs[Long]("est_distinct")
+      val relErr = math.abs(est - exact).toDouble / exact
+      // KMV rse ≈ 1/sqrt(k-2) ≈ 0.127 at k=64; allow 4 sigma
+      assert(relErr < 0.51, s"flag ${r.get(0)}: KMV $est vs exact $exact (relErr $relErr)")
+    }
+  }
+}
