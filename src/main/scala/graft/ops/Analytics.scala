@@ -555,6 +555,65 @@ object Analytics {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_asof_nearest — NEAREST direction on the native exec (pandas
+  // merge_asof direction='nearest'), completing the direction family:
+  // each purchase attributes to the view with the LEAST |Δt| within a
+  // 1-hour horizon on either side; equal distances break BACKWARD
+  // (pandas tie rule). The merge tracks the backward candidate (last
+  // consumed, copied) AND peeks the forward one — still one shuffle +
+  // sort per side, O(|L|+|R|), O(1) state. DuckDB has no nearest ASOF,
+  // so the oracle composes its backward and forward ASOF joins keyed by
+  // the unique purchase event_id and applies the identical pick rule.
+  // ---------------------------------------------------------------------
+  val asofNearest: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    graft.plans.AsOf
+      .nearestJoin(purchases, "user_id", "t_us", views, "v_user", "v_t", HourUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("v_val").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+        dsum(coalesce(col("v_val"), lit(0.0))).as("attributed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val asofNearestSql: String =
+    s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+       |           WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_t, value AS v_val
+       |      FROM events WHERE event_type = 'view'),
+       |b AS (SELECT p.event_id, p.user_id, p.t_us, v.v_t AS b_t, v.v_val AS b_val
+       |      FROM p ASOF LEFT JOIN v
+       |        ON p.user_id = v.v_user AND v.v_t <= p.t_us),
+       |f AS (SELECT p.event_id, v.v_t AS f_t, v.v_val AS f_val
+       |      FROM p ASOF LEFT JOIN v
+       |        ON p.user_id = v.v_user AND v.v_t >= p.t_us),
+       |j AS (
+       |  SELECT b.user_id,
+       |    CASE
+       |      WHEN b.b_t IS NOT NULL AND b.t_us - b.b_t <= $HourUs
+       |           AND (f.f_t IS NULL OR f.f_t - b.t_us > $HourUs
+       |                OR b.t_us - b.b_t <= f.f_t - b.t_us)
+       |        THEN b.b_val
+       |      WHEN f.f_t IS NOT NULL AND f.f_t - b.t_us <= $HourUs
+       |        THEN f.f_val
+       |      ELSE NULL END AS v_val
+       |  FROM b JOIN f ON b.event_id = f.event_id)
+       |SELECT user_id, count(*) AS n_purchases,
+       |CAST(SUM(CASE WHEN v_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       |${sqlDsum("COALESCE(v_val, 0.0)")} AS attributed_total
+       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_asof_inner — INNER as-of semantics on the native exec: purchases
   // with no in-horizon prior view are DROPPED, not null-padded, so the
   // output only carries users with at least one attributed purchase.
@@ -1070,6 +1129,7 @@ object Analytics {
     "q_asof_tolerance" -> asofTolerance,
     "q_asof_inner" -> asofInner,
     "q_asof_forward" -> asofForward,
+    "q_asof_nearest" -> asofNearest,
     "q_quantiles_exact" -> quantilesExact,
     "q_heavy_hitters" -> heavyHitters,
     "q_topk_agg" -> topkAgg,
@@ -1094,6 +1154,7 @@ object Analytics {
     "q_asof_tolerance" -> asofToleranceSql,
     "q_asof_inner" -> asofInnerSql,
     "q_asof_forward" -> asofForwardSql,
+    "q_asof_nearest" -> asofNearestSql,
     "q_quantiles_exact" -> quantilesExactSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_topk_agg" -> topkAggSql,

@@ -55,7 +55,8 @@ case class AsOfJoinNode(
     right: LogicalPlan,
     toleranceUs: Option[Long] = None,
     inner: Boolean = false,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
     extends BinaryNode {
 
   // inner keeps the right side's own nullability: every emitted row has
@@ -80,7 +81,8 @@ case class AsOfJoinExec(
     right: SparkPlan,
     toleranceUs: Option[Long] = None,
     inner: Boolean = false,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -141,13 +143,80 @@ case class AsOfJoinExec(
             !t.isNullAt(0) && lastTime != null && !lastTime.isNullAt(0) &&
               t.getLong(0) - lastTime.getLong(0) <= tol
         }
-      if (forward) {
+      if (nearest) {
+        // NEAREST merge (pandas merge_asof direction='nearest'): attach
+        // the right row minimizing |rt − lt|; equal distances → the
+        // BACKWARD row wins (pandas tie rule). Long-backed times only
+        // (AsOf.join validates) — the distance compare is integer
+        // arithmetic. One pass combining both scans: rows with rt < lt
+        // are consumed, the LAST consumed (copied) is the backward
+        // candidate; the forward candidate is PEEKED like the forward
+        // merge. Tolerance bounds each side's distance. Null right
+        // times sort first, get consumed, and are never valid
+        // candidates; a null left time has no distance to anything →
+        // no match. Still O(|L|+|R|) per partition, O(1) state.
+        lIter.flatMap { lrow =>
+          val k = valueRow(lkB, lrow)
+          val t = valueRow(ltB, lrow)
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = valueRow(rkB, head)
+            val keyCmp = keyOrd.compare(hk, k)
+            if (keyCmp < 0 ||
+                (keyCmp == 0 &&
+                  timeOrd.compare(valueRow(rtB, head), t) < 0)) {
+              last = rBuf.next().copy() // same copy discipline as backward
+              lastKey = valueRow(rkB, last)
+              lastTime = valueRow(rtB, last)
+            } else {
+              continue = false
+            }
+          }
+          var mrow: InternalRow = null
+          if (!t.isNullAt(0)) {
+            val lt0 = t.getLong(0)
+            val backOk = last != null && keyOrd.compare(lastKey, k) == 0 &&
+              !lastTime.isNullAt(0) &&
+              toleranceUs.forall(tol => lt0 - lastTime.getLong(0) <= tol)
+            // INVARIANT (shared with the forward merge): the peeked
+            // head is projected within THIS iteration, before any
+            // further rBuf.next()/head — it must never be retained
+            // across iterations un-copied (the sort iterator reuses
+            // its row buffer).
+            var fwdRow: InternalRow = null
+            var fwdT = 0L
+            if (rBuf.hasNext) {
+              val head = rBuf.head
+              if (keyOrd.compare(valueRow(rkB, head), k) == 0) {
+                val ht = valueRow(rtB, head)
+                if (!ht.isNullAt(0) &&
+                    toleranceUs.forall(tol => ht.getLong(0) - lt0 <= tol)) {
+                  fwdRow = head
+                  fwdT = ht.getLong(0)
+                }
+              }
+            }
+            if (backOk && (fwdRow == null ||
+                lt0 - lastTime.getLong(0) <= fwdT - lt0)) mrow = last
+            else if (fwdRow != null) mrow = fwdRow
+          }
+          if (mrow != null) Some(proj(joiner(lrow, mrow)))
+          else if (inner) None
+          else Some(proj(joiner(lrow, nullRight)))
+        }
+      } else if (forward) {
         // FORWARD merge: attach the FIRST right row with rt >= lt
         // (pandas merge_asof direction='forward'). Rows with
         // rt < lt (same key) or an earlier key are dead for every
         // later left row (both sides ascend), so they are consumed;
         // the candidate itself is PEEKED, never consumed — the next
-        // left row of the key may need the same one. Still O(|L|+|R|)
+        // left row of the key may need the same one; the peek is
+        // projected within the same iteration, BEFORE any further
+        // rBuf.next()/head refetch — retaining it across iterations
+        // un-copied would read the sort iterator's reused buffer
+        // after it turns over (the hazard the backward path's
+        // .copy() guards against). Still O(|L|+|R|)
         // per partition with O(1) state.
         lIter.flatMap { lrow =>
           val k = valueRow(lkB, lrow)
@@ -248,9 +317,9 @@ object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol, inner, fwd) =>
+    case AsOfJoinNode(lk, lt, rk, rt, l, r, tol, inner, fwd, near) =>
       AsOfJoinExec(
-        lk, lt, rk, rt, planLater(l), planLater(r), tol, inner, fwd) :: Nil
+        lk, lt, rk, rt, planLater(l), planLater(r), tol, inner, fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -347,6 +416,33 @@ object AsOf {
       toleranceUs: Long): DataFrame =
     join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs), forward = true)
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'): attach
+    * the right row with the least |rightTime − leftTime|; equal
+    * distances break BACKWARD (the at-or-before row), matching pandas.
+    * Requires long-backed time columns — the distance is integer µs.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, None, nearest = true)
+
+  /** Nearest as-of join with a tolerance horizon: a candidate on either
+    * side attaches only if its distance is within `toleranceUs`.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      toleranceUs: Long): DataFrame =
+    join(left, leftKey, leftTime, right, rightKey, rightTime, Some(toleranceUs), nearest = true)
+
   private def join(
       left: DataFrame,
       leftKey: String,
@@ -356,7 +452,8 @@ object AsOf {
       rightTime: String,
       toleranceUs: Option[Long],
       inner: Boolean = false,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // check-then-append on the experimental Seq fields is not atomic;
     // serialize first-call registration so concurrent sessions sharing a
@@ -382,7 +479,7 @@ object AsOf {
         .getOrElse(throw new IllegalArgumentException(s"no column $n"))
     val lt = find(lPlan.output, leftTime)
     val rt = find(rOut, rightTime)
-    if (toleranceUs.isDefined) {
+    if (toleranceUs.isDefined || nearest) {
       val longBacked = Seq(lt.dataType, rt.dataType).forall {
         case org.apache.spark.sql.types.LongType => true
         case org.apache.spark.sql.types.TimestampType => true
@@ -390,7 +487,7 @@ object AsOf {
       }
       require(
         longBacked,
-        s"as-of tolerance requires long-backed time columns, got " +
+        s"as-of tolerance/nearest requires long-backed time columns, got " +
           s"(${lt.dataType}, ${rt.dataType})")
     }
     val node = AsOfJoinNode(
@@ -402,7 +499,8 @@ object AsOf {
       rPlan,
       toleranceUs,
       inner,
-      forward)
+      forward,
+      nearest)
     org.apache.spark.sql.graft.Exprs.ofRows(spark, node)
   }
 }

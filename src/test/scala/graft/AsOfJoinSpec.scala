@@ -176,6 +176,81 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == expected)
   }
 
+  test("nearest: least |Δt| wins; exact tie breaks backward; tolerance bounds both sides") {
+    val s = spark
+    import s.implicits._
+    // key 1: left t=100 sits between rt=90 (Δ10) and rt=105 (Δ5) → fwd;
+    // left t=200 sits between rt=190 (Δ10) and rt=210 (Δ10) → TIE →
+    // backward wins; left t=300 has only a backward row; key 2 only a
+    // forward row; key 3 nothing
+    val left =
+      Seq((1L, 100L), (1L, 200L), (1L, 300L), (2L, 50L), (3L, 7L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 90L, "b90"), (1L, 105L, "f105"),
+      (1L, 190L, "b190"), (1L, 210L, "f210"),
+      (2L, 60L, "f60")).toDF("rk", "rt", "v")
+    val out = AsOf
+      .nearestJoin(left, "k", "t", right, "rk", "rt")
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 100L)).contains("f105")) // Δ5 forward beats Δ10 back
+    assert(out((1L, 200L)).contains("b190")) // tie Δ10 → backward wins
+    assert(out((1L, 300L)).contains("f210")) // rt=210 is backward here (Δ90), only candidate
+    assert(out((2L, 50L)).contains("f60")) // forward-only key
+    assert(out((3L, 7L)).isEmpty) // no right rows at all
+    // tolerance 8: at t=100, fwd Δ5 ok; at t=200 both Δ10 out → null
+    val tol = AsOf
+      .nearestJoin(left, "k", "t", right, "rk", "rt", 8L)
+      .select(col("k"), col("t"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(tol((1L, 100L)).contains("f105"))
+    assert(tol((1L, 200L)).isEmpty)
+    assert(tol((2L, 50L)).isEmpty) // Δ10 > 8
+  }
+
+  test("nearest == pick-rule over window-computed candidates on real events") {
+    val e = Tables.events(spark, sf)
+      .withColumn("t_us", unix_micros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val v = e.filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("vu"),
+        col("t_us").as("v_t"),
+        col("value").as("v_val"))
+    val native = AsOf
+      .nearestJoin(p, "user_id", "t_us", v, "vu", "v_t")
+      .select(col("event_id"), col("v_t"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // expected: per purchase, the view time minimizing |Δ|, backward on
+    // ties, via an unbounded join + conditional aggregation
+    val expected = p
+      .join(v, col("user_id") === col("vu"), "left")
+      .groupBy(col("event_id"), col("t_us"))
+      .agg(
+        max(when(col("v_t") <= col("t_us"), col("v_t"))).as("bt"),
+        min(when(col("v_t") >= col("t_us"), col("v_t"))).as("ft"))
+      .select(
+        col("event_id"),
+        when(
+          col("bt").isNotNull &&
+            (col("ft").isNull ||
+              (col("t_us") - col("bt")) <= (col("ft") - col("t_us"))),
+          col("bt"))
+          .otherwise(coalesce(col("ft"), lit(-1L)))
+          .as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(native == expected)
+  }
+
   test("inclusive boundary: right row at exactly left time matches") {
     val s = spark
     import s.implicits._
