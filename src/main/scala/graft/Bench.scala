@@ -31,14 +31,7 @@ object Bench {
         -1.0
       }
     }
-    // Optional comma-separated query filter for local iteration
-    // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectedQueries
     val results = selected.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = if (a < 0) a else timeOnce(fn)

@@ -33,6 +33,26 @@ object SparkEntry {
       sources.Formats.queries ++
       streaming.Streams.queries
 
+  /** Queries filtered by the optional SPARK_GRAFT_ONLY=q_a,q_b env var
+    * (local-iteration convenience; the driver never sets it). Shared by
+    * Bench and Verify. Fails loudly when a requested name matches no
+    * registered query — a misspelling must not masquerade as a
+    * 0-query success.
+    */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sys.env
+      .get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) =>
+        val unknown = names -- queries.keySet
+        require(
+          unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names match no registered query: " +
+            unknown.toSeq.sorted.mkString(", "))
+        queries.filter(kv => names(kv._1))
+      case None => queries
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

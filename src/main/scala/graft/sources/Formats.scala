@@ -64,13 +64,26 @@ object Formats {
   // oracle computes the same aggregate from the original parquet — so
   // the gate proves the text round-trip is value-exact (doubles print
   // shortest-round-trip, timestamps pin the ISO pattern), not just
-  // schema-shaped. The write is a per-run temp dir: at scale this is
-  // the export→re-ingest path, one distributed write + one scan.
+  // schema-shaped. The write lands in ONE per-JVM temp dir (overwritten
+  // on re-invocation, deleted at exit — Bench runs every query twice,
+  // so per-call dirs would pile up in /tmp). The driver-local path is a
+  // local-mode testing convenience; at scale the export→re-ingest path
+  // writes to a shared filesystem the same way — one distributed write
+  // + one scan, nothing driver-side.
   // ---------------------------------------------------------------------
+  private lazy val csvRoundtripDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   val csvRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_csv_rt")
-      .toString
+    val tmp = csvRoundtripDir
     val slice = Tables
       .lineitem(s, d)
       .filter(col("l_orderkey") < 2000)

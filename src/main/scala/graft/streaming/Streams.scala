@@ -519,6 +519,94 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // q_stream_join_outer — LEFT-OUTER stream-stream join under the oracle
+  // gate: every purchase, with its same-user views from the preceding
+  // hour attached — or ONE null-padded row if no view qualified. Unlike
+  // the inner variant, here the watermark drives the RESULT, not just
+  // eviction: a purchase's null row is emitted only once the views-side
+  // watermark proves no match can still arrive (watermark > p_ts, i.e.
+  // max seen v_ts - 1h delay > p_ts). Under Trigger.AvailableNow the
+  // closing no-data micro-batch flushes those final-state rows. Purchases
+  // within (delay + lookback) of the stream's end sit on the emission
+  // boundary — whether their null row flushed depends on which side
+  // carried the last watermark update — so the gated output (and the
+  // DuckDB twin, a plain batch LEFT JOIN) is filtered to the horizon
+  // p_ts <= max_ts - 2h, where emission is contractual. State stays
+  // bounded exactly as in the inner join: one horizon per side per user.
+  // ---------------------------------------------------------------------
+  val streamJoinOuterGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_join_outer_${gateN.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        col("value").as("v_val"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Emittable horizon: a driver-side O(1) scalar off the batch reader,
+    // same idiom as q_stream_session's max-ts cutoff.
+    val maxUs = Tables
+      .events(s, d)
+      .agg(max(unix_micros(col("ts"))))
+      .head()
+      .getLong(0)
+    s.table(name)
+      .filter(unix_micros(col("p_ts")) <= lit(maxUs - 2 * HourUs))
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases"),
+        count(col("v_val")).as("n_viewed_pairs"),
+        countDistinct(when(col("v_val").isNull, col("p_id")))
+          .as("n_unmatched"),
+        sum(col("v_val").cast("decimal(18,4)")).cast("double")
+          .as("viewed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamJoinOuterGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+       |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id FROM events
+       |      WHERE event_type = 'purchase'),
+       |ph AS (SELECT p.user_id, p.p_us, p.event_id FROM p, mx
+       |       WHERE p.p_us <= mx.max_us - ${2 * HourUs}),
+       |v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us, value AS v_val
+       |      FROM events WHERE event_type = 'view')
+       |SELECT ph.user_id,
+       |count(DISTINCT ph.event_id) AS n_purchases,
+       |count(v.v_val) AS n_viewed_pairs,
+       |count(DISTINCT CASE WHEN v.v_val IS NULL THEN ph.event_id END)
+       |  AS n_unmatched,
+       |CAST(SUM(CAST(v.v_val AS DECIMAL(18,4))) AS DOUBLE) AS viewed_total
+       |FROM ph LEFT JOIN v
+       |  ON ph.user_id = v.v_user
+       | AND v.v_us <= ph.p_us
+       | AND v.v_us >= ph.p_us - $HourUs
+       |GROUP BY ph.user_id ORDER BY ph.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_dedup — streaming DEDUPLICATION under the oracle gate:
   // dropDuplicates keyed on (user_id, event_type, hour window), run to
   // completion with Trigger.AvailableNow. Emission is immediate (append
@@ -578,6 +666,7 @@ object Streams {
     "q_stream_append" -> streamTumblingAppend,
     "q_stream_session" -> streamSessionGated,
     "q_stream_join" -> streamJoinGated,
+    "q_stream_join_outer" -> streamJoinOuterGated,
     "q_stream_dedup" -> streamDedupGated
   )
 
@@ -586,6 +675,7 @@ object Streams {
     "q_stream_append" -> streamTumblingAppendSql,
     "q_stream_session" -> streamSessionGatedSql,
     "q_stream_join" -> streamJoinGatedSql,
+    "q_stream_join_outer" -> streamJoinOuterGatedSql,
     "q_stream_dedup" -> streamDedupGatedSql
   )
 }

@@ -85,6 +85,105 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream dedup evicts state once the watermark passes a key's window") {
+    // q_stream_dedup's oracle gate checks the emitted KEY SET only; if a
+    // Spark version change stopped the watermark metadata propagating
+    // through the derived window column into dropDuplicates, state would
+    // grow unboundedly and the gate would never notice. This pins the
+    // eviction itself: batches six hours apart advance the watermark, so
+    // the early keys' state rows MUST be removed (numRowsRemoved) and
+    // the final state must hold fewer rows than total distinct keys.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(id: Long, hour: Long, user: Long): EventRow =
+      EventRow(
+        id,
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z")
+            .plusSeconds(hour * 3600)),
+        user,
+        "view",
+        1.0,
+        "{}")
+    val ms = MemoryStream[EventRow]
+    val deduped = ms
+      .toDF()
+      .withWatermark("ts", "1 hour")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        window(col("ts"), "1 hour").as("win"))
+      .dropDuplicates("user_id", "event_type", "win")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("t_dedup_evict")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(row(1, 0, 1), row(2, 0, 2))
+      q.processAllAvailable()
+      ms.addData(row(3, 6, 1), row(4, 6, 2))
+      q.processAllAvailable()
+      // third batch runs with watermark = hour 5: the hour-0 state rows
+      // are now expired and must be physically removed
+      ms.addData(row(5, 12, 1))
+      q.processAllAvailable()
+      val states = q.recentProgress.flatMap(_.stateOperators)
+      val removed = states.map(_.numRowsRemoved).sum
+      val lastTotal = states.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(removed >= 2, s"no state eviction observed (removed=$removed)")
+      assert(
+        lastTotal < 5,
+        s"state holds all $lastTotal keys — watermark not evicting")
+    } finally q.stop()
+  }
+
+  test("gated left-outer stream-stream join == batch left join on the horizon") {
+    // q_stream_join_outer's contract: within the emittable horizon
+    // (p_ts <= max_ts - 2h) the completed sink equals a plain batch LEFT
+    // join — including exactly ONE null row per never-matched purchase.
+    val got = Streams
+      .streamJoinOuterGated(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    val ev = Tables.events(spark, sf)
+    val maxUs =
+      ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"))
+      .filter(col("p_us") <= lit(maxUs - 2 * 3600L * 1000000L))
+    val v = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"),
+        col("value").as("v_val"))
+    val want = p
+      .join(
+        v,
+        col("user_id") === col("v_user") &&
+          col("v_us") <= col("p_us") &&
+          col("v_us") >= col("p_us") - 3600L * 1000000L,
+        "left_outer")
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases"),
+        count(col("v_val")).as("n_viewed_pairs"),
+        countDistinct(when(col("v_val").isNull, col("p_id"))).as("n_unmatched"),
+        sum(col("v_val").cast("decimal(18,4)")).cast("double").as("viewed_total"))
+      .collect()
+      .map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got == want)
+    assert(want.values.exists(_._3 > 0), "no unmatched purchase — vacuous")
+  }
+
   test("mapGroupsWithState running balance == batch signed-delta fold") {
     val s = spark
     import s.implicits._
