@@ -187,39 +187,32 @@ object Sketches {
   // division, no float drift — hash-compare exactly. The HLL built-in
   // keeps a ScalaTest accuracy bound (SketchAccuracySpec).
   //
-  // Scale design: distinct (flag, h) is one hash aggregate; the
-  // k-smallest-per-flag rides the BOUNDED TopKAgg buffer (score = -h),
-  // so map-side partials cap every partition's contribution at k and
-  // the shuffle carries O(k·groups) — the sketch never sees the row
-  // stream, matching how a 100 TB cardinality estimate must run.
+  // Scale design: the k-smallest-per-flag rides the dedup-aware BOUNDED
+  // KMinDistinct buffer (plans/KMinDistinct.scala) — map-side partials
+  // cap every partition's contribution at k distinct hashes, the
+  // shuffle carries O(k·groups·partitions) longs, and no distinct()
+  // pre-shuffle of the hash stream is needed at all; the sketch never
+  // sees the row stream, matching how a 100 TB cardinality estimate
+  // must run. The exact companion column (the oracle's yardstick)
+  // shares the SAME single scan and aggregation: countDistinct rides
+  // the usual Expand two-phase plan next to the sketch lane.
   // ---------------------------------------------------------------------
   private val kmvK = 64
   private val kmvSeed = 11
   private val kmvSpace = 4294967296L // h32 hash space: 2^32
 
   val kmvDistinct: Q = (s, d) => {
-    import s.implicits._
-    import graft.functions.{ScoredId, TopKAgg}
-    val li = Tables
+    import graft.plans.KMinDistinct
+    Tables
       .lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey").cast("string").as("ok"))
-    val hashes = li
-      .select(col("l_returnflag"), h32(kmvSeed, col("ok")).as("h"))
-      .distinct()
-    val kmins = hashes
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      // TopKAgg ranks score DESC, id ASC; score = -h makes the buffer
-      // the k SMALLEST hashes, returned ascending — last is h_(k).
-      .mapValues(r => ScoredId(-r._2.toDouble, r._2))
-      .agg(TopKAgg(kmvK).toColumn.name("hs"))
-      .toDF("l_returnflag", "hs")
-    val exact = Tables
-      .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_orderkey"),
+        h32(kmvSeed, col("l_orderkey").cast("string")).as("h"))
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("d_exact"))
-    kmins
-      .join(exact, Seq("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("d_exact"),
+        KMinDistinct.kmin(col("h"), kmvK).as("hs"))
       .select(
         col("l_returnflag"),
         col("d_exact"),

@@ -34,6 +34,28 @@ class SketchAccuracySpec extends SparkSpec {
     }
   }
 
+  test("KMinDistinct: bounded buffer == sort-distinct-limit on skewed multi-partition input") {
+    // dedup (every value delivered 3×), cap at k, cross-partition merge,
+    // and the ascending order contract — against the declarative truth
+    val s2 = spark
+    import s2.implicits._
+    val k = 7
+    val values = (1L to 50L).flatMap(v => Seq(v * 977 % 331, v * 977 % 331, v * 977 % 331))
+    val df = values.toDF("v").repartition(8)
+    val got = df
+      .agg(graft.plans.KMinDistinct.kmin(col("v"), k).as("hs"))
+      .head()
+      .getSeq[Long](0)
+    val want = values.distinct.sorted.take(k)
+    assert(got == want, s"got $got want $want")
+    // under-full group: fewer than k distinct values → all of them
+    val small = Seq(5L, 3L, 5L, 3L, 9L).toDF("v")
+      .agg(graft.plans.KMinDistinct.kmin(col("v"), k).as("hs"))
+      .head()
+      .getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 9L))
+  }
+
   test("KMV estimate lands within the 1/sqrt(k) band of the exact count") {
     val rows = ops.Sketches.kmvDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
