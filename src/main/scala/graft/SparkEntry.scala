@@ -30,6 +30,7 @@ object SparkEntry {
       ops.Search.queries ++
       ops.Sampling.queries ++
       ops.Sketches.queries ++
+      ops.Layout.queries ++
       sources.Formats.queries ++
       streaming.Streams.queries
 
@@ -68,6 +69,7 @@ object SparkEntry {
       ops.Search.oracleSql ++
       ops.Sampling.oracleSql ++
       ops.Sketches.oracleSql ++
+      ops.Layout.oracleSql ++
       sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }

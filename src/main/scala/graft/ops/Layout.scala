@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.Tables
+import graft.plans.ZOrder2
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data-layout operators: multi-dimensional clustering for scan
+  * pruning.
+  *
+  * At 100 TB the cheapest predicate is the one that never reads a
+  * file: parquet footers carry per-file min/max stats, and a z-order
+  * clustered write makes those stats selective in EVERY clustered
+  * dimension at once — a plain sort helps only its leading column.
+  * [[ZOrder2]] (plans/ZOrder.scala) is the clustering key expression;
+  * this module is the layout pass a table-maintenance job runs before
+  * writing (`df.repartitionByRange(z).sortWithinPartitions(z)
+  * .write...`).
+  *
+  * Reference analogue: opusdb pages its heap into fixed blocks and
+  * scans them sequentially (/root/reference/src/opusdb/storage/
+  * page.clj:40, file_mgr.clj:58) — clustering is the analytic dual:
+  * choose what lives together in a block so most blocks need not be
+  * read.
+  */
+object Layout {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q_zorder_layout — the z-order clustering demonstrated and gated:
+  // orders bucketed on (order day × 26, total price / 8) — both
+  // scaled to FILL [0, 2^16) (a dimension parked in the low bits never
+  // reaches the interleave's high bits and gets no clustering) —
+  // interleaved with the native zorder2 expression, grouped
+  // into the 256 top-byte z-ranges a layout pass would write as files.
+  // The gate hash-checks, per z-range, the row count and the min/max of
+  // BOTH dimensions: exactly the footer stats a pruned scan would
+  // consult, proving every "file" covers a narrow rectangle in day ×
+  // price space (the DuckDB twin recomputes the identical interleave
+  // arithmetically). A locality-breaking bug — wrong bit order, lost
+  // mask — moves rows across z-ranges and fails the hash.
+  // ---------------------------------------------------------------------
+  val zorderLayout: Q = (s, d) => {
+    // testdata ranges: o_orderdate in [1995-01-01, 2001-08-01] (2404
+    // days; ×26 tops out at 62504) and o_totalprice < 500k (÷8 tops
+    // out at 62499) — both scaled to fill [0, 2^16)
+    val o = Tables.orders(s, d).select(
+      (datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long") * 26L).as("dayb"),
+      floor(col("o_totalprice") / 8.0).cast("long").as("priceb"))
+    o.withColumn("z", ZOrder2.zorder(col("dayb"), col("priceb")))
+      .groupBy(expr("z div 16777216").as("zrange"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("dayb")).as("day_min"),
+        max(col("dayb")).as("day_max"),
+        min(col("priceb")).as("price_min"),
+        max(col("priceb")).as("price_max"))
+      .orderBy(col("zrange"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = ZOrder2.sqlZOrder("dayb", "priceb")
+    s"""WITH b AS (
+       |  SELECT CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) * 26 AS dayb,
+       |    CAST(floor(o_totalprice / 8.0) AS BIGINT) AS priceb
+       |  FROM orders)
+       |SELECT $z // 16777216 AS zrange, count(*) AS n,
+       |min(dayb) AS day_min, max(dayb) AS day_max,
+       |min(priceb) AS price_min, max(priceb) AS price_max
+       |FROM b GROUP BY zrange ORDER BY zrange""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q_zorder_layout" -> zorderLayout)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderLayoutSql)
+}

@@ -344,9 +344,76 @@ object Temporal {
        |WHERE ud.day - f.cohort <= 3
        |GROUP BY f.cohort ORDER BY f.cohort""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_resample_fill — time-series RESAMPLE + forward fill: each user's
+  // event stream resampled onto an hourly spine from their first to
+  // their last active hour, gaps carrying the last observed value
+  // forward (the standard gap-fill every metrics/feature pipeline runs
+  // before training on regular time steps).
+  //
+  // Per (user, hour) the observation is the LAST event's value —
+  // max_by over the unique event_id, deterministic on both engines
+  // (DuckDB arg_max twin). The spine is generated per user with
+  // sequence()+explode — no driver-side loop, no global calendar
+  // crossJoin: spine size is Σ_user (active span), and the fill is one
+  // user-partitioned window (shuffle on user_id, the same key the
+  // observation aggregate already used). At 100 TB the spine explode
+  // and the IGNORE-NULLS window both stay keyed and partition-local —
+  // nothing global anywhere.
+  //
+  // The spine starts at each user's FIRST observed hour, so `carried`
+  // is never null on the spine and n_users = n_active + n_filled per
+  // hour — an identity the hash gate pins alongside the carried sums.
+  // ---------------------------------------------------------------------
+  val resampleFill: Q = (s, d) => {
+    val obs = Tables
+      .events(s, d)
+      .groupBy(col("user_id"), expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .agg(max_by(col("value"), col("event_id")).as("obs"))
+    val spine = obs
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, Seq("user_id", "h"), "left")
+      .withColumn("carried", last(col("obs"), ignoreNulls = true).over(w))
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("obs")).as("n_active"),
+        count(when(col("obs").isNull, col("carried"))).as("n_filled"),
+        dsum(col("carried")).as("carried_total"))
+      .orderBy(col("h"))
+  }
+
+  val resampleFillSql: String =
+    s"""WITH obs AS (
+       |  SELECT user_id, epoch_us(ts) // $HourUs AS h,
+       |    arg_max(value, event_id) AS obs
+       |  FROM events GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+       |spine AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM mm),
+       |filled AS (
+       |  SELECT s.user_id, s.h, o.obs,
+       |    last_value(o.obs IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+       |  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+       |SELECT h, count(*) AS n_users, count(obs) AS n_active,
+       |count(CASE WHEN obs IS NULL THEN carried END) AS n_filled,
+       |${sqlDsum("carried")} AS carried_total
+       |FROM filled GROUP BY h ORDER BY h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
     "q_retention" -> retention,
+    "q_resample_fill" -> resampleFill,
     "q_wal_gapcheck" -> walGapcheck,
     "q_wal_replay" -> walReplay,
     "q_window_tumbling" -> windowTumbling,
@@ -358,6 +425,7 @@ object Temporal {
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
+    "q_resample_fill" -> resampleFillSql,
     "q_wal_gapcheck" -> walGapcheckSql,
     "q_wal_replay" -> walReplaySql,
     "q_window_tumbling" -> windowTumblingSql,
