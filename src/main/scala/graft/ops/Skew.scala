@@ -38,6 +38,14 @@ object Skew {
 
   /** Inner equi-join of a skewed fact side against a non-broadcastable
     * dimension, spread over `salts` reducers per key.
+    *
+    * The SHUFFLE_HASH hint pins the join to the strategy the salt
+    * exists for: salting only matters when the key is a shuffle
+    * partition key (a broadcast join has no per-key reducer to
+    * overload, and paying `salts`× dim replication for one would be
+    * pure loss). At production scale the dim is past the broadcast
+    * threshold anyway; the hint makes the demonstrated plan at test SF
+    * the same plan that ships.
     */
   def saltedJoin(
       fact: DataFrame,
@@ -47,9 +55,9 @@ object Skew {
       saltSource: Column,
       salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt", salt(saltSource, salts))
-    val explodedDim = dim.withColumn(
-      "__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+    val explodedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
     saltedFact
       .join(
         explodedDim,

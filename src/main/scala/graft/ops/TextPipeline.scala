@@ -1069,7 +1069,61 @@ object TextPipeline {
        |FROM per_doc GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_source_quota — per-source quota capping (domain balancing): every
+  // corpus over-represents a few crawl domains, so the mixing step caps
+  // each source at N documents, keeping the highest-quality ones. Score
+  // = distinct-token count (integer-exact), ties broken by doc_id, so
+  // the kept set is total-order deterministic on both engines. The
+  // emitted per-source floor (worst kept score) is the quality price
+  // the cap paid.
+  //
+  // Scale: rank-within-source is a window over the source shuffle key,
+  // and the rank <= N filter makes it a group-TOP-N — Spark's
+  // WindowGroupLimit pushes the limit into the map side before the
+  // shuffle (asserted in PlanSpec), so a hot domain ships O(N) rows
+  // per input partition, not its whole row stream.
+  // ---------------------------------------------------------------------
+  private val quotaN = 50
+
+  val sourceQuota: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quotaN)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("score")).as("score_floor"))
+      .orderBy(col("source"))
+  }
+
+  val sourceQuotaSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(len(list_distinct(${sqlTokens("text")})) AS BIGINT) AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT source, count(*) AS n_kept,
+       |CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       |min(score) AS score_floor
+       |FROM ranked WHERE rnk <= $quotaN
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_source_quota" -> sourceQuota,
     "q_corpus_prep" -> corpusPrep,
     "q_repetition" -> repetition,
     "q_quality_rules" -> qualityRules,
@@ -1092,6 +1146,7 @@ object TextPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_quota" -> sourceQuotaSql,
     "q_corpus_prep" -> corpusPrepSql,
     "q_repetition" -> repetitionSql,
     "q_quality_rules" -> qualityRulesSql,

@@ -71,8 +71,11 @@ object Formats {
   // writes to a shared filesystem the same way — one distributed write
   // + one scan, nothing driver-side.
   // ---------------------------------------------------------------------
-  private lazy val csvRoundtripDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+  /** One temp dir per JVM and roundtrip format, overwritten on
+    * re-invocation and deleted at exit.
+    */
+  private def roundtripDir(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_${name}_rt")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -81,6 +84,10 @@ object Formats {
     }
     p.toString
   }
+
+  private lazy val csvRoundtripDir: String = roundtripDir("csv")
+  private lazy val jsonRoundtripDir: String = roundtripDir("json")
+  private lazy val orcRoundtripDir: String = roundtripDir("orc")
 
   val csvRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
     val tmp = csvRoundtripDir
@@ -112,9 +119,95 @@ object Formats {
        |FROM lineitem WHERE l_orderkey < 2000
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_json_roundtrip — the JSON-lines source/sink under the oracle
+  // gate, on the WORST-case columns: a micros timestamp (explicit ISO
+  // pattern) and `props`, a string that itself CONTAINS JSON (quotes
+  // and braces must survive the sink's escaping and the source's
+  // unescaping byte-exactly). The gate pins that with an h32 checksum
+  // sum over the round-tripped props and micros-exact min/max
+  // timestamps; the oracle computes the identical aggregate from the
+  // original parquet.
+  // ---------------------------------------------------------------------
+  val jsonRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.functions.Hashing.h32
+    val tmp = jsonRoundtripDir
+    val slice = Tables
+      .events(s, d)
+      .filter(col("event_id") <= 5000)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        col("props"))
+    writeJson(slice, tmp)
+    readJson(s, tmp, slice.schema)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("value_total"),
+        countDistinct(col("user_id")).as("d_users"),
+        min(unix_micros(col("ts"))).as("ts_min_us"),
+        max(unix_micros(col("ts"))).as("ts_max_us"),
+        sum(h32(9, col("props"))).as("props_checksum"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonRoundtripSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |${sqlDsum("value")} AS value_total,
+       |count(DISTINCT user_id) AS d_users,
+       |min(epoch_us(ts)) AS ts_min_us, max(epoch_us(ts)) AS ts_max_us,
+       |CAST(SUM(${graft.functions.Hashing.sqlH32(9, "props")}) AS BIGINT)
+       |  AS props_checksum
+       |FROM events WHERE event_id <= 5000
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_orc_roundtrip — the ORC source/sink under the oracle gate: the
+  // other columnar format (footer stats + predicate pushdown), written
+  // and read back with the explicit schema, decimals-as-doubles and
+  // dates surviving bit-exactly.
+  // ---------------------------------------------------------------------
+  val orcRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = orcRoundtripDir
+    val slice = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey") < 5000)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice"),
+        col("o_orderdate"))
+    writeOrc(slice, tmp)
+    readOrc(s, tmp, slice.schema)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderdate")).as("d_first"),
+        max(col("o_orderdate")).as("d_last"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |${sqlDsum("o_totalprice")} AS sum_price,
+       |min(o_orderdate) AS d_first, max(o_orderdate) AS d_last
+       |FROM orders WHERE o_orderkey < 5000
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_csv_roundtrip" -> csvRoundtrip)
+    Map(
+      "q_csv_roundtrip" -> csvRoundtrip,
+      "q_json_roundtrip" -> jsonRoundtrip,
+      "q_orc_roundtrip" -> orcRoundtrip)
 
   val oracleSql: Map[String, String] =
-    Map("q_csv_roundtrip" -> csvRoundtripSql)
+    Map(
+      "q_csv_roundtrip" -> csvRoundtripSql,
+      "q_json_roundtrip" -> jsonRoundtripSql,
+      "q_orc_roundtrip" -> orcRoundtripSql)
 }

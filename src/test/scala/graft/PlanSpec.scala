@@ -69,6 +69,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"AQE should broadcast customer at test SF:\n$plan")
   }
 
+  test("salted join runs as a shuffle join — the plan salting exists for") {
+    // a broadcast join has no per-key reducer a hot key could overload,
+    // so a salted demo that broadcasts demonstrates nothing; the
+    // SHUFFLE_HASH hint in Skew.saltedJoin pins the production shape
+    val plan = executed(ops.Relational.saltedJoin(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"), s"no shuffle hash join:\n$plan")
+    assert(
+      !plan.contains("BroadcastHashJoin"),
+      s"salted join broadcast a side:\n$plan")
+  }
+
+  test("source quota top-N pushes a WindowGroupLimit below the shuffle") {
+    // a hot crawl domain must ship O(N) rows per input partition, not
+    // its whole row stream — the rank<=N filter has to reach the map
+    // side as a group limit
+    val plan = executed(ops.TextPipeline.sourceQuota(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("exact dedup shuffles only on aggregation keys (<= 2 exchanges)") {
     val plan = executed(ops.TextPipeline.dedupExact(spark, sf))
     val exchanges = "Exchange ".r.findAllIn(plan).length
