@@ -1115,7 +1115,44 @@ object Analytics {
       |FROM a ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_copurchase — co-occurrence pair mining (market-basket affinity):
+  // the top-20 part pairs most often bought in the same order. The
+  // self-join is keyed on l_orderkey with p1 < p2 inside the key block,
+  // so per-order fan-out is bounded by items-per-order choose 2 (≤ ~21
+  // for TPC-H-shaped orders) — never a cross-corpus pair explosion.
+  // The pair counts reduce on the (p1, p2) key and the head rides
+  // TakeOrderedAndProject; full (n DESC, p1, p2) ordering makes the
+  // top-20 cut deterministic on both engines.
+  // ---------------------------------------------------------------------
+  val copurchase: Q = (s, d) => {
+    val li = Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(
+        b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(
+        col("a.l_partkey").as("p1"),
+        col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+      .limit(20)
+  }
+
+  val copurchaseSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY p1, p2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_copurchase" -> copurchase,
     "q_corr_exact" -> corrExact,
     "q_winsorize" -> winsorize,
     "q_range_frame" -> rangeFrame,
@@ -1141,6 +1178,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_copurchase" -> copurchaseSql,
     "q_corr_exact" -> corrExactSql,
     "q_winsorize" -> winsorizeSql,
     "q_range_frame" -> rangeFrameSql,

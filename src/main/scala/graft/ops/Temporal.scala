@@ -410,9 +410,51 @@ object Temporal {
        |${sqlDsum("carried")} AS carried_total
        |FROM filled GROUP BY h ORDER BY h""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_transitions — first-order Markov transition counts over each
+  // user's event sequence: how often does event type A directly precede
+  // type B? The behavioral-analytics staple behind next-action
+  // prediction and anomaly scoring. One user-keyed window (lead over
+  // the unique (ts, event_id) order — both engines resolve the sequence
+  // identically), then a plain count aggregate on the (from, to) pair —
+  // shuffle on user_id, then on the 5×5 pair space. No self-join of the
+  // raw stream at any scale.
+  // ---------------------------------------------------------------------
+  val transitions: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("d_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type, 1) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+       |  FROM events)
+       |SELECT event_type AS from_type, to_type, count(*) AS n,
+       |count(DISTINCT user_id) AS d_users
+       |FROM seq WHERE to_type IS NOT NULL
+       |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
     "q_retention" -> retention,
+    "q_transitions" -> transitions,
     "q_resample_fill" -> resampleFill,
     "q_wal_gapcheck" -> walGapcheck,
     "q_wal_replay" -> walReplay,
@@ -425,6 +467,7 @@ object Temporal {
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
+    "q_transitions" -> transitionsSql,
     "q_resample_fill" -> resampleFillSql,
     "q_wal_gapcheck" -> walGapcheckSql,
     "q_wal_replay" -> walReplaySql,
