@@ -1151,8 +1151,68 @@ object Analytics {
       |GROUP BY p1, p2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_outliers — 3σ anomaly counts per event type with ZERO floating
+  // point: the test (x−μ)² > 9σ² cross-multiplies to
+  // (x·n − S)² > 9·(n·Sxx − S²) over integer cents moments (the
+  // q_corr_exact discipline applied per row), so both engines count
+  // the IDENTICAL outlier set — no last-ulp flip can move a row across
+  // the threshold. Decimal(38,0)/HUGEINT headroom: |x·n − S| stays
+  // ≤ ~10^13 per row at petabyte row counts, squared ≤ 10^26 ≪ 10^38.
+  // Plan: one stats aggregate (5 rows — broadcast back over the
+  // stream), one conditional re-aggregation; two scans, no window.
+  // ---------------------------------------------------------------------
+  val outliers: Q = (s, d) => {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"))
+    val st = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc").cast(D0)).as("s"),
+        sum((col("xc") * col("xc")).cast(D0)).as("sxx"))
+    val dev = col("xc").cast(D0) * col("n").cast(D0) - col("s")
+    val thr =
+      lit(9).cast(D0) * (col("n").cast(D0) * col("sxx") - col("s") * col("s"))
+    ev.join(st, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (dev * dev > thr && dev > 0).as("hi"),
+        (dev * dev > thr && dev < 0).as("lo"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("n")).as("n"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_lo"))
+      .orderBy(col("event_type"))
+  }
+
+  val outliersSql: String = {
+    val dev = "(t.xc::HUGEINT * st.n - st.s)"
+    s"""WITH t AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, count(*) AS n, SUM(xc)::HUGEINT AS s,
+       |    SUM(xc * xc)::HUGEINT AS sxx
+       |  FROM t GROUP BY event_type)
+       |SELECT t.event_type, min(st.n) AS n,
+       |CAST(SUM(CASE WHEN $dev * $dev > 9 * (st.n * st.sxx - st.s * st.s)
+       |  AND $dev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |CAST(SUM(CASE WHEN $dev * $dev > 9 * (st.n * st.sxx - st.s * st.s)
+       |  AND $dev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+       |FROM t JOIN st ON t.event_type = st.event_type
+       |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_copurchase" -> copurchase,
+    "q_outliers" -> outliers,
     "q_corr_exact" -> corrExact,
     "q_winsorize" -> winsorize,
     "q_range_frame" -> rangeFrame,
@@ -1179,6 +1239,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q_copurchase" -> copurchaseSql,
+    "q_outliers" -> outliersSql,
     "q_corr_exact" -> corrExactSql,
     "q_winsorize" -> winsorizeSql,
     "q_range_frame" -> rangeFrameSql,
