@@ -287,6 +287,62 @@ object Streams {
       }
   }
 
+  /** [[runningBalances]] re-expressed on `transformWithState` — Spark
+    * 4's arbitrary-state API: named, individually-evolvable state
+    * variables on a StatefulProcessor instead of one opaque GroupState
+    * blob (plus timers and TTL when needed; the exact-cents fold needs
+    * neither). Requires the RocksDB state store provider. Value
+    * contract: identical output to [[runningBalances]] on identical
+    * input — pinned in StreamingSpec.
+    */
+  class BalanceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        EventRow,
+        AccountUpdate] {
+    @transient private var bal
+        : org.apache.spark.sql.streaming.ValueState[AccountState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bal = getHandle.getValueState[AccountState](
+        "balance",
+        org.apache.spark.sql.Encoders.product[AccountState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AccountUpdate] = {
+      val prev = if (bal.exists()) bal.get() else AccountState(0L, 0L)
+      var net = prev.netCents
+      var n = prev.nTx
+      rows.foreach { e =>
+        val cents = math.round(e.value * 100.0)
+        net += (if (e.event_type == "purchase") -cents else cents)
+        n += 1
+      }
+      bal.update(AccountState(net, n))
+      Iterator.single(AccountUpdate(uid, net, n))
+    }
+  }
+
+  /** The transformWithState pipeline over the filtered event stream. */
+  def runningBalancesTws(
+      spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[AccountUpdate] = {
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "signup")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new BalanceProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ---------------------------------------------------------------------
   // q_stream_tumbling — the FULL streaming pipeline under the oracle
   // gate: readStream file source (the WAL tail) → watermark → tumbling

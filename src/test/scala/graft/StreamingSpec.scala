@@ -222,6 +222,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transformWithState running balance == mapGroupsWithState == batch fold") {
+    // Spark 4's arbitrary-state API must produce the identical exact-
+    // cents fold; transformWithState requires the RocksDB provider
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventRow]
+      ms.addData(rows)
+      val q = Streams
+        .runningBalancesTws(spark, ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("t_bal_tws")
+        .outputMode("update")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val got = spark
+        .table("t_bal_tws")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = Tables
+        .events(spark, sf)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(
+          col("user_id"),
+          when(
+            col("event_type") === "purchase",
+            -round(col("value") * 100).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("net"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == want)
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState sessions: closed + open == batch session count") {
     val s = spark
     import s.implicits._
