@@ -71,8 +71,64 @@ object Layout {
        |FROM b GROUP BY zrange ORDER BY zrange""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q_zorder_layout" -> zorderLayout)
+  // ---------------------------------------------------------------------
+  // q_partition_prune — HIVE-style partitioned layout under the oracle
+  // gate: events written `partitionBy(event_type)`, read back with a
+  // partition predicate. Unlike row-group stats pruning (PushedFilters,
+  // q_filter_pushdown), partition pruning removes whole DIRECTORIES at
+  // planning time — at 100 TB the difference between listing 1/5 of
+  // the files and reading footers for all of them. PlanSpec asserts
+  // the predicate lands in the scan's PartitionFilters; the gate
+  // proves the partition-encoded column (it leaves the data files and
+  // comes back from directory names) survives value-exactly, hour
+  // buckets and cents sums intact.
+  // ---------------------------------------------------------------------
+  private lazy val partitionedEventsDir: String =
+    graft.sources.Formats.roundtripDir("part_events")
+
+  /** The partitioned copy + filtered read-back, exposed for PlanSpec. */
+  def prunedScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = partitionedEventsDir
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        unix_micros(col("ts")).as("t_us"))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(tmp)
+    s.read
+      .parquet(tmp)
+      .filter(col("event_type").isin("purchase", "error"))
+  }
+
+  val partitionPrune: Q = (s, d) => {
+    prunedScan(s, d)
+      .groupBy(col("event_type"), expr(s"t_us div ${3600L * 1000000L}").as("hour_idx"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("d_users"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val partitionPruneSql: String =
+    s"""SELECT event_type, epoch_us(ts) // ${3600L * 1000000L} AS hour_idx,
+       |count(*) AS n, count(DISTINCT user_id) AS d_users,
+       |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+       |FROM events WHERE event_type IN ('purchase', 'error')
+       |GROUP BY event_type, hour_idx
+       |ORDER BY event_type, hour_idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_zorder_layout" -> zorderLayout,
+    "q_partition_prune" -> partitionPrune)
 
   val oracleSql: Map[String, String] = Map(
-    "q_zorder_layout" -> zorderLayoutSql)
+    "q_zorder_layout" -> zorderLayoutSql,
+    "q_partition_prune" -> partitionPruneSql)
 }

@@ -74,7 +74,7 @@ object Formats {
   /** One temp dir per JVM and roundtrip format, overwritten on
     * re-invocation and deleted at exit.
     */
-  private def roundtripDir(name: String): String = {
+  private[graft] def roundtripDir(name: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft_${name}_rt")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {

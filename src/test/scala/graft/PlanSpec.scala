@@ -88,6 +88,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  test("partition predicate prunes directories, not just row groups") {
+    val plan = ops.Layout
+      .prunedScan(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(
+      pf.contains("event_type"),
+      s"no partition filter on event_type (got '$pf'):\n$plan")
+  }
+
   test("exact dedup shuffles only on aggregation keys (<= 2 exchanges)") {
     val plan = executed(ops.TextPipeline.dedupExact(spark, sf))
     val exchanges = "Exchange ".r.findAllIn(plan).length
