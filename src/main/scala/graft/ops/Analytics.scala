@@ -1116,28 +1116,31 @@ object Analytics {
 
   // ---------------------------------------------------------------------
   // q_copurchase — co-occurrence pair mining (market-basket affinity):
-  // the top-20 part pairs most often bought in the same order. The
-  // self-join is keyed on l_orderkey with p1 < p2 inside the key block,
-  // so per-order fan-out is bounded by items-per-order choose 2 (≤ ~21
-  // for TPC-H-shaped orders) — never a cross-corpus pair explosion.
-  // The pair counts reduce on the (p1, p2) key and the head rides
-  // TakeOrderedAndProject; full (n DESC, p1, p2) ordering makes the
-  // top-20 cut deterministic on both engines.
+  // the top-20 part pairs most often bought in the same order. Shape:
+  // collapse each order to its sorted distinct part SET (one shuffle of
+  // lineitem, basket size bounded by the order schema at ~7), then
+  // explode the within-basket pairs locally — items-choose-2 per order,
+  // never a cross-corpus pair explosion and no second shuffle of the
+  // row stream (the relational self-join alternative re-shuffles the
+  // distinct pairs AND both join sides). The pair counts reduce on the
+  // (p1, p2) key and the head rides TakeOrderedAndProject; full
+  // (n DESC, p1, p2) ordering makes the top-20 cut deterministic on
+  // both engines — the oracle keeps the declarative self-join form.
   // ---------------------------------------------------------------------
   val copurchase: Q = (s, d) => {
-    val li = Tables
+    val baskets = Tables
       .lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    val a = li.as("a")
-    val b = li.as("b")
-    a.join(
-        b,
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(
-        col("a.l_partkey").as("p1"),
-        col("b.l_partkey").as("p2"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = transform(
+      col("ps"),
+      (x, i) =>
+        transform(
+          slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2"))))
+    baskets
+      .select(explode(flatten(pairs)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
       .limit(20)
