@@ -222,7 +222,24 @@ object Graph {
   // Scale: pair work is block-bounded (near-dup) or linear (exact), CC
   // rounds are diameter-bounded shuffle joins on the id key.
   // ---------------------------------------------------------------------
-  val dupClusters: Q = (s, d) => {
+  val dupClusters: Q = (s, d) =>
+    dupClustersWith(s, d, connectedComponents)
+
+  // ---------------------------------------------------------------------
+  // q_dup_clusters_star — the IDENTICAL query on the large-star/
+  // small-star CC (SoCC'14) instead of hash-min: same edges, same
+  // oracle, hash-identical output. This puts the O(log² n)-round
+  // algorithm itself — the one that survives adversarial diameters
+  // hash-min's 25-round cap refuses — under the exact gate, not just
+  // under GraphSpec's property tests.
+  // ---------------------------------------------------------------------
+  val dupClustersStar: Q = (s, d) =>
+    dupClustersWith(s, d, connectedComponentsStar)
+
+  private def dupClustersWith(
+      s: SparkSession,
+      d: String,
+      cc: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     // Pairs are compared in HASHED gram space: h32 of each bigram,
     // deduped — the per-pair intersection then runs over primitive
@@ -268,7 +285,7 @@ object Graph {
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("u"), col("doc_id").as("v"))
     val edges = nearPairs.unionAll(exactPairs).distinct()
-    val labels = connectedComponents(edges)
+    val labels = cc(edges)
     val wCluster = Window.partitionBy(col("cluster_id"))
     val wKeep = Window
       .partitionBy(col("cluster_id"))
@@ -519,12 +536,15 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "q_dup_clusters" -> dupClusters,
+    "q_dup_clusters_star" -> dupClustersStar,
     "q_pagerank" -> pageRank,
     "q_triangles" -> triangles
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
+    // star CC must produce the hash-identical clustering
+    "q_dup_clusters_star" -> dupClustersSql,
     "q_pagerank" -> pageRankSql,
     "q_triangles" -> trianglesSql
   )
