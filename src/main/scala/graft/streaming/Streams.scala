@@ -663,6 +663,100 @@ object Streams {
        |GROUP BY ph.user_id ORDER BY ph.user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_join_full — FULL-OUTER stream-stream join under the oracle
+  // gate: every purchase with its preceding-hour views, every view with
+  // its following-hour purchases — null-padded on whichever side never
+  // matched. Both directions of null emission are watermark-driven: an
+  // unmatched purchase flushes when the views watermark passes p_ts; an
+  // unmatched view when the purchases watermark passes v_ts + 1 h (its
+  // match window's upper bound). Gated on the horizon where BOTH are
+  // contractual — p_ts ≤ max − 2 h for purchase-bearing rows, v_ts ≤
+  // max − 2 h for view-only rows (a matched pair's v_ts ≤ p_ts, so the
+  // purchase filter subsumes it). The DuckDB twin is the batch FULL
+  // OUTER join with the same horizon predicate on the output.
+  // ---------------------------------------------------------------------
+  val streamJoinFullGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_join_full_${gateN.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        col("event_id").as("v_id"),
+        col("value").as("v_val"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(
+      views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val maxUs = Tables
+      .events(s, d)
+      .agg(max(unix_micros(col("ts"))))
+      .head()
+      .getLong(0)
+    val horizon = lit(maxUs - 2 * HourUs)
+    s.table(name)
+      .filter(
+        when(col("p_id").isNotNull, unix_micros(col("p_ts")) <= horizon)
+          .otherwise(unix_micros(col("v_ts")) <= horizon))
+      .groupBy(coalesce(col("p_user"), col("v_user")).as("user_id"))
+      .agg(
+        count(when(col("p_id").isNotNull && col("v_id").isNotNull, 1))
+          .as("n_pairs"),
+        countDistinct(when(col("v_id").isNull, col("p_id")))
+          .as("n_lonely_purchases"),
+        countDistinct(when(col("p_id").isNull, col("v_id")))
+          .as("n_lonely_views"),
+        sum(col("v_val").cast("decimal(18,4)")).cast("double")
+          .as("viewed_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamJoinFullGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+       |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us, event_id AS p_id
+       |      FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us,
+       |        event_id AS v_id, value AS v_val
+       |      FROM events WHERE event_type = 'view'),
+       |j AS (
+       |  SELECT * FROM p FULL OUTER JOIN v
+       |    ON p.p_user = v.v_user
+       |   AND v.v_us <= p.p_us AND v.v_us >= p.p_us - $HourUs)
+       |SELECT coalesce(j.p_user, j.v_user) AS user_id,
+       |CAST(SUM(CASE WHEN j.p_id IS NOT NULL AND j.v_id IS NOT NULL
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       |count(DISTINCT CASE WHEN j.v_id IS NULL THEN j.p_id END)
+       |  AS n_lonely_purchases,
+       |count(DISTINCT CASE WHEN j.p_id IS NULL THEN j.v_id END)
+       |  AS n_lonely_views,
+       |CAST(SUM(CAST(j.v_val AS DECIMAL(18,4))) AS DOUBLE) AS viewed_total
+       |FROM j, mx
+       |WHERE CASE WHEN j.p_id IS NOT NULL
+       |  THEN j.p_us <= mx.max_us - ${2 * HourUs}
+       |  ELSE j.v_us <= mx.max_us - ${2 * HourUs} END
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_dedup — streaming DEDUPLICATION under the oracle gate:
   // dropDuplicates keyed on (user_id, event_type, hour window), run to
   // completion with Trigger.AvailableNow. Emission is immediate (append
@@ -723,6 +817,7 @@ object Streams {
     "q_stream_session" -> streamSessionGated,
     "q_stream_join" -> streamJoinGated,
     "q_stream_join_outer" -> streamJoinOuterGated,
+    "q_stream_join_full" -> streamJoinFullGated,
     "q_stream_dedup" -> streamDedupGated
   )
 
@@ -732,6 +827,7 @@ object Streams {
     "q_stream_session" -> streamSessionGatedSql,
     "q_stream_join" -> streamJoinGatedSql,
     "q_stream_join_outer" -> streamJoinOuterGatedSql,
+    "q_stream_join_full" -> streamJoinFullGatedSql,
     "q_stream_dedup" -> streamDedupGatedSql
   )
 }
