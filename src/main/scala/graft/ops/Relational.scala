@@ -782,9 +782,96 @@ object Relational {
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_data_checks — Deequ-style data-quality constraint validation as
+  // one operator: completeness, compound-key uniqueness, referential
+  // integrity, numeric range, and accepted-values checks over lineitem,
+  // emitted as a (check, n_checked, n_violations, pass) matrix. The
+  // row-local checks share ONE scan (conditional sums); uniqueness is
+  // a distinct count on the compound key; referential integrity is one
+  // LEFT ANTI join against orders — each the minimal shuffle its
+  // semantics needs. The testdata's (l_orderkey, l_linenumber) is
+  // deliberately non-unique, so the uniqueness row reports REAL
+  // violations — the gate proves the checks detect, not just pass.
+  // ---------------------------------------------------------------------
+  val dataChecks: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def checkRow(
+        df: org.apache.spark.sql.DataFrame,
+        name: String,
+        checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column) =
+      df.select(
+        lit(name).as("check_name"),
+        checked.cast("long").as("n_checked"),
+        viol.cast("long").as("n_violations"),
+        when(viol === 0, 1L).otherwise(0L).as("pass"))
+    val rowLocal = li.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("l_shipdate"))).as("null_ship"),
+      sum(
+        when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
+        .as("bad_qty"),
+      sum(
+        when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+        .as("bad_flag"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("d_key"))
+    val orphan = li
+      .join(
+        Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+      .crossJoin(li.agg(count(lit(1)).as("n")))
+    checkRow(rowLocal, "accepted_returnflag", col("n"), col("bad_flag"))
+      .unionAll(
+        checkRow(rowLocal, "completeness_shipdate", col("n"), col("null_ship")))
+      .unionAll(
+        checkRow(orphan, "referential_orderkey", col("n"), col("n_orphan")))
+      .unionAll(
+        checkRow(rowLocal, "range_quantity", col("n"), col("bad_qty")))
+      .unionAll(
+        checkRow(
+          rowLocal,
+          "uniqueness_line_key",
+          col("n"),
+          col("n") - col("d_key")))
+      .orderBy(col("check_name"))
+  }
+
+  val dataChecksSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(l_shipdate) AS null_ship,
+      |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS bad_qty,
+      |    CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS bad_flag,
+      |    count(DISTINCT (l_orderkey, l_linenumber)) AS d_key
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT count(*) AS n_orphan FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders r
+      |                    WHERE r.o_orderkey = l.l_orderkey))
+      |SELECT check_name, n_checked, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM (
+      |  SELECT 'accepted_returnflag' AS check_name, m.n AS n_checked,
+      |    m.bad_flag AS n_violations FROM m
+      |  UNION ALL
+      |  SELECT 'completeness_shipdate', m.n, m.null_ship FROM m
+      |  UNION ALL
+      |  SELECT 'referential_orderkey', m.n, o.n_orphan FROM m, o
+      |  UNION ALL
+      |  SELECT 'range_quantity', m.n, m.bad_qty FROM m
+      |  UNION ALL
+      |  SELECT 'uniqueness_line_key', m.n, m.n - m.d_key FROM m)
+      |ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_data_checks" -> dataChecks,
     "q_sql_portable" -> sqlPortable,
     "q_ship_priority" -> shipPriority,
     "q_bank_conservation" -> bankConservation,
@@ -827,6 +914,7 @@ object Relational {
     "q_setops" -> setOpsSql,
     "q_rollup" -> rollupBalancesSql,
     "q_cube" -> cubeReturnsSql,
+    "q_data_checks" -> dataChecksSql,
     "q_distinct_counts" -> distinctCountsSql,
     "q_window_running" -> windowRunningSql,
     "q_orders_by_month" -> ordersByMonthSql,
