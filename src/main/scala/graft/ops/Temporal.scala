@@ -366,10 +366,13 @@ object Temporal {
   // hour — an identity the hash gate pins alongside the carried sums.
   // ---------------------------------------------------------------------
   val resampleFill: Q = (s, d) => {
+    // the observation frame feeds BOTH the spine bounds and the join —
+    // localCheckpoint so the scan+aggregate runs once, not per branch
     val obs = Tables
       .events(s, d)
       .groupBy(col("user_id"), expr(s"unix_micros(ts) div $HourUs").as("h"))
       .agg(max_by(col("value"), col("event_id")).as("obs"))
+      .localCheckpoint()
     val spine = obs
       .groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
