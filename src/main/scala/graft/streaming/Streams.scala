@@ -447,6 +447,65 @@ object Streams {
        |GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_enrich — STREAM-STATIC enrichment under the oracle gate:
+  // the purchases stream joined to the static customer dimension
+  // (user_id = c_custkey) and aggregated per (hour window, market
+  // segment) — the most common production streaming shape: enrich a
+  // fact stream with a slowly-changing dimension, then window. The
+  // static side needs no watermark and holds no state: Spark re-plans
+  // it per micro-batch (broadcast at dim sizes — AQE's call, no hint,
+  // same policy as the batch joins). Append-mode emission follows the
+  // q_stream_append contract: a window row appears iff its end ≤
+  // watermark (max event-time ms − 1 h), mirrored exactly by the twin.
+  // ---------------------------------------------------------------------
+  val streamEnrichGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_enrich_${gateN.incrementAndGet()}"
+    val cust = Tables
+      .customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("value_total"))
+      .select(
+        col("window.start").as("win_start"),
+        col("c_mktsegment"),
+        col("n"),
+        col("value_total"))
+    withStatePartitions(s, 8) {
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("c_mktsegment"),
+        col("n"),
+        col("value_total"))
+      .orderBy(col("hour_idx"), col("c_mktsegment"))
+  }
+
+  val streamEnrichGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events)
+       |SELECT epoch_us(e.ts) // $HourUs AS hour_idx, c.c_mktsegment,
+       |count(*) AS n,
+       |CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+       |FROM events e, mx, customer c
+       |WHERE e.event_type = 'purchase' AND e.user_id = c.c_custkey
+       |  AND (epoch_us(e.ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000
+       |GROUP BY 1, 2 ORDER BY hour_idx, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_session — SESSION windows under the oracle gate: per-user
   // 30-minute-gap sessions in APPEND mode, Trigger.AvailableNow. Two
   // boundary contracts the batch twin (q_window_session) cannot pin
@@ -814,6 +873,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
+    "q_stream_enrich" -> streamEnrichGated,
     "q_stream_session" -> streamSessionGated,
     "q_stream_join" -> streamJoinGated,
     "q_stream_join_outer" -> streamJoinOuterGated,
@@ -824,6 +884,7 @@ object Streams {
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
+    "q_stream_enrich" -> streamEnrichGatedSql,
     "q_stream_session" -> streamSessionGatedSql,
     "q_stream_join" -> streamJoinGatedSql,
     "q_stream_join_outer" -> streamJoinOuterGatedSql,
