@@ -454,9 +454,82 @@ object Temporal {
        |FROM seq WHERE to_type IS NOT NULL
        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_session_paths — top navigation paths: each session (the
+  // q_window_session gap rule) rendered as its ordered event-initial
+  // string ("vvcp" = view view click purchase), counted corpus-wide.
+  // The product-analytics staple behind "how do users reach checkout".
+  // Path assembly is partition-local: collect the session's
+  // (t_us, event_id, initial) structs, sort_array gives the unique
+  // time order, transform+join renders the string — no second window
+  // pass. Session cardinality bounds state (the 100 TB shape: one
+  // array per session, session length bounded by the gap rule). The
+  // deterministic (n DESC, path) top-10 rides TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  val sessionPaths: Q = (s, d) => {
+    val byUser =
+      Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        substring(col("event_type"), 1, 1).as("init"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(
+          col("prev_us").isNull || (col("t_us") - col("prev_us")) > SessionGapUs,
+          1L).otherwise(0L))
+      .withColumn(
+        "sess_id",
+        sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(
+              collect_list(struct(col("t_us"), col("event_id"), col("init")))),
+            e => e.getField("init")),
+          "").as("path"))
+      .groupBy(col("path"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("d_users"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(10)
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+       |    substr(event_type, 1, 1) AS init,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR t_us - prev_us > $SessionGapUs
+       |    THEN 1 ELSE 0 END AS new_sess FROM e),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY t_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM f),
+       |p AS (
+       |  SELECT user_id, sess_id,
+       |    string_agg(init, '' ORDER BY t_us, event_id) AS path
+       |  FROM sess GROUP BY user_id, sess_id)
+       |SELECT path, count(*) AS n_sessions,
+       |count(DISTINCT user_id) AS d_users
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
     "q_retention" -> retention,
+    "q_session_paths" -> sessionPaths,
     "q_transitions" -> transitions,
     "q_resample_fill" -> resampleFill,
     "q_wal_gapcheck" -> walGapcheck,
@@ -470,6 +543,7 @@ object Temporal {
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
+    "q_session_paths" -> sessionPathsSql,
     "q_transitions" -> transitionsSql,
     "q_resample_fill" -> resampleFillSql,
     "q_wal_gapcheck" -> walGapcheckSql,
