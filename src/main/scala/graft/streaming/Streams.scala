@@ -329,6 +329,107 @@ object Streams {
     }
   }
 
+  /** Session closed by gap rule within a batch or by TIMER expiry. */
+  case class TimedSession(
+      user_id: Long,
+      start_us: Long,
+      n_events: Long,
+      closed_by: String)
+
+  case class SessTimerState(
+      startUs: Long,
+      lastUs: Long,
+      n: Long,
+      timerMs: Long)
+
+  /** Gap sessionization on transformWithState with EVENT-TIME TIMERS:
+    * intra-batch gap closures emit immediately; the open tail arms a
+    * timer at (last event + gap), re-armed per batch, and
+    * `handleExpiredTimer` closes the session once the watermark passes
+    * it — the idle-timeout shape `GroupStateTimeout` covered in the old
+    * API, now with explicit per-key timer registration. A stale timer
+    * (superseded by newer events) is deleted on re-arm and double-
+    * checked against state at expiry.
+    */
+  class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        EventRow,
+        TimedSession] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[SessTimerState] = _
+
+    private def micros(e: EventRow): Long = {
+      val i = e.ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessTimerState](
+        "session",
+        org.apache.spark.sql.Encoders.product[SessTimerState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TimedSession] = {
+      val sorted = rows.toArray.sortBy(e => (micros(e), e.event_id))
+      val oldTimer = if (st.exists()) st.get().timerMs else 0L
+      var cur = if (st.exists()) Option(st.get()) else None
+      var out = List.empty[TimedSession]
+      sorted.foreach { e =>
+        val t = micros(e)
+        cur = cur match {
+          case Some(s0) if t - s0.lastUs > gapUs =>
+            out ::= TimedSession(uid, s0.startUs, s0.n, "gap")
+            Some(SessTimerState(t, t, 1L, 0L))
+          case Some(s0) =>
+            Some(s0.copy(lastUs = t, n = s0.n + 1))
+          case None =>
+            Some(SessTimerState(t, t, 1L, 0L))
+        }
+      }
+      cur.foreach { s0 =>
+        val newTimer = (s0.lastUs + gapUs) / 1000L + 1L
+        if (oldTimer > 0L && oldTimer != newTimer)
+          getHandle.deleteTimer(oldTimer)
+        getHandle.registerTimer(newTimer)
+        st.update(s0.copy(timerMs = newTimer))
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimedSession] =
+      if (st.exists() && st.get().timerMs == expiredTimerInfo.getExpiryTimeInMs) {
+        val s0 = st.get()
+        st.clear()
+        Iterator.single(TimedSession(uid, s0.startUs, s0.n, "timer"))
+      } else Iterator.empty
+  }
+
+  /** The timer-closed sessionization pipeline (event-time TimeMode). */
+  def timedSessions(
+      spark: SparkSession,
+      events: Dataset[EventRow],
+      gapUs: Long): Dataset[TimedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** The transformWithState pipeline over the filtered event stream. */
   def runningBalancesTws(
       spark: SparkSession,

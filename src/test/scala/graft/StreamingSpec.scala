@@ -271,6 +271,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions == batch island sessionization") {
+    // transformWithState with per-key timers: intra-batch gaps close
+    // inline, the open tail closes when the watermark passes its timer.
+    // A far-future sentinel event (excluded user) jumps the watermark so
+    // every real session must be emitted — by gap or by timer — and the
+    // total must equal the batch gap-rule island count.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 1800L * 1000000L
+      val ms = MemoryStream[EventRow]
+      val q = Streams
+        .timedSessions(spark, ms.toDS(), gapUs)
+        .writeStream
+        .format("memory")
+        .queryName("t_sess_timer")
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData(rows)
+        q.processAllAvailable()
+        val maxTs = rows.map(_.ts.getTime).max
+        ms.addData(
+          EventRow(-1L, new java.sql.Timestamp(maxTs + 10L * 86400000L), -1L, "view", 0.0, "{}"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val emitted = spark
+        .table("t_sess_timer")
+        .filter(col("user_id") >= 0)
+      val gotPerUser = emitted
+        .groupBy(col("user_id"))
+        .count()
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val want = Tables
+        .events(spark, sf)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("t_us"), 1).over(byUser))
+        .withColumn(
+          "new_sess",
+          when(col("prev").isNull || col("t_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(gotPerUser == want)
+      val timerClosed =
+        emitted.filter(col("closed_by") === "timer").count()
+      assert(timerClosed >= want.size, s"only $timerClosed timer closures")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState sessions: closed + open == batch session count") {
     val s = spark
     import s.implicits._
