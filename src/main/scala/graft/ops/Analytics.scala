@@ -1213,8 +1213,68 @@ object Analytics {
        |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_rank_normalize — ML feature scaling: percent-rank (quantile
+  // normalization) and min-max normalization of event values per event
+  // type. Ranks order by the unique (value, event_id) pair, so both
+  // engines produce identical rank integers, and both normalizations
+  // are a SINGLE double division of integer-derived operands — one
+  // correctly-rounded op, bit-identical across engines (the repo's
+  // "float only at the very end" discipline). Two windows over the
+  // same event_type partitioning → one shuffle; the emitted slice is
+  // user_id < 20 but ranks are computed over the full partition.
+  // ---------------------------------------------------------------------
+  val rankNormalize: Q = (s, d) => {
+    val wOrd = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("pct_rank", percent_rank().over(wOrd))
+      .withColumn("mn", min(col("cents")).over(wAll))
+      .withColumn("mx", max(col("cents")).over(wAll))
+      .withColumn(
+        "minmax",
+        when(col("mx") === col("mn"), 0.5).otherwise(
+          (col("cents") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double")))
+      .filter(col("user_id") < 20)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("cents"),
+        col("pct_rank"),
+        col("minmax"))
+      .orderBy(col("event_id"))
+  }
+
+  val rankNormalizeSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_id, user_id, event_type, cents,
+      |    percent_rank() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS pct_rank,
+      |    min(cents) OVER (PARTITION BY event_type) AS mn,
+      |    max(cents) OVER (PARTITION BY event_type) AS mx
+      |  FROM t)
+      |SELECT event_id, event_type, cents, pct_rank,
+      |  CASE WHEN mx = mn THEN 0.5
+      |       ELSE CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |  END AS minmax
+      |FROM r WHERE user_id < 20 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_copurchase" -> copurchase,
+    "q_rank_normalize" -> rankNormalize,
     "q_outliers" -> outliers,
     "q_corr_exact" -> corrExact,
     "q_winsorize" -> winsorize,
@@ -1242,6 +1302,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q_copurchase" -> copurchaseSql,
+    "q_rank_normalize" -> rankNormalizeSql,
     "q_outliers" -> outliersSql,
     "q_corr_exact" -> corrExactSql,
     "q_winsorize" -> winsorizeSql,

@@ -102,6 +102,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMinDistinct == sorted-distinct-take-k (random values, k, partitioning)") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      k <- Gen.choose(1, 40)
+      parts <- Gen.choose(1, 9)
+      // narrow domain forces duplicates; occasional negatives and
+      // extremes exercise the binary-search boundaries
+      vs <- Gen.listOfN(
+        n,
+        Gen.frequency(
+          8 -> Gen.choose(-50L, 50L),
+          1 -> Gen.const(Long.MinValue + 1),
+          1 -> Gen.const(Long.MaxValue)))
+    } yield (k, parts, vs)
+    (1 to 12).foreach { i =>
+      val (k, parts, vs) = sample(gen, 4000L + i)
+      val want = vs.distinct.sorted.take(k)
+      val got =
+        if (vs.isEmpty) Seq.empty[Long]
+        else
+          vs.toDF("v")
+            .repartition(parts)
+            .agg(graft.plans.KMinDistinct.kmin(col("v"), k))
+            .head()
+            .getSeq[Long](0)
+      assert(got == want, s"iter $i (k=$k, parts=$parts)")
+    }
+  }
+
+  test("ZOrder2 preserves order along each axis within the other's value") {
+    // fixing one 16-bit key, z is strictly monotone in the other — the
+    // property range scans rely on; checked on random axes and values
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      fixed <- Gen.choose(0L, 65535L)
+      vals <- Gen.listOfN(60, Gen.choose(0L, 65535L))
+    } yield (fixed, vals.distinct.sorted)
+    (1 to 8).foreach { i =>
+      val (fixedX, ys) = sample(gen, 6000L + i)
+      val zs = ys
+        .toDF("y")
+        .select(
+          graft.plans.ZOrder2.zorder(lit(fixedX), col("y")).as("z"),
+          col("y"))
+        .orderBy(col("y"))
+        .collect()
+        .map(_.getLong(0))
+      assert(
+        zs.sameElements(zs.sorted),
+        s"iter $i: z not monotone in y for fixed x=$fixedX")
+    }
+  }
+
   test("query results are invariant under physical repartitioning") {
     // The classic distributed-correctness bug class: a result that
     // depends on partition count or row arrival order (unordered float
