@@ -596,8 +596,15 @@ object Streams {
       .orderBy(col("hour_idx"), col("c_mktsegment"))
   }
 
+  // The watermark column feeds through the purchase filter (Spark
+  // pushes the filter below EventTimeWatermark), so the stream's
+  // watermark advances from max PURCHASE ts — the twin must derive
+  // wm_ms from the same filtered rows, not the global max(ts), or the
+  // two diverge whenever the last purchase and the global max event
+  // straddle an hour boundary relative to a window end.
   val streamEnrichGatedSql: String =
-    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events)
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events
+       |            WHERE event_type = 'purchase')
        |SELECT epoch_us(e.ts) // $HourUs AS hour_idx, c.c_mktsegment,
        |count(*) AS n,
        |CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
@@ -734,6 +741,19 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** min(max purchase ts, max view ts) in micros — the event time the
+    * two-sided global watermark is derived from (each side's watermark
+    * tracks only its own filtered stream). O(1) driver scalar.
+    */
+  private def minSideMaxUs(s: SparkSession, d: String): Long =
+    Tables
+      .events(s, d)
+      .agg(least(
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+        max(when(col("event_type") === "view", unix_micros(col("ts"))))))
+      .head()
+      .getLong(0)
+
   // ---------------------------------------------------------------------
   // q_stream_join_outer — LEFT-OUTER stream-stream join under the oracle
   // gate: every purchase, with its same-user views from the preceding
@@ -783,12 +803,14 @@ object Streams {
       q.awaitTermination()
     }
     // Emittable horizon: a driver-side O(1) scalar off the batch reader,
-    // same idiom as q_stream_session's max-ts cutoff.
-    val maxUs = Tables
-      .events(s, d)
-      .agg(max(unix_micros(col("ts"))))
-      .head()
-      .getLong(0)
+    // same idiom as q_stream_session's max-ts cutoff. Null-row flushing
+    // is driven by the PER-SIDE watermarks (purchase-only / view-only
+    // filtered streams), so the horizon must come from the MINIMUM of
+    // the two sides' max event times — the value Spark's global
+    // watermark (min policy) is actually derived from. Measuring from
+    // the global max(ts) would overstate the flushed region whenever
+    // the trailing data lacks one event type.
+    val maxUs = minSideMaxUs(s, d)
     s.table(name)
       .filter(unix_micros(col("p_ts")) <= lit(maxUs - 2 * HourUs))
       .groupBy(col("user_id"))
@@ -803,7 +825,10 @@ object Streams {
   }
 
   val streamJoinOuterGatedSql: String =
-    s"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+    s"""WITH mx AS (SELECT least(
+       |      max(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'),
+       |      max(epoch_us(ts)) FILTER (WHERE event_type = 'view'))
+       |      AS max_us FROM events),
        |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id FROM events
        |      WHERE event_type = 'purchase'),
        |ph AS (SELECT p.user_id, p.p_us, p.event_id FROM p, mx
@@ -868,11 +893,10 @@ object Streams {
         .start()
       q.awaitTermination()
     }
-    val maxUs = Tables
-      .events(s, d)
-      .agg(max(unix_micros(col("ts"))))
-      .head()
-      .getLong(0)
+    // Same per-side-minimum horizon as the left-outer gate: both
+    // directions of null emission are bounded by the slower side's
+    // watermark, so min(max p_ts, max v_ts) is the anchor.
+    val maxUs = minSideMaxUs(s, d)
     val horizon = lit(maxUs - 2 * HourUs)
     s.table(name)
       .filter(
@@ -892,7 +916,10 @@ object Streams {
   }
 
   val streamJoinFullGatedSql: String =
-    s"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+    s"""WITH mx AS (SELECT least(
+       |      max(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'),
+       |      max(epoch_us(ts)) FILTER (WHERE event_type = 'view'))
+       |      AS max_us FROM events),
        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us, event_id AS p_id
        |      FROM events WHERE event_type = 'purchase'),
        |v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us,
