@@ -33,9 +33,16 @@ object Bench {
     }
     val selected = SparkEntry.selectedQueries
     val results = selected.map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = if (a < 0) a else timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // Gated streaming queries run a full AvailableNow query to
+      // completion — checkpoint + state-store machinery dominates and
+      // has no JIT/codegen warmup effect worth a second sample, so they
+      // are timed ONCE. Batch queries keep best-of-2 (steady-state).
+      if (name.startsWith("q_stream_")) name -> timeOnce(fn)
+      else {
+        val a = timeOnce(fn)
+        val b = if (a < 0) a else timeOnce(fn)
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
