@@ -246,14 +246,120 @@ object Sketches {
        |FROM e JOIN kth k ON e.l_returnflag = k.l_returnflag
        |ORDER BY e.l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_approx_quantiles — MERGEABLE approximate quantiles from the
+  // LogHistogram sketch (plans/LogHistogram.scala): p25/p50/p75/p90/p99
+  // of lineitem extended price (exact integer cents) per return flag.
+  //
+  // The 100 TB contrast with q_quantiles_exact: the exact query locates
+  // ranks by shuffling (bucketed) rows; the sketch reduces every
+  // partition to ≤ 1,920 bucket counters BEFORE the shuffle — shuffle
+  // volume is O(buckets·groups·partitions), independent of row count,
+  // and the merged histogram is O(1) state a driver or a streaming
+  // stage can hold. Price: values ≥ 2^6 carry ≤ 2^-5 (3.1%) relative
+  // error; values < 2^6 are exact. Deterministic by construction
+  // (integer bit-math bucketing, associative counter merge), so the
+  // DuckDB twin recomputes the identical buckets declaratively
+  // (bin()-length exponent + shifts) and the picked quantiles
+  // hash-compare exactly — no accuracy hand-waving in the gate; the
+  // rank-conservation and error-bound guarantees live in
+  // SketchAccuracySpec/PropertySpec.
+  // ---------------------------------------------------------------------
+  private val lhShift = 5 // 2^5 sub-buckets per decade → ≤ 3.1% rel. error
+  private val lhSub = 1 << lhShift
+  private val lhQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  // Lower bound of bucket b — the quantile estimate. Mirrored verbatim
+  // (modulo shiftleft spelling) in the DuckDB twin.
+  private val lhLowerSql =
+    s"CASE WHEN (b div $lhSub) <= 1 THEN b " +
+      s"ELSE shiftleft(b - ((b div $lhSub) - 1) * $lhSub, " +
+      s"cast((b div $lhSub) - 1 as int)) END"
+
+  val approxQuantiles: Q = (s, d) => {
+    import graft.plans.LogHistogram
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+          .as("cents"))
+    val hist = cents
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        LogHistogram.logHist(col("cents"), lhShift).as("hist"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+    val cum = hist
+      .select(col("l_returnflag"), col("n"), explode(col("hist")).as("hb"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        col("hb.bucket").as("b"),
+        col("hb.cnt").as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+    // 5-row literal fraction frame — sanctioned witness-frame crossJoin.
+    val fracs = s
+      .range(1)
+      .select(explode(array(lhQs.map(lit): _*)).as("q"))
+    cum
+      .crossJoin(fracs)
+      // type-1 target rank ceil(q·n); smallest bucket whose running
+      // count reaches it holds the rank-r value.
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(col("b")).as("b"), max(col("n")).as("n"))
+      .withColumn("est_cents", expr(lhLowerSql))
+      .select(col("l_returnflag"), col("q"), col("est_cents"), col("n"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val approxQuantilesSql: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM lineitem),
+       |bkt AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN cents <= 0 THEN 0
+       |         ELSE (greatest(length(bin(cents)) - 1 - $lhShift, 0) * $lhSub)
+       |              + (cents >> greatest(length(bin(cents)) - 1 - $lhShift, 0))
+       |    END AS b
+       |  FROM li),
+       |g AS (SELECT l_returnflag, b, count(*) AS bc FROM bkt GROUP BY 1, 2),
+       |c AS (
+       |  SELECT l_returnflag, b, bc,
+       |    CAST(sum(bc) OVER (PARTITION BY l_returnflag ORDER BY b)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(bc) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+       |  FROM g),
+       |p AS (
+       |  SELECT c.l_returnflag, f.q, min(c.b) AS b, max(c.n) AS n
+       |  FROM c, (VALUES ${lhQs
+        .map(q => s"(CAST($q AS DOUBLE))")
+        .mkString(",")}) AS f(q)
+       |  WHERE c.cum >= CAST(ceil(f.q * c.n) AS BIGINT)
+       |  GROUP BY 1, 2)
+       |SELECT l_returnflag, q,
+       |  CASE WHEN (b // $lhSub) <= 1 THEN b
+       |       ELSE (b - ((b // $lhSub) - 1) * $lhSub) << ((b // $lhSub) - 1)
+       |  END AS est_cents,
+       |  n
+       |FROM p ORDER BY l_returnflag, q""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_approx_distinct" -> kmvDistinct,
+    "q_approx_quantiles" -> approxQuantiles,
     "q_cms_estimate" -> cmsEstimate,
     "q_bloom_membership" -> bloomMembership
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_approx_distinct" -> kmvDistinctSql,
+    "q_approx_quantiles" -> approxQuantilesSql,
     "q_cms_estimate" -> cmsEstimateSql,
     "q_bloom_membership" -> bloomMembershipSql
   )

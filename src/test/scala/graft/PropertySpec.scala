@@ -133,6 +133,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LogHistogram == group-by-bucket counts; bounds bracket every value (random input)") {
+    import graft.plans.LogHistogram
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      shift <- Gen.choose(2, 7)
+      parts <- Gen.choose(1, 9)
+      vs <- Gen.listOfN(
+        n,
+        Gen.frequency(
+          6 -> Gen.choose(0L, 5000L),
+          2 -> Gen.choose(0L, Long.MaxValue),
+          1 -> Gen.choose(-100L, 0L), // negatives collapse to bucket 0
+          1 -> Gen.const(Long.MaxValue)))
+    } yield (shift, parts, vs)
+    (1 to 12).foreach { i =>
+      val (shift, parts, vs) = sample(gen, 9000L + i)
+      // the sketch is LOSSLESS at bucket granularity: its (bucket, cnt)
+      // pairs must equal the plain group-by of the bucket function, for
+      // any partitioning (merge = elementwise add, order-independent)
+      val want = vs
+        .map(v => LogHistogram.bucketOf(v, shift).toLong)
+        .groupBy(identity)
+        .view
+        .mapValues(_.size.toLong)
+        .toSeq
+        .sortBy(_._1)
+      val got =
+        if (vs.isEmpty) Seq.empty[(Long, Long)]
+        else
+          vs.toDF("v")
+            .repartition(parts)
+            .agg(LogHistogram.logHist(col("v"), shift))
+            .head()
+            .getSeq[org.apache.spark.sql.Row](0)
+            .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got == want, s"iter $i (shift=$shift, parts=$parts)")
+      // bracket invariant: lowerBound(bucketOf(x)) <= x < lower + width
+      for (v <- vs if v > 0L) {
+        val b = LogHistogram.bucketOf(v, shift).toLong
+        val lo = LogHistogram.lowerBound(b, shift)
+        val w = LogHistogram.bucketWidth(b, shift)
+        assert(lo <= v && (v - lo) < w, s"iter $i: v=$v b=$b lo=$lo w=$w")
+      }
+      // monotone: bucket index ordering respects value ordering
+      val sortedVs = vs.filter(_ > 0L).sorted
+      val bs = sortedVs.map(v => LogHistogram.bucketOf(v, shift))
+      assert(bs == bs.sorted, s"iter $i: bucketOf not monotone")
+    }
+  }
+
   test("ZOrder2 preserves order along each axis within the other's value") {
     // fixing one 16-bit key, z is strictly monotone in the other — the
     // property range scans rely on; checked on random axes and values

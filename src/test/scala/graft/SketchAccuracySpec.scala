@@ -67,4 +67,48 @@ class SketchAccuracySpec extends SparkSpec {
       assert(relErr < 0.51, s"flag ${r.get(0)}: KMV $est vs exact $exact (relErr $relErr)")
     }
   }
+
+  test("LogHistogram quantiles: DETERMINISTIC bucket-width error bound vs exact ranks") {
+    // The sketch's guarantee is not statistical: the picked estimate is
+    // the lower bound of the bucket holding the true rank-ceil(q·n)
+    // value, so exact ∈ [est, est + width(bucket)) ALWAYS, and width is
+    // ≤ 2^-shift of the bound for values past the exact low range.
+    import graft.plans.LogHistogram
+    val shift = 5
+    val est = ops.Sketches
+      .approxQuantiles(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getDouble(1)) ->
+          r.getAs[Long]("est_cents"))
+      .toMap
+    assert(est.size == 15, s"3 flags x 5 fractions, got ${est.size}")
+    // exact type-1 quantiles of the identical cents column
+    val centsByFlag = Tables
+      .lineitem(spark, sf)
+      .select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+          .as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).sorted)
+      .toMap
+    for (((flag, q), estCents) <- est) {
+      val sorted = centsByFlag(flag)
+      val exact = sorted(math.ceil(q * sorted.length).toInt - 1)
+      val b = LogHistogram.bucketOf(exact, shift)
+      val width = LogHistogram.bucketWidth(b.toLong, shift)
+      assert(
+        estCents <= exact && exact < estCents + width,
+        s"($flag, $q): est $estCents, exact $exact, width $width")
+      // relative-error form of the same bound for non-tiny values
+      if (estCents >= (1L << (shift + 1)))
+        assert(
+          (exact - estCents).toDouble / estCents <= 1.0 / (1 << shift),
+          s"($flag, $q): rel err above 2^-$shift")
+    }
+  }
 }
