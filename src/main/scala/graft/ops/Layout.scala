@@ -86,8 +86,11 @@ object Layout {
   private lazy val partitionedEventsDir: String =
     graft.sources.Formats.roundtripDir("part_events")
 
-  /** The partitioned copy + filtered read-back, exposed for PlanSpec. */
-  def prunedScan(s: SparkSession, d: String): DataFrame = {
+  /** Write (overwrite) the Hive-partitioned events copy; returns its
+    * directory. Shared by the static (q_partition_prune) and dynamic
+    * (q_dpp_join) pruning gates.
+    */
+  private def writePartitionedEvents(s: SparkSession, d: String): String = {
     val tmp = partitionedEventsDir
     Tables
       .events(s, d)
@@ -101,6 +104,12 @@ object Layout {
       .mode("overwrite")
       .partitionBy("event_type")
       .parquet(tmp)
+    tmp
+  }
+
+  /** The partitioned copy + filtered read-back, exposed for PlanSpec. */
+  def prunedScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = writePartitionedEvents(s, d)
     s.read
       .parquet(tmp)
       .filter(col("event_type").isin("purchase", "error"))
@@ -124,11 +133,83 @@ object Layout {
        |GROUP BY event_type, hour_idx
        |ORDER BY event_type, hour_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_dpp_join — DYNAMIC partition pruning under the oracle gate: the
+  // partitioned events fact joined to a filtered event-type dimension
+  // on the PARTITION column. Unlike q_partition_prune's static
+  // predicate, here the pruning values are only known at runtime (they
+  // come out of the dim filter), so Catalyst injects a dynamicpruning
+  // subquery into the fact scan's PartitionFilters — reusing the dim's
+  // broadcast exchange — and the fact side lists only the matching
+  // directories. At 100 TB this is THE star-join staple: a date-dim
+  // filter pruning a date-partitioned fact without the user repeating
+  // the predicate on the fact. PlanSpec asserts the dynamicpruning
+  // expression lands in PartitionFilters; this gate pins the VALUES.
+  //
+  // The dim is written to parquet first — a file-backed scan, so the
+  // optimizer sees a real dim table, not a constant-foldable local
+  // relation (same discipline as the codegen gates, ROUND6_NOTES).
+  // ---------------------------------------------------------------------
+  private lazy val typeDimDir: String =
+    graft.sources.Formats.roundtripDir("type_dim")
+
+  private val typeDimRows: Seq[(String, String)] = Seq(
+    "click" -> "engagement",
+    "error" -> "ops",
+    "purchase" -> "conversion",
+    "signup" -> "conversion",
+    "view" -> "engagement")
+
+  /** Fact ⋈ filtered dim on the partition column, exposed for
+    * PlanSpec's dynamicpruning assertion.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val factDir = writePartitionedEvents(s, d)
+    val dimDir = typeDimDir
+    import s.implicits._
+    typeDimRows
+      .toDF("event_type", "category")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("category") === "conversion")
+    fact.join(dim, "event_type")
+  }
+
+  val dppJoinQuery: Q = (s, d) => {
+    dppJoin(s, d)
+      .groupBy(col("category"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("d_users"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("category"), col("event_type"))
+  }
+
+  val dppJoinSql: String = {
+    val dimValues = typeDimRows
+      .map { case (t, c) => s"('$t', '$c')" }
+      .mkString(", ")
+    s"""WITH dim(event_type, category) AS (VALUES $dimValues)
+       |SELECT dim.category, e.event_type, count(*) AS n,
+       |count(DISTINCT e.user_id) AS d_users,
+       |CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+       |  AS cents_total
+       |FROM events e JOIN dim ON e.event_type = dim.event_type
+       |WHERE dim.category = 'conversion'
+       |GROUP BY dim.category, e.event_type
+       |ORDER BY dim.category, e.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout" -> zorderLayout,
-    "q_partition_prune" -> partitionPrune)
+    "q_partition_prune" -> partitionPrune,
+    "q_dpp_join" -> dppJoinQuery)
 
   val oracleSql: Map[String, String] = Map(
     "q_zorder_layout" -> zorderLayoutSql,
-    "q_partition_prune" -> partitionPruneSql)
+    "q_partition_prune" -> partitionPruneSql,
+    "q_dpp_join" -> dppJoinSql)
 }

@@ -100,6 +100,22 @@ class PlanSpec extends SparkSpec {
       s"no partition filter on event_type (got '$pf'):\n$plan")
   }
 
+  test("dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
+    // the star-join staple: the pruning values come out of the dim
+    // filter at runtime, so the fact scan's PartitionFilters must carry
+    // a dynamicpruning subquery (reusing the dim broadcast) — the
+    // dynamic sibling of the static directory-pruning assertion above
+    val plan = ops.Layout
+      .dppJoin(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(
+      pf.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruning in PartitionFilters (got '$pf'):\n$plan")
+  }
+
   test("exact dedup shuffles only on aggregation keys (<= 2 exchanges)") {
     val plan = executed(ops.TextPipeline.dedupExact(spark, sf))
     val exchanges = "Exchange ".r.findAllIn(plan).length
