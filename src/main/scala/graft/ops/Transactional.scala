@@ -453,7 +453,95 @@ object Transactional {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // q_scd2_enrich — SCD TYPE-2 dimension + event-time enrichment, the
+  // standard warehouse composition of this module's CDC merge
+  // (mergeUpsert: latest-wins state) with the native as-of exec
+  // (plans/AsOfJoin.scala): instead of collapsing a key's change stream
+  // to its latest version, EVERY version becomes an effective-dated row
+  // (valid_from = change time, valid_to = next change via lead(), null
+  // = current), and facts are enriched with the version IN EFFECT AT
+  // EVENT TIME — not today's.
+  //
+  // Dimension updates: each user's signup/purchase events (deduped to
+  // one version per (user, ts) via max_by on the unique event_id — an
+  // SCD2 build must be deterministic under same-timestamp changes).
+  // Facts: view/click/error events. Enrichment: the native as-of join
+  // attaches the latest version with valid_from <= fact time; the
+  // n_in_interval column re-checks the attached version against its OWN
+  // [valid_from, valid_to) interval, proving as-of == interval-join on
+  // SCD2 rows (must equal n_enriched — the gate hash-pins it).
+  //
+  // Scale: the dimension build is one shuffle on user_id (agg + lead
+  // window share the partitioning); the enrichment is the as-of exec's
+  // one shuffle + sort per side with O(1) merge state — no interval
+  // range-join explosion, no broadcast of an sf-proportional dim.
+  // Oracle: DuckDB's own ASOF LEFT JOIN over the identical SCD2 rows.
+  // ---------------------------------------------------------------------
+  val scd2Enrich: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val wVer = Window.partitionBy(col("d_user")).orderBy(col("valid_from_us"))
+    val scd2 = e
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id").as("d_user"), col("t_us").as("valid_from_us"))
+      .agg(
+        round(max_by(col("value"), col("event_id")) * 100)
+          .cast("long")
+          .as("attr_cents"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wVer))
+    val facts = e
+      .filter(col("event_type").isin("view", "click", "error"))
+      .select(col("user_id"), col("event_type"), col("t_us"))
+    graft.plans.AsOf
+      .join(facts, "user_id", "t_us", scd2, "d_user", "valid_from_us")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_facts"),
+        count(col("valid_from_us")).as("n_enriched"),
+        sum(
+          when(
+            col("valid_from_us").isNotNull &&
+              col("valid_from_us") <= col("t_us") &&
+              (col("valid_to_us").isNull ||
+                col("t_us") < col("valid_to_us")),
+            1L).otherwise(0L)).as("n_in_interval"),
+        sum(
+          when(col("valid_from_us").isNotNull && col("valid_to_us").isNull, 1L)
+            .otherwise(0L)).as("n_current"),
+        sum(col("attr_cents")).as("cents_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val scd2EnrichSql: String =
+    """WITH up AS (
+      |  SELECT user_id AS d_user, epoch_us(ts) AS valid_from_us,
+      |    CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS attr_cents
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY 1, 2),
+      |scd AS (
+      |  SELECT d_user, valid_from_us, attr_cents,
+      |    lead(valid_from_us, 1) OVER (PARTITION BY d_user
+      |                                 ORDER BY valid_from_us) AS valid_to_us
+      |  FROM up),
+      |f AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+      |      WHERE event_type IN ('view', 'click', 'error'))
+      |SELECT f.event_type,
+      |count(*) AS n_facts,
+      |count(scd.valid_from_us) AS n_enriched,
+      |CAST(SUM(CASE WHEN scd.valid_from_us IS NOT NULL
+      |  AND scd.valid_from_us <= f.t_us
+      |  AND (scd.valid_to_us IS NULL OR f.t_us < scd.valid_to_us)
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_in_interval,
+      |CAST(SUM(CASE WHEN scd.valid_from_us IS NOT NULL
+      |  AND scd.valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_current,
+      |CAST(SUM(scd.attr_cents) AS BIGINT) AS cents_total
+      |FROM f ASOF LEFT JOIN scd
+      |  ON f.user_id = scd.d_user AND scd.valid_from_us <= f.t_us
+      |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_scd2_enrich" -> scd2Enrich,
     "q_transfer_fold" -> transferFold,
     "q_counter_increments" -> counterIncrements,
     "q_read_write_mix" -> readWriteMix,
@@ -467,6 +555,7 @@ object Transactional {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2_enrich" -> scd2EnrichSql,
     "q_transfer_fold" -> transferFoldSql,
     "q_counter_increments" -> counterIncrementsSql,
     "q_read_write_mix" -> readWriteMixSql,
