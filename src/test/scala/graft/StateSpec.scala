@@ -97,4 +97,67 @@ class StateSpec extends SparkSpec {
     assert(ids.length == rows.length, s"expected ${rows.length}, got ${ids.length}")
     assert(ids.distinct.length == ids.length, "duplicate events after recovery")
   }
+
+  test("streaming MERGE sink: kill/restart upsert == batch merge, replayed epochs skipped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = Files.createTempDirectory("graft_merge_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_merge_ckpt").toString
+    val ms = MemoryStream[EventRow]
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+
+    def run(data: Seq[EventRow]): Unit = {
+      ms.addData(data)
+      val q = graft.streaming.MergeSink
+        .sink(
+          ms.toDF().select(col("user_id"), col("event_id"), col("value")),
+          table,
+          ckpt,
+          key = "user_id",
+          seq = "event_id")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop() // the mid-stream kill: next run resumes from ckpt
+    }
+
+    run(h1)
+    val afterH1 = graft.streaming.MergeSink
+      .currentState(spark, table)
+      .get
+      .count()
+    run(h2) // restart against the SAME checkpoint + table
+
+    // batch twin: latest-wins merge over the full event stream
+    val want = rows
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        val last = es.maxBy(_.event_id)
+        (u, last.event_id, last.value)
+      }
+      .toSet
+    val got = graft.streaming.MergeSink
+      .currentState(spark, table)
+      .get
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[Long]("event_id"),
+          r.getAs[Double]("value")))
+      .toSet
+    assert(got == want, s"merge state diverged from batch twin (${got.size} vs ${want.size} keys)")
+    assert(afterH1 <= got.size, "keys lost across restart")
+
+    // idempotence: re-applying an already-committed epoch is a no-op
+    val before = graft.streaming.MergeSink.lastCommit(spark, table).get
+    val replay = rows
+      .take(5)
+      .map(r => (r.user_id, r.event_id, r.value))
+      .toDF("user_id", "event_id", "value")
+    graft.streaming.MergeSink
+      .upsertBatch(replay, table, "user_id", "event_id", before.epoch)
+    val after = graft.streaming.MergeSink.lastCommit(spark, table).get
+    assert(after == before, s"replayed epoch advanced the table: $before -> $after")
+  }
 }
