@@ -793,18 +793,14 @@ object Relational {
   // deliberately non-unique, so the uniqueness row reports REAL
   // violations — the gate proves the checks detect, not just pass.
   // ---------------------------------------------------------------------
-  val dataChecks: Q = (s, d) => {
+  /** The 1-row stats frame behind q_data_checks, exposed for PlanSpec's
+    * scan-count assertion.
+    */
+  def dataChecksStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    def checkRow(
-        df: org.apache.spark.sql.DataFrame,
-        name: String,
-        checked: org.apache.spark.sql.Column,
-        viol: org.apache.spark.sql.Column) =
-      df.select(
-        lit(name).as("check_name"),
-        checked.cast("long").as("n_checked"),
-        viol.cast("long").as("n_violations"),
-        when(viol === 0, 1L).otherwise(0L).as("pass"))
+    // ALL row-local checks in one aggregate over one scan; the
+    // referential check is the only second lineitem pass (its anti-join
+    // probe side), cross-joined in as a 1-row witness.
     val rowLocal = li.agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - count(col("l_shipdate"))).as("null_ship"),
@@ -821,20 +817,35 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"),
         "left_anti")
       .agg(count(lit(1)).as("n_orphan"))
-      .crossJoin(li.agg(count(lit(1)).as("n")))
-    checkRow(rowLocal, "accepted_returnflag", col("n"), col("bad_flag"))
-      .unionAll(
-        checkRow(rowLocal, "completeness_shipdate", col("n"), col("null_ship")))
-      .unionAll(
-        checkRow(orphan, "referential_orderkey", col("n"), col("n_orphan")))
-      .unionAll(
-        checkRow(rowLocal, "range_quantity", col("n"), col("bad_qty")))
-      .unionAll(
-        checkRow(
-          rowLocal,
-          "uniqueness_line_key",
-          col("n"),
-          col("n") - col("d_key")))
+    rowLocal.crossJoin(orphan)
+  }
+
+  val dataChecks: Q = (s, d) => {
+    // unpivot the single stats row into the five check rows — each
+    // aggregate subtree executes ONCE (the previous union-of-branches
+    // shape re-referenced the full lineitem aggregate per branch and
+    // leaned on ReuseExchange to deduplicate it; at 100 TB that's 4
+    // redundant fact scans if reuse doesn't fire)
+    def c(name: String, viol: org.apache.spark.sql.Column) =
+      struct(
+        lit(name).as("check_name"),
+        col("n").cast("long").as("n_checked"),
+        viol.cast("long").as("n_violations"))
+    dataChecksStats(s, d)
+      .select(
+        explode(
+          array(
+            c("accepted_returnflag", col("bad_flag")),
+            c("completeness_shipdate", col("null_ship")),
+            c("referential_orderkey", col("n_orphan")),
+            c("range_quantity", col("bad_qty")),
+            c("uniqueness_line_key", col("n") - col("d_key"))))
+          .as("ck"))
+      .select(
+        col("ck.check_name").as("check_name"),
+        col("ck.n_checked").as("n_checked"),
+        col("ck.n_violations").as("n_violations"),
+        when(col("ck.n_violations") === 0, 1L).otherwise(0L).as("pass"))
       .orderBy(col("check_name"))
   }
 

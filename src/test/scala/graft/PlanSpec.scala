@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
       s"no partition filter on event_type (got '$pf'):\n$plan")
   }
 
+  test("data-quality matrix reads lineitem at most twice (row-local agg + anti-join)") {
+    // five checks, one fact: the row-local aggregate and the
+    // referential anti-join probe are the only sanctioned scans — the
+    // unpivot must not replicate the aggregate subtree per check row
+    val plan = executed(ops.Relational.dataChecks(spark, sf))
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"lineitem scanned $scans times:\n$plan")
+  }
+
   test("dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
     // the star-join staple: the pruning values come out of the dim
     // filter at runtime, so the fact scan's PartitionFilters must carry
