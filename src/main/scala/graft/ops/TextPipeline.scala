@@ -772,6 +772,100 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_dedup_incremental — INCREMENTAL dedup: an ARRIVING batch probed
+  // against the EXISTING corpus's indexes, never corpus × corpus — how
+  // a 100 TB pipeline actually runs day 2+: the corpus's exact-digest
+  // and gram-digest indexes are persisted steady-state artifacts
+  // (O(distinct digests), built once, appended per batch); each new
+  // batch joins against them and only batch-sized work is done.
+  // Arriving slice: every 5th doc_id. A batch doc is an exact dup if
+  // its normalized-text md5 is in the corpus exact index, a near dup
+  // if ≥ half its token-8-gram digests hit the corpus gram index
+  // (integer compare 2·hits ≥ n_grams — no float). Emits per lang:
+  // batch size, exact dups, near dups, kept.
+  //
+  // Scale: the gram probe is explode → digest-keyed LEFT SEMI join →
+  // per-doc hit count — shuffle O(batch grams + index), the
+  // q_decontaminate shape with the train side replaced by the
+  // persisted index; the exact probe is one semi join on a 32-byte key.
+  // ---------------------------------------------------------------------
+  val dedupIncremental: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("arriving", (col("doc_id") % 5) === 4)
+      .withColumn("exact_d", md5(norm(col("text"))))
+    val corpus = docs.filter(!col("arriving"))
+    val exactIndex = corpus.select(col("exact_d").as("xd")).distinct()
+    val gramIndex = corpus
+      .select(explode(tokenGramDigests(tokens(col("text")))).as("gd"))
+      .distinct()
+    val batch = docs
+      .filter(col("arriving"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("exact_d"),
+        tokenGramDigests(tokens(col("text"))).as("g"))
+    val exactHits = batch
+      .join(exactIndex, col("exact_d") === col("xd"), "left_semi")
+      .select(col("doc_id"))
+      .withColumn("xhit", lit(1L))
+    val gramHits = batch
+      .select(col("doc_id"), size(col("g")).as("ng"), explode(col("g")).as("gd"))
+      .join(gramIndex, Seq("gd"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    batch
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(gramHits, Seq("doc_id"), "left")
+      .select(
+        col("lang"),
+        coalesce(col("xhit"), lit(0L)).as("is_exact"),
+        when(coalesce(col("hits"), lit(0L)) * 2 >= size(col("g")), 1L)
+          .otherwise(0L)
+          .as("is_near"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(col("is_exact")).as("n_exact_dup"),
+        sum(col("is_near")).as("n_near_dup"),
+        sum(
+          when(col("is_exact") === 0 && col("is_near") === 0, 1L)
+            .otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH doc AS (
+       |  SELECT doc_id, lang, (doc_id % 5) = 4 AS arriving,
+       |    md5(${sqlNorm("text")}) AS exact_d,
+       |    ${sqlTokenGramDigests(sqlTokens("text"))} AS g
+       |  FROM documents),
+       |xi AS (SELECT DISTINCT exact_d AS xd FROM doc WHERE NOT arriving),
+       |gi AS (SELECT DISTINCT unnest(g) AS gd FROM doc WHERE NOT arriving),
+       |b AS (SELECT doc_id, lang, exact_d, g, len(g) AS ng FROM doc
+       |      WHERE arriving),
+       |gh AS (
+       |  SELECT t.doc_id, count(*) AS hits
+       |  FROM (SELECT doc_id, unnest(g) AS gd FROM b) t
+       |  SEMI JOIN gi ON t.gd = gi.gd GROUP BY t.doc_id),
+       |xh AS (SELECT DISTINCT b.doc_id FROM b SEMI JOIN xi
+       |       ON b.exact_d = xi.xd),
+       |fl AS (
+       |  SELECT b.lang,
+       |    CASE WHEN xh.doc_id IS NULL THEN 0 ELSE 1 END AS is_exact,
+       |    CASE WHEN 2 * coalesce(gh.hits, 0) >= b.ng THEN 1 ELSE 0 END
+       |      AS is_near
+       |  FROM b LEFT JOIN xh ON b.doc_id = xh.doc_id
+       |         LEFT JOIN gh ON b.doc_id = gh.doc_id)
+       |SELECT lang, count(*) AS n_batch,
+       |CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup,
+       |CAST(SUM(is_near) AS BIGINT) AS n_near_dup,
+       |CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 0 THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_kept
+       |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_seq_packing — LLM training-sequence packing: documents are laid
   // out in deterministic doc_id order and cut into fixed token-budget
   // bins (4096); a doc belongs to the bin holding its START offset (the
@@ -1140,6 +1234,7 @@ object TextPipeline {
     "q_ngram_udtf" -> ngramUdtf,
     "q_hash_split" -> hashSplit,
     "q_decontaminate" -> decontaminate,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_seq_packing" -> seqPacking,
     "q_vocab_topk" -> vocabTopk,
     "q_unigram_lm" -> unigramLm
@@ -1163,6 +1258,7 @@ object TextPipeline {
     "q_ngram_udtf" -> ngramUdtfSql,
     "q_hash_split" -> hashSplitSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_seq_packing" -> seqPackingSql,
     "q_vocab_topk" -> vocabTopkSql,
     "q_unigram_lm" -> unigramLmSql
