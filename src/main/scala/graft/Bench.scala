@@ -16,6 +16,11 @@ object Bench {
       ops.Relational.bankConservation(spark, sfDir).count()
       ops.Temporal.walReplay(spark, sfDir).count()
       ops.Embeddings.embedStats(spark, sfDir).count()
+      // streaming machinery warmup (micro-batch engine, state store,
+      // sink registration): without it the FIRST timed streaming query
+      // absorbs the one-time init cost — now that streaming queries are
+      // timed once, that cost must not land on whichever runs first
+      streaming.Streams.streamTumblingGated(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // Two timed runs per query, report the min — steady-state timing in
     // the spirit of the reference's Criterium sampling (warmed JIT,
