@@ -265,16 +265,31 @@ object Sketches {
   // rank-conservation and error-bound guarantees live in
   // SketchAccuracySpec/PropertySpec.
   // ---------------------------------------------------------------------
-  private val lhShift = 5 // 2^5 sub-buckets per decade → ≤ 3.1% rel. error
-  private val lhSub = 1 << lhShift
+  private[graft] val lhShift = 5 // 2^5 sub-buckets/decade → ≤ 3.1% rel. error
+  private[graft] val lhSub = 1 << lhShift
   private val lhQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
   // Lower bound of bucket b — the quantile estimate. Mirrored verbatim
   // (modulo shiftleft spelling) in the DuckDB twin.
-  private val lhLowerSql =
+  private[graft] val lhLowerSql =
     s"CASE WHEN (b div $lhSub) <= 1 THEN b " +
       s"ELSE shiftleft(b - ((b div $lhSub) - 1) * $lhSub, " +
       s"cast((b div $lhSub) - 1 as int)) END"
+
+  /** DuckDB-side twin of LogHistogram.bucketOf over an integer SQL
+    * expression — bin()-length exponent + shifts, bit-identical to the
+    * Spark aggregate's bucketing. Shared by the batch and streaming
+    * quantile gates.
+    */
+  private[graft] def sqlLhBucket(cents: String): String =
+    s"CASE WHEN $cents <= 0 THEN 0 " +
+      s"ELSE (greatest(length(bin($cents)) - 1 - $lhShift, 0) * $lhSub) " +
+      s"+ ($cents >> greatest(length(bin($cents)) - 1 - $lhShift, 0)) END"
+
+  /** DuckDB-side twin of LogHistogram.lowerBound over bucket column b. */
+  private[graft] def sqlLhLower(b: String): String =
+    s"CASE WHEN ($b // $lhSub) <= 1 THEN $b " +
+      s"ELSE ($b - (($b // $lhSub) - 1) * $lhSub) << (($b // $lhSub) - 1) END"
 
   val approxQuantiles: Q = (s, d) => {
     import graft.plans.LogHistogram
@@ -323,11 +338,7 @@ object Sketches {
        |      AS cents
        |  FROM lineitem),
        |bkt AS (
-       |  SELECT l_returnflag,
-       |    CASE WHEN cents <= 0 THEN 0
-       |         ELSE (greatest(length(bin(cents)) - 1 - $lhShift, 0) * $lhSub)
-       |              + (cents >> greatest(length(bin(cents)) - 1 - $lhShift, 0))
-       |    END AS b
+       |  SELECT l_returnflag, ${sqlLhBucket("cents")} AS b
        |  FROM li),
        |g AS (SELECT l_returnflag, b, count(*) AS bc FROM bkt GROUP BY 1, 2),
        |c AS (
@@ -344,9 +355,7 @@ object Sketches {
        |  WHERE c.cum >= CAST(ceil(f.q * c.n) AS BIGINT)
        |  GROUP BY 1, 2)
        |SELECT l_returnflag, q,
-       |  CASE WHEN (b // $lhSub) <= 1 THEN b
-       |       ELSE (b - ((b // $lhSub) - 1) * $lhSub) << ((b // $lhSub) - 1)
-       |  END AS est_cents,
+       |  ${sqlLhLower("b")} AS est_cents,
        |  n
        |FROM p ORDER BY l_returnflag, q""".stripMargin
 

@@ -998,7 +998,149 @@ object Streams {
        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_upsert — the transactional MERGE sink (MergeSink.scala)
+  // under the oracle gate, end-to-end: the event stream upserted
+  // per-micro-batch into the snapshot-versioned parquet state table
+  // (latest value per user by event_id), read back from the COMMITTED
+  // snapshot and aggregated per user-decile. The gate proves the whole
+  // protocol — merge, snapshot write, marker publish — converges to
+  // the batch latest-wins state the DuckDB twin computes declaratively
+  // (arg_max per key); StateSpec separately proves the kill/restart
+  // and replayed-epoch paths the oracle can't drive.
+  // ---------------------------------------------------------------------
+  val streamUpsertGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_upsert_tbl")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ckpt")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = MergeSink
+        .sink(
+          eventsStream(s, d)
+            .select(col("user_id"), col("event_id"), col("value")),
+          table,
+          ckpt,
+          key = "user_id",
+          seq = "event_id")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val streamUpsertGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_stream_quantiles — the mergeable LogHistogram sketch as STREAMING
+  // STATE: per-hour windowed histograms of event cents with the
+  // q_stream_append watermark/emission contract, quantiles picked from
+  // each emitted window's histogram in batch post-processing. This is
+  // why a percentile sketch must be MERGEABLE: each micro-batch folds
+  // partial buffers into the window's state store entry (bounded at
+  // ≤1,920 counters per window regardless of event volume), something
+  // an exact order statistic cannot do without unbounded state. The
+  // DuckDB twin recomputes identical buckets declaratively over the
+  // emittable windows — same bit-exact discipline as the batch gate.
+  // ---------------------------------------------------------------------
+  private val sqQs = Seq(0.5, 0.9, 0.99)
+
+  val streamQuantilesGated: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.plans.LogHistogram
+    val name = s"graft_stream_quantiles_${gateN.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          LogHistogram
+            .logHist(round(col("value") * 100).cast("long"), graft.ops.Sketches.lhShift)
+            .as("hist"))
+        .select(col("window.start").as("win_start"), col("n"), col("hist"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_idx"))
+      .orderBy(col("b"))
+    val fracs = s
+      .range(1)
+      .select(explode(array(sqQs.map(lit): _*)).as("q"))
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("n"),
+        explode(col("hist")).as("hb"))
+      .select(
+        col("hour_idx"),
+        col("n"),
+        col("hb.bucket").as("b"),
+        col("hb.cnt").as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+      .crossJoin(fracs)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("hour_idx"), col("q"))
+      .agg(min(col("b")).as("b"), max(col("n")).as("n"))
+      .withColumn("est_cents", expr(graft.ops.Sketches.lhLowerSql))
+      .select(col("hour_idx"), col("q"), col("est_cents"), col("n"))
+      .orderBy(col("hour_idx"), col("q"))
+  }
+
+  val streamQuantilesGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events),
+       |e AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hour_idx,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events, mx
+       |  WHERE (epoch_us(ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000),
+       |bkt AS (SELECT hour_idx, ${graft.ops.Sketches.sqlLhBucket("cents")} AS b
+       |        FROM e),
+       |g AS (SELECT hour_idx, b, count(*) AS bc FROM bkt GROUP BY 1, 2),
+       |c AS (
+       |  SELECT hour_idx, b, bc,
+       |    CAST(sum(bc) OVER (PARTITION BY hour_idx ORDER BY b) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(bc) OVER (PARTITION BY hour_idx) AS BIGINT) AS n
+       |  FROM g),
+       |p AS (
+       |  SELECT c.hour_idx, f.q, min(c.b) AS b, max(c.n) AS n
+       |  FROM c, (VALUES ${sqQs
+        .map(q => s"(CAST($q AS DOUBLE))")
+        .mkString(",")}) AS f(q)
+       |  WHERE c.cum >= CAST(ceil(f.q * c.n) AS BIGINT)
+       |  GROUP BY 1, 2)
+       |SELECT hour_idx, q, ${graft.ops.Sketches.sqlLhLower("b")} AS est_cents, n
+       |FROM p ORDER BY hour_idx, q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert" -> streamUpsertGated,
+    "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
     "q_stream_enrich" -> streamEnrichGated,
@@ -1010,6 +1152,8 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_upsert" -> streamUpsertGatedSql,
+    "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
     "q_stream_enrich" -> streamEnrichGatedSql,
