@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -72,6 +73,17 @@ case class MinHashUnion(
     val bb = ByteBuffer.wrap(bytes)
     Array.fill(k)(bb.getLong())
   }
+
+  // Analysis-time type gate: update() reads the child as array<bigint>;
+  // anything else must fail analysis, not CCE mid-job (the KMinDistinct
+  // / ZOrder2 discipline).
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> child, got $other")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
