@@ -359,7 +359,118 @@ object Sketches {
        |  n
        |FROM p ORDER BY l_returnflag, q""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_kmv_setops — SET ALGEBRA ON KMV SKETCHES: union and intersection
+  // cardinality estimates for every pair of return-flag order sets,
+  // from the per-flag KMinDistinct sketches ALONE — the
+  // audience-overlap workload (how many users in segment A ∩ B?) that
+  // at 100 TB must run on pre-built per-segment sketches, never on the
+  // raw key sets. Union sketch = k smallest of the two sketches'
+  // union (closed under merge); est_union = the KMV estimator on its
+  // k-th value; intersection via the ratio estimator ρ̂ =
+  // |U_k ∩ A_k ∩ B_k| / |U_k|, est_inter = ρ̂ · est_union — all
+  // integer arithmetic, so the estimates hash-compare exactly. Exact
+  // companions (one distinct frame + one self-join) ride beside as
+  // the yardstick, same discipline as q_approx_distinct.
+  // ---------------------------------------------------------------------
+  val kmvSetops: Q = (s, d) => {
+    import graft.plans.KMinDistinct
+    val sk = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag").as("f"),
+        h32(kmvSeed, col("l_orderkey").cast("string")).as("h"))
+      .groupBy(col("f"))
+      .agg(KMinDistinct.kmin(col("h"), kmvK).as("hs"))
+    val pairs = sk
+      .select(col("f").as("f1"), col("hs").as("hs1"))
+      .join(
+        sk.select(col("f").as("f2"), col("hs").as("hs2")),
+        col("f1") < col("f2")) // 3 pairs of 3 flags — O(flags²) rows
+      .withColumn(
+        "uk",
+        slice(
+          array_sort(array_distinct(concat(col("hs1"), col("hs2")))),
+          1,
+          kmvK))
+      .withColumn("nu", size(col("uk")).cast("long"))
+      .withColumn(
+        "est_union",
+        when(col("nu") < kmvK, col("nu"))
+          .otherwise(expr(
+            s"${(kmvK - 1) * kmvSpace}L div element_at(uk, size(uk))")))
+      .withColumn(
+        "n_both",
+        size(array_intersect(array_intersect(col("uk"), col("hs1")), col("hs2")))
+          .cast("long"))
+      .withColumn("est_inter", expr("(n_both * est_union) div nu"))
+    // exact yardsticks from the distinct (flag, orderkey) frame
+    val fo = Tables
+      .lineitem(s, d)
+      .select(col("l_returnflag").as("f"), col("l_orderkey").as("o"))
+      .distinct()
+    val dPer = fo.groupBy(col("f")).agg(count(lit(1)).as("dx"))
+    val inter = fo
+      .select(col("f").as("xf"), col("o"))
+      .join(fo.select(col("f").as("yf"), col("o")), Seq("o"))
+      .filter(col("xf") < col("yf"))
+      .groupBy(col("xf"), col("yf"))
+      .agg(count(lit(1)).as("di"))
+    pairs
+      .join(broadcast(dPer.select(col("f").as("f1"), col("dx").as("da"))), Seq("f1"))
+      .join(broadcast(dPer.select(col("f").as("f2"), col("dx").as("db"))), Seq("f2"))
+      .join(
+        broadcast(inter),
+        col("f1") === col("xf") && col("f2") === col("yf"),
+        "left")
+      .select(
+        col("f1"),
+        col("f2"),
+        col("est_union"),
+        col("est_inter"),
+        (col("da") + col("db") - coalesce(col("di"), lit(0L))).as("d_union"),
+        coalesce(col("di"), lit(0L)).as("d_inter"))
+      .orderBy(col("f1"), col("f2"))
+  }
+
+  val kmvSetopsSql: String =
+    s"""WITH hd AS (
+       |  SELECT DISTINCT l_returnflag AS f,
+       |    ${sqlH32(kmvSeed, "l_orderkey::VARCHAR")} AS h FROM lineitem),
+       |r AS (SELECT f, h,
+       |        row_number() OVER (PARTITION BY f ORDER BY h ASC) AS rn
+       |      FROM hd),
+       |sk AS (SELECT f, list(h ORDER BY h) AS hs FROM r WHERE rn <= $kmvK
+       |       GROUP BY f),
+       |p AS (
+       |  SELECT a.f AS f1, b.f AS f2, a.hs AS hs1, b.hs AS hs2,
+       |    (list_sort(list_distinct(list_concat(a.hs, b.hs))))[1:$kmvK]
+       |      AS uk
+       |  FROM sk a JOIN sk b ON a.f < b.f),
+       |e AS (
+       |  SELECT f1, f2, CAST(len(uk) AS BIGINT) AS nu,
+       |    CASE WHEN len(uk) < $kmvK THEN CAST(len(uk) AS BIGINT)
+       |         ELSE ${(kmvK - 1) * kmvSpace} // uk[len(uk)] END
+       |      AS est_union,
+       |    CAST(len(list_intersect(list_intersect(uk, hs1), hs2)) AS BIGINT)
+       |      AS n_both
+       |  FROM p),
+       |fo AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS o
+       |       FROM lineitem),
+       |dper AS (SELECT f, count(*) AS dx FROM fo GROUP BY f),
+       |i AS (SELECT x.f AS f1, y.f AS f2, count(*) AS di
+       |      FROM fo x JOIN fo y ON x.o = y.o AND x.f < y.f GROUP BY 1, 2)
+       |SELECT e.f1, e.f2,
+       |CAST(e.est_union AS BIGINT) AS est_union,
+       |CAST((e.n_both * e.est_union) // e.nu AS BIGINT) AS est_inter,
+       |CAST(da.dx + db.dx - coalesce(i.di, 0) AS BIGINT) AS d_union,
+       |CAST(coalesce(i.di, 0) AS BIGINT) AS d_inter
+       |FROM e JOIN dper da ON da.f = e.f1 JOIN dper db ON db.f = e.f2
+       |LEFT JOIN i ON i.f1 = e.f1 AND i.f2 = e.f2
+       |ORDER BY e.f1, e.f2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_kmv_setops" -> kmvSetops,
     "q_approx_distinct" -> kmvDistinct,
     "q_approx_quantiles" -> approxQuantiles,
     "q_cms_estimate" -> cmsEstimate,
@@ -367,6 +478,7 @@ object Sketches {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kmv_setops" -> kmvSetopsSql,
     "q_approx_distinct" -> kmvDistinctSql,
     "q_approx_quantiles" -> approxQuantilesSql,
     "q_cms_estimate" -> cmsEstimateSql,
