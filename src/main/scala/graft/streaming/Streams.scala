@@ -1138,7 +1138,77 @@ object Streams {
        |SELECT hour_idx, q, ${graft.ops.Sketches.sqlLhLower("b")} AS est_cents, n
        |FROM p ORDER BY hour_idx, q""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_distinct — DISTINCT COUNT OVER A STREAM via the KMV
+  // sketch: per-hour distinct users estimated from KMinDistinct state.
+  // Exact streaming distinct is famously unsupported in append mode
+  // (count(DISTINCT) needs the window's full key set in state); the
+  // mergeable bounded sketch is THE standard answer — each micro-batch
+  // folds its partition partials into the window's O(k) buffer. The
+  // emitted estimate and k-th hash are deterministic, so the gate
+  // hash-compares them against the DuckDB twin computing the same
+  // k-smallest-distinct declaratively over the emittable windows
+  // (q_stream_append's watermark contract).
+  // ---------------------------------------------------------------------
+  val streamDistinctGated: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.functions.Hashing.h32
+    import graft.plans.KMinDistinct
+    val k = 64
+    val name = s"graft_stream_distinct_${gateN.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withColumn("h", h32(11, col("user_id").cast("string")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), KMinDistinct.kmin(col("h"), k).as("hs"))
+        .select(col("window.start").as("win_start"), col("n"), col("hs"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("n"),
+        element_at(col("hs"), size(col("hs"))).as("kmv_kth"),
+        when(size(col("hs")) < k, size(col("hs")).cast("long"))
+          .otherwise(
+            expr(s"${(k - 1) * 4294967296L}L div element_at(hs, size(hs))"))
+          .as("est_users"))
+      .orderBy(col("hour_idx"))
+  }
+
+  val streamDistinctGatedSql: String = {
+    import graft.functions.Hashing.sqlH32
+    val k = 64
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events),
+       |e AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hour_idx,
+       |    ${sqlH32(11, "user_id::VARCHAR")} AS h
+       |  FROM events, mx
+       |  WHERE (epoch_us(ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000),
+       |n AS (SELECT hour_idx, count(*) AS n FROM e GROUP BY 1),
+       |hd AS (SELECT DISTINCT hour_idx, h FROM e),
+       |r AS (SELECT hour_idx, h,
+       |        row_number() OVER (PARTITION BY hour_idx ORDER BY h ASC)
+       |          AS rn,
+       |        count(*) OVER (PARTITION BY hour_idx) AS nh
+       |      FROM hd),
+       |kth AS (SELECT hour_idx, h AS kmv_kth, nh FROM r
+       |        WHERE rn = least($k, nh))
+       |SELECT n.hour_idx, n.n, kth.kmv_kth,
+       |CASE WHEN kth.nh < $k THEN kth.nh
+       |     ELSE ${(k - 1) * 4294967296L} // kth.kmv_kth END AS est_users
+       |FROM n JOIN kth ON n.hour_idx = kth.hour_idx
+       |ORDER BY n.hour_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_distinct" -> streamDistinctGated,
     "q_stream_upsert" -> streamUpsertGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -1152,6 +1222,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_distinct" -> streamDistinctGatedSql,
     "q_stream_upsert" -> streamUpsertGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
