@@ -888,6 +888,10 @@ object TextPipeline {
   private val packBlock = 1000L
 
   val seqPacking: Q = (s, d) => {
+    // the (doc_id, n_toks) projection feeds BOTH prefix-sum phases and
+    // Catalyst plans each reference as a copy — materialize it once so
+    // tokenization runs once (the "production pipeline persists this
+    // O(docs)-longs projection" note, now done rather than promised)
     val base = Tables
       .documents(s, d)
       .select(
@@ -895,6 +899,7 @@ object TextPipeline {
         col("lang"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
       .withColumn("blk", expr(s"doc_id div $packBlock"))
+      .localCheckpoint()
     val wIn = Window
       .partitionBy(col("blk"))
       .orderBy(col("doc_id"))
