@@ -62,6 +62,32 @@ object MergeSink {
   def currentState(spark: SparkSession, dir: String): Option[DataFrame] =
     lastCommit(spark, dir).map(c => spark.read.parquet(s"$dir/v=${c.version}"))
 
+  /** All committed versions, ascending — the table's retained history
+    * (GC keeps the current and previous snapshot).
+    */
+  def commits(spark: SparkSession, dir: String): Seq[Commit] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case MarkerRe(v, e) => Commit(v.toLong, e.toLong) }
+        .toSeq
+        .sortBy(_.version)
+  }
+
+  /** TIME TRAVEL: the table as of a committed version — the storage
+    * dual of the reference's versioned `find-version` read
+    * (/root/reference/src/opusdb/atomic/stm.clj:55-65): immutable
+    * snapshots stay readable as long as their marker survives GC.
+    * None if that version is uncommitted or collected.
+    */
+  def stateAt(spark: SparkSession, dir: String, version: Long): Option[DataFrame] =
+    commits(spark, dir)
+      .find(_.version == version)
+      .map(c => spark.read.parquet(s"$dir/v=${c.version}"))
+
   /** Collapse to one row per key: the row with the highest seq. */
   private def latestWins(df: DataFrame, key: String, seq: String): DataFrame = {
     val rest = df.columns.filter(_ != key)

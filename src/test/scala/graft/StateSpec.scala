@@ -121,12 +121,35 @@ class StateSpec extends SparkSpec {
       finally q.stop() // the mid-stream kill: next run resumes from ckpt
     }
 
+    def latestWinsOf(es: Seq[EventRow]): Set[(Long, Long, Double)] =
+      es.groupBy(_.user_id)
+        .map { case (u, g) =>
+          val last = g.maxBy(_.event_id)
+          (u, last.event_id, last.value)
+        }
+        .toSet
+
     run(h1)
+    val v1 = graft.streaming.MergeSink.lastCommit(spark, table).get.version
     val afterH1 = graft.streaming.MergeSink
       .currentState(spark, table)
       .get
       .count()
     run(h2) // restart against the SAME checkpoint + table
+
+    // TIME TRAVEL: the pre-restart snapshot must still read exactly as
+    // the h1 latest-wins state (immutable versions + retained history)
+    val travel = graft.streaming.MergeSink
+      .stateAt(spark, table, v1)
+      .get
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[Long]("event_id"),
+          r.getAs[Double]("value")))
+      .toSet
+    assert(travel == latestWinsOf(h1), "time-travel read diverged from the h1 state")
 
     // batch twin: latest-wins merge over the full event stream
     val want = rows
