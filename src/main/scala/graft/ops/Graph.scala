@@ -534,7 +534,110 @@ object Graph {
        |GROUP BY e.label ORDER BY e.label""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_label_prop — COMMUNITY DETECTION via deterministic synchronous
+  // label propagation over the co-purchase graph (parts sharing ≥ 2
+  // orders). Classic LPA is nondeterministic (random tie-breaks,
+  // async order); this is the gateable variant: SYNCHRONOUS rounds, a
+  // FIXED round budget (4), and total tie order (neighbor-label count
+  // desc, then smallest label) — both engines run the identical
+  // recurrence, so the final community assignment hash-compares
+  // exactly. Unlike connected components (one community per connected
+  // blob), LPA splits dense regions along their internal structure —
+  // the catalog-clustering / fraud-ring shape CC cannot express.
+  //
+  // Scale: edge build is the q_copurchase basket collapse (one
+  // lineitem shuffle + partition-local pair explosion, pairs kept only
+  // with support ≥ 2); each round is ONE shuffle join (edges × labels
+  // on src) + one (dst, label) count aggregate + a per-dst top-1
+  // window — the hash-min CC round shape with argmax instead of min.
+  // Labels localCheckpoint per round (bounded lineage, the dup-cluster
+  // discipline); round count is fixed, so no driver convergence probe
+  // is even needed.
+  // ---------------------------------------------------------------------
+  private val lpaRounds = 4
+  private val lpaMinSupport = 2
+
+  val labelProp: Q = (s, d) => {
+    val li = Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairCol = transform(
+      col("ps"),
+      (x, i) =>
+        transform(
+          slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2"))))
+    val pe = baskets
+      .select(explode(flatten(pairCol)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= lpaMinSupport)
+    val ed = pe
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pe.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint() // read once per round — stop re-deriving pairs
+    var labels = ed
+      .select(col("src").as("v"))
+      .distinct()
+      .withColumn("l", col("v"))
+      .localCheckpoint(true)
+    val wTop = Window
+      .partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("nl").asc)
+    for (_ <- 1 to lpaRounds) {
+      val newl = ed
+        .join(labels.select(col("v").as("src"), col("l").as("nl")), Seq("src"))
+        .groupBy(col("dst"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("nl"))
+      labels = labels
+        .join(newl, Seq("v"), "left")
+        .select(col("v"), coalesce(col("nl"), col("l")).as("l"))
+        .localCheckpoint(true)
+    }
+    labels
+      .groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("n_parts").desc, col("community").asc)
+      .limit(20)
+  }
+
+  val labelPropSql: String = {
+    val roundTpl = (r: Int, p: Int) =>
+      s"""l$r AS (
+         |  SELECT n.v, coalesce(w.nl, n.l) AS l FROM l$p n
+         |  LEFT JOIN (
+         |    SELECT dst, nl FROM (
+         |      SELECT e.dst, x.l AS nl,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY count(*) DESC, x.l ASC) AS rn
+         |      FROM ed e JOIN l$p x ON e.src = x.v
+         |      GROUP BY e.dst, x.l) t WHERE rn = 1) w ON n.v = w.dst)"""
+        .stripMargin
+    val rounds =
+      (1 to lpaRounds).map(r => roundTpl(r, r - 1)).mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= $lpaMinSupport),
+       |ed AS (SELECT p1 AS src, p2 AS dst FROM pe
+       |       UNION ALL SELECT p2, p1 FROM pe),
+       |l0 AS (SELECT DISTINCT src AS v, src AS l FROM ed),
+       |$rounds
+       |SELECT l AS community, count(*) AS n_parts FROM l$lpaRounds
+       |GROUP BY l ORDER BY n_parts DESC, community LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_label_prop" -> labelProp,
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_star" -> dupClustersStar,
     "q_pagerank" -> pageRank,
@@ -542,6 +645,7 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_label_prop" -> labelPropSql,
     "q_dup_clusters" -> dupClustersSql,
     // star CC must produce the hash-identical clustering
     "q_dup_clusters_star" -> dupClustersSql,
