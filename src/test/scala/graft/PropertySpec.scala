@@ -218,9 +218,13 @@ class PropertySpec extends SparkSpec {
     // additions plus the queries whose shapes are most at risk (exact
     // decimal sums, struct-argmax, quantized k-means, hash splits) by
     // comparing collected results under adversarial input partitioning.
+    // round-7 additions most at risk: iterative LPA (per-round argmax
+    // ties), PQ (two argmin passes + ADC ranking), KMV set algebra
+    // (array merge order), the quantile sketch
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
-      "q_ngram_udtf", "q_transfer_fold")
+      "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
+      "q_kmv_setops", "q_approx_quantiles")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
