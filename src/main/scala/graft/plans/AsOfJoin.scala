@@ -329,6 +329,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPruning)
+    // SQL names for the custom expressions (zorder2, kmin_distinct,
+    // log_histogram, minhash_union, …) — see GraftFunctions
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
 
