@@ -1207,7 +1207,85 @@ object Streams {
        |ORDER BY n.hour_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_stream_scd2 — SCD2 CONTINUOUSLY MAINTAINED: the dimension-update
+  // stream (signup/purchase events) appended to a parquet version log
+  // through the exactly-once file sink (its _spark_metadata commit log
+  // is what makes replays invisible — StateSpec's recovery contract),
+  // then read back and turned into effective-dated rows exactly like
+  // the batch build in q_scd2_enrich (dedupe (user, ts) by max
+  // event_id, valid_to via lead). The gate pins per-decile version
+  // counts, open-version counts, total validity duration, and cents —
+  // proving the streamed version LOG reconstructs the identical SCD2
+  // table the batch twin computes from the raw events. The append-only
+  // log + derived-view split is the production CDC→dimension shape: at
+  // 100 TB the log partitions by arrival date and the view is a
+  // nightly compaction or a reader-side window.
+  // ---------------------------------------------------------------------
+  val streamScd2Gated: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_log")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_scd2_ckpt")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("attr_cents"))
+        .writeStream
+        .format("parquet")
+        .option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"))
+    s.read
+      .parquet(dir)
+      .groupBy(col("user_id"), col("valid_from_us"))
+      .agg(max_by(col("attr_cents"), col("event_id")).as("attr_cents"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("valid_to_us").isNull, 1L).otherwise(0L))
+          .as("n_current"),
+        sum(col("valid_to_us") - col("valid_from_us")).as("dur_us_total"),
+        sum(col("attr_cents")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val streamScd2GatedSql: String =
+    """WITH up AS (
+      |  SELECT user_id, epoch_us(ts) AS vf,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY 1, 2),
+      |scd AS (
+      |  SELECT user_id, vf, cents,
+      |    lead(vf, 1) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+      |  FROM up)
+      |SELECT user_id % 10 AS bucket,
+      |count(*) AS n_versions,
+      |count(DISTINCT user_id) AS n_users,
+      |CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_current,
+      |CAST(SUM(vt - vf) AS BIGINT) AS dur_us_total,
+      |CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM scd GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_scd2" -> streamScd2Gated,
     "q_stream_distinct" -> streamDistinctGated,
     "q_stream_upsert" -> streamUpsertGated,
     "q_stream_quantiles" -> streamQuantilesGated,
@@ -1222,6 +1300,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_scd2" -> streamScd2GatedSql,
     "q_stream_distinct" -> streamDistinctGatedSql,
     "q_stream_upsert" -> streamUpsertGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
