@@ -133,6 +133,38 @@ object Layout {
        |GROUP BY event_type, hour_idx
        |ORDER BY event_type, hour_idx""".stripMargin
 
+  /** Small-file COMPACTION — the OPTIMIZE maintenance job every
+    * streaming ingest needs: micro-batch sinks and per-executor writes
+    * fragment a table into thousands of KB-scale files, and at 100 TB
+    * the scan cost becomes file-listing + footer reads, not data. One
+    * pass: size the target file count from the actual input bytes,
+    * round-robin repartition (uniform output sizes), rewrite. Returns
+    * (input files, output files). Content equality and the file-count
+    * drop are pinned in SourcesSpec; on a partitioned table run it
+    * per-partition directory so pruning layout survives.
+    */
+  def compact(
+      s: SparkSession,
+      dir: String,
+      out: String,
+      targetBytes: Long): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataFiles = fs
+      .listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut =
+      math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong)
+    s.read
+      .parquet(dir)
+      .repartition(nOut.toInt)
+      .write
+      .mode("overwrite")
+      .parquet(out)
+    (dataFiles.length.toLong, nOut)
+  }
+
   // ---------------------------------------------------------------------
   // q_dpp_join — DYNAMIC partition pruning under the oracle gate: the
   // partitioned events fact joined to a filtered event-type dimension

@@ -128,6 +128,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compaction shrinks a fragmented table without changing its content") {
+    // the streaming-ingest hangover: a micro-batch sink leaves dozens of
+    // KB files; compact() must cut the file count to the byte-sized
+    // target and keep every row bit-identical
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    val (nIn, nOut) =
+      ops.Layout.compact(spark, frag, out, targetBytes = 4L * 1024 * 1024)
+    assert(nIn == 32, s"fragmented write produced $nIn files")
+    assert(nOut < nIn / 4, s"compaction left $nOut files from $nIn")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(out)
+    assert(b.count() == a.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction changed table content")
+  }
+
   test("TopKAgg == window-based top-k on brute-force similarity pairs") {
     val s = spark
     import s.implicits._
