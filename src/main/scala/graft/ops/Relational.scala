@@ -879,9 +879,122 @@ object Relational {
       |ORDER BY check_name""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_profile — ONE-PASS COLUMN PROFILING (the ANALYZE/stats-collection
+  // step of any ingest, and the input to join reordering and file
+  // skipping): per column, row count, null count, exact distinct
+  // count, and min/max — numerics (and timestamps, as epoch micros) in
+  // numeric lanes, strings in binary-collation string lanes. ALL
+  // columns ride ONE aggregate over ONE scan (the countDistincts share
+  // the Expand), then the single stats row unpivots to long format —
+  // the q_data_checks discipline applied to profiling. At 100 TB this
+  // is the nightly stats job; exact ndv becomes the KMV sketch
+  // (q_approx_distinct) at no change to the shape.
+  // ---------------------------------------------------------------------
+  val profile: Q = (s, d) => {
+    val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        (numCols.map(col) ++ strCols.map(col)) :+
+          // NTZ timestamp → epoch-days (timezone-free on both engines)
+          datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long")
+            .as("l_shipdate_day"): _*)
+    val allNum = numCols :+ "l_shipdate_day"
+    val statsRow = li.agg(
+      count(lit(1)).as("n_rows"),
+      (allNum.flatMap(c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))) ++
+        strCols.flatMap(c =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c")))): _*)
+    def numStruct(c: String) =
+      struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_num"),
+        col(s"mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    def strStruct(c: String) =
+      struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"mn_$c").as("min_str"),
+        col(s"mx_$c").as("max_str"))
+    statsRow
+      .select(
+        col("n_rows"),
+        explode(array(allNum.map(numStruct) ++ strCols.map(strStruct): _*))
+          .as("p"))
+      .select(
+        col("p.col_name").as("col_name"),
+        col("n_rows"),
+        col("p.n_null").as("n_null"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_num").as("min_num"),
+        col("p.max_num").as("max_num"),
+        col("p.min_str").as("min_str"),
+        col("p.max_str").as("max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileSql: String = {
+    val numCols =
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate_day")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val branches =
+      numCols.map(c =>
+        s"""SELECT '$c' AS col_name, n_rows,
+           |  n_rows - nn_$c AS n_null, nd_$c AS n_distinct,
+           |  mn_$c AS min_num, mx_$c AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str FROM m""".stripMargin) ++
+        strCols.map(c =>
+          s"""SELECT '$c', n_rows, n_rows - nn_$c, nd_$c,
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  mn_$c, mx_$c FROM m""".stripMargin)
+    val aggs =
+      numCols.flatMap(c =>
+        Seq(
+          s"count($c) AS nn_$c",
+          s"count(DISTINCT $c) AS nd_$c",
+          s"CAST(min($c) AS DOUBLE) AS mn_$c",
+          s"CAST(max($c) AS DOUBLE) AS mx_$c")) ++
+        strCols.flatMap(c =>
+          Seq(
+            s"count($c) AS nn_$c",
+            s"count(DISTINCT $c) AS nd_$c",
+            s"min($c) AS mn_$c",
+            s"max($c) AS mx_$c"))
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_quantity, l_extendedprice,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |      AS BIGINT) AS l_shipdate_day,
+       |    l_returnflag, l_linestatus
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n_rows, ${aggs.mkString(",\n  ")} FROM li)
+       |SELECT * FROM (${branches.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_profile" -> profile,
     "q_data_checks" -> dataChecks,
     "q_sql_portable" -> sqlPortable,
     "q_ship_priority" -> shipPriority,
@@ -925,6 +1038,7 @@ object Relational {
     "q_setops" -> setOpsSql,
     "q_rollup" -> rollupBalancesSql,
     "q_cube" -> cubeReturnsSql,
+    "q_profile" -> profileSql,
     "q_data_checks" -> dataChecksSql,
     "q_distinct_counts" -> distinctCountsSql,
     "q_window_running" -> windowRunningSql,
