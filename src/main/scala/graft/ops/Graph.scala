@@ -558,7 +558,12 @@ object Graph {
   private val lpaRounds = 4
   private val lpaMinSupport = 2
 
-  val labelProp: Q = (s, d) => {
+  /** Undirected co-purchase edges (support ≥ [[lpaMinSupport]]), both
+    * directions, checkpointed — the shared graph of the LPA and BFS
+    * gates. Basket collapse: one lineitem shuffle + partition-local
+    * pair explosion bounded by basket-choose-2.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables
       .lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -577,10 +582,13 @@ object Graph {
       .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= lpaMinSupport)
-    val ed = pe
-      .select(col("p1").as("src"), col("p2").as("dst"))
+    pe.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(pe.select(col("p2").as("src"), col("p1").as("dst")))
       .localCheckpoint() // read once per round — stop re-deriving pairs
+  }
+
+  val labelProp: Q = (s, d) => {
+    val ed = copurchaseEdges(s, d)
     var labels = ed
       .select(col("src").as("v"))
       .distinct()
@@ -636,7 +644,72 @@ object Graph {
        |GROUP BY l ORDER BY n_parts DESC, community LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_bfs_dist — MULTI-SOURCE BFS DISTANCES over the co-purchase graph:
+  // hop distance from the seed set (parts with id ≤ 100) to every
+  // reachable part within 6 rounds, emitted as a distance histogram.
+  // The distance dual of hash-min CC: each round relaxes
+  // dist(v) = min(dist(v), min over in-neighbors dist(u) + 1) — one
+  // shuffle join + one min-aggregate per round, frontier-monotone
+  // (distances only decrease), and a FIXED round budget makes the
+  // result deterministic on both engines without a convergence probe.
+  // The reachable-set histogram is the "blast radius" query every
+  // recall/contamination analysis runs (how much of the catalog is
+  // within k hops of a flagged item?).
+  // ---------------------------------------------------------------------
+  private val bfsRounds = 6
+  private val bfsSeedMax = 100L
+
+  val bfsDist: Q = (s, d) => {
+    val ed = copurchaseEdges(s, d)
+    var dist = ed
+      .select(col("src").as("v"))
+      .distinct()
+      .filter(col("v") <= bfsSeedMax)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to bfsRounds) {
+      dist = dist
+        .unionAll(
+          ed.join(dist.select(col("v").as("src"), col("dist")), Seq("src"))
+            .select(col("dst").as("v"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("v"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("dist"))
+  }
+
+  val bfsDistSql: String = {
+    val roundTpl = (r: Int, p: Int) =>
+      s"""d$r AS (
+         |  SELECT v, min(dist) AS dist FROM (
+         |    SELECT v, dist FROM d$p
+         |    UNION ALL
+         |    SELECT e.dst AS v, x.dist + 1 AS dist
+         |    FROM ed e JOIN d$p x ON e.src = x.v) t
+         |  GROUP BY v)""".stripMargin
+    val rounds =
+      (1 to bfsRounds).map(r => roundTpl(r, r - 1)).mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= $lpaMinSupport),
+       |ed AS (SELECT p1 AS src, p2 AS dst FROM pe
+       |       UNION ALL SELECT p2, p1 FROM pe),
+       |d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+       |       FROM ed WHERE src <= $bfsSeedMax),
+       |$rounds
+       |SELECT dist, count(*) AS n_parts FROM d$bfsRounds
+       |GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bfs_dist" -> bfsDist,
     "q_label_prop" -> labelProp,
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_star" -> dupClustersStar,
@@ -645,6 +718,7 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bfs_dist" -> bfsDistSql,
     "q_label_prop" -> labelPropSql,
     "q_dup_clusters" -> dupClustersSql,
     // star CC must produce the hash-identical clustering
