@@ -708,7 +708,97 @@ object Graph {
        |GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_pagerank_pers — PERSONALIZED PageRank: teleport mass restricted
+  // to a seed set (parts with id ≤ 50) instead of uniform — "importance
+  // FROM these items' point of view", the related-items / trust-rank
+  // primitive recommenders run. Same quantized-integer arithmetic,
+  // damping 17/20, and dst-partitioned checkpointed edges as
+  // q_pagerank; the deltas: rank starts concentrated on the seeds, the
+  // per-round base term lands ONLY on seeds, and nodes drop to exact 0
+  // (absent) when unreached — the rank frame stays frontier-sized
+  // until the graph is covered. Contributions and the seed base ride
+  // ONE union + ONE sum aggregate per round.
+  // ---------------------------------------------------------------------
+  private val pprSeedMax = 50L
+
+  val pageRankPersonalized: Q = (s, d) => {
+    val pairs = Tables
+      .lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    val fwd = pairs.select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val deg = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint()
+    val seeds = deg
+      .filter(col("node") % 2 === 0 && col("node") <= 2 * pprSeedMax)
+      .select(col("node"))
+      .localCheckpoint()
+    val nSeeds = seeds.count() // driver-held model scalar
+    val sBase = (3L * prQ) / (20L * nSeeds)
+    var r = seeds.withColumn("r", lit(prQ / nSeeds))
+    for (_ <- 1 to prIters) {
+      val model = r.join(deg, Seq("node")) // frontier-sized: broadcastable
+      r = edges
+        .join(broadcast(model), col("src") === col("node"))
+        .select(col("dst").as("n2"), expr("(17 * (r div deg)) div 20").as("p"))
+        .unionAll(seeds.select(col("node").as("n2"), lit(sBase).as("p")))
+        .groupBy(col("n2"))
+        .agg(sum(col("p")).as("r"))
+        .select(col("n2").as("node"), col("r"))
+        .localCheckpoint()
+    }
+    r.select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node div 2").as("orig_id"),
+        col("r").as("rank_q"))
+      .orderBy(col("rank_q").desc, col("kind").asc, col("orig_id").asc)
+      .limit(10)
+  }
+
+  val pageRankPersonalizedSql: String = {
+    def rIter(prev: String, i: Int): String =
+      s"""r$i AS (
+         |  SELECT n2 AS node, CAST(SUM(p) AS BIGINT) AS r FROM (
+         |    SELECT e.dst AS n2, (17 * (r.r // d.deg)) // 20 AS p
+         |    FROM edges e JOIN $prev r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |    UNION ALL
+         |    SELECT node AS n2, (3 * $prQ) // (20 * ns.n) AS p
+         |    FROM seeds, ns) t
+         |  GROUP BY n2)""".stripMargin
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |edges AS (
+       |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |seeds AS (SELECT src AS node FROM deg
+       |          WHERE src % 2 = 0 AND src <= ${2 * pprSeedMax}),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |r0 AS (SELECT node, $prQ // ns.n AS r FROM seeds, ns),
+       |${rIter("r0", 1)},
+       |${rIter("r1", 2)},
+       |${rIter("r2", 3)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       |  node // 2 AS orig_id, r AS rank_q
+       |FROM r3
+       |ORDER BY rank_q DESC, kind ASC, orig_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pagerank_pers" -> pageRankPersonalized,
     "q_bfs_dist" -> bfsDist,
     "q_label_prop" -> labelProp,
     "q_dup_clusters" -> dupClusters,
@@ -718,6 +808,7 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pagerank_pers" -> pageRankPersonalizedSql,
     "q_bfs_dist" -> bfsDistSql,
     "q_label_prop" -> labelPropSql,
     "q_dup_clusters" -> dupClustersSql,
