@@ -224,7 +224,7 @@ class PropertySpec extends SparkSpec {
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
       "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
-      "q_kmv_setops", "q_approx_quantiles")
+      "q_kmv_setops", "q_approx_quantiles", "q_bfs_dist", "q_pagerank_pers")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
