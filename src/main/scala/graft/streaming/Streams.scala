@@ -1284,7 +1284,66 @@ object Streams {
       |CAST(SUM(cents) AS BIGINT) AS cents_total
       |FROM scd GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_sliding — SLIDING windows (1 h every 15 min) under the
+  // oracle gate, APPEND mode: each event lands in 4 overlapping
+  // windows; a window row is emitted iff its end ≤ watermark (the
+  // q_stream_append contract). The DuckDB twin enumerates each event's
+  // 4 member windows arithmetically (start index ∈ [t₁₅ − 3, t₁₅] on
+  // the 15-minute grid) — no window-function analogue needed, just the
+  // grid math Spark's window() performs internally.
+  // ---------------------------------------------------------------------
+  private val SlideUs = 900L * 1000000L // 15 min
+
+  val streamSlidingGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_sliding_${gateN.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("value_total"))
+        .select(
+          col("window.start").as("win_start"),
+          col("event_type"),
+          col("n"),
+          col("value_total"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $SlideUs").as("slot_idx"),
+        col("event_type"),
+        col("n"),
+        col("value_total"))
+      .orderBy(col("slot_idx"), col("event_type"))
+  }
+
+  val streamSlidingGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events),
+       |w AS (
+       |  SELECT (epoch_us(ts) // $SlideUs) - t.k AS slot_idx,
+       |    event_type, value
+       |  FROM events, range(0, 4) AS t(k)),
+       |em AS (
+       |  SELECT w.slot_idx, w.event_type, w.value FROM w, mx
+       |  WHERE w.slot_idx >= 0
+       |    AND (w.slot_idx * $SlideUs + ${4 * 900L * 1000L * 1000L}) // 1000
+       |        <= mx.wm_ms - 3600000)
+       |SELECT slot_idx, event_type, count(*) AS n,
+       |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+       |FROM em GROUP BY 1, 2 ORDER BY slot_idx, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sliding" -> streamSlidingGated,
     "q_stream_scd2" -> streamScd2Gated,
     "q_stream_distinct" -> streamDistinctGated,
     "q_stream_upsert" -> streamUpsertGated,
@@ -1300,6 +1359,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_sliding" -> streamSlidingGatedSql,
     "q_stream_scd2" -> streamScd2GatedSql,
     "q_stream_distinct" -> streamDistinctGatedSql,
     "q_stream_upsert" -> streamUpsertGatedSql,
