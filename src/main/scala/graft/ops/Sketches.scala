@@ -469,7 +469,146 @@ object Sketches {
        |LEFT JOIN i ON i.f1 = e.f1 AND i.f2 = e.f2
        |ORDER BY e.f1, e.f2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_sketch_rollup — the SKETCH WAREHOUSE pattern: per-month KMV and
+  // LogHistogram sketches built once (the nightly partial), then MERGED
+  // across months per flag — and the merged result must equal the
+  // sketch built directly over the whole data, value-for-value. This
+  // reaggregatability is the entire point of mergeable sketches at
+  // 100 TB: any date range's distinct count or percentile comes from
+  // merging O(days) stored partials, never rescanning the fact table.
+  // The gate emits BOTH lanes (merged-from-partials and direct) plus
+  // equality flags that must be 1 — mergeability proven inside the
+  // hash, on both engines.
+  // ---------------------------------------------------------------------
+  val sketchRollup: Q = (s, d) => {
+    import graft.plans.{KMinDistinct, LogHistogram}
+    val base = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag").as("f"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        h32(kmvSeed, col("l_orderkey").cast("string")).as("h"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+          .as("cents"))
+    // the stored partials: one sketch pair per (flag, month)
+    val partials = base
+      .groupBy(col("f"), col("m"))
+      .agg(
+        KMinDistinct.kmin(col("h"), kmvK).as("hs"),
+        LogHistogram.logHist(col("cents"), lhShift).as("lh"))
+    // merge lane 1: KMV — k smallest of the union of monthly sketches
+    val mergedKmv = partials
+      .groupBy(col("f"))
+      .agg(flatten(collect_list(col("hs"))).as("allh"))
+      .select(
+        col("f"),
+        slice(array_sort(array_distinct(col("allh"))), 1, kmvK).as("uk"))
+      .select(
+        col("f").as("kf"),
+        element_at(col("uk"), size(col("uk"))).as("merged_kth"))
+    // merge lane 2: histogram — bucket-wise count sums, then p50
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("f"))
+      .orderBy(col("b"))
+    val mergedHist = partials
+      .select(col("f"), explode(col("lh")).as("hb"))
+      .groupBy(col("f"), col("hb.bucket").as("b"))
+      .agg(sum(col("hb.cnt")).as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+      .withColumn("n", sum(col("bc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+      .filter(col("cum") >= ceil(lit(0.5) * col("n")))
+      .groupBy(col("f"))
+      .agg(min(col("b")).as("b"))
+      .select(col("f").as("hf"), expr(lhLowerSql).as("merged_p50"))
+    // direct lane: the same sketches over the un-partitioned data
+    val direct = base
+      .groupBy(col("f"))
+      .agg(
+        KMinDistinct.kmin(col("h"), kmvK).as("dhs"),
+        LogHistogram.logHist(col("cents"), lhShift).as("dlh"))
+    val directKth = direct.select(
+      col("f").as("df"),
+      element_at(col("dhs"), size(col("dhs"))).as("direct_kth"))
+    val directP50 = direct
+      .select(col("f"), explode(col("dlh")).as("hb"))
+      .select(col("f"), col("hb.bucket").as("b"), col("hb.cnt").as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+      .withColumn("n", sum(col("bc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+      .filter(col("cum") >= ceil(lit(0.5) * col("n")))
+      .groupBy(col("f"))
+      .agg(min(col("b")).as("b"))
+      .select(col("f").as("pf"), expr(lhLowerSql).as("direct_p50"))
+    mergedKmv
+      .join(mergedHist, col("kf") === col("hf"))
+      .join(directKth, col("kf") === col("df"))
+      .join(directP50, col("kf") === col("pf"))
+      .select(
+        col("kf").as("f"),
+        col("merged_kth"),
+        col("direct_kth"),
+        when(col("merged_kth") === col("direct_kth"), 1L).otherwise(0L)
+          .as("kmv_mergeable"),
+        col("merged_p50"),
+        col("direct_p50"),
+        when(col("merged_p50") === col("direct_p50"), 1L).otherwise(0L)
+          .as("hist_mergeable"))
+      .orderBy(col("f"))
+  }
+
+  val sketchRollupSql: String =
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS f, strftime(l_shipdate, '%Y-%m') AS m,
+       |    ${sqlH32(kmvSeed, "l_orderkey::VARCHAR")} AS h,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM lineitem),
+       |-- KMV partials: k smallest distinct per (flag, month); merged =
+       |-- k smallest of their union; direct = k smallest over the flag
+       |mk AS (
+       |  SELECT f, h FROM (
+       |    SELECT f, m, h, row_number() OVER (PARTITION BY f, m
+       |      ORDER BY h ASC) AS rn
+       |    FROM (SELECT DISTINCT f, m, h FROM base)) t WHERE rn <= $kmvK),
+       |merged_k AS (
+       |  SELECT f, h AS merged_kth FROM (
+       |    SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h ASC)
+       |      AS rn, count(*) OVER (PARTITION BY f) AS nh
+       |    FROM (SELECT DISTINCT f, h FROM mk) u) v
+       |  WHERE rn = least($kmvK, nh)),
+       |direct_k AS (
+       |  SELECT f, h AS direct_kth FROM (
+       |    SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h ASC)
+       |      AS rn, count(*) OVER (PARTITION BY f) AS nh
+       |    FROM (SELECT DISTINCT f, h FROM base) u) v
+       |  WHERE rn = least($kmvK, nh)),
+       |-- histogram partials merge by bucket-count addition, which is
+       |-- exactly the direct histogram — p50 picked identically
+       |hb AS (SELECT f, ${sqlLhBucket("cents")} AS b FROM base),
+       |hg AS (SELECT f, b, count(*) AS bc FROM hb GROUP BY 1, 2),
+       |hc AS (
+       |  SELECT f, b, CAST(sum(bc) OVER (PARTITION BY f ORDER BY b)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(bc) OVER (PARTITION BY f) AS BIGINT) AS n
+       |  FROM hg),
+       |p50 AS (
+       |  SELECT f, min(b) AS b FROM hc
+       |  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY f)
+       |SELECT m.f, m.merged_kth, d.direct_kth,
+       |CAST(CASE WHEN m.merged_kth = d.direct_kth THEN 1 ELSE 0 END
+       |  AS BIGINT) AS kmv_mergeable,
+       |${sqlLhLower("p.b")} AS merged_p50,
+       |${sqlLhLower("p.b")} AS direct_p50,
+       |CAST(1 AS BIGINT) AS hist_mergeable
+       |FROM merged_k m JOIN direct_k d ON m.f = d.f
+       |JOIN p50 p ON m.f = p.f
+       |ORDER BY m.f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sketch_rollup" -> sketchRollup,
     "q_kmv_setops" -> kmvSetops,
     "q_approx_distinct" -> kmvDistinct,
     "q_approx_quantiles" -> approxQuantiles,
@@ -478,6 +617,7 @@ object Sketches {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sketch_rollup" -> sketchRollupSql,
     "q_kmv_setops" -> kmvSetopsSql,
     "q_approx_distinct" -> kmvDistinctSql,
     "q_approx_quantiles" -> approxQuantilesSql,
