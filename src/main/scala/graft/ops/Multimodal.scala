@@ -254,6 +254,88 @@ object Multimodal {
       |      FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
-  val queries: Map[String, Q] = Map("q_binary_meta" -> binaryMeta)
-  val oracleSql: Map[String, String] = Map("q_binary_meta" -> binaryMetaSql)
+  // ---------------------------------------------------------------------
+  // q_binary_hist — payload-SIZE DISTRIBUTION per source via the
+  // LogHistogram sketch (plans/LogHistogram.scala): the capacity-
+  // planning question every multimodal ingest asks ("what are the p50 /
+  // p99 object sizes per corpus?") answered from O(buckets) state per
+  // source, never a size sort. Composes the multimodal metadata lane
+  // with the mergeable-sketch lane; the twin recomputes identical
+  // buckets declaratively (bin()-length exponents).
+  // ---------------------------------------------------------------------
+  private val bhQs = Seq(0.5, 0.99)
+  private val bhShift = 5
+  private val bhSub = 1 << bhShift
+
+  val binaryHist: Q = (s, d) => {
+    import graft.plans.LogHistogram
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("b"))
+    val fracs = s
+      .range(1)
+      .select(explode(array(bhQs.map(lit): _*)).as("q"))
+    val lower =
+      s"CASE WHEN (b div $bhSub) <= 1 THEN b " +
+        s"ELSE shiftleft(b - ((b div $bhSub) - 1) * $bhSub, " +
+        s"cast((b div $bhSub) - 1 as int)) END"
+    Tables
+      .documents(s, d)
+      .select(col("source"), octet_length(col("text")).cast("long").as("nb"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        LogHistogram.logHist(col("nb"), bhShift).as("hist"))
+      .select(col("source"), col("n"), explode(col("hist")).as("hb"))
+      .select(
+        col("source"),
+        col("n"),
+        col("hb.bucket").as("b"),
+        col("hb.cnt").as("bc"))
+      .withColumn("cum", sum(col("bc")).over(wCum))
+      .crossJoin(fracs)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("source"), col("q"))
+      .agg(min(col("b")).as("b"), max(col("n")).as("n"))
+      .withColumn("est_bytes", expr(lower))
+      .select(col("source"), col("q"), col("est_bytes"), col("n"))
+      .orderBy(col("source"), col("q"))
+  }
+
+  val binaryHistSql: String =
+    s"""WITH nb AS (
+       |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |  FROM documents),
+       |bkt AS (
+       |  SELECT source,
+       |    CASE WHEN nb <= 0 THEN 0
+       |         ELSE (greatest(length(bin(nb)) - 1 - $bhShift, 0) * $bhSub)
+       |              + (nb >> greatest(length(bin(nb)) - 1 - $bhShift, 0))
+       |    END AS b
+       |  FROM nb),
+       |g AS (SELECT source, b, count(*) AS bc FROM bkt GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, b, bc,
+       |    CAST(sum(bc) OVER (PARTITION BY source ORDER BY b) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(bc) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM g),
+       |p AS (
+       |  SELECT c.source, f.q, min(c.b) AS b, max(c.n) AS n
+       |  FROM c, (VALUES ${bhQs
+        .map(q => s"(CAST($q AS DOUBLE))")
+        .mkString(",")}) AS f(q)
+       |  WHERE c.cum >= CAST(ceil(f.q * c.n) AS BIGINT)
+       |  GROUP BY 1, 2)
+       |SELECT source, q,
+       |  CASE WHEN (b // $bhSub) <= 1 THEN b
+       |       ELSE (b - ((b // $bhSub) - 1) * $bhSub) << ((b // $bhSub) - 1)
+       |  END AS est_bytes,
+       |  n
+       |FROM p ORDER BY source, q""".stripMargin
+
+  val queries: Map[String, Q] =
+    Map("q_binary_meta" -> binaryMeta, "q_binary_hist" -> binaryHist)
+  val oracleSql: Map[String, String] =
+    Map("q_binary_meta" -> binaryMetaSql, "q_binary_hist" -> binaryHistSql)
 }
