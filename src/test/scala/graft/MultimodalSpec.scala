@@ -21,6 +21,41 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == Tables.documents(spark, sf).count())
   }
 
+  test("binaryFile source ingests raw media files with content intact") {
+    // how image/audio actually ENTERS a 100 TB pipeline: a directory of
+    // opaque files read by the built-in binaryFile source into (path,
+    // length, content) rows — the upstream of mediaTable's typed lane.
+    // Round-trip: write payloads as loose files, ingest, join back by
+    // doc_id parsed from the filename, byte-equality per row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles")
+    val sample = media.toDF().select(col("doc_id"), col("payload")).limit(20)
+    val rows = sample.collect()
+    rows.foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getAs[Array[Byte]](1))
+    }
+    val ingested = spark.read
+      .format("binaryFile")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+          .cast("long")
+          .as("doc_id"),
+        col("length"),
+        col("content"))
+    assert(ingested.count() == rows.length.toLong)
+    val joined = ingested
+      .join(sample.withColumnRenamed("payload", "expected"), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (col("length") === octet_length(col("expected")).cast("long") &&
+          col("content") === col("expected")).as("ok"))
+      .collect()
+    assert(joined.length == rows.length)
+    assert(joined.forall(_.getBoolean(1)), "byte mismatch after binaryFile ingest")
+  }
+
   test("image decode is deterministic and partition-local (no shuffle)") {
     val feats = Multimodal.decodeImage(media)
     val a = feats.collect().map(f => f.doc_id -> f).toMap
