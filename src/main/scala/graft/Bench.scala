@@ -53,6 +53,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout; the per-query line above
+    // grows with the registry and its head (incl. the total) gets truncated
+    // away. Emit a short summary line LAST so it always survives capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,59 +8,72 @@ import org.apache.spark.sql.functions._
   * parquet-backed state table that survives kill/restart with no
   * duplicated and no lost effects.
   *
-  * Layout: `dir/v=<N>/` immutable snapshot directories plus an
-  * APPEND-ONLY commit log of zero-byte-ish marker files
-  * `_commit_v<N>_e<epoch>`. A snapshot is visible iff its marker
-  * exists; readers resolve the table to the max committed N. The write
-  * protocol is the atomic-publish dual of the reference's
-  * WAL-before-data rule (/root/reference/src/opusdb/storage/
-  * buffer.clj:44-54 — there: log before page; here: data fully durable
-  * BEFORE the marker that makes it reachable). A crash between
-  * snapshot write and marker publish leaves an unreferenced `v=N+1`
-  * directory — invisible, overwritten on replay — never a torn table.
+  * Layout (copy-on-write, hash-bucketed — the lakehouse MERGE shape):
+  * {{{
+  *   dir/
+  *     data/b<k>/v<M>/part-*.parquet   bucket k as of version M
+  *     _manifest_v<N>                  bucket -> content version map
+  *     _commit_v<N>_r<runId>_e<E>      visibility marker (append-only)
+  * }}}
+  * Keys hash into a fixed number of buckets. A micro-batch rewrites ONLY
+  * the buckets its keys fall in; the new manifest points touched buckets
+  * at the new version and carries every untouched bucket's entry forward
+  * unchanged. At 100 TB this is the difference between a MERGE that
+  * rewrites gigabytes (the touched files) and one that rewrites the
+  * table: cost scales with the batch's key spread, not the table size.
   *
-  * Idempotence: each marker records the epoch that produced its
-  * snapshot. A replayed micro-batch (failure after durable marker,
-  * before the checkpoint advanced) sees `epoch <= lastCommitted.epoch`
-  * and SKIPS — the exactly-once contract foreachBatch itself does not
-  * give you. Single writer assumed (one streaming query per table),
-  * exactly the reference's one-log-manager-per-file discipline.
+  * A snapshot is visible iff its marker exists; readers resolve the
+  * table to the max committed N and read the bucket files its manifest
+  * references. The write protocol is the atomic-publish dual of the
+  * reference's WAL-before-data rule (/root/reference/src/opusdb/storage/
+  * buffer.clj:44-54 — there: log before page; here: data + manifest
+  * fully durable BEFORE the marker that makes them reachable). A crash
+  * between bucket write and marker publish leaves unreferenced
+  * `v=N+1` bucket dirs — invisible, overwritten on replay — never a
+  * torn table.
+  *
+  * Idempotence: each marker records the (runId, epoch) that produced
+  * its snapshot, where runId identifies the QUERY INCARNATION (the
+  * streaming query id, stable across restarts from one checkpoint; a
+  * NEW checkpoint mints a new id and its epochs restart at 0). A
+  * replayed micro-batch — failure after durable marker, before the
+  * checkpoint advanced — presents an already-committed (runId, epoch)
+  * pair and SKIPS. A batch whose epoch regresses WITHIN the same
+  * incarnation without a matching marker is corruption and fails
+  * loudly. A fresh incarnation's epoch 0 against a non-empty table is
+  * neither: it merges normally. Single writer assumed (one streaming
+  * query per table), exactly the reference's one-log-manager-per-file
+  * discipline.
   *
   * Merge semantics: latest-wins per key by a total-ordering sequence
   * column (CDC LSN / event_id), the streaming continuation of
   * ops.Transactional.mergeUpsert. The merge is one hash aggregate over
-  * current-state ∪ batch — one shuffle on the key, no windows. At
-  * 100 TB the snapshot rewrite becomes a lakehouse-format MERGE
-  * (copy-on-write per file, not per table), but the visibility
-  * protocol — immutable data published by a commit record — is
-  * exactly this one.
+  * touched-buckets ∪ batch — one shuffle on the key, reading only the
+  * touched slice of the table.
   */
 object MergeSink {
 
-  final case class Commit(version: Long, epoch: Long)
+  final case class Commit(version: Long, epoch: Long, runId: String)
 
-  private val MarkerRe = "_commit_v(\\d+)_e(\\d+)".r
+  /** Buckets per table. Fixed at first commit (recorded in the
+    * manifest); 16 keeps test tables multi-file while a 100 TB table
+    * would size this so each bucket holds O(100 MB–1 GB).
+    */
+  val DefaultBuckets = 16
+
+  // runId is a UUID or a short tag (hex + '-'; never '_'), so the
+  // underscore-free group cannot swallow the `_e<epoch>` suffix.
+  private val MarkerRe = "_commit_v(\\d+)_r([^_]+)_e(\\d+)".r
+  private val ManifestRe = "_manifest_v(\\d+)".r
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Highest committed (version, epoch), from the append-only log. */
-  def lastCommit(spark: SparkSession, dir: String): Option[Commit] = {
-    val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) None
-    else
-      fs.listStatus(p)
-        .iterator
-        .map(_.getPath.getName)
-        .collect { case MarkerRe(v, e) => Commit(v.toLong, e.toLong) }
-        .reduceOption((a, b) => if (a.version >= b.version) a else b)
-  }
-
-  /** The committed table state (empty-schema None before first commit). */
-  def currentState(spark: SparkSession, dir: String): Option[DataFrame] =
-    lastCommit(spark, dir).map(c => spark.read.parquet(s"$dir/v=${c.version}"))
+  /** Highest committed (version, epoch, runId), from the append-only log. */
+  def lastCommit(spark: SparkSession, dir: String): Option[Commit] =
+    commits(spark, dir).lastOption
 
   /** All committed versions, ascending — the table's retained history
     * (GC keeps the current and previous snapshot).
@@ -72,21 +85,96 @@ object MergeSink {
       fs.listStatus(p)
         .iterator
         .map(_.getPath.getName)
-        .collect { case MarkerRe(v, e) => Commit(v.toLong, e.toLong) }
+        .collect { case MarkerRe(v, r, e) => Commit(v.toLong, e.toLong, r) }
         .toSeq
         .sortBy(_.version)
   }
 
+  /** The bucket -> content-version map for a committed version. */
+  def manifest(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) Map.empty
+    else {
+      val in = fs.open(mf)
+      try
+        scala.io.Source
+          .fromInputStream(in, "UTF-8")
+          .getLines()
+          .filterNot(l => l.isEmpty || l.startsWith("B "))
+          .map { l =>
+            val Array(b, v) = l.split(" ", 2)
+            b.toInt -> v.toLong
+          }
+          .toMap
+      finally in.close()
+    }
+  }
+
+  private def numBuckets(spark: SparkSession, dir: String, version: Long): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) DefaultBuckets
+    else {
+      val in = fs.open(mf)
+      try
+        scala.io.Source
+          .fromInputStream(in, "UTF-8")
+          .getLines()
+          .collectFirst { case l if l.startsWith("B ") => l.drop(2).trim.toInt }
+          .getOrElse(DefaultBuckets)
+      finally in.close()
+    }
+  }
+
+  private def readVersion(
+      spark: SparkSession,
+      dir: String,
+      version: Long): Option[DataFrame] = {
+    val m = manifest(spark, dir, version)
+    if (m.isEmpty) None
+    else {
+      val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+      Some(spark.read.parquet(paths: _*))
+    }
+  }
+
+  /** The committed table state (None before the first non-empty commit). */
+  def currentState(spark: SparkSession, dir: String): Option[DataFrame] =
+    lastCommit(spark, dir).flatMap(c => readVersion(spark, dir, c.version))
+
   /** TIME TRAVEL: the table as of a committed version — the storage
     * dual of the reference's versioned `find-version` read
-    * (/root/reference/src/opusdb/atomic/stm.clj:55-65): immutable
-    * snapshots stay readable as long as their marker survives GC.
-    * None if that version is uncommitted or collected.
+    * (/root/reference/src/opusdb/atomic/stm.clj:55-65): a version stays
+    * readable as long as its marker + manifest survive GC. None if that
+    * version is uncommitted or collected.
     */
   def stateAt(spark: SparkSession, dir: String, version: Long): Option[DataFrame] =
     commits(spark, dir)
       .find(_.version == version)
-      .map(c => spark.read.parquet(s"$dir/v=${c.version}"))
+      .flatMap(c => readVersion(spark, dir, c.version))
+
+  /** Data files the current version references, per bucket — lets tests
+    * (and operators) observe the copy-on-write granularity.
+    */
+  def currentFiles(spark: SparkSession, dir: String): Map[Int, Seq[String]] =
+    lastCommit(spark, dir) match {
+      case None => Map.empty
+      case Some(c) =>
+        val (fs, _) = fsOf(spark, dir)
+        manifest(spark, dir, c.version).map { case (b, v) =>
+          val d = new Path(s"$dir/data/b$b/v$v")
+          val files =
+            if (!fs.exists(d)) Seq.empty[String]
+            else
+              fs.listStatus(d)
+                .iterator
+                .map(_.getPath.toString)
+                .filter(_.endsWith(".parquet"))
+                .toSeq
+          b -> files
+        }
+    }
 
   /** Collapse to one row per key: the row with the highest seq. */
   private def latestWins(df: DataFrame, key: String, seq: String): DataFrame = {
@@ -96,48 +184,121 @@ object MergeSink {
       .select(col(key) +: rest.map(c => col(s"st.$c").as(c)): _*)
   }
 
-  /** Apply one micro-batch: merge, write snapshot, publish marker.
-    * Replayed epochs are skipped. Retains the previous snapshot for
-    * crash fallback; older ones are garbage-collected.
+  /** Apply one micro-batch: merge into the touched buckets, write ONLY
+    * those buckets at the new version, publish manifest + marker.
+    * Already-committed (runId, epoch) pairs are skipped; an epoch
+    * regression within the same incarnation fails loudly.
     */
   def upsertBatch(
       batch: DataFrame,
       dir: String,
       key: String,
       seq: String,
-      epochId: Long): Unit = {
+      epochId: Long,
+      runId: String = "batch"): Unit = {
     val spark = batch.sparkSession
-    val last = lastCommit(spark, dir)
-    if (last.exists(_.epoch >= epochId)) return // idempotent replay skip
-    val newV = last.map(_.version + 1).getOrElse(0L)
-    val merged = last match {
-      case None => latestWins(batch, key, seq)
-      case Some(c) =>
-        val cur = spark.read.parquet(s"$dir/v=${c.version}")
-        latestWins(
-          cur.unionByName(batch.select(cur.columns.map(col).toIndexedSeq: _*)),
-          key,
-          seq)
+    val all = commits(spark, dir)
+    if (all.exists(c => c.runId == runId && c.epoch == epochId))
+      return // idempotent replay of a committed batch
+    val last = all.lastOption
+    last.foreach { c =>
+      // Same incarnation, older epoch, no marker for it: Spark replays
+      // only the LAST batch, so this cannot be a legitimate replay.
+      // Failing beats silently dropping data in an exactly-once sink.
+      if (c.runId == runId && epochId <= c.epoch)
+        throw new IllegalStateException(
+          s"epoch regression in run $runId: batch epoch $epochId <= " +
+            s"committed epoch ${c.epoch} with no matching commit marker")
     }
-    // data first (overwrite handles a torn unpublished attempt) ...
-    merged.write.mode("overwrite").parquet(s"$dir/v=$newV")
-    // ... then the O(1) marker that makes it visible
+    val newV = last.map(_.version + 1).getOrElse(0L)
+    val nb = last.map(c => numBuckets(spark, dir, c.version)).getOrElse(DefaultBuckets)
+    val prevManifest =
+      last.map(c => manifest(spark, dir, c.version)).getOrElse(Map.empty[Int, Long])
+
+    val bucketOf = pmod(xxhash64(col(key)), lit(nb)).cast("int")
+    val cols = batch.columns.filter(_ != "__b")
+    val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
+    // Which buckets does this batch touch? (≤ nb values — metadata, not data)
+    val touched = batchC
+      .select(bucketOf.as("__b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+
+    val merged =
+      if (touched.isEmpty) None // empty batch: commit a no-data-change version
+      else {
+        val touchedPaths = touched.toSeq.sorted
+          .flatMap(b => prevManifest.get(b).map(v => s"$dir/data/b$b/v$v"))
+        val base =
+          if (touchedPaths.isEmpty) batchC
+          else
+            spark.read
+              .parquet(touchedPaths: _*)
+              .select(cols.map(col).toIndexedSeq: _*)
+              .unionByName(batchC)
+        Some(latestWins(base, key, seq).withColumn("__b", bucketOf))
+      }
+
     val (fs, p) = fsOf(spark, dir)
-    fs.create(new Path(p, s"_commit_v${newV}_e$epochId"), true).close()
-    // GC: keep current + previous snapshot
+    merged.foreach { m =>
+      // data first: one partitioned write of the touched buckets ...
+      val tmp = new Path(p, s"_tmp_v$newV")
+      m.write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
+      touched.toSeq.sorted.foreach { b =>
+        val dst = new Path(p, s"data/b$b/v$newV")
+        fs.mkdirs(dst.getParent)
+        if (fs.exists(dst)) fs.delete(dst, true) // torn unpublished attempt
+        if (!fs.rename(new Path(tmp, s"__b=$b"), dst))
+          throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
+      }
+      fs.delete(tmp, true)
+    }
+    // ... then the manifest ...
+    val newManifest =
+      prevManifest ++ touched.toSeq.sorted.map(_ -> newV)
+    val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
+    try {
+      val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
+        s"$b $v"
+      }).mkString("", "\n", "\n")
+      mfOut.write(body.getBytes("UTF-8"))
+    } finally mfOut.close()
+    // ... then the O(1) marker that makes it all visible
+    fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
+
+    // GC: keep the current + previous version readable. Live data =
+    // bucket dirs referenced by either retained manifest.
+    val keepVersions = Set(newV, newV - 1).filter(_ >= 0)
+    val live: Set[(Int, Long)] = keepVersions.flatMap(v =>
+      manifest(spark, dir, v).toSeq.map { case (b, cv) => (b, cv) })
     fs.listStatus(p)
       .iterator
       .map(_.getPath)
       .filter { q =>
         val n = q.getName
-        (n.startsWith("v=") && n.stripPrefix("v=").toLong < newV - 1) ||
-        (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < newV - 1))
+        (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < newV - 1)) ||
+        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < newV - 1))
       }
       .foreach(fs.delete(_, true))
+    val dataRoot = new Path(p, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { bStat =>
+        val bName = bStat.getPath.getName // "b<k>"
+        val b = bName.stripPrefix("b").toInt
+        fs.listStatus(bStat.getPath).foreach { vStat =>
+          val v = vStat.getPath.getName.stripPrefix("v").toLong
+          if (!live.contains((b, v))) fs.delete(vStat.getPath, true)
+        }
+      }
+    }
   }
 
   /** Wire a streaming DataFrame into the merge table: every micro-batch
-    * upserts transactionally; restart from the checkpoint is safe.
+    * upserts transactionally; restart from the checkpoint is safe, and
+    * a restart with a FRESH checkpoint (epochs renumbered from 0) is
+    * distinguished by the query id and merges instead of skipping.
     */
   def sink(
       df: DataFrame,
@@ -150,6 +311,15 @@ object MergeSink {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        upsertBatch(batch, dir, key, seq, epochId)
+        // The micro-batch thread carries the streaming query id (stable
+        // across restarts from this checkpoint) as a local property.
+        val runId = Option(
+          batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(
+            java.util.UUID
+              .nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+              .toString)
+        upsertBatch(batch, dir, key, seq, epochId, runId)
       }
 }

@@ -172,15 +172,125 @@ class StateSpec extends SparkSpec {
     assert(got == want, s"merge state diverged from batch twin (${got.size} vs ${want.size} keys)")
     assert(afterH1 <= got.size, "keys lost across restart")
 
-    // idempotence: re-applying an already-committed epoch is a no-op
+    // idempotence: re-applying an already-committed (runId, epoch) is a
+    // no-op — the post-marker pre-checkpoint replay Spark can produce
     val before = graft.streaming.MergeSink.lastCommit(spark, table).get
     val replay = rows
       .take(5)
       .map(r => (r.user_id, r.event_id, r.value))
       .toDF("user_id", "event_id", "value")
     graft.streaming.MergeSink
-      .upsertBatch(replay, table, "user_id", "event_id", before.epoch)
+      .upsertBatch(replay, table, "user_id", "event_id", before.epoch, before.runId)
     val after = graft.streaming.MergeSink.lastCommit(spark, table).get
     assert(after == before, s"replayed epoch advanced the table: $before -> $after")
+
+    // an epoch REGRESSION inside the same incarnation with no matching
+    // marker is corruption, not a replay — it must fail, not skip.
+    // (Replaying epoch-1 above would legitimately skip: its marker is
+    // still retained. Commit a later epoch first, then present an
+    // uncommitted epoch below it.)
+    graft.streaming.MergeSink.upsertBatch(
+      replay, table, "user_id", "event_id", before.epoch + 4, before.runId)
+    val thrown = intercept[IllegalStateException] {
+      graft.streaming.MergeSink.upsertBatch(
+        replay, table, "user_id", "event_id", before.epoch + 2, before.runId)
+    }
+    assert(thrown.getMessage.contains("epoch regression"))
+  }
+
+  test("MERGE sink: restart with a FRESH checkpoint (epochs renumbered) merges instead of skipping") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = Files.createTempDirectory("graft_merge_fresh_tbl").toString
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+
+    def run(data: Seq[EventRow]): Unit = {
+      // NEW checkpoint + NEW MemoryStream per run: the second query's
+      // epochIds restart at 0 — the exact shape that silently dropped
+      // h2 under an epoch-only idempotence guard.
+      val ckpt = Files.createTempDirectory("graft_merge_fresh_ckpt").toString
+      val ms = MemoryStream[EventRow]
+      ms.addData(data)
+      val q = graft.streaming.MergeSink
+        .sink(
+          ms.toDF().select(col("user_id"), col("event_id"), col("value")),
+          table,
+          ckpt,
+          key = "user_id",
+          seq = "event_id")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    run(h1)
+    val c1 = graft.streaming.MergeSink.lastCommit(spark, table).get
+    run(h2)
+    val c2 = graft.streaming.MergeSink.lastCommit(spark, table).get
+    assert(c2.version > c1.version, "fresh-checkpoint batch was silently skipped")
+    assert(c2.runId != c1.runId, "new query incarnation should carry a new runId")
+
+    val want = rows
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        val last = es.maxBy(_.event_id)
+        (u, last.event_id, last.value)
+      }
+      .toSet
+    val got = graft.streaming.MergeSink
+      .currentState(spark, table)
+      .get
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[Long]("event_id"),
+          r.getAs[Double]("value")))
+      .toSet
+    assert(got == want, "state diverged after fresh-checkpoint restart")
+  }
+
+  test("MERGE sink copy-on-write: a small batch rewrites strictly fewer files than the table holds") {
+    val s = spark
+    import s.implicits._
+    // Seed a table whose keys spread across many buckets ...
+    val table = Files.createTempDirectory("graft_merge_cow_tbl").toString
+    val seed = rows
+      .map(r => (r.user_id, r.event_id, r.value))
+      .toDF("user_id", "event_id", "value")
+    graft.streaming.MergeSink
+      .upsertBatch(seed, table, "user_id", "event_id", 0L, "cow-run")
+    val filesBefore = graft.streaming.MergeSink.currentFiles(spark, table)
+    val bucketsBefore = filesBefore.keySet
+    assert(bucketsBefore.size > 2, s"seed spread over ${bucketsBefore.size} buckets — fixture too small")
+
+    // ... then upsert ONE key: only its bucket's files may change
+    val one = rows.head
+    val touch = Seq((one.user_id, one.event_id + 1000000L, one.value + 1.0))
+      .toDF("user_id", "event_id", "value")
+    graft.streaming.MergeSink
+      .upsertBatch(touch, table, "user_id", "event_id", 1L, "cow-run")
+    val filesAfter = graft.streaming.MergeSink.currentFiles(spark, table)
+
+    val changed = filesAfter.filter { case (b, fs0) => filesBefore.get(b) != Some(fs0) }
+    assert(changed.nonEmpty, "no bucket changed after an upsert")
+    assert(
+      changed.size < bucketsBefore.size,
+      s"single-key batch rewrote ${changed.size} of ${bucketsBefore.size} buckets — not copy-on-write")
+    val unchanged = (filesAfter.keySet - changed.keySet.head)
+    assert(
+      unchanged.exists(b => filesAfter(b) == filesBefore(b)),
+      "untouched buckets must carry their files forward verbatim")
+
+    // and the merged value is visible
+    val v = graft.streaming.MergeSink
+      .currentState(spark, table)
+      .get
+      .where(col("user_id") === one.user_id)
+      .select(col("event_id"))
+      .first()
+      .getLong(0)
+    assert(v == one.event_id + 1000000L, "upserted key did not win")
   }
 }
