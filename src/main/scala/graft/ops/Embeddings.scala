@@ -986,14 +986,15 @@ object Embeddings {
   // ---------------------------------------------------------------------
   // q_similarity_pq — PRODUCT QUANTIZATION ANN (PQ + asymmetric
   // distance computation), the memory-scale path beyond IVF: the 64-dim
-  // collection is split into 4 × 16-dim subspaces, each with its own
-  // 16-entry codebook (stride-seeded, one quantized-integer Lloyd
+  // collection is split into 16 × 4-dim subspaces, each with its own
+  // 32-entry codebook (stride-seeded, one quantized-integer Lloyd
   // update — the q_ivf_kmeans training discipline per subspace), and
-  // every vector is ENCODED as 4 one-byte codes — a 16× compression of
-  // the collection the search then never re-reads. A query builds one
-  // 4×16 integer distance table (query subvector → every codebook
-  // entry) and scores any candidate as the SUM OF 4 TABLE LOOKUPS —
-  // the ADC trick that makes billion-scale search affordable.
+  // every vector is ENCODED as 16 five-bit codes (80 bits — a ~25×
+  // compression of the quantized collection the search then never
+  // re-reads). A query builds one 16×32 integer distance table (query
+  // subvector → every codebook entry) and scores any candidate as the
+  // SUM OF 16 TABLE LOOKUPS — the ADC trick that makes billion-scale
+  // search affordable.
   //
   // Everything is integer: components quantize to round(x·2^20) longs
   // once, training means are floor(sum/count), distances are integer
@@ -1001,8 +1002,8 @@ object Embeddings {
   // bit-identical in the DuckDB twin (hash-gated end to end; no other
   // engine's "approximate" ANN output can be checked this hard).
   //
-  // Scale: codebooks are O(M·k·dsub) = 1,024 rows (broadcast model);
-  // per-query distance tables are O(M·k) = 64 rows (broadcast); encode
+  // Scale: codebooks are O(M·k) = 512 centroid rows (broadcast model);
+  // per-query distance tables are O(M·k) = 512 rows (broadcast); encode
   // and ADC each scan the long-form collection ONCE with map-side
   // partial aggregation; nothing driver-side grows with N.
   // ---------------------------------------------------------------------

@@ -150,9 +150,18 @@ object Layout {
       targetBytes: Long): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFiles = fs
-      .listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(p)
+    val dataFiles =
+      entries.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // A Hive-partitioned root has subdirectories and no data files at
+    // the top level. Compacting it here would size from totalBytes=0
+    // AND flatten the partition layout — refuse instead of corrupting;
+    // run compact() per partition directory.
+    if (dataFiles.isEmpty && entries.exists(e =>
+        e.isDirectory && !e.getPath.getName.startsWith("_")))
+      throw new IllegalArgumentException(
+        s"compact: $dir holds subdirectories but no top-level data files " +
+          "(partitioned table root?) — compact each partition directory instead")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut =
       math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong)
@@ -162,7 +171,13 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(out)
-    (dataFiles.length.toLong, nOut)
+    // report files actually written, not the requested partition count
+    // (empty partitions write no file; AQE could also change the count)
+    val written = fs
+      .listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .toLong
+    (dataFiles.length.toLong, written)
   }
 
   // ---------------------------------------------------------------------

@@ -27,6 +27,19 @@ object GraftFunctions {
         s"$fn: parameter must be an integer literal, got $other")
   }
 
+  /** Like [[intLit]] but range-checked: these literals size bounded
+    * aggregation buffers, so an out-of-range value must die HERE at
+    * analysis time (the failure the doc above promises), not as a
+    * NegativeArraySize/ArrayIndexOutOfBounds mid-aggregation.
+    */
+  private def intLitIn(fn: String, e: Expression, lo: Int, hi: Int): Int = {
+    val v = intLit(fn, e)
+    if (v < lo || v > hi)
+      throw new IllegalArgumentException(
+        s"$fn: parameter must be in [$lo, $hi], got $v")
+    v
+  }
+
   private def info(name: String, clazz: Class[_]): ExpressionInfo =
     new ExpressionInfo(clazz.getName, name)
 
@@ -44,19 +57,21 @@ object GraftFunctions {
       (
         FunctionIdentifier("ngram_shingles"),
         info("ngram_shingles", classOf[NGramShingles]),
-        args => NGramShingles(args(0), intLit("ngram_shingles", args(1)))),
+        args => NGramShingles(args(0), intLitIn("ngram_shingles", args(1), 1, 64))),
       (
         FunctionIdentifier("kmin_distinct"),
         info("kmin_distinct", classOf[KMinDistinct]),
-        args => KMinDistinct(args(0), intLit("kmin_distinct", args(1)))),
+        args => KMinDistinct(args(0), intLitIn("kmin_distinct", args(1), 1, 1 << 22))),
       (
         FunctionIdentifier("log_histogram"),
         info("log_histogram", classOf[LogHistogram]),
-        args => LogHistogram(args(0), intLit("log_histogram", args(1)))),
+        // shift > 20 overflows maxBuckets' Int shift arithmetic (and a
+        // multi-million-bucket dense buffer is never what you meant)
+        args => LogHistogram(args(0), intLitIn("log_histogram", args(1), 0, 20))),
       (
         FunctionIdentifier("minhash_union"),
         info("minhash_union", classOf[MinHashUnion]),
-        args => MinHashUnion(args(0), intLit("minhash_union", args(1)))))
+        args => MinHashUnion(args(0), intLitIn("minhash_union", args(1), 1, 1 << 22))))
 
   /** Runtime registration on an already-built session (idempotent —
     * re-registration overwrites with identical builders).

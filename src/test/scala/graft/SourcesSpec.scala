@@ -147,6 +147,21 @@ class SourcesSpec extends SparkSpec {
     assert(b.count() == a.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "compaction changed table content")
+
+    // actual-files contract: the reported output count is what's on disk
+    val onDisk = new java.io.File(out)
+      .listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nOut == onDisk, s"compact reported $nOut files, disk holds $onDisk")
+
+    // a partitioned ROOT (subdirs, no top-level data files) must be
+    // refused — compacting it would flatten the partition layout
+    val partRoot = java.nio.file.Files.createTempDirectory("graft_part").toString
+    src.limit(100).write.partitionBy("event_type").mode("overwrite").parquet(partRoot)
+    val err = intercept[IllegalArgumentException] {
+      ops.Layout.compact(spark, partRoot, out + "_p", targetBytes = 4L * 1024 * 1024)
+    }
+    assert(err.getMessage.contains("partition"))
   }
 
   test("TopKAgg == window-based top-k on brute-force similarity pairs") {

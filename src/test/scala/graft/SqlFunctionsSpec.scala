@@ -66,5 +66,16 @@ class SqlFunctionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT kmin_distinct(v, CAST(v AS INT)) FROM t_sqlagg").head()
     }
+    // out-of-range literals must die at ANALYSIS time, not as a
+    // NegativeArraySize/ArrayIndexOutOfBounds mid-aggregation
+    intercept[Exception] {
+      spark.sql("SELECT log_histogram(v, 30) FROM t_sqlagg").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT log_histogram(v, -1) FROM t_sqlagg").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT kmin_distinct(v, 0) FROM t_sqlagg").head()
+    }
   }
 }
