@@ -428,16 +428,25 @@ object Embeddings {
         "bkts",
         array((0 until recallTables).map(t =>
           lshBucket(col("embedding"), recallBits, embedDim, t * recallBits)): _*))
-      .localCheckpoint()
+      // lazy: the q-sample collect right below is strictly the first
+      // consumer, so the norms+buckets pass materializes inside that
+      // job instead of paying a separate eager-checkpoint job
+      .localCheckpoint(false)
     val e = withTabs.drop("bkts")
-    val q = querySample(withTabs)
-      .select(
-        col("vec_id").as("query_id"),
-        col("embedding").as("qv"),
-        col("nrm").as("qnrm"),
-        col("nrm2").as("qnrm2"),
-        col("bkts").as("qbkts"))
-      .localCheckpoint()
+    // The query sample is O(queryN) rows by construction — materialize
+    // it DRIVER-SIDE (the kmMaterialize idiom): every broadcast of a
+    // LocalRelation is built straight from driver memory, no Spark job,
+    // where a block-manager-backed frame costs one collect job per
+    // broadcast site (~5 of them here). Same rows, same joins.
+    val q = kmMaterialize(
+      s,
+      querySample(withTabs)
+        .select(
+          col("vec_id").as("query_id"),
+          col("embedding").as("qv"),
+          col("nrm").as("qnrm"),
+          col("nrm2").as("qnrm2"),
+          col("bkts").as("qbkts")))
     val cosCol =
       (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
         .as("cos")
@@ -492,27 +501,38 @@ object Embeddings {
     // pass yields both the P=1 and P=3 top-3 sets: ranking within the
     // P=1 subset uses a window partitioned by (query, prb=1) instead of
     // a second scan of a filtered copy.
-    val cents = e
-      .filter(centroidPick)
-      .select(
-        col("vec_id").as("cent_id"),
-        col("embedding").as("cv"),
-        col("nrm2").as("cnrm2"))
-    val wAssign = Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("l2").asc, col("cent_id").asc)
+    // centroids are O(√N) rows — driver-local for the same reason as q
+    val cents = kmMaterialize(
+      s,
+      e.filter(centroidPick)
+        .select(
+          col("vec_id").as("cent_id"),
+          col("embedding").as("cv"),
+          col("nrm2").as("cnrm2")))
+    // nearest-cell pick as a min_by hash aggregate (see kmAssign): the
+    // N×C scored rows collapse map-side instead of shuffling into a
+    // per-vector sort window
     val assigned = e
       .join(broadcast(cents), lit(true))
       .withColumn(
         "l2",
         col("nrm2") - lit(2.0) * fdot(col("embedding"), col("cv")) +
           col("cnrm2"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(
+          struct(col("embedding"), col("nrm"), col("cent_id").as("cell")),
+          struct(col("l2"), col("cent_id"))).as("st"))
+      .select(
+        col("vec_id"),
+        col("st.embedding").as("embedding"),
+        col("st.nrm").as("nrm"),
+        col("st.cell").as("cell"))
       // referenced by BOTH the k-means training chain and the IVF
-      // candidate join — materialize once
-      .localCheckpoint()
+      // candidate join — materialize once. Lazy: the training chain's
+      // kmMaterialize collect is the first (sequential) consumer and
+      // fuses the materialization into its own job.
+      .localCheckpoint(false)
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("cent_id").asc)
@@ -809,22 +829,34 @@ object Embeddings {
     * dot products, ties → lower centroid id). `vecs` must carry `nrm2`;
     * every column in `keep` is passed through alongside `cell`.
     */
+  /** Nearest-centroid assignment as a min_by HASH AGGREGATE rather than
+    * a row_number window: same winner per vector (lexicographic
+    * struct(l2, cent_id) == the window's (l2 asc, cent_id asc) order,
+    * keys unique per group), but partial aggregation collapses each
+    * map partition to one row per vec_id BEFORE the exchange — where
+    * the window shape shuffles all N×C scored rows and sorts them. At
+    * collection scale that is the difference between an O(N) and an
+    * O(N·C) shuffle.
+    */
   private def kmAssign(
       vecs: DataFrame,
       cents: DataFrame,
       keep: Seq[String]): DataFrame = {
-    val w = Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("l2").asc, col("cent_id").asc)
+    val carry = (keep.filterNot(_ == "vec_id") :+ "cell")
     vecs
       .join(broadcast(cents), lit(true))
       .withColumn(
         "l2",
         col("nrm2") - lit(2.0) * pdot(col("cv"), col("embedding")) +
           col("cnrm2"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(keep.map(col) :+ col("cent_id").as("cell"): _*)
+      .withColumn("cell", col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(
+          struct(carry.map(col).toIndexedSeq: _*),
+          struct(col("l2"), col("cent_id"))).as("st"))
+      .select(col("vec_id") +: keep.filterNot(_ == "vec_id").map(c =>
+        col(s"st.$c").as(c)) :+ col("st.cell").as("cell"): _*)
   }
 
   /** Centroid update in quantized-integer arithmetic (order-independent,

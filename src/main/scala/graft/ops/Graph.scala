@@ -65,15 +65,21 @@ object Graph {
     // full subtree copy — without this checkpoint the pair-generation
     // join upstream re-executes 2× per round (measured 50 s → 1.4 s on
     // q_dup_clusters at sf0.1)
+    // LAZY checkpoints throughout the loop: the convergence probe right
+    // after each one is the action that materializes its blocks, so a
+    // round costs ONE job (materialize + probe fused), not two. With ~4
+    // rounds plus init that halves the query's sequential-job count —
+    // and these driver-coordinated round trips, not the shuffles, are
+    // what dominates a small-diameter CC at any scale.
     val bi = edges
       .select(col("u").as("s"), col("v").as("d"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = bi
       .select(col("s").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labels
       .agg(sum(col("label").cast("decimal(38,0)")))
       .head()
@@ -90,7 +96,7 @@ object Graph {
         .select(
           col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = next
         .agg(sum(col("label").cast("decimal(38,0)")))
         .head()
@@ -134,13 +140,15 @@ object Graph {
     */
   private[graft] def connectedComponentsStar(edges: DataFrame): DataFrame = {
     // direct every edge (larger → smaller), drop self loops
+    // lazy: the probe() right below materializes the blocks in its own
+    // job — same fusion as hash-min's loop
     var e = edges
       .filter(col("u") =!= col("v"))
       .select(
         greatest(col("u"), col("v")).as("s"),
         least(col("u"), col("v")).as("d"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df
@@ -186,7 +194,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxStarRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val (nc, ns) = probe(next)
       converged = nc == pc && ns.compareTo(ps) == 0
       pc = nc
@@ -236,10 +244,10 @@ object Graph {
   val dupClustersStar: Q = (s, d) =>
     dupClustersWith(s, d, connectedComponentsStar)
 
-  private def dupClustersWith(
-      s: SparkSession,
-      d: String,
-      cc: DataFrame => DataFrame): DataFrame = {
+  private[graft] def profileEdges(s: SparkSession, d: String): Long =
+    dupEdges(s, d).count()
+
+  private[graft] def dupEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // Pairs are compared in HASHED gram space: h32 of each bigram,
     // deduped — the per-pair intersection then runs over primitive
@@ -247,36 +255,45 @@ object Graph {
     // measured at sf0.1). Hash collisions perturb |∩| identically on
     // both engines (the oracle applies the same h32), and the
     // minhash-style approximation is standard for near-dup edges.
+    // Both self-join sides reference this subtree, and Catalyst plans
+    // each reference as a full copy — without the checkpoint the
+    // tokenize+bigram+hash pass (the scan-dominant half of this query)
+    // runs twice. EAGER: the join's two map stages run concurrently, so
+    // a lazy checkpoint would race and still compute it twice.
+    // Grams are SORTED once per doc: the join predicate below is a
+    // sorted-merge jaccard_ge, so the O(n log n) sort happens 5k times
+    // (per doc) instead of any per-pair hashing (~600k pairs).
     val grams = docs
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
         col("lang"),
         floor(col("n_chars") / 100).as("lenb"),
-        array_distinct(transform(wordBigrams(col("toks")), g => h32(31, g)))
+        sort_array(
+          array_distinct(transform(wordBigrams(col("toks")), g => h32(31, g))))
           .as("grams"))
+      .localCheckpoint(true)
     val a = grams.select(
       col("lang"), col("lenb"),
       col("doc_id").as("u"), col("grams").as("g_a"))
     val b = grams.select(
       col("lang"), col("lenb"),
       col("doc_id").as("v"), col("grams").as("g_b"))
-    // The threshold J >= 0.9 is algebraically rearranged to reference
-    // the intersection ONCE: 10·|∩| >= 9·(|A|+|B|−|∩|) ⟺ 19·|∩| >=
-    // 9·(|A|+|B|). Catalyst pushes this filter into the join condition,
-    // where every conjunct is evaluated per candidate pair — the naive
-    // ni/nu form evaluates array_intersect 2–3× per pair (measured 13 s
-    // of the original 15 s at sf0.1). The size-ratio gate before it is
+    // The threshold J >= 0.9 is evaluated by the codegen'd sorted-merge
+    // jaccard_ge Expression (plans/JaccardGE.scala): same rearranged
+    // integer inequality 19·|∩| >= 9·(|A|+|B|) as before, but with NO
+    // per-pair hash-set build and an early-abort bound — the dominant
+    // disjoint pairs exit ~5% into the merge (array_intersect here was
+    // ~2 s of the query's 3.3 s at sf0.1). The size-ratio gate is
     // implied by the threshold (J >= 0.9 forces |A|,|B| within 10%) and
-    // short-circuits the intersect for most non-duplicate pairs.
+    // short-circuits the merge for length-skewed pairs.
     val nearPairs = a
       .join(b, Seq("lang", "lenb"))
       .filter(
         col("u") < col("v") &&
           size(col("g_a")) * 10 >= size(col("g_b")) * 9 &&
           size(col("g_b")) * 10 >= size(col("g_a")) * 9 &&
-          size(array_intersect(col("g_a"), col("g_b"))) * 19 >=
-            (size(col("g_a")) + size(col("g_b"))) * 9)
+          graft.plans.JaccardGE.jaccardGE(col("g_a"), col("g_b"), 9, 10))
       .select(col("u"), col("v"))
     val wDigest = Window.partitionBy(col("h"))
     val exactPairs = docs
@@ -284,7 +301,15 @@ object Graph {
       .withColumn("m", min(col("doc_id")).over(wDigest))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("u"), col("doc_id").as("v"))
-    val edges = nearPairs.unionAll(exactPairs).distinct()
+    nearPairs.unionAll(exactPairs).distinct()
+  }
+
+  private def dupClustersWith(
+      s: SparkSession,
+      d: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = dupEdges(s, d)
     val labels = cc(edges)
     val wCluster = Window.partitionBy(col("cluster_id"))
     val wKeep = Window

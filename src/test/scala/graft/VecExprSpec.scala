@@ -64,4 +64,58 @@ class VecExprSpec extends SparkSpec {
     assert(out(1L).contains(11.0))
     assert(out(2L).isEmpty)
   }
+
+  test("JaccardGE == rearranged array_intersect threshold on random sorted sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed sizes + overlap levels around the 0.9 threshold, incl.
+    // exact-equal, disjoint, empty, and off-by-one-element pairs
+    val rows = (0 until 500).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      val base = Seq.fill(n)(rnd.nextInt(80).toLong).distinct
+      val drop = rnd.nextInt(3)
+      val add = rnd.nextInt(3)
+      val other = (base.drop(drop) ++ Seq.fill(add)(80L + rnd.nextInt(10))).distinct
+      (i.toLong, base.sorted.toArray, other.sorted.toArray)
+    } :+ ((500L, Array.empty[Long], Array(1L, 2L)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df
+      .select(
+        col("id"),
+        graft.plans.JaccardGE.jaccardGE(col("a"), col("b"), 9, 10).as("fast"),
+        (size(array_intersect(col("a"), col("b"))) * 19 >=
+          (size(col("a")) + size(col("b"))) * 9).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"id ${r.getLong(0)}: fast=${r.getBoolean(1)} ref=${r.getBoolean(2)}")
+    }
+  }
+
+  test("JaccardGE codegen and interpreted eval agree") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 4L)),
+      (2L, Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 5L)),
+      (3L, Array(1L, 2L), Array(3L, 4L)))
+      .toDF("id", "a", "b")
+    val pred = graft.plans.JaccardGE.jaccardGE(col("a"), col("b"), 9, 10)
+    val gen = df.select(col("id"), pred.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gen(1L) && !gen(2L) && !gen(3L))
+    // interpreted path: resolved literal children, eval directly.
+    // n=4 vs n=4 sharing 3: 19*3=57 < 9*8=72 -> false; identical: true
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def litArr(xs: Array[Long]) = Literal.create(xs, ArrayType(LongType))
+    val direct = graft.plans.JaccardGE(
+      litArr(Array(1L, 2L, 3L, 4L)), litArr(Array(1L, 2L, 3L, 5L)), 9, 10)
+      .eval(null)
+    assert(direct == false)
+    val same = graft.plans.JaccardGE(
+      litArr(Array(1L, 2L, 3L, 4L)), litArr(Array(1L, 2L, 3L, 4L)), 9, 10)
+      .eval(null)
+    assert(same == true)
+  }
 }
