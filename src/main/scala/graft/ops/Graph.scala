@@ -385,7 +385,56 @@ object Graph {
   private val prQ = 1000000000000L // rank scale 10^12
   private val prIters = 3
 
-  val pageRank: Q = (s, d) => {
+  val pageRank: Q = (s, d) => pageRankWith(s, d, shuffleModel = false)
+
+  // ---------------------------------------------------------------------
+  // q_pagerank_shuffle — the SAME computation with the rank-model join
+  // run as a SHUFFLE join instead of a broadcast: the web-graph regime,
+  // where the rank vector no longer fits an executor broadcast. Edges
+  // pre-partition by src (the join key), so each round's join reuses
+  // that partitioning and only the node-sized model and the
+  // edge-narrow contributions cross the wire. Integer rank arithmetic
+  // makes the two variants bit-identical — same oracle SQL, and
+  // PlanSpec asserts the model is genuinely not broadcast.
+  // ---------------------------------------------------------------------
+  val pageRankShuffle: Q = (s, d) => pageRankWith(s, d, shuffleModel = true)
+
+  /** One rank iteration, un-checkpointed — the loop body, also the
+    * plan-inspection surface PlanSpec drives (the checkpointed loop
+    * hides its join plans behind LogicalRDDs).
+    */
+  private[graft] def pageRankStep(
+      edges: DataFrame,
+      deg: DataFrame,
+      r: DataFrame,
+      base: Long,
+      shuffleModel: Boolean): DataFrame = {
+    // In the web-graph regime EVERY node-sized frame (rank, degree,
+    // their join) exceeds the broadcast budget, so the shuffle variant
+    // pins shuffle_hash on both joins — and on the baseline, the
+    // node-sized model rides one broadcast per round.
+    val model =
+      if (shuffleModel) r.hint("shuffle_hash").join(deg, Seq("node"))
+      else r.join(deg, Seq("node"))
+    val joined =
+      if (shuffleModel)
+        // SHUFFLE_HASH pins the plan even where AQE would see a
+        // broadcast-sized model at test SF — the variant exists to
+        // prove the no-broadcast plan
+        edges.join(model.hint("shuffle_hash"), col("src") === col("node"))
+      else edges.join(broadcast(model), col("src") === col("node"))
+    joined
+      .select(col("dst"), expr("(17 * (r div deg)) div 20").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("dst").as("node"), (lit(base) + col("s")).as("r"))
+  }
+
+  /** Edge/degree/initial-rank frames for [[pageRankStep]]. */
+  private[graft] def pageRankInit(
+      s: SparkSession,
+      d: String,
+      shuffleModel: Boolean): (DataFrame, DataFrame, DataFrame, Long) = {
     val pairs = Tables
       .lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey"))
@@ -393,35 +442,39 @@ object Graph {
     val fwd = pairs.select(
       (col("l_partkey") * 2).as("src"),
       (col("l_suppkey") * 2 + 1).as("dst"))
-    // The edge list is the BIG side — pre-partition it by dst ONCE and
-    // checkpoint (localCheckpoint preserves the partitioning): every
-    // iteration's aggregation then reduces in place with no edge
-    // shuffle. The rank vector is node-count-sized (here: parts +
-    // suppliers, dimension-sized at any SF), so it rides a broadcast
-    // join each round; at web-graph node counts the broadcast swaps for
-    // a shuffle join on src with no other change.
+    // The edge list is the BIG side — pre-partition it ONCE on the key
+    // each round re-uses and checkpoint (localCheckpoint preserves the
+    // partitioning). Broadcast model: partition by dst, so the per-round
+    // aggregation reduces in place and NOTHING edge-sized ever moves.
+    // Shuffle model: partition by src, so the per-round JOIN is
+    // exchange-free on the edge side and only the node-sized model and
+    // the (dst, c) contributions shuffle — the web-graph trade.
+    // EXPLICIT partition count: a bare repartition(col) is an AQE
+    // coalescing target, and a coalesced read no longer reports the
+    // HashPartitioning the per-round join/aggregation requires — the
+    // checkpointed partitioning would be re-exchanged every round.
+    val p = s.sessionState.conf.numShufflePartitions
     val edges = fwd
       .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(p, if (shuffleModel) col("src") else col("dst"))
       .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .localCheckpoint()
     val nNodes = deg.count() // driver-held model scalar
     val base = (3L * prQ) / (20L * nNodes)
-    var r = deg.select(col("node"), lit(prQ / nNodes).as("r"))
+    val r0 = deg.select(col("node"), lit(prQ / nNodes).as("r"))
+    (edges, deg, r0, base)
+  }
+
+  private def pageRankWith(
+      s: SparkSession,
+      d: String,
+      shuffleModel: Boolean): DataFrame = {
+    val (edges, deg, r0, base) = pageRankInit(s, d, shuffleModel)
+    var r = r0
     for (_ <- 1 to prIters) {
-      val model = r.join(deg, Seq("node")) // node-sized: broadcastable
-      val contrib = edges
-        .join(broadcast(model), col("src") === col("node"))
-        .select(
-          col("dst"),
-          expr("(17 * (r div deg)) div 20").as("c"))
-      r = contrib
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"), (lit(base) + col("s")).as("r"))
-        .localCheckpoint()
+      r = pageRankStep(edges, deg, r, base, shuffleModel).localCheckpoint()
     }
     r.select(
         when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
@@ -829,6 +882,7 @@ object Graph {
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_star" -> dupClustersStar,
     "q_pagerank" -> pageRank,
+    "q_pagerank_shuffle" -> pageRankShuffle,
     "q_triangles" -> triangles
   )
 
@@ -840,6 +894,7 @@ object Graph {
     // star CC must produce the hash-identical clustering
     "q_dup_clusters_star" -> dupClustersSql,
     "q_pagerank" -> pageRankSql,
+    "q_pagerank_shuffle" -> pageRankSql,
     "q_triangles" -> trianglesSql
   )
 }

@@ -991,10 +991,168 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q_profile_sketch — the q_profile shape with the ndv lanes riding the
+  // KMV sketch (plans/KMinDistinct.scala) instead of exact
+  // countDistinct. Why it exists: every countDistinct in q_profile's
+  // single aggregate multiplies the scanned rows through an Expand
+  // (one replica per distinct lane — 6 lanes = 6× the aggregate input),
+  // which is exactly what a nightly 100 TB stats job cannot afford. The
+  // sketch lanes aggregate the SAME single scan with NO Expand: each
+  // map partition is capped at k=64 hashes per column by the bounded
+  // KMinDistinct buffer, so the exchange carries O(k·cols·partitions)
+  // longs regardless of row count. PlanSpec asserts the no-Expand plan.
+  //
+  // Numeric columns hash an INTEGER-EXACT key (ids and epoch-days as
+  // themselves, money as cents) rendered to string — double-to-string
+  // formatting is engine-specific, integer rendering is not, so the
+  // DuckDB twin recomputes bit-identical hashes and the estimate
+  // (k-1)·2^32 div h_(k) gates exactly (the q_approx_distinct
+  // discipline, column-profiled).
+  // ---------------------------------------------------------------------
+  private val pskK = 64
+  private val pskSeed = 17
+  private val pskSpace = 4294967296L // 2^32
+
+  val profileSketch: Q = (s, d) => {
+    import graft.functions.Hashing.h32
+    import graft.plans.KMinDistinct
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_quantity"),
+        col("l_extendedprice"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long")
+          .as("l_shipdate_day"),
+        col("l_returnflag"),
+        col("l_linestatus"))
+      // injective integer keys for the hash lanes
+      .withColumn("k_l_orderkey", col("l_orderkey"))
+      .withColumn("k_l_quantity", round(col("l_quantity") * 100).cast("long"))
+      .withColumn(
+        "k_l_extendedprice",
+        round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("k_l_shipdate_day", col("l_shipdate_day"))
+    val allNum =
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate_day")
+    val statsRow = li.agg(
+      count(lit(1)).as("n_rows"),
+      (allNum.flatMap(c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          KMinDistinct
+            .kmin(h32(pskSeed, col(s"k_$c").cast("string")), pskK)
+            .as(s"hs_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))) ++
+        strCols.flatMap(c =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            KMinDistinct.kmin(h32(pskSeed, col(c)), pskK).as(s"hs_$c"),
+            min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c")))): _*)
+    def est(c: String) =
+      when(size(col(s"hs_$c")) < pskK, size(col(s"hs_$c")).cast("long"))
+        .otherwise(expr(
+          s"${(pskK - 1) * pskSpace}L div element_at(hs_$c, size(hs_$c))"))
+    def numStruct(c: String) =
+      struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        est(c).as("n_distinct_est"),
+        col(s"mn_$c").as("min_num"),
+        col(s"mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    def strStruct(c: String) =
+      struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        est(c).as("n_distinct_est"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"mn_$c").as("min_str"),
+        col(s"mx_$c").as("max_str"))
+    statsRow
+      .select(
+        col("n_rows"),
+        explode(array(allNum.map(numStruct) ++ strCols.map(strStruct): _*))
+          .as("p"))
+      .select(
+        col("p.col_name").as("col_name"),
+        col("n_rows"),
+        col("p.n_null").as("n_null"),
+        col("p.n_distinct_est").as("n_distinct_est"),
+        col("p.min_num").as("min_num"),
+        col("p.max_num").as("max_num"),
+        col("p.min_str").as("min_str"),
+        col("p.max_str").as("max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileSketchSql: String = {
+    import graft.functions.Hashing.sqlH32
+    val numCols =
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate_day")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def hashOf(c: String) =
+      if (strCols.contains(c)) sqlH32(pskSeed, c)
+      else sqlH32(pskSeed, s"k_$c::VARCHAR")
+    val kmCtes = (numCols ++ strCols).map(c =>
+      s"""s_$c AS (
+         |  SELECT count(*) AS nh, max(h) AS kth FROM (
+         |    SELECT DISTINCT ${hashOf(c)} AS h FROM li
+         |    WHERE $c IS NOT NULL ORDER BY h LIMIT $pskK))""".stripMargin)
+    def estOf(c: String) =
+      s"""CAST(CASE WHEN s_$c.nh < $pskK THEN s_$c.nh
+         |  ELSE ${(pskK - 1) * pskSpace} // s_$c.kth END AS BIGINT)""".stripMargin
+    val branches =
+      numCols.map(c =>
+        s"""SELECT '$c' AS col_name, m.n_rows,
+           |  m.n_rows - m.nn_$c AS n_null, ${estOf(c)} AS n_distinct_est,
+           |  m.mn_$c AS min_num, m.mx_$c AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str FROM m, s_$c""".stripMargin) ++
+        strCols.map(c =>
+          s"""SELECT '$c', m.n_rows, m.n_rows - m.nn_$c, ${estOf(c)},
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  m.mn_$c, m.mx_$c FROM m, s_$c""".stripMargin)
+    val aggs =
+      numCols.flatMap(c =>
+        Seq(
+          s"count($c) AS nn_$c",
+          s"CAST(min($c) AS DOUBLE) AS mn_$c",
+          s"CAST(max($c) AS DOUBLE) AS mx_$c")) ++
+        strCols.flatMap(c =>
+          Seq(
+            s"count($c) AS nn_$c",
+            s"min($c) AS mn_$c",
+            s"max($c) AS mx_$c"))
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_quantity, l_extendedprice,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |      AS BIGINT) AS l_shipdate_day,
+       |    l_returnflag, l_linestatus,
+       |    l_orderkey AS k_l_orderkey,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS k_l_quantity,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS k_l_extendedprice,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |      AS BIGINT) AS k_l_shipdate_day
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n_rows, ${aggs.mkString(",\n  ")} FROM li),
+       |${kmCtes.mkString(",\n")}
+       |SELECT * FROM (${branches.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_profile" -> profile,
+    "q_profile_sketch" -> profileSketch,
     "q_data_checks" -> dataChecks,
     "q_sql_portable" -> sqlPortable,
     "q_ship_priority" -> shipPriority,
@@ -1039,6 +1197,7 @@ object Relational {
     "q_rollup" -> rollupBalancesSql,
     "q_cube" -> cubeReturnsSql,
     "q_profile" -> profileSql,
+    "q_profile_sketch" -> profileSketchSql,
     "q_data_checks" -> dataChecksSql,
     "q_distinct_counts" -> distinctCountsSql,
     "q_window_running" -> windowRunningSql,

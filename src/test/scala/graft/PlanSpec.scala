@@ -109,6 +109,32 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"lineitem scanned $scans times:\n$plan")
   }
 
+  test("shuffle-model pagerank never broadcasts the rank frame") {
+    // the variant exists for the web-graph regime where the rank vector
+    // exceeds any broadcast budget — a plan that sneaks the model into
+    // a BroadcastExchange (AQE likes to at test SF) defeats it. The
+    // checkpointed loop hides round plans, so inspect one raw round.
+    val (e1, d1, r1, b1) = ops.Graph.pageRankInit(spark, sf, shuffleModel = true)
+    val plan = executed(ops.Graph.pageRankStep(e1, d1, r1, b1, shuffleModel = true))
+    assert(
+      !plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"shuffle pagerank plans a broadcast:\n$plan")
+    // and the baseline variant does broadcast the node-sized model
+    val (e2, d2, r2, b2) = ops.Graph.pageRankInit(spark, sf, shuffleModel = false)
+    val base = executed(ops.Graph.pageRankStep(e2, d2, r2, b2, shuffleModel = false))
+    assert(base.contains("BroadcastHashJoin"), "baseline pagerank lost its broadcast")
+  }
+
+  test("sketch profiler aggregates without an Expand; exact profiler needs one") {
+    // q_profile's 6 countDistinct lanes replicate the scanned rows 6×
+    // through Expand; the KMV-lane twin must profile the same columns
+    // from ONE un-expanded pass — that's its reason to exist
+    val sketch = executed(ops.Relational.profileSketch(spark, sf))
+    assert(!sketch.contains("Expand"), s"sketch profile plans an Expand:\n$sketch")
+    val exact = executed(ops.Relational.profile(spark, sf))
+    assert(exact.contains("Expand"), "exact profile lost its Expand — twin comment stale")
+  }
+
   test("dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
     // the star-join staple: the pruning values come out of the dim
     // filter at runtime, so the fact scan's PartitionFilters must carry
