@@ -54,6 +54,19 @@ object Embeddings {
     */
   private val kmQ = 1L << 20
 
+  // PQ parameters — declared up here because every SQL twin that
+  // interpolates them (annRecallSql, similarityPqSql, the ivfpq twin)
+  // is a plain val: Scala object vals initialize in declaration order,
+  // and a forward reference reads 0 (no error, just a silently empty
+  // codebook CTE).
+  private val pqM = 16
+  private val pqDsub = embedDim / pqM
+  private val pqKsub = 32
+  private val pqSeedStride = 13L
+  private val pqSeedOff = 7L
+  private val pqTopK = 10
+  private val ivfpqShortC = 50
+
   /** Embeddings scan with a loud dimension check: [[lshBucket]] and
     * FloatVecDot loop to min(plane.length, vec.length), so a dim
     * mismatch would silently truncate the projection while the DuckDB
@@ -268,21 +281,30 @@ object Embeddings {
     s"vec_id % $centroidStride = 0 AND vec_id < ${centroidStride * centroidCap}"
   private val probeP = 2
 
-  val similarityIvf: Q = (s, d) => {
-    // One localCheckpoint of the norms pass: the two Lloyd iterations
-    // reference this frame once per kmAssign (plus the query sample and
-    // the final assignment) — without it each reference re-scans the
-    // source and recomputes every norm.
+  /** Norms frame + TRAINED coarse quantizer + full assignment — the
+    * shared IVF machinery (2 Lloyd iterations from the capped stride
+    * seed, driver-held model — see q_ivf_kmeans): the production ANN
+    * path runs against trained cells, which both balances probe cost
+    * (cell sizes flatten) and lifts recall at the same probe budget
+    * (q_ann_recall: 0.57 → 0.65 at P=3). Returns (e, ck2, assigned).
+    * The norms pass is localCheckpoint'd ONCE: the two Lloyd iterations
+    * reference it once per kmAssign (plus the query sample and the
+    * final assignment) — without it each reference re-scans the source.
+    */
+  private def ivfTrained(
+      s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) =
+    ivfTrainedWith(s, d, centroidPick)
+
+  private def ivfTrainedWith(
+      s: SparkSession,
+      d: String,
+      pick: Column): (DataFrame, DataFrame, DataFrame) = {
     val e = checked(s, d)
       .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
       .localCheckpoint()
-    // the TRAINED coarse quantizer (2 Lloyd iterations from the capped
-    // stride seed, driver-held model — see q_ivf_kmeans): the
-    // production ANN path runs against trained cells, which both
-    // balances probe cost (cell sizes flatten) and lifts recall at the
-    // same probe budget (q_ann_recall: 0.57 → 0.65 at P=3)
     val c0 = e
-      .filter(centroidPick)
+      .filter(pick)
       .select(
         col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("cv"),
@@ -299,13 +321,19 @@ object Embeddings {
         col("embedding"),
         sqrt(col("nrm2")).as("nrm"),
         col("cell"))
-    // multi-probe: the O(1) query sample ranks ALL cells by distance and
-    // keeps the probeP nearest (probe cells are distinct and each vector
-    // lives in exactly one cell, so no candidate dedup is needed)
+    (e, ck2, assigned)
+  }
+
+  /** Multi-probe cell pick: the O(1) query sample ranks ALL cells by
+    * distance and keeps the `p` nearest (probe cells are distinct and
+    * each vector lives in exactly one cell, so no candidate dedup is
+    * needed). Returns (query_id, qv, qnrm, cell).
+    */
+  private def ivfProbe(e: DataFrame, ck2: DataFrame, p: Int): DataFrame = {
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("cent_id").asc)
-    val qprobe = querySample(e)
+    querySample(e)
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("qv"),
@@ -315,12 +343,17 @@ object Embeddings {
         "l2",
         col("qnrm2") - lit(2.0) * pdot(col("cv"), col("qv")) + col("cnrm2"))
       .withColumn("prb", row_number().over(wProbe))
-      .filter(col("prb") <= probeP)
+      .filter(col("prb") <= p)
       .select(
         col("query_id"),
         col("qv"),
         sqrt(col("qnrm2")).as("qnrm"),
         col("cent_id").as("cell"))
+  }
+
+  val similarityIvf: Q = (s, d) => {
+    val (e, ck2, assigned) = ivfTrained(s, d)
+    val qprobe = ivfProbe(e, ck2, probeP)
     val cand = assigned
       .join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -466,7 +499,7 @@ object Embeddings {
     // assignment would each run 4× (observed: 24 nested-loop joins in
     // the naive formulation's plan, 3 in this one).
     def marked(df: DataFrame, flag: String): DataFrame = {
-      val flags = Seq("e", "l", "i1", "i3", "ik")
+      val flags = Seq("e", "l", "i1", "i3", "ik", "ip")
       df.select(
         col("query_id") +: col("neighbor_id") +:
           flags.map(f =>
@@ -558,7 +591,7 @@ object Embeddings {
       .withColumn("i3", when(col("rnk3") <= 3, 1).otherwise(0))
       .filter(col("i1") === 1 || col("i3") === 1)
       .select(col("query_id"), col("neighbor_id"), lit(0).as("e"),
-        lit(0).as("l"), col("i1"), col("i3"), lit(0).as("ik"))
+        lit(0).as("l"), col("i1"), col("i3"), lit(0).as("ik"), lit(0).as("ip"))
     // TRAINED-quantizer IVF (the q_ivf_kmeans model, 2 Lloyd
     // iterations, driver-materialized): same probe structure at
     // P = recallProbeMax — the n_ivfk3 columns measure whether TRAINING
@@ -581,15 +614,51 @@ object Embeddings {
         .join(broadcast(qprobeK), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), cosCol))
+    // IVF+PQ lane (the q_similarity_ivfpq path at top-3): the SAME
+    // probed candidate set as ik, but ADC-scored through the PQ
+    // codebooks, shortlisted by compressed distance, and only the
+    // shortlist exact-re-ranked — n_ivfpq3 vs n_ivfk3 measures what the
+    // compressed scoring stage costs in recall at equal probe budget.
+    val (compsP, cbP, codesP) = pqModel(s, d)
+    val dtabP = pqDtab(compsP, cbP, q.select(col("query_id").as("vec_id")))
+    val ipAdc = assignedK
+      .join(broadcast(qprobeK.select(col("query_id"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(codesP, Seq("neighbor_id"))
+      .join(
+        broadcast(dtabP.select(
+          col("query_id").as("t_qid"),
+          col("sub").as("t_sub"),
+          col("j"),
+          col("d2"))),
+        col("t_qid") === col("query_id") &&
+          col("t_sub") === col("sub") && col("j") === col("cell"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    val wShortIp = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val ipTop = top3(
+      ipAdc
+        .withColumn("srn", row_number().over(wShortIp))
+        .filter(col("srn") <= ivfpqShortC)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(
+          e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+          Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosCol))
     marked(exact, "e")
       .unionAll(marked(lshTop, "l"))
       .unionAll(ivfMarks)
       .unionAll(marked(ikTop, "ik"))
+      .unionAll(marked(ipTop, "ip"))
       // per (query, neighbor): which sets contain it
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("e")).as("e"), max(col("l")).as("l"),
            max(col("i1")).as("i1"), max(col("i3")).as("i3"),
-           max(col("ik")).as("ik"))
+           max(col("ik")).as("ik"), max(col("ip")).as("ip"))
       // per query: set sizes and exact-overlap counts
       .groupBy(col("query_id"))
       .agg(
@@ -601,7 +670,9 @@ object Embeddings {
         sum(col("i3")).as("n_ivf3"),
         sum(col("e") * col("i3")).as("n_ivf3_overlap"),
         sum(col("ik")).as("n_ivfk3"),
-        sum(col("e") * col("ik")).as("n_ivfk3_overlap"))
+        sum(col("e") * col("ik")).as("n_ivfk3_overlap"),
+        sum(col("ip")).as("n_ivfpq3"),
+        sum(col("e") * col("ip")).as("n_ivfpq3_overlap"))
       .orderBy(col("query_id"))
   }
 
@@ -687,20 +758,89 @@ object Embeddings {
        |        ${cosN("p.qv", "p.qnrm2", "a.embedding", "a.nrm2")} AS cos
        |      FROM ak2 a JOIN qprobek p ON a.cell = p.cell AND a.vec_id != p.query_id) c) t
        |  WHERE rnk <= 3),
+       |comps AS (
+       |  SELECT vec_id, CAST((t.i - 1) // $pqDsub AS INT) AS sub,
+       |    (t.i - 1) % $pqDsub AS dsub,
+       |    CAST(round(embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
+       |  FROM embeddings, range(1, ${embedDim + 1}) AS t(i)),
+       |seedcb AS (
+       |  SELECT sub, dsub, (vec_id - $pqSeedOff) // $pqSeedStride AS j,
+       |    xq AS cq
+       |  FROM comps
+       |  WHERE vec_id % $pqSeedStride = $pqSeedOff
+       |    AND vec_id < ${pqSeedStride * pqKsub + pqSeedOff}),
+       |pa0 AS (
+       |  SELECT vec_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, s.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - s.cq) * (c.xq - s.cq)) ASC, s.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN seedcb s ON c.sub = s.sub AND c.dsub = s.dsub
+       |    GROUP BY c.vec_id, c.sub, s.j) t WHERE rn = 1),
+       |pcb AS (
+       |  SELECT pa0.sub, pa0.cell AS j, c.dsub,
+       |    CAST(floor(CAST(SUM(c.xq) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS cq
+       |  FROM pa0 JOIN comps c ON pa0.vec_id = c.vec_id AND pa0.sub = c.sub
+       |  GROUP BY pa0.sub, pa0.cell, c.dsub),
+       |pcodes AS (
+       |  SELECT vec_id AS neighbor_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, b.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - b.cq) * (c.xq - b.cq)) ASC, b.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN pcb b ON c.sub = b.sub AND c.dsub = b.dsub
+       |    GROUP BY c.vec_id, c.sub, b.j) t WHERE rn = 1),
+       |pdtab AS (
+       |  SELECT c.vec_id AS query_id, c.sub, b.j,
+       |    SUM((c.xq - b.cq) * (c.xq - b.cq)) AS d2
+       |  FROM comps c JOIN pcb b ON c.sub = b.sub AND c.dsub = b.dsub
+       |  WHERE c.vec_id IN (SELECT query_id FROM q)
+       |  GROUP BY 1, 2, 3),
+       |ipadc AS (
+       |  SELECT c.query_id, c.neighbor_id, SUM(d.d2) AS adc_dist
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id
+       |    FROM ak2 a JOIN qprobek p ON a.cell = p.cell
+       |    WHERE a.vec_id != p.query_id) c
+       |  JOIN pcodes e2 ON e2.neighbor_id = c.neighbor_id
+       |  JOIN pdtab d ON d.query_id = c.query_id
+       |    AND d.sub = e2.sub AND d.j = e2.cell
+       |  GROUP BY 1, 2),
+       |ipshort AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
+       |    FROM ipadc) t WHERE srn <= $ivfpqShortC),
+       |ip AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM (
+       |      SELECT s.query_id, s.neighbor_id,
+       |        ${cosN("q.qv", "q.qnrm2", "b.embedding", "b.nrm2")} AS cos
+       |      FROM ipshort s
+       |      JOIN b ON b.vec_id = s.neighbor_id
+       |      JOIN q ON q.query_id = s.query_id) c) t
+       |  WHERE rnk <= 3),
        |marks AS (
-       |  SELECT query_id, neighbor_id, 1 AS e, 0 AS l, 0 AS i1, 0 AS i3, 0 AS ik FROM exact
+       |  SELECT query_id, neighbor_id, 1 AS e, 0 AS l, 0 AS i1, 0 AS i3, 0 AS ik, 0 AS ip FROM exact
        |  UNION ALL
-       |  SELECT query_id, neighbor_id, 0, 1, 0, 0, 0 FROM lsh
+       |  SELECT query_id, neighbor_id, 0, 1, 0, 0, 0, 0 FROM lsh
        |  UNION ALL
        |  SELECT query_id, neighbor_id, 0, 0,
        |    CASE WHEN prb = 1 AND rnk1 <= 3 THEN 1 ELSE 0 END,
-       |    CASE WHEN rnk3 <= 3 THEN 1 ELSE 0 END, 0
+       |    CASE WHEN rnk3 <= 3 THEN 1 ELSE 0 END, 0, 0
        |  FROM ivfc WHERE (prb = 1 AND rnk1 <= 3) OR rnk3 <= 3
        |  UNION ALL
-       |  SELECT query_id, neighbor_id, 0, 0, 0, 0, 1 FROM ik),
+       |  SELECT query_id, neighbor_id, 0, 0, 0, 0, 1, 0 FROM ik
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 0, 0, 0, 0, 0, 1 FROM ip),
        |flags AS (
        |  SELECT query_id, neighbor_id, max(e) AS e, max(l) AS l,
-       |         max(i1) AS i1, max(i3) AS i3, max(ik) AS ik
+       |         max(i1) AS i1, max(i3) AS i3, max(ik) AS ik, max(ip) AS ip
        |  FROM marks GROUP BY query_id, neighbor_id)
        |SELECT query_id,
        |  CAST(SUM(e) AS BIGINT) AS n_exact,
@@ -711,7 +851,9 @@ object Embeddings {
        |  CAST(SUM(i3) AS BIGINT) AS n_ivf3,
        |  CAST(SUM(e * i3) AS BIGINT) AS n_ivf3_overlap,
        |  CAST(SUM(ik) AS BIGINT) AS n_ivfk3,
-       |  CAST(SUM(e * ik) AS BIGINT) AS n_ivfk3_overlap
+       |  CAST(SUM(e * ik) AS BIGINT) AS n_ivfk3_overlap,
+       |  CAST(SUM(ip) AS BIGINT) AS n_ivfpq3,
+       |  CAST(SUM(e * ip) AS BIGINT) AS n_ivfpq3_overlap
        |FROM flags GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
@@ -1045,14 +1187,15 @@ object Embeddings {
   // 0.45–0.48 at (M=16, k=32) — ~22× the 0.02 random baseline — and
   // SketchAccuracySpec pins the floor. More/finer subquantizers buy
   // recall because per-subspace variance shrinks with dsub.
-  private val pqM = 16
-  private val pqDsub = embedDim / pqM
-  private val pqKsub = 32
-  private val pqSeedStride = 13L
-  private val pqSeedOff = 7L
-  private val pqTopK = 10
 
-  val similarityPq: Q = (s, d) => {
+  /** PQ model: long-form quantized components, the one-Lloyd-update
+    * codebooks, and the encoded collection — shared by q_similarity_pq
+    * and the IVF+PQ composition (q_similarity_ivfpq). Returns
+    * (comps, cb, codes) where codes is (neighbor_id, sub, cell).
+    */
+  private def pqModel(
+      s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     // long-form quantized components (vec_id, sub, dsub, xq) — read by
     // seeding, two assignment passes, the centroid update, and the
     // query tables: materialize once
@@ -1101,10 +1244,17 @@ object Embeddings {
       .localCheckpoint() // referenced by encode AND the query tables
     val codes = pqAssign(cb)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("cell"))
-    // per-query ADC tables: distance from the query subvector to every
-    // codebook entry — O(M·k) rows per query, broadcast
-    val qIds = querySample(checked(s, d)).select(col("vec_id"))
-    val dtab = comps
+    (comps, cb, codes)
+  }
+
+  /** Per-query ADC tables: distance from the query subvector to every
+    * codebook entry — O(M·k) rows per query, broadcast.
+    */
+  private def pqDtab(
+      comps: DataFrame,
+      cb: DataFrame,
+      qIds: DataFrame): DataFrame =
+    comps
       .join(broadcast(qIds), Seq("vec_id"), "left_semi")
       .select(
         col("vec_id").as("query_id"),
@@ -1115,6 +1265,11 @@ object Embeddings {
       .withColumn("dq", col("qx") - col("cq"))
       .groupBy(col("query_id"), col("sub"), col("j"))
       .agg(sum(col("dq") * col("dq")).as("d2"))
+
+  val similarityPq: Q = (s, d) => {
+    val (comps, cb, codes) = pqModel(s, d)
+    val qIds = querySample(checked(s, d)).select(col("vec_id"))
+    val dtab = pqDtab(comps, cb, qIds)
     // ADC scoring: each candidate costs M table lookups; one scan of
     // the encoded collection, map-side partial sums
     val wTop = Window
@@ -1187,8 +1342,215 @@ object Embeddings {
        |WHERE rank <= $pqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_similarity_ivfpq — the PRODUCTION ANN composition: IVF coarse
+  // pruning × PQ compressed scoring × exact re-rank, each stage the
+  // one already gated standalone (q_similarity_ivf, q_similarity_pq).
+  //   1. queries probe their ivfpqProbeP nearest TRAINED cells — the
+  //      candidate set shrinks to the probed cells' members (the
+  //      n_candidates column carries the count so the pruning is
+  //      auditable in the output; SketchAccuracySpec asserts < 1/4 of
+  //      the collection is ever scored);
+  //   2. ONLY those candidates are ADC-scored: 16 integer table
+  //      lookups per candidate against the per-query distance tables —
+  //      the full-precision vectors are never touched at this stage;
+  //   3. the top-ivfpqShortC shortlist by ADC distance is re-ranked
+  //      with exact cosine over the original vectors (a shortlist-sized
+  //      join, not a collection scan), emitting the final top-10.
+  // At 100 TB: stage 1 bounds IO to probed cells, stage 2's scan reads
+  // 80-bit codes instead of 256-byte vectors, stage 3 touches
+  // O(C·queries) rows — this is the FAISS IVFADC shape re-expressed as
+  // three joins Catalyst can plan. Integer cells + integer ADC + exact
+  // double cosine keep every stage bit-reproducible in DuckDB: the
+  // whole composition hash-gates.
+  // ---------------------------------------------------------------------
+  private val ivfpqProbeP = 3
+
+  /** IVF+PQ seeds its coarse quantizer DENSER than q_similarity_ivf
+    * (stride 13 vs 61): the composition's pruning claim — candidates
+    * < 1/4 of the collection — needs enough cells that P probes are a
+    * small fraction, even on the 500-vector test fixtures. The cap
+    * still bounds the model at O(1).
+    */
+  private val ivfpqCentStride = 13L
+  private val ivfpqCentOff = 3L
+  private def ivfpqCentPick: Column =
+    col("vec_id") % ivfpqCentStride === ivfpqCentOff &&
+      col("vec_id") < ivfpqCentStride * centroidCap + ivfpqCentOff
+  private val sqlIvfpqCentPick: String =
+    s"vec_id % $ivfpqCentStride = $ivfpqCentOff AND " +
+      s"vec_id < ${ivfpqCentStride * centroidCap + ivfpqCentOff}"
+
+  val similarityIvfPq: Q = (s, d) => {
+    val (e, ck2, assigned) = ivfTrainedWith(s, d, ivfpqCentPick)
+    val (comps, cb, codes) = pqModel(s, d)
+    val q = querySample(e).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      sqrt(col("nrm2")).as("qnrm"))
+    val dtab = pqDtab(comps, cb, q.select(col("query_id").as("vec_id")))
+    val qprobe = ivfProbe(e, ck2, ivfpqProbeP).select(col("query_id"), col("cell"))
+    // IVF pruning: candidates = members of the probed cells
+    val cand = assigned
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .withColumn(
+        "n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+    // ADC scoring of ONLY the pruned candidates: M lookups each
+    val adc = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(
+        broadcast(dtab.select(
+          col("query_id").as("t_qid"),
+          col("sub").as("t_sub"),
+          col("j"),
+          col("d2"))),
+        col("t_qid") === col("query_id") &&
+          col("t_sub") === col("sub") && col("j") === col("cell"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        sum(col("d2")).as("adc_dist"),
+        max(col("n_candidates")).as("n_candidates"))
+    val wShort = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = adc
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= ivfpqShortC)
+    // exact re-rank of the shortlist only
+    val wFinal = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(
+        assigned.select(
+          col("vec_id").as("neighbor_id"),
+          col("embedding"),
+          col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn(
+        "cos",
+        fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= pqTopK)
+      .select(
+        col("query_id"),
+        col("n_candidates"),
+        col("rank"),
+        col("neighbor_id"),
+        col("adc_dist"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val similarityIvfPqSql: String = {
+    val seedHi = pqSeedStride * pqKsub + pqSeedOff
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |           ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS cv, nrm2 AS cnrm2
+       |  FROM n WHERE $sqlIvfpqCentPick),
+       |ka0 AS (
+       |  ${sqlKmAssign("n", "c0")}),
+       |r1 AS (
+       |  ${sqlKmRecompute("ka0")}),
+       |c1 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r1),
+       |ka1 AS (
+       |  ${sqlKmAssign("n", "c1")}),
+       |r2 AS (
+       |  ${sqlKmRecompute("ka1")}),
+       |c2 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r2),
+       |assigned AS (
+       |  SELECT vec_id, embedding, sqrt(nrm2) AS nrm, cell FROM (
+       |  ${sqlKmAssign("n", "c2")}) a),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |       sqrt(nrm2) AS qnrm, nrm2 AS qnrm2 FROM n
+       |       $sqlQuerySample),
+       |qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("c.cv", "q.qv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q0 q CROSS JOIN c2 c) t
+       |  WHERE prb <= $ivfpqProbeP),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    count(*) OVER (PARTITION BY q.query_id) AS n_candidates
+       |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+       |  WHERE a.vec_id != q.query_id),
+       |comps AS (
+       |  SELECT vec_id, CAST((t.i - 1) // $pqDsub AS INT) AS sub,
+       |    (t.i - 1) % $pqDsub AS dsub,
+       |    CAST(round(embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
+       |  FROM embeddings, range(1, ${embedDim + 1}) AS t(i)),
+       |seedcb AS (
+       |  SELECT sub, dsub, (vec_id - $pqSeedOff) // $pqSeedStride AS j,
+       |    xq AS cq
+       |  FROM comps
+       |  WHERE vec_id % $pqSeedStride = $pqSeedOff AND vec_id < $seedHi),
+       |pa0 AS (
+       |  SELECT vec_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, s.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - s.cq) * (c.xq - s.cq)) ASC, s.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN seedcb s ON c.sub = s.sub AND c.dsub = s.dsub
+       |    GROUP BY c.vec_id, c.sub, s.j) t WHERE rn = 1),
+       |cb AS (
+       |  SELECT pa0.sub, pa0.cell AS j, c.dsub,
+       |    CAST(floor(CAST(SUM(c.xq) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS cq
+       |  FROM pa0 JOIN comps c ON pa0.vec_id = c.vec_id AND pa0.sub = c.sub
+       |  GROUP BY pa0.sub, pa0.cell, c.dsub),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, b.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - b.cq) * (c.xq - b.cq)) ASC, b.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN cb b ON c.sub = b.sub AND c.dsub = b.dsub
+       |    GROUP BY c.vec_id, c.sub, b.j) t WHERE rn = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, q.sub, b.j,
+       |    SUM((q.xq - b.cq) * (q.xq - b.cq)) AS d2
+       |  FROM comps q JOIN cb b ON q.sub = b.sub AND q.dsub = b.dsub
+       |  WHERE q.vec_id IN (SELECT query_id FROM q0)
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM(d.d2) AS BIGINT) AS adc_dist,
+       |    max(c.n_candidates) AS n_candidates
+       |  FROM cand c
+       |  JOIN codes e ON e.neighbor_id = c.neighbor_id
+       |  JOIN dtab d ON d.query_id = c.query_id
+       |    AND d.sub = e.sub AND d.j = e.cell
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id, adc_dist, n_candidates FROM (
+       |    SELECT query_id, neighbor_id, adc_dist, n_candidates,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
+       |    FROM adc) t WHERE srn <= $ivfpqShortC),
+       |rer AS (
+       |  SELECT s.query_id, s.n_candidates, s.neighbor_id, s.adc_dist,
+       |    ${sqlDot("q.qv", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |  FROM short s
+       |  JOIN assigned a ON a.vec_id = s.neighbor_id
+       |  JOIN q0 q ON q.query_id = s.query_id)
+       |SELECT query_id, n_candidates, rank, neighbor_id, adc_dist, cos FROM (
+       |  SELECT query_id, n_candidates, neighbor_id, adc_dist, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM rer) r
+       |WHERE rank <= $pqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_pq" -> similarityPq,
+    "q_similarity_ivfpq" -> similarityIvfPq,
     "q_similarity_topk" -> similarityTopk,
     "q_similarity_lsh" -> similarityLsh,
     "q_similarity_ivf" -> similarityIvf,
@@ -1200,6 +1562,7 @@ object Embeddings {
 
   val oracleSql: Map[String, String] = Map(
     "q_similarity_pq" -> similarityPqSql,
+    "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_similarity_lsh" -> similarityLshSql,
     "q_similarity_ivf" -> similarityIvfSql,

@@ -118,6 +118,63 @@ class SketchAccuracySpec extends SparkSpec {
     assert(mean >= 0.30, s"PQ mean recall@10 $mean below floor 0.30")
   }
 
+  test("IVF+PQ recall@10 holds the flat-PQ floor while scoring < 1/4 of the collection") {
+    // the composition must keep the flat-PQ quality floor (the exact
+    // re-rank should offset IVF's cell-boundary misses) AND actually
+    // prune: every query's audited candidate count stays under a
+    // quarter of the collection, or the "index" is a scan in disguise.
+    // Measured at sf0.01: the 500-vector sf0.001 fixture seeds only 8
+    // coarse cells, so P=3 probes legitimately cover 3/8 of it — the
+    // pruning claim needs the real 64-cell quantizer.
+    val sf = "/root/testdata/sf0.01"
+    val out = ops.Embeddings
+      .similarityIvfPq(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("n_candidates"))
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    byQ.foreach { case (q, rows) =>
+      val nc = rows.map(_.getLong(2)).max
+      assert(
+        nc < nVecs / 4,
+        s"query $q scored $nc of $nVecs candidates — pruning defeated")
+    }
+    // exact cosine top-10 per query, brute force on the driver
+    val vecs = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val queryIds = vecs.keys.toSeq.sorted.take(32)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val recalls = queryIds.map { q =>
+      val qv = vecs(q)
+      val qn = math.sqrt(dot(qv, qv))
+      val exact = vecs.iterator
+        .filter(_._1 != q)
+        .map { case (id, v) =>
+          (-dot(qv, v) / (qn * math.sqrt(dot(v, v))), id)
+        }
+        .toSeq
+        .sortBy(identity)
+        .take(10)
+        .map(_._2)
+        .toSet
+      val got = byQ
+        .getOrElse(q, Array.empty[org.apache.spark.sql.Row])
+        .map(_.getLong(1))
+        .toSet
+      (exact & got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.30, s"IVF+PQ mean recall@10 $mean below the flat-PQ floor 0.30")
+  }
+
   test("LogHistogram quantiles: DETERMINISTIC bucket-width error bound vs exact ranks") {
     // The sketch's guarantee is not statistical: the picked estimate is
     // the lower bound of the bucket holding the true rank-ceil(q·n)
