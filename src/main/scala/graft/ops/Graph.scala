@@ -665,8 +665,13 @@ object Graph {
       .localCheckpoint() // read once per round — stop re-deriving pairs
   }
 
-  val labelProp: Q = (s, d) => {
-    val ed = copurchaseEdges(s, d)
+  val labelProp: Q = (s, d) => labelPropCore(copurchaseEdges(s, d))
+
+  /** The LPA loop on an arbitrary bidirectional edge frame (src, dst) —
+    * split out so PropertySpec can drive it over adversarially skewed
+    * fixtures the lineitem-derived gate graph can't produce.
+    */
+  private[graft] def labelPropCore(ed: DataFrame): DataFrame = {
     var labels = ed
       .select(col("src").as("v"))
       .distinct()
@@ -738,12 +743,16 @@ object Graph {
   private val bfsRounds = 6
   private val bfsSeedMax = 100L
 
-  val bfsDist: Q = (s, d) => {
-    val ed = copurchaseEdges(s, d)
+  val bfsDist: Q = (s, d) => bfsDistCore(copurchaseEdges(s, d), bfsSeedMax)
+
+  /** The BFS relaxation loop on an arbitrary bidirectional edge frame —
+    * see [[labelPropCore]].
+    */
+  private[graft] def bfsDistCore(ed: DataFrame, seedMax: Long): DataFrame = {
     var dist = ed
       .select(col("src").as("v"))
       .distinct()
-      .filter(col("v") <= bfsSeedMax)
+      .filter(col("v") <= seedMax)
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to bfsRounds) {

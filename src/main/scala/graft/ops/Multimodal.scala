@@ -267,8 +267,28 @@ object Multimodal {
   private val bhShift = 5
   private val bhSub = 1 << bhShift
 
-  val binaryHist: Q = (s, d) => {
+  /** Per-source payload-size LogHistogram — the STREAMABLE half of
+    * q_binary_hist (a plain hash aggregate over (source, nb), so it
+    * runs identically as a batch agg or as micro-batch state; the
+    * sketch's merge is associative+commutative, which is what makes
+    * that equivalence hold). Input: (source, nb) rows.
+    */
+  private[graft] def sizeHistAgg(sizes: DataFrame): DataFrame = {
     import graft.plans.LogHistogram
+    sizes
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        LogHistogram.logHist(col("nb"), bhShift).as("hist"))
+  }
+
+  /** Quantile extraction from the aggregated histograms — the batch
+    * tail shared by q_binary_hist and the streaming q_stream_binary
+    * gate (which runs [[sizeHistAgg]] through the micro-batch engine
+    * and hands the final state here). Input: (source, n, hist).
+    */
+  private[graft] def histQuantiles(hists: DataFrame): DataFrame = {
+    val s = hists.sparkSession
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("b"))
@@ -279,13 +299,7 @@ object Multimodal {
       s"CASE WHEN (b div $bhSub) <= 1 THEN b " +
         s"ELSE shiftleft(b - ((b div $bhSub) - 1) * $bhSub, " +
         s"cast((b div $bhSub) - 1 as int)) END"
-    Tables
-      .documents(s, d)
-      .select(col("source"), octet_length(col("text")).cast("long").as("nb"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n"),
-        LogHistogram.logHist(col("nb"), bhShift).as("hist"))
+    hists
       .select(col("source"), col("n"), explode(col("hist")).as("hb"))
       .select(
         col("source"),
@@ -301,6 +315,12 @@ object Multimodal {
       .select(col("source"), col("q"), col("est_bytes"), col("n"))
       .orderBy(col("source"), col("q"))
   }
+
+  val binaryHist: Q = (s, d) =>
+    histQuantiles(sizeHistAgg(
+      Tables
+        .documents(s, d)
+        .select(col("source"), octet_length(col("text")).cast("long").as("nb"))))
 
   val binaryHistSql: String =
     s"""WITH nb AS (

@@ -1342,7 +1342,72 @@ object Streams {
        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
        |FROM em GROUP BY 1, 2 ORDER BY slot_idx, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stream_binary — STREAMING binaryFile ingest under the oracle gate:
+  // the documents corpus written once as loose <source>/doc_<id>.bin
+  // files (UTF-8 payload bytes), ingested by the binaryFile STREAMING
+  // source, per-source payload-size LogHistograms aggregated as
+  // micro-batch state (complete mode — the sketch's merge is
+  // associative+commutative, so batch == stream), quantiles extracted
+  // from the final state. This is how raw media actually ENTERS a
+  // 100 TB pipeline: a file-arrival stream, not a parquet table. The
+  // oracle is q_binary_hist's twin verbatim: octet_length(encode(text))
+  // == the ingested files' byte lengths, so the whole file-write →
+  // stream-ingest → sketch path is value-pinned end to end.
+  // ---------------------------------------------------------------------
+  private val binDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def binFilesDir(s: SparkSession, d: String): String =
+    binDirCache.computeIfAbsent(
+      d,
+      _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_bin")
+        graft.Tables
+          .documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .collect()
+          .foreach { r =>
+            val sub = dir.resolve(r.getString(1))
+            java.nio.file.Files.createDirectories(sub)
+            java.nio.file.Files.write(
+              sub.resolve(s"doc_${r.getLong(0)}.bin"),
+              r.getString(2).getBytes("UTF-8"))
+          }
+        dir.toString
+      })
+
+  val streamBinaryGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = binFilesDir(s, d)
+    val name = s"graft_stream_binary_${gateN.incrementAndGet()}"
+    // file streaming sources need an explicit schema; binaryFile's is
+    // fixed — take it from the batch reader
+    val schema = s.read.format("binaryFile").load(dir).schema
+    withStatePartitions(s, 8) {
+      val sizes = s.readStream
+        .format("binaryFile")
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([^/]+)/doc_\\d+\\.bin$", 1)
+            .as("source"),
+          col("length").cast("long").as("nb"))
+      val q = graft.ops.Multimodal
+        .sizeHistAgg(sizes)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ops.Multimodal.histQuantiles(s.table(name))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_binary" -> streamBinaryGated,
     "q_stream_sliding" -> streamSlidingGated,
     "q_stream_scd2" -> streamScd2Gated,
     "q_stream_distinct" -> streamDistinctGated,
@@ -1359,6 +1424,7 @@ object Streams {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_binary" -> graft.ops.Multimodal.binaryHistSql,
     "q_stream_sliding" -> streamSlidingGatedSql,
     "q_stream_scd2" -> streamScd2GatedSql,
     "q_stream_distinct" -> streamDistinctGatedSql,

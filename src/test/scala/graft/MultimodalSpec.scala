@@ -56,6 +56,67 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.forall(_.getBoolean(1)), "byte mismatch after binaryFile ingest")
   }
 
+  test("STREAMING binaryFile ingest survives kill/restart exactly-once through the MERGE sink") {
+    // the streaming composition of the ingest above: files arrive in
+    // two waves, the query is killed between them, and the restarted
+    // query (same checkpoint) must pick up ONLY the new files — final
+    // state holds every file exactly once, payload fingerprints intact
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbin_src")
+    val table = java.nio.file.Files.createTempDirectory("graft_sbin_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbin_ckpt").toString
+    val rows = media.toDF().select(col("doc_id"), col("payload")).limit(40).collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    def writeFiles(rs: Array[org.apache.spark.sql.Row]): Unit =
+      rs.foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getAs[Array[Byte]](1))
+      }
+    writeFiles(h1)
+    val schema = spark.read.format("binaryFile").load(dir.toString).schema
+    def run(): Unit = {
+      val q = graft.streaming.MergeSink
+        .sink(
+          spark.readStream
+            .format("binaryFile")
+            .schema(schema)
+            .load(dir.toString)
+            .select(
+              regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+                .cast("long")
+                .as("doc_id"),
+              col("length").cast("long").as("length"),
+              crc32(col("content")).as("crc")),
+          table,
+          ckpt,
+          key = "doc_id",
+          seq = "length")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop() // the mid-ingest kill
+    }
+    run()
+    assert(
+      graft.streaming.MergeSink.currentState(spark, table).get.count() ==
+        h1.length.toLong,
+      "first wave not fully ingested")
+    writeFiles(h2)
+    run() // restart from the same checkpoint: only h2 may be processed
+    val got = graft.streaming.MergeSink
+      .currentState(spark, table)
+      .get
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("length"), r.getAs[Long]("crc")))
+      .toSet
+    val want = rows.map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val c = new java.util.zip.CRC32
+      c.update(bytes)
+      (r.getLong(0), bytes.length.toLong, c.getValue)
+    }.toSet
+    assert(got == want, s"ingest state diverged (${got.size} vs ${want.size} files)")
+  }
+
   test("image decode is deterministic and partition-local (no shuffle)") {
     val feats = Multimodal.decodeImage(media)
     val a = feats.collect().map(f => f.doc_id -> f).toMap

@@ -246,4 +246,64 @@ class PropertySpec extends SparkSpec {
     } finally orig.foreach(v =>
       spark.conf.set("spark.sql.shuffle.partitions", v))
   }
+
+  test("iterative graph kernels are invariant under a hot-key skew fixture") {
+    // The co-purchase gate graph is benign; a real dedup/link graph has
+    // celebrity nodes. Fixture: a hub owning 50% of ALL edges (every
+    // per-round join and aggregate sees one key carrying half the
+    // rows — the AQE skew path SkewSpec proves for SMJ), plus a sparse
+    // random remainder with long chains. LPA tie-breaks, BFS
+    // relaxation, and both CC variants must produce IDENTICAL results
+    // regardless of shuffle-partition count and input partitioning —
+    // and the two CC algorithms must agree with each other, with the
+    // star variant's round budget (its convergence require()) intact.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val hub = 1L
+    val nOther = 2000
+    // 50% hub edges; 50% sparse chain-ish edges among the others
+    val hubEdges = (2 to nOther + 1).map(i => (hub, i.toLong))
+    val restEdges = (2 to nOther).map { i =>
+      (i.toLong, (i + 1 + rnd.nextInt(5)).toLong) // forward chains
+    }
+    val undirected = (hubEdges ++ restEdges).toDF("u", "v")
+    val bidirectional = undirected
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(undirected.select(col("v").as("src"), col("u").as("dst")))
+
+    val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
+    def runAll(parts: String, inParts: Int): Seq[Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val und = undirected.repartition(inParts)
+      val bi = bidirectional.repartition(inParts)
+      Seq(
+        ops.Graph.labelPropCore(bi).collect().map(_.toString).toSeq,
+        ops.Graph.bfsDistCore(bi, seedMax = 1L).collect().map(_.toString).toSeq,
+        ops.Graph
+          .connectedComponents(und)
+          .orderBy(col("id"))
+          .collect()
+          .map(_.toString)
+          .toSeq,
+        ops.Graph
+          .connectedComponentsStar(und)
+          .orderBy(col("id"))
+          .collect()
+          .map(_.toString)
+          .toSeq)
+    }
+    try {
+      val a = runAll("3", 1)
+      val b = runAll("17", 23)
+      Seq("labelProp", "bfsDist", "cc", "ccStar").zipWithIndex.foreach {
+        case (n, i) =>
+          assert(a(i).nonEmpty, s"$n returned no rows on the skew fixture")
+          assert(a(i) == b(i), s"$n differs under skewed repartitioning")
+      }
+      // one connected graph: both CC algorithms agree everywhere
+      assert(a(2) == a(3), "hash-min and star CC disagree on the skew fixture")
+    } finally orig.foreach(v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v))
+  }
 }
