@@ -1363,26 +1363,78 @@ object Streams {
       d,
       _ => {
         val dir = java.nio.file.Files.createTempDirectory("graft_stream_bin")
-        graft.Tables
+        val rows = graft.Tables
           .documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
           .collect()
-          .foreach { r =>
-            val sub = dir.resolve(r.getString(1))
-            java.nio.file.Files.createDirectories(sub)
+        // one loose file per document; pre-create the per-source dirs
+        // serially, then write the (independent) files concurrently —
+        // this harness-side corpus materialization is NOT part of the
+        // ingest path being measured at scale, so keep it cheap
+        rows.map(_.getString(1)).distinct.foreach { src =>
+          java.nio.file.Files.createDirectories(dir.resolve(src))
+        }
+        java.util.Arrays
+          .stream(rows.asInstanceOf[Array[AnyRef]])
+          .parallel()
+          .forEach { r0 =>
+            val r = r0.asInstanceOf[org.apache.spark.sql.Row]
             java.nio.file.Files.write(
-              sub.resolve(s"doc_${r.getLong(0)}.bin"),
+              dir.resolve(r.getString(1)).resolve(s"doc_${r.getLong(0)}.bin"),
               r.getString(2).getBytes("UTF-8"))
           }
         dir.toString
       })
 
+  // binaryFile's schema is fixed by the source (BinaryFileFormat) —
+  // declaring it verbatim skips the batch-reader listing a
+  // schema-inference `.load()` would cost on every gate run
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField(
+        "path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField(
+        "length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "content",
+        org.apache.spark.sql.types.BinaryType)))
+
+  /** Scope a (conf, value) pair to `f`, restoring the prior value. */
+  private def withConf[A](s: SparkSession, key: String, v: String)(
+      f: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, v)
+    try f
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val streamBinaryGated: (SparkSession, String) => DataFrame = (s, d) => {
     val dir = binFilesDir(s, d)
     val name = s"graft_stream_binary_${gateN.incrementAndGet()}"
-    // file streaming sources need an explicit schema; binaryFile's is
-    // fixed — take it from the batch reader
-    val schema = s.read.format("binaryFile").load(dir).schema
+    val schema = binaryFileSchema
+    // the corpus is thousands of ~1 KB loose files; the default 4 MB
+    // file-open cost would bin-pack them into hundreds of read
+    // partitions of a handful of files each — size the open cost to
+    // the actual small-file overhead so tasks carry a useful batch of
+    // files (the same knob a real small-file ingest sets)
+    withConf(s, "spark.sql.files.openCostInBytes", "16384") {
+    // each micro-batch resolves its file list through an
+    // InMemoryFileIndex; above parallelPartitionDiscovery.threshold
+    // (default 32) paths that listing runs as a Spark JOB with one
+    // task per path — thousands of millisecond tasks of pure
+    // scheduling overhead per batch (measured: 9.4 s of a 10.9 s
+    // trigger in getBatch). Local-FS stats are microseconds; list on
+    // the driver. (An object-store deployment flips this back — that
+    // is exactly what the threshold knob is for.)
+    withConf(s, "spark.sql.sources.parallelPartitionDiscovery.threshold", "1000000") {
     withStatePartitions(s, 8) {
       val sizes = s.readStream
         .format("binaryFile")
@@ -1402,6 +1454,8 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
+    }
     }
     graft.ops.Multimodal.histQuantiles(s.table(name))
   }
