@@ -619,23 +619,19 @@ object Embeddings {
     // codebooks, shortlisted by compressed distance, and only the
     // shortlist exact-re-ranked — n_ivfpq3 vs n_ivfk3 measures what the
     // compressed scoring stage costs in recall at equal probe budget.
-    val (compsP, cbP, codesP) = pqModel(s, d)
-    val dtabP = pqDtab(compsP, cbP, q.select(col("query_id").as("vec_id")))
+    val mP = pqLitModel(s, d)
+    val qdtabP = q.select(
+      col("query_id"),
+      pqDtabArr(mP, col("qv")).as("dtab"))
     val ipAdc = assignedK
       .join(broadcast(qprobeK.select(col("query_id"), col("cell"))), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .join(codesP, Seq("neighbor_id"))
-      .join(
-        broadcast(dtabP.select(
-          col("query_id").as("t_qid"),
-          col("sub").as("t_sub"),
-          col("j"),
-          col("d2"))),
-        col("t_qid") === col("query_id") &&
-          col("t_sub") === col("sub") && col("j") === col("cell"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2")).as("adc_dist"))
+      .withColumn("codes", pqEncode(mP, col("embedding")))
+      .join(broadcast(qdtabP), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        adcScore.as("adc_dist"))
     val wShortIp = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
@@ -1193,95 +1189,222 @@ object Embeddings {
     * and the IVF+PQ composition (q_similarity_ivfpq). Returns
     * (comps, cb, codes) where codes is (neighbor_id, sub, cell).
     */
-  private def pqModel(
-      s: SparkSession,
-      d: String): (DataFrame, DataFrame, DataFrame) = {
-    // long-form quantized components (vec_id, sub, dsub, xq) — read by
-    // seeding, two assignment passes, the centroid update, and the
-    // query tables: materialize once
-    val comps = checked(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(
-        col("vec_id"),
-        (col("pos") / pqDsub).cast("int").as("sub"),
-        (col("pos") % pqDsub).as("dsub"),
-        round(col("x").cast("double") * kmQ).cast("long").as("xq"))
-      .localCheckpoint()
-    // nearest codebook entry per (vector, subspace): integer L2², ties
-    // to the lower entry id — shared by seeding-assign and encode
-    def pqAssign(cb: DataFrame): DataFrame = {
-      val w = Window
-        .partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2").asc, col("j").asc)
-      comps
-        .join(broadcast(cb), Seq("sub", "dsub"))
-        .withColumn("dq", col("xq") - col("cq"))
-        .groupBy(col("vec_id"), col("sub"), col("j"))
-        .agg(sum(col("dq") * col("dq")).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("j").as("cell"))
+  /** Driver-resident PQ codebook: for each subspace, the PRESENT entry
+    * ids (ascending) and their quantized centroid components. The model
+    * is O(M·k·dsub) = 2,048 longs — the kmMaterialize broadcastability
+    * contract — so encode and ADC-table construction become NARROW
+    * codegen projections against literals instead of explode joins: the
+    * collection is never multiplied by the codebook (the former
+    * join-based encode materialized N×M×k rows plus two window
+    * shuffles, all pure overhead at any scale).
+    */
+  private case class PqLitModel(
+      js: Array[Array[Int]], // [sub] -> present entry ids, ascending
+      cq: Array[Array[Array[Long]]]) // [sub][slot][dsub] -> centroid
+
+  /** Quantized components of an embedding array — the same expression
+    * the former long-form `comps` frame computed per exploded row.
+    */
+  private def xqArr(v: Column): Column =
+    transform(v, x => round(x.cast("double") * kmQ).cast("long"))
+
+  /** Quantized components reshaped as [sub][dsub] — quantization sits
+    * at the ROOT of every downstream higher-order chain, never inside
+    * a lambda. HOFs evaluate interpreted, re-running their lambda body
+    * per element: with the round() transform nested inside the per-
+    * entry distance lambdas, each row re-quantized the full vector
+    * M·k·2 times through BigDecimal (measured: one sf0.001 training
+    * task burned 53 s of CPU). As the HOF input it evaluates exactly
+    * once per row — dim BigDecimal roundings, then pure long math.
+    */
+  private def xqSubs(v: Column): Column =
+    transform(
+      sequence(lit(0), lit(pqM - 1)),
+      s =>
+        transform(
+          sequence(lit(0), lit(pqDsub - 1)),
+          t =>
+            round(
+              element_at(v, s * pqDsub + t + 1).cast("double") * kmQ)
+              .cast("long")))
+
+  /** Integer L2² from a subvector to one centroid array — exact in a
+    * long (|dq| ≤ 2·kmQ ⇒ Σ of 4 squares < 2^44). A compact
+    * zip_with/aggregate tree over stored arrays, so the model rides
+    * the plan as a single nested-array literal instead of thousands of
+    * expression nodes (the expanded-literal formulation serialized a
+    * 31 MiB task binary and spent minutes in codegen).
+    */
+  private def subD2(xsub: Column, cent: Column): Column =
+    aggregate(
+      zip_with(xsub, cent, (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Per-sub codebook as a (centroid, entry-id) struct list literal,
+    * entry ids ascending.
+    */
+  private def cjsLit(m: PqLitModel): Column =
+    typedLit(
+      (0 until pqM)
+        .map(s => m.js(s).indices.map(sl => (m.cq(s)(sl).toSeq, m.js(s)(sl))).toSeq)
+        .toSeq)
+
+  /** PQ encode as ONE narrow projection: per subspace a single argmin
+    * FOLD over the entries, strict-less so ties keep the earliest
+    * (lowest) entry id — the same tie the former row_number window
+    * ordered by (d2, j) broke.
+    */
+  private def pqEncode(m: PqLitModel, v: Column): Column = {
+    val cjs = cjsLit(m)
+    transform(
+      xqSubs(v),
+      (xsub, s) =>
+        aggregate(
+          element_at(cjs, s + 1),
+          struct(lit(Long.MaxValue).as("bd"), lit(-1).as("bj")),
+          (acc, e) => {
+            val d2 = subD2(xsub, e.getField("_1"))
+            when(
+              d2 < acc.getField("bd"),
+              struct(d2.as("bd"), e.getField("_2").as("bj")))
+              .otherwise(acc)
+          }).getField("bj"))
+  }
+
+  /** Per-query ADC table as a flat array projection: index sub·k + j
+    * (0-based) → integer L2² from the query subvector to entry j.
+    * Absent entries score against a zero-filled centroid and are
+    * unreachable — codes only ever index PRESENT entries.
+    */
+  private def pqDtabArr(m: PqLitModel, v: Column): Column = {
+    val slots: Array[Map[Int, Int]] = m.js.map(_.zipWithIndex.toMap)
+    // dense [sub][j][dsub] table, absent entries zero-filled
+    val cqFull = typedLit(
+      (0 until pqM)
+        .map(s =>
+          (0 until pqKsub)
+            .map(j =>
+              slots(s)
+                .get(j)
+                .map(sl => m.cq(s)(sl).toSeq)
+                .getOrElse(Seq.fill(pqDsub)(0L)))
+            .toSeq)
+        .toSeq)
+    flatten(
+      transform(
+        xqSubs(v),
+        (xsub, s) =>
+          transform(
+            sequence(lit(0), lit(pqKsub - 1)),
+            j => subD2(xsub, element_at(element_at(cqFull, s + 1), j + 1)))))
+  }
+
+  /** ADC distance: M table lookups against the broadcast `dtab` array —
+    * Σ over subspaces of dtab[sub·k + codes[sub]], a long (matches the
+    * former 16-row sum(d2) bit-for-bit).
+    */
+  private def adcScore: Column =
+    aggregate(
+      sequence(lit(0), lit(pqM - 1)),
+      lit(0L),
+      (acc, s) =>
+        acc + element_at(
+          col("dtab"),
+          s * pqKsub + element_at(col("codes"), s + 1) + 1))
+
+  /** Train the PQ codebook: stride-seed entries, one Lloyd update in
+    * quantized-integer arithmetic (floor(Σxq/n) per component — order
+    * independent, bit-deterministic), exactly the math of the former
+    * DataFrame formulation but collected driver-side. Two jobs total:
+    * the O(k) seed collect and one partial-aggregated update pass.
+    */
+  private def pqLitModel(s: SparkSession, d: String): PqLitModel = {
+    def toModel(rows: Seq[(Int, Int, Array[Long])]): PqLitModel = {
+      val bySub = rows.groupBy(_._1)
+      val js = Array.tabulate(pqM)(sb =>
+        bySub.getOrElse(sb, Nil).map(_._2).sorted.toArray)
+      val cq = Array.tabulate(pqM) { sb =>
+        val m = bySub.getOrElse(sb, Nil).map(r => r._2 -> r._3).toMap
+        js(sb).map(m)
+      }
+      PqLitModel(js, cq)
     }
-    // per-subspace seed codebooks: every strideth vector's subvectors,
-    // entry id j = seed ordinal — O(1) codebook at any SF
-    val seedCb = comps
+    // seed codebook: every strideth vector's subvectors, entry id j =
+    // seed ordinal — O(1) rows collected (quantization stays a Spark
+    // expression so driver float semantics never enter the model)
+    val seed = checked(s, d)
       .filter(
         col("vec_id") % pqSeedStride === pqSeedOff &&
           col("vec_id") < pqSeedStride * pqKsub + pqSeedOff)
       .select(
+        expr(s"(vec_id - $pqSeedOff) div $pqSeedStride")
+          .cast("int")
+          .as("j"),
+        xqArr(col("embedding")).as("xqa"))
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val xqa = r.getSeq[Long](1)
+        (0 until pqM).map(sb =>
+          (sb, r.getInt(0), xqa.slice(sb * pqDsub, (sb + 1) * pqDsub).toArray))
+      }
+    val m0 = toModel(seed)
+    // one Lloyd update: assign every vector with the seed model (narrow
+    // encode), then per (sub, cell, dsub) the floored quantized mean —
+    // ONE map-side-combined aggregation over N×dim rows, 2,048 out.
+    // The encode and quantization ride the GENERATOR INPUT (evaluated
+    // once per row); projecting them beside a posexplode would let
+    // CollapseProject inline them into per-exploded-row recomputation.
+    val upd = checked(s, d)
+      .select(
+        posexplode(
+          zip_with(
+            xqSubs(col("embedding")),
+            pqEncode(m0, col("embedding")),
+            (xsub, cell) => struct(xsub.as("xsub"), cell.as("cell"))))
+          .as(Seq("sub", "sc")))
+      .select(
         col("sub"),
-        col("dsub"),
-        expr(s"(vec_id - $pqSeedOff) div $pqSeedStride").as("j"),
-        col("xq").as("cq"))
-    // one Lloyd update per subspace in quantized-integer arithmetic
-    val cb = pqAssign(seedCb)
-      .join(comps, Seq("vec_id", "sub"))
-      .groupBy(col("sub"), col("cell").as("j"), col("dsub"))
+        col("sc.cell").as("cell"),
+        posexplode(col("sc.xsub")).as(Seq("dsub", "xq")))
+      .groupBy(col("sub"), col("cell"), col("dsub"))
       .agg(
         floor(sum(col("xq")).cast("double") / count(lit(1)))
           .cast("long")
           .as("cq"))
-      .localCheckpoint() // referenced by encode AND the query tables
-    val codes = pqAssign(cb)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cell"))
-    (comps, cb, codes)
+      .collect()
+      .toSeq
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case ((sb, cell), rs) =>
+        val byD = rs.map(r => r.getInt(2) -> r.getLong(3)).toMap
+        (sb, cell, Array.tabulate(pqDsub)(byD))
+      }
+      .toSeq
+    toModel(upd)
   }
 
-  /** Per-query ADC tables: distance from the query subvector to every
-    * codebook entry — O(M·k) rows per query, broadcast.
-    */
-  private def pqDtab(
-      comps: DataFrame,
-      cb: DataFrame,
-      qIds: DataFrame): DataFrame =
-    comps
-      .join(broadcast(qIds), Seq("vec_id"), "left_semi")
+  val similarityPq: Q = (s, d) => {
+    val m = pqLitModel(s, d)
+    // encoded collection: ONE narrow projection (vec_id, 16 codes) —
+    // the 80-bit-codes-instead-of-256-byte-vectors scan
+    val enc = checked(s, d)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        pqEncode(m, col("embedding")).as("codes"))
+    // per-query ADC tables ride the O(1) broadcast query frame
+    val q = querySample(checked(s, d))
       .select(
         col("vec_id").as("query_id"),
-        col("sub"),
-        col("dsub"),
-        col("xq").as("qx"))
-      .join(broadcast(cb), Seq("sub", "dsub"))
-      .withColumn("dq", col("qx") - col("cq"))
-      .groupBy(col("query_id"), col("sub"), col("j"))
-      .agg(sum(col("dq") * col("dq")).as("d2"))
-
-  val similarityPq: Q = (s, d) => {
-    val (comps, cb, codes) = pqModel(s, d)
-    val qIds = querySample(checked(s, d)).select(col("vec_id"))
-    val dtab = pqDtab(comps, cb, qIds)
-    // ADC scoring: each candidate costs M table lookups; one scan of
-    // the encoded collection, map-side partial sums
+        pqDtabArr(m, col("embedding")).as("dtab"))
+    // ADC scoring: each candidate costs M table lookups, fully inside
+    // whole-stage codegen; the only shuffle is the per-query top-k
     val wTop = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    codes
-      .join(
-        broadcast(dtab.withColumnRenamed("sub", "t_sub")),
-        col("sub") === col("t_sub") && col("cell") === col("j"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2")).as("adc_dist"))
+    enc
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcScore)
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= pqTopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
@@ -1383,36 +1506,34 @@ object Embeddings {
 
   val similarityIvfPq: Q = (s, d) => {
     val (e, ck2, assigned) = ivfTrainedWith(s, d, ivfpqCentPick)
-    val (comps, cb, codes) = pqModel(s, d)
+    val m = pqLitModel(s, d)
     val q = querySample(e).select(
       col("vec_id").as("query_id"),
       col("embedding").as("qv"),
       sqrt(col("nrm2")).as("qnrm"))
-    val dtab = pqDtab(comps, cb, q.select(col("query_id").as("vec_id")))
+    // per-query ADC tables ride the O(1) broadcast query frame
+    val qdtab = q.select(
+      col("query_id"),
+      pqDtabArr(m, col("qv")).as("dtab"))
     val qprobe = ivfProbe(e, ck2, ivfpqProbeP).select(col("query_id"), col("cell"))
-    // IVF pruning: candidates = members of the probed cells
-    val cand = assigned
+    // IVF pruning: candidates = members of the probed cells. Each
+    // vector lives in exactly one cell and probed cells are distinct,
+    // so (query, neighbor) pairs are already unique — codes come from a
+    // NARROW encode of the candidate's own embedding and the ADC sum is
+    // M in-row lookups: no join touches the codebook.
+    val adc = assigned
       .join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .withColumn(
         "n_candidates",
         count(lit(1)).over(Window.partitionBy(col("query_id"))))
-    // ADC scoring of ONLY the pruned candidates: M lookups each
-    val adc = cand
-      .join(codes, Seq("neighbor_id"))
-      .join(
-        broadcast(dtab.select(
-          col("query_id").as("t_qid"),
-          col("sub").as("t_sub"),
-          col("j"),
-          col("d2"))),
-        col("t_qid") === col("query_id") &&
-          col("t_sub") === col("sub") && col("j") === col("cell"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(
-        sum(col("d2")).as("adc_dist"),
-        max(col("n_candidates")).as("n_candidates"))
+      .withColumn("codes", pqEncode(m, col("embedding")))
+      .join(broadcast(qdtab), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        adcScore.as("adc_dist"),
+        col("n_candidates"))
     val wShort = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
