@@ -50,10 +50,24 @@ import org.apache.spark.sql.functions._
   * ops.Transactional.mergeUpsert. The merge is one hash aggregate over
   * touched-buckets ∪ batch — one shuffle on the key, reading only the
   * touched slice of the table.
+  *
+  * DELETES (full CDC): a batch carrying the reserved boolean column
+  * `__deleted` marks tombstone rows. A tombstone is merged like any
+  * row — if it wins its key's latest-by-seq race the key is dead — and
+  * it is RETAINED in the stored buckets: a late-arriving upsert with a
+  * LOWER seq must lose to the tombstone, which only works if the
+  * tombstone is still there to race against (the Kafka-compaction /
+  * Delta retention rule). Readers hide it: [[currentState]] /
+  * [[stateAt]] filter tombstone rows and drop the column. A retention
+  * pass that ages tombstones out past the out-of-order horizon is a
+  * maintenance job over the bucket files, orthogonal to the protocol.
   */
 object MergeSink {
 
   final case class Commit(version: Long, epoch: Long, runId: String)
+
+  /** Reserved tombstone column: boolean, true = delete this key. */
+  val DeletedCol = "__deleted"
 
   /** Buckets per table. Fixed at first commit (recorded in the
     * manifest); 16 keeps test tables multi-file while a 100 TB table
@@ -135,7 +149,11 @@ object MergeSink {
     if (m.isEmpty) None
     else {
       val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
-      Some(spark.read.parquet(paths: _*))
+      val raw = spark.read.parquet(paths: _*)
+      // CDC tables retain tombstones physically; the TABLE is its live rows
+      if (raw.columns.contains(DeletedCol))
+        Some(raw.filter(!col(DeletedCol)).drop(DeletedCol))
+      else Some(raw)
     }
   }
 

@@ -1052,6 +1052,65 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_cdc — FULL CDC (upserts AND deletes) through the MERGE
+  // sink: 'error' events are account-delete tombstones; every other
+  // event upserts the user's latest value. A user whose LAST event (by
+  // event_id) is a delete is absent from the table — but the tombstone
+  // row is RETAINED in the stored buckets so a late-arriving lower-seq
+  // upsert cannot resurrect the key (StateSpec drives that path; the
+  // oracle proves the converged visible state). The twin computes the
+  // same thing declaratively: arg_max over each user's history, keys
+  // whose winner is a delete filtered out.
+  // ---------------------------------------------------------------------
+  val streamCdcGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cdc_tbl")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = MergeSink
+        .sink(
+          eventsStream(s, d)
+            .select(
+              col("user_id"),
+              col("event_id"),
+              col("value"),
+              (col("event_type") === "error").as(MergeSink.DeletedCol)),
+          table,
+          ckpt,
+          key = "user_id",
+          seq = "event_id")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeSink
+      .currentState(s, table)
+      .get // live rows only: tombstone winners filtered, __deleted dropped
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val streamCdcGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val,
+      |    arg_max(event_type, event_id) AS last_type
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st WHERE last_type <> 'error'
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_quantiles — the mergeable LogHistogram sketch as STREAMING
   // STATE: per-hour windowed histograms of event cents with the
   // q_stream_append watermark/emission contract, quantiles picked from
@@ -1137,6 +1196,64 @@ object Streams {
        |  GROUP BY 1, 2)
        |SELECT hour_idx, q, ${graft.ops.Sketches.sqlLhLower("b")} AS est_cents, n
        |FROM p ORDER BY hour_idx, q""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_stream_topk — EXACT windowed top-k as BOUNDED streaming state:
+  // per-hour top-3 events by (value DESC, event_id ASC) via the
+  // TopKAgg Aggregator. Completes the bounded-state trilogy beside
+  // q_stream_distinct (KMV) and q_stream_quantiles (LogHistogram):
+  // a full per-window sort cannot ride the state store, but a k-element
+  // buffer whose merge is associative + commutative + total-ordered
+  // can — each micro-batch folds its partials into O(k) state per
+  // window, and unlike the sketches the result is EXACT. Emission is
+  // the q_stream_append watermark contract; the twin ranks the same
+  // emittable windows declaratively.
+  // ---------------------------------------------------------------------
+  val streamTopkGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_topk_${gateN.incrementAndGet()}"
+    val topk = udaf(graft.functions.TopKAgg(3))
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          // the Aggregator's case-class input arrives as its fields:
+          // (score, id)
+          topk(col("value"), col("event_id")).as("ids"))
+        .select(col("window.start").as("win_start"), col("n"), col("ids"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("n"),
+        array_join(transform(col("ids"), x => x.cast("string")), ",")
+          .as("top_ids"))
+      .orderBy(col("hour_idx"))
+  }
+
+  val streamTopkGatedSql: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM events),
+       |e AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hour_idx, event_id, value
+       |  FROM events, mx
+       |  WHERE (epoch_us(ts) // $HourUs + 1) * 3600000 <= mx.wm_ms - 3600000),
+       |r AS (
+       |  SELECT hour_idx, event_id,
+       |    row_number() OVER (PARTITION BY hour_idx
+       |      ORDER BY value DESC, event_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY hour_idx) AS n
+       |  FROM e)
+       |SELECT hour_idx, CAST(max(n) AS BIGINT) AS n,
+       |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+       |FROM r WHERE rn <= 3 GROUP BY hour_idx ORDER BY hour_idx""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_stream_distinct — DISTINCT COUNT OVER A STREAM via the KMV
@@ -1466,6 +1583,8 @@ object Streams {
     "q_stream_scd2" -> streamScd2Gated,
     "q_stream_distinct" -> streamDistinctGated,
     "q_stream_upsert" -> streamUpsertGated,
+    "q_stream_cdc" -> streamCdcGated,
+    "q_stream_topk" -> streamTopkGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
@@ -1483,6 +1602,8 @@ object Streams {
     "q_stream_scd2" -> streamScd2GatedSql,
     "q_stream_distinct" -> streamDistinctGatedSql,
     "q_stream_upsert" -> streamUpsertGatedSql,
+    "q_stream_cdc" -> streamCdcGatedSql,
+    "q_stream_topk" -> streamTopkGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,

@@ -293,4 +293,68 @@ class StateSpec extends SparkSpec {
       .getLong(0)
     assert(v == one.event_id + 1000000L, "upserted key did not win")
   }
+
+  test("MERGE sink CDC deletes: tombstones hide keys, survive late lower-seq upserts, allow re-insert") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_cdc_tbl").toString
+    def df(rows: (Long, Long, Double, Boolean)*) =
+      rows.toDF("user_id", "event_id", "value", MS.DeletedCol)
+    def liveKeys: Set[Long] =
+      MS.currentState(spark, table)
+        .get
+        .select("user_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+
+    // v0: two live keys
+    MS.upsertBatch(
+      df((1L, 10L, 1.0, false), (2L, 10L, 2.0, false)),
+      table, "user_id", "event_id", 0L, "cdc-run")
+    assert(liveKeys == Set(1L, 2L))
+    val visibleCols = MS.currentState(spark, table).get.columns.toSeq
+    assert(
+      !visibleCols.contains(MS.DeletedCol),
+      "reads must not expose the tombstone column")
+
+    // v1: delete key 1 at a higher seq — key disappears from reads
+    MS.upsertBatch(
+      df((1L, 20L, 0.0, true)),
+      table, "user_id", "event_id", 1L, "cdc-run")
+    assert(liveKeys == Set(2L), "tombstone winner must hide its key")
+
+    // the tombstone is physically RETAINED (that is what blocks
+    // resurrection) even though reads filter it
+    val stored = MS.currentFiles(spark, table).values.flatten.toSeq
+    val raw = spark.read.parquet(stored: _*)
+    assert(
+      raw.filter(col(MS.DeletedCol)).count() == 1,
+      "tombstone row must be retained in the stored buckets")
+
+    // v2: a LATE upsert for key 1 with a LOWER seq than the tombstone
+    // must lose the latest-wins race — no resurrection
+    MS.upsertBatch(
+      df((1L, 15L, 9.9, false)),
+      table, "user_id", "event_id", 2L, "cdc-run")
+    assert(liveKeys == Set(2L), "late lower-seq upsert resurrected a deleted key")
+
+    // v3: a genuine re-insert at a HIGHER seq than the tombstone wins
+    MS.upsertBatch(
+      df((1L, 30L, 7.0, false)),
+      table, "user_id", "event_id", 3L, "cdc-run")
+    assert(liveKeys == Set(1L, 2L), "higher-seq re-insert must revive the key")
+    val reborn = MS.currentState(spark, table).get
+      .where(col("user_id") === 1L).select("event_id", "value").first()
+    assert(reborn.getLong(0) == 30L && reborn.getDouble(1) == 7.0)
+
+    // time travel: the snapshot before the delete still shows key 1's
+    // original row (markers for current + previous survive GC)
+    val prevV = MS.commits(spark, table).map(_.version).sorted.takeRight(2).head
+    val at = MS.stateAt(spark, table, prevV).get
+    assert(
+      at.where(col("user_id") === 1L).isEmpty,
+      s"version $prevV (post-delete, pre-reinsert) must not show key 1")
+  }
 }
