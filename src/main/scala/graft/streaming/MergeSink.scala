@@ -149,10 +149,10 @@ object MergeSink {
     if (m.isEmpty) None
     else {
       val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
-      val raw = spark.read.parquet(paths: _*)
+      val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
       // CDC tables retain tombstones physically; the TABLE is its live rows
       if (raw.columns.contains(DeletedCol))
-        Some(raw.filter(!col(DeletedCol)).drop(DeletedCol))
+        Some(raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol))
       else Some(raw)
     }
   }
@@ -249,33 +249,70 @@ object MergeSink {
       else {
         val touchedPaths = touched.toSeq.sorted
           .flatMap(b => prevManifest.get(b).map(v => s"$dir/data/b$b/v$v"))
+        // The tombstone column may exist on either side only (a CDC
+        // batch onto a pre-CDC table, or a pure-upsert batch onto a CDC
+        // table): absent means "not deleted" on both.
+        def withDeleted(df: DataFrame): DataFrame =
+          if (df.columns.contains(DeletedCol)) df
+          else df.withColumn(DeletedCol, lit(false))
         val base =
           if (touchedPaths.isEmpty) batchC
-          else
-            spark.read
-              .parquet(touchedPaths: _*)
-              .select(cols.map(col).toIndexedSeq: _*)
-              .unionByName(batchC)
+          else {
+            val stored = spark.read.option("mergeSchema", true).parquet(touchedPaths: _*)
+            if (stored.columns.contains(DeletedCol) ||
+              cols.contains(DeletedCol))
+              withDeleted(stored)
+                .select((cols.filterNot(_ == DeletedCol).map(col) :+
+                  col(DeletedCol)).toIndexedSeq: _*)
+                .unionByName(withDeleted(batchC))
+            else stored.select(cols.map(col).toIndexedSeq: _*).unionByName(batchC)
+          }
         Some(latestWins(base, key, seq).withColumn("__b", bucketOf))
       }
 
+    publish(spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId)
+  }
+
+  /** Durably publish version `newV`: write `rows` (bucketed by their
+    * "__b" column) for the `touched` buckets, then the manifest, then
+    * the O(1) visibility marker — strictly in that order (the
+    * WAL-before-data dual; see the object doc) — then GC versions that
+    * fell out of the retention window. A touched bucket that ends up
+    * EMPTY (every row removed, e.g. by tombstone retirement) is dropped
+    * from the manifest rather than published as a fileless directory.
+    */
+  private def publish(
+      spark: SparkSession,
+      dir: String,
+      nb: Int,
+      prevManifest: Map[Int, Long],
+      touched: Set[Int],
+      rows: Option[DataFrame],
+      newV: Long,
+      runId: String,
+      epochId: Long): Unit = {
     val (fs, p) = fsOf(spark, dir)
-    merged.foreach { m =>
+    var written = Set.empty[Int]
+    rows.foreach { m =>
       // data first: one partitioned write of the touched buckets ...
       val tmp = new Path(p, s"_tmp_v$newV")
       m.write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
       touched.toSeq.sorted.foreach { b =>
-        val dst = new Path(p, s"data/b$b/v$newV")
-        fs.mkdirs(dst.getParent)
-        if (fs.exists(dst)) fs.delete(dst, true) // torn unpublished attempt
-        if (!fs.rename(new Path(tmp, s"__b=$b"), dst))
-          throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
+        val src = new Path(tmp, s"__b=$b")
+        if (fs.exists(src)) {
+          val dst = new Path(p, s"data/b$b/v$newV")
+          fs.mkdirs(dst.getParent)
+          if (fs.exists(dst)) fs.delete(dst, true) // torn unpublished attempt
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
+          written += b
+        } // else: the bucket lost all its rows — drop its manifest entry
       }
       fs.delete(tmp, true)
     }
     // ... then the manifest ...
     val newManifest =
-      prevManifest ++ touched.toSeq.sorted.map(_ -> newV)
+      (prevManifest -- touched) ++ written.toSeq.sorted.map(_ -> newV)
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
       val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
@@ -311,6 +348,188 @@ object MergeSink {
         }
       }
     }
+  }
+
+  /** Data files a point lookup for `keys` must read — the bucket-pruned
+    * slice of the current snapshot. Keys hash with the SAME expression
+    * the writer bucketed by (`pmod(xxhash64(key), nb)`), so the lookup
+    * resolves to ⌈distinct key buckets⌉ files out of the table's `nb`:
+    * at 100 TB a single-key read touches one O(100 MB–1 GB) bucket, not
+    * the table. Callers must pass values of the key column's exact type
+    * (xxhash64 of an INT and of a BIGINT differ). The bucket ids are
+    * computed in one constant-folded 1-row job — metadata, not data.
+    */
+  def lookupFiles(
+      spark: SparkSession,
+      dir: String,
+      keys: Seq[Any]): Seq[String] =
+    lastCommit(spark, dir) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val nb = numBuckets(spark, dir, c.version)
+        val m = manifest(spark, dir, c.version)
+        val buckets = spark
+          .range(1)
+          .select(
+            array(keys.map(k =>
+              pmod(xxhash64(lit(k)), lit(nb)).cast("int")).toIndexedSeq: _*)
+              .as("bs"))
+          .head()
+          .getSeq[Int](0)
+          .toSet
+        buckets.toSeq.sorted.flatMap(b =>
+          m.get(b).map(v => s"$dir/data/b$b/v$v"))
+    }
+
+  /** Point lookup: the current visible rows for `keys`, reading ONLY the
+    * buckets those keys hash into (see [[lookupFiles]]). None when the
+    * table is empty or no key's bucket holds data. Tombstone rows are
+    * hidden exactly as in [[currentState]].
+    */
+  def pointLookup(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      keys: Seq[Any]): Option[DataFrame] = {
+    val files = lookupFiles(spark, dir, keys)
+    if (files.isEmpty) None
+    else {
+      val raw = spark.read
+        .option("mergeSchema", true)
+        .parquet(files: _*)
+        .filter(col(key).isin(keys: _*))
+      Some(
+        if (raw.columns.contains(DeletedCol))
+          raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+        else raw)
+    }
+  }
+
+  /** Tombstone retention: retire tombstones whose seq is strictly below
+    * `horizon`, rewriting ONLY the buckets that hold one (copy-on-write
+    * discipline — untouched buckets carry forward). Returns the number
+    * of buckets rewritten.
+    *
+    * The horizon is the table's out-of-order bound: once no in-flight
+    * upsert can carry a seq below it, the tombstones below it have won
+    * every race they will ever run and are pure storage. Retiring a
+    * tombstone EARLIER than that re-opens the resurrection window the
+    * tombstone existed to close (StateSpec pins exactly that hazard), so
+    * the caller — not this method — owns choosing a safe horizon, e.g.
+    * `watermark - slack` for a stream. Runs as its own single-writer
+    * maintenance commit (runId "maintenance"), like Layout.compact for
+    * plain tables.
+    */
+  def expireTombstones(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      seq: String,
+      horizon: Long): Int =
+    lastCommit(spark, dir) match {
+      case None => 0
+      case Some(c) =>
+        val nb = numBuckets(spark, dir, c.version)
+        val m = manifest(spark, dir, c.version)
+        val allPaths =
+          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+        if (allPaths.isEmpty) return 0
+        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        if (!raw.columns.contains(DeletedCol)) return 0
+        val bucketOf = pmod(xxhash64(col(key)), lit(nb)).cast("int")
+        // Which buckets hold an expired tombstone? Tombstones are a
+        // bounded set (deleted keys inside the horizon), so this
+        // distinct is metadata-scale.
+        val touched = raw
+          .filter(col(DeletedCol) && col(seq) < lit(horizon))
+          .select(bucketOf.as("__b"))
+          .distinct()
+          .collect()
+          .map(_.getInt(0))
+          .toSet
+        if (touched.isEmpty) return 0
+        val touchedPaths = touched.toSeq.sorted
+          .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
+        val kept = spark.read
+          .option("mergeSchema", true)
+          .parquet(touchedPaths: _*)
+          .filter(!(coalesce(col(DeletedCol), lit(false)) && col(seq) < lit(horizon)))
+          .withColumn("__b", bucketOf)
+        val newV = c.version + 1
+        publish(
+          spark, dir, nb, m, touched, Some(kept), newV,
+          runId = "maintenance", epochId = newV)
+        touched.size
+    }
+
+  /** CHANGE FEED: the per-key differences between the previous and
+    * current committed snapshots — the read side of CDC (the Delta/
+    * Iceberg change-data-feed shape). Reads ONLY the buckets whose
+    * manifest entry moved between the two versions; a key that sits in
+    * a touched bucket but did not itself change joins equal and is
+    * filtered, so the feed is exactly the keys the last commit changed.
+    *
+    * Rows: `change` ('insert' | 'update' | 'delete'), the key, then the
+    * data columns — new-side values for insert/update, the vanished
+    * old-side values for delete. A key whose tombstone won before it
+    * was ever visible produces no row (it never existed to a reader).
+    * None when fewer than two versions are committed or the table holds
+    * no data. O(touched-bucket bytes), one key-partitioned full-outer
+    * join — never a table scan at any table size.
+    */
+  def changes(
+      spark: SparkSession,
+      dir: String,
+      key: String): Option[DataFrame] = {
+    val cs = commits(spark, dir)
+    if (cs.size < 2) return None
+    val prevV = cs(cs.size - 2).version
+    val curV = cs.last.version
+    val mPrev = manifest(spark, dir, prevV)
+    val mCur = manifest(spark, dir, curV)
+    val touched = (mPrev.keySet ++ mCur.keySet)
+      .filter(b => mPrev.get(b) != mCur.get(b))
+    def visible(m: Map[Int, Long]): Option[DataFrame] = {
+      val paths = touched.toSeq.sorted
+        .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
+      if (paths.isEmpty) None
+      else {
+        val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
+        Some(
+          if (raw.columns.contains(DeletedCol))
+            raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+          else raw)
+      }
+    }
+    val oldOpt = visible(mPrev)
+    val newOpt = visible(mCur)
+    val ref = newOpt.orElse(oldOpt).getOrElse(return None)
+    val oldDF = oldOpt.getOrElse(ref.filter(lit(false)))
+    val newDF = newOpt.getOrElse(ref.filter(lit(false)))
+    val dataCols = ref.columns.filterNot(_ == key).toIndexedSeq
+    val o = oldDF.select(
+      (col(key).as(s"o_$key") +: dataCols.map(c => col(c).as(s"o_$c"))): _*)
+    val n = newDF.select(
+      (col(key).as(s"n_$key") +: dataCols.map(c => col(c).as(s"n_$c"))): _*)
+    val rowChanged =
+      if (dataCols.isEmpty) lit(false) // key-only table: presence IS the row
+      else
+        dataCols
+          .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+          .reduce(_ || _)
+    Some(
+      o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+        .select(
+          (when(col(s"o_$key").isNull, "insert")
+            .when(col(s"n_$key").isNull, "delete")
+            .when(rowChanged, "update")
+            .as("change") +:
+            coalesce(col(s"n_$key"), col(s"o_$key")).as(key) +:
+            dataCols.map(c =>
+              when(col(s"n_$key").isNull, col(s"o_$c"))
+                .otherwise(col(s"n_$c"))
+                .as(c))): _*)
+        .filter(col("change").isNotNull))
   }
 
   /** Wire a streaming DataFrame into the merge table: every micro-batch

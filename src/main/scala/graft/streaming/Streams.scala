@@ -1111,6 +1111,118 @@ object Streams {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_point — BUCKET-PRUNED POINT LOOKUP on the merge table: the
+  // table is built in two batch commits (so the second manifest carries
+  // half its buckets forward), then five keys are read back through
+  // MergeSink.pointLookup, which resolves ONLY the bucket files those
+  // keys hash into — at 100 TB a point read touches O(keys) buckets of
+  // O(100 MB–1 GB), never the table (StateSpec pins the pruning: the
+  // resolved file list is a strict subset of the manifest). The oracle
+  // proves the looked-up rows are each key's latest-by-seq state.
+  // ---------------------------------------------------------------------
+  private val PointIds = Seq(1L, 3L, 7L, 11L, 13L)
+
+  val mergePointGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_point_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "pt")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "pt")
+    MergeSink
+      .pointLookup(s, table, "user_id", PointIds)
+      .get
+      .select(
+        col("user_id"),
+        col("event_id").as("last_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergePointGatedSql: String =
+    s"""SELECT user_id, max(event_id) AS last_id,
+       |  CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cents
+       |FROM events WHERE user_id IN (${PointIds.mkString(", ")})
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_merge_changes — CHANGE FEED between the last two snapshots of a
+  // CDC merge table (the Delta/Iceberg CDF shape): commit the first
+  // half of the event log as upserts, the second half with 'error'
+  // events as tombstones, then read MergeSink.changes — per-key
+  // insert / update / delete rows derived from ONLY the buckets the
+  // second commit moved. A key in a touched bucket that didn't itself
+  // change joins equal and is filtered; a key whose tombstone won
+  // before it was ever visible produces no row. The oracle recomputes
+  // both snapshots declaratively and diffs them.
+  // ---------------------------------------------------------------------
+  val mergeChangesGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_changes_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "cf")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "cf")
+    MergeSink
+      .changes(s, table, "user_id")
+      .get
+      .groupBy(col("change"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("change"))
+  }
+
+  val mergeChangesGatedSql: String =
+    """WITH b AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st0 AS (
+      |  SELECT user_id, max(event_id) AS id0, arg_max(value, event_id) AS v0
+      |  FROM events, b WHERE event_id <= b.t1 GROUP BY user_id),
+      |st1 AS (
+      |  SELECT e.user_id, max(e.event_id) AS id1,
+      |    arg_max(e.value, e.event_id) AS v1,
+      |    arg_max(CASE WHEN e.event_type = 'error' AND e.event_id > b.t1
+      |                 THEN 1 ELSE 0 END, e.event_id) AS dead
+      |  FROM events e, b GROUP BY e.user_id),
+      |ch AS (
+      |  SELECT
+      |    CASE WHEN s1.dead = 1 AND s0.user_id IS NOT NULL THEN 'delete'
+      |         WHEN s1.dead = 1 THEN NULL
+      |         WHEN s0.user_id IS NULL THEN 'insert'
+      |         WHEN s1.id1 <> s0.id0 THEN 'update' END AS change,
+      |    CASE WHEN s1.dead = 1 THEN s0.id0 ELSE s1.id1 END AS eid,
+      |    CASE WHEN s1.dead = 1 THEN s0.v0 ELSE s1.v1 END AS val
+      |  FROM st1 s1 LEFT JOIN st0 s0 ON s1.user_id = s0.user_id)
+      |SELECT change, count(*) AS n_keys,
+      |  CAST(sum(eid) AS BIGINT) AS id_total,
+      |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS cents_total
+      |FROM ch WHERE change IS NOT NULL
+      |GROUP BY change ORDER BY change""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_quantiles — the mergeable LogHistogram sketch as STREAMING
   // STATE: per-hour windowed histograms of event cents with the
   // q_stream_append watermark/emission contract, quantiles picked from
@@ -1585,6 +1697,8 @@ object Streams {
     "q_stream_upsert" -> streamUpsertGated,
     "q_stream_cdc" -> streamCdcGated,
     "q_stream_topk" -> streamTopkGated,
+    "q_merge_point" -> mergePointGated,
+    "q_merge_changes" -> mergeChangesGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
@@ -1604,6 +1718,8 @@ object Streams {
     "q_stream_upsert" -> streamUpsertGatedSql,
     "q_stream_cdc" -> streamCdcGatedSql,
     "q_stream_topk" -> streamTopkGatedSql,
+    "q_merge_point" -> mergePointGatedSql,
+    "q_merge_changes" -> mergeChangesGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,

@@ -357,4 +357,153 @@ class StateSpec extends SparkSpec {
       at.where(col("user_id") === 1L).isEmpty,
       s"version $prevV (post-delete, pre-reinsert) must not show key 1")
   }
+
+  test("MERGE sink point lookup prunes to the keys' buckets and matches a full-table filter") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_pt_tbl").toString
+    // enough keys that every one of the 16 buckets holds data
+    val batch = (0L until 200L)
+      .map(k => (k, k * 10L, k.toDouble))
+      .toDF("user_id", "event_id", "value")
+    MS.upsertBatch(batch, table, "user_id", "event_id", 0L, "pt-run")
+
+    val keys: Seq[Any] = Seq(5L, 17L, 123L)
+    val files = MS.lookupFiles(spark, table, keys)
+    val allFiles = MS.currentFiles(spark, table).values.flatten.toSeq
+    assert(files.nonEmpty && files.size <= keys.size)
+    assert(
+      files.size < allFiles.size,
+      s"lookup resolved ${files.size} of ${allFiles.size} files — no pruning")
+
+    val looked = MS
+      .pointLookup(spark, table, "user_id", keys)
+      .get
+      .select("user_id", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = MS
+      .currentState(spark, table)
+      .get
+      .filter(col("user_id").isin(keys: _*))
+      .select("user_id", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(looked == full && looked.size == keys.size)
+
+    // a tombstoned key must vanish from the lookup too
+    MS.upsertBatch(
+      Seq((17L, 1000L, 0.0, true))
+        .toDF("user_id", "event_id", "value", MS.DeletedCol),
+      table, "user_id", "event_id", 1L, "pt-run")
+    val after = MS
+      .pointLookup(spark, table, "user_id", keys)
+      .get
+      .select("user_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(after == Set(5L, 123L), "tombstoned key leaked through pointLookup")
+  }
+
+  test("MERGE sink tombstone retention: expiry rewrites only affected buckets and re-opens the race it guarded") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_ret_tbl").toString
+    def df(rows: (Long, Long, Double, Boolean)*) =
+      rows.toDF("user_id", "event_id", "value", MS.DeletedCol)
+    def liveKeys: Set[Long] =
+      MS.currentState(spark, table)
+        .get
+        .select("user_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+
+    MS.upsertBatch(
+      df((1L, 10L, 1.0, false), (2L, 10L, 2.0, false), (3L, 10L, 3.0, false)),
+      table, "user_id", "event_id", 0L, "ret-run")
+    MS.upsertBatch(
+      df((1L, 20L, 0.0, true)), // tombstone key 1 at seq 20
+      table, "user_id", "event_id", 1L, "ret-run")
+    assert(liveKeys == Set(2L, 3L))
+    val before = MS.currentFiles(spark, table)
+
+    // horizon BELOW the tombstone's seq: nothing to retire
+    assert(MS.expireTombstones(spark, table, "user_id", "event_id", 20L) == 0)
+
+    // horizon past it: exactly the tombstone's bucket rewrites; visible
+    // state is unchanged and every other bucket carries forward
+    val n = MS.expireTombstones(spark, table, "user_id", "event_id", 21L)
+    assert(n == 1, s"expected 1 bucket rewritten, got $n")
+    assert(liveKeys == Set(2L, 3L), "retention changed the visible table")
+    val after = MS.currentFiles(spark, table)
+    val changed = after.filter { case (b, fs) => before.get(b) != Some(fs) }
+    assert(changed.size <= 1, s"retention rewrote ${changed.size} buckets")
+    val raw = spark.read.parquet(after.values.flatten.toSeq: _*)
+    assert(
+      raw.filter(col(MS.DeletedCol)).count() == 0,
+      "expired tombstone still stored")
+
+    // the documented hazard: with the tombstone retired, a late
+    // LOWER-seq upsert CAN resurrect the key — which is exactly why the
+    // horizon must trail the out-of-order bound
+    MS.upsertBatch(
+      df((1L, 15L, 9.9, false)),
+      table, "user_id", "event_id", 2L, "ret-run")
+    assert(
+      liveKeys == Set(1L, 2L, 3L),
+      "post-retention lower-seq upsert should win (the hazard the horizon bounds)")
+  }
+
+  test("MERGE sink change feed classifies insert/update/delete and skips untouched keys") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_cf_tbl").toString
+    def df(rows: (Long, Long, Double, Boolean)*) =
+      rows.toDF("user_id", "event_id", "value", MS.DeletedCol)
+
+    // v0: keys 1-4 live
+    MS.upsertBatch(
+      df(
+        (1L, 10L, 1.0, false),
+        (2L, 10L, 2.0, false),
+        (3L, 10L, 3.0, false),
+        (4L, 10L, 4.0, false)),
+      table, "user_id", "event_id", 0L, "cf-run")
+    // v1: update 1, delete 2, insert 5, touch 3's bucket with an OLDER
+    // row (loses the race — must NOT appear in the feed), leave 4 alone
+    MS.upsertBatch(
+      df(
+        (1L, 20L, 1.5, false),
+        (2L, 20L, 0.0, true),
+        (5L, 20L, 5.0, false),
+        (3L, 5L, 99.0, false)),
+      table, "user_id", "event_id", 1L, "cf-run")
+
+    val feed = MS
+      .changes(spark, table, "user_id")
+      .get
+      .select("change", "user_id", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(
+      feed == Set(
+        ("update", 1L, 20L, 1.5),
+        ("delete", 2L, 10L, 2.0), // the vanished OLD row
+        ("insert", 5L, 20L, 5.0)),
+      s"unexpected change feed: $feed")
+
+    // single-commit table: no previous snapshot to diff
+    val one = Files.createTempDirectory("graft_merge_cf_one").toString
+    MS.upsertBatch(
+      df((1L, 10L, 1.0, false)), one, "user_id", "event_id", 0L, "cf-run")
+    assert(MS.changes(spark, one, "user_id").isEmpty)
+  }
 }
