@@ -326,6 +326,109 @@ object Graph {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_dup_clusters_incr — INCREMENTAL duplicate-cluster maintenance: the
+  // day-2 shape of q_dup_clusters. The corpus (doc_id % 5 != 4, the
+  // q_dedup_incremental split) owns a persisted LABEL ARTIFACT — its
+  // converged components. An ARRIVING batch then (1) generates only the
+  // pairs that TOUCH an arriving doc (arriving × all within the same
+  // (lang, length-bucket) blocks — never corpus × corpus again), and
+  // (2) merges them with the label artifact REPLAYED AS EDGES
+  // (cluster_id — id): hash-min over that graph re-converges in rounds
+  // bounded by the new edges' topology, because the artifact edges are
+  // already diameter-1 stars. At 100 TB the corpus self-join is ~25×
+  // the arriving probe (95% × 95% vs 5% × 100%), so day-2 cost drops
+  // by that factor while the result is pinned BIT-IDENTICAL to the
+  // full recompute: the oracle is dupClustersSql verbatim.
+  //
+  // Exact-dup edges split the same way: within-corpus digest groups
+  // star onto the corpus min (the artifact's half), and any digest
+  // group containing an arriving doc re-stars onto the GLOBAL min —
+  // which re-links the corpus star when the arriving doc takes over as
+  // the minimum.
+  // ---------------------------------------------------------------------
+  val dupClustersIncr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val arrivingPred = (col("doc_id") % 5) === 4
+    val grams = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        arrivingPred.as("arr"),
+        col("lang"),
+        floor(col("n_chars") / 100).as("lenb"),
+        sort_array(
+          array_distinct(transform(wordBigrams(col("toks")), g => h32(31, g))))
+          .as("grams"))
+      .localCheckpoint(true)
+    // near-dup pairs with at least one side from `a` (blocked, sorted-
+    // merge jaccard_ge — the q_dup_clusters predicate), normalized u<v
+    def nearTouching(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(
+        col("lang"), col("lenb"),
+        col("doc_id").as("ua"), col("grams").as("g_a"))
+        .join(
+          b.select(
+            col("lang"), col("lenb"),
+            col("doc_id").as("vb"), col("grams").as("g_b")),
+          Seq("lang", "lenb"))
+        .filter(
+          col("ua") =!= col("vb") &&
+            size(col("g_a")) * 10 >= size(col("g_b")) * 9 &&
+            size(col("g_b")) * 10 >= size(col("g_a")) * 9 &&
+            graft.plans.JaccardGE.jaccardGE(col("g_a"), col("g_b"), 9, 10))
+        .select(
+          least(col("ua"), col("vb")).as("u"),
+          greatest(col("ua"), col("vb")).as("v"))
+        .distinct()
+    val corpusG = grams.filter(!col("arr"))
+    val dig = docs
+      .select(
+        col("doc_id"),
+        arrivingPred.as("arr"),
+        md5(normText(col("text"))).as("h"))
+    val wD = Window.partitionBy(col("h"))
+    val corpusExact = dig
+      .filter(!col("arr"))
+      .withColumn("m", min(col("doc_id")).over(wD))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("u"), col("doc_id").as("v"))
+    // steady state: the corpus's converged labels (the persisted artifact)
+    val corpusLabels = connectedComponents(
+      nearTouching(corpusG, corpusG).unionAll(corpusExact).distinct())
+    // day 2: only arriving-touching pairs + re-starred exact groups
+    val newNear = nearTouching(grams.filter(col("arr")), grams)
+    val arrExact = dig
+      .withColumn("m", min(col("doc_id")).over(wD))
+      .withColumn(
+        "has_arr", max(when(col("arr"), 1).otherwise(0)).over(wD))
+      .filter(col("has_arr") === 1 && col("doc_id") =!= col("m"))
+      .select(col("m").as("u"), col("doc_id").as("v"))
+    val merged = connectedComponents(
+      corpusLabels
+        .select(col("cluster_id").as("u"), col("id").as("v"))
+        .unionAll(newNear)
+        .unionAll(arrExact)
+        .distinct())
+    val wCluster = Window.partitionBy(col("cluster_id"))
+    val wKeep = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    merged
+      .join(
+        docs.select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .withColumn("cluster_size", count(lit(1)).over(wCluster))
+      .withColumn(
+        "is_canonical",
+        when(row_number().over(wKeep) === 1, lit(1)).otherwise(lit(0)))
+      .select(
+        col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   val dupClustersSql: String = {
     val toks = sqlTokens("text")
     s"""WITH RECURSIVE
@@ -890,6 +993,7 @@ object Graph {
     "q_label_prop" -> labelProp,
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_star" -> dupClustersStar,
+    "q_dup_clusters_incr" -> dupClustersIncr,
     "q_pagerank" -> pageRank,
     "q_pagerank_shuffle" -> pageRankShuffle,
     "q_triangles" -> triangles
@@ -902,6 +1006,8 @@ object Graph {
     "q_dup_clusters" -> dupClustersSql,
     // star CC must produce the hash-identical clustering
     "q_dup_clusters_star" -> dupClustersSql,
+    // the incremental merge must converge to the full recompute, bit-for-bit
+    "q_dup_clusters_incr" -> dupClustersSql,
     "q_pagerank" -> pageRankSql,
     "q_pagerank_shuffle" -> pageRankSql,
     "q_triangles" -> trianglesSql

@@ -79,6 +79,7 @@ object MergeSink {
   // underscore-free group cannot swallow the `_e<epoch>` suffix.
   private val MarkerRe = "_commit_v(\\d+)_r([^_]+)_e(\\d+)".r
   private val ManifestRe = "_manifest_v(\\d+)".r
+  private val WriterRe = "_writer_e(\\d+)_r([^_]+)".r
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -202,10 +203,55 @@ object MergeSink {
       .select(col(key) +: rest.map(c => col(s"st.$c").as(c)): _*)
   }
 
+  /** Registered writer incarnations, ascending by fencing epoch (ties
+    * broken by runId — see [[ensureWriter]]).
+    */
+  def writers(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case WriterRe(e, r) => (e.toLong, r) }
+        .toSeq
+        .sorted
+  }
+
+  /** SINGLE-WRITER FENCING — the storage dual of the reference's
+    * ownership acquisition (/root/reference/src/opusdb/atomic/stm.clj:
+    * 67-83: a transaction must own a ref before writing it; a newer
+    * claimant wounds the older). Here ownership of the TABLE is a
+    * monotone fencing epoch: a writer incarnation registers once at
+    * (max epoch + 1); the registrant holding the highest epoch may
+    * publish; an incarnation that has been out-registered is FENCED —
+    * its publish throws instead of corrupting a table another writer
+    * now owns (the stale-driver / zombie-executor case). Registration
+    * is an atomic exclusive file create; two brand-new incarnations
+    * racing to the same epoch are ordered by runId, and the loser
+    * discovers the fence on its next batch. On a store without atomic
+    * create (S3 without preconditions) registration must go through a
+    * conditional-put lease object instead — the protocol is unchanged.
+    */
+  private def ensureWriter(spark: SparkSession, dir: String, runId: String): Unit = {
+    val ws = writers(spark, dir)
+    if (ws.nonEmpty && ws.last._2 == runId) return // current holder
+    if (ws.exists(_._2 == runId))
+      throw new IllegalStateException(
+        s"writer $runId is FENCED: incarnation ${ws.last._2} registered at " +
+          s"fencing epoch ${ws.last._1} after it — this writer must stop")
+    val e = ws.lastOption.map(_._1 + 1).getOrElse(0L)
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    fs.create(new Path(p, s"_writer_e${e}_r$runId"), false).close()
+  }
+
   /** Apply one micro-batch: merge into the touched buckets, write ONLY
     * those buckets at the new version, publish manifest + marker.
     * Already-committed (runId, epoch) pairs are skipped; an epoch
-    * regression within the same incarnation fails loudly.
+    * regression within the same incarnation fails loudly; an
+    * incarnation fenced by a newer writer ([[ensureWriter]]) fails
+    * loudly before touching data.
     */
   def upsertBatch(
       batch: DataFrame,
@@ -217,7 +263,8 @@ object MergeSink {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
-      return // idempotent replay of a committed batch
+      return // idempotent replay of a committed batch (even if fenced since)
+    ensureWriter(spark, dir, runId)
     val last = all.lastOption
     last.foreach { c =>
       // Same incarnation, older epoch, no marker for it: Spark replays
@@ -294,9 +341,15 @@ object MergeSink {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
     rows.foreach { m =>
-      // data first: one partitioned write of the touched buckets ...
+      // data first: one partitioned write of the touched buckets.
+      // Repartition BY BUCKET first: without it every upstream task
+      // writes its own shard of every bucket (tasks × buckets files —
+      // 512 at 32 shuffle partitions); with it a touched bucket is ONE
+      // task writing ONE file, the CoW contract of a bucket as a unit
+      // of O(100 MB-1 GB) at production scale.
       val tmp = new Path(p, s"_tmp_v$newV")
-      m.write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
+      m.repartition(col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
       touched.toSeq.sorted.foreach { b =>
         val src = new Path(tmp, s"__b=$b")
         if (fs.exists(src)) {

@@ -1151,6 +1151,52 @@ object Streams {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_timetravel — TIME TRAVEL on the merge table under the oracle
+  // gate: two commits land, then the PREVIOUS version is read back
+  // through MergeSink.stateAt. The oracle recomputes that snapshot
+  // declaratively (latest-by-seq over only the first half of the log),
+  // proving a historical read returns the exact committed bits, not a
+  // reconstruction. Retention: GC keeps current + previous, so v0 is
+  // contractually readable here; reading further back requires a wider
+  // retention window (the manifest/marker files are the only cost).
+  // ---------------------------------------------------------------------
+  val mergeTimetravelGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_tt_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "tt")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "tt")
+    val v0 = MergeSink.commits(s, table).map(_.version).min
+    MergeSink
+      .stateAt(s, table, v0)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val mergeTimetravelGatedSql: String =
+    """WITH b AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val
+      |  FROM events, b WHERE event_id <= b.t1 GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_changes — CHANGE FEED between the last two snapshots of a
   // CDC merge table (the Delta/Iceberg CDF shape): commit the first
   // half of the event log as upserts, the second half with 'error'
@@ -1699,6 +1745,7 @@ object Streams {
     "q_stream_topk" -> streamTopkGated,
     "q_merge_point" -> mergePointGated,
     "q_merge_changes" -> mergeChangesGated,
+    "q_merge_timetravel" -> mergeTimetravelGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
@@ -1720,6 +1767,7 @@ object Streams {
     "q_stream_topk" -> streamTopkGatedSql,
     "q_merge_point" -> mergePointGatedSql,
     "q_merge_changes" -> mergeChangesGatedSql,
+    "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,

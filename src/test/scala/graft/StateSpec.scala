@@ -506,4 +506,36 @@ class StateSpec extends SparkSpec {
       df((1L, 10L, 1.0, false)), one, "user_id", "event_id", 0L, "cf-run")
     assert(MS.changes(spark, one, "user_id").isEmpty)
   }
+
+  test("MERGE sink writer fencing: a newer incarnation fences the older, replays still skip") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_fence_tbl").toString
+    def df(rows: (Long, Long, Double)*) =
+      rows.toDF("user_id", "event_id", "value")
+
+    // writer A owns the table
+    MS.upsertBatch(df((1L, 10L, 1.0)), table, "user_id", "event_id", 0L, "writer-a")
+    MS.upsertBatch(df((2L, 11L, 2.0)), table, "user_id", "event_id", 1L, "writer-a")
+    // writer B (a new incarnation) takes over — registers a higher epoch
+    MS.upsertBatch(df((3L, 12L, 3.0)), table, "user_id", "event_id", 0L, "writer-b")
+    assert(MS.writers(spark, table).map(_._2) == Seq("writer-a", "writer-b"))
+
+    // A is now fenced: a NEW batch from it must fail loudly…
+    val ex = intercept[IllegalStateException] {
+      MS.upsertBatch(df((4L, 13L, 4.0)), table, "user_id", "event_id", 2L, "writer-a")
+    }
+    assert(ex.getMessage.contains("FENCED"))
+    // …but a REPLAY of one of A's already-committed batches still skips
+    // silently (failure-after-commit recovery must not crash-loop)
+    MS.upsertBatch(df((2L, 11L, 2.0)), table, "user_id", "event_id", 1L, "writer-a")
+
+    // the fenced batch left no trace; B continues normally
+    val keys = MS.currentState(spark, table).get
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 2L, 3L), s"unexpected keys after fencing: $keys")
+    MS.upsertBatch(df((5L, 14L, 5.0)), table, "user_id", "event_id", 1L, "writer-b")
+    assert(MS.lastCommit(spark, table).map(_.runId).contains("writer-b"))
+  }
 }
