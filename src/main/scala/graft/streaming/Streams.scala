@@ -848,6 +848,90 @@ object Streams {
        |GROUP BY ph.user_id ORDER BY ph.user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_asof — STREAM-STREAM AS-OF JOIN under the oracle gate: for
+  // every purchase, the LATEST same-user view in the preceding hour
+  // (the trade/quote pattern — the streaming continuation of the
+  // batch as-of family, q_asof_join × 6). Spark has no native
+  // stream-stream as-of, so it composes from primitives whose
+  // semantics ARE exactly-once: the inner interval join emits each
+  // qualifying (purchase, view) pair exactly once, and the as-of
+  // winner is then a per-purchase max over the completed sink — a
+  // lexicographic max(struct(v_us, cents)), associative and
+  // total-ordered, so it could equally ride the state store as a
+  // per-purchase aggregate (the q_stream_topk contract at k = 1).
+  // State stays bounded: one 1-hour horizon per side per user.
+  // ---------------------------------------------------------------------
+  val streamAsofGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val name = s"graft_stream_asof_${gateN.incrementAndGet()}"
+    val ev = eventsStream(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        col("value").as("v_val"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(
+        col("p_id"),
+        col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("v_ts")).as("v_us"),
+        round(col("v_val") * 100).cast("long").as("cents"))
+      .groupBy(col("p_id"), col("user_id"), col("p_us"))
+      .agg(max(struct(col("v_us"), col("cents"))).as("st"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_asof"),
+        sum(col("st.cents")).as("cents_total"),
+        sum(col("p_us") - col("st.v_us")).as("lag_us_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamAsofGatedSql: String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+       |      FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us, value AS v_val
+       |      FROM events WHERE event_type = 'view'),
+       |pairs AS (
+       |  SELECT p.p_id, p.user_id, p.p_us, v.v_us,
+       |    CAST(round(v.v_val * 100) AS BIGINT) AS cents
+       |  FROM p JOIN v
+       |    ON p.user_id = v.v_user
+       |   AND v.v_us <= p.p_us
+       |   AND v.v_us >= p.p_us - $HourUs),
+       |last AS (
+       |  SELECT p_id, user_id, p_us, v_us, cents FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY p_id
+       |      ORDER BY v_us DESC, cents DESC) AS rn FROM pairs)
+       |  WHERE rn = 1)
+       |SELECT user_id, count(*) AS n_asof,
+       |  CAST(sum(cents) AS BIGINT) AS cents_total,
+       |  CAST(sum(p_us - v_us) AS BIGINT) AS lag_us_total
+       |FROM last GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_join_full — FULL-OUTER stream-stream join under the oracle
   // gate: every purchase with its preceding-hour views, every view with
   // its following-hour purchases — null-padded on whichever side never
@@ -1746,6 +1830,7 @@ object Streams {
     "q_merge_point" -> mergePointGated,
     "q_merge_changes" -> mergeChangesGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
+    "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
@@ -1768,6 +1853,7 @@ object Streams {
     "q_merge_point" -> mergePointGatedSql,
     "q_merge_changes" -> mergeChangesGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
+    "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
