@@ -544,6 +544,43 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q_recursive_cte — WITH RECURSIVE under the oracle gate (Spark 4's
+  // recursive CTE surface): walk a derived key hierarchy (parent of
+  // custkey k is k DIV 10 — a forest rooted at keys 1-9, acyclic by
+  // construction so UNION ALL recursion cannot enumerate duplicate
+  // paths; key 0 is excluded from the anchor because 0 DIV 10 = 0
+  // makes it its own child, a self-loop the recursion would re-derive
+  // forever) and aggregate per depth. DuckDB runs the same recursion
+  // modulo its `//` integer-divide spelling. The iterative DataFrame
+  // kernels (BFS/PR/CC in ops/Graph.scala) remain the 100 TB path —
+  // each round there is one checkpointed shuffle with a driver-bounded
+  // round count; the recursive CTE is the declarative entry for
+  // hierarchy walks whose depth is data-bounded (here: log10(keys)).
+  // ---------------------------------------------------------------------
+  val recursiveCte: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+      |WITH RECURSIVE chain(k, depth) AS (
+      |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey BETWEEN 1 AND 9
+      |  UNION ALL
+      |  SELECT c.c_custkey, p.depth + 1
+      |  FROM customer c JOIN chain p ON p.k = c.c_custkey DIV 10
+      |)
+      |SELECT depth, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS key_total
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE chain(k, depth) AS (
+      |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey BETWEEN 1 AND 9
+      |  UNION ALL
+      |  SELECT c.c_custkey, p.depth + 1
+      |  FROM customer c JOIN chain p ON p.k = c.c_custkey // 10
+      |)
+      |SELECT depth, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS key_total
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_exists_corr — correlated EXISTS subquery (TPC-H Q4 shape): orders
   // in a quarter that have at least one high-quantity line item, counted
   // per priority. Written as SQL so Catalyst exercises its subquery
@@ -1155,6 +1192,7 @@ object Relational {
     "q_profile_sketch" -> profileSketch,
     "q_data_checks" -> dataChecks,
     "q_sql_portable" -> sqlPortable,
+    "q_recursive_cte" -> recursiveCte,
     "q_ship_priority" -> shipPriority,
     "q_bank_conservation" -> bankConservation,
     "q_pricing_summary" -> pricingSummary,
@@ -1185,6 +1223,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_sql_portable" -> sqlPortableText,
+    "q_recursive_cte" -> recursiveCteSql,
     "q_ship_priority" -> shipPrioritySql,
     "q_bank_conservation" -> bankConservationSql,
     "q_pricing_summary" -> pricingSummarySql,
