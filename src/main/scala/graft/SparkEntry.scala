@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Sampling.queries ++
       ops.Sketches.queries ++
       ops.Layout.queries ++
+      ops.Privacy.queries ++
       sources.Formats.queries ++
       streaming.Streams.queries
 
@@ -70,6 +71,7 @@ object SparkEntry {
       ops.Sampling.oracleSql ++
       ops.Sketches.oracleSql ++
       ops.Layout.oracleSql ++
+      ops.Privacy.oracleSql ++
       sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }

@@ -64,6 +64,50 @@ object Analytics {
   }
 
   // ---------------------------------------------------------------------
+  // q_unpivot — the dual of q_pivot: melt a wide per-nation segment
+  // matrix back to long (nation, segment, n_cust) rows via
+  // Dataset.unpivot (Spark's native UNPIVOT — one Expand node, no
+  // union-of-selects re-scan). At scale the wide frame is already an
+  // aggregate (25 rows here, O(groups) generally), so the melt is free;
+  // the point is API/semantics coverage: unpivot emits exactly
+  // |ids|×|values| rows with the value-column NAME as data. Counts are
+  // coalesced to 0 first so both engines see identical NULL semantics
+  // (Spark's unpivot keeps nulls; DuckDB's UNPIVOT drops them — the
+  // oracle uses an explicit UNION ALL, dialect-safe either way).
+  // ---------------------------------------------------------------------
+  val unpivotCounts: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val wide = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+    val filled = segments.foldLeft(wide)((df, seg) =>
+      df.withColumn(seg, coalesce(col(s"`$seg`"), lit(0L))))
+    filled
+      .unpivot(
+        Array(col("n_name")),
+        segments.map(seg => col(s"`$seg`")).toArray,
+        "segment",
+        "n_cust")
+      .orderBy(col("n_name"), col("segment"))
+  }
+
+  val unpivotCountsSql: String = {
+    val arms = segments
+      .map(seg =>
+        s"SELECT n_name, '$seg' AS segment, " +
+          s"count(CASE WHEN c_mktsegment = '$seg' THEN 1 END) AS n_cust " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name")
+      .mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) ORDER BY n_name, segment""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_median_exact — exact median + p25/p75 per order priority WITHOUT
   // engine-native percentile functions (whose interpolation arithmetic
   // differs between engines in the last ulp). Both engines pick the same
@@ -1282,6 +1326,7 @@ object Analytics {
     "q_window_funcs" -> windowFuncs,
     "q_null_semantics" -> nullSemantics,
     "q_pivot" -> pivotBalances,
+    "q_unpivot" -> unpivotCounts,
     "q_median_exact" -> medianExact,
     "q_range_join" -> rangeJoin,
     "q_asof_join" -> asofJoin,
@@ -1310,6 +1355,7 @@ object Analytics {
     "q_window_funcs" -> windowFuncsSql,
     "q_null_semantics" -> nullSemanticsSql,
     "q_pivot" -> pivotBalancesSql,
+    "q_unpivot" -> unpivotCountsSql,
     "q_median_exact" -> medianExactSql,
     "q_range_join" -> rangeJoinSql,
     "q_asof_join" -> asofJoinSql,

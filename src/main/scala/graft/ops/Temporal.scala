@@ -247,6 +247,53 @@ object Temporal {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_variant_events — Spark 4 VARIANT ingestion: props is parsed ONCE
+  // into the binary-encoded variant type, then every field access is a
+  // cheap path lookup on the encoded value. At 100 TB this is the
+  // semi-structured story: q_events_json re-parses the JSON string per
+  // get_json_object call, while a variant column is decoded at ingest
+  // and (in parquet) shreds into typed subcolumns — extraction cost no
+  // longer scales with the number of fields read. The lanes pin typed
+  // extraction (k as BIGINT), schema introspection (schema_of_variant
+  // over the encoded value), and absent-path semantics
+  // (try_variant_get → NULL, counted per group). Oracle: DuckDB's JSON
+  // type plays the variant role; json_extract_string '$.k' + a missing
+  // path yield the same values.
+  // ---------------------------------------------------------------------
+  val variantEvents: Q = (s, d) => {
+    val v = Tables
+      .events(s, d)
+      .withColumn("v", parse_json(col("props")))
+    v.select(
+      col("event_type"),
+      try_variant_get(col("v"), "$.k", "bigint").as("k"),
+      try_variant_get(col("v"), "$.absent", "bigint").as("miss"),
+      schema_of_variant(col("v")).as("vschema")
+    ).groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("k_total"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(col("miss")).as("n_absent_hits"),
+        countDistinct(col("vschema")).as("d_schema")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  val variantEventsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |CAST(SUM(k) AS BIGINT) AS k_total, min(k) AS k_min, max(k) AS k_max,
+      |CAST(count(miss) AS BIGINT) AS n_absent_hits,
+      |count(DISTINCT vschema) AS d_schema
+      |FROM (SELECT event_type,
+      |      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |      CAST(json_extract_string(props, '$.absent') AS BIGINT) AS miss,
+      |      json_structure(props) AS vschema
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_funnel — ordered conversion funnel: first view → first click
   // AFTER that view → first purchase AFTER that click, per user; one
   // summary row of stage counts (monotone by construction — the
@@ -537,7 +584,8 @@ object Temporal {
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
-    "q_events_json" -> eventsJson
+    "q_events_json" -> eventsJson,
+    "q_variant_events" -> variantEvents
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -551,6 +599,7 @@ object Temporal {
     "q_window_tumbling" -> windowTumblingSql,
     "q_window_sliding" -> windowSlidingSql,
     "q_window_session" -> windowSessionSql,
-    "q_events_json" -> eventsJsonSql
+    "q_events_json" -> eventsJsonSql,
+    "q_variant_events" -> variantEventsSql
   )
 }
