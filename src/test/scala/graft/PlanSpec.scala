@@ -263,4 +263,39 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("observe() piggybacks data-quality metrics on the main query, zero extra scans") {
+    // q_data_checks pays ≤2 scans for a standalone audit; the
+    // production pattern for ALWAYS-ON quality metrics is
+    // Dataset.observe — accumulator-backed metrics collected as a side
+    // effect of whatever query already runs, so at 100 TB the audit
+    // costs zero additional I/O. Pinned: the observed metrics equal
+    // independently-computed aggregates, and the observed plan still
+    // scans lineitem exactly once.
+    val li = Tables.lineitem(spark, sf)
+    val observed = li
+      .observe(
+        "dq",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("bad_disc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    observed.collect()
+    val metrics = observed.queryExecution.observedMetrics("dq")
+    val expect = li
+      .agg(
+        count(lit(1)),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)))
+      .first()
+    assert(metrics.getAs[Long]("n_rows") == expect.getLong(0))
+    assert(metrics.getAs[Long]("bad_qty") == expect.getLong(1))
+    assert(metrics.getAs[Long]("bad_disc") == expect.getLong(2))
+    val plan = observed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"observe() must not add a scan, got $scans:\n$plan")
+  }
 }
