@@ -260,6 +260,52 @@ object Relational {
       |FROM tagged GROUP BY op ORDER BY op""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_setops_all — MULTISET set operations (INTERSECT ALL / EXCEPT ALL /
+  // UNION ALL) over customer-key BAGS drawn from two order-priority
+  // slices (a key appears once per qualifying order). ALL semantics keep
+  // min(m, n) copies for intersect and m − n copies for except — row
+  // counts, not membership, which the aggregate pins cross-engine.
+  // Spark plans these as a single hash aggregate computing per-key copy
+  // counts + a generator replicating rows — one shuffle keyed by the
+  // value tuple, no join; at 100 TB that is exactly the shape you want
+  // (same key distribution as the distinct variant, no pairwise path).
+  // ---------------------------------------------------------------------
+  val setOpsAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val urgent =
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high =
+      o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    val u = urgent.union(high)
+      .select(lit("union_all").as("op"), col("o_custkey"))
+    val i = urgent.intersectAll(high)
+      .select(lit("intersect_all").as("op"), col("o_custkey"))
+    val e = urgent.exceptAll(high)
+      .select(lit("except_all").as("op"), col("o_custkey"))
+    u.union(i).union(e)
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("d_keys"),
+        sum(col("o_custkey")).as("key_sum"))
+      .orderBy(col("op"))
+  }
+
+  val setOpsAllSql: String =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |tagged AS (
+      |  SELECT 'union_all' AS op, o_custkey FROM (SELECT * FROM urgent UNION ALL SELECT * FROM high) u
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM urgent INTERSECT ALL SELECT * FROM high) i
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, o_custkey FROM (SELECT * FROM urgent EXCEPT ALL SELECT * FROM high) e
+      |)
+      |SELECT op, count(*) AS n, count(DISTINCT o_custkey) AS d_keys,
+      |CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+      |FROM tagged GROUP BY op ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_rollup / q_cube — hierarchical aggregates. GROUPING() disambiguates
   // the NULL subtotal rows identically on both engines.
   // ---------------------------------------------------------------------
@@ -1202,6 +1248,7 @@ object Relational {
     "q_join_anti" -> customersWithoutOrders,
     "q_join_outer" -> orderCountsOuter,
     "q_setops" -> setOps,
+    "q_setops_all" -> setOpsAll,
     "q_rollup" -> rollupBalances,
     "q_cube" -> cubeReturns,
     "q_distinct_counts" -> distinctCounts,
@@ -1233,6 +1280,7 @@ object Relational {
     "q_join_anti" -> customersWithoutOrdersSql,
     "q_join_outer" -> orderCountsOuterSql,
     "q_setops" -> setOpsSql,
+    "q_setops_all" -> setOpsAllSql,
     "q_rollup" -> rollupBalancesSql,
     "q_cube" -> cubeReturnsSql,
     "q_profile" -> profileSql,
