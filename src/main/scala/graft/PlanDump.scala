@@ -26,7 +26,8 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val sel = SparkEntry.selectedQueries
+    sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
@@ -39,7 +40,7 @@ object PlanDump {
             s"PLAN FAILED: ${e.getMessage}")
       }
     }
-    println(s"wrote ${SparkEntry.queries.size} plans to $outDir")
+    println(s"wrote ${sel.size} plans to $outDir")
     spark.stop()
   }
 }

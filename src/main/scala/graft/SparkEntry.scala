@@ -32,6 +32,7 @@ object SparkEntry {
       ops.Sketches.queries ++
       ops.Layout.queries ++
       ops.Privacy.queries ++
+      ops.Warehouse.queries ++
       sources.Formats.queries ++
       streaming.Streams.queries
 
@@ -72,6 +73,7 @@ object SparkEntry {
       ops.Sketches.oracleSql ++
       ops.Layout.oracleSql ++
       ops.Privacy.oracleSql ++
+      ops.Warehouse.oracleSql ++
       sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }

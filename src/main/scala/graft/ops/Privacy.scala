@@ -121,13 +121,55 @@ object Privacy {
       |      FROM customer GROUP BY 1, 2, 3)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_pii_redact — pattern-based PII redaction: identifier-like digit
+  // runs (≥4 digits — account numbers, phone fragments) are masked in
+  // place with regexp_replace, then the audit reports per segment how
+  // many rows were touched and how the distinct-value count collapses
+  // (150 unique names → 1 redacted form: the anonymity gain, and the
+  // joinability loss, of masking vs q_pseudonymize's consistent
+  // tokens). Stateless projection — zero added shuffles at any scale.
+  // Spark's regexp_replace is replace-ALL by default; DuckDB needs the
+  // explicit 'g' flag — same regex class semantics for this pattern.
+  // ---------------------------------------------------------------------
+  val piiRedact: Q = (s, d) => {
+    val red = Tables
+      .customer(s, d)
+      .select(
+        col("c_mktsegment"),
+        col("c_name"),
+        regexp_replace(col("c_name"), "[0-9]{4,}", "#").as("red"))
+    red
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("c_name") =!= col("red"), 1L).otherwise(0L))
+          .as("n_redacted"),
+        countDistinct(col("c_name")).as("d_raw"),
+        countDistinct(col("red")).as("d_redacted"),
+        min(col("red")).as("sample_red"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val piiRedactSql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |CAST(SUM(CASE WHEN c_name <> red THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+      |count(DISTINCT c_name) AS d_raw, count(DISTINCT red) AS d_redacted,
+      |min(red) AS sample_red
+      |FROM (SELECT c_mktsegment, c_name,
+      |        regexp_replace(c_name, '[0-9]{4,}', '#', 'g') AS red
+      |      FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_pseudonymize" -> pseudonymize,
-    "q_kanon" -> kAnonymity
+    "q_kanon" -> kAnonymity,
+    "q_pii_redact" -> piiRedact
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_pseudonymize" -> pseudonymizeSql,
-    "q_kanon" -> kAnonymitySql
+    "q_kanon" -> kAnonymitySql,
+    "q_pii_redact" -> piiRedactSql
   )
 }

@@ -197,13 +197,65 @@ object Search {
        |WHERE rnk <= $tfidfK ORDER BY lang, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_inverted_index — posting-list construction, the indexing dual of
+  // q_bm25's query-time scoring: per term, document frequency, total
+  // term frequency, and the head of the posting list (top-3 docs by
+  // tf, doc_id — the impact-ordered prefix an early-termination scorer
+  // reads first). One explode + two hash aggregates; the per-term
+  // posting head rides the sorted-collect idiom (collect_list has no
+  // intrinsic order) and is emitted as ONE joined string so the
+  // compare stays scalar. Top-20 terms by (df, term) — deterministic,
+  // and TakeOrderedAndProject keeps it per-partition heads at scale.
+  // ---------------------------------------------------------------------
+  private val invK = 20
+
+  val invertedIndex: Q = (s, d) => {
+    val tf = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            slice(
+              array_sort(collect_list(struct(
+                (col("tf") * lit(-1L)).as("nt"),
+                col("doc_id").as("k")))),
+              1, 3),
+            e => e.getField("k").cast("string")),
+          ",").as("top_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(invK)
+  }
+
+  val invertedIndexSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tf AS (
+       |  SELECT t AS term, doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       |  array_to_string(
+       |    (list(CAST(doc_id AS VARCHAR) ORDER BY tf DESC, doc_id ASC))[1:3],
+       |    ',') AS top_docs
+       |FROM tf GROUP BY term
+       |ORDER BY df DESC, term LIMIT $invK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> bm25,
-    "q_tfidf_terms" -> tfidfTerms
+    "q_tfidf_terms" -> tfidfTerms,
+    "q_inverted_index" -> invertedIndex
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
-    "q_tfidf_terms" -> tfidfTermsSql
+    "q_tfidf_terms" -> tfidfTermsSql,
+    "q_inverted_index" -> invertedIndexSql
   )
 }

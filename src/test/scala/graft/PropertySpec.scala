@@ -222,12 +222,15 @@ class PropertySpec extends SparkSpec {
     // ties), PQ (two argmin passes + ADC ranking), KMV set algebra
     // (array merge order), the quantile sketch. round-8: recursive CTE
     // (UnionLoop iteration), multiset set ops (copy-count replication),
-    // tokenized join (hash-keyed shuffle)
+    // tokenized join (hash-keyed shuffle), the warehouse batch
+    // (6-table join reorder, partial-merge union, posting-list
+    // sorted-collect)
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
       "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
       "q_kmv_setops", "q_approx_quantiles", "q_bfs_dist", "q_pagerank_pers",
-      "q_recursive_cte", "q_setops_all", "q_pseudonymize")
+      "q_recursive_cte", "q_setops_all", "q_pseudonymize",
+      "q_market_share", "q_incr_agg", "q_inverted_index")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
