@@ -1136,6 +1136,72 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_incr_agg — streaming MATERIALIZED AGGREGATE maintenance:
+  // the streaming sibling of q_incr_agg. Each micro-batch aggregates to
+  // the partial shape (per-hour counts + exact cents) and stores the
+  // partials through the MERGE sink keyed (hour, epoch) — a replayed
+  // epoch hits its commit marker and is skipped whole, and even past
+  // the marker it would only overwrite ITS OWN (hour, epoch) rows:
+  // additive state stays exactly-once without a read-modify-write of
+  // the aggregate (the classic double-add hazard). Reading the rollup
+  // = summing each hour's epoch-partials — O(epochs × hours) rows,
+  // compacted by table maintenance, never a fact rescan. StateSpec
+  // drives the multi-epoch + replay path explicitly; this gate pins
+  // the end-to-end converged rollup against the declarative twin.
+  // ---------------------------------------------------------------------
+  val streamIncrAggGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_incragg_tbl")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_incragg_ckpt")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .select(col("ts"), col("value"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val runId = Option(
+            batch.sparkSession.sparkContext
+              .getLocalProperty("sql.streaming.queryId"))
+            .getOrElse(
+              java.util.UUID
+                .nameUUIDFromBytes(ckpt.getBytes("UTF-8"))
+                .toString)
+          val partials = batch
+            .groupBy(expr(s"unix_micros(ts) div $HourUs").as("hour_idx"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+            .withColumn(
+              "agg_key",
+              concat_ws(":", col("hour_idx"), lit(epochId)))
+            .withColumn("epoch", lit(epochId))
+          MergeSink.upsertBatch(partials, table, "agg_key", "epoch", epochId, runId)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy(col("hour_idx"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("cents_total"))
+      .orderBy(col("hour_idx"))
+  }
+
+  val streamIncrAggGatedSql: String =
+    s"""SELECT epoch_us(ts) // $HourUs AS hour_idx, count(*) AS n_events,
+       |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |  AS cents_total
+       |FROM events GROUP BY 1 ORDER BY hour_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_stream_cdc — FULL CDC (upserts AND deletes) through the MERGE
   // sink: 'error' events are account-delete tombstones; every other
   // event upserts the user's latest value. A user whose LAST event (by
@@ -1825,6 +1891,7 @@ object Streams {
     "q_stream_scd2" -> streamScd2Gated,
     "q_stream_distinct" -> streamDistinctGated,
     "q_stream_upsert" -> streamUpsertGated,
+    "q_stream_incr_agg" -> streamIncrAggGated,
     "q_stream_cdc" -> streamCdcGated,
     "q_stream_topk" -> streamTopkGated,
     "q_merge_point" -> mergePointGated,
@@ -1848,6 +1915,7 @@ object Streams {
     "q_stream_scd2" -> streamScd2GatedSql,
     "q_stream_distinct" -> streamDistinctGatedSql,
     "q_stream_upsert" -> streamUpsertGatedSql,
+    "q_stream_incr_agg" -> streamIncrAggGatedSql,
     "q_stream_cdc" -> streamCdcGatedSql,
     "q_stream_topk" -> streamTopkGatedSql,
     "q_merge_point" -> mergePointGatedSql,

@@ -538,4 +538,64 @@ class StateSpec extends SparkSpec {
     MS.upsertBatch(df((5L, 14L, 5.0)), table, "user_id", "event_id", 1L, "writer-b")
     assert(MS.lastCommit(spark, table).map(_.runId).contains("writer-b"))
   }
+
+  test("additive epoch-partials through the MERGE sink: replayed epoch cannot double-add") {
+    // The q_stream_incr_agg design (Streams.scala): a materialized
+    // aggregate maintained as per-(group, epoch) PARTIAL rows. A
+    // replayed epoch is skipped whole by its commit marker — and even
+    // without the marker it would only overwrite its OWN (group,
+    // epoch) keys, never re-adding into another epoch's partials. The
+    // rollup read (sum of partials per group) must equal the direct
+    // aggregate over everything ingested, after epochs, a replay, and
+    // a late incremental epoch.
+    val MS = graft.streaming.MergeSink
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_addagg_tbl").toString
+    val ev = Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        expr(s"unix_micros(ts) div ${3600L * 1000000L}").as("hour_idx"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .cache()
+    val mid = ev.agg(max(col("event_id")) / 2).first().getDouble(0).toLong
+
+    def partials(df: org.apache.spark.sql.DataFrame, epoch: Long) = df
+      .groupBy(col("hour_idx"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+      .withColumn("agg_key", concat_ws(":", col("hour_idx"), lit(epoch)))
+      .withColumn("epoch", lit(epoch))
+
+    val h1 = ev.filter(col("event_id") <= mid)
+    val h2 = ev.filter(col("event_id") > mid)
+    MS.upsertBatch(partials(h1, 0L), table, "agg_key", "epoch", 0L, "agg-run")
+    MS.upsertBatch(partials(h2, 1L), table, "agg_key", "epoch", 1L, "agg-run")
+    // replay of epoch 0 (e.g. recovery re-delivery): marker skip
+    MS.upsertBatch(partials(h1, 0L), table, "agg_key", "epoch", 0L, "agg-run")
+
+    def rollup(): Map[Long, (Long, Long)] = MS
+      .currentState(spark, table)
+      .get
+      .groupBy(col("hour_idx"))
+      .agg(sum(col("n_events")).as("n"), sum(col("cents_sum")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def direct(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = df
+      .groupBy(col("hour_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+    assert(rollup() == direct(ev), "rollup diverged after replayed epoch")
+
+    // a late incremental epoch keeps adding (delta = first 100 events again,
+    // as NEW data in epoch 2 — distinct key space, so it must ADD)
+    val delta = ev.filter(col("event_id") <= 100)
+    MS.upsertBatch(partials(delta, 2L), table, "agg_key", "epoch", 2L, "agg-run")
+    assert(rollup() == direct(ev.union(delta)), "late epoch did not add")
+    ev.unpersist()
+  }
 }
