@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Layout.queries ++
       ops.Privacy.queries ++
       ops.Warehouse.queries ++
+      ops.Reports.queries ++
       sources.Formats.queries ++
       streaming.Streams.queries
 
@@ -74,6 +75,7 @@ object SparkEntry {
       ops.Layout.oracleSql ++
       ops.Privacy.oracleSql ++
       ops.Warehouse.oracleSql ++
+      ops.Reports.oracleSql ++
       sources.Formats.oracleSql ++
       streaming.Streams.oracleSql
 }
