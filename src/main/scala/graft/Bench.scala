@@ -49,6 +49,17 @@ object Bench {
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
     }
+    // Fixture echo: one line that makes a unit/fixture drift (round 8's
+    // silent TIMESTAMP(NANOS)→MICROS regeneration) diagnosable from the
+    // bench tail alone — the resolved dir and the DECODED event-time range.
+    try {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = Tables.events(spark, sfDir)
+        .agg(min(col("ts")), max(col("ts"))).head()
+      println(s"""{"metric":"fixture","sf":"$sfDir","events_ts_min":"${r.get(0)}","events_ts_max":"${r.get(1)}","ts_unit":"${Tables.eventsTsUnit(spark, sfDir)}"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture echo failed: ${e.getMessage}")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -15,6 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture echo (round-8 lesson): surface the decoded event-time range
+    // so a unit/fixture drift is visible in the verify log, not only as
+    // downstream oracle mismatches.
+    try {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = Tables.events(spark, sfDir).agg(min(col("ts")), max(col("ts"))).head()
+      System.err.println(
+        s"[verify] fixture $sfDir events.ts ${r.get(0)} .. ${r.get(1)} " +
+          s"(unit ${Tables.eventsTsUnit(spark, sfDir)})")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture echo failed: ${e.getMessage}")
+    }
     val selected = SparkEntry.selectedQueries
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -144,8 +144,10 @@ object Reports {
       .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
       .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        // Pair picked to be populated at EVERY SF of the current fixture
+        // (FIXTURES.md): sf0.001 has suppliers only in 10 of 25 nations.
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
       .filter(
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -170,8 +172,8 @@ object Reports {
        |JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation sn ON s_nationkey = sn.n_nationkey
        |JOIN nation cn ON c_nationkey = cn.n_nationkey
-       |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-       |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+       |WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+       |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin

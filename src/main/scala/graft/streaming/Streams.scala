@@ -59,16 +59,35 @@ object Streams {
       session_start_us: Long,
       n_events: Long)
 
-  /** File-source stream over the events table: the WAL tail. Reads with
-    * the explicit nanos-as-long schema (Tables.eventsSchema) and converts
-    * to a micros TimestampType column, exactly like the batch reader.
+  /** File-source stream over the events table: the WAL tail. The physical
+    * timestamp unit is read from the parquet FOOTER ([[Tables.eventsTsUnit]])
+    * — never assumed — and the decode path matches the batch reader exactly:
+    * NANOS → raw-LONG schema + integral `div 1000`; MICROS/MILLIS → native
+    * NTZ read cast to the session-tz TimestampType (a wall-clock no-op under
+    * the engine's fixed UTC session timezone).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    Tables.eventsTsUnit(spark, dir) match {
+      case TimeUnit.NANOS =>
+        spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val ntz = StructType(Tables.eventsSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+          case f => f
+        })
+        spark.readStream
+          .schema(ntz)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Tumbling 1-hour windows per event type — streaming twin of
     * q_window_tumbling. Watermark bounds state to one hour of lateness.

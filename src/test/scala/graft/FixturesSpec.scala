@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tripwires pinning the driver-generated fixtures to FIXTURES.md.
+  *
+  * Round 8's incident: the driver regenerated /root/testdata and changed
+  * `events.ts` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS); the loader's
+  * assumed unit collapsed Jan 2024 onto Jan 1970 and 30 oracle queries went
+  * red with zero code changes. These assertions make ANY fixture drift fail
+  * in seconds with "FIXTURE CHANGED" at the source, instead of as a pile of
+  * mysterious oracle mismatches. If a failure here is an INTENTIONAL
+  * regeneration, refresh FIXTURES.md per its instructions.
+  */
+class FixturesSpec extends SparkSpec {
+
+  private val allSfs = Seq(
+    "/root/testdata/sf0.001" -> 1000L,
+    "/root/testdata/sf0.01"  -> 10000L,
+    "/root/testdata/sf0.1"   -> 100000L)
+
+  // (table, expected rows at sf0.001, expected schema as name:type pairs)
+  private val pinned: Seq[(String, Long, Seq[(String, String)])] = Seq(
+    ("region", 5L, Seq("r_regionkey" -> "int", "r_name" -> "string")),
+    ("nation", 25L, Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int")),
+    ("customer", 150L, Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string")),
+    ("supplier", 10L, Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double")),
+    ("part", 200L, Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double")),
+    ("orders", 1500L, Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")),
+    ("lineitem", 6000L, Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz")),
+    ("documents", 500L, Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint")),
+    ("embeddings", 500L, Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int")))
+
+  test("FIXTURE: every table matches its pinned schema and row count (sf0.001)") {
+    pinned.foreach { case (name, rows, cols) =>
+      val df = Tables.load(spark, sf, name)
+      val got = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+      assert(got == cols,
+        s"FIXTURE CHANGED: $name schema is $got, pinned $cols — see FIXTURES.md")
+      val n = df.count()
+      assert(n == rows,
+        s"FIXTURE CHANGED: $name has $n rows at sf0.001, pinned $rows")
+    }
+  }
+
+  test("FIXTURE: events loads with a TIMESTAMP ts and pinned count (sf0.001)") {
+    val ev = Tables.events(spark, sf)
+    val got = ev.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+    val want = Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string")
+    assert(got == want, s"FIXTURE CHANGED: events schema is $got, pinned $want")
+    assert(ev.count() == 1000L, "FIXTURE CHANGED: events rows at sf0.001 != 1000")
+  }
+
+  test("FIXTURE: key columns are dense 0-based ranges (sf0.001)") {
+    val sentinels = Seq(
+      ("region", "r_regionkey", 0L, 4L), ("nation", "n_nationkey", 0L, 24L),
+      ("customer", "c_custkey", 0L, 149L), ("supplier", "s_suppkey", 0L, 9L),
+      ("part", "p_partkey", 0L, 199L), ("orders", "o_orderkey", 0L, 1499L),
+      ("lineitem", "l_orderkey", 0L, 1499L),
+      ("documents", "doc_id", 0L, 499L), ("embeddings", "vec_id", 0L, 499L))
+    sentinels.foreach { case (t, k, lo, hi) =>
+      val r = Tables.load(spark, sf, t)
+        .agg(min(col(k).cast("long")).as("lo"), max(col(k).cast("long")).as("hi"))
+        .head()
+      assert(r.getLong(0) == lo && r.getLong(1) == hi,
+        s"FIXTURE CHANGED: $t.$k range [${r.getLong(0)}, ${r.getLong(1)}], " +
+          s"pinned [$lo, $hi]")
+    }
+  }
+
+  test("TRIPWIRE: events.ts decodes into a sane calendar year at EVERY sf") {
+    // The round-8 failure mode: a wrong unit lands 1000x off — 1970 (ns read
+    // as us) or year 56970 (us read as ns). Any unit error trips this; a mere
+    // data refresh inside the 2020s does not.
+    allSfs.foreach { case (dir, rows) =>
+      val ev = Tables.events(spark, dir)
+      val r = ev.agg(
+        year(min(col("ts"))).as("ymin"), year(max(col("ts"))).as("ymax"),
+        count(lit(1)).as("n")).head()
+      val (ymin, ymax, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(ymin >= 2020 && ymax <= 2030,
+        s"FIXTURE/LOADER BROKEN: $dir events.ts years [$ymin, $ymax] outside " +
+          "[2020, 2030] — timestamp unit mismatch between the parquet footer " +
+          "and Tables.events decode (see FIXTURES.md, round-8 verdict)")
+      assert(n == rows, s"FIXTURE CHANGED: $dir events has $n rows, pinned $rows")
+    }
+  }
+}
