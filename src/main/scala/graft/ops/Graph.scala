@@ -502,6 +502,43 @@ object Graph {
   // ---------------------------------------------------------------------
   val pageRankShuffle: Q = (s, d) => pageRankWith(s, d, shuffleModel = true)
 
+  // ---------------------------------------------------------------------
+  // q_pagerank_auto — SIZE-DRIVEN regime selection between the two
+  // variants above, mirroring what AQE does for ordinary joins: estimate
+  // the rank-model frame's size from the node count (one cheap
+  // countDistinct pre-pass over the distinct edge pairs — no edge
+  // materialization) and compare against the session's
+  // autoBroadcastJoinThreshold. Under the threshold the model rides a
+  // per-round broadcast (the data-warehouse regime); over it the join
+  // flips to the src-partitioned shuffle plan (the web-graph regime,
+  // where a node-sized broadcast would OOM every executor). Both arms
+  // are integer-exact and bit-identical, so the choice is a pure
+  // physical-plan decision — same oracle SQL as q_pagerank.
+  // ---------------------------------------------------------------------
+  /** ~48 bytes per model row: three packed longs (node, r, deg) plus
+    * UnsafeRow/broadcast-hashmap overhead — deliberately conservative so
+    * the flip to shuffle happens BEFORE the broadcast becomes a risk.
+    */
+  private val prModelRowBytes = 48L
+
+  /** The regime decision, exposed for PlanSpec: true = shuffle model. */
+  private[graft] def pageRankAutoRegime(s: SparkSession, d: String): Boolean = {
+    val cnt = Tables
+      .lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .agg(
+        countDistinct(col("l_partkey")).as("np"),
+        countDistinct(col("l_suppkey")).as("ns"))
+      .head()
+    val nNodes = cnt.getLong(0) + cnt.getLong(1)
+    val thr = s.sessionState.conf.autoBroadcastJoinThreshold
+    thr >= 0 && nNodes * prModelRowBytes > thr
+  }
+
+  val pageRankAuto: Q = (s, d) =>
+    pageRankWith(s, d, shuffleModel = pageRankAutoRegime(s, d))
+
   /** One rank iteration, un-checkpointed — the loop body, also the
     * plan-inspection surface PlanSpec drives (the checkpointed loop
     * hides its join plans behind LogicalRDDs).
@@ -996,6 +1033,7 @@ object Graph {
     "q_dup_clusters_incr" -> dupClustersIncr,
     "q_pagerank" -> pageRank,
     "q_pagerank_shuffle" -> pageRankShuffle,
+    "q_pagerank_auto" -> pageRankAuto,
     "q_triangles" -> triangles
   )
 
@@ -1010,6 +1048,8 @@ object Graph {
     "q_dup_clusters_incr" -> dupClustersSql,
     "q_pagerank" -> pageRankSql,
     "q_pagerank_shuffle" -> pageRankSql,
+    // the auto regime must land on the identical ranking either way
+    "q_pagerank_auto" -> pageRankSql,
     "q_triangles" -> trianglesSql
   )
 }

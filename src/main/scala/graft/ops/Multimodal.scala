@@ -354,8 +354,267 @@ object Multimodal {
        |  n
        |FROM p ORDER BY source, q""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // REAL decode lanes — actual codecs behind the same typed interface as
+  // the fake lanes above: PNG via javax.imageio (JDK-native, headless)
+  // and WAV/PCM16 via the RIFF container format. Payloads are GENERATED
+  // deterministically from doc_id (this container has no media fixtures),
+  // so each lane is encode → real decode → features, and the oracle
+  // recomputes the same features arithmetically — the gate proves the
+  // decode is byte-exact, not just shaped right.
+  // ---------------------------------------------------------------------
+
+  /** Real media codecs. Encode exists so the decode path has real
+    * container bytes to chew on; at production scale only decode runs
+    * (payloads arrive from the lake).
+    */
+  object MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    /** 8-bit grayscale PNG encode — lossless, so decode(encode(px)) == px. */
+    def encodePng(width: Int, height: Int, px: Array[Int]): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, px(y * width + x) & 0xff); x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real image decode: any ImageIO-supported container (PNG/JPEG/BMP/
+      * GIF); returns dimensions + one luminance sample per pixel.
+      */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+
+    /** Minimal RIFF/WAVE writer: PCM16 mono little-endian. */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits/sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Real WAV/PCM16 decode: parses the RIFF chunk list (not a fixed
+      * 44-byte offset — real files carry LIST/fact chunks too).
+      */
+    def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val buf = java.nio.ByteBuffer
+        .wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF container")
+      buf.getInt // riff size
+      require(tag() == "WAVE", "not a WAVE file")
+      var sampleRate = -1
+      var out: Array[Short] = null
+      while (buf.remaining() >= 8 && (sampleRate < 0 || out == null)) {
+        val id = tag()
+        val len = buf.getInt
+        id match {
+          case "fmt " =>
+            val fmt = buf.getShort
+            require(fmt == 1, s"not PCM (fmt=$fmt)")
+            buf.getShort // channels
+            sampleRate = buf.getInt
+            buf.position(buf.position() + len - 8)
+          case "data" =>
+            out = new Array[Short](len / 2)
+            var i = 0
+            while (i < out.length) { out(i) = buf.getShort; i += 1 }
+          case _ => buf.position(buf.position() + len)
+        }
+      }
+      require(sampleRate > 0 && out != null, "missing fmt/data chunk")
+      (sampleRate, out)
+    }
+  }
+
+  /** Media table with REAL container payloads (PNG for images, WAV for
+    * audio), generated deterministically from doc_id so both the decode
+    * lanes and the oracle can reproduce the content arithmetically.
+    * Same narrow mapPartitions shape as [[mediaTable]].
+    */
+  def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .filter(col("doc_id") < RealMediaDocs)
+      .map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val rate = 8000 + 1000 * (id % 5).toInt
+        val n = 400 + (id % 100).toInt
+        (id % 3) match {
+          case 0 =>
+            val px = Array.tabulate(w * h)(i => ((id + i) % 256).toInt)
+            MediaRow(id, "image", MediaCodec.encodePng(w, h, px), w, h, 0, 0)
+          case 1 =>
+            val samples = Array.tabulate(n)(i =>
+              (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+            MediaRow(id, "audio", MediaCodec.encodeWavPcm16(rate, samples),
+              0, 0, rate, 0)
+          case _ =>
+            val payload = Array.tabulate(n)(i => ((id + i) % 251).toByte)
+            MediaRow(id, "video", payload, 0, 0, 0,
+              1 + (payload.length / FrameBytes))
+        }
+      }
+  }
+
+  private val RealMediaDocs = 120L
+
+  /** REAL image decode + feature extraction — [[decodeImage]]'s twin with
+    * javax.imageio in place of the fake, same narrow-plan shape.
+    */
+  def decodeImageReal(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { m =>
+          val (w, h, px) = MediaCodec.decodeImage(m.payload)
+          val mean =
+            if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+          ImageFeatures(m.doc_id, w, h, m.payload.length.toLong, mean,
+            if (px.isEmpty) 0 else px.max)
+        }
+      }
+  }
+
+  /** REAL audio decode + feature extraction — WAV/PCM16 parse in place of
+    * the fake byte-projection, same energy/zero-crossing math.
+    */
+  def decodeAudioReal(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.map { m =>
+          val (rate, samples) = MediaCodec.decodeWavPcm16(m.payload)
+          var energy = 0.0
+          var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            energy += samples(i).toDouble * samples(i)
+            if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          AudioFeatures(m.doc_id, rate, samples.length.toLong, energy, zc)
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // q_image_decode — the REAL PNG decode under the oracle gate: pixels
+  // px(i) = (doc_id + i) % 256 are PNG-encoded, decoded back through
+  // javax.imageio, and reduced to integer-exact features; the oracle
+  // regenerates the same pixels arithmetically (a bounded static range
+  // join — max w·h is 31·23 = 713 < 1024). Any byte error anywhere in
+  // encode→container→decode shifts px_sum and fails the hash.
+  // ---------------------------------------------------------------------
+  val imageDecode: Q = (s, d) => {
+    import s.implicits._
+    decodeImageReal(realMediaTable(s, d))
+      .map(f => (f.doc_id, f.width, f.height,
+        math.round(f.mean_pixel * f.width * f.height), f.max_pixel.toLong))
+      .toDF("doc_id", "width", "height", "px_sum", "px_max")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageDecodeSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 16 AS INT) AS width,
+       |    CAST(16 + doc_id % 8 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < $RealMediaDocs),
+       |r AS (SELECT i FROM range(0, 1024) t(i))
+       |SELECT g.doc_id, g.width, g.height,
+       |  CAST(SUM((g.doc_id + r.i) % 256) AS BIGINT) AS px_sum,
+       |  CAST(MAX((g.doc_id + r.i) % 256) AS BIGINT) AS px_max
+       |FROM g JOIN r ON r.i < g.width * g.height
+       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_audio_decode — the REAL WAV/PCM16 decode under the oracle gate:
+  // samples s(i) = ((7·doc_id + 13·i) mod 2¹⁶) − 2¹⁵ round-trip the RIFF
+  // container; energy (Σ s²) and signed sum (Σ s) are integer-exact, so
+  // one flipped byte anywhere in the 2-byte-LE lane fails the hash.
+  // ---------------------------------------------------------------------
+  val audioDecode: Q = (s, d) => {
+    import s.implicits._
+    decodeAudioReal(realMediaTable(s, d))
+      .map(f => (f.doc_id, f.sample_rate, f.n_samples,
+        math.round(f.energy), f.zero_crossings))
+      .toDF("doc_id", "sample_rate", "n_samples", "energy", "zero_crossings")
+      .orderBy(col("doc_id"))
+  }
+
+  val audioDecodeSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+       |    CAST(400 + doc_id % 100 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < $RealMediaDocs),
+       |r AS (SELECT i FROM range(0, 500) t(i)),
+       |s AS (
+       |  SELECT g.doc_id, g.sample_rate, g.n,
+       |    ((7 * g.doc_id + 13 * r.i) % 65536) - 32768 AS v,
+       |    r.i
+       |  FROM g JOIN r ON r.i < g.n)
+       |SELECT doc_id, sample_rate, max(n) AS n_samples,
+       |  CAST(SUM(v * v) AS BIGINT) AS energy,
+       |  CAST(SUM(CASE WHEN i > 0 AND (v >= 0) <>
+       |    (((7 * doc_id + 13 * (i - 1)) % 65536) - 32768 >= 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM s GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] =
-    Map("q_binary_meta" -> binaryMeta, "q_binary_hist" -> binaryHist)
+    Map(
+      "q_binary_meta" -> binaryMeta,
+      "q_binary_hist" -> binaryHist,
+      "q_image_decode" -> imageDecode,
+      "q_audio_decode" -> audioDecode)
   val oracleSql: Map[String, String] =
-    Map("q_binary_meta" -> binaryMetaSql, "q_binary_hist" -> binaryHistSql)
+    Map(
+      "q_binary_meta" -> binaryMetaSql,
+      "q_binary_hist" -> binaryHistSql,
+      "q_image_decode" -> imageDecodeSql,
+      "q_audio_decode" -> audioDecodeSql)
 }

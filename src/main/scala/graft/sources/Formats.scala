@@ -2,9 +2,15 @@ package graft.sources
 
 import graft.Tables
 import graft.functions.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Source/sink surface beyond parquet: CSV and JSON-lines, always with
   * EXPLICIT schemas on read (schema inference costs a full extra pass
@@ -58,6 +64,96 @@ object Formats {
     spark.read.schema(schema).orc(path)
 
   // ---------------------------------------------------------------------
+  // Avro: the remaining common interchange format of a real lake. The
+  // spark-avro connector isn't on this classpath, so the sink/source ride
+  // the PUBLIC avro-mapred container I/O (AvroKeyOutputFormat /
+  // AvroKeyInputFormat via the standard newAPIHadoop RDD bridge — the
+  // same route Spark itself used pre-connector). Fully distributed: one
+  // container file per partition on write, one task per block on read;
+  // nothing driver-side but the schema string.
+  // ---------------------------------------------------------------------
+
+  /** Spark→Avro schema for the flat primitive types the engine's tables
+    * carry. Timestamps intentionally absent: callers export them as
+    * epoch-micros longs (explicit, engine-neutral — the same discipline
+    * as the CSV/JSON ISO pattern).
+    */
+  private[graft] def avroSchemaFor(st: StructType, name: String): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case other => throw new IllegalArgumentException(
+          s"avro sink: unsupported type $other for field ${f.name} " +
+            "(export timestamps as epoch-micros longs)")
+      }
+      fields.add(new Schema.Field(f.name, t, null, null))
+    }
+    val rec = Schema.createRecord(name, null, "graft.sources", false)
+    rec.setFields(fields)
+    rec
+  }
+
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val avroJson = avroSchemaFor(df.schema, "GraftRow").toString
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(job.getConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // overwrite semantics
+    val n = df.schema.length
+    df.rdd
+      .mapPartitions { it =>
+        // parse once per task; GenericRecord flows straight into the
+        // OutputFormat (no Spark serialization — map-side write only)
+        val schema = new Schema.Parser().parse(avroJson)
+        it.map { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < n) { rec.put(i, row.get(i)); i += 1 }
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(
+        path,
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+  }
+
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fieldCount = schema.length
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable])
+      .map { case (k, _) =>
+        // materialize IN the map call: the record reader reuses its datum
+        val rec = k.datum()
+        val vals = new Array[Any](fieldCount)
+        var i = 0
+        while (i < fieldCount) {
+          vals(i) = rec.get(i) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          }
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---------------------------------------------------------------------
   // q_csv_roundtrip — the CSV source/sink under the oracle gate: a
   // lineitem slice is written to CSV (header + explicit timestamp
   // format), read back with the EXPLICIT schema, and aggregated; the
@@ -88,6 +184,7 @@ object Formats {
   private lazy val csvRoundtripDir: String = roundtripDir("csv")
   private lazy val jsonRoundtripDir: String = roundtripDir("json")
   private lazy val orcRoundtripDir: String = roundtripDir("orc")
+  private lazy val avroRoundtripDir: String = roundtripDir("avro")
 
   val csvRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
     val tmp = csvRoundtripDir
@@ -199,15 +296,73 @@ object Formats {
        |FROM orders WHERE o_orderkey < 5000
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_avro_roundtrip — the Avro row-format sink/source under the oracle
+  // gate: a customer slice (long / int / double / string columns plus a
+  // timestamp-as-micros long, the sink's documented export discipline)
+  // written to Avro container files, read back with the explicit schema,
+  // aggregated; the oracle computes the identical aggregate from the
+  // original parquet, so the gate proves the binary round-trip is
+  // value-exact across every primitive the sink supports.
+  // ---------------------------------------------------------------------
+  val avroRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = avroRoundtripDir
+    val slice = Tables
+      .customer(s, d)
+      .filter(col("c_custkey") < 5000)
+      .join(
+        broadcast(Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+            .as("last_order_us"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        col("c_acctbal"),
+        col("c_mktsegment"),
+        col("last_order_us"))
+    writeAvro(slice, tmp)
+    readAvro(s, tmp, slice.schema)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("bal_total"),
+        countDistinct(col("c_nationkey")).as("d_nations"),
+        min(col("c_custkey")).as("k_min"),
+        max(col("c_custkey")).as("k_max"),
+        sum(length(col("c_name"))).as("name_chars"),
+        max(col("last_order_us")).as("last_us"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val avroRoundtripSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |${sqlDsum("c_acctbal")} AS bal_total,
+       |count(DISTINCT c_nationkey) AS d_nations,
+       |min(c_custkey) AS k_min, max(c_custkey) AS k_max,
+       |CAST(SUM(length(c_name)) AS BIGINT) AS name_chars,
+       |max(last_order_us) AS last_us
+       |FROM (SELECT c.*, o.last_order_us
+       |  FROM customer c
+       |  JOIN (SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_order_us
+       |        FROM orders GROUP BY o_custkey) o
+       |    ON c.c_custkey = o.o_custkey
+       |  WHERE c_custkey < 5000)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_csv_roundtrip" -> csvRoundtrip,
       "q_json_roundtrip" -> jsonRoundtrip,
-      "q_orc_roundtrip" -> orcRoundtrip)
+      "q_orc_roundtrip" -> orcRoundtrip,
+      "q_avro_roundtrip" -> avroRoundtrip)
 
   val oracleSql: Map[String, String] =
     Map(
       "q_csv_roundtrip" -> csvRoundtripSql,
       "q_json_roundtrip" -> jsonRoundtripSql,
-      "q_orc_roundtrip" -> orcRoundtripSql)
+      "q_orc_roundtrip" -> orcRoundtripSql,
+      "q_avro_roundtrip" -> avroRoundtripSql)
 }

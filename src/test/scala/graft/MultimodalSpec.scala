@@ -150,6 +150,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL PNG decode round-trips pixels exactly (javax.imageio)") {
+    val px = Array.tabulate(24 * 17)(i => (i * 7 + 3) % 256)
+    val bytes = Multimodal.MediaCodec.encodePng(24, 17, px)
+    // a real PNG container, not a fake: magic bytes present
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val (w, h, back) = Multimodal.MediaCodec.decodeImage(bytes)
+    assert(w == 24 && h == 17)
+    assert(back.sameElements(px), "grayscale PNG round-trip lost pixels")
+  }
+
+  test("REAL WAV decode round-trips PCM16 samples exactly (RIFF chunk walk)") {
+    val samples =
+      Array.tabulate(777)(i => ((i * 131) % 65536 - 32768).toShort)
+    val bytes = Multimodal.MediaCodec.encodeWavPcm16(11000, samples)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    val (rate, back) = Multimodal.MediaCodec.decodeWavPcm16(bytes)
+    assert(rate == 11000)
+    assert(back.sameElements(samples), "PCM16 round-trip lost samples")
+  }
+
+  test("real decode lanes stay partition-local and match the generation formula") {
+    val rm = Multimodal.realMediaTable(spark, sf)
+    val feats = Multimodal.decodeImageReal(rm)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"real decode plan shuffles:\n$plan")
+    // doc 0: w=16, h=16, px(i) = i % 256 — mean is the full-cycle average
+    val f0 = feats.filter(_.doc_id == 0L).head()
+    assert(f0.width == 16 && f0.height == 16)
+    assert(math.round(f0.mean_pixel * 256) == (0 until 256).sum)
+    val a0 = Multimodal.decodeAudioReal(rm).filter(_.doc_id == 1L).head()
+    // doc 1: rate = 8000 + 1000·(1 % 5), n = 400 + 1 % 100
+    assert(a0.sample_rate == 9000 && a0.n_samples == 401L)
+  }
+
   test("frame sampling bounds fan-out per video") {
     val frames = Multimodal.frameSample(media, stride = 2, maxFrames = 5)
     val perDoc = frames

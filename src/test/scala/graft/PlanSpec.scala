@@ -125,6 +125,25 @@ class PlanSpec extends SparkSpec {
     assert(base.contains("BroadcastHashJoin"), "baseline pagerank lost its broadcast")
   }
 
+  test("auto pagerank picks broadcast at test SF, shuffle under a tiny threshold") {
+    // the size-driven switch mirrors AQE's broadcast decision: model
+    // size (nodes × row bytes) vs autoBroadcastJoinThreshold. At
+    // sf0.001 the model is a few KB — broadcast regime; force the
+    // threshold under it and the SAME entry point must flip to the
+    // shuffle plan. Both arms are oracle-checked bit-identical
+    // (q_pagerank_auto shares q_pagerank's SQL).
+    assert(
+      !ops.Graph.pageRankAutoRegime(spark, sf),
+      "auto pagerank chose shuffle for a KB-scale model")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      assert(
+        ops.Graph.pageRankAutoRegime(spark, sf),
+        "auto pagerank kept broadcasting over the threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sketch profiler aggregates without an Expand; exact profiler needs one") {
     // q_profile's 6 countDistinct lanes replicate the scanned rows 6×
     // through Expand; the KMV-lane twin must profile the same columns

@@ -36,6 +36,33 @@ class SourcesSpec extends SparkSpec {
     roundTrip("json", Formats.writeJson, Formats.readJson)
   }
 
+  test("Avro round-trip preserves schema, rows and values (micros-long timestamps)") {
+    // the Avro sink's documented discipline: timestamps export as
+    // epoch-micros longs; everything else round-trips natively
+    val dir = Files.createTempDirectory("graft_avro").toString
+    val orig = Tables
+      .orders(spark, sf)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+    Formats.writeAvro(orig, dir)
+    val back = Formats.readAvro(spark, dir, orig.schema)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
+  test("Avro sink rejects unsupported column types loudly, never silently coerces") {
+    val e = intercept[IllegalArgumentException] {
+      Formats.avroSchemaFor(Tables.orders(spark, sf).schema, "X")
+    }
+    assert(e.getMessage.contains("o_orderdate"))
+  }
+
   test("ORC round-trip preserves schema, rows and values; filters push to the scan") {
     roundTrip("orc", Formats.writeOrc, Formats.readOrc)
     val dir = Files.createTempDirectory("graft_orc_pd").toString

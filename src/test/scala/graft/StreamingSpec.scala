@@ -139,6 +139,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed-aggregate state is evicted by the watermark — and a stalled watermark is DETECTED") {
+    // Round-8 lesson: a watermark that never advances past any window end
+    // (there: a 1000× collapsed time axis) keeps every window in state and
+    // emits nothing, and only the ORACLE noticed. This pins the tripwire at
+    // the test level: the same pipeline run with a healthy 1-hour delay must
+    // evict + emit; run with a deliberately-broken (stall-equivalent,
+    // 10000-hour) delay it must hold all state and emit nothing — which is
+    // exactly the signature the healthy-arm assertions would catch.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(delay: String, name: String): (Long, Long, Long) = {
+      def row(id: Long, hour: Long, user: Long): EventRow =
+        EventRow(
+          id,
+          java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .plusSeconds(hour * 3600)),
+          user,
+          "view",
+          1.0,
+          "{}")
+      val ms = MemoryStream[EventRow]
+      val agg = ms
+        .toDF()
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData(row(1, 0, 1), row(2, 0, 2))
+        q.processAllAvailable()
+        ms.addData(row(3, 6, 1))
+        q.processAllAvailable()
+        ms.addData(row(4, 12, 1))
+        q.processAllAvailable()
+        val states = q.recentProgress.flatMap(_.stateOperators)
+        (states.map(_.numRowsRemoved).sum,
+          states.lastOption.map(_.numRowsTotal).getOrElse(-1L),
+          spark.table(name).count())
+      } finally q.stop()
+    }
+    val (removed, lastTotal, emitted) = run("1 hour", "t_winagg_evict")
+    assert(removed >= 1, s"healthy watermark evicted nothing (removed=$removed)")
+    assert(lastTotal < 3, s"state holds all $lastTotal windows — not evicting")
+    assert(emitted >= 1, s"healthy watermark emitted no closed windows")
+    val (removedB, totalB, emittedB) = run("10000 hours", "t_winagg_stall")
+    assert(
+      removedB == 0 && emittedB == 0 && totalB == 3,
+      s"stalled-watermark signature not detected (removed=$removedB, " +
+        s"total=$totalB, emitted=$emittedB) — the tripwire would miss a stall")
+  }
+
   test("gated left-outer stream-stream join == batch left join on the horizon") {
     // q_stream_join_outer's contract: within the emittable horizon
     // (p_ts <= max_ts - 2h) the completed sink equals a plain batch LEFT
