@@ -60,14 +60,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture echo failed: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: the full per-query line must stay well inside the
+    // driver's bounded tail capture (~6 KB at 9-decimal seconds blew it in
+    // round 8 and `parsed` has been null every round)
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver captures a bounded TAIL of stdout; the per-query line above
-    // grows with the registry and its head (incl. the total) gets truncated
-    // away. Emit a short summary line LAST so it always survives capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // Bracket the long per-query line with the SHORT summary on both sides:
+    // whichever end of the stream the driver's capture keeps, one complete
+    // parseable line survives.
+    println(summary)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }
