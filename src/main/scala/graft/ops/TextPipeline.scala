@@ -282,6 +282,82 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_containment — ASYMMETRIC near-dup detection (quote/excerpt/superset
+  // pairs): directional containment C(a→b) = |grams(a) ∩ grams(b)| /
+  // |grams(a)| ≥ 0.6. Jaccard misses these (a short excerpt inside a long
+  // doc has tiny union overlap), and length-bucket blocking is WRONG here
+  // by construction — the interesting pairs have very different lengths.
+  // The 100 TB candidate scheme is a DF-BOUNDED inverted index instead:
+  // only grams with document frequency in [2, 10] generate candidate
+  // pairs, so the pair blow-up per gram is ≤ df² ≤ 100 and the total
+  // candidate count is Σ_rare df² ≤ 10·Σ df — linear in corpus size,
+  // while common grams (the quadratic hazard) never pair anything.
+  // Candidates are then scored EXACTLY against the full gram sets and
+  // thresholded with integer arithmetic (10·ni ≥ 6·n_a — no float
+  // compare in the predicate).
+  // ---------------------------------------------------------------------
+  private val containDfMin = 2
+  private val containDfMax = 10
+
+  val containment: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("grams", wordBigrams(tokens(col("text"))))
+      .select(col("doc_id"), col("grams"))
+    // distinct (doc, gram) posting list — grams are already distinct per
+    // doc (wordBigrams contract), so explode alone is duplicate-free
+    val postings = docs
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = postings
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= containDfMin && col("df") <= containDfMax)
+      .select(col("gram"))
+    val rp = postings.join(rare, Seq("gram"))
+    val cand = rp
+      .select(col("gram"), col("doc_id").as("id_a"))
+      .join(rp.select(col("gram"), col("doc_id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")),
+        Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")),
+        Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("ni"),
+        size(col("g_a")).cast("long").as("n_a"))
+      .filter(col("ni") * 10 >= col("n_a") * 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val containmentSql: String = {
+    val grams = sqlWordBigrams(sqlTokens("text"))
+    s"""WITH g AS (SELECT doc_id, $grams AS grams FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |rare AS (
+       |  SELECT gram FROM e GROUP BY gram
+       |  HAVING count(*) BETWEEN $containDfMin AND $containDfMax),
+       |rp AS (SELECT e.doc_id, e.gram FROM e JOIN rare USING (gram)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rp a JOIN rp b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+       |sc AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS ni,
+       |    CAST(len(ga.grams) AS BIGINT) AS n_a
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.id_a
+       |  JOIN g gb ON gb.doc_id = c.id_b)
+       |SELECT id_a, id_b, ni, n_a FROM sc
+       |WHERE ni * 10 >= n_a * 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_lang_id — n-gram-heuristic language ID: score each document
   // against per-language marker-token sets and take the argmax
   // (deterministic tie-break by language order). Output: confusion
@@ -1231,6 +1307,7 @@ object TextPipeline {
     "q_minhash_corpus" -> minhashCorpus,
     "q_dedup_simhash" -> dedupSimhash,
     "q_ngram_jaccard" -> ngramJaccard,
+    "q_containment" -> containment,
     "q_edit_distance" -> editDistance,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
@@ -1255,6 +1332,7 @@ object TextPipeline {
     "q_minhash_corpus" -> minhashCorpusSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_containment" -> containmentSql,
     "q_edit_distance" -> editDistanceSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
