@@ -573,8 +573,53 @@ object Temporal {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_decay_features — exponential time-decay user features (the
+  // recency-weighted activity score behind churn/engagement models):
+  // over each user's last 20 events, score = Σ cents_i · 2^(−age_rank).
+  // BIT-EXACT BY CONSTRUCTION, no quantization needed: cents < 2¹⁶,
+  // weights are exact powers of two down to 2^(−19), so every term is an
+  // exact multiple of 2^(−19) and every partial sum spans < 53 mantissa
+  // bits — double addition is EXACT here in any order, which is what
+  // makes an ostensibly-float feature oracle-gateable and
+  // repartition-invariant. One window (row_number per user) + one hash
+  // aggregate; the 20-row cap bounds per-user work at any history depth.
+  // ---------------------------------------------------------------------
+  private val DecayDepth = 20
+
+  val decayFeatures: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(s, d)
+      .withColumn("rn", row_number().over(w) - 1)
+      .filter(col("rn") < DecayDepth)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_recent"),
+        sum(col("cents") * pow(lit(0.5), col("rn"))).as("decayed"),
+        max(when(col("rn") === 0, col("event_type"))).as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val decayFeaturesSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) - 1 AS rn
+       |  FROM events)
+       |SELECT user_id, count(*) AS n_recent,
+       |SUM(cents * power(0.5, rn)) AS decayed,
+       |max(CASE WHEN rn = 0 THEN event_type END) AS last_type
+       |FROM r WHERE rn < $DecayDepth
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
+    "q_decay_features" -> decayFeatures,
     "q_retention" -> retention,
     "q_session_paths" -> sessionPaths,
     "q_transitions" -> transitions,
@@ -590,6 +635,7 @@ object Temporal {
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
+    "q_decay_features" -> decayFeaturesSql,
     "q_retention" -> retentionSql,
     "q_session_paths" -> sessionPathsSql,
     "q_transitions" -> transitionsSql,

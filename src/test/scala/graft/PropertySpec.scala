@@ -224,13 +224,19 @@ class PropertySpec extends SparkSpec {
     // (UnionLoop iteration), multiset set ops (copy-count replication),
     // tokenized join (hash-keyed shuffle), the warehouse batch
     // (6-table join reorder, partial-merge union, posting-list
-    // sorted-collect)
+    // sorted-collect). round-9: containment (df-bounded candidate
+    // generation + distinct pair dedup), the real-decode lanes
+    // (mapPartitions over arbitrary partition boundaries), the Avro
+    // round-trip (container-file-per-partition write), auto PageRank
+    // (regime choice must not depend on partitioning)
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
       "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
       "q_kmv_setops", "q_approx_quantiles", "q_bfs_dist", "q_pagerank_pers",
       "q_recursive_cte", "q_setops_all", "q_pseudonymize",
-      "q_market_share", "q_incr_agg", "q_inverted_index")
+      "q_market_share", "q_incr_agg", "q_inverted_index",
+      "q_containment", "q_image_decode", "q_audio_decode",
+      "q_avro_roundtrip", "q_pagerank_auto", "q_decay_features")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
