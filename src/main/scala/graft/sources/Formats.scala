@@ -352,17 +352,89 @@ object Formats {
        |  WHERE c_custkey < 5000)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_parquet_zstd — the parquet sink under a NON-DEFAULT codec (zstd,
+  // the modern lake default: ~snappy decode speed at notably better
+  // ratios — at 100 TB the codec choice is real money). A lineitem slice
+  // is written with compression=zstd, read back, and aggregated
+  // value-exact against the original-parquet oracle; SourcesSpec
+  // additionally asserts from the written files' FOOTERS that every
+  // column chunk really is ZSTD (an unavailable codec silently falling
+  // back would otherwise still pass the value gate).
+  // ---------------------------------------------------------------------
+  private lazy val zstdRoundtripDir: String = roundtripDir("zstd")
+
+  def writeParquet(df: DataFrame, path: String, codec: String): Unit =
+    df.write.mode("overwrite").option("compression", codec).parquet(path)
+
+  /** Distinct codec names used by the written files' column chunks, read
+    * from the parquet footers — the honest "did the codec apply" check.
+    */
+  private[graft] def parquetCodecs(
+      spark: SparkSession,
+      path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root)
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .flatMap { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.map(_.getCodec.toString))
+        finally r.close()
+      }
+      .toSet
+  }
+
+  val zstdRoundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = zstdRoundtripDir
+    val slice = Tables
+      .lineitem(s, d)
+      .filter(col("l_orderkey") < 4000)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        col("l_extendedprice"),
+        col("l_returnflag"),
+        col("l_shipdate"))
+    writeParquet(slice, tmp, "zstd")
+    s.read.schema(slice.schema).parquet(tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_shipdate")).as("d_first"),
+        max(col("l_shipdate")).as("d_last"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val zstdRoundtripSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_line,
+       |${sqlDsum("l_extendedprice")} AS sum_price,
+       |min(l_shipdate) AS d_first, max(l_shipdate) AS d_last
+       |FROM lineitem WHERE l_orderkey < 4000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_csv_roundtrip" -> csvRoundtrip,
       "q_json_roundtrip" -> jsonRoundtrip,
       "q_orc_roundtrip" -> orcRoundtrip,
-      "q_avro_roundtrip" -> avroRoundtrip)
+      "q_avro_roundtrip" -> avroRoundtrip,
+      "q_parquet_zstd" -> zstdRoundtrip)
 
   val oracleSql: Map[String, String] =
     Map(
       "q_csv_roundtrip" -> csvRoundtripSql,
       "q_json_roundtrip" -> jsonRoundtripSql,
       "q_orc_roundtrip" -> orcRoundtripSql,
-      "q_avro_roundtrip" -> avroRoundtripSql)
+      "q_avro_roundtrip" -> avroRoundtripSql,
+      "q_parquet_zstd" -> zstdRoundtripSql)
 }

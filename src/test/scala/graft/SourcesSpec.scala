@@ -56,6 +56,21 @@ class SourcesSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() == 0)
   }
 
+  test("zstd parquet write really compresses with ZSTD (footer codec check) and round-trips") {
+    val dir = Files.createTempDirectory("graft_zstd").toString
+    val orig = Tables.orders(spark, sf)
+    Formats.writeParquet(orig, dir, "zstd")
+    // an unavailable codec silently falling back to snappy would still
+    // pass a value compare — the footer is the honest witness
+    assert(
+      Formats.parquetCodecs(spark, dir) == Set("ZSTD"),
+      s"column chunks not ZSTD: ${Formats.parquetCodecs(spark, dir)}")
+    val back = spark.read.schema(orig.schema).parquet(dir)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
   test("Avro sink rejects unsupported column types loudly, never silently coerces") {
     val e = intercept[IllegalArgumentException] {
       Formats.avroSchemaFor(Tables.orders(spark, sf).schema, "X")
