@@ -300,10 +300,20 @@ object TextPipeline {
   private val containDfMax = 10
 
   val containment: Q = (s, d) => {
+    // MATERIALIZE the gram frame once: the three consumers below
+    // (posting-list explode, both sides of the scoring join) would each
+    // re-inline the tokenize+shingle expression through CollapseProject —
+    // and inside Generate the interpreted HOF re-evaluates per OUTPUT row,
+    // turning a 2 s gram build into a 20 s one (measured at sf0.1). The
+    // localCheckpoint is the single-job local analogue of writing the
+    // derived shingle table to the lake before probing it — which is
+    // exactly what a 100 TB corpus-prep pipeline does anyway.
     val docs = Tables
       .documents(s, d)
-      .withColumn("grams", wordBigrams(tokens(col("text"))))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("grams", wordBigrams(col("toks")))
       .select(col("doc_id"), col("grams"))
+      .localCheckpoint()
     // distinct (doc, gram) posting list — grams are already distinct per
     // doc (wordBigrams contract), so explode alone is duplicate-free
     val postings = docs
