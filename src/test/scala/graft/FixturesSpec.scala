@@ -85,6 +85,22 @@ class FixturesSpec extends SparkSpec {
     }
   }
 
+  test("FIXTURE: documents/embeddings counts pinned at every sf") {
+    // the corpus tables don't scale uniformly with SF (FIXTURES.md):
+    // 500/500 at sf0.001 and sf0.01, 5000/2000 at sf0.1 — several text
+    // and ANN lanes calibrate against these sizes
+    val expect = Seq(
+      ("/root/testdata/sf0.001", 500L, 500L),
+      ("/root/testdata/sf0.01", 500L, 500L),
+      ("/root/testdata/sf0.1", 5000L, 2000L))
+    expect.foreach { case (dir, nDocs, nVecs) =>
+      assert(Tables.documents(spark, dir).count() == nDocs,
+        s"FIXTURE CHANGED: $dir documents != $nDocs")
+      assert(Tables.embeddings(spark, dir).count() == nVecs,
+        s"FIXTURE CHANGED: $dir embeddings != $nVecs")
+    }
+  }
+
   test("TRIPWIRE: events.ts decodes into a sane calendar year at EVERY sf") {
     // The round-8 failure mode: a wrong unit lands 1000x off — 1970 (ns read
     // as us) or year 56970 (us read as ns). Any unit error trips this; a mere

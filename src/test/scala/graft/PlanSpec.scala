@@ -125,6 +125,34 @@ class PlanSpec extends SparkSpec {
     assert(base.contains("BroadcastHashJoin"), "baseline pagerank lost its broadcast")
   }
 
+  test("containment is equi-join only, and the gram frame is materialized once") {
+    // two plan hazards, both bitten in round 9: (a) a missing equi-key
+    // would quietly plan a nested-loop pair enumeration — fatal at any
+    // scale; (b) without the materialization barrier, CollapseProject
+    // re-inlines the tokenize+shingle HOF into the explode and Generate
+    // re-evaluates it per OUTPUT row (measured 23x). The checkpointed
+    // gram frame shows up as LogicalRDD scans; the tokenizer expression
+    // must appear in NO consumer plan.
+    val plan = executed(ops.TextPipeline.containment(spark, sf))
+    assert(
+      !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment plans a non-equi join:\n$plan")
+    assert(
+      !plan.contains("regexp_extract_all"),
+      s"gram computation re-inlined into a consumer (HOF re-eval trap):\n$plan")
+  }
+
+  test("decay features: window and aggregate share one user_id shuffle") {
+    // row_number partitions by user_id and the aggregate groups by it —
+    // the hash aggregate must ride the window's existing partitioning,
+    // not re-exchange. Expected exchanges: one for user_id, one for the
+    // final presentation sort, nothing else.
+    val plan = executed(ops.Temporal.decayFeatures(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"decay features re-shuffles ($exchanges Exchanges):\n$plan")
+  }
+
   test("auto pagerank picks broadcast at test SF, shuffle under a tiny threshold") {
     // the size-driven switch mirrors AQE's broadcast decision: model
     // size (nodes × row bytes) vs autoBroadcastJoinThreshold. At
