@@ -368,6 +368,60 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_doc_chunks — fixed-size overlapping token windows (the RAG /
+  // pretraining segmentation step: 50-token chunks, stride 40, 10-token
+  // overlap). Chunk k of a doc covers tokens [40k, 40k+50) and exists
+  // iff 40k < n_toks, so the fan-out per doc is ⌈n/40⌉ — bounded and
+  // arithmetic, which is what makes the whole segmentation
+  // oracle-gateable: the twin enumerates the same k-grid with
+  // range()/unnest and the identical least() chunk-length formula.
+  // n is floored at 1 so token-empty docs emit one degenerate chunk on
+  // BOTH engines (Spark truncates -1 div 40 toward zero, DuckDB floors
+  // — the guard keeps the grids identical). One narrow projection +
+  // explode + one hash aggregate; nothing reshuffles until the final
+  // per-source rollup.
+  // ---------------------------------------------------------------------
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+
+  val docChunks: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        greatest(size(col("toks")), lit(1)).as("n"))
+      .withColumn(
+        "k",
+        explode(sequence(lit(0), expr(s"(n - 1) div $ChunkStride"))))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(least(lit(ChunkLen), col("n") - col("k") * ChunkStride)
+          .cast("long")).as("chunk_tokens"),
+        max(expr(s"(n - 1) div $ChunkStride + 1").cast("long"))
+          .as("max_chunks"))
+      .orderBy(col("source"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    greatest(len(${sqlTokens("text")}), 1) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n,
+       |    unnest(range(0, ((n - 1) // $ChunkStride) + 1)) AS k
+       |  FROM t)
+       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       |CAST(SUM(least($ChunkLen, n - k * $ChunkStride)) AS BIGINT)
+       |  AS chunk_tokens,
+       |CAST(MAX(((n - 1) // $ChunkStride) + 1) AS BIGINT) AS max_chunks
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_lang_id — n-gram-heuristic language ID: score each document
   // against per-language marker-token sets and take the argmax
   // (deterministic tie-break by language order). Output: confusion
@@ -1318,6 +1372,7 @@ object TextPipeline {
     "q_dedup_simhash" -> dedupSimhash,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_containment" -> containment,
+    "q_doc_chunks" -> docChunks,
     "q_edit_distance" -> editDistance,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
@@ -1343,6 +1398,7 @@ object TextPipeline {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
+    "q_doc_chunks" -> docChunksSql,
     "q_edit_distance" -> editDistanceSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,

@@ -236,7 +236,8 @@ class PropertySpec extends SparkSpec {
       "q_recursive_cte", "q_setops_all", "q_pseudonymize",
       "q_market_share", "q_incr_agg", "q_inverted_index",
       "q_containment", "q_image_decode", "q_audio_decode",
-      "q_avro_roundtrip", "q_pagerank_auto", "q_decay_features")
+      "q_avro_roundtrip", "q_pagerank_auto", "q_decay_features",
+      "q_doc_chunks")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
