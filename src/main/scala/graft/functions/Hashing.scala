@@ -49,6 +49,16 @@ object Hashing {
     Exprs.column(graft.plans.NGramShingles(Exprs.expression(c), n))
   }
 
+  /** Sliding-window polynomial fingerprints as ROWS via the custom
+    * table-valued Generator [[graft.plans.TokenWindowFp]] — the
+    * exact-substring-dedup kernel (see the Generator's scaladoc for the
+    * value contract and the cross-engine overflow bound).
+    */
+  def tokenWindowFp(toks: Column, win: Int): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.TokenWindowFp(Exprs.expression(toks), win))
+  }
+
   /** Minhash component j: min over shingles of h32(j, shingle). */
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, s => h32(seed, s)))

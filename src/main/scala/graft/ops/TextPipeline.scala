@@ -422,6 +422,85 @@ object TextPipeline {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_substring_dup — EXACT-SUBSTRING duplication (the train-set dedup
+  // class minhash misses: a 20-token span copied verbatim between
+  // otherwise-different docs). Every 20-token window is fingerprinted by
+  // the NATIVE [[graft.plans.TokenWindowFp]] Generator — per-token
+  // polynomial fingerprints computed once per doc in a tight JVM loop,
+  // each window 20 multiply-adds, streamed as rows with no intermediate
+  // array (the interpreted per-window md5 HOF this replaces measured
+  // ~6 s at sf0.1; the generator runs the same lane in well under a
+  // second). In-doc repeats collapse via DISTINCT (doc, wh); fingerprints
+  // held by ≥2 docs mark their docs as substring-dups. Fan-out is
+  // exactly max(n−19, 1) windows per doc; everything downstream is
+  // hash-keyed aggregation, and the exploded fingerprint frame is
+  // materialized once (localCheckpoint — at 100 TB this fingerprint
+  // table is the artifact such pipelines persist anyway). The twin
+  // computes the IDENTICAL polynomial numbers (contract in the
+  // Generator's scaladoc: every fold step bounded under 2⁶³ on both
+  // engines).
+  // ---------------------------------------------------------------------
+  private val SubWin = 20
+
+  val substringDup: Q = (s, d) => {
+    import graft.functions.Hashing.tokenWindowFp
+    val wh = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        tokenWindowFp(col("toks"), SubWin).as("wh"))
+      .distinct()
+      .localCheckpoint() // two consumers below read the fingerprint frame
+    val shared = wh
+      .groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("dcount"))
+      .filter(col("dcount") >= 2)
+      .select(col("wh"))
+    wh.join(shared, Seq("wh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nsh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_dup_docs"),
+        sum(col("nsh")).as("shared_windows"),
+        max(col("nsh")).as("max_shared"))
+      .orderBy(col("source"))
+  }
+
+  val substringDupSql: String = {
+    val P = graft.functions.Hashing.FpPrime
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${sqlTokens("text")} AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, source,
+       |    list_transform(toks, t -> list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(range(1, len(t) + 1),
+       |        i -> unicode(substr(t, i, 1))::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % $P)) AS th
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id, source,
+       |    list_transform(range(1, greatest(len(th) - ${SubWin - 1}, 1) + 1),
+       |      i -> list_reduce(
+       |        list_prepend(0::BIGINT, list_slice(th, i, i + ${SubWin - 1})),
+       |        (a, x) -> (a * 31 + x) % $P)) AS whs
+       |  FROM tf),
+       |e AS (
+       |  SELECT DISTINCT doc_id, source, wh FROM
+       |    (SELECT doc_id, source, unnest(whs) AS wh FROM w)),
+       |sh AS (SELECT wh FROM e GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |dd AS (
+       |  SELECT e.doc_id, e.source, count(*) AS nsh
+       |  FROM e JOIN sh USING (wh) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_dup_docs,
+       |CAST(SUM(nsh) AS BIGINT) AS shared_windows,
+       |CAST(MAX(nsh) AS BIGINT) AS max_shared
+       |FROM dd GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_lang_id — n-gram-heuristic language ID: score each document
   // against per-language marker-token sets and take the argmax
   // (deterministic tie-break by language order). Output: confusion
@@ -1373,6 +1452,7 @@ object TextPipeline {
     "q_ngram_jaccard" -> ngramJaccard,
     "q_containment" -> containment,
     "q_doc_chunks" -> docChunks,
+    "q_substring_dup" -> substringDup,
     "q_edit_distance" -> editDistance,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
@@ -1399,6 +1479,7 @@ object TextPipeline {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
     "q_doc_chunks" -> docChunksSql,
+    "q_substring_dup" -> substringDupSql,
     "q_edit_distance" -> editDistanceSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,

@@ -237,7 +237,7 @@ class PropertySpec extends SparkSpec {
       "q_market_share", "q_incr_agg", "q_inverted_index",
       "q_containment", "q_image_decode", "q_audio_decode",
       "q_avro_roundtrip", "q_pagerank_auto", "q_decay_features",
-      "q_doc_chunks")
+      "q_doc_chunks", "q_substring_dup")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
