@@ -71,7 +71,13 @@ object GraftFunctions {
       (
         FunctionIdentifier("minhash_union"),
         info("minhash_union", classOf[MinHashUnion]),
-        args => MinHashUnion(args(0), intLitIn("minhash_union", args(1), 1, 1 << 22))))
+        args => MinHashUnion(args(0), intLitIn("minhash_union", args(1), 1, 1 << 22))),
+      (
+        FunctionIdentifier("token_window_fp"),
+        info("token_window_fp", classOf[TokenWindowFp]),
+        // window > 4096 tokens is never a substring-dedup shape (and the
+        // per-window cost is linear in it)
+        args => TokenWindowFp(args(0), intLitIn("token_window_fp", args(1), 1, 4096))))
 
   /** Runtime registration on an already-built session (idempotent —
     * re-registration overwrites with identical builders).

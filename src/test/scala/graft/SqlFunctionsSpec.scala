@@ -39,6 +39,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows == Seq("ab", "bc", "cd"), s"got $rows")
   }
 
+  test("token_window_fp generator usable from SQL == Column API") {
+    val s2 = spark
+    import s2.implicits._
+    Seq(Seq("spark", "sql", "engine")).toDF("toks")
+      .createOrReplaceTempView("t_sqlwfp")
+    val viaSql = spark
+      .sql("SELECT token_window_fp(toks, 2) FROM t_sqlwfp")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = Seq(Seq("spark", "sql", "engine")).toDF("toks")
+      .select(graft.functions.Hashing.tokenWindowFp(
+        org.apache.spark.sql.functions.col("toks"), 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol && viaSql.length == 2, s"got $viaSql vs $viaCol")
+  }
+
   test("kmin_distinct and log_histogram aggregates usable from SQL") {
     val s2 = spark
     import s2.implicits._
