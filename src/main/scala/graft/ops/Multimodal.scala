@@ -408,6 +408,29 @@ object Multimodal {
       (w, h, px)
     }
 
+    /** Length-prefixed frame container (the simplest honest chunked
+      * video shape): per frame a 4-byte big-endian length then the
+      * encoded frame bytes.
+      */
+    def packFrames(frames: Array[Array[Byte]]): Array[Byte] = {
+      val total = frames.map(_.length + 4).sum
+      val buf = java.nio.ByteBuffer.allocate(total) // big-endian default
+      frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+      buf.array()
+    }
+
+    /** Walk the frame container, yielding each frame's encoded bytes. */
+    def unpackFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      Iterator.continually(buf).takeWhile(_.remaining() >= 4).map { b =>
+        val len = b.getInt
+        require(len >= 0 && len <= b.remaining(), s"corrupt frame length $len")
+        val out = new Array[Byte](len)
+        b.get(out)
+        out
+      }
+    }
+
     /** Minimal RIFF/WAVE writer: PCM16 mono little-endian. */
     def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
@@ -491,9 +514,15 @@ object Multimodal {
             MediaRow(id, "audio", MediaCodec.encodeWavPcm16(rate, samples),
               0, 0, rate, 0)
           case _ =>
-            val payload = Array.tabulate(n)(i => ((id + i) % 251).toByte)
-            MediaRow(id, "video", payload, 0, 0, 0,
-              1 + (payload.length / FrameBytes))
+            // "video" = a real frame container: length-prefixed PNG
+            // frames (the AVI/MJPEG chunk idea in its simplest honest
+            // form); each frame is an 8×8 grayscale PNG of formula pixels
+            val frames = Array.tabulate(2 + (id % 4).toInt) { f =>
+              MediaCodec.encodePng(8, 8,
+                Array.tabulate(64)(i => ((id + 31L * f + i) % 256).toInt))
+            }
+            MediaRow(id, "video", MediaCodec.packFrames(frames), 0, 0, 0,
+              frames.length)
         }
       }
   }
@@ -540,6 +569,64 @@ object Multimodal {
         }
       }
   }
+
+  /** REAL video decode: walk the frame container, decode every frame
+    * through the actual PNG codec, cap the fan-out at `maxFrames` per
+    * video (the bound that matters at 100 TB) — [[frameSample]]'s twin
+    * with a real container and a real codec in place of the byte-split.
+    */
+  def decodeVideoReal(
+      media: Dataset[MediaRow],
+      maxFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          MediaCodec.unpackFrames(m.payload).take(maxFrames).zipWithIndex
+            .map { case (bytes, f) =>
+              val (_, _, px) = MediaCodec.decodeImage(bytes)
+              Frame(m.doc_id, f, bytes.length, px.map(_.toLong).sum)
+            }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // q_video_frames — the REAL frame-container decode under the oracle
+  // gate: per video, every frame PNG-decoded and reduced to its
+  // integer-exact pixel sum (frame f of doc id has pixels
+  // (id + 31f + i) mod 256 on an 8×8 grid); the oracle regenerates the
+  // (doc, frame, pixel) grid arithmetically. One flipped byte anywhere —
+  // container framing, PNG encode, codec decode — shifts a checksum and
+  // fails the hash. Completes the real-decode triple (image/audio/video).
+  // ---------------------------------------------------------------------
+  val videoFrames: Q = (s, d) => {
+    import s.implicits._
+    decodeVideoReal(realMediaTable(s, d), maxFrames = 8)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("checksum")).as("px_total"),
+        max(col("checksum")).as("px_max_frame"))
+      .orderBy(col("doc_id"))
+  }
+
+  val videoFramesSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < $RealMediaDocs),
+       |fr AS (SELECT f FROM range(0, 8) t(f)),
+       |px AS (SELECT i FROM range(0, 64) t(i)),
+       |s AS (
+       |  SELECT g.doc_id, fr.f,
+       |    CAST(SUM((g.doc_id + 31 * fr.f + px.i) % 256) AS BIGINT) AS fsum
+       |  FROM g JOIN fr ON fr.f < g.nf CROSS JOIN px
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_frames,
+       |CAST(SUM(fsum) AS BIGINT) AS px_total,
+       |CAST(MAX(fsum) AS BIGINT) AS px_max_frame
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_image_decode — the REAL PNG decode under the oracle gate: pixels
@@ -610,11 +697,13 @@ object Multimodal {
       "q_binary_meta" -> binaryMeta,
       "q_binary_hist" -> binaryHist,
       "q_image_decode" -> imageDecode,
-      "q_audio_decode" -> audioDecode)
+      "q_audio_decode" -> audioDecode,
+      "q_video_frames" -> videoFrames)
   val oracleSql: Map[String, String] =
     Map(
       "q_binary_meta" -> binaryMetaSql,
       "q_binary_hist" -> binaryHistSql,
       "q_image_decode" -> imageDecodeSql,
-      "q_audio_decode" -> audioDecodeSql)
+      "q_audio_decode" -> audioDecodeSql,
+      "q_video_frames" -> videoFramesSql)
 }

@@ -170,6 +170,28 @@ class MultimodalSpec extends SparkSpec {
     assert(back.sameElements(samples), "PCM16 round-trip lost samples")
   }
 
+  test("frame container round-trips and REAL video decode matches per-frame formula") {
+    val frames = Array.tabulate(5)(f =>
+      Multimodal.MediaCodec.encodePng(8, 8,
+        Array.tabulate(64)(i => (7 * f + i) % 256)))
+    val packed = Multimodal.MediaCodec.packFrames(frames)
+    val back = Multimodal.MediaCodec.unpackFrames(packed).toArray
+    assert(back.length == 5)
+    back.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // corrupt length prefix must fail loudly, not mis-frame silently
+    val corrupt = packed.clone(); corrupt(0) = 0x7f.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.unpackFrames(corrupt).toArray
+    }
+    // decode through the real codec lane on the generated table
+    val f0 = Multimodal
+      .decodeVideoReal(Multimodal.realMediaTable(spark, sf), maxFrames = 8)
+      .filter(f => f.doc_id == 2L && f.frame_idx == 1)
+      .head()
+    // doc 2, frame 1: pixels (2 + 31 + i) % 256 for i < 64
+    assert(f0.checksum == (0 until 64).map(i => (33 + i) % 256).sum.toLong)
+  }
+
   test("real decode lanes stay partition-local and match the generation formula") {
     val rm = Multimodal.realMediaTable(spark, sf)
     val feats = Multimodal.decodeImageReal(rm)
