@@ -36,18 +36,37 @@ object Bench {
         -1.0
       }
     }
+    // Between-queries cleanup, OUTSIDE any timed section: across ~190
+    // queries in ONE JVM, gated stream queries leave their memory-sink
+    // tables registered (rows held on-heap) and checkpointed frames leave
+    // blocks for the ContextCleaner — accumulated pressure inflates LATE
+    // queries up to 8x vs the same query run alone (measured). A real
+    // deployment runs each query as its own job; the cleanup restores
+    // that boundary without touching what's timed.
+    def cleanup(): Unit = {
+      try {
+        spark.catalog.listTables().collect().foreach { t =>
+          if (t.name.startsWith("graft_stream_"))
+            spark.catalog.dropTempView(t.name)
+        }
+      } catch { case _: Throwable => () }
+      System.gc()
+    }
     val selected = SparkEntry.selectedQueries
     val results = selected.map { case (name, fn) =>
       // Gated streaming queries run a full AvailableNow query to
       // completion — checkpoint + state-store machinery dominates and
       // has no JIT/codegen warmup effect worth a second sample, so they
       // are timed ONCE. Batch queries keep best-of-2 (steady-state).
-      if (name.startsWith("q_stream_")) name -> timeOnce(fn)
-      else {
-        val a = timeOnce(fn)
-        val b = if (a < 0) a else timeOnce(fn)
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }
+      val r =
+        if (name.startsWith("q_stream_")) name -> timeOnce(fn)
+        else {
+          val a = timeOnce(fn)
+          val b = if (a < 0) a else timeOnce(fn)
+          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        }
+      cleanup()
+      r
     }
     // Fixture echo: one line that makes a unit/fixture drift (round 8's
     // silent TIMESTAMP(NANOS)→MICROS regeneration) diagnosable from the
