@@ -34,6 +34,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same accumulated-state relief as Bench: ~190 queries in one JVM
+      // pile up stream-sink tables and dead checkpoint blocks
+      try {
+        spark.catalog.listTables().collect().foreach { t =>
+          if (t.name.startsWith("graft_stream_"))
+            spark.catalog.dropTempView(t.name)
+        }
+      } catch { case _: Throwable => () }
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
