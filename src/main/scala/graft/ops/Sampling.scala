@@ -91,11 +91,75 @@ object Sampling {
        |GROUP BY r.lang, q.n_docs, q.quota
        |ORDER BY r.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_weighted_sample — PRIORITY SAMPLING (Duffield–Lund–Thorup): a
+  // weight-proportional sample of k documents without replacement, the
+  // standard one-pass scheme for weighted corpus subsampling and
+  // sum-estimation. Each doc gets priority p = w / u with u uniform in
+  // (0,1]; the k highest priorities form the sample, and the (k+1)-th
+  // priority is the estimator threshold τ (ŵ = max(w, τ) is unbiased
+  // for the total — demonstrated in SamplingSpec; the gate here pins
+  // the exact deterministic SELECTION).
+  //
+  // Exactness: u is the dyadic rational (h32+1)/2^32 — deterministic
+  // content-free hash of the doc id, no RNG state. The priority is
+  // computed as (w · 2^32) / (h+1) with both operands exact in double
+  // (w·2^32 ≤ n_chars·2^32 < 2^53 for any plausible doc; h+1 < 2^32),
+  // and IEEE division is correctly rounded — so every priority is
+  // BIT-IDENTICAL on both engines and the top-k cut is exact. Ties
+  // break on doc_id.
+  //
+  // Scale: one scan computing (w, priority), one TakeOrderedAndProject
+  // head of k+1 — no global sort, no shuffle beyond the bounded head
+  // (the same top-k machinery as q_top_customers). The aggregate is
+  // over k rows.
+  // ---------------------------------------------------------------------
+  private val prioK = 50
+  private val prioSeed = 29
+
+  val weightedSample: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars").cast("long").as("w"),
+        ((col("n_chars").cast("double") * lit(4294967296.0)) /
+          (h32(prioSeed, col("doc_id").cast("string")) + lit(1L))
+            .cast("double")).as("priority"))
+    val top = docs
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(prioK)
+    top
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("w")).as("sum_w_sampled"),
+        min(col("priority")).as("min_priority"),
+        max(col("w")).as("max_w"))
+      .orderBy(col("source"))
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT source, count(*) AS n_sampled,
+       |CAST(SUM(w) AS BIGINT) AS sum_w_sampled,
+       |min(priority) AS min_priority, max(w) AS max_w
+       |FROM (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+       |    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+       |      CAST(${sqlH32(prioSeed, "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |      AS priority
+       |  FROM documents
+       |  ORDER BY priority DESC, doc_id ASC LIMIT $prioK)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_stratified_sample" -> stratifiedSample
+    "q_stratified_sample" -> stratifiedSample,
+    "q_weighted_sample" -> weightedSample
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_stratified_sample" -> stratifiedSampleSql
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_weighted_sample" -> weightedSampleSql
   )
 }

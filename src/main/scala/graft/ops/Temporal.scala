@@ -617,7 +617,130 @@ object Temporal {
        |FROM r WHERE rn < $DecayDepth
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_attribution — marketing-style revenue attribution: every purchase
+  // is credited to the FIRST touch and the LAST touch (click/view)
+  // preceding it in the same user's stream, the two canonical
+  // single-touch models. Carried state is an IGNORE NULLS running
+  // first/last over (user, time) — one shuffle on user_id, no
+  // self-join, no per-purchase lookback scan (the naive formulation is
+  // a range self-join that quadratically explodes on active users).
+  // Purchases with no prior touch land in the 'none' channel. Revenue
+  // sums are decimal-exact.
+  // ---------------------------------------------------------------------
+  val attribution: Q = (s, d) => {
+    val touch = when(
+      col("event_type").isin("click", "view"),
+      col("event_type"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, d)
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        coalesce(col("first_touch"), lit("none")).as("first_channel"),
+        coalesce(col("last_touch"), lit("none")).as("last_channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("revenue"))
+      .orderBy(col("first_channel"), col("last_channel"))
+  }
+
+  val attributionSql: String =
+    s"""SELECT
+       |  COALESCE(first_touch, 'none') AS first_channel,
+       |  COALESCE(last_touch, 'none') AS last_channel,
+       |  count(*) AS n_purchases, ${sqlDsum("value")} AS revenue
+       |FROM (
+       |  SELECT event_type, value,
+       |    first_value(CASE WHEN event_type IN ('click', 'view')
+       |                THEN event_type END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |               THEN event_type END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+       |  FROM events) t
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY first_channel, last_channel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_concurrency — peak concurrent activity per day via the classic
+  // interval sweep: each event opens a 1-hour activity interval
+  // [ts, ts+1h); +1/−1 deltas at the endpoints, a running sum over the
+  // global delta order, max per day. Half-open semantics: at an exact
+  // boundary instant the −1 sorts before the +1 (ORDER BY t, delta), so
+  // back-to-back intervals never double-count; the order is totalized
+  // by event_id so both engines walk the identical sequence.
+  //
+  // Scale (the single-partition-window trap): the running sum is NOT a
+  // global Window.orderBy — deltas carry their day, level 1 runs the
+  // running sum PARTITIONED by day, level 2 folds per-day delta totals
+  // (≤ one row per day — KB-scale) into a cumulative carry-in added
+  // back per day. Identical values to the naive global window, which
+  // remains the oracle's formulation.
+  // ---------------------------------------------------------------------
+
+  val concurrency: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val starts = e.select(
+      col("ts").as("t"),
+      lit(1L).as("delta"),
+      col("event_id"))
+    val ends = e.select(
+      (col("ts") + expr("INTERVAL 1 HOUR")).as("t"),
+      lit(-1L).as("delta"),
+      col("event_id"))
+    val deltas = starts
+      .unionAll(ends)
+      .withColumn("day_idx", expr(s"unix_micros(t) div $DayUs"))
+    val wIn = Window
+      .partitionBy(col("day_idx"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = deltas.withColumn("run_in", sum(col("delta")).over(wIn))
+    // level 2: carry-in = sum of all deltas on earlier days (tiny frame)
+    val wDays = Window
+      .orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = deltas
+      .groupBy(col("day_idx"))
+      .agg(sum(col("delta")).as("day_total"))
+      .withColumn(
+        "carry_in",
+        sum(col("day_total")).over(wDays) - col("day_total"))
+      .select(col("day_idx"), col("carry_in"))
+    intra
+      .join(broadcast(carry), Seq("day_idx"))
+      .groupBy(col("day_idx"))
+      .agg(
+        max(col("carry_in") + col("run_in")).as("peak_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy(col("day_idx"))
+  }
+
+  val concurrencySql: String =
+    s"""SELECT day_idx,
+       |  max(run) AS peak_concurrent,
+       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       |FROM (
+       |  SELECT CAST(epoch_us(t) // $DayUs AS BIGINT) AS day_idx, delta,
+       |    CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       |  FROM (
+       |    SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id FROM events
+       |    UNION ALL
+       |    SELECT ts + INTERVAL 1 HOUR, CAST(-1 AS BIGINT), event_id FROM events))
+       |GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_attribution" -> attribution,
+    "q_concurrency" -> concurrency,
     "q_funnel" -> funnel,
     "q_decay_features" -> decayFeatures,
     "q_retention" -> retention,
@@ -634,6 +757,8 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
+    "q_concurrency" -> concurrencySql,
     "q_funnel" -> funnelSql,
     "q_decay_features" -> decayFeaturesSql,
     "q_retention" -> retentionSql,

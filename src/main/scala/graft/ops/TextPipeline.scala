@@ -756,6 +756,66 @@ object TextPipeline {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_damerau — transposition-aware fuzzy matching on the NATIVE
+  // unrestricted Damerau-Levenshtein expression
+  // (graft.plans.DamerauLevenshtein — same variant as DuckDB's builtin,
+  // so the twin hash-matches). Reports, per (lang, source) block, how
+  // much the transposition edit tightens plain Levenshtein: typo-class
+  // near-matches ("recieve"/"receive") are distance 1 here but 2 under
+  // Levenshtein, so `n_tighter` counts pairs where the extra edit type
+  // finds a shorter alignment. Same blocking + prefix-cap discipline as
+  // q_edit_distance (distance is O(len²) time AND space per pair); both
+  // distances are integer-exact on both engines.
+  // ---------------------------------------------------------------------
+  val damerauPairs: Q = (s, d) => {
+    import graft.plans.DamerauLevenshtein.damerau
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        substring(norm(col("text")), 1, 24).as("pfx"))
+    val a = docs.select(
+      col("lang"),
+      col("source"),
+      col("doc_id").as("id_a"),
+      col("pfx").as("p_a"))
+    val b = docs.select(
+      col("lang"),
+      col("source"),
+      col("doc_id").as("id_b"),
+      col("pfx").as("p_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dl", damerau(col("p_a"), col("p_b")).cast("long"))
+      .withColumn("lev", levenshtein(col("p_a"), col("p_b")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("dl")).as("sum_dl"),
+        sum(col("lev") - col("dl")).as("sum_saved"),
+        sum(when(col("dl") < col("lev"), 1L).otherwise(0L)).as("n_tighter"),
+        min(col("dl")).as("min_dl"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val damerauPairsSql: String =
+    s"""SELECT lang, source, count(*) AS n_pairs,
+       |CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |CAST(SUM(lev - dl) AS BIGINT) AS sum_saved,
+       |CAST(SUM(CASE WHEN dl < lev THEN 1 ELSE 0 END) AS BIGINT) AS n_tighter,
+       |min(dl) AS min_dl
+       |FROM (
+       |  SELECT a.lang, a.source,
+       |    CAST(damerau_levenshtein(a.pfx, b.pfx) AS BIGINT) AS dl,
+       |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+       |  FROM (SELECT doc_id, lang, source, substr(${sqlNorm("text")}, 1, 24) AS pfx FROM documents) a
+       |  JOIN (SELECT doc_id, lang, source, substr(${sqlNorm("text")}, 1, 24) AS pfx FROM documents) b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_doc_fingerprint — polynomial rolling-hash fingerprint per document
   // (content-addressable identity without carrying the body). The input
   // is the space-joined token stream, not the raw text: tokens are
@@ -1454,6 +1514,7 @@ object TextPipeline {
     "q_doc_chunks" -> docChunks,
     "q_substring_dup" -> substringDup,
     "q_edit_distance" -> editDistance,
+    "q_damerau" -> damerauPairs,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
@@ -1481,6 +1542,7 @@ object TextPipeline {
     "q_doc_chunks" -> docChunksSql,
     "q_substring_dup" -> substringDupSql,
     "q_edit_distance" -> editDistanceSql,
+    "q_damerau" -> damerauPairsSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,

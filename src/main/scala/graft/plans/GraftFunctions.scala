@@ -77,7 +77,11 @@ object GraftFunctions {
         info("token_window_fp", classOf[TokenWindowFp]),
         // window > 4096 tokens is never a substring-dedup shape (and the
         // per-window cost is linear in it)
-        args => TokenWindowFp(args(0), intLitIn("token_window_fp", args(1), 1, 4096))))
+        args => TokenWindowFp(args(0), intLitIn("token_window_fp", args(1), 1, 4096))),
+      (
+        FunctionIdentifier("damerau_levenshtein"),
+        info("damerau_levenshtein", classOf[DamerauLevenshtein]),
+        args => DamerauLevenshtein(args(0), args(1))))
 
   /** Runtime registration on an already-built session (idempotent —
     * re-registration overwrites with identical builders).

@@ -422,13 +422,78 @@ object Formats {
        |FROM lineitem WHERE l_orderkey < 4000
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_schema_evolution — reading a lake path whose files carry DIFFERENT
+  // (compatible) schemas, the normal state of any long-lived dataset: a
+  // producer adds a column and history keeps the old files. Two parquet
+  // generations are written from orders — v1 without `o_priority_len`,
+  // v2 with it — and read back through `mergeSchema=true`, which unions
+  // the file schemas and nulls the missing column in v1 rows (exactly
+  // DuckDB's `union_by_name`, so the twin is the same two-generation
+  // UNION over the original table).
+  //
+  // Scale notes: mergeSchema=true footer-merges ALL files — O(files) at
+  // planning time, which is why it's off by default; a production lake
+  // pins the merged schema in a catalog instead. Here the merge IS the
+  // feature under test. Round-8's lesson generalized: schema drift must
+  // be an handled input, not an assumed-away impossibility.
+  // ---------------------------------------------------------------------
+  private lazy val evolutionDir: String = roundtripDir("evolve")
+
+  val schemaEvolution: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = evolutionDir
+    val orders = Tables.orders(s, d)
+    // generation 1: the original producer schema (files live under the
+    // same root a real lake would keep them — subdirs only for writing
+    // convenience; the reader globs both).
+    val v1 = orders
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // generation 2: producer added a derived column
+    val v2 = orders
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        length(col("o_orderpriority")).cast("long").as("o_priority_len"))
+    v1.write.mode("overwrite").parquet(s"$tmp/gen=1")
+    v2.write.mode("overwrite").parquet(s"$tmp/gen=2")
+    s.read
+      .option("mergeSchema", "true")
+      .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+      .groupBy((col("o_custkey") % 10).as("cust_bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_priority_len").isNull, 1L).otherwise(0L))
+          .as("n_old_schema"),
+        sum(coalesce(col("o_priority_len"), lit(0L))).as("sum_priority_len"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("cust_bucket"))
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT cust_bucket, count(*) AS n_orders,
+       |CAST(SUM(CASE WHEN o_priority_len IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema,
+       |CAST(SUM(COALESCE(o_priority_len, 0)) AS BIGINT) AS sum_priority_len,
+       |${sqlDsum("o_totalprice")} AS sum_price
+       |FROM (
+       |  SELECT o_custkey % 10 AS cust_bucket, o_totalprice,
+       |         CAST(NULL AS BIGINT) AS o_priority_len
+       |  FROM orders WHERE o_orderkey % 2 = 0
+       |  UNION ALL
+       |  SELECT o_custkey % 10, o_totalprice, CAST(length(o_orderpriority) AS BIGINT)
+       |  FROM orders WHERE o_orderkey % 2 = 1)
+       |GROUP BY cust_bucket ORDER BY cust_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_csv_roundtrip" -> csvRoundtrip,
       "q_json_roundtrip" -> jsonRoundtrip,
       "q_orc_roundtrip" -> orcRoundtrip,
       "q_avro_roundtrip" -> avroRoundtrip,
-      "q_parquet_zstd" -> zstdRoundtrip)
+      "q_parquet_zstd" -> zstdRoundtrip,
+      "q_schema_evolution" -> schemaEvolution)
 
   val oracleSql: Map[String, String] =
     Map(
@@ -436,5 +501,6 @@ object Formats {
       "q_json_roundtrip" -> jsonRoundtripSql,
       "q_orc_roundtrip" -> orcRoundtripSql,
       "q_avro_roundtrip" -> avroRoundtripSql,
-      "q_parquet_zstd" -> zstdRoundtripSql)
+      "q_parquet_zstd" -> zstdRoundtripSql,
+      "q_schema_evolution" -> schemaEvolutionSql)
 }

@@ -153,6 +153,53 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"decay features re-shuffles ($exchanges Exchanges):\n$plan")
   }
 
+  test("weighted sample takes a bounded top-k head, never a global sort") {
+    // priority sampling is orderBy(priority).limit(k): the plan must run
+    // it as TakeOrderedAndProject (per-partition k-heads merged on the
+    // driver), not sort the whole corpus to keep 50 rows
+    val plan = executed(ops.Sampling.weightedSample(spark, sf))
+    assert(
+      plan.contains("TakeOrderedAndProject"),
+      s"no bounded top-k head in weighted sample:\n$plan")
+    assert(!plan.contains("GlobalLimit"), s"global sort+limit:\n$plan")
+  }
+
+  test("concurrency sweep: the data-sized running sum is partitioned by day") {
+    // the naive formulation is one global-order window = every delta on
+    // one task. The two-level plan must show the big window partitioned
+    // by day_idx; the only unpartitioned window may be the per-day
+    // carry-in fold (one row per day)
+    val df = ops.Temporal.concurrency(spark, sf)
+    val plan = executed(df)
+    val windows =
+      "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    val dataWindows = windows.filter(_.contains("day_idx#"))
+    assert(
+      dataWindows.nonEmpty,
+      s"no day-partitioned window found:\n$plan")
+    // the attribution lane too: its carried first/last must partition
+    // by user_id (never global)
+    val aPlan = executed(ops.Temporal.attribution(spark, sf))
+    assert(
+      aPlan.contains("user_id"),
+      s"attribution window lost its user partitioning:\n$aPlan")
+  }
+
+  test("schema evolution read prunes columns to the merged projection") {
+    // mergeSchema must not force reading every column of every
+    // generation: the aggregate touches 4 columns, ReadSchema must stay
+    // within them
+    val df = sources.Formats.schemaEvolution(spark, sf)
+    val plan = executed(df)
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(
+        !r.contains("o_comment:") && !r.contains("o_orderdate"),
+        s"schema-evolution scan reads pruned-away columns: $r")
+    }
+  }
+
   test("auto pagerank picks broadcast at test SF, shuffle under a tiny threshold") {
     // the size-driven switch mirrors AQE's broadcast decision: model
     // size (nodes × row bytes) vs autoBroadcastJoinThreshold. At
