@@ -738,9 +738,78 @@ object Temporal {
        |    SELECT ts + INTERVAL 1 HOUR, CAST(-1 AS BIGINT), event_id FROM events))
        |GROUP BY day_idx ORDER BY day_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_interval_join — KEYLESS interval-overlap join: every 'view'
+  // activity interval [ts, ts+30m) against every 'error' impact window
+  // [ts, ts+2h) that overlaps it (half-open: a.start < b.end AND
+  // b.start < a.end), aggregated per day of the error. Unlike
+  // q_range_join there is no equi key — the naive plan is a cartesian
+  // BroadcastNestedLoopJoin that dies at scale.
+  //
+  // Scale pattern (the standard bucketed interval join): each interval
+  // explodes to the HOURLY buckets it covers (≤2 for a 30-min view, 3
+  // for a 2-h window — bounded fan-out), the join runs as an EQUI join
+  // on the bucket, the exact overlap predicate filters within buckets,
+  // and a DISTINCT collapses pairs that met in several shared buckets.
+  // Shuffle is on the bucket key; pair generation is linear in
+  // overlap-density, never |A|×|B|. The oracle keeps the naive theta
+  // formulation (each true pair matches exactly once there).
+  // ---------------------------------------------------------------------
+  private val HalfHourUs = 1800L * 1000000L
+
+  val intervalJoin: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("v_id"),
+        col("t_us").as("v_s"),
+        (col("t_us") + HalfHourUs).as("v_e"))
+    val errs = e
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("e_id"),
+        col("t_us").as("e_s"),
+        (col("t_us") + 2 * HourUs).as("e_e"))
+    val vb = views.withColumn(
+      "bkt",
+      explode(
+        sequence(expr(s"v_s div $HourUs"), expr(s"(v_e - 1) div $HourUs"))))
+    val eb = errs.withColumn(
+      "bkt",
+      explode(
+        sequence(expr(s"e_s div $HourUs"), expr(s"(e_e - 1) div $HourUs"))))
+    vb.join(eb, Seq("bkt"))
+      .filter(col("v_s") < col("e_e") && col("e_s") < col("v_e"))
+      .select(col("v_id"), col("e_id"), col("e_s"))
+      .distinct()
+      .groupBy(expr(s"e_s div $DayUs").as("day_idx"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("e_id")).as("n_errors_hit"),
+        countDistinct(col("v_id")).as("n_views_hit"))
+      .orderBy(col("day_idx"))
+  }
+
+  val intervalJoinSql: String =
+    s"""SELECT e_s // $DayUs AS day_idx, count(*) AS n_pairs,
+       |count(DISTINCT e_id) AS n_errors_hit,
+       |count(DISTINCT v_id) AS n_views_hit
+       |FROM (
+       |  SELECT v.v_id, er.e_id, er.e_s
+       |  FROM (SELECT event_id AS v_id, epoch_us(ts) AS v_s,
+       |               epoch_us(ts) + $HalfHourUs AS v_e
+       |        FROM events WHERE event_type = 'view') v
+       |  JOIN (SELECT event_id AS e_id, epoch_us(ts) AS e_s,
+       |               epoch_us(ts) + ${2 * HourUs} AS e_e
+       |        FROM events WHERE event_type = 'error') er
+       |    ON v.v_s < er.e_e AND er.e_s < v.v_e)
+       |GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_attribution" -> attribution,
     "q_concurrency" -> concurrency,
+    "q_interval_join" -> intervalJoin,
     "q_funnel" -> funnel,
     "q_decay_features" -> decayFeatures,
     "q_retention" -> retention,
@@ -759,6 +828,7 @@ object Temporal {
   val oracleSql: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
     "q_concurrency" -> concurrencySql,
+    "q_interval_join" -> intervalJoinSql,
     "q_funnel" -> funnelSql,
     "q_decay_features" -> decayFeaturesSql,
     "q_retention" -> retentionSql,

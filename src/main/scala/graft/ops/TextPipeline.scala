@@ -1500,7 +1500,128 @@ object TextPipeline {
        |FROM ranked WHERE rnk <= $quotaN
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_bpe_train — byte-pair-encoding merge training (Sennrich'16), the
+  // tokenizer-construction step of an LLM data pipeline: K rounds of
+  // "count adjacent symbol pairs over the weighted word vocabulary,
+  // merge the most frequent pair everywhere". Emits one row per round:
+  // the merged pair, its weighted frequency, and the corpus symbol
+  // count after the merge (which must shrink by exactly that frequency
+  // — the invariant BpeSpec pins).
+  //
+  // Cross-engine determinism: words are represented END-DELIMITED
+  // ("t h e " — every symbol followed by one space), so occurrences of
+  // the pair pattern "x y " are DISJOINT substrings (never sharing a
+  // boundary char), and a single plain `replace` pass IS the greedy
+  // left-to-right BPE merge with identical results regardless of how an
+  // engine resumes scanning after a replacement — the subtlety that
+  // makes space-SEPARATED reprs diverge between engines. Tie-breaks on
+  // (weight DESC, pair ASC); all weights are exact longs.
+  //
+  // Scale: the vocabulary aggregate (word, cnt) is the only data-sized
+  // shuffle and is computed ONCE (localCheckpoint — K rounds must not
+  // re-tokenize the corpus). Each round is a pair-explode + aggregate
+  // over the VOCABULARY (≤ a few million rows at web scale, not the
+  // corpus), one O(1) driver scalar for the argmax — the same
+  // train-once discipline as the k-means/PQ registry. K is small and
+  // fixed; production BPE (K ≈ 30k) batches merges per round the same
+  // way.
+  // ---------------------------------------------------------------------
+  private val bpeSteps = 4
+
+  private def bpePairs(repr: org.apache.spark.sql.Column) = {
+    val syms = split(rtrim(repr), " ")
+    when(
+      size(syms) > 1,
+      transform(
+        sequence(lit(1), size(syms) - 1),
+        i =>
+          concat(
+            element_at(syms, i),
+            lit(" "),
+            element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val bpeTrain: Q = (s, d) => {
+    import s.implicits._
+    val words = Tables
+      .documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tokenize once; K rounds iterate the vocab only
+    var vocab = words
+      .withColumn("repr", regexp_replace(col("word"), "(.)", "$1 "))
+    val rounds = Seq.newBuilder[(Long, String, Long, Long)]
+    (0 until bpeSteps).foreach { step =>
+      val top = vocab
+        .select(col("cnt"), explode(bpePairs(col("repr"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("pair").asc)
+        .limit(1)
+        .collect()(0) // O(1) driver scalar — the argmax of the round
+      val pair = top.getString(0)
+      val w = top.getLong(1)
+      vocab = vocab.withColumn(
+        "repr",
+        regexp_replace(
+          col("repr"),
+          java.util.regex.Pattern.quote(pair + " "),
+          pair.replace(" ", "") + " "))
+      val nSym = vocab
+        .agg(sum(col("cnt") * size(split(rtrim(col("repr")), " "))))
+        .first()
+        .getLong(0)
+      rounds += ((step.toLong, pair, w, nSym))
+    }
+    rounds
+      .result()
+      .toDF("step", "merged_pair", "pair_weight", "n_symbols_after")
+      .orderBy(col("step"))
+  }
+
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS (
+              |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest(${sqlTokens("text")}) AS word FROM documents)
+              |  GROUP BY word),
+              |v0 AS (SELECT cnt, regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+              |       FROM words)""".stripMargin
+    (0 until bpeSteps).foreach { k =>
+      sb ++= s""",
+                |t$k AS (
+                |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS w
+                |  FROM (
+                |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+                |                 i -> l[i] || ' ' || l[i + 1])) AS pair
+                |    FROM (SELECT cnt, str_split(rtrim(repr), ' ') AS l FROM v$k))
+                |  GROUP BY pair ORDER BY w DESC, pair ASC LIMIT 1),
+                |v${k + 1} AS (
+                |  SELECT cnt, replace(repr, (SELECT pair || ' ' FROM t$k),
+                |                      (SELECT replace(pair, ' ', '') || ' ' FROM t$k)) AS repr
+                |  FROM v$k),
+                |s${k + 1} AS (
+                |  SELECT CAST(SUM(cnt * len(str_split(rtrim(repr), ' '))) AS BIGINT) AS n_sym
+                |  FROM v${k + 1})""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (0 until bpeSteps)
+      .map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS step,
+           |  (SELECT pair FROM t$k) AS merged_pair,
+           |  (SELECT w FROM t$k) AS pair_weight,
+           |  (SELECT n_sym FROM s${k + 1}) AS n_symbols_after""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY step"
+    sb.result()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_train" -> bpeTrain,
     "q_source_quota" -> sourceQuota,
     "q_corpus_prep" -> corpusPrep,
     "q_repetition" -> repetition,
@@ -1529,6 +1650,7 @@ object TextPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainSql,
     "q_source_quota" -> sourceQuotaSql,
     "q_corpus_prep" -> corpusPrepSql,
     "q_repetition" -> repetitionSql,

@@ -486,6 +486,65 @@ object Formats {
        |  FROM orders WHERE o_orderkey % 2 = 1)
        |GROUP BY cust_bucket ORDER BY cust_bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_json_malformed — PERMISSIVE ingestion of a dirty JSON-lines feed:
+  // real event feeds always contain some syntactically broken lines
+  // (truncated writes, producer bugs), and at 100 TB "fail the job" is
+  // not an option while "silently drop" is not auditable. A feed is
+  // generated with a deterministic subset of lines corrupted
+  // (event_id ≡ 3 mod 7 → truncated JSON), read back in PERMISSIVE mode
+  // with a `_corrupt_record` column, and aggregated: corrupt rows land
+  // in an explicit '_corrupt' bucket with their raw text retained, good
+  // rows aggregate normally. The oracle derives the same partition
+  // arithmetic straight from the events table — so the gate proves the
+  // reader classifies exactly the right rows as corrupt, value-exactly
+  // parses the rest, and loses nothing.
+  // ---------------------------------------------------------------------
+  private lazy val malformedDir: String = roundtripDir("malformed")
+
+  val jsonMalformed: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = malformedDir
+    val lines = Tables
+      .events(s, d)
+      .select(
+        when(
+          col("event_id") % 7 === 3,
+          concat(lit("{\"event_id\": "), col("event_id"), lit(", \"broken")))
+          .otherwise(to_json(struct(
+            col("event_id"),
+            col("event_type"),
+            col("user_id"),
+            col("value"))))
+          .as("value"))
+    lines.write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .groupBy(coalesce(col("event_type"), lit("_corrupt")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("value_total"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"))
+      .orderBy(col("bucket"))
+  }
+
+  val jsonMalformedSql: String =
+    s"""SELECT
+       |  CASE WHEN event_id % 7 = 3 THEN '_corrupt' ELSE event_type END AS bucket,
+       |  count(*) AS n,
+       |  ${sqlDsum("CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END")} AS value_total,
+       |  CAST(SUM(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_csv_roundtrip" -> csvRoundtrip,
@@ -493,7 +552,8 @@ object Formats {
       "q_orc_roundtrip" -> orcRoundtrip,
       "q_avro_roundtrip" -> avroRoundtrip,
       "q_parquet_zstd" -> zstdRoundtrip,
-      "q_schema_evolution" -> schemaEvolution)
+      "q_schema_evolution" -> schemaEvolution,
+      "q_json_malformed" -> jsonMalformed)
 
   val oracleSql: Map[String, String] =
     Map(
@@ -502,5 +562,6 @@ object Formats {
       "q_orc_roundtrip" -> orcRoundtripSql,
       "q_avro_roundtrip" -> avroRoundtripSql,
       "q_parquet_zstd" -> zstdRoundtripSql,
-      "q_schema_evolution" -> schemaEvolutionSql)
+      "q_schema_evolution" -> schemaEvolutionSql,
+      "q_json_malformed" -> jsonMalformedSql)
 }

@@ -185,6 +185,21 @@ class PlanSpec extends SparkSpec {
       s"attribution window lost its user partitioning:\n$aPlan")
   }
 
+  test("interval-overlap join runs as a bucketed equi join, never a nested loop") {
+    // no equi key exists in the semantics — the plan must manufacture
+    // one (the hourly bucket) or the join degenerates to a cartesian
+    // BroadcastNestedLoopJoin that dies at 100 TB
+    val plan = executed(ops.Temporal.intervalJoin(spark, sf))
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"),
+      s"no hash/merge equi join found:\n$plan")
+  }
+
   test("schema evolution read prunes columns to the merged projection") {
     // mergeSchema must not force reading every column of every
     // generation: the aggregate touches 4 columns, ReadSchema must stay
