@@ -3,9 +3,11 @@ package graft
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
@@ -15,6 +17,18 @@ import org.apache.spark.sql.types._
   * Catalyst's parquet pushdown (PushedFilters / ReadSchema pruning) — the
   * scan is declared lazily and the optimizer prunes columns per query.
   *
+  * PHYSICAL-SCHEMA ADAPTATION: timestamp units are read from the parquet
+  * FOOTER, never assumed. A real lake mixes MICROS and NANOS files, and
+  * this fixture itself has switched units between regenerations (round 7:
+  * NANOS; round 9: MICROS) — assuming the unit turned that physical change
+  * into 30 silently-wrong query results in round 8. Every timestamp-bearing
+  * table (events, orders, lineitem) now goes through [[loadAdaptive]]: one
+  * cached driver-side footer probe (O(KB) metadata I/O — the same pattern a
+  * 1000-executor job uses), and per-column decode-path selection. The
+  * reference derives block size from the file manager's own config instead
+  * of hardcoding it (/root/reference/src/opusdb/io/file_mgr.clj:48-50); the
+  * analogous discipline here is "ask the footer".
+  *
   * Reference analogue: opusdb's only durable read path is the positioned
   * block read in /root/reference/src/opusdb/io/file_mgr.clj:58-70; here the
   * scan/source is the vectorized parquet reader.
@@ -23,14 +37,127 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Raw-LONG fallback schema for `events` when `ts` is physically
-    * TIMESTAMP(NANOS) parquet, which Spark's vectorized reader rejects under
-    * schema inference. Typing `ts` as LONG yields the raw nanos directly —
-    * scoped to this read only (no session-wide legacy conf, no
-    * order-dependent state, race-free under concurrent query builds).
-    * Queries should still avoid emitting raw `ts` values to the oracle
-    * compare (DuckDB keeps ns precision); derive coarser columns
-    * (date_trunc, epoch secs).
+  // -------------------------------------------------------------------
+  // Footer probe: one data file's parquet MessageType per path per JVM.
+  // -------------------------------------------------------------------
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+
+  private def footerSchema(spark: SparkSession, path: String): MessageType =
+    footerCache.computeIfAbsent(path, { key: String =>
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(key)
+      val fs = root.getFileSystem(conf)
+      // a table may be a single file or a directory of part files
+      val dataFile =
+        if (fs.getFileStatus(root).isFile) root
+        else fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .headOption.getOrElse(root)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    })
+
+  private def tsAnnotation(
+      f: PrimitiveType): Option[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =
+    f.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t)
+      case _ => None
+    }
+
+  /** Physical timestamp unit of one column, from the footer. Columns with
+    * no timestamp annotation report MICROS (Spark's native reader handles
+    * them directly).
+    */
+  private[graft] def tsUnit(
+      spark: SparkSession,
+      path: String,
+      column: String): TimeUnit = {
+    val schema = footerSchema(spark, path)
+    tsAnnotation(schema.getType(schema.getFieldIndex(column)).asPrimitiveType())
+      .map(_.getUnit)
+      .getOrElse(TimeUnit.MICROS)
+  }
+
+  /** Spark field for one flat parquet primitive, with NANOS timestamps
+    * typed LONG (the vectorized reader rejects TIMESTAMP(NANOS); the raw
+    * value is decoded after the scan). Non-nanos timestamps keep Spark's
+    * native inference: NTZ unless the footer says adjusted-to-UTC.
+    */
+  private def sparkField(f: PrimitiveType): StructField = {
+    val t: DataType = f.getPrimitiveTypeName match {
+      case INT64 =>
+        tsAnnotation(f) match {
+          case Some(a) if a.getUnit == TimeUnit.NANOS => LongType
+          case Some(a) =>
+            if (a.isAdjustedToUTC) TimestampType else TimestampNTZType
+          case None => LongType
+        }
+      case INT32 => IntegerType
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY => StringType // all binary columns here carry String annotation
+      case other =>
+        throw new IllegalArgumentException(
+          s"loadAdaptive: unsupported primitive $other for ${f.getName} " +
+            "(only flat tables take the adaptive path)")
+    }
+    StructField(f.getName, t)
+  }
+
+  /** Load a FLAT table with footer-driven timestamp adaptation: NANOS
+    * columns are read as raw LONG and integral-divided to micros (a
+    * floating /1000 would corrupt low-order digits past double's 53-bit
+    * mantissa: ns since epoch ≈ 1.7e18 > 2^53), then presented with the
+    * same Spark type the native reader gives the MICROS form of the file
+    * (NTZ unless adjusted-to-UTC). When no NANOS column exists the read
+    * is Spark's untouched native path.
+    */
+  private[graft] def loadAdaptive(
+      spark: SparkSession,
+      dir: String,
+      name: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/$name.parquet"
+    val schema = footerSchema(spark, path)
+    val fields = schema.getFields.asScala.map(_.asPrimitiveType())
+    val nanosCols = fields.filter(f =>
+      tsAnnotation(f).exists(_.getUnit == TimeUnit.NANOS))
+    if (nanosCols.isEmpty) load(spark, dir, name)
+    else {
+      val readSchema = StructType(fields.map(sparkField).toSeq)
+      val raw = spark.read.schema(readSchema).parquet(path)
+      nanosCols.foldLeft(raw) { (df, f) =>
+        val c = f.getName
+        val micros: Column = timestamp_micros(expr(s"`$c` div 1000"))
+        val typed =
+          if (tsAnnotation(f).exists(_.isAdjustedToUTC)) micros
+          else micros.cast(TimestampNTZType) // identity wall-clock under UTC
+        df.withColumn(c, typed)
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = loadAdaptive(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = loadAdaptive(s, d, "lineitem")
+
+  /** Unit of `events.ts` — kept for the streaming file source, which
+    * needs the decode choice up front (readStream takes a schema, not a
+    * DataFrame).
+    */
+  private[graft] def eventsTsUnit(spark: SparkSession, dir: String): TimeUnit =
+    tsUnit(spark, s"$dir/events.parquet", "ts")
+
+  /** Raw-LONG fallback schema for `events` under TIMESTAMP(NANOS) — used
+    * by the streaming source's raw branch (batch reads go through
+    * [[loadAdaptive]], which derives the same schema from the footer).
     */
   private[graft] val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -40,72 +167,13 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+  def events(s: SparkSession, d: String): DataFrame =
+    // The engine's event-time contract is session-tz TimestampType (every
+    // window, watermark and oracle twin was built against it) — a no-op
+    // wall-clock-wise under the fixed UTC session timezone.
+    loadAdaptive(s, d, "events")
+      .withColumn("ts", col("ts").cast(TimestampType))
 
-  /** Physical timestamp unit of `events.ts`, read from the parquet FOOTER —
-    * never assumed. A real lake mixes MICROS and NANOS files, and the fixture
-    * itself has switched units between regenerations; assuming the unit turns
-    * a physical-schema change into 30 silently-wrong query results. The
-    * reference derives block size from the file manager's own config instead
-    * of hardcoding it (/root/reference/src/opusdb/io/file_mgr.clj:48-50) —
-    * the analogous discipline here is "ask the footer".
-    *
-    * One footer read per (path) per JVM: O(KB) metadata I/O, cached, and the
-    * same pattern a 1000-executor job uses (driver-side footer probe, not a
-    * per-task read).
-    */
-  private val tsUnitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TimeUnit]()
-
-  private[graft] def eventsTsUnit(spark: SparkSession, dir: String): TimeUnit =
-    tsUnitCache.computeIfAbsent(s"$dir/events.parquet", { key: String =>
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(key)
-      val fs = root.getFileSystem(conf)
-      // events.parquet may be a single file or a directory of part files.
-      val dataFile =
-        if (fs.getFileStatus(root).isFile) root
-        else fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-          .headOption.getOrElse(root)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
-          .getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
-          // No timestamp annotation (plain INT64 / INT96): let Spark's native
-          // reader interpret it — treat as MICROS here so we take that path.
-          case _ => TimeUnit.MICROS
-        }
-      } finally reader.close()
-    })
-
-  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    eventsTsUnit(s, d) match {
-      case TimeUnit.NANOS =>
-        // Vectorized reader rejects TIMESTAMP(NANOS): read raw LONG nanos and
-        // integral-divide — ns ≈ 1.7e18 exceeds double's 53-bit mantissa, so
-        // a floating `/ 1000` would corrupt the low-order digits.
-        eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        // MICROS / MILLIS: the native reader handles the decode. The footer's
-        // isAdjustedToUTC=false makes Spark infer TIMESTAMP_NTZ; cast to the
-        // session-tz TimestampType every consumer (windows, watermarks,
-        // oracle compares) was built against — a no-op wall-clock-wise under
-        // the engine's fixed UTC session timezone.
-        load(s, d, "events").withColumn("ts", col("ts").cast(TimestampType))
-    }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

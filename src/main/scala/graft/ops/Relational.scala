@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -962,6 +962,144 @@ object Relational {
       |ORDER BY check_name""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_table_checksum — ORDER-INDEPENDENT content fingerprints, the
+  // anti-entropy primitive: two replicas (or a table before/after a
+  // migration, or engine vs oracle) compare one row per table instead of
+  // the data. Per row a 32-bit content hash of the canonicalized
+  // columns; per table the XOR and the SUM of those hashes plus the row
+  // count. XOR is the 100 TB lane — associative, commutative, and
+  // overflow-free at any row count (the SUM lane is exact here but
+  // would need mod-2^64 semantics past ~10^9 rows; kept because
+  // XOR-only fingerprints miss duplicated-row-pair corruptions, which
+  // cancel).
+  //
+  // Canonicalization (the cross-engine contract): doubles go through
+  // DECIMAL(18,4) before stringification (Spark "1.0E20"-style sci
+  // notation vs DuckDB "1e+20" would diverge on raw double→string),
+  // timestamps as epoch-micros integers, all joined with a '|'
+  // separator. One scan per table, one partial-aggregated reduce — no
+  // shuffle wider than a single row.
+  // ---------------------------------------------------------------------
+  val tableChecksum: Q = (s, d) => {
+    import graft.functions.Hashing.h32
+    def fpOf(df: DataFrame, name: String, cols: Seq[Column]): DataFrame =
+      df.select(h32(11, concat_ws("|", cols: _*)).as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(col("h")).as("sum_fp"))
+        .select(
+          lit(name).as("table_name"),
+          col("n_rows"),
+          col("xor_fp"),
+          col("sum_fp"))
+    val dec = (c: String) => col(c).cast("decimal(18,4)").cast("string")
+    val nation = fpOf(
+      Tables.nation(s, d),
+      "nation",
+      Seq(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val customer = fpOf(
+      Tables.customer(s, d),
+      "customer",
+      Seq(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        dec("c_acctbal"),
+        col("c_mktsegment")))
+    val supplier = fpOf(
+      Tables.supplier(s, d),
+      "supplier",
+      Seq(col("s_suppkey"), col("s_name"), col("s_nationkey"), dec("s_acctbal")))
+    val events = fpOf(
+      Tables.events(s, d),
+      "events",
+      Seq(
+        col("event_id"),
+        unix_micros(col("ts")),
+        col("user_id"),
+        col("event_type"),
+        dec("value"),
+        col("props")))
+    nation
+      .unionAll(customer)
+      .unionAll(supplier)
+      .unionAll(events)
+      .orderBy(col("table_name"))
+  }
+
+  val tableChecksumSql: String = {
+    import graft.functions.Hashing.sqlH32
+    def arm(name: String, table: String, cols: String*): String = {
+      val joined = cols.mkString("concat_ws('|', ", ", ", ")")
+      s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+         |  bit_xor(h) AS xor_fp, CAST(SUM(h) AS BIGINT) AS sum_fp
+         |FROM (SELECT ${sqlH32(11, joined)} AS h FROM $table)""".stripMargin
+    }
+    val dec = (c: String) => s"CAST(CAST($c AS DECIMAL(18,4)) AS VARCHAR)"
+    Seq(
+      arm("nation", "nation", "n_nationkey", "n_name", "n_regionkey"),
+      arm(
+        "customer",
+        "customer",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        dec("c_acctbal"),
+        "c_mktsegment"),
+      arm(
+        "supplier",
+        "supplier",
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        dec("s_acctbal")),
+      arm(
+        "events",
+        "events",
+        "event_id",
+        "epoch_us(ts)",
+        "user_id",
+        "event_type",
+        dec("value"),
+        "props"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_bitmap_distinct — distinct counting via BITMAP aggregation (the
+  // roaring-bitmap pattern every interactive-analytics store uses for
+  // count-distinct rollups): user ids map to (bucket, bit position),
+  // per-group-per-bucket bitmaps OR together, popcounts sum. Two
+  // bounded aggregations; the bitmap state is 4 KB per (group, bucket)
+  // regardless of row count, and — unlike countDistinct's Expand-based
+  // exact path — bitmaps from different partitions/epochs MERGE, which
+  // is what makes the pattern incremental at 100 TB. Values are
+  // bit-identical to plain COUNT(DISTINCT), which is the oracle.
+  // ---------------------------------------------------------------------
+  val bitmapDistinct: Q = (s, d) => {
+    Tables
+      .events(s, d)
+      .groupBy(
+        col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(
+        expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"),
+        count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("bitmap_count(bm)")).as("d_users"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val bitmapDistinctSql: String =
+    """SELECT event_type,
+      |count(DISTINCT user_id) AS d_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_profile — ONE-PASS COLUMN PROFILING (the ANALYZE/stats-collection
   // step of any ingest, and the input to join reordering and file
   // skipping): per column, row count, null count, exact distinct
@@ -1237,6 +1375,8 @@ object Relational {
     "q_profile" -> profile,
     "q_profile_sketch" -> profileSketch,
     "q_data_checks" -> dataChecks,
+    "q_table_checksum" -> tableChecksum,
+    "q_bitmap_distinct" -> bitmapDistinct,
     "q_sql_portable" -> sqlPortable,
     "q_recursive_cte" -> recursiveCte,
     "q_ship_priority" -> shipPriority,
@@ -1286,6 +1426,8 @@ object Relational {
     "q_profile" -> profileSql,
     "q_profile_sketch" -> profileSketchSql,
     "q_data_checks" -> dataChecksSql,
+    "q_table_checksum" -> tableChecksumSql,
+    "q_bitmap_distinct" -> bitmapDistinctSql,
     "q_distinct_counts" -> distinctCountsSql,
     "q_window_running" -> windowRunningSql,
     "q_orders_by_month" -> ordersByMonthSql,

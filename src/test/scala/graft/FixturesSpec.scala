@@ -118,4 +118,30 @@ class FixturesSpec extends SparkSpec {
       assert(n == rows, s"FIXTURE CHANGED: $dir events has $n rows, pinned $rows")
     }
   }
+
+  test("NANOS regression: the adaptive loader decodes a TIMESTAMP(NANOS) file") {
+    // The current driver fixture is MICROS, so the nanos branch (the one
+    // round 7 ran on, and the one a mixed-unit lake hits) would otherwise
+    // have zero coverage. A committed pyarrow-written events-shaped file
+    // with a physical timestamp[ns] column pins it: the footer probe must
+    // report NANOS, and the decode must land in Jan 2024 — not 1970
+    // (div-by-1000 of micros) or 56970 (missing div of nanos).
+    val dir = getClass.getResource("/nanos_fixture").getPath
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    assert(Tables.eventsTsUnit(spark, dir) == TimeUnit.NANOS)
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val r = ev
+      .agg(year(min(col("ts"))), month(min(col("ts"))), count(lit(1)))
+      .head()
+    assert(r.getInt(0) == 2024 && r.getInt(1) == 1 && r.getLong(2) == 20L,
+      s"nanos decode broken: year=${r.getInt(0)} month=${r.getInt(1)} n=${r.getLong(2)}")
+    // minute-granularity fixture: the decoded micros must be exact
+    val secs = ev
+      .agg(sum(unix_micros(col("ts")) % 60000000L))
+      .head()
+      .getLong(0)
+    assert(secs == 0L, s"sub-minute residue $secs — lossy nanos decode")
+  }
 }
