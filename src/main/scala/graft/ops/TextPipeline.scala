@@ -1620,8 +1620,195 @@ object TextPipeline {
     sb.result()
   }
 
+  // ---------------------------------------------------------------------
+  // q_diversity — corpus mixture diversity per source: language richness
+  // and the Gini–Simpson index 1 − Σ p_l², the standard diversity
+  // measure for training-data mixes (probability two random docs from
+  // the source differ in language). Chosen over Shannon entropy
+  // PRECISELY because it is RATIONAL: Σ cnt² and n² are exact longs, so
+  // the single final division of exact integers is correctly rounded
+  // identically on both engines — no transcendental (log) whose
+  // last-ulp behavior differs across libm implementations. Two bounded
+  // aggregates: (source, lang) counts, then per-source moments.
+  // ---------------------------------------------------------------------
+  val diversity: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .withColumn(
+        "simpson",
+        (col("n_docs") * col("n_docs") - col("ss")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_langs"),
+        col("simpson"))
+      .orderBy(col("source"))
+  }
+
+  val diversitySql: String =
+    """SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |count(*) AS n_langs,
+      |CAST(CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT)
+      |     - CAST(SUM(cnt * cnt) AS BIGINT) AS DOUBLE)
+      |  / CAST(CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+      |  AS simpson
+      |FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM documents GROUP BY source, lang)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_dedup_recall — the "recall measured, not assumed" yardstick for
+  // the DEDUP family (the q_ann_recall discipline): how many true
+  // near-duplicate pairs (exact hashed-bigram Jaccard ≥ 1/2) does the
+  // 16-component / 4-band MinHash-LSH candidate generation actually
+  // surface? Ground truth runs a bounded PROBE panel (60 docs) against
+  // the whole corpus with the codegen'd early-abort `jaccard_ge`
+  // predicate — 60·|corpus| comparisons, the same bounded-panel shape
+  // as the ANN yardstick, never corpus×corpus. Candidates are the
+  // probe-touching (band, bucket) cohabitations of the SAME bigram set
+  // the truth scores (signature over the bigrams, truth over their
+  // hashes — one underlying similarity space, so recall is
+  // interpretable). Recall/precision are exact-integer ratios; the
+  // single final divisions of exact longs round identically on both
+  // engines.
+  // ---------------------------------------------------------------------
+  private val RecallProbes = 60L
+  private val RecallBands = 4
+  private val RecallRows = 4
+
+  val dedupRecall: Q = (s, d) => {
+    val base = Tables
+      .documents(s, d)
+      .withColumn("bg", wordBigrams(tokens(col("text"))))
+      .select(
+        col("doc_id"),
+        col("bg"),
+        sort_array(array_distinct(transform(col("bg"), g => h32(31, g))))
+          .as("g"))
+    // signature + hashed grams in ONE pass over the corpus; both the
+    // truth join and the bucket explode read this frame (localCheckpoint
+    // — the multi-consumer materialization discipline of dupEdges)
+    val sigs = (0 until RecallBands)
+      .foldLeft(base) { (df, b) =>
+        df.withColumn(s"md5_$b", md5Lanes(col("bg"), b))
+          .withColumn(
+            s"band_$b",
+            concat_ws(
+              "_",
+              (0 until RecallRows)
+                .map(w => laneMin(col(s"md5_$b"), w).cast("string")): _*))
+      }
+      .select(
+        col("doc_id") +: col("g") +:
+          (0 until RecallBands).map(b => col(s"band_$b")): _*)
+      .localCheckpoint()
+    val probes = sigs.filter(col("doc_id") < RecallProbes)
+    // truth: bounded probe panel × corpus, early-abort sorted-merge
+    // predicate — a broadcast loop join whose BUILD side is the 60-row
+    // panel (the bounded-panel NLJ is the point: truth is
+    // probe-restricted by construction, never corpus×corpus)
+    val truth = broadcast(
+      probes.select(col("doc_id").as("pid"), col("g").as("gp")))
+      .crossJoin(sigs.select(col("doc_id").as("id"), col("g")))
+      .filter(
+        col("pid") =!= col("id") &&
+          graft.plans.JaccardGE.jaccardGE(col("gp"), col("g"), 1, 2))
+      .select(col("pid"), col("id"))
+    val bb = sigs.select(
+      col("doc_id"),
+      explode(array((0 until RecallBands).map(b =>
+        struct(lit(b).as("band"), col(s"band_$b").as("bucket"))): _*))
+        .as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
+    val cand = bb
+      .filter(col("doc_id") < RecallProbes)
+      .select(col("doc_id").as("pid"), col("band"), col("bucket"))
+      .join(bb, Seq("band", "bucket"))
+      .filter(col("pid") =!= col("doc_id"))
+      .select(col("pid"), col("doc_id").as("id"))
+      .distinct()
+    val hits = cand.join(truth, Seq("pid", "id"), "left_semi")
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val h = hits.agg(count(lit(1)).as("n_hits"))
+    t.crossJoin(c)
+      .crossJoin(h) // three 1-row witnesses
+      .select(
+        lit(RecallProbes).as("n_probes"),
+        col("n_truth"),
+        col("n_cand"),
+        col("n_hits"),
+        when(
+          col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        when(
+          col("n_cand") > 0,
+          col("n_hits").cast("double") / col("n_cand").cast("double"))
+          .as("precision"))
+  }
+
+  val dedupRecallSql: String = {
+    val toks = sqlTokens("text")
+    val mdCols = (0 until RecallBands)
+      .map(b => s"${sqlMd5Lanes("bg", b)} AS md5_$b")
+      .mkString(", ")
+    val bandCols = (0 until RecallBands)
+      .map { b =>
+        val parts = (0 until RecallRows)
+          .map(w => s"CAST(${sqlLaneMin(s"md5_$b", w)} AS VARCHAR)")
+          .mkString(", ")
+        s"concat_ws('_', $parts) AS band_$b"
+      }
+      .mkString(", ")
+    val unions = (0 until RecallBands)
+      .map(b => s"SELECT doc_id, $b AS band, band_$b AS bucket FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${sqlWordBigrams(toks)} AS bg FROM documents),
+       |hg AS (
+       |  SELECT doc_id, bg,
+       |    list_sort(list_distinct(list_transform(bg, g -> ${sqlH32(31, "g")}))) AS g
+       |  FROM base),
+       |sigs AS (SELECT doc_id, g, $bandCols
+       |         FROM (SELECT doc_id, g, $mdCols FROM hg)),
+       |truth AS (
+       |  SELECT p.doc_id AS pid, x.doc_id AS id
+       |  FROM (SELECT doc_id, g FROM hg WHERE doc_id < $RecallProbes) p
+       |  JOIN hg x ON x.doc_id != p.doc_id
+       |   AND 3 * len(list_intersect(p.g, x.g)) >= len(p.g) + len(x.g)),
+       |bb AS ($unions),
+       |cand AS (
+       |  SELECT DISTINCT pb.doc_id AS pid, xb.doc_id AS id
+       |  FROM (SELECT * FROM bb WHERE doc_id < $RecallProbes) pb
+       |  JOIN bb xb ON pb.band = xb.band AND pb.bucket = xb.bucket
+       |   AND xb.doc_id != pb.doc_id),
+       |hits AS (SELECT * FROM cand c
+       |         WHERE EXISTS (SELECT 1 FROM truth t
+       |                       WHERE t.pid = c.pid AND t.id = c.id)),
+       |m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |             (SELECT count(*) FROM cand) AS n_cand,
+       |             (SELECT count(*) FROM hits) AS n_hits)
+       |SELECT CAST($RecallProbes AS BIGINT) AS n_probes, n_truth, n_cand, n_hits,
+       |  CASE WHEN n_truth > 0
+       |       THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+       |  CASE WHEN n_cand > 0
+       |       THEN CAST(n_hits AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> bpeTrain,
+    "q_diversity" -> diversity,
+    "q_dedup_recall" -> dedupRecall,
     "q_source_quota" -> sourceQuota,
     "q_corpus_prep" -> corpusPrep,
     "q_repetition" -> repetition,
@@ -1651,6 +1838,8 @@ object TextPipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+    "q_diversity" -> diversitySql,
+    "q_dedup_recall" -> dedupRecallSql,
     "q_source_quota" -> sourceQuotaSql,
     "q_corpus_prep" -> corpusPrepSql,
     "q_repetition" -> repetitionSql,
