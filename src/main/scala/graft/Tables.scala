@@ -38,26 +38,36 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   // -------------------------------------------------------------------
-  // Footer probe: one data file's parquet MessageType per path per JVM.
+  // Footer probe: EVERY data file's parquet MessageType per path per JVM
+  // — a real lake mixes files written under different producer versions,
+  // so one file's footer does not speak for the directory. Driver-side
+  // O(files) metadata reads, cached; the same listing a compaction or
+  // planning pass already does.
   // -------------------------------------------------------------------
   private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, MessageType)]]()
 
-  private def footerSchema(spark: SparkSession, path: String): MessageType =
+  private def footerSchemas(
+      spark: SparkSession,
+      path: String): Seq[(String, MessageType)] =
     footerCache.computeIfAbsent(path, { key: String =>
       val conf = spark.sessionState.newHadoopConf()
       val root = new Path(key)
       val fs = root.getFileSystem(conf)
-      // a table may be a single file or a directory of part files
-      val dataFile =
-        if (fs.getFileStatus(root).isFile) root
+      val dataFiles =
+        if (fs.getFileStatus(root).isFile) Seq(root)
         else fs.listStatus(root).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-          .headOption.getOrElse(root)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
-      try reader.getFooter.getFileMetaData.getSchema
-      finally reader.close()
+          .toSeq
+      dataFiles.map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try p.toString -> reader.getFooter.getFileMetaData.getSchema
+        finally reader.close()
+      }
     })
+
+  private def footerSchema(spark: SparkSession, path: String): MessageType =
+    footerSchemas(spark, path).head._2
 
   private def tsAnnotation(
       f: PrimitiveType): Option[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =
@@ -112,8 +122,15 @@ object Tables {
     * floating /1000 would corrupt low-order digits past double's 53-bit
     * mantissa: ns since epoch ≈ 1.7e18 > 2^53), then presented with the
     * same Spark type the native reader gives the MICROS form of the file
-    * (NTZ unless adjusted-to-UTC). When no NANOS column exists the read
-    * is Spark's untouched native path.
+    * (NTZ unless adjusted-to-UTC). When no NANOS column exists anywhere
+    * the read is Spark's untouched native path.
+    *
+    * MIXED directories — some files MICROS, some NANOS, the normal state
+    * of a lake whose producer upgraded mid-history — are handled by
+    * grouping files on their nanos-column signature, reading each group
+    * with its own decode path, and unioning by name: per-file schema
+    * dispatch, the thing a single `spark.read.schema(...)` cannot
+    * express. One read (no union) in the common homogeneous case.
     */
   private[graft] def loadAdaptive(
       spark: SparkSession,
@@ -121,23 +138,43 @@ object Tables {
       name: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val path = s"$dir/$name.parquet"
-    val schema = footerSchema(spark, path)
-    val fields = schema.getFields.asScala.map(_.asPrimitiveType())
-    val nanosCols = fields.filter(f =>
-      tsAnnotation(f).exists(_.getUnit == TimeUnit.NANOS))
-    if (nanosCols.isEmpty) load(spark, dir, name)
-    else {
-      val readSchema = StructType(fields.map(sparkField).toSeq)
-      val raw = spark.read.schema(readSchema).parquet(path)
-      nanosCols.foldLeft(raw) { (df, f) =>
-        val c = f.getName
-        val micros: Column = timestamp_micros(expr(s"`$c` div 1000"))
-        val typed =
-          if (tsAnnotation(f).exists(_.isAdjustedToUTC)) micros
-          else micros.cast(TimestampNTZType) // identity wall-clock under UTC
-        df.withColumn(c, typed)
+    val footers = footerSchemas(spark, path)
+    def nanosColsOf(schema: MessageType): Seq[PrimitiveType] =
+      schema.getFields.asScala.map(_.asPrimitiveType())
+        .filter(f => tsAnnotation(f).exists(_.getUnit == TimeUnit.NANOS))
+        .toSeq
+    // group files by their nanos-column signature (usually one group)
+    val groups = footers.groupBy { case (_, s) =>
+      nanosColsOf(s).map(_.getName).toSet
+    }
+    def readGroup(files: Seq[(String, MessageType)]): DataFrame = {
+      val schema = files.head._2
+      val nanosCols = nanosColsOf(schema)
+      val paths = files.map(_._1)
+      if (nanosCols.isEmpty)
+        // native path; when the whole dir is one homogeneous group this
+        // is exactly the plain table read
+        if (paths.toSet == Set(path) || groups.size == 1)
+          spark.read.parquet(path)
+        else spark.read.parquet(paths: _*)
+      else {
+        val fields = schema.getFields.asScala.map(_.asPrimitiveType())
+        val readSchema = StructType(fields.map(sparkField).toSeq)
+        val raw = spark.read.schema(readSchema).parquet(paths: _*)
+        nanosCols.foldLeft(raw) { (df, f) =>
+          val c = f.getName
+          val micros: Column = timestamp_micros(expr(s"`$c` div 1000"))
+          val typed =
+            if (tsAnnotation(f).exists(_.isAdjustedToUTC)) micros
+            else micros.cast(TimestampNTZType) // identity wall-clock under UTC
+          df.withColumn(c, typed)
+        }
       }
     }
+    groups.values.toSeq
+      .sortBy(_.head._1) // deterministic union order
+      .map(readGroup)
+      .reduce(_.unionByName(_))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -659,6 +659,65 @@ object Multimodal {
        |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_image_resize — feature-extraction RESIZE on the REAL decode path:
+  // each PNG is decoded (javax.imageio) and nearest-neighbor downsampled
+  // to an 8×8 thumbnail — the canonical cheap image fingerprint (pHash's
+  // first stage, dataset-dedup thumbnails). Sampling indices are pure
+  // integer arithmetic (row r samples source row ⌊r·h/8⌋), so the
+  // oracle regenerates the EXACT thumbnail from the pixel formula
+  // without ever seeing a byte of PNG: a resize-indexing bug (the
+  // classic off-by-one/rounding-mode class) shifts thumb_sum and fails
+  // the hash. Same narrow mapPartitions shape as every decode lane —
+  // one pass, no shuffle before the final bounded aggregate.
+  // ---------------------------------------------------------------------
+  private val ThumbSide = 8
+
+  val imageResize: Q = (s, d) => {
+    import s.implicits._
+    realMediaTable(s, d)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { m =>
+          val (w, h, px) = MediaCodec.decodeImage(m.payload)
+          var sum = 0L
+          var mx = 0L
+          var r = 0
+          while (r < ThumbSide) {
+            var c = 0
+            val sr = r * h / ThumbSide
+            while (c < ThumbSide) {
+              val v = px(sr * w + c * w / ThumbSide).toLong
+              sum += v
+              if (v > mx) mx = v
+              c += 1
+            }
+            r += 1
+          }
+          (m.doc_id, w, h, sum, mx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "thumb_sum", "thumb_max")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageResizeSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 16 AS INT) AS width,
+       |    CAST(16 + doc_id % 8 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < $RealMediaDocs),
+       |t AS (SELECT r, c FROM range(0, $ThumbSide) a(r), range(0, $ThumbSide) b(c)),
+       |s AS (
+       |  SELECT g.doc_id, g.width, g.height,
+       |    (g.doc_id + ((t.r * g.height // $ThumbSide) * g.width
+       |                 + (t.c * g.width // $ThumbSide))) % 256 AS v
+       |  FROM g CROSS JOIN t)
+       |SELECT doc_id, width, height,
+       |  CAST(SUM(v) AS BIGINT) AS thumb_sum,
+       |  CAST(MAX(v) AS BIGINT) AS thumb_max
+       |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_audio_decode — the REAL WAV/PCM16 decode under the oracle gate:
   // samples s(i) = ((7·doc_id + 13·i) mod 2¹⁶) − 2¹⁵ round-trip the RIFF
   // container; energy (Σ s²) and signed sum (Σ s) are integer-exact, so
@@ -697,6 +756,7 @@ object Multimodal {
       "q_binary_meta" -> binaryMeta,
       "q_binary_hist" -> binaryHist,
       "q_image_decode" -> imageDecode,
+      "q_image_resize" -> imageResize,
       "q_audio_decode" -> audioDecode,
       "q_video_frames" -> videoFrames)
   val oracleSql: Map[String, String] =
@@ -704,6 +764,7 @@ object Multimodal {
       "q_binary_meta" -> binaryMetaSql,
       "q_binary_hist" -> binaryHistSql,
       "q_image_decode" -> imageDecodeSql,
+      "q_image_resize" -> imageResizeSql,
       "q_audio_decode" -> audioDecodeSql,
       "q_video_frames" -> videoFramesSql)
 }

@@ -144,4 +144,56 @@ class FixturesSpec extends SparkSpec {
       .getLong(0)
     assert(secs == 0L, s"sub-minute residue $secs — lossy nanos decode")
   }
+
+  test("MIXED-UNIT directory: nanos and micros files in ONE table path") {
+    // the producer-upgraded-mid-history lake: the same logical table
+    // holds files with different physical timestamp units. loadAdaptive
+    // must dispatch the decode PER FILE GROUP and union — a single
+    // spark.read.schema() cannot express this. Build the mixed dir from
+    // the committed nanos fixture + a Spark-written (micros) copy of the
+    // same 20 rows shifted by one day.
+    val nanosSrc = getClass.getResource("/nanos_fixture/events.parquet").getPath
+    val mixed = java.nio.file.Files.createTempDirectory("graft_mixed").toString
+    val tableDir = s"$mixed/events.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(nanosSrc),
+      java.nio.file.Paths.get(s"$tableDir/part-nanos.parquet"))
+    // micros generation: decode the nanos fixture, shift +1 day, write
+    // through Spark (which emits TIMESTAMP(MICROS))
+    val shifted = Tables
+      .events(spark, getClass.getResource("/nanos_fixture").getPath)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+    shifted
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(tableDir)
+    // Spark's write adds its own part files + _SUCCESS alongside the
+    // copied nanos part — exactly the heterogeneous layout under test
+    val ev = Tables.events(spark, mixed)
+    val r = ev
+      .agg(
+        count(lit(1)),
+        countDistinct(col("ts")),
+        year(min(col("ts"))),
+        year(max(col("ts"))))
+      .head()
+    assert(r.getLong(0) == 40L, s"expected 40 rows, got ${r.getLong(0)}")
+    // 20 original instants + 20 shifted by a day = 40 distinct; a unit
+    // error on either group would collapse or explode this
+    assert(r.getLong(1) == 40L, s"expected 40 distinct ts, got ${r.getLong(1)}")
+    assert(r.getInt(2) == 2024 && r.getInt(3) == 2024,
+      s"mixed decode left years [${r.getInt(2)}, ${r.getInt(3)}]")
+    // both generations must agree instant-for-instant: shifting the
+    // nanos-decoded half forward a day must reproduce the micros half
+    val halves = ev
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy(col("day"))
+      .count()
+      .collect()
+      .map(row => row.getInt(0) -> row.getLong(1))
+      .toMap
+    assert(halves.values.sum == 40L, halves.toString)
+  }
 }
