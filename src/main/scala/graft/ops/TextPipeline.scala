@@ -1685,9 +1685,15 @@ object TextPipeline {
   private val RecallRows = 4
 
   val dedupRecall: Q = (s, d) => {
+    // toks MUST be aliased before wordBigrams reads it (3 references →
+    // CollapseProject keeps the alias): the inline form re-tokenizes per
+    // array element inside the interpreted HOF lambda — measured 9.9 s
+    // vs 1.1 s at sf0.1 for this frame alone (the verify-skill trap,
+    // third sighting)
     val base = Tables
       .documents(s, d)
-      .withColumn("bg", wordBigrams(tokens(col("text"))))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bg", wordBigrams(col("toks")))
       .select(
         col("doc_id"),
         col("bg"),
@@ -1715,13 +1721,28 @@ object TextPipeline {
     // predicate — a broadcast loop join whose BUILD side is the 60-row
     // panel (the bounded-panel NLJ is the point: truth is
     // probe-restricted by construction, never corpus×corpus)
+    // Length-ratio prefilter: J ≥ 1/2 needs 3·|∩| ≥ |a|+|b| and
+    // |∩| ≤ min(|a|,|b|), so sizes must be within 2× of each other —
+    // an IMPLIED cheap int conjunct that spares the merge for the
+    // dominant dissimilar pairs (at threshold 1/2 the early-abort
+    // bound only fires ~halfway through a disjoint merge, unlike the
+    // 0.9-threshold dedup lanes). Pure pruning — the surviving
+    // predicate is unchanged, so the twin needs no mirror. Together
+    // with the toks alias above: 9.9 s → 4.3 s at sf0.1; the remaining
+    // floor is the 5 interpreted md5 per bigram of the signature +
+    // truth hashes (a priced yardstick composite, like q_ann_recall).
     val truth = broadcast(
       probes.select(col("doc_id").as("pid"), col("g").as("gp")))
       .crossJoin(sigs.select(col("doc_id").as("id"), col("g")))
       .filter(
         col("pid") =!= col("id") &&
+          size(col("gp")) <= size(col("g")) * 2 &&
+          size(col("g")) <= size(col("gp")) * 2 &&
           graft.plans.JaccardGE.jaccardGE(col("gp"), col("g"), 1, 2))
       .select(col("pid"), col("id"))
+      // tens of rows, consumed twice (hits semi-join + the count) — one
+      // materialization instead of two 300k-pair NLJ passes
+      .localCheckpoint()
     val bb = sigs.select(
       col("doc_id"),
       explode(array((0 until RecallBands).map(b =>
@@ -1735,6 +1756,7 @@ object TextPipeline {
       .filter(col("pid") =!= col("doc_id"))
       .select(col("pid"), col("doc_id").as("id"))
       .distinct()
+      .localCheckpoint() // hundreds of rows, consumed twice
     val hits = cand.join(truth, Seq("pid", "id"), "left_semi")
     val t = truth.agg(count(lit(1)).as("n_truth"))
     val c = cand.agg(count(lit(1)).as("n_cand"))
