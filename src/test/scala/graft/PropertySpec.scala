@@ -228,7 +228,14 @@ class PropertySpec extends SparkSpec {
     // generation + distinct pair dedup), the real-decode lanes
     // (mapPartitions over arbitrary partition boundaries), the Avro
     // round-trip (container-file-per-partition write), auto PageRank
-    // (regime choice must not depend on partitioning)
+    // (regime choice must not depend on partitioning). session-2
+    // round-9 additions most at risk: the BPE argmax (driver collect of
+    // a tie-broken top-1 per round), priority sampling (global top-k
+    // cut), the concurrency sweep (two-level running sum must equal the
+    // global order), table checksums (order-independence is the POINT),
+    // dedup recall (checkpointed NLJ + bucket-join dedup), the
+    // weighted/greedy merges and the per-file-group union of the mixed
+    // loader path
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
       "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
@@ -237,7 +244,12 @@ class PropertySpec extends SparkSpec {
       "q_market_share", "q_incr_agg", "q_inverted_index",
       "q_containment", "q_image_decode", "q_audio_decode",
       "q_avro_roundtrip", "q_pagerank_auto", "q_decay_features",
-      "q_doc_chunks", "q_substring_dup")
+      "q_doc_chunks", "q_substring_dup",
+      "q_damerau", "q_schema_evolution", "q_weighted_sample",
+      "q_attribution", "q_concurrency", "q_interval_join",
+      "q_json_malformed", "q_bpe_train", "q_table_checksum",
+      "q_bitmap_distinct", "q_diversity", "q_dedup_recall",
+      "q_image_resize")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
