@@ -816,6 +816,108 @@ object TextPipeline {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_entity_resolution — end-to-end fuzzy entity resolution over a
+  // deterministic dirty registry: every third customer contributes its
+  // clean name AND a transposition-corrupted variant (adjacent digit
+  // swap at a custkey-derived position — the classic data-entry typo).
+  // The pipeline is the canonical three stages: (1) BLOCK on the
+  // sorted-character key (invariant under transposition, so the noise
+  // model never escapes its block — and digit-permuted names like
+  // …012/…021 legitimately collide, exercising the false-positive class
+  // deterministically); (2) MATCH within blocks with the native
+  // damerau_levenshtein ≤ 1 (a transposition is one edit there, two
+  // under plain Levenshtein); (3) RESOLVE by canonical key, reporting
+  // per market segment the record/entity/duplicate accounting.
+  // Scale: one shuffle on the block key; pairs only inside blocks.
+  // ---------------------------------------------------------------------
+  val entityResolution: Q = (s, d) => {
+    import graft.plans.DamerauLevenshtein.damerau
+    val cust = Tables.customer(s, d)
+    val p0 = (col("c_custkey") % 8 + 10).cast("int") // 1-based swap pos in the digit block
+    val dirty = cust
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        (col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(
+          col("c_name").substr(lit(1), p0 - 1),
+          col("c_name").substr(p0 + 1, lit(1)),
+          col("c_name").substr(p0, lit(1)),
+          col("c_name").substr(p0 + 2, lit(100)))
+          .as("name"),
+        col("c_mktsegment").as("segment"))
+    val clean = cust.select(
+      (col("c_custkey") * 2).as("rec_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+    val records = clean
+      .unionAll(dirty)
+      .withColumn("blk", array_join(array_sort(split(col("name"), "")), ""))
+    val pairs = records
+      .select(col("segment"), col("blk"), col("rec_id").as("id_a"), col("name").as("n_a"))
+      .join(
+        records.select(col("blk"), col("rec_id").as("id_b"), col("name").as("n_b")),
+        Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dl", damerau(col("n_a"), col("n_b")).cast("long"))
+      .filter(col("dl") <= 1)
+    val ent = records
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("blk")).as("n_entities"))
+    val m = pairs
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_match_pairs"),
+        sum(when(col("dl") === 0, 1L).otherwise(0L)).as("n_exact_dupes"))
+    ent
+      .join(m, Seq("segment"), "left")
+      .select(
+        col("segment"),
+        col("n_records"),
+        col("n_entities"),
+        coalesce(col("n_match_pairs"), lit(0L)).as("n_match_pairs"),
+        coalesce(col("n_exact_dupes"), lit(0L)).as("n_exact_dupes"))
+      .orderBy(col("segment"))
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH dirty AS (
+       |  SELECT c_custkey * 2 + 1 AS rec_id,
+       |    substr(c_name, 1, (c_custkey % 8 + 10) - 1)
+       |      || substr(c_name, (c_custkey % 8 + 10) + 1, 1)
+       |      || substr(c_name, (c_custkey % 8 + 10), 1)
+       |      || substr(c_name, (c_custkey % 8 + 10) + 2) AS name,
+       |    c_mktsegment AS segment
+       |  FROM customer WHERE c_custkey % 3 = 0),
+       |records AS (
+       |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+       |         c_mktsegment AS segment FROM customer
+       |  UNION ALL SELECT rec_id, name, segment FROM dirty),
+       |blocked AS (
+       |  SELECT rec_id, name, segment,
+       |    array_to_string(list_sort(string_split(name, '')), '') AS blk
+       |  FROM records),
+       |pairs AS (
+       |  SELECT a.segment, CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dl
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.rec_id < b.rec_id
+       |  WHERE damerau_levenshtein(a.name, b.name) <= 1),
+       |ent AS (
+       |  SELECT segment, count(*) AS n_records,
+       |         count(DISTINCT blk) AS n_entities
+       |  FROM blocked GROUP BY segment),
+       |m AS (
+       |  SELECT segment, count(*) AS n_match_pairs,
+       |    CAST(SUM(CASE WHEN dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes
+       |  FROM pairs GROUP BY segment)
+       |SELECT e.segment, e.n_records, e.n_entities,
+       |  COALESCE(m.n_match_pairs, 0) AS n_match_pairs,
+       |  COALESCE(m.n_exact_dupes, 0) AS n_exact_dupes
+       |FROM ent e LEFT JOIN m ON e.segment = m.segment
+       |ORDER BY e.segment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_doc_fingerprint — polynomial rolling-hash fingerprint per document
   // (content-addressable identity without carrying the body). The input
   // is the space-joined token stream, not the raw text: tokens are
@@ -1845,6 +1947,7 @@ object TextPipeline {
     "q_substring_dup" -> substringDup,
     "q_edit_distance" -> editDistance,
     "q_damerau" -> damerauPairs,
+    "q_entity_resolution" -> entityResolution,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
@@ -1876,6 +1979,7 @@ object TextPipeline {
     "q_substring_dup" -> substringDupSql,
     "q_edit_distance" -> editDistanceSql,
     "q_damerau" -> damerauPairsSql,
+    "q_entity_resolution" -> entityResolutionSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,
