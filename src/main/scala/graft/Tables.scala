@@ -186,11 +186,33 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = loadAdaptive(s, d, "lineitem")
 
   /** Unit of `events.ts` — kept for the streaming file source, which
-    * needs the decode choice up front (readStream takes a schema, not a
-    * DataFrame).
+    * needs the decode choice up front (readStream takes one schema, not
+    * a DataFrame, so unlike [[loadAdaptive]] it CANNOT dispatch per file
+    * group). A mixed-unit directory would silently mis-decode the
+    * minority group by a factor of 1000 — exactly the round-8 failure
+    * class — so heterogeneity fails LOUDLY here instead: point the
+    * stream at a unit-homogeneous path (a batch `loadAdaptive` + write
+    * normalizes one).
     */
-  private[graft] def eventsTsUnit(spark: SparkSession, dir: String): TimeUnit =
-    tsUnit(spark, s"$dir/events.parquet", "ts")
+  private[graft] def eventsTsUnit(spark: SparkSession, dir: String): TimeUnit = {
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/events.parquet"
+    val units = footerSchemas(spark, path).map { case (file, schema) =>
+      val u = tsAnnotation(
+        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType())
+        .map(_.getUnit)
+        .getOrElse(TimeUnit.MICROS)
+      file -> u
+    }
+    val distinct = units.map(_._2).distinct
+    require(
+      distinct.size == 1,
+      s"events stream source at $path mixes timestamp units " +
+        s"${units.map { case (f, u) => s"$u(${new Path(f).getName})" }.toSet.mkString(", ")} — " +
+        "a single readStream schema cannot decode both; normalize the " +
+        "directory first (batch loadAdaptive handles mixed units)")
+    distinct.head
+  }
 
   /** Raw-LONG fallback schema for `events` under TIMESTAMP(NANOS) — used
     * by the streaming source's raw branch (batch reads go through

@@ -195,5 +195,12 @@ class FixturesSpec extends SparkSpec {
       .map(row => row.getInt(0) -> row.getLong(1))
       .toMap
     assert(halves.values.sum == 40L, halves.toString)
+    // the STREAMING source cannot per-file-dispatch (one readStream
+    // schema) — on a mixed dir it must fail loudly, not decode the
+    // minority group 1000x off
+    val e = intercept[IllegalArgumentException] {
+      Tables.eventsTsUnit(spark, mixed)
+    }
+    assert(e.getMessage.contains("mixes timestamp units"), e.getMessage)
   }
 }
