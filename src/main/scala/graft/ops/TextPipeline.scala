@@ -1929,8 +1929,119 @@ object TextPipeline {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_bpe_encode — APPLYING the trained merges (the tokenizer's encode
+  // step, completing q_bpe_train's train→apply story): re-derive the K
+  // merge rules from the vocabulary (same argmax chain, so the rules
+  // are definitionally those the oracle derives), then run them over
+  // every DOCUMENT's end-delimited character stream in training order.
+  // Per language: corpus characters, tokens after encoding, and the
+  // exact rational compression percent (integer counts, one final
+  // exact-operand division). The measurement differs from train's
+  // n_symbols_after: this is instance-weighted over the corpus token
+  // stream (duplicated words count every occurrence), the number a
+  // serving tokenizer actually produces.
+  //
+  // Scale: merge rules are K driver literals (re-derived over the
+  // vocabulary aggregate — never the corpus); the encode itself is K
+  // chained scalar replaces inside one corpus scan + one aggregate.
+  // ---------------------------------------------------------------------
+  val bpeEncode: Q = (s, d) => {
+    val words = Tables
+      .documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var vocab = words
+      .withColumn("repr", regexp_replace(col("word"), "(.)", "$1 "))
+    val merges = Seq.newBuilder[String]
+    (0 until bpeSteps).foreach { _ =>
+      val top = vocab
+        .select(col("cnt"), explode(bpePairs(col("repr"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("pair").asc)
+        .limit(1)
+        .collect()(0)
+      val pair = top.getString(0)
+      merges += pair
+      vocab = vocab.withColumn(
+        "repr",
+        regexp_replace(
+          col("repr"),
+          java.util.regex.Pattern.quote(pair + " "),
+          pair.replace(" ", "") + " "))
+    }
+    // encode: docs → per-token char stream → the K replaces in order
+    val toksCol = Tables
+      .documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .withColumn("repr", regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.result().foldLeft(toksCol) { (df, pair) =>
+      df.withColumn(
+        "repr",
+        regexp_replace(
+          col("repr"),
+          java.util.regex.Pattern.quote(pair + " "),
+          pair.replace(" ", "") + " "))
+    }
+    encoded
+      .groupBy(col("lang"))
+      .agg(
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(size(split(rtrim(col("repr")), " ")).cast("long")).as("n_tokens"))
+      .withColumn(
+        "compression_pct",
+        ((col("n_chars") - col("n_tokens")) * 100L).cast("double") /
+          col("n_chars").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val bpeEncodeSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS (
+              |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest(${sqlTokens("text")}) AS word FROM documents)
+              |  GROUP BY word),
+              |v0 AS (SELECT cnt, regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+              |       FROM words)""".stripMargin
+    (0 until bpeSteps).foreach { k =>
+      sb ++= s""",
+                |t$k AS (
+                |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS w
+                |  FROM (
+                |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+                |                 i -> l[i] || ' ' || l[i + 1])) AS pair
+                |    FROM (SELECT cnt, str_split(rtrim(repr), ' ') AS l FROM v$k))
+                |  GROUP BY pair ORDER BY w DESC, pair ASC LIMIT 1),
+                |v${k + 1} AS (
+                |  SELECT cnt, replace(repr, (SELECT pair || ' ' FROM t$k),
+                |                      (SELECT replace(pair, ' ', '') || ' ' FROM t$k)) AS repr
+                |  FROM v$k)""".stripMargin
+    }
+    val applies = (0 until bpeSteps).foldLeft("regexp_replace(word, '(.)', '\\1 ', 'g')") {
+      (inner, k) =>
+        s"replace($inner, (SELECT pair || ' ' FROM t$k), " +
+          s"(SELECT replace(pair, ' ', '') || ' ' FROM t$k))"
+    }
+    sb ++= s""",
+              |enc AS (
+              |  SELECT lang, word, $applies AS repr
+              |  FROM (SELECT lang, unnest(${sqlTokens("text")}) AS word FROM documents))
+              |SELECT lang,
+              |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+              |  CAST(SUM(len(str_split(rtrim(repr), ' '))) AS BIGINT) AS n_tokens,
+              |  CAST((CAST(SUM(length(word)) AS BIGINT)
+              |        - CAST(SUM(len(str_split(rtrim(repr), ' '))) AS BIGINT)) * 100 AS DOUBLE)
+              |    / CAST(CAST(SUM(length(word)) AS BIGINT) AS DOUBLE) AS compression_pct
+              |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    sb.result()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_encode" -> bpeEncode,
     "q_diversity" -> diversity,
     "q_dedup_recall" -> dedupRecall,
     "q_source_quota" -> sourceQuota,
@@ -1963,6 +2074,7 @@ object TextPipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_diversity" -> diversitySql,
     "q_dedup_recall" -> dedupRecallSql,
     "q_source_quota" -> sourceQuotaSql,
