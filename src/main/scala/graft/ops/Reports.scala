@@ -485,7 +485,101 @@ object Reports {
       |  WHERE pair_qty * n_supp > part_qty * 2)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_order_priority — TPC-H Q4 shape: order-priority checking. The
+  // canonical form counts orders in a quarter having at least one line
+  // with commitdate < receiptdate; the testdata has neither column, so
+  // the lateness witness is l_shipdate > o_orderdate + 90 days — same
+  // semantics (an EXISTS against the fact table, decorrelated to a
+  // LEFT SEMI join on the order key), same output shape (priority,
+  // order_count). The semi join is the scale story: the lineitem probe
+  // never fans out order rows, and the date predicate pushes to both
+  // scans.
+  // ---------------------------------------------------------------------
+  val orderPriority: Q = (s, d) => {
+    val o = Tables
+      .orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    o.join(
+      li,
+      o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ship_classes — TPC-H Q12 shape: shipping-class lateness report.
+  // The canonical form buckets lineitems by l_shipmode and CASE-counts
+  // urgent vs non-urgent orders among late lines; without shipmode, the
+  // class is derived from the line's shipping delay (FAST < 30 days ≤
+  // REGULAR < 75 ≤ SLOW) — the same one-join one-aggregate shape with
+  // the same urgency CASE arithmetic, integer-exact.
+  // ---------------------------------------------------------------------
+  val shipClasses: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables
+      .lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val delay = datediff(
+      li("l_shipdate").cast("date"),
+      o("o_orderdate").cast("date"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn(
+        "ship_class",
+        when(delay < 30, "FAST")
+          .when(delay < 75, "REGULAR")
+          .otherwise("SLOW"))
+      .groupBy(col("ship_class"))
+      .agg(
+        sum(
+          when(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+        sum(
+          when(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  val shipClassesSql: String =
+    """SELECT
+      |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                      CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+      |       WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                      CAST(l_shipdate AS DATE)) < 75 THEN 'REGULAR'
+      |       ELSE 'SLOW' END AS ship_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY ship_class""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_order_priority" -> orderPriority,
+    "q_ship_classes" -> shipClasses,
     "q_forecast_rev" -> forecastRev,
     "q_natl_revenue" -> natlRevenue,
     "q_volume_ship" -> volumeShip,
@@ -499,6 +593,8 @@ object Reports {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_order_priority" -> orderPrioritySql,
+    "q_ship_classes" -> shipClassesSql,
     "q_forecast_rev" -> forecastRevSql,
     "q_natl_revenue" -> natlRevenueSql,
     "q_volume_ship" -> volumeShipSql,
