@@ -81,7 +81,17 @@ object GraftFunctions {
       (
         FunctionIdentifier("damerau_levenshtein"),
         info("damerau_levenshtein", classOf[DamerauLevenshtein]),
-        args => DamerauLevenshtein(args(0), args(1))))
+        args => DamerauLevenshtein(args(0), args(1))),
+      (
+        FunctionIdentifier("jaccard_ge"),
+        info("jaccard_ge", classOf[JaccardGE]),
+        // threshold num/den are literals: they bake into the generated
+        // early-abort bound (den validated > 0, num <= den in the ctor)
+        args => JaccardGE(
+          args(0),
+          args(1),
+          intLitIn("jaccard_ge", args(2), 0, 1 << 20),
+          intLitIn("jaccard_ge", args(3), 1, 1 << 20))))
 
   /** Runtime registration on an already-built session (idempotent —
     * re-registration overwrites with identical builders).

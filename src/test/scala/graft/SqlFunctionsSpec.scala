@@ -93,4 +93,31 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT kmin_distinct(v, 0) FROM t_sqlagg").head()
     }
   }
+
+  test("jaccard_ge and damerau_levenshtein usable from SQL == Column API") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((Seq(1, 2, 3, 4), Seq(2, 3, 4, 5)))
+      .toDF("a", "b")
+      .createOrReplaceTempView("t_sqljac")
+    // J = 3/5: >= 1/2 true, >= 2/3 false
+    val r = spark
+      .sql("SELECT jaccard_ge(a, b, 1, 2), jaccard_ge(a, b, 2, 3) FROM t_sqljac")
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    val viaCol = Seq((Seq(1, 2, 3, 4), Seq(2, 3, 4, 5)))
+      .toDF("a", "b")
+      .select(graft.plans.JaccardGE.jaccardGE(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 1, 2))
+      .head()
+      .getBoolean(0)
+    assert(viaCol == r.getBoolean(0))
+    // threshold params must be literals and range-checked at analysis
+    intercept[Exception] {
+      spark.sql("SELECT jaccard_ge(a, b, 2, 0) FROM t_sqljac").head()
+    }
+    assert(
+      spark.sql("SELECT damerau_levenshtein('ca', 'abc')").head().getInt(0) == 2)
+  }
 }
