@@ -757,37 +757,49 @@ object Temporal {
   // ---------------------------------------------------------------------
   private val HalfHourUs = 1800L * 1000000L
 
+  /** The bucketed interval-overlap core, reusable over any two interval
+    * frames (a: a_id/a_s/a_e, b: b_id/b_s/b_e): hourly-bucket equi join
+    * + exact half-open overlap + multi-bucket pair dedup. Exposed so the
+    * skew property can drive the REAL implementation with adversarial
+    * (hot-bucket) synthetic intervals, not a test-local copy.
+    */
+  private[graft] def intervalOverlapPairs(
+      a: DataFrame,
+      b: DataFrame): DataFrame = {
+    val ab = a.withColumn(
+      "bkt",
+      explode(
+        sequence(expr(s"a_s div $HourUs"), expr(s"(a_e - 1) div $HourUs"))))
+    val bb = b.withColumn(
+      "bkt",
+      explode(
+        sequence(expr(s"b_s div $HourUs"), expr(s"(b_e - 1) div $HourUs"))))
+    ab.join(bb, Seq("bkt"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"), col("b_s"))
+      .distinct()
+  }
+
   val intervalJoin: Q = (s, d) => {
     val e = Tables.events(s, d).withColumn("t_us", unix_micros(col("ts")))
     val views = e
       .filter(col("event_type") === "view")
       .select(
-        col("event_id").as("v_id"),
-        col("t_us").as("v_s"),
-        (col("t_us") + HalfHourUs).as("v_e"))
+        col("event_id").as("a_id"),
+        col("t_us").as("a_s"),
+        (col("t_us") + HalfHourUs).as("a_e"))
     val errs = e
       .filter(col("event_type") === "error")
       .select(
-        col("event_id").as("e_id"),
-        col("t_us").as("e_s"),
-        (col("t_us") + 2 * HourUs).as("e_e"))
-    val vb = views.withColumn(
-      "bkt",
-      explode(
-        sequence(expr(s"v_s div $HourUs"), expr(s"(v_e - 1) div $HourUs"))))
-    val eb = errs.withColumn(
-      "bkt",
-      explode(
-        sequence(expr(s"e_s div $HourUs"), expr(s"(e_e - 1) div $HourUs"))))
-    vb.join(eb, Seq("bkt"))
-      .filter(col("v_s") < col("e_e") && col("e_s") < col("v_e"))
-      .select(col("v_id"), col("e_id"), col("e_s"))
-      .distinct()
-      .groupBy(expr(s"e_s div $DayUs").as("day_idx"))
+        col("event_id").as("b_id"),
+        col("t_us").as("b_s"),
+        (col("t_us") + 2 * HourUs).as("b_e"))
+    intervalOverlapPairs(views, errs)
+      .groupBy(expr(s"b_s div $DayUs").as("day_idx"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        countDistinct(col("e_id")).as("n_errors_hit"),
-        countDistinct(col("v_id")).as("n_views_hit"))
+        countDistinct(col("b_id")).as("n_errors_hit"),
+        countDistinct(col("a_id")).as("n_views_hit"))
       .orderBy(col("day_idx"))
   }
 

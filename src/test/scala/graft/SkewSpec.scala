@@ -87,4 +87,47 @@ class SkewSpec extends SparkSpec {
     // actually spreads: more than one salt value in use
     assert(s1.distinct.length > 1)
   }
+  test("bucketed interval join == naive theta join under a hot bucket") {
+    // adversarial shape for bucket blocking: EVERY interval lands in one
+    // hour, so the equi join degenerates to a single bucket — results
+    // must still match the naive theta join exactly (the blocking is a
+    // pure execution strategy). Intervals engineered with exact-boundary
+    // touches to pin the half-open contract: an interval ending exactly
+    // where another starts must NOT pair with it.
+    val s2 = spark
+    import s2.implicits._
+    val hour0 = 1700000000L * 1000000L - (1700000000L * 1000000L) % (3600L * 1000000L)
+    val a = (0L until 120L)
+      .map(i => (i, hour0 + i * 25000000L, hour0 + i * 25000000L + 300000000L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = (0L until 80L)
+      .map(j => (j, hour0 + j * 30000000L + 300000000L, hour0 + j * 30000000L + 900000000L))
+      .toDF("b_id", "b_s", "b_e")
+    val bucketed = ops.Temporal
+      .intervalOverlapPairs(a, b)
+      .select(col("a_id"), col("b_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val naive = a
+      .crossJoin(b)
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(bucketed == naive,
+      s"bucketed\\naive=${(bucketed -- naive).take(5)} naive\\bucketed=${(naive -- bucketed).take(5)}")
+    assert(naive.nonEmpty, "degenerate fixture: no overlaps at all")
+    // the boundary-touch case: a_e == b_s for (a_id=12, b_id=0) by
+    // construction (12*25M + 300M == 0*30M + 300M + 300M? verify on data)
+    val touches = a.crossJoin(b).filter(col("a_e") === col("b_s")).count()
+    if (touches > 0)
+      assert(naive.intersect(
+        a.crossJoin(b).filter(col("a_e") === col("b_s"))
+          .select(col("a_id"), col("b_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet).isEmpty,
+        "half-open contract violated: exact boundary touch paired")
+  }
 }
+
