@@ -153,13 +153,67 @@ object Sampling {
        |  ORDER BY priority DESC, doc_id ASC LIMIT $prioK)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_grouped_sample — PER-GROUP priority sampling: the k highest
+  // DLT priorities (same exact dyadic arithmetic as q_weighted_sample)
+  // within EACH source — the per-stratum weighted draw a mixture
+  // builder runs after quota planning. Distinct plan shape from the
+  // global top-k: a rank window per group, which Spark executes as a
+  // WindowGroupLimit (k rows survive per group map-side — the bounded
+  // head never ships a stratum's full row stream). Ties break on
+  // doc_id; all emitted stats are exact.
+  // ---------------------------------------------------------------------
+  private val grpK = 10
+
+  val groupedSample: Q = (s, d) => {
+    val prio = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars").cast("long").as("w"),
+        ((col("n_chars").cast("double") * lit(4294967296.0)) /
+          (h32(prioSeed, col("doc_id").cast("string")) + lit(1L))
+            .cast("double")).as("priority"))
+    val wRank = Window
+      .partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    prio
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= grpK)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("w")).as("sum_w"),
+        min(col("priority")).as("min_priority"))
+      .orderBy(col("source"))
+  }
+
+  val groupedSampleSql: String =
+    s"""SELECT source, count(*) AS n_sampled,
+       |CAST(SUM(w) AS BIGINT) AS sum_w, min(priority) AS min_priority
+       |FROM (
+       |  SELECT source, w, priority,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY priority DESC, doc_id ASC) AS rk
+       |  FROM (
+       |    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+       |      (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+       |        CAST(${sqlH32(prioSeed, "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |        AS priority
+       |    FROM documents))
+       |WHERE rk <= $grpK
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stratified_sample" -> stratifiedSample,
-    "q_weighted_sample" -> weightedSample
+    "q_weighted_sample" -> weightedSample,
+    "q_grouped_sample" -> groupedSample
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_stratified_sample" -> stratifiedSampleSql,
-    "q_weighted_sample" -> weightedSampleSql
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_grouped_sample" -> groupedSampleSql
   )
 }

@@ -818,9 +818,140 @@ object Temporal {
        |    ON v.v_s < er.e_e AND er.e_s < v.v_e)
        |GROUP BY day_idx ORDER BY day_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_session_funnel — conversion WITHIN session boundaries: sessions
+  // are 30-min-gap bounded per user (the q_window_session rule), a
+  // session converts when a 'view' is strictly followed (by event time)
+  // by a 'purchase' in the SAME session — the metric product funnels
+  // actually report (cross-session conversions credit nothing). Per day
+  // of session start: sessions, converted sessions, exact conversion
+  // percent (integer counts, one exact-operand division). One shuffle
+  // on user_id for sessionization, one on the day for the rollup.
+  // ---------------------------------------------------------------------
+  val sessionFunnel: Q = (s, d) => {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables
+      .events(s, d)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        (col("prev_us").isNull ||
+          col("t_us") - col("prev_us") > SessionGapUs).cast("long"))
+      .withColumn(
+        "session_no",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = e
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("t_us")).as("s_start"),
+        min(when(col("event_type") === "view", col("t_us"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("t_us")))
+          .as("last_purchase"))
+    sessions
+      .groupBy(expr(s"s_start div $DayUs").as("day_idx"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(
+          when(col("first_view") < col("last_purchase"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn(
+        "conversion_pct",
+        (col("n_converted") * 100L).cast("double") /
+          col("n_sessions").cast("double"))
+      .orderBy(col("day_idx"))
+  }
+
+  val sessionFunnelSql: String =
+    s"""SELECT s_start // $DayUs AS day_idx,
+       |  count(*) AS n_sessions,
+       |  CAST(SUM(CASE WHEN first_view < last_purchase THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_converted,
+       |  CAST(CAST(SUM(CASE WHEN first_view < last_purchase THEN 1 ELSE 0 END)
+       |       AS BIGINT) * 100 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS conversion_pct
+       |FROM (
+       |  SELECT user_id, session_no,
+       |    min(t_us) AS s_start,
+       |    min(CASE WHEN event_type = 'view' THEN t_us END) AS first_view,
+       |    max(CASE WHEN event_type = 'purchase' THEN t_us END) AS last_purchase
+       |  FROM (
+       |    SELECT user_id, event_type, t_us,
+       |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS session_no
+       |    FROM (
+       |      SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+       |        CASE WHEN lag(epoch_us(ts), 1) OVER (
+       |               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |             OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+       |               PARTITION BY user_id ORDER BY ts, event_id)
+       |               > $SessionGapUs
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM events))
+       |  GROUP BY user_id, session_no)
+       |GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_rolling_active — DAU and trailing-7-day WAU per day, the
+  // stickiness metric (DAU/WAU) of every product dashboard. A rolling
+  // COUNT(DISTINCT) admits no window frame, so the scalable shape is:
+  // distinct (day, user) pairs ONCE, each expanded to the ≤7 target
+  // days it keeps the user active for (bounded fan-out — the
+  // q_window_sliding discipline), then one distinct-count per target
+  // day, restricted to days that actually exist in the data. Exact
+  // integers; the stickiness ratio is one exact-operand division.
+  // ---------------------------------------------------------------------
+  val rollingActive: Q = (s, d) => {
+    val du = Tables
+      .events(s, d)
+      .select(
+        expr(s"unix_micros(ts) div $DayUs").as("day"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    val expanded = du
+      .withColumn("target_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "target_day"), Seq("target_day"), "left_semi")
+    val wau = expanded
+      .groupBy(col("target_day").as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = du
+      .groupBy(col("day").as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    dau
+      .join(wau, Seq("day_idx"))
+      .withColumn(
+        "stickiness_pct",
+        (col("dau") * 100L).cast("double") / col("wau").cast("double"))
+      .orderBy(col("day_idx"))
+  }
+
+  val rollingActiveSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM du),
+       |expanded AS (
+       |  SELECT du.day + o.off AS target_day, du.user_id
+       |  FROM du, (SELECT unnest(range(0, 7)) AS off) o
+       |  WHERE du.day + o.off IN (SELECT day FROM days)),
+       |wau AS (SELECT target_day AS day_idx, count(DISTINCT user_id) AS wau
+       |        FROM expanded GROUP BY 1),
+       |dau AS (SELECT day AS day_idx, count(DISTINCT user_id) AS dau
+       |        FROM du GROUP BY 1)
+       |SELECT d.day_idx, d.dau, w.wau,
+       |  CAST(d.dau * 100 AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness_pct
+       |FROM dau d JOIN wau w ON d.day_idx = w.day_idx
+       |ORDER BY d.day_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_attribution" -> attribution,
     "q_concurrency" -> concurrency,
+    "q_session_funnel" -> sessionFunnel,
+    "q_rolling_active" -> rollingActive,
     "q_interval_join" -> intervalJoin,
     "q_funnel" -> funnel,
     "q_decay_features" -> decayFeatures,
@@ -840,6 +971,8 @@ object Temporal {
   val oracleSql: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
     "q_concurrency" -> concurrencySql,
+    "q_session_funnel" -> sessionFunnelSql,
+    "q_rolling_active" -> rollingActiveSql,
     "q_interval_join" -> intervalJoinSql,
     "q_funnel" -> funnelSql,
     "q_decay_features" -> decayFeaturesSql,

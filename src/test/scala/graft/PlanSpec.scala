@@ -153,6 +153,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"decay features re-shuffles ($exchanges Exchanges):\n$plan")
   }
 
+  test("grouped sample keeps k rows per stratum map-side (WindowGroupLimit)") {
+    // the per-group rank<=k filter must reach below the shuffle — a
+    // stratum's full row stream must never ship to rank 10 survivors
+    val plan = executed(ops.Sampling.groupedSample(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("weighted sample takes a bounded top-k head, never a global sort") {
     // priority sampling is orderBy(priority).limit(k): the plan must run
     // it as TakeOrderedAndProject (per-partition k-heads merged on the
