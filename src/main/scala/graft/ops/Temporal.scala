@@ -392,6 +392,69 @@ object Temporal {
        |GROUP BY f.cohort ORDER BY f.cohort""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_cohort_ltv — the retention matrix's REVENUE dimension: per
+  // signup-week cohort (first-seen week), cumulative purchase revenue
+  // realized within 0, 1 and 2 weeks of cohort entry — the
+  // lifetime-value curve growth teams steer by. Cohorting reuses the
+  // min-over-user first-touch shape; revenue is decimal-exact and the
+  // within-k-weeks columns are CUMULATIVE (w1 includes w0 — LTV curves
+  // are monotone), so a single conditional-sum aggregate emits the
+  // whole curve in one pass over purchases.
+  // ---------------------------------------------------------------------
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  val cohortLtv: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .withColumn("wk", expr(s"unix_micros(ts) div $WeekUs"))
+    val first = e
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .withColumn("k", col("wk") - col("cohort_wk"))
+    val sizes = first
+      .groupBy(col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    purchases
+      .groupBy(col("cohort_wk"))
+      .agg(
+        dsum(when(col("k") <= 0, col("value"))).as("rev_w0"),
+        dsum(when(col("k") <= 1, col("value"))).as("rev_w1"),
+        dsum(when(col("k") <= 2, col("value"))).as("rev_w2"),
+        countDistinct(when(col("k") <= 2, col("user_id"))).as("buyers_w2"))
+      .join(sizes, Seq("cohort_wk"))
+      .select(
+        col("cohort_wk"),
+        col("cohort_size"),
+        col("rev_w0"),
+        col("rev_w1"),
+        col("rev_w2"),
+        col("buyers_w2"))
+      .orderBy(col("cohort_wk"))
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, value, epoch_us(ts) // $WeekUs AS wk
+       |  FROM events),
+       |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+       |sizes AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+       |          FROM f GROUP BY cohort_wk),
+       |p AS (
+       |  SELECT f.cohort_wk, e.user_id, e.value, e.wk - f.cohort_wk AS k
+       |  FROM e JOIN f ON e.user_id = f.user_id
+       |  WHERE e.event_type = 'purchase')
+       |SELECT p.cohort_wk, s.cohort_size,
+       |  ${sqlDsum("CASE WHEN k <= 0 THEN value END")} AS rev_w0,
+       |  ${sqlDsum("CASE WHEN k <= 1 THEN value END")} AS rev_w1,
+       |  ${sqlDsum("CASE WHEN k <= 2 THEN value END")} AS rev_w2,
+       |  count(DISTINCT CASE WHEN k <= 2 THEN p.user_id END) AS buyers_w2
+       |FROM p JOIN sizes s ON p.cohort_wk = s.cohort_wk
+       |GROUP BY p.cohort_wk, s.cohort_size ORDER BY p.cohort_wk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_resample_fill — time-series RESAMPLE + forward fill: each user's
   // event stream resampled onto an hourly spine from their first to
   // their last active hour, gaps carrying the last observed value
@@ -956,6 +1019,7 @@ object Temporal {
     "q_funnel" -> funnel,
     "q_decay_features" -> decayFeatures,
     "q_retention" -> retention,
+    "q_cohort_ltv" -> cohortLtv,
     "q_session_paths" -> sessionPaths,
     "q_transitions" -> transitions,
     "q_resample_fill" -> resampleFill,
@@ -977,6 +1041,7 @@ object Temporal {
     "q_funnel" -> funnelSql,
     "q_decay_features" -> decayFeaturesSql,
     "q_retention" -> retentionSql,
+    "q_cohort_ltv" -> cohortLtvSql,
     "q_session_paths" -> sessionPathsSql,
     "q_transitions" -> transitionsSql,
     "q_resample_fill" -> resampleFillSql,
