@@ -567,6 +567,44 @@ object Streams {
        |GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_stream_parquet_sink — the PRODUCTION FILE SINK under the oracle
+  // gate: the same watermarked append-mode tumbling aggregation, but
+  // written to a parquet directory with a checkpointed exactly-once
+  // file-commit log (_spark_metadata) instead of the memory-sink
+  // harness — sink semantics themselves under test: only files recorded
+  // in the commit log are the query's output, a torn write never
+  // surfaces, and re-reading the directory through the committed
+  // manifest yields exactly the watermark-eligible windows (same twin
+  // as q_stream_append). Fresh sink+checkpoint dirs per invocation:
+  // Bench runs every query twice, and an append sink would otherwise
+  // double its rows.
+  // ---------------------------------------------------------------------
+  val streamParquetSink: (SparkSession, String) => DataFrame = (s, d) => {
+    val n = gateN.incrementAndGet()
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_psink_$n")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = tumblingCounts(eventsStream(s, d)).writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read
+      .parquet(s"$base/out") // resolved via the _spark_metadata commit log
+      .select(
+        expr(s"unix_micros(win_start) div $HourUs").as("hour_idx"),
+        col("event_type"),
+        col("n"),
+        col("value_total"))
+      .orderBy(col("hour_idx"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
   // q_stream_enrich — STREAM-STATIC enrichment under the oracle gate:
   // the purchases stream joined to the static customer dimension
   // (user_id = c_custkey) and aggregated per (hour window, market
@@ -1920,6 +1958,7 @@ object Streams {
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
     "q_stream_append" -> streamTumblingAppend,
+    "q_stream_parquet_sink" -> streamParquetSink,
     "q_stream_enrich" -> streamEnrichGated,
     "q_stream_session" -> streamSessionGated,
     "q_stream_join" -> streamJoinGated,
@@ -1944,6 +1983,7 @@ object Streams {
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,
     "q_stream_append" -> streamTumblingAppendSql,
+    "q_stream_parquet_sink" -> streamTumblingAppendSql,
     "q_stream_enrich" -> streamEnrichGatedSql,
     "q_stream_session" -> streamSessionGatedSql,
     "q_stream_join" -> streamJoinGatedSql,

@@ -234,4 +234,41 @@ class SourcesSpec extends SparkSpec {
       .map { case (k, rows) => k -> rows.map(_.getLong(1)).toSeq }
     assert(viaAgg == viaWindow)
   }
+
+  test("corrupt parquet part file: loud failure by default, auditable skip on opt-in") {
+    // a torn write / bad disk block in ONE of a table's thousands of
+    // files must not silently poison the read. Default: the scan FAILS.
+    // With spark.sql.files.ignoreCorruptFiles the intact files' rows
+    // survive — an explicit, documented trade the operator opts into.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val half1 = Tables.nation(spark, sf).filter(col("n_nationkey") < 13)
+    val half2 = Tables.nation(spark, sf).filter(col("n_nationkey") >= 13)
+    half1.coalesce(1).write.mode("overwrite").parquet(s"$dir/p1")
+    half2.coalesce(1).write.mode("overwrite").parquet(s"$dir/p2")
+    val table = java.nio.file.Paths.get(s"$dir/t")
+    java.nio.file.Files.createDirectories(table)
+    val p1 = new java.io.File(s"$dir/p1").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val p2 = new java.io.File(s"$dir/p2").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(p1.toPath, table.resolve("part-good.parquet"))
+    // truncate the second file mid-body: valid magic, torn footer
+    val bytes = java.nio.file.Files.readAllBytes(p2.toPath)
+    java.nio.file.Files.write(
+      table.resolve("part-torn.parquet"),
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val schema = half1.schema
+    intercept[Exception] {
+      spark.read.schema(schema).parquet(table.toString).count()
+    }
+    val survived = spark.read
+      .schema(schema)
+      .option("ignoreCorruptFiles", "true") // per-read opt-in
+      .parquet(table.toString)
+    assert(survived.count() == 13L, "intact file's rows must survive")
+    assert(
+      survived.agg(max(col("n_nationkey"))).head().getAs[Number](0).longValue == 12L,
+      "rows from the torn file leaked into the result")
+  }
 }
