@@ -98,6 +98,24 @@ class DamerauSpec extends SparkSpec {
     spark.catalog.dropTempView("dl_probe")
   }
 
+  test("metric properties: identity, symmetry, triangle inequality") {
+    // UNRESTRICTED Damerau-Levenshtein is a true metric (the restricted
+    // OSA variant famously is NOT: d("ca","ac")+d("ac","abc") < its
+    // d("ca","abc")=3) — violating the triangle inequality here would
+    // mean the implementation drifted to the wrong variant
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val strs = vectors.flatMap { case (a, b, _) => Seq(a, b) }.distinct
+    def dist(a: String, b: String): Int =
+      DamerauLevenshtein.distance(u(a), u(b))
+    strs.foreach(a => assert(dist(a, a) == 0, s"d($a,$a) != 0"))
+    // triangle over a systematic sample of triples (full cube is 50^3)
+    val sample = strs.take(14)
+    for (a <- sample; b <- sample; c <- sample)
+      assert(
+        dist(a, c) <= dist(a, b) + dist(b, c),
+        s"triangle violated: d($a,$c) > d($a,$b) + d($b,$c)")
+  }
+
   test("null contract: NULL iff either side is NULL") {
     import spark.implicits._
     val df = Seq(
