@@ -1010,7 +1010,52 @@ object Temporal {
        |FROM dau d JOIN wau w ON d.day_idx = w.day_idx
        |ORDER BY d.day_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_seasonality — the cyclic hour-of-day activity profile per event
+  // type: the seasonality baseline every anomaly detector and capacity
+  // planner subtracts before looking at residuals. Unlike the calendar
+  // windows (tumbling/sliding), the group key is CYCLIC (hour mod 24),
+  // folding 30 days onto one daily curve. Counts exact, value averages
+  // decimal-exact; share-of-type is an exact-operand division.
+  // ---------------------------------------------------------------------
+  val seasonality: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .withColumn("hod", expr(s"(unix_micros(ts) div $HourUs) % 24"))
+    val totals = e
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_total"))
+    e.groupBy(col("event_type"), col("hod"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn(
+        "share_pct",
+        (col("n") * 100L).cast("double") / col("type_total").cast("double"))
+      .select(
+        col("event_type"),
+        col("hod"),
+        col("n"),
+        col("avg_value"),
+        col("share_pct"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val seasonalitySql: String =
+    s"""SELECT e.event_type, e.hod, e.n, e.avg_value,
+       |  CAST(e.n * 100 AS DOUBLE) / CAST(t.type_total AS DOUBLE) AS share_pct
+       |FROM (
+       |  SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS hod,
+       |    count(*) AS n, ${sqlDavg("value")} AS avg_value
+       |  FROM events GROUP BY 1, 2) e
+       |JOIN (SELECT event_type, count(*) AS type_total
+       |      FROM events GROUP BY 1) t
+       |  ON e.event_type = t.event_type
+       |ORDER BY e.event_type, e.hod""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_seasonality" -> seasonality,
     "q_attribution" -> attribution,
     "q_concurrency" -> concurrency,
     "q_session_funnel" -> sessionFunnel,
@@ -1033,6 +1078,7 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonality" -> seasonalitySql,
     "q_attribution" -> attributionSql,
     "q_concurrency" -> concurrencySql,
     "q_session_funnel" -> sessionFunnelSql,
