@@ -90,11 +90,26 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's bounded stdout-tail capture has truncated the long
+    // per-query line EVERY round (`parsed: null`, ~79 of 216 entries
+    // retained) — so the complete artifact is also WRITTEN to a file,
+    // making the bench self-contained regardless of capture limits.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"bench_file","path":"$outPath","n_queries":${results.size}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] write $outPath failed: ${e.getMessage}")
+    }
     // Bracket the long per-query line with the SHORT summary on both sides:
     // whichever end of the stream the driver's capture keeps, one complete
     // parseable line survives.
     println(summary)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(full)
     println(summary)
     spark.stop()
   }

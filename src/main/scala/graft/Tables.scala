@@ -108,7 +108,18 @@ object Tables {
       case DOUBLE => DoubleType
       case FLOAT => FloatType
       case BOOLEAN => BooleanType
-      case BINARY => StringType // all binary columns here carry String annotation
+      case BINARY =>
+        // Only STRING-annotated binary is safe to surface as StringType; a
+        // decimal- or raw-binary-annotated column on the nanos-group read
+        // path would be silently misdecoded, so fail like the other
+        // unsupported primitives instead.
+        f.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => StringType
+          case ann =>
+            throw new IllegalArgumentException(
+              s"loadAdaptive: unsupported BINARY annotation $ann for ${f.getName} " +
+                "(only STRING-annotated binary takes the adaptive path)")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"loadAdaptive: unsupported primitive $other for ${f.getName} " +
@@ -139,6 +150,7 @@ object Tables {
     import scala.jdk.CollectionConverters._
     val path = s"$dir/$name.parquet"
     val footers = footerSchemas(spark, path)
+    require(footers.nonEmpty, s"loadAdaptive: no parquet data files under $path")
     def nanosColsOf(schema: MessageType): Seq[PrimitiveType] =
       schema.getFields.asScala.map(_.asPrimitiveType())
         .filter(f => tsAnnotation(f).exists(_.getUnit == TimeUnit.NANOS))

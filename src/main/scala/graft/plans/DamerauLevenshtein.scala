@@ -28,8 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Cost/contract: O(|a|·|b|) time AND space per pair (the full matrix is
   * required — the transposition recurrence reaches back to arbitrary
   * earlier rows via the last-occurrence index, so the two-row trick of
-  * plain Levenshtein does not apply). Callers must cap compared prefixes
-  * the same way the q_edit_distance lane does. Distance is measured in
+  * plain Levenshtein does not apply). Inputs longer than
+  * [[DamerauLevenshtein.MaxLen]] fail with a clear runtime error rather
+  * than OOM-ing an executor; cap compared prefixes the way the
+  * q_edit_distance lane does. Distance is measured in
   * UTF-16 code units, identical to codepoints on the BMP; the query
   * lanes feed normalized ASCII, where Spark and DuckDB agree char-for-
   * char. Null contract: NULL iff either input is NULL.
@@ -80,11 +82,26 @@ object DamerauLevenshtein {
     * the transposed pair, which is what distinguishes the unrestricted
     * variant from optimal string alignment.
     */
+  /** Hard per-input length bound: the kernel allocates a full
+    * (n+2)×(m+2) int matrix per ROW, so unbounded ad-hoc SQL over long
+    * document text would OOM an executor (2048² ≈ 17 MB per evaluation ×
+    * one per task thread is the ceiling we accept). Edit distance over
+    * longer text is the wrong tool anyway — prefix-cap with
+    * `substring(col, 1, k)` (in-repo callers cap at 24) or use the
+    * shingle/MinHash lanes.
+    */
+  val MaxLen: Int = 2048
+
   def distance(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
     val b = ub.toString
     val n = a.length
     val m = b.length
+    if (n > MaxLen || m > MaxLen)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: input length ${math.max(n, m)} exceeds the " +
+          s"$MaxLen-char bound (O(n*m) matrix per row); prefix-cap with " +
+          "substring(col, 1, k) or use the shingle/MinHash similarity lanes")
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m

@@ -126,6 +126,13 @@ object MergeSink {
     }
   }
 
+  /** Bucket count recorded in a committed version's manifest header —
+    * the writer's hash modulus, which any pruning reader (the DSv2
+    * source, pointLookup) must reuse exactly.
+    */
+  def bucketCount(spark: SparkSession, dir: String, version: Long): Int =
+    numBuckets(spark, dir, version)
+
   private def numBuckets(spark: SparkSession, dir: String, version: Long): Int = {
     val (fs, p) = fsOf(spark, dir)
     val mf = new Path(p, s"_manifest_v$version")

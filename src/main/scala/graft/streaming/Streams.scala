@@ -1476,6 +1476,152 @@ object Streams {
       |GROUP BY change ORDER BY change""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_dsv2_lookup — the bucket-pruned point lookup THROUGH THE DSv2
+  // SOURCE: the same two-commit merge table as q_merge_point, read back
+  // with spark.read.format("graft-merge") and a plain .isin filter. The
+  // connector's ScanBuilder (SupportsPushDownFilters) receives the In
+  // predicate from Catalyst, hashes the keys with the writer's bucket
+  // function, and plans ONLY those buckets' files — q_merge_point's
+  // pruning moved INTO the source, driven by the optimizer instead of a
+  // library call (PlanSpec asserts planned files < manifest files).
+  // Same oracle as q_merge_point: the looked-up rows are each key's
+  // latest-by-seq state.
+  // ---------------------------------------------------------------------
+  val dsv2LookupGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "dv")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "dv")
+    s.read.format("graft-merge")
+      .option("path", table)
+      .option("key", "user_id")
+      .load()
+      .filter(col("user_id").isin(PointIds: _*))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val dsv2LookupGatedSql: String = mergePointGatedSql
+
+  // ---------------------------------------------------------------------
+  // q_dsv2_changes — the commit log REPLAYED AS A STREAM through the
+  // DSv2 MicroBatchStream (the reference WAL's ordered replay dual,
+  // log_mgr.clj:16-33): the same CDC merge table as q_merge_changes,
+  // then readStream.format("graft-merge").option("cdc","true") replays
+  // every committed version's written buckets (tagged _version/_bucket,
+  // tombstones retained) into a memory sink under AvailableNow. The
+  // batch post-pass folds the replayed epochs back into the last-two-
+  // snapshot change feed — per-key insert/update/delete — and must
+  // match q_merge_changes' declarative oracle exactly: replaying the
+  // log reconstructs precisely what the snapshot diff computes.
+  // ---------------------------------------------------------------------
+  val dsv2ChangesGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_cdc_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "dv2")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "dv2")
+    val name = s"graft_stream_dsv2_${gateN.incrementAndGet()}"
+    val q = s.readStream
+      .format("graft-merge")
+      .option("path", table)
+      .option("cdc", "true")
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_dsv2_ck").toString)
+      .start()
+    q.awaitTermination()
+    val log = s.table(name)
+    // Fold the replay into the change feed between the last two
+    // versions: a bucket's content "as of prev" is its rows at the
+    // highest replayed version below the head — the log IS the history.
+    val vmax = log.agg(max(col("_version"))).head().getLong(0)
+    // both join sides derive from the same memory-sink view: rename the
+    // bucket key on the derived frames so the self-join resolves
+    val newBuckets = log
+      .filter(col("_version") === lit(vmax))
+      .select(col("_bucket").as("nbk"))
+      .distinct()
+    val prevPerBucket = log
+      .filter(col("_version") < lit(vmax))
+      .groupBy(col("_bucket").as("pbk"))
+      .agg(max(col("_version")).as("pv"))
+    def visible(df: DataFrame): DataFrame =
+      df.filter(!coalesce(col(MergeSink.DeletedCol), lit(false)))
+    val newSide = visible(log.filter(col("_version") === lit(vmax)))
+      .select(
+        col("user_id").as("n_user_id"),
+        col("event_id").as("n_event_id"),
+        col("value").as("n_value"))
+    val oldSide = visible(
+      log
+        .join(prevPerBucket,
+          col("_bucket") === col("pbk") && col("_version") === col("pv"))
+        .join(newBuckets, col("_bucket") === col("nbk"), "left_semi"))
+      .select(
+        col("user_id").as("o_user_id"),
+        col("event_id").as("o_event_id"),
+        col("value").as("o_value"))
+    oldSide
+      .join(newSide, col("o_user_id") === col("n_user_id"), "full_outer")
+      .select(
+        when(col("o_user_id").isNull, "insert")
+          .when(col("n_user_id").isNull, "delete")
+          .when(
+            !(col("o_event_id") <=> col("n_event_id")) ||
+              !(col("o_value") <=> col("n_value")),
+            "update")
+          .as("change"),
+        coalesce(col("n_event_id"), col("o_event_id")).as("event_id"),
+        when(col("n_user_id").isNull, col("o_value"))
+          .otherwise(col("n_value"))
+          .as("value"))
+      .filter(col("change").isNotNull)
+      .groupBy(col("change"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("change"))
+  }
+
+  val dsv2ChangesGatedSql: String = mergeChangesGatedSql
+
+  // ---------------------------------------------------------------------
   // q_stream_quantiles — the mergeable LogHistogram sketch as STREAMING
   // STATE: per-hour windowed histograms of event cents with the
   // q_stream_append watermark/emission contract, quantiles picked from
@@ -1953,6 +2099,8 @@ object Streams {
     "q_stream_topk" -> streamTopkGated,
     "q_merge_point" -> mergePointGated,
     "q_merge_changes" -> mergeChangesGated,
+    "q_dsv2_lookup" -> dsv2LookupGated,
+    "q_dsv2_changes" -> dsv2ChangesGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
@@ -1978,6 +2126,8 @@ object Streams {
     "q_stream_topk" -> streamTopkGatedSql,
     "q_merge_point" -> mergePointGatedSql,
     "q_merge_changes" -> mergeChangesGatedSql,
+    "q_dsv2_lookup" -> dsv2LookupGatedSql,
+    "q_dsv2_changes" -> dsv2ChangesGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,

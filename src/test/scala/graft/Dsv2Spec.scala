@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.GraftMergeScan
+import graft.streaming.MergeSink
+
+/** The `graft-merge` DataSourceV2 connector: pushdown-driven bucket
+  * pruning on the batch path, commit-log replay on the streaming path,
+  * schema reconciliation and tombstone semantics on both.
+  */
+class Dsv2Spec extends SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("dsv2_spec_tbl").toString
+
+  private def seedTwoCommits(table: String): Unit = {
+    val e = Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "ds")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "ds")
+  }
+
+  test("batch read equals currentState (snapshot semantics)") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val viaSource = spark.read
+      .format("graft-merge").option("path", table).load()
+    val viaLib = MergeSink.currentState(spark, table).get
+    assert(viaSource.schema.fieldNames.sorted.sameElements(
+      viaLib.schema.fieldNames.sorted))
+    val a = viaSource.select("user_id", "event_id").orderBy("user_id").collect()
+    val b = viaLib.select("user_id", "event_id").orderBy("user_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("key predicate pushes down and prunes bucket files") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val keys = Seq(1L, 3L)
+    val df = spark.read
+      .format("graft-merge")
+      .option("path", table)
+      .option("key", "user_id")
+      .load()
+      .filter(col("user_id").isin(keys: _*))
+    val scan = df.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r.scan }
+      .get.asInstanceOf[GraftMergeScan]
+    val (planned, total) = scan.fileCounts
+    assert(planned > 0, "pruned scan planned no files")
+    assert(planned < total,
+      s"no pruning: planned $planned of $total bucket files")
+    assert(scan.description().contains("pushed=[In(user_id"),
+      s"pushed filter missing from scan description: ${scan.description()}")
+    // pruning must not lose rows: same answer as the unpruned read
+    val expected = spark.read.format("graft-merge").option("path", table).load()
+      .filter(col("user_id").isin(keys: _*))
+      .orderBy("user_id").collect()
+    assert(df.orderBy("user_id").collect().sameElements(expected))
+  }
+
+  test("column pruning reaches the parquet projection") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val df = spark.read.format("graft-merge").option("path", table).load()
+      .select("user_id")
+    val scan = df.queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r.scan }
+      .get
+    assert(scan.readSchema().fieldNames.sameElements(Array("user_id")),
+      s"projection not pruned: ${scan.readSchema()}")
+  }
+
+  test("streaming replay emits every committed version's written buckets") {
+    val table = freshTable()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "dsr")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "dsr")
+    val name = "dsv2_spec_replay"
+    val q = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.table(name)
+    // every committed version appears, tombstones are RETAINED in replay
+    val versions = log.select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val committed = MergeSink.commits(spark, table).map(_.version).sorted
+    assert(versions.sameElements(committed),
+      s"replayed $versions vs committed $committed")
+    assert(log.filter(col(MergeSink.DeletedCol)).count() > 0,
+      "replay hid tombstones — the log must carry them")
+    // v1's rows are exactly the touched buckets' post-merge content
+    val v1 = committed.max
+    val v1Rows = log.filter(col("_version") === v1)
+    val touched = v1Rows.select("_bucket").distinct().count()
+    assert(touched > 0 && touched <= MergeSink.DefaultBuckets)
+    spark.catalog.dropTempView(name)
+  }
+
+  test("schema reconciliation: pre-CDC files read __deleted as null") {
+    val table = freshTable()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    // commit 0 WITHOUT the tombstone column, commit 1 with it
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "dm")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .withColumn(MergeSink.DeletedCol, lit(false)),
+      table, "user_id", "event_id", 1L, "dm")
+    val name = "dsv2_spec_mixed"
+    val q = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.table(name)
+    // v0 files lack __deleted: the reader must surface NULL, not fail
+    assert(log.filter(col("_version") === 0 && col(MergeSink.DeletedCol).isNull)
+      .count() > 0, "absent column did not read as null")
+    spark.catalog.dropTempView(name)
+  }
+
+  test("batch read hides tombstoned keys") {
+    val table = freshTable()
+    val s2 = spark
+    import s2.implicits._
+    MergeSink.upsertBatch(
+      Seq((1L, 10L, false), (2L, 11L, false)).toDF("k", "seq", MergeSink.DeletedCol),
+      table, "k", "seq", 0L, "dt")
+    MergeSink.upsertBatch(
+      Seq((2L, 20L, true)).toDF("k", "seq", MergeSink.DeletedCol),
+      table, "k", "seq", 1L, "dt")
+    val rows = spark.read.format("graft-merge").option("path", table).load()
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(rows.sameElements(Array(1L)), s"tombstone visible: ${rows.toSeq}")
+  }
+
+  test("q_dsv2_changes lane equals the library change feed") {
+    val changes = streaming.Streams.dsv2ChangesGated(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaLib = streaming.Streams.mergeChangesGated(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(changes.sameElements(viaLib),
+      s"replay-derived feed ${changes.toSeq} != snapshot diff ${viaLib.toSeq}")
+  }
+}

@@ -121,13 +121,19 @@ class SkewSpec extends SparkSpec {
     assert(naive.nonEmpty, "degenerate fixture: no overlaps at all")
     // the boundary-touch case: a_e == b_s for (a_id=12, b_id=0) by
     // construction (12*25M + 300M == 0*30M + 300M + 300M? verify on data)
-    val touches = a.crossJoin(b).filter(col("a_e") === col("b_s")).count()
-    if (touches > 0)
-      assert(naive.intersect(
-        a.crossJoin(b).filter(col("a_e") === col("b_s"))
-          .select(col("a_id"), col("b_id")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet).isEmpty,
-        "half-open contract violated: exact boundary touch paired")
+    val touchPairs = a.crossJoin(b)
+      .filter(col("a_e") === col("b_s") || col("b_e") === col("a_s"))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(touchPairs.nonEmpty,
+      "degenerate fixture: no exact boundary touches to exercise")
+    // the BUCKETED implementation must exclude every exact-touch pair —
+    // asserting against `naive` here would be tautological (naive is
+    // built with strict inequalities, so the intersection is empty by
+    // construction and never exercises intervalOverlapPairs)
+    assert(bucketed.intersect(touchPairs).isEmpty,
+      "half-open contract violated: exact boundary touch paired by " +
+        s"intervalOverlapPairs: ${bucketed.intersect(touchPairs).take(5)}")
   }
 }
 
