@@ -1558,6 +1558,21 @@ object Embeddings {
   val similarityIvfPq: Q = (s, d) => {
     val (e, ck2, assigned) = ivfTrainedWith(s, d, ivfpqCentPick, "s13")
     val m = pqLitModel(s, d)
+    similarityIvfPqServe(s, e, ck2, assigned, m)
+  }
+
+  /** The q_similarity_ivfpq SERVING path with the models INJECTED —
+    * shared verbatim between the in-session-trained lane and the
+    * loaded-artifact lane ([[similarityIvfPqLoaded]]): identical
+    * operators over identical model bits give identical output, which
+    * is exactly the artifact roundtrip contract the gate pins.
+    */
+  private def similarityIvfPqServe(
+      s: SparkSession,
+      e: DataFrame,
+      ck2: DataFrame,
+      assigned: DataFrame,
+      m: PqLitModel): DataFrame = {
     val q = querySample(e).select(
       col("vec_id").as("query_id"),
       col("embedding").as("qv"),
@@ -1616,6 +1631,103 @@ object Embeddings {
         col("adc_dist"),
         col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // PERSISTED MODEL ARTIFACTS — the missing half of the index-build/
+  // serve split: the per-JVM registry dies with the session, but a
+  // production ANN service trains once and SERVES FROM A STORED
+  // ARTIFACT across restarts and across machines. Both models persist
+  // as plain parquet (integers and doubles only — the training math is
+  // quantized-integer / exact-double by design, so the roundtrip is
+  // bit-exact by construction, not by luck):
+  //   <path>/ivf_centroids   (cent_id, cv array<double>, cnrm2)
+  //   <path>/pq_codebook     (sub, j, cq array<long>)
+  // q_similarity_ivfpq_loaded proves the contract end-to-end: train →
+  // save → load → serve through the IDENTICAL serving operators → the
+  // same oracle as q_similarity_ivfpq hash-matches. ModelStoreSpec adds
+  // the restart semantics (a load bypasses the registry entirely — a
+  // fresh JVM runs zero training jobs).
+  // ---------------------------------------------------------------------
+
+  /** Train (or registry-serve) and persist the ANN serving artifacts
+    * for dataset `d` under `path`.
+    */
+  def saveAnnModel(s: SparkSession, d: String, path: String): Unit = {
+    val e = checked(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+    val ck2 = km2Cached(s, d, "s13", e, ivfpqCentPick)
+    ck2
+      .repartition(1) // O(centroidCap) rows — one file is the artifact
+      .write.mode("overwrite").parquet(s"$path/ivf_centroids")
+    val m = pqLitModel(s, d)
+    val rows = for {
+      sb <- 0 until pqM
+      slot <- m.js(sb).indices
+    } yield (sb, m.js(sb)(slot), m.cq(sb)(slot).toSeq)
+    import s.implicits._
+    rows.toDF("sub", "j", "cq")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/pq_codebook")
+  }
+
+  /** Load the persisted centroid frame (driver-materialized literal,
+    * exactly the shape the registry serves).
+    */
+  private def loadIvfCentroids(s: SparkSession, path: String): DataFrame =
+    kmMaterialize(
+      s,
+      s.read.parquet(s"$path/ivf_centroids")
+        .select(col("cent_id"), col("cv"), col("cnrm2"))
+        .orderBy(col("cent_id")))
+
+  private def loadPqModel(s: SparkSession, path: String): PqLitModel = {
+    val rows = s.read.parquet(s"$path/pq_codebook")
+      .select(col("sub"), col("j"), col("cq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .toSeq
+    val bySub = rows.groupBy(_._1)
+    val js = Array.tabulate(pqM)(sb =>
+      bySub.getOrElse(sb, Nil).map(_._2).sorted.toArray)
+    val cq = Array.tabulate(pqM) { sb =>
+      val m = bySub.getOrElse(sb, Nil).map(r => r._2 -> r._3).toMap
+      js(sb).map(m)
+    }
+    PqLitModel(js, cq)
+  }
+
+  /** q_similarity_ivfpq_loaded — the full artifact lifecycle under the
+    * oracle gate: save (train on registry miss), load from parquet,
+    * serve through [[similarityIvfPqServe]]. Must hash-match
+    * q_similarity_ivfpq's oracle exactly — the loaded bits ARE the
+    * trained bits.
+    */
+  val similarityIvfPqLoaded: Q = (s, d) => {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_artifact")
+      .toString
+    saveAnnModel(s, d, path)
+    serveAnnFrom(s, d, path)
+  }
+
+  /** Serve the IVF+PQ query panel for dataset `d` ENTIRELY from the
+    * artifact at `path` — no registry read, no training job: what a
+    * fresh JVM (or a different serving machine) runs after a restart.
+    */
+  def serveAnnFrom(s: SparkSession, d: String, path: String): DataFrame = {
+    val ck2 = loadIvfCentroids(s, path)
+    val m = loadPqModel(s, path)
+    val e = checked(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val assigned = kmAssign(e, ck2, Seq("vec_id", "embedding", "nrm2"))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(col("nrm2")).as("nrm"),
+        col("cell"))
+    similarityIvfPqServe(s, e, ck2, assigned, m)
   }
 
   val similarityIvfPqSql: String = {
@@ -1723,6 +1835,7 @@ object Embeddings {
   val queries: Map[String, Q] = Map(
     "q_similarity_pq" -> similarityPq,
     "q_similarity_ivfpq" -> similarityIvfPq,
+    "q_similarity_ivfpq_loaded" -> similarityIvfPqLoaded,
     "q_similarity_topk" -> similarityTopk,
     "q_similarity_lsh" -> similarityLsh,
     "q_similarity_ivf" -> similarityIvf,
@@ -1735,6 +1848,7 @@ object Embeddings {
   val oracleSql: Map[String, String] = Map(
     "q_similarity_pq" -> similarityPqSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,
+    "q_similarity_ivfpq_loaded" -> similarityIvfPqSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_similarity_lsh" -> similarityLshSql,
     "q_similarity_ivf" -> similarityIvfSql,

@@ -58,4 +58,63 @@ class BpeSpec extends SparkSpec {
     // must merge two single chars
     assert(pairs.head.length == 3, s"round-0 pair '${pairs.head}'")
   }
+
+  // -------------------------------------------------------------------
+  // Batched trainer (q_bpe_train_batched)
+  // -------------------------------------------------------------------
+
+  test("batched rounds select pairwise symbol-disjoint merges") {
+    val vocab0 = ops.TextPipeline.bpeVocab0(spark, sf)
+    val sel = ops.TextPipeline.bpeBatchSelect(vocab0)
+    assert(sel.nonEmpty)
+    val symsOf = sel.map(_._1.split(' ').toSet)
+    symsOf.combinations(2).foreach { case Array(a, b) =>
+      assert((a & b).isEmpty, s"overlapping batch pairs: $a vs $b")
+    }
+  }
+
+  test("batched == sequential on non-interacting merges (property)") {
+    // a vocab whose top pairs are symbol-DISJOINT by construction:
+    // merging any of them cannot change the others' counts, so the
+    // sequential argmax sequence must equal the batch selection order,
+    // and applying the batch at once must equal applying it stepwise
+    val s2 = spark
+    import s2.implicits._
+    val words = Seq(
+      ("ab", 100L), ("cd", 90L), ("ef", 80L), ("gh", 70L), ("ij", 60L))
+    val vocab0 = words
+      .toDF("word", "cnt")
+      .withColumn(
+        "repr",
+        org.apache.spark.sql.functions
+          .regexp_replace(org.apache.spark.sql.functions.col("word"), "(.)", "$1 "))
+    val batch = ops.TextPipeline.bpeBatchSelect(vocab0)
+    assert(batch.map(_._1).toSeq ==
+      Seq("a b", "c d", "e f", "g h", "i j"))
+    // stepwise: after each single merge, the next argmax (= next batch
+    // selection head) must be the next batch pair — non-interaction
+    var v = vocab0
+    batch.foreach { case (p, w) =>
+      val head = ops.TextPipeline.bpeBatchSelect(v).head
+      assert(head == ((p, w)), s"sequential argmax $head != batch ($p,$w)")
+      v = ops.TextPipeline.bpeBatchApply(v, Seq(p))
+    }
+    // simultaneous apply == stepwise apply, row for row
+    val atOnce = ops.TextPipeline
+      .bpeBatchApply(vocab0, batch.map(_._1).toSeq)
+      .select("word", "repr").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val stepwise =
+      v.select("word", "repr").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(atOnce == stepwise)
+  }
+
+  test("batched trainer reaches 64+ effective merges in 8 rounds") {
+    val stats = ops.TextPipeline.bpeTrainBatched(spark, sf).collect()
+    assert(stats.length == 8, s"${stats.length} rounds")
+    val total = stats.map(_.getLong(1)).sum
+    assert(total >= 64L, s"only $total merges in 8 rounds")
+    // symbol count must shrink by exactly the batch weight each round
+    // (all selected pairs are disjoint, so the sequential exact-shrink
+    // argument applies to the whole batch; doubled pairs excepted)
+  }
 }
