@@ -930,6 +930,137 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
+  // q_semantic_dedup — SemDeDup-class semantic deduplication: the
+  // dedup family's missing modern stage (exact/MinHash/SimHash/n-gram
+  // are LEXICAL; two documents phrased differently but semantically
+  // identical only collide in embedding space). Shape:
+  //   1. candidate pairs from the q_embed_neardup compound blocking
+  //      ((label, hyperplane-bucket) × ndTables — pair work bounded per
+  //      block, never corpus × corpus), kept at cosine > 0.8;
+  //   2. pairs are EDGES; hash-min connected components (the
+  //      q_dup_clusters kernel) resolve transitive semantic clusters —
+  //      pair-level dedup alone drops the a~b, b~c, a≁c chain wrong;
+  //   3. keep-one-per-cluster joined back to DOCUMENTS, total-ordered
+  //      (longest text wins, doc_id breaks ties — the q_dup_clusters
+  //      canonical rule), reported as per-source kept/dropped budgets.
+  // At 100 TB each stage is already proven at its own gate: blocked
+  // pairs (q_embed_neardup), diameter-bounded CC shuffles
+  // (q_dup_clusters), broadcast-scale per-source aggregate.
+  // ---------------------------------------------------------------------
+  /** Cluster threshold, FIXTURE-CALIBRATED: real SemDeDup on real
+    * encoder embeddings sits near 0.95, but the synthetic fixture's
+    * blocked pairs top out at cos ≈ 0.47 (measured) — 0.3 yields
+    * genuine multi-member clusters at every SF. The operator itself is
+    * threshold-agnostic; only this gated lane pins a constant.
+    */
+  private val sdTau = 0.3
+
+  val semanticDedup: Q = (s, d) => {
+    val e0 = checked(s, d)
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+    val e = (0 until ndTables)
+      .foldLeft(e0) { (df, t) =>
+        df.withColumn(
+          s"bkt_$t",
+          lshBucket(col("embedding"), ndBits, embedDim, ndPlaneBase + t * ndBits))
+      }
+      // both sides of every per-table self-join read this frame
+      .localCheckpoint(true)
+    val edges = (0 until ndTables)
+      .map { t =>
+        val a = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("u"),
+          col("embedding").as("v_a"),
+          col("nrm").as("nrm_a"))
+        val b = e.select(
+          col("label"),
+          col(s"bkt_$t").as("bkt"),
+          col("vec_id").as("v"),
+          col("embedding").as("v_b"),
+          col("nrm").as("nrm_b"))
+        a.join(b, Seq("label", "bkt"))
+          .filter(
+            col("u") < col("v") &&
+              fdot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) > sdTau)
+          .select(col("u"), col("v"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    val labels = Graph.connectedComponents(edges)
+    val docs = Tables.documents(s, d)
+    val wKeep = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val dropped = labels
+      .join(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(wKeep))
+      .filter(col("rn") =!= 1)
+    val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val drp = dropped
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(col("n_chars")).as("cd"))
+    base
+      .join(drp, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+        coalesce(col("cd"), lit(0L)).as("chars_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val semanticDedupSql: String = {
+    val bktCols = (0 until ndTables)
+      .map(t =>
+        s"${sqlLshBucket("embedding", ndBits, ndPlaneBase + t * ndBits)} AS bkt_$t")
+      .mkString(", ")
+    val branches = (0 until ndTables)
+      .map(t =>
+        s"""SELECT a.vec_id AS u, c.vec_id AS v
+           |  FROM b a JOIN b c
+           |    ON a.label = c.label AND a.bkt_$t = c.bkt_$t AND a.vec_id < c.vec_id
+           |  WHERE ${sqlCosine("a.embedding", "c.embedding")} > $sdTau""".stripMargin)
+      .mkString("\n  UNION\n  ")
+    s"""WITH RECURSIVE
+       |b AS (SELECT label, vec_id, embedding, $bktCols FROM embeddings),
+       |edges AS (
+       |  $branches),
+       |bi AS (
+       |  SELECT u AS s, v AS dd FROM edges
+       |  UNION ALL SELECT v AS s, u AS dd FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM bi
+       |  UNION
+       |  SELECT b2.dd AS id, r.lab FROM reach r JOIN bi b2 ON b2.s = r.id),
+       |lbl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+       |mk AS (
+       |  SELECT l.id AS doc_id, l.cluster_id, dc.source, dc.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY dc.n_chars DESC, l.id ASC) AS rn
+       |  FROM lbl l JOIN documents dc ON dc.doc_id = l.id),
+       |drp AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(n_chars) AS BIGINT) AS cd
+       |  FROM mk WHERE rn <> 1 GROUP BY source),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source)
+       |SELECT base.source, n_docs,
+       |  coalesce(nd, 0) AS n_dropped,
+       |  n_docs - coalesce(nd, 0) AS n_kept,
+       |  coalesce(cd, 0) AS chars_dropped
+       |FROM base LEFT JOIN drp ON base.source = drp.source
+       |ORDER BY base.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_ivf_kmeans — the TRAINED coarse quantizer the IVF queries' comments
   // promise: two Lloyd iterations from the stride seed, entirely in
   // DataFrame ops, made bit-deterministic (and therefore oracle-exact)
@@ -1841,6 +1972,7 @@ object Embeddings {
     "q_similarity_ivf" -> similarityIvf,
     "q_ann_recall" -> annRecall,
     "q_embed_neardup" -> embedNearDup,
+    "q_semantic_dedup" -> semanticDedup,
     "q_embed_stats" -> embedStats,
     "q_ivf_kmeans" -> ivfKmeans
   )
@@ -1854,6 +1986,7 @@ object Embeddings {
     "q_similarity_ivf" -> similarityIvfSql,
     "q_ann_recall" -> annRecallSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_embed_stats" -> embedStatsSql,
     "q_ivf_kmeans" -> ivfKmeansSql
   )

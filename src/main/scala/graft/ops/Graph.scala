@@ -84,6 +84,11 @@ object Graph {
       .agg(sum(col("label").cast("decimal(38,0)")))
       .head()
       .getDecimal(0)
+    // an empty edge set (every doc its own cluster upstream) is a valid
+    // input: sum over zero labels is NULL, and the loop below would NPE
+    // on compareTo — converged trivially, return the empty label frame
+    if (prevSum == null)
+      return labels.select(col("id"), col("label").as("cluster_id"))
     var converged = false
     var round = 0
     while (!converged && round < maxCcRounds) {

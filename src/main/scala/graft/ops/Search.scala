@@ -247,15 +247,92 @@ object Search {
        |ORDER BY df DESC, term LIMIT $invK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_phrase_search — POSITIONAL postings + exact phrase query, the
+  // other half of a search surface (q_inverted_index stores df/tf and
+  // impact-ordered heads; without positions an exact phrase is not
+  // expressible). Construction is one posexplode + one aggregate:
+  // (term, doc_id) -> sorted position array. A two-word phrase "w1 w2"
+  // then answers WITHOUT touching text: join the two terms' postings
+  // per doc and intersect pos(w1)+1 with pos(w2) — the classic
+  // positional-merge, O(|postings|) per doc, and at 100 TB the join is
+  // two term-key lookups instead of a corpus scan. The phrase itself
+  // is data-derived (the corpus's top bigram by document frequency,
+  // ties lexicographic) so the gate never goes stale on a fixture
+  // regeneration; the DuckDB twin recomputes the same phrase and
+  // counts matches by direct ADJACENCY SCAN over the token lists — two
+  // independent formulations (position intersect vs adjacency) that
+  // must agree exactly.
+  // ---------------------------------------------------------------------
+  val phraseSearch: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint(true) // read by phrase pick AND postings build
+    // positional postings: one explode, one aggregate
+    val postings = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    // the query phrase: top bigram by df (O(1) driver scalar, the
+    // argmax-collect pattern of the BPE lanes)
+    val top = docs
+      .select(explode(wordBigrams(col("toks"))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg").asc)
+      .limit(1)
+      .collect()(0)
+      .getString(0)
+    val Array(w1, w2) = top.split(" ")
+    val p1 = postings
+      .filter(col("term") === w1)
+      .select(col("doc_id"), col("positions").as("p1"))
+    val p2 = postings
+      .filter(col("term") === w2)
+      .select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, Seq("doc_id"))
+      .withColumn(
+        "n_hits",
+        size(array_intersect(transform(col("p1"), p => p + 1), col("p2")))
+          .cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), lit(top).as("phrase"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tb AS (
+       |  SELECT bg, count(*) AS cnt
+       |  FROM (SELECT unnest(${sqlWordBigrams("toks")}) AS bg FROM d)
+       |  WHERE contains(bg, ' ')
+       |  GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 1),
+       |q AS (
+       |  SELECT bg, str_split(bg, ' ')[1] AS w1, str_split(bg, ' ')[2] AS w2
+       |  FROM tb),
+       |hits AS (
+       |  SELECT doc_id, q.bg,
+       |    CAST(len(list_filter(range(1, len(toks)),
+       |      i -> toks[i] = q.w1 AND toks[i + 1] = q.w2)) AS BIGINT) AS n_hits
+       |  FROM d, q)
+       |SELECT doc_id, bg AS phrase, n_hits
+       |FROM hits WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> bm25,
     "q_tfidf_terms" -> tfidfTerms,
-    "q_inverted_index" -> invertedIndex
+    "q_inverted_index" -> invertedIndex,
+    "q_phrase_search" -> phraseSearch
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_tfidf_terms" -> tfidfTermsSql,
-    "q_inverted_index" -> invertedIndexSql
+    "q_inverted_index" -> invertedIndexSql,
+    "q_phrase_search" -> phraseSearchSql
   )
 }
