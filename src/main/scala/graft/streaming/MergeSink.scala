@@ -202,14 +202,6 @@ object MergeSink {
         }
     }
 
-  /** Collapse to one row per key: the row with the highest seq. */
-  private def latestWins(df: DataFrame, key: String, seq: String): DataFrame = {
-    val rest = df.columns.filter(_ != key)
-    df.groupBy(col(key))
-      .agg(max_by(struct(rest.map(col).toIndexedSeq: _*), col(seq)).as("st"))
-      .select(col(key) +: rest.map(c => col(s"st.$c").as(c)): _*)
-  }
-
   /** Registered writer incarnations, ascending by fencing epoch (ties
     * broken by runId — see [[ensureWriter]]).
     */
@@ -321,7 +313,24 @@ object MergeSink {
                 .unionByName(withDeleted(batchC))
             else stored.select(cols.map(col).toIndexedSeq: _*).unionByName(batchC)
           }
-        Some(latestWins(base, key, seq).withColumn("__b", bucketOf))
+        // ONE shuffle does both jobs: partition by bucket up front, then
+        // aggregate on (__b, key) — the bucket is a function of the key,
+        // so the groups are unchanged, and HashPartitioning(__b)
+        // satisfies the aggregate's clustered distribution (no second
+        // exchange). The output stays bucket-partitioned, which is
+        // exactly what publish's one-file-per-bucket write needs; the
+        // former shape (key-shuffled agg + repartition(__b) in publish)
+        // paid the merge row volume through the shuffle twice.
+        val withB = base.withColumn("__b", bucketOf)
+        val rest = withB.columns.filter(c => c != key && c != "__b")
+        Some(
+          withB
+            .repartition(col("__b"))
+            .groupBy(col("__b"), col(key))
+            .agg(max_by(
+              struct(rest.map(col).toIndexedSeq: _*), col(seq)).as("st"))
+            .select(col("__b") +: col(key) +:
+              rest.map(c => col(s"st.$c").as(c)).toIndexedSeq: _*))
       }
 
     publish(spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId)
@@ -348,15 +357,15 @@ object MergeSink {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
     rows.foreach { m =>
-      // data first: one partitioned write of the touched buckets.
-      // Repartition BY BUCKET first: without it every upstream task
-      // writes its own shard of every bucket (tasks × buckets files —
-      // 512 at 32 shuffle partitions); with it a touched bucket is ONE
-      // task writing ONE file, the CoW contract of a bucket as a unit
-      // of O(100 MB-1 GB) at production scale.
+      // data first: one partitioned write of the touched buckets. The
+      // caller guarantees `m` is hash-partitioned by "__b" (upsertBatch
+      // fuses it into the merge aggregate; expireTombstones repartitions
+      // explicitly): a touched bucket is ONE task writing ONE file —
+      // the CoW contract of a bucket as a unit of O(100 MB-1 GB) at
+      // production scale. Without that layout every upstream task would
+      // write its own shard of every bucket (tasks × buckets files).
       val tmp = new Path(p, s"_tmp_v$newV")
-      m.repartition(col("__b"))
-        .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
+      m.write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
       touched.toSeq.sorted.foreach { b =>
         val src = new Path(tmp, s"__b=$b")
         if (fs.exists(src)) {
@@ -515,6 +524,7 @@ object MergeSink {
           .parquet(touchedPaths: _*)
           .filter(!(coalesce(col(DeletedCol), lit(false)) && col(seq) < lit(horizon)))
           .withColumn("__b", bucketOf)
+          .repartition(col("__b")) // publish expects bucket-partitioned rows
         val newV = c.version + 1
         publish(
           spark, dir, nb, m, touched, Some(kept), newV,
