@@ -95,6 +95,10 @@ class GraftMergeProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftMergeTable(schema, properties.asScala.toMap)
+
+  // writes to a not-yet-committed table must not trip schema inference:
+  // the incoming DataFrame's schema IS the metadata
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 private[graft] object MergeTableUtil {
@@ -203,12 +207,18 @@ private[graft] object MergeTableUtil {
 }
 
 class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-merge `${properties.getOrElse("path", "?")}`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMergeScanBuilder(
@@ -217,6 +227,17 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
       Option(options.get("key")),
       options.getBoolean("cdc", false),
       tableSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    def opt(name: String): String =
+      Option(info.options.get(name))
+        .orElse(properties.get(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-merge write: option '$name' is required (merge semantics)"))
+    new GraftMergeWriteBuilder(opt("path"), opt("key"), opt("seq"), info)
+  }
 }
 
 class GraftMergeScanBuilder(

@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.streaming.MergeSink
+
+/** WRITE side of the `graft-merge` DataSourceV2 connector: MERGE-upsert
+  * semantics through the standard writer APIs —
+  *
+  * {{{
+  *   df.write.format("graft-merge").mode("append")
+  *     .option("path", dir).option("key", "k").option("seq", "v").save()
+  *   df.writeStream.format("graft-merge")
+  *     .option("path", dir).option("key", "k").option("seq", "v")
+  *     .option("checkpointLocation", ck).start()
+  * }}}
+  *
+  * Protocol (the two-phase shape every transactional connector uses):
+  * executor tasks stream rows into per-task parquet files under an
+  * uncommitted staging directory (`_staging_<queryId>/`) — no driver
+  * row movement, no memory accumulation; the driver's `commit()` then
+  * runs the staged data through [[MergeSink.upsertBatch]], which owns
+  * the real transaction (latest-wins merge into touched buckets,
+  * manifest, O(1) visibility marker — the WAL-before-data dual), and
+  * removes the staging dir. `abort()` (driver or task) deletes staged
+  * files: an aborted write leaves the table bit-identical. A replayed
+  * streaming epoch either skips on its (runId, epoch) marker or
+  * re-merges the identical batch — latest-wins is idempotent under
+  * replay either way.
+  *
+  * "append" is the only accepted mode: rows MERGE by key (the table's
+  * semantics); overwrite/ignore would silently mean something else.
+  */
+class GraftMergeWriteBuilder(
+    dir: String,
+    key: String,
+    seq: String,
+    info: LogicalWriteInfo)
+    extends WriteBuilder {
+
+  require(
+    info.schema.fieldNames.contains(key),
+    s"graft-merge write: key column '$key' missing from ${info.schema.fieldNames.mkString(",")}")
+  require(
+    info.schema.fieldNames.contains(seq),
+    s"graft-merge write: seq column '$seq' missing from ${info.schema.fieldNames.mkString(",")}")
+
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"GraftMergeWrite dir=$dir key=$key seq=$seq"
+    override def toBatch: BatchWrite =
+      new GraftMergeBatchWrite(dir, key, seq, info.schema, info.queryId)
+    override def toStreaming: StreamingWrite =
+      new GraftMergeStreamingWrite(dir, key, seq, info.schema, info.queryId)
+  }
+}
+
+private[graft] object MergeWriteUtil {
+
+  def stagingDir(dir: String, queryId: String): String =
+    s"$dir/_staging_$queryId"
+
+  /** Parquet schema for the staged files: flat optional primitives,
+    * the exact inverse of the read side's mapping.
+    */
+  def parquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val fb = f.dataType match {
+        case LongType => b.optional(PrimitiveTypeName.INT64)
+        case IntegerType => b.optional(PrimitiveTypeName.INT32)
+        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType => b.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType =>
+          b.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType())
+        case TimestampType =>
+          b.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case TimestampNTZType =>
+          b.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft-merge write: unsupported type $other for ${f.name} " +
+              "(flat primitive tables only)")
+      }
+      fb.named(f.name)
+    }
+    b.named("graft_merge_staging")
+  }
+
+  /** Driver-side commit: merge the staged files and drop the staging
+    * dir. Files are read with the WRITER's schema (not inference — an
+    * all-null column must keep its declared type).
+    */
+  def commitStaged(
+      dir: String,
+      key: String,
+      seq: String,
+      schema: StructType,
+      queryId: String,
+      epochId: Long,
+      runId: String): Unit = {
+    val spark = SparkSession.active
+    val staging = stagingDir(dir, queryId)
+    val p = new Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).iterator.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
+    fs.delete(p, true)
+  }
+
+  def abortStaged(dir: String, queryId: String): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stagingDir(dir, queryId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}
+
+case class StagedFileMessage(file: String) extends WriterCommitMessage
+
+class GraftMergeBatchWrite(
+    dir: String,
+    key: String,
+    seq: String,
+    schema: StructType,
+    queryId: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MergeStagingWriterFactory(
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      MergeWriteUtil.stagingDir(dir, queryId),
+      schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // one-shot batch: runId is the query id (globally unique), epoch 0 —
+    // a retried commit of the same query skips on its marker
+    MergeWriteUtil.commitStaged(
+      dir, key, seq, schema, queryId, epochId = 0L, runId = s"dsv2b-$queryId")
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    MergeWriteUtil.abortStaged(dir, queryId)
+}
+
+class GraftMergeStreamingWrite(
+    dir: String,
+    key: String,
+    seq: String,
+    schema: StructType,
+    queryId: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    MergeStagingWriterFactory(
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      MergeWriteUtil.stagingDir(dir, queryId),
+      schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Prefer the STABLE streaming query id (constant across restarts
+    // from one checkpoint — the micro-batch thread carries it) so a
+    // replayed epoch skips on its marker; fall back to the per-run id,
+    // under which a replay re-merges the identical batch — latest-wins
+    // makes that state-idempotent too.
+    val spark = SparkSession.active
+    val runId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(queryId)
+    MergeWriteUtil.commitStaged(
+      dir, key, seq, schema, s"$queryId/e$epochId", epochId, s"dsv2s-$runId")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MergeWriteUtil.abortStaged(dir, s"$queryId/e$epochId")
+}
+
+/** Serializable factory shipped to executors — a self-contained case
+  * class (an anonymous factory would drag the non-serializable
+  * BatchWrite/StreamingWrite instance into the closure). Streaming
+  * epochs stage under `<staging>/e<epochId>`.
+  */
+case class MergeStagingWriterFactory(
+    conf: SerializableHadoopConf,
+    staging: String,
+    schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MergeStagingWriter(conf.value, staging, schema, partitionId, taskId)
+
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MergeStagingWriter(
+      conf.value, s"$staging/e$epochId", schema, partitionId, taskId)
+}
+
+/** Executor-side staging writer: streams InternalRows into ONE parquet
+  * file per task under the staging dir. No buffering beyond parquet's
+  * own row groups; abort deletes the file.
+  */
+class MergeStagingWriter(
+    conf: Configuration,
+    staging: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(s"$staging/part-$partitionId-$taskId.parquet")
+  private val messageType = MergeWriteUtil.parquetSchema(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+
+  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+    val c = new Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
+    ExampleParquetWriter.builder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, c))
+      .withConf(c)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            g.add(i, row.getLong(i))
+          case IntegerType => g.add(i, row.getInt(i))
+          case DoubleType => g.add(i, row.getDouble(i))
+          case FloatType => g.add(i, row.getFloat(i))
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case StringType => g.add(i, row.getUTF8String(i).toString)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    StagedFileMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val fs = file.getFileSystem(conf)
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
+}

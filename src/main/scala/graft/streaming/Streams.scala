@@ -1622,6 +1622,91 @@ object Streams {
   val dsv2ChangesGatedSql: String = mergeChangesGatedSql
 
   // ---------------------------------------------------------------------
+  // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
+  // issued through the STANDARD writer API
+  // (df.write.format("graft-merge").mode("append") with key/seq
+  // options) instead of library calls. Executor tasks stage per-task
+  // parquet; the driver's commit runs the staged batch through the
+  // MergeSink transaction (two-phase, abort leaves the table
+  // untouched — Dsv2Spec pins both). Read back through the pruned
+  // connector scan; same oracle as q_merge_point: writer-API commits
+  // produce the identical latest-wins state.
+  // ---------------------------------------------------------------------
+  val dsv2WriteGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_wr_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    def writeHalf(df: DataFrame): Unit =
+      df.write
+        .format("graft-merge")
+        .mode("append")
+        .option("path", table)
+        .option("key", "user_id")
+        .option("seq", "event_id")
+        .save()
+    writeHalf(e.filter(col("event_id") <= t1))
+    writeHalf(e.filter(col("event_id") > t1))
+    s.read.format("graft-merge")
+      .option("path", table)
+      .option("key", "user_id")
+      .load()
+      .filter(col("user_id").isin(PointIds: _*))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val dsv2WriteGatedSql: String = mergePointGatedSql
+
+  // ---------------------------------------------------------------------
+  // q_dsv2_stream_write — the connector's STREAMING WRITE path: the
+  // event stream upserts through writeStream.format("graft-merge")
+  // (StreamingWrite: per-epoch staging + the MergeSink transaction at
+  // epoch commit) instead of the foreachBatch sink. Same oracle as
+  // q_stream_upsert: both sinks must land the identical latest-wins
+  // state.
+  // ---------------------------------------------------------------------
+  val dsv2StreamWriteGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_swr_tbl")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_swr_ckpt")
+      .toString
+    withStatePartitions(s, 8) {
+      val q = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .writeStream
+        .format("graft-merge")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", table)
+        .option("key", "user_id")
+        .option("seq", "event_id")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val dsv2StreamWriteGatedSql: String = streamUpsertGatedSql
+
+  // ---------------------------------------------------------------------
   // q_stream_quantiles — the mergeable LogHistogram sketch as STREAMING
   // STATE: per-hour windowed histograms of event cents with the
   // q_stream_append watermark/emission contract, quantiles picked from
@@ -2101,6 +2186,8 @@ object Streams {
     "q_merge_changes" -> mergeChangesGated,
     "q_dsv2_lookup" -> dsv2LookupGated,
     "q_dsv2_changes" -> dsv2ChangesGated,
+    "q_dsv2_write" -> dsv2WriteGated,
+    "q_dsv2_stream_write" -> dsv2StreamWriteGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
@@ -2128,6 +2215,8 @@ object Streams {
     "q_merge_changes" -> mergeChangesGatedSql,
     "q_dsv2_lookup" -> dsv2LookupGatedSql,
     "q_dsv2_changes" -> dsv2ChangesGatedSql,
+    "q_dsv2_write" -> dsv2WriteGatedSql,
+    "q_dsv2_stream_write" -> dsv2StreamWriteGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,

@@ -160,6 +160,57 @@ class Dsv2Spec extends SparkSpec {
     assert(rows.sameElements(Array(1L)), s"tombstone visible: ${rows.toSeq}")
   }
 
+  test("writer API commits equal library commits; options are enforced") {
+    val s2 = spark
+    import s2.implicits._
+    val viaApi = freshTable()
+    val viaLib = freshTable()
+    val batch1 = Seq((1L, 10L, 1.5), (2L, 11L, 2.5)).toDF("k", "seq", "v")
+    val batch2 = Seq((2L, 20L, 9.5), (3L, 21L, 3.5)).toDF("k", "seq", "v")
+    Seq(batch1, batch2).foreach { b =>
+      b.write.format("graft-merge").mode("append")
+        .option("path", viaApi).option("key", "k").option("seq", "seq")
+        .save()
+    }
+    MergeSink.upsertBatch(batch1, viaLib, "k", "seq", 0L, "lib")
+    MergeSink.upsertBatch(batch2, viaLib, "k", "seq", 1L, "lib")
+    val a = MergeSink.currentState(spark, viaApi).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = MergeSink.currentState(spark, viaLib).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+    // merge semantics need a key and a seq — a write without them is an error
+    val err = intercept[Exception] {
+      batch1.write.format("graft-merge").mode("append")
+        .option("path", freshTable()).save()
+    }
+    assert(err.getMessage.contains("key"), err.getMessage)
+  }
+
+  test("aborted write leaves the table bit-identical and no staging") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    Seq((1L, 10L, 1.5)).toDF("k", "seq", "v")
+      .write.format("graft-merge").mode("append")
+      .option("path", table).option("key", "k").option("seq", "seq").save()
+    val before = MergeSink.commits(spark, table)
+    val poison = udf((x: Long) => {
+      if (x == 2L) throw new RuntimeException("poison"); x
+    })
+    intercept[Exception] {
+      Seq((2L, 20L, 2.5)).toDF("k", "seq", "v")
+        .select(poison(col("k")).as("k"), col("seq"), col("v"))
+        .write.format("graft-merge").mode("append")
+        .option("path", table).option("key", "k").option("seq", "seq").save()
+    }
+    assert(MergeSink.commits(spark, table) == before,
+      "aborted write advanced the commit log")
+    val staged = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("_staging_"))
+    assert(staged.isEmpty, s"staging left behind: ${staged.toSeq}")
+  }
+
   test("q_dsv2_changes lane equals the library change feed") {
     val changes = streaming.Streams.dsv2ChangesGated(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
