@@ -294,6 +294,14 @@ class GraftMergeScanBuilder(
 case class MergeFilePartition(file: String, bucket: Int, version: Long)
     extends InputPartition
 
+object GraftMergeScan {
+  /** Observability hook for tests: (planned files, total files,
+    * runtime-filtered?) of the most recent batch planning.
+    */
+  val lastPrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int, Boolean)]()
+}
+
 class GraftMergeScan(
     spark: SparkSession,
     dir: String,
@@ -303,9 +311,36 @@ class GraftMergeScan(
     required: StructType,
     keyValues: Option[Seq[Any]],
     pushed: Array[Filter])
-    extends Scan {
+    extends Scan
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  // -------------------------------------------------------------------
+  // RUNTIME FILTERING (the DSv2 dual of dynamic partition pruning):
+  // when this table joins a selective build side on the merge KEY,
+  // Spark hands the build side's key values here at execution time and
+  // the scan re-plans to only the buckets those keys hash into — at
+  // 100 TB a fact-to-dim join reads O(build-side keys) buckets instead
+  // of the table, with no predicate in the query text at all.
+  // -------------------------------------------------------------------
+  @volatile private var runtimeKeys: Option[Seq[Any]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keyCol
+      .map(k => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(k)))
+      .getOrElse(Array.empty)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeKeys = keyCol.flatMap { k =>
+      filters.collectFirst {
+        case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq
+        case EqualTo(`k`, v) if v != null => Seq(v)
+      }
+    }
+  }
 
   /** (planned, total) bucket-file counts of the batch scan — the
     * observable pruning contract PlanSpec asserts on.
@@ -322,20 +357,28 @@ class GraftMergeScan(
     }
 
   private def plannedFiles(all: Map[Int, Seq[String]]): Seq[MergeFilePartition] = {
-    val buckets = keyValues match {
-      case Some(vs) =>
+    // compile-time pushed keys AND runtime (join-driven) keys each bound
+    // the bucket set; both present -> intersection
+    val keySets = Seq(keyValues, runtimeKeys).flatten
+    val buckets =
+      if (keySets.isEmpty) all.keySet
+      else {
         val dt = keyCol.flatMap(k => fullSchema.fields.find(_.name == k))
           .map(_.dataType)
           .getOrElse(LongType)
         // nb must be the WRITER's bucket count, from the manifest header
         val c = MergeSink.lastCommit(spark, dir).get
         val writerNb = MergeSink.bucketCount(spark, dir, c.version)
-        vs.map(v => MergeTableUtil.bucketOf(v, dt, writerNb)).toSet
-      case None => all.keySet
-    }
-    all.toSeq.sortBy(_._1)
+        keySets
+          .map(vs => vs.map(v => MergeTableUtil.bucketOf(v, dt, writerNb)).toSet)
+          .reduce(_ intersect _)
+      }
+    val planned = all.toSeq.sortBy(_._1)
       .filter { case (b, _) => buckets.contains(b) }
       .flatMap { case (b, fs) => fs.map(f => MergeFilePartition(f, b, -1L)) }
+    GraftMergeScan.lastPrune.set(
+      (planned.size, all.values.map(_.size).sum, runtimeKeys.isDefined))
+    planned
   }
 
   override def description(): String = {

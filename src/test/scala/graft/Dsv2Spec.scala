@@ -160,6 +160,42 @@ class Dsv2Spec extends SparkSpec {
     assert(rows.sameElements(Array(1L)), s"tombstone visible: ${rows.toSeq}")
   }
 
+  test("runtime filtering: a selective dim join prunes buckets with no predicate") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    seedTwoCommits(table)
+    val fact = spark.read.format("graft-merge")
+      .option("path", table).option("key", "user_id").load()
+    // selective dim: 2 keys survive its filter; the fact side has NO
+    // predicate on user_id — pruning must come from the join at runtime
+    // (the DSv2 dual of dynamic partition pruning). The dim must be a
+    // SCAN (a LocalRelation folds the filter away and DPP sees no
+    // selective predicate to derive the runtime filter from).
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("dsv2_dim").toString
+    Seq((1L, "a"), (3L, "b"), (1000001L, "x"), (1000002L, "y"))
+      .toDF("user_id", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("tag").isin("a", "b"))
+    GraftMergeScan.lastPrune.set(null)
+    val joined = fact.join(dim, Seq("user_id")).select("user_id", "event_id", "tag")
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    val prune = GraftMergeScan.lastPrune.get()
+    assert(prune != null, "scan never planned")
+    val (planned, total, runtime) = prune
+    assert(runtime, "runtime filter was never delivered to the scan")
+    assert(planned < total,
+      s"runtime join keys did not prune: planned $planned of $total files")
+    // correctness: pruning must not lose rows vs the unfiltered join
+    val expected = MergeSink.currentState(spark, table).get
+      .join(dim, Seq("user_id")).select("user_id", "event_id", "tag")
+      .orderBy("user_id").collect()
+    assert(joined.orderBy("user_id").collect().sameElements(expected))
+  }
+
   test("writer API commits equal library commits; options are enforced") {
     val s2 = spark
     import s2.implicits._
