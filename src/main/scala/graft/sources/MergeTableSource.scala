@@ -312,9 +312,29 @@ class GraftMergeScan(
     keyValues: Option[Seq[Any]],
     pushed: Array[Filter])
     extends Scan
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Size the optimizer plans with = bytes of the files this scan will
+    * actually read (post bucket pruning) — without this a V2 relation
+    * reports the huge default and a joined merge table can never be
+    * broadcast; with it a pruned point read is stats-visible as tiny.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = plannedFiles(currentFiles()).map { part =>
+      val p = new Path(part.file)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   // -------------------------------------------------------------------
   // RUNTIME FILTERING (the DSv2 dual of dynamic partition pruning):

@@ -1476,6 +1476,77 @@ object Streams {
       |GROUP BY change ORDER BY change""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_retention — TOMBSTONE RETIREMENT as a gated maintenance
+  // commit: build the q_merge_changes CDC table (second-half 'error'
+  // events win their keys as tombstones), then expireTombstones at a
+  // horizon past every tombstone's seq — the touched buckets rewrite
+  // copy-on-write, untouched buckets carry forward. The CONTRACT under
+  // the gate: retention must be invisible to readers — the
+  // post-retention snapshot aggregate equals the declarative
+  // latest-wins-minus-deleted state exactly (a retention pass that
+  // loses or resurrects a key goes red here). The lane also requires
+  // that at least one bucket actually rewrote, so a silently no-op
+  // retention fails loudly rather than passing vacuously. Physical
+  // assertions (tombstone rows gone from storage, resurrection hazard
+  // at an UNSAFE horizon) live in StateSpec.
+  // ---------------------------------------------------------------------
+  val mergeRetentionGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_retention_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val bounds = e.agg(max(col("event_id")).as("m")).head().getLong(0)
+    val t1 = bounds / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "rt")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "rt")
+    val rewritten =
+      MergeSink.expireTombstones(s, table, "user_id", "event_id", bounds + 1)
+    require(rewritten > 0,
+      s"retention retired nothing (rewrote $rewritten buckets) — the gate " +
+        "would pass vacuously")
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val mergeRetentionGatedSql: String =
+    """WITH b AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st AS (
+      |  SELECT e.user_id, max(e.event_id) AS last_id,
+      |    arg_max(e.value, e.event_id) AS last_val,
+      |    arg_max(CASE WHEN e.event_type = 'error' AND e.event_id > b.t1
+      |                 THEN 1 ELSE 0 END, e.event_id) AS dead
+      |  FROM events e, b GROUP BY e.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |  CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |  CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM st WHERE dead = 0
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_lookup — the bucket-pruned point lookup THROUGH THE DSv2
   // SOURCE: the same two-commit merge table as q_merge_point, read back
   // with spark.read.format("graft-merge") and a plain .isin filter. The
@@ -2189,6 +2260,7 @@ object Streams {
     "q_dsv2_write" -> dsv2WriteGated,
     "q_dsv2_stream_write" -> dsv2StreamWriteGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
+    "q_merge_retention" -> mergeRetentionGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -2218,6 +2290,7 @@ object Streams {
     "q_dsv2_write" -> dsv2WriteGatedSql,
     "q_dsv2_stream_write" -> dsv2StreamWriteGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
+    "q_merge_retention" -> mergeRetentionGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

@@ -196,6 +196,22 @@ class Dsv2Spec extends SparkSpec {
     assert(joined.orderBy("user_id").collect().sameElements(expected))
   }
 
+  test("scan reports real file sizes: a small merge table broadcasts unhinted") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    seedTwoCommits(table)
+    val fact = spark.read.format("graft-merge").option("path", table).load()
+    val other = spark.range(100000)
+      .select(col("id").as("user_id"), (col("id") * 2).as("payload"))
+    val plan = other.join(fact, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    // without SupportsReportStatistics a V2 relation reports the huge
+    // default size and can never be chosen as the broadcast side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats-known small merge table did not broadcast:\n$plan")
+  }
+
   test("writer API commits equal library commits; options are enforced") {
     val s2 = spark
     import s2.implicits._
