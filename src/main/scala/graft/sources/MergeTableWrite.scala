@@ -33,7 +33,9 @@ import graft.streaming.MergeSink
   * row movement, no memory accumulation; the driver's `commit()` then
   * runs the staged data through [[MergeSink.upsertBatch]], which owns
   * the real transaction (latest-wins merge into touched buckets,
-  * manifest, O(1) visibility marker — the WAL-before-data dual), and
+  * manifest, O(1) visibility marker — the dual of the reference's
+  * log-before-page discipline,
+  * /root/reference/src/opusdb/memory/buffer.clj:44-54), and
   * removes the staging dir. `abort()` (driver or task) deletes staged
   * files: an aborted write leaves the table bit-identical. A replayed
   * streaming epoch either skips on its (runId, epoch) marker or

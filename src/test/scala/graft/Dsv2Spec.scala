@@ -263,6 +263,52 @@ class Dsv2Spec extends SparkSpec {
     assert(staged.isEmpty, s"staging left behind: ${staged.toSeq}")
   }
 
+  test("streaming write survives restart: stable runId, merged state, no replays") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("dsv2_swr_src").toString
+    val table = freshTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_swr_ck").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("v", DoubleType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("graft-merge")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", table).option("key", "k").option("seq", "seq")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("k", "seq", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterFirst = MergeSink.commits(spark, table)
+    assert(afterFirst.nonEmpty)
+    // restart from the SAME checkpoint with new data: the second
+    // incarnation must keep the stable runId (no fencing, no replay)
+    // and merge only the new file
+    Seq((2L, 20L, 9.0), (3L, 21L, 3.0)).toDF("k", "seq", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterSecond = MergeSink.commits(spark, table)
+    assert(afterSecond.size == afterFirst.size + 1,
+      s"expected exactly one new commit: $afterFirst -> $afterSecond")
+    assert(afterSecond.map(_.runId).distinct.size == 1,
+      s"runId not stable across restarts: ${afterSecond.map(_.runId)}")
+    val state = MergeSink.currentState(spark, table).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(state.sameElements(Array((1L, 10L, 1.0), (2L, 20L, 9.0), (3L, 21L, 3.0))),
+      state.toSeq.toString)
+    // a third restart with NO new data must commit nothing
+    runOnce()
+    assert(MergeSink.commits(spark, table) == afterSecond,
+      "empty restart advanced the commit log")
+  }
+
   test("q_dsv2_changes lane equals the library change feed") {
     val changes = streaming.Streams.dsv2ChangesGated(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
