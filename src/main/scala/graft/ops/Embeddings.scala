@@ -955,40 +955,56 @@ object Embeddings {
     */
   private val sdTau = 0.3
 
-  val semanticDedup: Q = (s, d) => {
+  /** Bucketed, normed embedding frame for the semantic-dedup lanes —
+    * materialized once (every per-table self-join reads it twice).
+    */
+  private def sdFrame(s: SparkSession, d: String): DataFrame = {
     val e0 = checked(s, d)
       .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
-    val e = (0 until ndTables)
+    (0 until ndTables)
       .foldLeft(e0) { (df, t) =>
         df.withColumn(
           s"bkt_$t",
           lshBucket(col("embedding"), ndBits, embedDim, ndPlaneBase + t * ndBits))
       }
-      // both sides of every per-table self-join read this frame
       .localCheckpoint(true)
-    val edges = (0 until ndTables)
+  }
+
+  /** Blocked cosine edges between frames `a` and `b` (u < v normalized,
+    * union over LSH tables, deduped). `a == b` is the full pair set; an
+    * arriving-only `a` restricts to arriving-touching pairs.
+    */
+  private def sdEdges(a: DataFrame, b: DataFrame): DataFrame =
+    (0 until ndTables)
       .map { t =>
-        val a = e.select(
+        val l = a.select(
           col("label"),
           col(s"bkt_$t").as("bkt"),
-          col("vec_id").as("u"),
+          col("vec_id").as("ua"),
           col("embedding").as("v_a"),
           col("nrm").as("nrm_a"))
-        val b = e.select(
+        val r = b.select(
           col("label"),
           col(s"bkt_$t").as("bkt"),
-          col("vec_id").as("v"),
+          col("vec_id").as("vb"),
           col("embedding").as("v_b"),
           col("nrm").as("nrm_b"))
-        a.join(b, Seq("label", "bkt"))
+        l.join(r, Seq("label", "bkt"))
           .filter(
-            col("u") < col("v") &&
+            col("ua") =!= col("vb") &&
               fdot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) > sdTau)
-          .select(col("u"), col("v"))
+          .select(
+            least(col("ua"), col("vb")).as("u"),
+            greatest(col("ua"), col("vb")).as("v"))
       }
       .reduce(_ unionAll _)
       .distinct()
-    val labels = Graph.connectedComponents(edges)
+
+  /** Keep-one-per-cluster joined back to documents, reported as
+    * per-source kept/dropped budgets (shared by the full and
+    * incremental lanes — identical labels must report identically).
+    */
+  private def sdReport(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val wKeep = Window
       .partitionBy(col("cluster_id"))
@@ -1014,6 +1030,41 @@ object Embeddings {
         (col("n_docs") - coalesce(col("nd"), lit(0L))).as("n_kept"),
         coalesce(col("cd"), lit(0L)).as("chars_dropped"))
       .orderBy(col("source"))
+  }
+
+  val semanticDedup: Q = (s, d) => {
+    val e = sdFrame(s, d)
+    sdReport(s, d, Graph.connectedComponents(sdEdges(e, e)))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_semantic_dedup_incr — INCREMENTAL semantic-dedup maintenance, the
+  // day-2 shape of q_semantic_dedup (the q_dup_clusters_incr discipline
+  // carried to the embedding lane): the corpus (vec_id % 5 != 4) owns a
+  // persisted LABEL ARTIFACT (its converged semantic clusters); an
+  // arriving batch generates ONLY the blocked pairs that TOUCH an
+  // arriving vector (arriving × all within (label, bucket) blocks —
+  // never corpus × corpus again) and hash-min merges them with the
+  // artifact replayed as diameter-1 star edges. At 100 TB the corpus
+  // self-join is ~25× the arriving probe; the result is pinned
+  // BIT-IDENTICAL to the full recompute — the oracle is
+  // semanticDedupSql verbatim (an edge between two arriving vectors is
+  // itself arriving-touching, so the merged edge set spans exactly the
+  // full set's components).
+  // ---------------------------------------------------------------------
+  val semanticDedupIncr: Q = (s, d) => {
+    val e = sdFrame(s, d)
+    val arr = col("vec_id") % 5 === 4
+    val corpus = e.filter(!arr)
+    // steady state: the persisted corpus artifact
+    val corpusLabels = Graph.connectedComponents(sdEdges(corpus, corpus))
+    // day 2: arriving-touching pairs only, merged with the artifact
+    val merged = Graph.connectedComponents(
+      corpusLabels
+        .select(col("cluster_id").as("u"), col("id").as("v"))
+        .unionAll(sdEdges(e.filter(arr), e))
+        .distinct())
+    sdReport(s, d, merged)
   }
 
   val semanticDedupSql: String = {
@@ -1973,6 +2024,7 @@ object Embeddings {
     "q_ann_recall" -> annRecall,
     "q_embed_neardup" -> embedNearDup,
     "q_semantic_dedup" -> semanticDedup,
+    "q_semantic_dedup_incr" -> semanticDedupIncr,
     "q_embed_stats" -> embedStats,
     "q_ivf_kmeans" -> ivfKmeans
   )
@@ -1987,6 +2039,7 @@ object Embeddings {
     "q_ann_recall" -> annRecallSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_semantic_dedup_incr" -> semanticDedupSql,
     "q_embed_stats" -> embedStatsSql,
     "q_ivf_kmeans" -> ivfKmeansSql
   )
