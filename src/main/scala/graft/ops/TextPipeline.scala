@@ -1897,18 +1897,49 @@ object TextPipeline {
     v
   }
 
-  val bpeTrainBatchedSql: String = {
+  /** q_bpe_encode_loaded — the TOKENIZER ARTIFACT LIFECYCLE under the
+    * oracle gate: batched-train → persist the merge list → load →
+    * replay into the encoder vocab → encode the corpus with one
+    * broadcast join. The oracle recomputes the batched-trained final
+    * vocab declaratively and joins the same way: one flipped bit
+    * anywhere in train/save/load/replay hash-mismatches.
+    */
+  val bpeEncodeLoaded: Q = (s, d) => {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_artifact")
+      .toString
+    saveBpeMerges(s, d, path)
+    val vocab = bpeVocabFrom(s, d, loadBpeMerges(s, path))
+    Tables
+      .documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocab.select(col("word"), col("repr"))), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(size(split(rtrim(col("repr")), " ")).cast("long")).as("n_tokens"))
+      .withColumn(
+        "compression_pct",
+        ((col("n_chars") - col("n_tokens")) * 100L).cast("double") /
+          col("n_chars").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  /** The batched-training CTE chain (bwords, bv0..bvK with selection
+    * waves), shared by the train oracle and the loaded-encoder oracle.
+    * bv$k CTEs are each referenced 3x (pair counts, next round, stats):
+    * without MATERIALIZED, DuckDB's CTE inlining re-expands the chain
+    * exponentially (3^rounds scans of documents — "too many open files"
+    * long before any wrong answer).
+    */
+  private def bpeBatchedChainSql: String = {
     val sb = new StringBuilder
-    // bv$k CTEs are each referenced 3x (pair counts, next round, stats):
-    // without MATERIALIZED, DuckDB's CTE inlining re-expands the chain
-    // exponentially (3^rounds scans of documents — "too many open files"
-    // long before any wrong answer)
     sb ++= s"""WITH bwords AS MATERIALIZED (
               |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
               |  FROM (SELECT unnest(${sqlTokens("text")}) AS word FROM documents)
               |  GROUP BY word),
               |bv0 AS MATERIALIZED (
-              |  SELECT cnt, regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+              |  SELECT word, cnt, regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
               |  FROM bwords)""".stripMargin
     (0 until bpeBatchRounds).foreach { k =>
       // candidate pool of the round, original rank preserved
@@ -1953,7 +1984,7 @@ object TextPipeline {
                 |    $waveUnion)
                 |  ORDER BY wv, rk LIMIT $bpeBatchM),
                 |bv${k + 1} AS MATERIALIZED (
-                |  SELECT cnt, list_reduce(
+                |  SELECT word, cnt, list_reduce(
                 |    list_concat([repr],
                 |      (SELECT coalesce(list(pair ORDER BY wv, rk), []) FROM bsel$k)),
                 |    (acc, p) -> replace(acc, p || ' ', replace(p, ' ', '') || ' ')) AS repr
@@ -1962,18 +1993,40 @@ object TextPipeline {
                 |  SELECT CAST(SUM(cnt * len(str_split(rtrim(repr), ' '))) AS BIGINT) AS n_sym
                 |  FROM bv${k + 1})""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (0 until bpeBatchRounds)
-      .map { k =>
-        s"""SELECT CAST($k AS BIGINT) AS step,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM bsel$k) AS n_merges,
-           |  (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM bsel$k) AS batch_weight,
-           |  (SELECT n_sym FROM bst${k + 1}) AS n_symbols_after""".stripMargin
-      }
-      .mkString("\nUNION ALL\n")
-    sb ++= "\nORDER BY step"
     sb.result()
   }
+
+  val bpeTrainBatchedSql: String =
+    bpeBatchedChainSql + "\n" +
+      (0 until bpeBatchRounds)
+        .map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS step,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM bsel$k) AS n_merges,
+             |  (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM bsel$k) AS batch_weight,
+             |  (SELECT n_sym FROM bst${k + 1}) AS n_symbols_after""".stripMargin
+        }
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY step"
+
+  /** Oracle for the LOADED-artifact encoder: the same batched chain,
+    * with the corpus joined against the FINAL vocab table (word →
+    * repr) — exactly what the Spark lane serves after save → load →
+    * replay, so the artifact lifecycle gates end to end.
+    */
+  val bpeEncodeLoadedSql: String =
+    bpeBatchedChainSql +
+      s""",
+         |benc AS (
+         |  SELECT t.lang, t.word, v.repr
+         |  FROM (SELECT lang, unnest(${sqlTokens("text")}) AS word FROM documents) t
+         |  JOIN bv$bpeBatchRounds v USING (word))
+         |SELECT lang,
+         |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(str_split(rtrim(repr), ' '))) AS BIGINT) AS n_tokens,
+         |  CAST((CAST(SUM(length(word)) AS BIGINT)
+         |        - CAST(SUM(len(str_split(rtrim(repr), ' '))) AS BIGINT)) * 100 AS DOUBLE)
+         |    / CAST(CAST(SUM(length(word)) AS BIGINT) AS DOUBLE) AS compression_pct
+         |FROM benc GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_diversity — corpus mixture diversity per source: language richness
@@ -2424,6 +2477,7 @@ object TextPipeline {
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> bpeTrain,
     "q_bpe_train_batched" -> bpeTrainBatched,
+    "q_bpe_encode_loaded" -> bpeEncodeLoaded,
     "q_bpe_encode" -> bpeEncode,
     "q_minhash_est" -> minhashEst,
     "q_diversity" -> diversity,
@@ -2459,6 +2513,7 @@ object TextPipeline {
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_train_batched" -> bpeTrainBatchedSql,
+    "q_bpe_encode_loaded" -> bpeEncodeLoadedSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_minhash_est" -> minhashEstSql,
     "q_diversity" -> diversitySql,
