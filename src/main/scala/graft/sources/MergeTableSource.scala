@@ -226,6 +226,7 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
       MergeTableUtil.dirOf(options),
       Option(options.get("key")),
       options.getBoolean("cdc", false),
+      Option(options.get("versionAsOf")).map(_.toLong),
       tableSchema)
 
   override def newWriteBuilder(
@@ -245,6 +246,7 @@ class GraftMergeScanBuilder(
     dir: String,
     keyCol: Option[String],
     cdc: Boolean,
+    versionAsOf: Option[Long],
     fullSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
@@ -285,7 +287,8 @@ class GraftMergeScanBuilder(
   }
 
   override def build(): Scan =
-    new GraftMergeScan(spark, dir, keyCol, cdc, fullSchema, required, keyValues, pushed)
+    new GraftMergeScan(
+      spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues, pushed)
 }
 
 /** One data file of one bucket (and, for streaming, the commit version
@@ -307,6 +310,7 @@ class GraftMergeScan(
     dir: String,
     keyCol: Option[String],
     cdc: Boolean,
+    versionAsOf: Option[Long],
     fullSchema: StructType,
     required: StructType,
     keyValues: Option[Seq[Any]],
@@ -370,10 +374,26 @@ class GraftMergeScan(
     (plannedFiles(all).size, all.values.map(_.size).sum)
   }
 
+  /** TIME TRAVEL: the snapshot version this scan reads — `versionAsOf`
+    * when given (must still be committed AND inside the retention
+    * window — a collected version fails loudly, never reads partial
+    * state), else the current head.
+    */
+  private def resolvedVersion: Option[Long] = versionAsOf match {
+    case Some(v) =>
+      require(
+        MergeSink.commits(spark, dir).exists(_.version == v) &&
+          MergeSink.manifest(spark, dir, v).nonEmpty,
+        s"graft-merge: versionAsOf=$v is not a committed, retained " +
+          s"version of $dir (retention keeps current + previous)")
+      Some(v)
+    case None => MergeSink.lastCommit(spark, dir).map(_.version)
+  }
+
   private def currentFiles(): Map[Int, Seq[String]] =
-    MergeSink.lastCommit(spark, dir) match {
+    resolvedVersion match {
       case None => Map.empty
-      case Some(c) => MergeTableUtil.currentDataFiles(spark, dir, c.version)
+      case Some(v) => MergeTableUtil.currentDataFiles(spark, dir, v)
     }
 
   private def plannedFiles(all: Map[Int, Seq[String]]): Seq[MergeFilePartition] = {
@@ -387,8 +407,8 @@ class GraftMergeScan(
           .map(_.dataType)
           .getOrElse(LongType)
         // nb must be the WRITER's bucket count, from the manifest header
-        val c = MergeSink.lastCommit(spark, dir).get
-        val writerNb = MergeSink.bucketCount(spark, dir, c.version)
+        // of the version this scan reads
+        val writerNb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
         keySets
           .map(vs => vs.map(v => MergeTableUtil.bucketOf(v, dt, writerNb)).toSet)
           .reduce(_ intersect _)
@@ -404,7 +424,8 @@ class GraftMergeScan(
   override def description(): String = {
     val (planned, total) = fileCounts
     val pk = keyValues.map(_.mkString("[", ",", "]")).getOrElse("none")
-    s"GraftMergeScan dir=$dir files=$planned/$total prunedKeys=$pk " +
+    val asOf = versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
+    s"GraftMergeScan dir=$dir$asOf files=$planned/$total prunedKeys=$pk " +
       s"pushed=${pushed.mkString("[", ", ", "]")}"
   }
 

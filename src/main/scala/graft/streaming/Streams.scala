@@ -1736,6 +1736,41 @@ object Streams {
   val dsv2WriteGatedSql: String = mergePointGatedSql
 
   // ---------------------------------------------------------------------
+  // q_dsv2_timetravel — TIME TRAVEL through the connector: the same
+  // two-commit table as q_merge_timetravel, read back at the PREVIOUS
+  // version with option("versionAsOf", v0) — the Delta-style read
+  // surface on the DSv2 source (the scan resolves v0's manifest; a
+  // collected version fails loudly). Same oracle: the historical read
+  // returns the exact committed bits.
+  // ---------------------------------------------------------------------
+  val dsv2TimetravelGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_tt_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "dvt")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "dvt")
+    val v0 = MergeSink.commits(s, table).map(_.version).min
+    s.read.format("graft-merge")
+      .option("path", table)
+      .option("versionAsOf", v0.toString)
+      .load()
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val dsv2TimetravelGatedSql: String = mergeTimetravelGatedSql
+
+  // ---------------------------------------------------------------------
   // q_dsv2_stream_write — the connector's STREAMING WRITE path: the
   // event stream upserts through writeStream.format("graft-merge")
   // (StreamingWrite: per-epoch staging + the MergeSink transaction at
@@ -2259,6 +2294,7 @@ object Streams {
     "q_dsv2_changes" -> dsv2ChangesGated,
     "q_dsv2_write" -> dsv2WriteGated,
     "q_dsv2_stream_write" -> dsv2StreamWriteGated,
+    "q_dsv2_timetravel" -> dsv2TimetravelGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_stream_asof" -> streamAsofGated,
@@ -2289,6 +2325,7 @@ object Streams {
     "q_dsv2_changes" -> dsv2ChangesGatedSql,
     "q_dsv2_write" -> dsv2WriteGatedSql,
     "q_dsv2_stream_write" -> dsv2StreamWriteGatedSql,
+    "q_dsv2_timetravel" -> dsv2TimetravelGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,

@@ -196,6 +196,26 @@ class Dsv2Spec extends SparkSpec {
     assert(joined.orderBy("user_id").collect().sameElements(expected))
   }
 
+  test("versionAsOf reads the historical snapshot; collected versions fail loudly") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val versions = MergeSink.commits(spark, table).map(_.version)
+    val v0 = versions.min
+    val viaSource = spark.read.format("graft-merge")
+      .option("path", table).option("versionAsOf", v0.toString).load()
+      .select("user_id", "event_id").orderBy("user_id").collect()
+    val viaLib = MergeSink.stateAt(spark, table, v0).get
+      .select("user_id", "event_id").orderBy("user_id").collect()
+    assert(viaSource.sameElements(viaLib),
+      "versionAsOf read diverged from stateAt")
+    // a never-committed version must error, not read partial state
+    val err = intercept[Exception] {
+      spark.read.format("graft-merge")
+        .option("path", table).option("versionAsOf", "99").load().count()
+    }
+    assert(err.getMessage.contains("versionAsOf"), err.getMessage)
+  }
+
   test("scan reports real file sizes: a small merge table broadcasts unhinted") {
     val s2 = spark
     import s2.implicits._
