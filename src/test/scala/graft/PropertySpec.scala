@@ -235,7 +235,13 @@ class PropertySpec extends SparkSpec {
     // global order), table checksums (order-independence is the POINT),
     // dedup recall (checkpointed NLJ + bucket-join dedup), the
     // weighted/greedy merges and the per-file-group union of the mixed
-    // loader path
+    // loader path. round-10 additions most at risk: wave-batched BPE
+    // (bounded-pool collect must rank identically at any partitioning),
+    // the loaded-artifact ANN lane (k-means/PQ training jobs feed the
+    // persisted bits), semantic dedup full + incremental (LSH-blocked
+    // pair dedup + hash-min label merge), phrase search (position
+    // arrays collected per (term, doc)), and the DSv2 read/write round
+    // trips (per-task staging files, per-file partition readers).
     val names = Seq(
       "q_hash_split", "q_mru_sim", "q_snapshot_diff", "q_ivf_kmeans",
       "q_ngram_udtf", "q_transfer_fold", "q_label_prop", "q_similarity_pq",
@@ -249,7 +255,11 @@ class PropertySpec extends SparkSpec {
       "q_attribution", "q_concurrency", "q_interval_join",
       "q_json_malformed", "q_bpe_train", "q_table_checksum",
       "q_bitmap_distinct", "q_diversity", "q_dedup_recall",
-      "q_image_resize")
+      "q_image_resize",
+      "q_bpe_train_batched", "q_bpe_encode_loaded",
+      "q_similarity_ivfpq_loaded", "q_semantic_dedup",
+      "q_semantic_dedup_incr", "q_phrase_search",
+      "q_dsv2_write", "q_merge_retention")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
