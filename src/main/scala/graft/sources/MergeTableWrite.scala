@@ -105,9 +105,14 @@ private[graft] object MergeWriteUtil {
     b.named("graft_merge_staging")
   }
 
-  /** Driver-side commit: merge the staged files and drop the staging
-    * dir. Files are read with the WRITER's schema (not inference — an
-    * all-null column must keep its declared type).
+  /** Driver-side commit: merge EXACTLY the files the committed tasks
+    * reported — never a directory listing, which would also sweep up
+    * orphan partials from a task attempt that crashed before its
+    * abort() ran (speculation / executor loss would double that
+    * partition's rows, or read a torn file). The staging dir is then
+    * dropped whole, which is what clears those orphans. Files are read
+    * with the WRITER's schema (not inference — an all-null column must
+    * keep its declared type).
     */
   def commitStaged(
       dir: String,
@@ -116,15 +121,13 @@ private[graft] object MergeWriteUtil {
       schema: StructType,
       queryId: String,
       epochId: Long,
-      runId: String): Unit = {
+      runId: String,
+      messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val staging = stagingDir(dir, queryId)
     val p = new Path(staging)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      if (!fs.exists(p)) Seq.empty[String]
-      else fs.listStatus(p).iterator.map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSeq
+    val files = messages.toSeq.collect { case StagedFileMessage(f) => f }
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -162,7 +165,8 @@ class GraftMergeBatchWrite(
     // one-shot batch: runId is the query id (globally unique), epoch 0 —
     // a retried commit of the same query skips on its marker
     MergeWriteUtil.commitStaged(
-      dir, key, seq, schema, queryId, epochId = 0L, runId = s"dsv2b-$queryId")
+      dir, key, seq, schema, queryId, epochId = 0L,
+      runId = s"dsv2b-$queryId", messages = messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MergeWriteUtil.abortStaged(dir, queryId)
@@ -194,7 +198,8 @@ class GraftMergeStreamingWrite(
       spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
       .getOrElse(queryId)
     MergeWriteUtil.commitStaged(
-      dir, key, seq, schema, s"$queryId/e$epochId", epochId, s"dsv2s-$runId")
+      dir, key, seq, schema, s"$queryId/e$epochId", epochId,
+      s"dsv2s-$runId", messages)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
