@@ -275,16 +275,23 @@ class MergeStagingWriter(
     writer.write(g)
   }
 
+  private var closed = false
+
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; writer.close() }
+
   override def commit(): WriterCommitMessage = {
-    writer.close()
+    closeOnce()
     StagedFileMessage(file.toString)
   }
 
   override def abort(): Unit = {
-    writer.close()
+    closeOnce()
     val fs = file.getFileSystem(conf)
     fs.delete(file, false)
   }
 
-  override def close(): Unit = ()
+  // Spark always calls close() after commit/abort — and on exception
+  // paths may call it after abort already closed; make it idempotent
+  override def close(): Unit = closeOnce()
 }
