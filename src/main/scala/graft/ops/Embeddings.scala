@@ -936,7 +936,8 @@ object Embeddings {
   // identical only collide in embedding space). Shape:
   //   1. candidate pairs from the q_embed_neardup compound blocking
   //      ((label, hyperplane-bucket) × ndTables — pair work bounded per
-  //      block, never corpus × corpus), kept at cosine > 0.8;
+  //      block, never corpus × corpus), kept at cosine > `sdTau`
+  //      (fixture-calibrated below);
   //   2. pairs are EDGES; hash-min connected components (the
   //      q_dup_clusters kernel) resolve transitive semantic clusters —
   //      pair-level dedup alone drops the a~b, b~c, a≁c chain wrong;

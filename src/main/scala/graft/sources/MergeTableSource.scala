@@ -121,7 +121,7 @@ private[graft] object MergeTableUtil {
       .lastCommit(spark, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-merge: no committed version at $dir"))
-    val files = currentDataFiles(spark, dir, c.version).values.flatten.toSeq
+    val files = currentDataFiles(spark, dir, c.version).values.flatMap(_._2).toSeq
     require(files.nonEmpty, s"graft-merge: committed version ${c.version} references no data files")
     val conf = spark.sessionState.newHadoopConf()
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
@@ -155,6 +155,20 @@ private[graft] object MergeTableUtil {
       case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t)
       case _ => None
     }
+    // An annotated INT32/INT64 whose annotation we don't model (decimal,
+    // date, unsigned int …) must FAIL, not silently surface the physical
+    // value (an unscaled decimal read as a plain long is the same
+    // silent-misdecode class the BINARY arm below guards against).
+    def requirePlainInt(width: Int): Unit = f.getLogicalTypeAnnotation match {
+      case null => ()
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if i.getBitWidth == width && i.isSigned => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-merge: INT$width column ${f.getName} carries logical type " +
+            s"$other — would silently misdecode as a plain INT$width; " +
+            "flat Spark-written primitive buckets only")
+    }
     val t: DataType = f.getPrimitiveTypeName match {
       case INT64 =>
         tsAnn match {
@@ -163,9 +177,9 @@ private[graft] object MergeTableUtil {
               s"graft-merge: TIMESTAMP(NANOS) column ${f.getName} unsupported " +
                 "(merge buckets are Spark-written MICROS/MILLIS)")
           case Some(a) => if (a.isAdjustedToUTC) TimestampType else TimestampNTZType
-          case None => LongType
+          case None => requirePlainInt(64); LongType
         }
-      case INT32 => IntegerType
+      case INT32 => requirePlainInt(32); IntegerType
       case DOUBLE => DoubleType
       case FLOAT => FloatType
       case BOOLEAN => BooleanType
@@ -179,11 +193,15 @@ private[graft] object MergeTableUtil {
     StructField(f.getName, t)
   }
 
-  /** bucket -> data files of one committed version. */
+  /** bucket -> (content version, data files) of one committed version.
+    * The content version is the manifest entry — the commit that WROTE
+    * the bucket's current files, which a CDC batch read surfaces as
+    * `_version` (never a placeholder).
+    */
   def currentDataFiles(
       spark: SparkSession,
       dir: String,
-      version: Long): Map[Int, Seq[String]] = {
+      version: Long): Map[Int, (Long, Seq[String])] = {
     val conf = spark.sessionState.newHadoopConf()
     MergeSink.manifest(spark, dir, version).map { case (b, v) =>
       val d = new Path(s"$dir/data/b$b/v$v")
@@ -192,7 +210,7 @@ private[graft] object MergeTableUtil {
         if (!fs.exists(d)) Seq.empty[String]
         else fs.listStatus(d).iterator.map(_.getPath.toString)
           .filter(_.endsWith(".parquet")).toSeq.sorted
-      b -> files
+      b -> (v, files)
     }
   }
 
@@ -371,7 +389,7 @@ class GraftMergeScan(
     */
   lazy val fileCounts: (Int, Int) = {
     val all = currentFiles()
-    (plannedFiles(all).size, all.values.map(_.size).sum)
+    (plannedFiles(all).size, all.values.map(_._2.size).sum)
   }
 
   /** TIME TRAVEL: the snapshot version this scan reads — `versionAsOf`
@@ -390,13 +408,21 @@ class GraftMergeScan(
     case None => MergeSink.lastCommit(spark, dir).map(_.version)
   }
 
-  private def currentFiles(): Map[Int, Seq[String]] =
+  private def currentFiles(): Map[Int, (Long, Seq[String])] =
     resolvedVersion match {
       case None => Map.empty
       case Some(v) => MergeTableUtil.currentDataFiles(spark, dir, v)
     }
 
-  private def plannedFiles(all: Map[Int, Seq[String]]): Seq[MergeFilePartition] = {
+  private def plannedFiles(
+      all: Map[Int, (Long, Seq[String])]): Seq[MergeFilePartition] = {
+    // an empty/never-committed table (reachable with a user-supplied
+    // schema via supportsExternalMetadata) is an empty scan, never a
+    // resolvedVersion.get throw
+    if (all.isEmpty) {
+      GraftMergeScan.lastPrune.set((0, 0, runtimeKeys.isDefined))
+      return Seq.empty
+    }
     // compile-time pushed keys AND runtime (join-driven) keys each bound
     // the bucket set; both present -> intersection
     val keySets = Seq(keyValues, runtimeKeys).flatten
@@ -413,11 +439,13 @@ class GraftMergeScan(
           .map(vs => vs.map(v => MergeTableUtil.bucketOf(v, dt, writerNb)).toSet)
           .reduce(_ intersect _)
       }
+    // _version of a batch-read row = the manifest's content version for
+    // its bucket (the commit that wrote the file), same meaning as replay
     val planned = all.toSeq.sortBy(_._1)
       .filter { case (b, _) => buckets.contains(b) }
-      .flatMap { case (b, fs) => fs.map(f => MergeFilePartition(f, b, -1L)) }
+      .flatMap { case (b, (cv, fs)) => fs.map(f => MergeFilePartition(f, b, cv)) }
     GraftMergeScan.lastPrune.set(
-      (planned.size, all.values.map(_.size).sum, runtimeKeys.isDefined))
+      (planned.size, all.values.map(_._2.size).sum, runtimeKeys.isDefined))
     planned
   }
 
@@ -491,16 +519,32 @@ class GraftMergeMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[MergeOffset].version
     val e0 = end.asInstanceOf[MergeOffset].version
-    val versions = MergeSink.commits(spark, dir)
-      .map(_.version).filter(v => v > s0 && v <= e0)
-    val missing = (s0 + 1) to e0
-    // every committed version in range must still have its manifest
+    val cs = MergeSink.commits(spark, dir)
+    // Versions are DENSE (every commit is predecessor + 1, from 0) and
+    // GC removes a collected version's marker AND manifest together —
+    // so a version that existed but fell out of retention is simply
+    // ABSENT from the commit log. The fail-loud check therefore keys on
+    // the earliest RETAINED marker: a replay range reaching below it is
+    // asking for GC'd history and must throw (the CDF retention
+    // contract), never silently skip committed versions.
+    if (s0 + 1 <= e0) {
+      val earliest = cs.headOption.map(_.version).getOrElse(0L)
+      if (s0 + 1 < earliest)
+        throw new IllegalStateException(
+          s"graft-merge: versions ${s0 + 1}..${earliest - 1} fell out of " +
+            s"the retention window (earliest retained is $earliest; " +
+            s"requested replay range ${s0 + 1}..$e0); readers must keep " +
+            "up within retention")
+    }
+    val versions = cs.map(_.version).filter(v => v > s0 && v <= e0)
     versions.flatMap { v =>
       val m = MergeSink.manifest(spark, dir, v)
-      if (m.isEmpty && MergeSink.commits(spark, dir).exists(_.version == v))
+      // a retained marker whose manifest vanished is a torn GC — same
+      // contract violation, same loud failure
+      if (m.isEmpty && cs.exists(_.version == v))
         throw new IllegalStateException(
           s"graft-merge: version $v fell out of the retention window " +
-            s"(requested replay range ${missing.headOption.getOrElse(v)}..$e0); " +
+            s"(requested replay range ${s0 + 1}..$e0); " +
             "readers must keep up within retention")
       val conf = spark.sessionState.newHadoopConf()
       m.toSeq.sorted.collect { case (b, cv) if cv == v =>

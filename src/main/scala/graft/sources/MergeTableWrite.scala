@@ -135,6 +135,7 @@ private[graft] object MergeWriteUtil {
       else spark.read.schema(schema).parquet(files: _*)
     MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
     fs.delete(p, true)
+    dropEmptyStagingParent(fs, p)
   }
 
   def abortStaged(dir: String, queryId: String): Unit = {
@@ -142,6 +143,22 @@ private[graft] object MergeWriteUtil {
     val p = new Path(stagingDir(dir, queryId))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    dropEmptyStagingParent(fs, p)
+  }
+
+  /** Streaming epochs stage under `_staging_<queryId>/e<epochId>`;
+    * deleting only the epoch dir would leave an empty `_staging_*`
+    * parent per query run accumulating under the table directory.
+    * (Non-empty parents are left alone — a concurrent epoch may be
+    * staging; its own commit/abort sweeps the parent when it is last.)
+    */
+  private def dropEmptyStagingParent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staged: Path): Unit = {
+    val parent = staged.getParent
+    if (parent != null && parent.getName.startsWith("_staging_") &&
+      fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, false)
   }
 }
 

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -336,5 +338,113 @@ class Dsv2Spec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(changes.sameElements(viaLib),
       s"replay-derived feed ${changes.toSeq} != snapshot diff ${viaLib.toSeq}")
+  }
+
+  test("CDC replay of GC'd history fails loudly, never silently skips") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    // three commits: GC retires v0's marker + manifest (retention keeps
+    // current + previous), so a replay from scratch reaches below the
+    // earliest retained version
+    (0 to 2).foreach { i =>
+      MergeSink.upsertBatch(
+        Seq((i.toLong, 10L + i, 1.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", i.toLong, "gc")
+    }
+    assert(MergeSink.commits(spark, table).map(_.version).min == 1L,
+      "precondition: v0 should be GC'd")
+    val stream = new graft.sources.GraftMergeMicroBatchStream(
+      spark, table,
+      new org.apache.spark.sql.types.StructType().add("k", "long"))
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.sources.MergeOffset(-1L), graft.sources.MergeOffset(2L))
+    }
+    assert(err.getMessage.contains("retention"), err.getMessage)
+    // a caught-up reader (start at the earliest retained - 1) replays fine
+    val ok = stream.planInputPartitions(
+      graft.sources.MergeOffset(0L), graft.sources.MergeOffset(2L))
+    assert(ok.nonEmpty)
+  }
+
+  test("annotated INT32/INT64 bucket columns fail instead of misdecoding") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = freshTable()
+    // decimal(9,2) -> INT32-annotated, decimal(15,2) -> INT64-annotated,
+    // date -> INT32-annotated: each would silently surface unscaled
+    // physical integers if mapped by physical type alone
+    spark.sql(
+      """select cast(1.23 as decimal(9,2)) d32,
+        |       cast(4.56 as decimal(15,2)) d64,
+        |       date'2026-01-01' dt""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = graft.sources.MergeTableUtil.footerOf(
+      spark.sessionState.newHadoopConf(), f.toString)
+    footer.getFields.asScala.foreach { t =>
+      val err = intercept[IllegalArgumentException] {
+        graft.sources.MergeTableUtil.sparkFieldOf(t.asPrimitiveType())
+      }
+      assert(err.getMessage.contains("logical type"), err.getMessage)
+    }
+  }
+
+  test("batch CDC read reports each bucket's manifest version, not -1") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    MergeSink.upsertBatch(
+      Seq((1L, 10L, false), (2L, 11L, false)).toDF("k", "seq", MergeSink.DeletedCol),
+      table, "k", "seq", 0L, "cv")
+    MergeSink.upsertBatch(
+      Seq((2L, 20L, false)).toDF("k", "seq", MergeSink.DeletedCol),
+      table, "k", "seq", 1L, "cv")
+    val byKey = spark.read.format("graft-merge")
+      .option("path", table).option("cdc", "true").load()
+      .select("k", "_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 2's bucket was rewritten at v1; key 1's bucket (if different)
+    // still carries v0 — either way no row may report the -1 placeholder
+    assert(byKey.values.forall(_ >= 0L), s"placeholder _version: $byKey")
+    assert(byKey(2L) == 1L, s"rewritten bucket must report v1: $byKey")
+  }
+
+  test("scan of a never-committed table with a user schema is empty, not an error") {
+    val table = freshTable()
+    val n = spark.read.format("graft-merge")
+      .schema("k long, seq long")
+      .option("path", table).option("key", "k")
+      .load()
+      .filter(col("k") === 1L)
+      .count()
+    assert(n == 0L)
+  }
+
+  test("streaming write leaves no empty staging parents behind") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.types._
+    val table = freshTable()
+    val src = java.nio.file.Files.createTempDirectory("dsv2_stage_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("dsv2_stage_ck").toString
+    Seq((1L, 10L, 1.0)).toDF("k", "seq", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("seq", LongType), StructField("v", DoubleType))))
+      .parquet(src)
+      .writeStream.format("graft-merge")
+      .option("path", table).option("key", "k").option("seq", "seq")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val leftovers = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("_staging_"))
+    assert(leftovers.isEmpty,
+      s"empty staging parents accumulated: ${leftovers.toSeq}")
   }
 }
