@@ -6,11 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.example.data.Group
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -21,10 +21,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 import graft.streaming.MergeSink
 
@@ -582,116 +584,222 @@ class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
+/** Reader factory: VECTORIZED. Every partition reads through Spark's
+  * own `VectorizedParquetRecordReader` into `ColumnarBatch`es — the
+  * same columnar decode path every built-in parquet scan uses (bulk
+  * column decoding, dictionary-aware, lazy dictionary materialization),
+  * several× faster per byte than any row-materializing reader. At
+  * 100 TB the connector is the merge table's only read path, so the
+  * decode loop IS the table's scan throughput. (Reference dual: the
+  * block-read hot path, file_mgr.clj:58-70, is the one part of the
+  * reference kernel that was hand-optimized — pooled channels, striped
+  * locks; this is its Spark-native equivalent.)
+  *
+  * Semantics preserved from the row reader it replaces:
+  *   - per-file schema reconciliation: a required column absent from an
+  *     older bucket file reads as a NULL vector (the vectorized
+  *     reader's missing-column handling — exactly mergeSchema's);
+  *   - `_version`/`_bucket` surfaced as CONSTANT vectors via the
+  *     reader's partition-value mechanism (zero per-row work);
+  *   - batch snapshot reads hide tombstones: `__deleted` rides along as
+  *     one extra projected column; a batch with no set bit passes
+  *     through ZERO-COPY (the output ColumnarBatch wraps the reader's
+  *     own vectors), a batch with tombstones — rare, bounded by the
+  *     table's delete rate — copies only survivors.
+  */
 class MergeReaderFactory(
     conf: SerializableHadoopConf,
     required: StructType,
     hideTombstones: Boolean)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[MergeFilePartition]
-    new MergeFileReader(conf.value, p, required, hideTombstones)
+    new MergeColumnarReader(conf.value, p, required, hideTombstones)
+  }
+
+  // Spark plans all-columnar when supportColumnarReads is true; the row
+  // path exists only to satisfy the interface — delegate through the
+  // columnar reader so there is exactly ONE decode implementation.
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cols = createColumnarReader(partition)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      override def next(): Boolean = {
+        while (!rows.hasNext) {
+          if (!cols.next()) return false
+          rows = cols.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = cols.close()
+    }
   }
 }
 
-/** Parquet row reader for one bucket file: footer-projected columns,
-  * per-file schema reconciliation (absent column -> NULL), tombstone
-  * filtering for batch snapshot reads, `_version`/`_bucket` constants
-  * for replay reads.
-  */
-class MergeFileReader(
+/** Columnar reader for one bucket file (see [[MergeReaderFactory]]). */
+class MergeColumnarReader(
     conf: Configuration,
     partition: MergeFilePartition,
     required: StructType,
     hideTombstones: Boolean)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[ColumnarBatch] {
 
   import MergeTableUtil.{BucketCol, VersionCol}
 
-  private val fileSchema = MergeTableUtil.footerOf(conf, partition.file)
+  private val Capacity = 4096
 
-  // data columns to materialize from THIS file: required data fields the
-  // file has, plus __deleted (if present) when we must filter on it
+  // Requested DATA schema: required data fields (declared order), plus
+  // __deleted appended when tombstones must be hidden. A field the file
+  // lacks (mixed-schema CDC history, or __deleted on a pre-CDC file)
+  // becomes a missing-column NULL vector — no footer probe needed.
   private val requiredData =
     required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
-  private val present =
-    requiredData.filter(f => fileSchema.containsField(f.name))
-  private val needDeleted =
-    hideTombstones && fileSchema.containsField(MergeSink.DeletedCol)
-  private val projNames: Seq[String] = {
-    val base = present.map(_.name).toSeq
-    val withDel =
-      if (needDeleted && !base.contains(MergeSink.DeletedCol))
-        base :+ MergeSink.DeletedCol
-      else base
-    // empty projection (count(*) over a tombstone-free file): still
-    // project ONE column — reading the whole file to count rows is wrong
-    if (withDel.nonEmpty) withDel
-    else Seq(fileSchema.getFields.asScala.head.getName)
-  }
+  private val needDeleted = hideTombstones
+  private val readerDataSchema = StructType(
+    if (needDeleted)
+      requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
+    else requiredData.toSeq)
 
-  private val reader: ParquetReader[Group] = {
+  // _version/_bucket ride the partition-value mechanism: constant
+  // vectors appended AFTER the data columns by initBatch.
+  private val partCols = required.fields
+    .filter(f => f.name == VersionCol || f.name == BucketCol)
+  private val partValues = new GenericInternalRow(
+    partCols.map {
+      case f if f.name == VersionCol => partition.version: Any
+      case _ => partition.bucket: Any
+    }.asInstanceOf[Array[Any]])
+
+  private val reader: VectorizedParquetRecordReader = {
     val c = new Configuration(conf)
-    val projTypes =
-      projNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
-    val proj = new MessageType("graft_projection", projTypes: _*)
-    c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    ParquetReader
-      .builder(new GroupReadSupport(), new Path(partition.file))
-      .withConf(c)
-      .build()
+    c.set(
+      ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readerDataSchema.json)
+    c.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    // The schema converter reads these as REQUIRED conf entries (Spark's
+    // own scan prep writes them before handing the conf over); a session
+    // that set them explicitly already has them via newHadoopConf — fill
+    // the documented defaults otherwise.
+    def dflt(k: String, v: String): Unit = if (c.get(k) == null) c.set(k, v)
+    dflt("spark.sql.parquet.binaryAsString", "false")
+    dflt("spark.sql.parquet.int96AsTimestamp", "true")
+    dflt("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    dflt("spark.sql.legacy.parquet.nanosAsLong", "false")
+    dflt("spark.sql.caseSensitive", "false")
+    dflt("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, Capacity)
+    val path = new Path(partition.file)
+    val len = path.getFileSystem(c).getFileStatus(path).getLen
+    val split = new FileSplit(path, 0, len, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(c, new TaskAttemptID())
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(StructType(partCols), partValues)
+      r.enableReturningBatches()
+    } catch { case t: Throwable => r.close(); throw t }
+    r
   }
 
-  // extractor per OUTPUT field, bound once per file
-  private val extractors: Array[Group => Any] =
-    required.fields.map { f =>
-      if (f.name == VersionCol) { (_: Group) => partition.version }
-      else if (f.name == BucketCol) { (_: Group) => partition.bucket }
-      else if (!fileSchema.containsField(f.name)) { (_: Group) => null }
-      else groupExtractor(f.name)
-    }
-
-  private def groupExtractor(name: String): Group => Any = {
-    val p = fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType()
-    val i = projNames.indexOf(name) // groups carry the projection schema
-    val isMillis = p.getLogicalTypeAnnotation match {
-      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-        t.getUnit == TimeUnit.MILLIS
-      case _ => false
-    }
-    (g: Group) => {
-      if (g.getFieldRepetitionCount(i) == 0) null
-      else p.getPrimitiveTypeName match {
-        case INT64 => if (isMillis) g.getLong(i, 0) * 1000L else g.getLong(i, 0)
-        case INT32 => g.getInteger(i, 0)
-        case DOUBLE => g.getDouble(i, 0)
-        case FLOAT => g.getFloat(i, 0)
-        case BOOLEAN => g.getBoolean(i, 0)
-        case BINARY => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-        case other =>
-          throw new IllegalArgumentException(
-            s"graft-merge: unsupported primitive $other for $name")
-      }
-    }
+  // index, in the reader's batch, of each OUTPUT column: data columns in
+  // requested order, then the partition-value constants
+  private val outIdx: Array[Int] = required.fields.map { f =>
+    val d = requiredData.indexWhere(_.name == f.name)
+    if (d >= 0) d
+    else readerDataSchema.length + partCols.indexWhere(_.name == f.name)
   }
+  private val deletedIdx = if (needDeleted) requiredData.length else -1
 
-  private val deletedIdx: Int =
-    if (needDeleted) projNames.indexOf(MergeSink.DeletedCol) else -1
+  // reusable output for the tombstone-bearing (copy) path — allocated
+  // on first use (most files never hold a tombstone)
+  private var copyVectors: Array[OnHeapColumnVector] = _
 
-  private def isTombstone(g: Group): Boolean =
-    deletedIdx >= 0 &&
-      g.getFieldRepetitionCount(deletedIdx) > 0 && g.getBoolean(deletedIdx, 0)
-
-  private var current: Group = _
+  private var current: ColumnarBatch = _
 
   override def next(): Boolean = {
-    current = reader.read()
-    while (current != null && isTombstone(current)) current = reader.read()
-    current != null
+    while (reader.nextKeyValue()) {
+      val src = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = src.numRows()
+      val live =
+        if (deletedIdx < 0) n
+        else {
+          val del = src.column(deletedIdx)
+          var c = 0
+          var i = 0
+          while (i < n) {
+            if (del.isNullAt(i) || !del.getBoolean(i)) c += 1
+            i += 1
+          }
+          c
+        }
+      if (live > 0) {
+        current =
+          if (live == n) wrap(src, n) // zero-copy: no tombstone in batch
+          else copySurvivors(src, n)
+        return true
+      }
+      // else: batch was pure tombstones — read on
+    }
+    false
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(extractors.map(_(current)).asInstanceOf[Array[Any]])
+  /** Output batch over the reader's own vectors, reordered to the
+    * required schema (drops the ridden-along __deleted vector).
+    */
+  private def wrap(src: ColumnarBatch, n: Int): ColumnarBatch =
+    new ColumnarBatch(outIdx.map(src.column(_): ColumnVector), n)
 
-  override def close(): Unit = reader.close()
+  private def copySurvivors(src: ColumnarBatch, n: Int): ColumnarBatch = {
+    val del = src.column(deletedIdx)
+    if (copyVectors == null)
+      copyVectors = OnHeapColumnVector
+        .allocateColumns(Capacity, StructType(required.fields.toSeq))
+    val out = copyVectors
+    out.foreach(_.reset())
+    var o = 0
+    var i = 0
+    while (i < n) {
+      if (del.isNullAt(i) || !del.getBoolean(i)) {
+        var c = 0
+        while (c < outIdx.length) {
+          val sv = src.column(outIdx(c))
+          val ov = out(c)
+          if (sv.isNullAt(i)) ov.putNull(o)
+          else required.fields(c).dataType match {
+            case LongType | TimestampType | TimestampNTZType =>
+              ov.putLong(o, sv.getLong(i))
+            case IntegerType => ov.putInt(o, sv.getInt(i))
+            case DoubleType => ov.putDouble(o, sv.getDouble(i))
+            case FloatType => ov.putFloat(o, sv.getFloat(i))
+            case BooleanType => ov.putBoolean(o, sv.getBoolean(i))
+            case StringType =>
+              val b = sv.getUTF8String(i).getBytes
+              ov.putByteArray(o, b, 0, b.length)
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft-merge: unsupported type $other for ${required.fields(c).name}")
+          }
+          c += 1
+        }
+        o += 1
+      }
+      i += 1
+    }
+    new ColumnarBatch(out.map(v => v: ColumnVector), o)
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = {
+    reader.close()
+    if (copyVectors != null) copyVectors.foreach(_.close())
+  }
 }

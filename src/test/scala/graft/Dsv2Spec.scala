@@ -423,6 +423,38 @@ class Dsv2Spec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("batch scan is COLUMNAR: vectorized ColumnarBatch path end to end") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val df = spark.read.format("graft-merge").option("path", table).load()
+    val plan = df.queryExecution.executedPlan
+    val scanExec = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scanExec.supportsColumnar,
+      "graft-merge scan is not columnar — row-at-a-time reader regressed")
+    assert(plan.toString.contains("ColumnarToRow"),
+      s"no ColumnarToRow transition above the scan:\n$plan")
+    // columnar result == library snapshot, including through the
+    // tombstone copy path (a table where SOME batches carry tombstones)
+    val s2 = spark
+    import s2.implicits._
+    val cdc = freshTable()
+    val base = (1L to 500L).map(k => (k, 10L, false))
+    MergeSink.upsertBatch(
+      base.toDF("k", "seq", MergeSink.DeletedCol), cdc, "k", "seq", 0L, "vc")
+    MergeSink.upsertBatch(
+      (1L to 500L by 7).map(k => (k, 20L, true))
+        .toDF("k", "seq", MergeSink.DeletedCol),
+      cdc, "k", "seq", 1L, "vc")
+    val viaSource = spark.read.format("graft-merge").option("path", cdc).load()
+      .select("k").collect().map(_.getLong(0)).sorted
+    val viaLib = MergeSink.currentState(spark, cdc).get
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(viaSource.sameElements(viaLib),
+      s"columnar tombstone filter diverged: ${viaSource.length} vs ${viaLib.length}")
+  }
+
   test("streaming write leaves no empty staging parents behind") {
     val s2 = spark
     import s2.implicits._
