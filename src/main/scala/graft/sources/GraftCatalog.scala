@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `TableCatalog` for merge tables — the engine's own table as a
+  * first-class SQL citizen (the reference is a DATABASE kernel; its
+  * Spark dual deserves DDL, not only `spark.read.format(...)` calls):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/warehouse")
+  *   sql("CREATE NAMESPACE g.db")
+  *   sql("""CREATE TABLE g.db.t (k BIGINT, seq BIGINT, v DOUBLE)
+  *          USING `graft-merge` OPTIONS (key 'k', seq 'seq')""")
+  *   sql("INSERT INTO g.db.t SELECT ...")   -- MERGE-upsert semantics
+  *   sql("SELECT * FROM g.db.t WHERE k = 5") -- bucket-pruned scan
+  *   sql("SELECT * FROM g.db.t VERSION AS OF 0") -- time travel
+  * }}}
+  *
+  * Catalog metadata is one java-properties file per table under the
+  * warehouse (`<warehouse>/<namespace>/<name>.gtable`): the table's
+  * declared schema (used until the first commit; after that the
+  * committed footers are authoritative — CDC evolution must win over a
+  * stale declaration), its merge options (key/seq/path), and whether
+  * the data location is EXTERNAL (supplied path — DROP keeps data) or
+  * MANAGED (defaulted under `<warehouse>/_data/` — DROP removes it).
+  * DDL is tiny-metadata-scale by design; the data path stays entirely
+  * in [[graft.streaming.MergeSink]]'s transactional protocol.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def fs: FileSystem =
+    warehouse.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name': spark.sql.catalog.$name.warehouse is required")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------------
+  // metadata files
+  // ------------------------------------------------------------------
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def metaPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), s"${ident.name}.gtable")
+
+  private def managedDataPath(ident: Identifier): Path =
+    (ident.namespace :+ ident.name)
+      .foldLeft(new Path(warehouse, "_data"))((p, n) => new Path(p, n))
+
+  private def readMeta(ident: Identifier): util.Properties = {
+    val mp = metaPath(ident)
+    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    val in = fs.open(mp)
+    val props = new util.Properties
+    try props.load(in)
+    finally in.close()
+    props
+  }
+
+  private def writeMeta(
+      ident: Identifier,
+      props: util.Properties,
+      overwrite: Boolean): Unit = {
+    val mp = metaPath(ident)
+    fs.mkdirs(mp.getParent)
+    val bytes = new ByteArrayOutputStream()
+    props.store(bytes, null)
+    // exclusive create: two racing CREATE TABLEs resolve to one winner
+    val out =
+      try fs.create(mp, overwrite)
+      catch {
+        case _: java.io.IOException if !overwrite && fs.exists(mp) =>
+          throw new TableAlreadyExistsException(ident)
+      }
+    try out.write(bytes.toByteArray)
+    finally out.close()
+  }
+
+  // ------------------------------------------------------------------
+  // TableCatalog
+  // ------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsPath(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d)
+      .iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".gtable"))
+      .map(n => Identifier.of(namespace, n.stripSuffix(".gtable")))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaPath(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadWith(ident, None)
+
+  /** TIME TRAVEL through SQL: `SELECT … FROM t VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadWith(ident, Some(version))
+
+  private def loadWith(ident: Identifier, versionAsOf: Option[String]): Table = {
+    val props = readMeta(ident)
+    val opts = props.stringPropertyNames.asScala
+      .filterNot(k => k == "schema" || k == TableCatalog.PROP_EXTERNAL)
+      .map(k => k -> props.getProperty(k))
+      .toMap ++ versionAsOf.map("versionAsOf" -> _)
+    val spark = SparkSession.active
+    // committed data is authoritative for the schema (CDC batches may
+    // have evolved it past the declaration); the declared schema serves
+    // until the first commit
+    val schema = graft.streaming.MergeSink
+      .lastCommit(spark, opts("path")) match {
+      case Some(_) =>
+        val visible = MergeTableUtil.dataSchema(spark, opts("path"))
+        StructType(visible.fields.filterNot(
+          _.name == graft.streaming.MergeSink.DeletedCol))
+      case None =>
+        DataType.fromJson(props.getProperty("schema")).asInstanceOf[StructType]
+    }
+    new GraftMergeTable(schema, opts)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-merge tables own their layout (hash buckets); " +
+        "PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val given = properties.asScala
+    // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX; accept bare
+    // keys too (programmatic createTable callers)
+    def opt(k: String): Option[String] =
+      given.get(TableCatalog.OPTION_PREFIX + k).orElse(given.get(k))
+    val key = opt("key").getOrElse(throw new IllegalArgumentException(
+      "graft-merge: OPTIONS must declare key (the merge key column)"))
+    val seq = opt("seq").getOrElse(throw new IllegalArgumentException(
+      "graft-merge: OPTIONS must declare seq (the total-order column)"))
+    require(schema.fieldNames.contains(key),
+      s"graft-merge: key column '$key' not in declared schema")
+    require(schema.fieldNames.contains(seq),
+      s"graft-merge: seq column '$seq' not in declared schema")
+    val external = opt("path")
+      .orElse(Option(properties.get(TableCatalog.PROP_LOCATION)))
+    val path = external.getOrElse(managedDataPath(ident).toString)
+    val props = new util.Properties
+    props.setProperty("path", path)
+    props.setProperty("key", key)
+    props.setProperty("seq", seq)
+    props.setProperty("schema", schema.json)
+    props.setProperty(TableCatalog.PROP_EXTERNAL, external.isDefined.toString)
+    writeMeta(ident, props, overwrite = false)
+    new GraftMergeTable(schema, Map("path" -> path, "key" -> key, "seq" -> seq))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema follows the " +
+        "committed data (CDC evolution), merge options are immutable")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val mp = metaPath(ident)
+    if (!fs.exists(mp)) return false
+    val props = readMeta(ident)
+    val managed = props.getProperty(TableCatalog.PROP_EXTERNAL) == "false"
+    fs.delete(mp, false)
+    if (managed) fs.delete(new Path(props.getProperty("path")), true)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(metaPath(newIdent).getParent)
+    if (!fs.rename(metaPath(oldIdent), metaPath(newIdent)))
+      throw new IllegalStateException(
+        s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // ------------------------------------------------------------------
+  // SupportsNamespaces — one directory per namespace level
+  // ------------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse)
+      .iterator
+      .filter(s => s.isDirectory && s.getPath.getName != "_data")
+      .map(s => Array(s.getPath.getName))
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val d = nsPath(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d)
+      .iterator
+      .filter(_.isDirectory)
+      .map(s => namespace :+ s.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!fs.exists(nsPath(namespace)))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val d = nsPath(namespace)
+    if (fs.exists(d)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(d)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(
+      namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsPath(namespace)
+    if (!fs.exists(d)) return false
+    if (!cascade && fs.listStatus(d).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(d, true)
+  }
+}

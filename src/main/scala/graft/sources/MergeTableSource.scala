@@ -240,14 +240,21 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-loaded tables carry path/key/seq as TABLE PROPERTIES (the
+    // SQL reader passes no per-scan options); per-read options override
+    val merged = new java.util.HashMap[String, String]
+    properties.foreach { case (k, v) => merged.put(k, v) }
+    merged.putAll(options.asCaseSensitiveMap())
+    val o = new CaseInsensitiveStringMap(merged)
     new GraftMergeScanBuilder(
       SparkSession.active,
-      MergeTableUtil.dirOf(options),
-      Option(options.get("key")),
-      options.getBoolean("cdc", false),
-      Option(options.get("versionAsOf")).map(_.toLong),
+      MergeTableUtil.dirOf(o),
+      Option(o.get("key")),
+      o.getBoolean("cdc", false),
+      Option(o.get("versionAsOf")).map(_.toLong),
       tableSchema)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -1771,6 +1771,52 @@ object Streams {
   val dsv2TimetravelGatedSql: String = mergeTimetravelGatedSql
 
   // ---------------------------------------------------------------------
+  // q_dsv2_sql — the merge table as a FIRST-CLASS SQL CITIZEN through
+  // the graft TableCatalog (sources/GraftCatalog): CREATE NAMESPACE +
+  // CREATE TABLE … USING `graft-merge`, two INSERT INTO … SELECT
+  // statements (each a real two-phase merge commit through the DSv2
+  // writer), and a pure-SQL point SELECT whose IN predicate drives the
+  // connector's bucket pruning — no DataFrame reader call anywhere in
+  // the lane. The reference is a DATABASE kernel; reaching its Spark
+  // dual entirely from SQL is what "matching a database" means. Same
+  // oracle as q_merge_point: the looked-up rows are each key's
+  // latest-by-seq state.
+  // ---------------------------------------------------------------------
+  val dsv2SqlGated: (SparkSession, String) => DataFrame = (s, d) => {
+    // the CatalogManager caches instances by name: a fresh name per run
+    // keeps each invocation's warehouse isolated (bench runs twice)
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gsql$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.events_merged
+         |(user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_sql_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(
+      s"INSERT INTO $cat.g.events_merged SELECT * FROM $view WHERE event_id <= $t1")
+    s.sql(
+      s"INSERT INTO $cat.g.events_merged SELECT * FROM $view WHERE event_id > $t1")
+    s.sql(
+      s"""SELECT user_id, event_id AS last_id,
+         |CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM $cat.g.events_merged
+         |WHERE user_id IN (${PointIds.mkString(", ")})
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  val dsv2SqlGatedSql: String = mergePointGatedSql
+
+  // ---------------------------------------------------------------------
   // q_dsv2_stream_write — the connector's STREAMING WRITE path: the
   // event stream upserts through writeStream.format("graft-merge")
   // (StreamingWrite: per-epoch staging + the MergeSink transaction at
@@ -2295,6 +2341,7 @@ object Streams {
     "q_dsv2_write" -> dsv2WriteGated,
     "q_dsv2_stream_write" -> dsv2StreamWriteGated,
     "q_dsv2_timetravel" -> dsv2TimetravelGated,
+    "q_dsv2_sql" -> dsv2SqlGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_stream_asof" -> streamAsofGated,
@@ -2326,6 +2373,7 @@ object Streams {
     "q_dsv2_write" -> dsv2WriteGatedSql,
     "q_dsv2_stream_write" -> dsv2StreamWriteGatedSql,
     "q_dsv2_timetravel" -> dsv2TimetravelGatedSql,
+    "q_dsv2_sql" -> dsv2SqlGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,

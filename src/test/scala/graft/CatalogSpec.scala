@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftCatalog
+import graft.streaming.MergeSink
+
+/** The graft SQL catalog: merge tables reachable through pure SQL —
+  * DDL round-trip, INSERT-as-merge, bucket-pruned SELECT, time travel,
+  * managed-vs-external DROP semantics.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Fresh catalog per test: the CatalogManager caches instances by
+    * name, so a reused name would pin the first test's warehouse.
+    */
+  private def freshCatalog(): String = {
+    val cat = s"gcat${n.incrementAndGet()}"
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_wh_$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    cat
+  }
+
+  test("DDL round-trip: CREATE / SHOW / INSERT / SELECT / RENAME / DROP") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.accounts (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).contains("accounts"))
+    // the declared schema serves before the first commit
+    assert(spark.table(s"$cat.db.accounts").schema.fieldNames
+      .sameElements(Array("k", "seq", "v")))
+    // INSERT INTO is MERGE-upsert by key: the k=2 row at seq 20 must
+    // supersede its seq-11 version, not duplicate it
+    spark.sql(s"INSERT INTO $cat.db.accounts VALUES (1, 10, 1.5), (2, 11, 2.5)")
+    spark.sql(s"INSERT INTO $cat.db.accounts VALUES (2, 20, 9.5), (3, 21, 3.5)")
+    val rows = spark.sql(s"SELECT k, seq, v FROM $cat.db.accounts ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(Array((1L, 10L, 1.5), (2L, 20L, 9.5), (3L, 21L, 3.5))),
+      rows.toSeq.toString)
+    // RENAME TO resolves inside the same catalog: target omits it
+    spark.sql(s"ALTER TABLE $cat.db.accounts RENAME TO db.ledger")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ledger").head().getLong(0) == 3)
+    spark.sql(s"DROP TABLE $cat.db.ledger")
+    assert(!spark.catalog.tableExists(s"$cat.db.ledger"))
+  }
+
+  test("SQL point read drives the connector's bucket pruning") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.t (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, 1L, id * 0.5 FROM range(200)")
+    val df = spark.sql(s"SELECT k, v FROM $cat.db.t WHERE k IN (7, 23)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMergeScan"), plan)
+    assert(plan.contains("pushed=[In(k"),
+      s"key predicate did not reach the catalog-loaded scan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got.sameElements(Array((7L, 3.5), (23L, 11.5))), got.toSeq.toString)
+  }
+
+  test("time travel via SQL VERSION AS OF") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.tt (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (1, 10, 1.0)")
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (1, 20, 2.0)")
+    val now = spark.sql(s"SELECT v FROM $cat.db.tt").head().getDouble(0)
+    val then = spark.sql(s"SELECT v FROM $cat.db.tt VERSION AS OF 0")
+      .head().getDouble(0)
+    assert(now == 2.0 && then == 1.0, s"now=$now then=$then")
+  }
+
+  test("external tables keep their data on DROP; managed tables do not") {
+    val cat = freshCatalog()
+    val ext = java.nio.file.Files.createTempDirectory("graft_ext_tbl").toString
+    val s2 = spark
+    import s2.implicits._
+    MergeSink.upsertBatch(
+      Seq((1L, 10L, 1.0)).toDF("k", "seq", "v"), ext, "k", "seq", 0L, "ex")
+    // register EXISTING data as an external SQL table
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ext (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq', path '$ext')""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ext").head().getLong(0) == 1)
+    spark.sql(s"DROP TABLE $cat.db.ext")
+    assert(MergeSink.currentState(spark, ext).isDefined,
+      "DROP of an external table removed its data")
+    // managed: data lives under the warehouse and dies with the table
+    spark.sql(
+      s"""CREATE TABLE $cat.db.mng (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.mng VALUES (1, 10, 1.0)")
+    val dataPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/mng")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(dataPath), "managed data not under the warehouse")
+    spark.sql(s"DROP TABLE $cat.db.mng")
+    assert(!fs.exists(dataPath), "DROP of a managed table kept its data")
+  }
+
+  test("CREATE TABLE validates merge options against the declared schema") {
+    val cat = freshCatalog()
+    val noKey = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.bad (k BIGINT, seq BIGINT)
+           |USING `graft-merge` OPTIONS (seq 'seq')""".stripMargin)
+    }
+    assert(noKey.getMessage.contains("key"), noKey.getMessage)
+    val badCol = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.bad2 (k BIGINT, seq BIGINT)
+           |USING `graft-merge` OPTIONS (key 'nope', seq 'seq')""".stripMargin)
+    }
+    assert(badCol.getMessage.contains("nope"), badCol.getMessage)
+    // duplicate CREATE fails; IF NOT EXISTS is quiet
+    spark.sql(
+      s"""CREATE TABLE $cat.db.once (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.once (k BIGINT, seq BIGINT)
+           |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    }
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $cat.db.once (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+  }
+
+  test("catalog schema follows committed CDC evolution past the declaration") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ev (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1, 10)")
+    // a library-side CDC batch adds a column the declaration lacks
+    val meta = spark.sql(s"SELECT k FROM $cat.db.ev") // force load once
+    meta.collect()
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/ev").toString
+    MergeSink.upsertBatch(
+      Seq((2L, 20L, "x")).toDF("k", "seq", "tag"), path, "k", "seq", 1L, "evo")
+    assert(spark.table(s"$cat.db.ev").schema.fieldNames.contains("tag"),
+      "catalog served the stale declared schema after CDC evolution")
+  }
+}
