@@ -277,13 +277,103 @@ class GraftMergeScanBuilder(
     fullSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
   /** Key values extracted from prunable predicates, or None = no pruning. */
   private var keyValues: Option[Seq[Any]] = None
+
+  // -------------------------------------------------------------------
+  // AGGREGATE PUSHDOWN: count(*) / count(col) / min / max answered from
+  // parquet FOOTERS + the manifest — zero data-file reads (the DSv2
+  // dual of the manifest-served q_table_checksum discipline). Complete
+  // pushdown is accepted ONLY when the footer answer is provably the
+  // query answer: no filter anywhere (every filter stays post-scan
+  // here, so a filtered aggregate never reaches this path with
+  // Catalyst's rule either), no GROUP BY, no tombstones physically
+  // retained (a CDC table's footer counts would include them), and the
+  // statistics actually present in every footer — otherwise fall back
+  // to the normal columnar scan. At 100 TB this turns count/min/max
+  // maintenance queries into O(files) driver metadata reads.
+  // -------------------------------------------------------------------
+  private var aggPushed: Option[(StructType, Array[Any], String)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggPushed.isEmpty) aggPushed = tryFooterAggregation(agg)
+    aggPushed.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggPushed.isEmpty) aggPushed = tryFooterAggregation(agg)
+    aggPushed.isDefined
+  }
+
+  private def tryFooterAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (cdc || pushed.nonEmpty || keyValues.isDefined) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    // resolve the snapshot this scan would read
+    val version = versionAsOf.orElse(
+      MergeSink.lastCommit(spark, dir).map(_.version))
+    val files: Seq[String] = version match {
+      case None => Seq.empty
+      case Some(v) =>
+        if (!MergeSink.commits(spark, dir).exists(_.version == v) ||
+          MergeSink.manifest(spark, dir, v).isEmpty) return None
+        MergeTableUtil.currentDataFiles(spark, dir, v)
+          .values.flatMap(_._2).toSeq
+    }
+    // a physically-retained tombstone makes footer counts lies
+    if (files.nonEmpty &&
+      MergeTableUtil.dataSchema(spark, dir)
+        .fieldNames.contains(MergeSink.DeletedCol)) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == f.fieldNames.head)
+      case _ => None
+    }
+    // min/max only on types whose parquet statistics order == Spark's
+    // (signed ints, booleans, UTF8 byte-wise strings); float/double are
+    // excluded (NaN makes writer stats untrustworthy), timestamps too
+    def statsSafe(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | BooleanType | StringType => true
+      case _ => false
+    }
+    val wanted: Option[Seq[(String, DataType, AggregateFunc)]] =
+      Some(agg.aggregateExpressions.toSeq).filter(_.nonEmpty).flatMap { fns =>
+        val resolved = fns.map {
+          case c: CountStar => Some(("count(*)", LongType: DataType, c))
+          case c: Count if !c.isDistinct =>
+            colOf(c.column).map(f => (s"count(${f.name})", LongType: DataType, c))
+          case m: Min =>
+            colOf(m.column).filter(f => statsSafe(f.dataType))
+              .map(f => (s"min(${f.name})", f.dataType, m))
+          case m: Max =>
+            colOf(m.column).filter(f => statsSafe(f.dataType))
+              .map(f => (s"max(${f.name})", f.dataType, m))
+          case _ => None
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+      }
+    wanted.flatMap { fns =>
+      FooterStats.compute(spark, files, fns).map { values =>
+        (StructType(fns.map { case (n, dt, _) => StructField(n, dt) }),
+          values,
+          s"files=${files.size}")
+      }
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = keyCol.map { k =>
@@ -313,9 +403,147 @@ class GraftMergeScanBuilder(
       fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftMergeScan(
-      spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues, pushed)
+  override def build(): Scan = aggPushed match {
+    case Some((schema, values, detail)) =>
+      new GraftMergeAggScan(schema, values, detail)
+    case None =>
+      new GraftMergeScan(
+        spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues, pushed)
+  }
+}
+
+/** Driver-side footer aggregation for the pushed-aggregate path: every
+  * value here comes from block metadata (row counts, null counts,
+  * min/max statistics) — no data page is ever read. Returns None if any
+  * required statistic is absent from any footer (the caller then falls
+  * back to the real scan).
+  */
+private[graft] object FooterStats {
+
+  def compute(
+      spark: SparkSession,
+      files: Seq[String],
+      fns: Seq[(String, DataType, org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)])
+      : Option[Array[Any]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val conf = spark.sessionState.newHadoopConf()
+    // one footer read per file, all blocks' column statistics merged.
+    // minMaxOk goes false the moment any chunk with non-null values
+    // carries no usable min/max (dropped oversized binary stats, absent
+    // statistics) — the caller then falls back to a real scan.
+    case class ColStats(
+        valueCount: Long,
+        nullCount: Option[Long],
+        min: Option[Any],
+        max: Option[Any],
+        minMaxOk: Boolean)
+    var totalRows = 0L
+    val byCol = scala.collection.mutable.Map.empty[String, ColStats]
+    files.foreach { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        r.getFooter.getBlocks.asScala.foreach { block =>
+          totalRows += block.getRowCount
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            val s = chunk.getStatistics
+            val prev = byCol.getOrElse(
+              name, ColStats(0L, Some(0L), None, None, minMaxOk = true))
+            val nulls =
+              if (s != null && s.isNumNullsSet)
+                prev.nullCount.map(_ + s.getNumNulls)
+              else None
+            def better(cur: Option[Any], cand: Any, keepMin: Boolean): Option[Any] = {
+              val cmp = s.comparator.asInstanceOf[java.util.Comparator[Any]]
+              cur match {
+                case None => Some(cand)
+                case Some(c) =>
+                  val d = cmp.compare(cand, c)
+                  Some(if ((keepMin && d < 0) || (!keepMin && d > 0)) cand else c)
+              }
+            }
+            val allNull = s != null && s.isNumNullsSet &&
+              s.getNumNulls == chunk.getValueCount
+            val (mn, mx, ok) =
+              if (s != null && s.hasNonNullValue)
+                (better(prev.min, s.genericGetMin, keepMin = true),
+                  better(prev.max, s.genericGetMax, keepMin = false),
+                  prev.minMaxOk)
+              else if (allNull) (prev.min, prev.max, prev.minMaxOk)
+              else (prev.min, prev.max, false) // stats unusable
+            byCol(name) = ColStats(
+              prev.valueCount + chunk.getValueCount, nulls, mn, mx, ok)
+          }
+        }
+      } finally r.close()
+    }
+    def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes)
+      case (x, _) => x
+    }
+    def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e.asInstanceOf[NamedReference].fieldNames.head
+    val out = fns.map {
+      case (_, _, _: CountStar) => Some(totalRows: Any)
+      case (_, _, c: Count) =>
+        byCol.get(fieldName(c.column)) match {
+          // absent from EVERY footer (pre-evolution history): zero
+          // non-null values; files that do carry it are accounted above
+          case None => Some(0L: Any)
+          case Some(st) => st.nullCount.map(nc => (st.valueCount - nc): Any)
+        }
+      case (_, dt, m: Min) =>
+        byCol.get(fieldName(m.column)) match {
+          case None => Some(null: Any) // never present -> all null -> NULL
+          case Some(st) if st.minMaxOk =>
+            Some(st.min.map(v => toCatalyst(v, dt)).orNull)
+          case _ => None
+        }
+      case (_, dt, m: Max) =>
+        byCol.get(fieldName(m.column)) match {
+          case None => Some(null: Any)
+          case Some(st) if st.minMaxOk =>
+            Some(st.max.map(v => toCatalyst(v, dt)).orNull)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.map(_.get).toArray) else None
+  }
+}
+
+/** The pushed-aggregate scan: ONE partition, ONE pre-computed row —
+  * the reader never touches a data file (`description()` advertises it
+  * for the plan audit and Dsv2Spec).
+  */
+class GraftMergeAggScan(schema: StructType, values: Array[Any], detail: String)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftMergeAggScan FOOTER-SERVED $detail dataFilesRead=0 " +
+      s"agg=${schema.fieldNames.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(AggResultPartition(values))
+    override def createReaderFactory(): PartitionReaderFactory =
+      AggResultReaderFactory()
+  }
+}
+
+case class AggResultPartition(values: Array[Any]) extends InputPartition
+
+case class AggResultReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.asInstanceOf[AggResultPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 /** One data file of one bucket (and, for streaming, the commit version

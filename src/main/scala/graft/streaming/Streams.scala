@@ -1817,6 +1817,54 @@ object Streams {
   val dsv2SqlGatedSql: String = mergePointGatedSql
 
   // ---------------------------------------------------------------------
+  // q_dsv2_agg_pushdown — AGGREGATE PUSHDOWN on the connector
+  // (SupportsPushDownAggregates): count(*) / count(col) / min / max
+  // over the merge table answered entirely from parquet FOOTERS + the
+  // manifest — the scan the optimizer plans is a one-row
+  // GraftMergeAggScan that never constructs a data-file reader
+  // (Dsv2Spec asserts the plan and the files=0 discipline; a surviving
+  // filter falls back to the real columnar scan). The DSv2 dual of the
+  // manifest-served q_table_checksum maintenance discipline: at 100 TB
+  // these table-health queries become O(files) driver metadata reads.
+  // Oracle: the same aggregates over the latest-wins reconstruction.
+  // ---------------------------------------------------------------------
+  val dsv2AggPushGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_agg_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "da")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "da")
+    s.read.format("graft-merge")
+      .option("path", table)
+      .load()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_uid"),
+        max(col("user_id")).as("max_uid"),
+        min(col("event_id")).as("min_last_id"),
+        max(col("event_id")).as("max_last_id"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"))
+  }
+
+  val dsv2AggPushGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(event_type, event_id) AS last_type
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(user_id) AS min_uid, max(user_id) AS max_uid,
+      |  min(last_id) AS min_last_id, max(last_id) AS max_last_id,
+      |  min(last_type) AS min_type, max(last_type) AS max_type
+      |FROM st""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_stream_write — the connector's STREAMING WRITE path: the
   // event stream upserts through writeStream.format("graft-merge")
   // (StreamingWrite: per-epoch staging + the MergeSink transaction at
@@ -2342,6 +2390,7 @@ object Streams {
     "q_dsv2_stream_write" -> dsv2StreamWriteGated,
     "q_dsv2_timetravel" -> dsv2TimetravelGated,
     "q_dsv2_sql" -> dsv2SqlGated,
+    "q_dsv2_agg_pushdown" -> dsv2AggPushGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_stream_asof" -> streamAsofGated,
@@ -2374,6 +2423,7 @@ object Streams {
     "q_dsv2_stream_write" -> dsv2StreamWriteGatedSql,
     "q_dsv2_timetravel" -> dsv2TimetravelGatedSql,
     "q_dsv2_sql" -> dsv2SqlGatedSql,
+    "q_dsv2_agg_pushdown" -> dsv2AggPushGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,

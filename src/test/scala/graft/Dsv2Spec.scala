@@ -455,6 +455,49 @@ class Dsv2Spec extends SparkSpec {
       s"columnar tombstone filter diverged: ${viaSource.length} vs ${viaLib.length}")
   }
 
+  test("aggregate pushdown: count/min/max served from footers, zero data reads") {
+    val table = freshTable()
+    seedTwoCommits(table)
+    val t = spark.read.format("graft-merge").option("path", table).load()
+    val df = t.agg(
+      count(lit(1)).as("n"),
+      min(col("user_id")).as("mn"),
+      max(col("user_id")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMergeAggScan FOOTER-SERVED"),
+      s"aggregate did not push to the footer-served scan:\n$plan")
+    assert(plan.contains("dataFilesRead=0"), plan)
+    // values equal the real scan's answer
+    val viaScan = MergeSink.currentState(spark, table).get
+      .agg(count(lit(1)), min(col("user_id")), max(col("user_id"))).head()
+    val got = df.head()
+    assert(got == viaScan, s"$got vs $viaScan")
+
+    // a surviving filter must FALL BACK to the real scan (footer counts
+    // cannot see the predicate)
+    val filtered = t.filter(col("user_id") > 5L).agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("GraftMergeAggScan"),
+      s"filtered aggregate wrongly pushed:\n$fplan")
+    val expected = MergeSink.currentState(spark, table).get
+      .filter(col("user_id") > 5L).count()
+    assert(filtered.head().getLong(0) == expected)
+
+    // a tombstone-retaining table must fall back too (footer row counts
+    // include physically-retained tombstones)
+    val s2 = spark
+    import s2.implicits._
+    val cdc = freshTable()
+    MergeSink.upsertBatch(
+      Seq((1L, 10L, false), (2L, 11L, true)).toDF("k", "seq", MergeSink.DeletedCol),
+      cdc, "k", "seq", 0L, "af")
+    val cdcAgg = spark.read.format("graft-merge").option("path", cdc).load()
+      .agg(count(lit(1)).as("n"))
+    assert(!cdcAgg.queryExecution.executedPlan.toString.contains("GraftMergeAggScan"),
+      "tombstone-bearing table wrongly served counts from footers")
+    assert(cdcAgg.head().getLong(0) == 1L)
+  }
+
   test("streaming write leaves no empty staging parents behind") {
     val s2 = spark
     import s2.implicits._
