@@ -229,7 +229,8 @@ private[graft] object MergeTableUtil {
 class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-merge `${properties.getOrElse("path", "?")}`"
   override def schema(): StructType = tableSchema
@@ -239,6 +240,43 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
+
+  // -------------------------------------------------------------------
+  // SQL DELETE (`DELETE FROM t WHERE …`) — a TOMBSTONE COMMIT, the
+  // same mechanism CDC deletes use (MergeSink object doc): matching
+  // VISIBLE rows re-enter the merge as `__deleted = true` at
+  // `seq + 1`, so each tombstone wins its own key's latest-by-seq race
+  // while a genuinely newer upsert (seq beyond the tombstone's) still
+  // resurrects the key — DELETE is an event in the log, not an erasure.
+  // The matching read goes through the connector's own scan, so a
+  // key-predicate DELETE is bucket-pruned exactly like a point lookup;
+  // abort safety is upsertBatch's (nothing visible until the marker).
+  // -------------------------------------------------------------------
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    MergeDeleteSupport.translate(filters, tableSchema).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    def prop(k: String): String = properties.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft-merge DELETE: table property '$k' is required"))
+    val (dir, key, seq) = (prop("path"), prop("key"), prop("seq"))
+    val cond = MergeDeleteSupport.translate(filters, tableSchema)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-merge DELETE: cannot translate ${filters.mkString(", ")}"))
+    val matching = spark.read.format("graft-merge")
+      .option("path", dir).option("key", key)
+      .load()
+      .filter(cond)
+    if (matching.isEmpty) return // no-op DELETE commits nothing
+    val tombstones = matching
+      .withColumn(seq, org.apache.spark.sql.functions.col(seq) + 1)
+      .withColumn(MergeSink.DeletedCol,
+        org.apache.spark.sql.functions.lit(true))
+    MergeSink.upsertBatch(
+      tombstones, dir, key, seq, epochId = 0L,
+      runId = s"sqldel-${java.util.UUID.randomUUID()}")
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // catalog-loaded tables carry path/key/seq as TABLE PROPERTIES (the
@@ -265,6 +303,52 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
         .getOrElse(throw new IllegalArgumentException(
           s"graft-merge write: option '$name' is required (merge semantics)"))
     new GraftMergeWriteBuilder(opt("path"), opt("key"), opt("seq"), info)
+  }
+}
+
+/** V1 `Filter` -> `Column` translation for the DELETE path. Supports
+  * the flat-predicate grammar a merge-table DELETE meaningfully uses;
+  * an untranslatable filter makes `canDeleteWhere` false, and Spark
+  * reports the DELETE as unsupported instead of silently over- or
+  * under-deleting.
+  */
+private[graft] object MergeDeleteSupport {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.sources
+
+  def translate(filters: Array[Filter], schema: StructType): Option[Column] =
+    if (filters.isEmpty) Some(lit(true)) // TRUNCATE: every row
+    else {
+      val cols = filters.map(one(_, schema))
+      if (cols.forall(_.isDefined)) Some(cols.flatten.reduce(_ && _)) else None
+    }
+
+  private def one(f: Filter, schema: StructType): Option[Column] = {
+    def ref(name: String): Option[Column] =
+      if (schema.fieldNames.contains(name)) Some(col(name)) else None
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => ref(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+      case sources.In(a, vs) => ref(a).map(_.isin(vs.toIndexedSeq: _*))
+      case sources.GreaterThan(a, v) => ref(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => ref(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+      case sources.IsNull(a) => ref(a).map(_.isNull)
+      case sources.IsNotNull(a) => ref(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+      case sources.StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+      case sources.StringContains(a, v) => ref(a).map(_.contains(v))
+      case sources.Not(c) => one(c, schema).map(!_)
+      case sources.And(l, r) =>
+        for (a <- one(l, schema); b <- one(r, schema)) yield a && b
+      case sources.Or(l, r) =>
+        for (a <- one(l, schema); b <- one(r, schema)) yield a || b
+      case _ => None
+    }
   }
 }
 

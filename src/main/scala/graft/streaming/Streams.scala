@@ -1817,6 +1817,64 @@ object Streams {
   val dsv2SqlGatedSql: String = mergePointGatedSql
 
   // ---------------------------------------------------------------------
+  // q_dsv2_delete — SQL DELETE on the merge table (SupportsDelete):
+  // `DELETE FROM t WHERE event_type = 'error'` becomes a TOMBSTONE
+  // COMMIT — matching visible rows re-enter the merge as
+  // `__deleted = true` at `seq + 1` (the same mechanism CDC deletes
+  // use; the q_merge_retention discipline then ages them out), so the
+  // DELETE is an event in the log: nothing is erased, a newer upsert
+  // still resurrects the key, abort leaves the table bit-identical.
+  // The matching read goes through the connector's own scan (a
+  // key-predicate DELETE is bucket-pruned like a point lookup).
+  // Oracle: latest-wins state minus the keys whose final event is an
+  // error — the post-delete snapshot recomputed declaratively.
+  // ---------------------------------------------------------------------
+  val dsv2DeleteGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gdel$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_del_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_del_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "dd")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "dd")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t
+         |(user_id BIGINT, event_id BIGINT, value DOUBLE, event_type STRING)
+         |USING `graft-merge`
+         |OPTIONS (key 'user_id', seq 'event_id', path '$table')""".stripMargin)
+    s.sql(s"DELETE FROM $cat.g.t WHERE event_type = 'error'")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |sum(event_id) AS id_total,
+         |sum(CAST(round(value * 100) AS BIGINT)) AS cents_total
+         |FROM $cat.g.t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val dsv2DeleteGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val,
+      |    arg_max(event_type, event_id) AS last_type
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st WHERE last_type <> 'error'
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_agg_pushdown — AGGREGATE PUSHDOWN on the connector
   // (SupportsPushDownAggregates): count(*) / count(col) / min / max
   // over the merge table answered entirely from parquet FOOTERS + the
@@ -2391,6 +2449,7 @@ object Streams {
     "q_dsv2_timetravel" -> dsv2TimetravelGated,
     "q_dsv2_sql" -> dsv2SqlGated,
     "q_dsv2_agg_pushdown" -> dsv2AggPushGated,
+    "q_dsv2_delete" -> dsv2DeleteGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_stream_asof" -> streamAsofGated,
@@ -2424,6 +2483,7 @@ object Streams {
     "q_dsv2_timetravel" -> dsv2TimetravelGatedSql,
     "q_dsv2_sql" -> dsv2SqlGatedSql,
     "q_dsv2_agg_pushdown" -> dsv2AggPushGatedSql,
+    "q_dsv2_delete" -> dsv2DeleteGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,

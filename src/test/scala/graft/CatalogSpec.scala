@@ -134,6 +134,40 @@ class CatalogSpec extends SparkSpec {
          |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
   }
 
+  test("SQL DELETE tombstones matching keys; newer upserts resurrect") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.d (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.db.d VALUES (1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)")
+    spark.sql(s"DELETE FROM $cat.db.d WHERE k >= 2")
+    val after = spark.sql(s"SELECT k FROM $cat.db.d")
+      .collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(Array(1L)), after.toSeq.toString)
+    // the tombstone is an EVENT, not an erasure: it is physically
+    // retained (CDC read sees it) and a strictly newer upsert wins
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/d").toString
+    val cdcRows = spark.read.format("graft-merge")
+      .option("path", path).option("cdc", "true").load()
+      .filter(org.apache.spark.sql.functions.col(MergeSink.DeletedCol))
+      .count()
+    assert(cdcRows == 2L, s"expected 2 retained tombstones, saw $cdcRows")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (2, 99, 9.9)")
+    val resurrected = spark.sql(s"SELECT k FROM $cat.db.d")
+      .collect().map(_.getLong(0)).sorted
+    assert(resurrected.sameElements(Array(1L, 2L)), resurrected.toSeq.toString)
+    // a DELETE matching nothing commits nothing
+    val commits = MergeSink.commits(spark, path)
+    spark.sql(s"DELETE FROM $cat.db.d WHERE k = 777")
+    assert(MergeSink.commits(spark, path) == commits,
+      "no-op DELETE advanced the commit log")
+    // TRUNCATE drains the table through the same tombstone path
+    spark.sql(s"TRUNCATE TABLE $cat.db.d")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d").head().getLong(0) == 0L)
+  }
+
   test("catalog schema follows committed CDC evolution past the declaration") {
     val cat = freshCatalog()
     val s2 = spark
