@@ -532,6 +532,57 @@ object MergeSink {
         touched.size
     }
 
+  /** COMPACTION (the OPTIMIZE maintenance commit): rewrite the table at
+    * `targetBuckets` hash buckets — one file per new bucket — and flip
+    * the manifest atomically. Returns the number of buckets written.
+    *
+    * Why rebucketing IS this table's compaction: publish writes exactly
+    * one file per touched bucket, so files never accumulate WITHIN a
+    * bucket — what accumulates under high-frequency small upserts is
+    * `nb` tiny bucket files for a table whose volume deserves far fewer
+    * (or, after growth, far more: a 100 TB table wants buckets of
+    * O(100 MB–1 GB), and nb is fixed at first commit). Compacting
+    * bin-packs the table to the right file count by re-hashing every
+    * row with the new modulus.
+    *
+    * Invisible to readers, like every maintenance commit here: rows
+    * (INCLUDING retained tombstones) carry over bit-identically; the
+    * new manifest's `B nb` header re-points future pruning (readers
+    * resolve the modulus per version they read, so time travel to a
+    * pre-compaction version still prunes with the OLD count); the
+    * previous version's files survive GC for one more commit, exactly
+    * the normal retention window. Runs under the single-writer
+    * "maintenance" discipline, same as [[expireTombstones]].
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      targetBuckets: Int): Int = {
+    require(targetBuckets >= 1, s"compact: targetBuckets=$targetBuckets")
+    lastCommit(spark, dir) match {
+      case None => 0
+      case Some(c) =>
+        val m = manifest(spark, dir, c.version)
+        val allPaths =
+          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+        if (allPaths.isEmpty) return 0
+        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        val bucketOf = pmod(xxhash64(col(key)), lit(targetBuckets)).cast("int")
+        val rows = raw
+          .withColumn("__b", bucketOf)
+          .repartition(col("__b")) // publish expects bucket-partitioned rows
+        val newV = c.version + 1
+        // prevManifest = empty: the new manifest lists ONLY the rewritten
+        // buckets (the whole table), under the new bucket count
+        publish(
+          spark, dir, targetBuckets, Map.empty,
+          touched = (0 until targetBuckets).toSet, Some(rows), newV,
+          runId = "maintenance", epochId = newV)
+        manifest(spark, dir, newV).size
+    }
+  }
+
   /** CHANGE FEED: the per-key differences between the previous and
     * current committed snapshots — the read side of CDC (the Delta/
     * Iceberg change-data-feed shape). Reads ONLY the buckets whose

@@ -1547,6 +1547,67 @@ object Streams {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_compact — COMPACTION (OPTIMIZE) as a gated maintenance
+  // commit: four small upsert commits leave the table as 16 tiny bucket
+  // files (one per bucket — the shape high-frequency upserts produce);
+  // MergeSink.compact re-hashes every row to 4 buckets and flips the
+  // manifest atomically. The CONTRACT under the gate: compaction is
+  // INVISIBLE to readers — the post-compaction snapshot aggregate
+  // equals the declarative latest-wins state exactly — while the file
+  // count must actually DROP (asserted, so a no-op pass cannot green
+  // vacuously) and a bucket-pruned point lookup through the connector
+  // still answers correctly under the NEW modulus (the manifest's
+  // B-header is authoritative per version). At 100 TB this is the
+  // bin-pack that keeps bucket files at O(100 MB–1 GB) as volume
+  // drifts from the count fixed at first commit.
+  // ---------------------------------------------------------------------
+  val mergeCompactGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_compact_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val m = e.agg(max(col("event_id")).as("m")).head().getLong(0)
+    // four commits = the small-batch pattern that fragments the table
+    (0 until 4).foreach { i =>
+      MergeSink.upsertBatch(
+        e.filter(col("event_id") % 4 === i),
+        table, "user_id", "event_id", i.toLong, "cp")
+    }
+    val preFiles = MergeSink.currentFiles(s, table).values.map(_.size).sum
+    val written = MergeSink.compact(s, table, "user_id", targetBuckets = 4)
+    val postFiles = MergeSink.currentFiles(s, table).values.map(_.size).sum
+    require(written > 0 && postFiles < preFiles,
+      s"compaction did not shrink the table: $preFiles -> $postFiles " +
+        s"($written buckets written) — the gate would pass vacuously")
+    // the new modulus must serve pruned point reads correctly
+    val probe = MergeSink.pointLookup(s, table, "user_id", PointIds)
+      .get.count()
+    require(probe > 0, "post-compaction point lookup returned nothing")
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  val mergeCompactGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_lookup — the bucket-pruned point lookup THROUGH THE DSv2
   // SOURCE: the same two-commit merge table as q_merge_point, read back
   // with spark.read.format("graft-merge") and a plain .isin filter. The
@@ -2452,6 +2513,7 @@ object Streams {
     "q_dsv2_delete" -> dsv2DeleteGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
+    "q_merge_compact" -> mergeCompactGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -2486,6 +2548,7 @@ object Streams {
     "q_dsv2_delete" -> dsv2DeleteGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
+    "q_merge_compact" -> mergeCompactGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

@@ -460,6 +460,57 @@ class StateSpec extends SparkSpec {
       "post-retention lower-seq upsert should win (the hazard the horizon bounds)")
   }
 
+  test("MERGE sink compaction rebuckets invisibly: rows + tombstones carry, lookups honor the new modulus, history survives") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_cpt_tbl").toString
+    def df(rows: (Long, Long, Double, Boolean)*) =
+      rows.toDF("user_id", "event_id", "value", MS.DeletedCol)
+    // spread keys across many of the 16 default buckets, with a
+    // retained tombstone in the mix
+    MS.upsertBatch(
+      df((1L to 40L).map(k => (k, 10L, k * 0.5, false)): _*),
+      table, "user_id", "event_id", 0L, "cpt-run")
+    MS.upsertBatch(
+      df((7L, 20L, 0.0, true)), // tombstone key 7
+      table, "user_id", "event_id", 1L, "cpt-run")
+    val preCommit = MS.lastCommit(spark, table).get.version
+    val preFiles = MS.currentFiles(spark, table).values.map(_.size).sum
+    val preState = MS.currentState(spark, table).get
+      .orderBy("user_id").collect().toSeq
+
+    val written = MS.compact(spark, table, "user_id", targetBuckets = 4)
+    assert(written == 4, s"expected 4 buckets written, got $written")
+    val postFiles = MS.currentFiles(spark, table).values.map(_.size).sum
+    assert(postFiles == 4 && postFiles < preFiles,
+      s"file count: $preFiles -> $postFiles")
+    // snapshot bit-identical (tombstoned key 7 still hidden)
+    val postState = MS.currentState(spark, table).get
+      .orderBy("user_id").collect().toSeq
+    assert(postState == preState, "compaction changed the visible table")
+    // the tombstone physically carried over (late lower-seq races still lose)
+    val raw = spark.read.option("mergeSchema", true)
+      .parquet(MS.currentFiles(spark, table).values.flatten.toSeq: _*)
+    assert(raw.filter(col(MS.DeletedCol)).count() == 1,
+      "compaction dropped the retained tombstone")
+    MS.upsertBatch(
+      df((7L, 15L, 9.9, false)), table, "user_id", "event_id", 2L, "cpt-run")
+    assert(!MS.currentState(spark, table).get
+      .select("user_id").collect().map(_.getLong(0)).contains(7L),
+      "lower-seq upsert beat the carried tombstone after compaction")
+    // point lookups hash with the NEW modulus (manifest B-header)
+    val hit = MS.pointLookup(spark, table, "user_id", Seq(13L)).get
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(13L), s"post-compaction lookup broken: $hit")
+    // time travel to the PRE-compaction version still reads (old bucket
+    // files survive one more commit — the normal retention window);
+    // note the tombstone upsert above already advanced the head once
+    val old = MS.stateAt(spark, table, preCommit + 1)
+    assert(old.isDefined && old.get.count() == preState.size.toLong,
+      "previous (compacted) version unreadable after one more commit")
+  }
+
   test("MERGE sink change feed classifies insert/update/delete and skips untouched keys") {
     val s = spark
     import s.implicits._
