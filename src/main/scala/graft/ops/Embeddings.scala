@@ -1783,6 +1783,17 @@ object Embeddings {
         col("vec_id").as("neighbor_id"),
         adcScore.as("adc_dist"),
         col("n_candidates"))
+    ivfpqRankTail(assigned, q, adc)
+  }
+
+  /** Shared IVF+PQ tail: ADC shortlist -> exact re-rank -> final
+    * top-k — identical between the model-as-literal lanes and the
+    * model-as-joined-frames lane, so the three gate under one oracle.
+    */
+  private def ivfpqRankTail(
+      assigned: DataFrame,
+      q: DataFrame,
+      adc: DataFrame): DataFrame = {
     val wShort = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
@@ -1913,6 +1924,104 @@ object Embeddings {
     similarityIvfPqServe(s, e, ck2, assigned, m)
   }
 
+  // ---------------------------------------------------------------------
+  // q_similarity_ivfpq_served — FILE-SERVED ANN: the artifact's frames
+  // are JOINED, never collected into plan literals. The literal lanes
+  // (q_similarity_ivfpq / _loaded) materialize the codebook into the
+  // plan as a nested-array constant — optimal at the gated 2,048-entry
+  // size, a dead end at 1M-centroid scale, where the model no longer
+  // fits a task binary (let alone a driver collect). This lane is the
+  // scale regime's shape: the centroid frame drives probe/assign as a
+  // BROADCAST JOIN off its parquet scan, encode is candidate-subvector
+  // × codebook-frame join (argmin per subspace), per-query ADC tables
+  // are a query × codebook join, and the ADC sum is a grouped
+  // aggregate — every model access a join Catalyst plans, nothing
+  // model-sized on the driver or in the plan (PlanSpec asserts no
+  // codebook literal). Same oracle as q_similarity_ivfpq: identical
+  // model bits through either shape give identical output —
+  // trained == loaded == served, hash-equal three ways.
+  // ---------------------------------------------------------------------
+  def serveAnnJoined(s: SparkSession, d: String, path: String): DataFrame = {
+    val cents = s.read.parquet(s"$path/ivf_centroids")
+      .select(col("cent_id"), col("cv"), col("cnrm2"))
+    val cb = s.read.parquet(s"$path/pq_codebook")
+      .select(col("sub"), col("j"), col("cq"))
+    val e = checked(s, d)
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val assigned = kmAssign(e, cents, Seq("vec_id", "embedding", "nrm2"))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(col("nrm2")).as("nrm"),
+        col("cell"))
+    val q = querySample(e).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      sqrt(col("nrm2")).as("qnrm"))
+    val qprobe = ivfProbe(e, cents, ivfpqProbeP)
+      .select(col("query_id"), col("cell"))
+    // candidates with quantized subvectors, checkpointed so the HOF
+    // quantization runs ONCE per candidate (not per Generate output row
+    // — the interpreted-HOF re-evaluation trap) and because two joins
+    // below read the frame
+    val cand = assigned
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("n_candidates"),
+        xqSubs(col("embedding")).as("xsubs"))
+      .localCheckpoint()
+    // ENCODE as a join: per (candidate, sub) argmin over the codebook
+    // FRAME — min distance, ties to the smallest entry id, exactly
+    // pqEncode's fold semantics
+    val codes = cand
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("n_candidates"),
+        posexplode(col("xsubs")).as(Seq("sub", "xsub")))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", subD2(col("xsub"), col("cq")))
+      .groupBy(
+        col("query_id"), col("neighbor_id"), col("n_candidates"), col("sub"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("cj"))
+    // per-query ADC tables as a join (O(queries × M × k) rows)
+    val dtab = q
+      .select(col("query_id"), xqSubs(col("qv")).as("xsubs"))
+      .localCheckpoint()
+      .select(col("query_id").as("dq"), posexplode(col("xsubs")).as(Seq("dsub0", "xsub")))
+      .join(broadcast(cb.select(
+        col("sub").as("dsub0"), col("j").as("dj"), col("cq"))), Seq("dsub0"))
+      .withColumn("d2", subD2(col("xsub"), col("cq")))
+      .select(col("dq"), col("dsub0"), col("dj"), col("d2"))
+    // ADC distance: M table lookups become one join + grouped long sum
+    val adc = codes
+      .join(
+        broadcast(dtab),
+        col("query_id") === col("dq") && col("sub") === col("dsub0") &&
+          col("cj") === col("dj"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("n_candidates"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    ivfpqRankTail(assigned, q, adc)
+  }
+
+  /** q_similarity_ivfpq_served — save (train on registry miss), then
+    * serve entirely through [[serveAnnJoined]].
+    */
+  val similarityIvfPqServed: Q = (s, d) => {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_served")
+      .toString
+    saveAnnModel(s, d, path)
+    serveAnnJoined(s, d, path)
+  }
+
   val similarityIvfPqSql: String = {
     val seedHi = pqSeedStride * pqKsub + pqSeedOff
     s"""WITH n AS (SELECT vec_id, embedding,
@@ -2019,6 +2128,7 @@ object Embeddings {
     "q_similarity_pq" -> similarityPq,
     "q_similarity_ivfpq" -> similarityIvfPq,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqLoaded,
+    "q_similarity_ivfpq_served" -> similarityIvfPqServed,
     "q_similarity_topk" -> similarityTopk,
     "q_similarity_lsh" -> similarityLsh,
     "q_similarity_ivf" -> similarityIvf,
@@ -2034,6 +2144,7 @@ object Embeddings {
     "q_similarity_pq" -> similarityPqSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqSql,
+    "q_similarity_ivfpq_served" -> similarityIvfPqSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_similarity_lsh" -> similarityLshSql,
     "q_similarity_ivf" -> similarityIvfSql,

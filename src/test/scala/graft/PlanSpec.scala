@@ -414,4 +414,31 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"observe() must not add a scan, got $scans:\n$plan")
   }
+
+  test("file-served ANN joins the model frames — no codebook literal in the plan") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_plan")
+      .toString
+    ops.Embeddings.saveAnnModel(spark, sf, path)
+    val served = ops.Embeddings.serveAnnJoined(spark, sf, path)
+    val plan = executed(served)
+    // the model must enter the plan as SCANS of the artifact files...
+    assert(plan.contains("pq_codebook"),
+      s"codebook not scanned as a frame:\n${plan.take(4000)}")
+    assert(plan.contains("ivf_centroids"),
+      s"centroids not scanned as a frame:\n${plan.take(4000)}")
+    // ...and never as an inlined constant. Detector: an actual trained
+    // codebook centroid (a quantized-long quartet) read back from the
+    // artifact — it can only appear in a plan that inlined the model.
+    val firstCq = spark.read.parquet(s"$path/pq_codebook")
+      .orderBy("sub", "j").head().getSeq[Long](2)
+    val sigs = Seq(firstCq.mkString(","), firstCq.mkString(", "))
+    assert(!sigs.exists(plan.contains),
+      "codebook centroid values inlined in the served plan")
+    // the literal lane (same model bits) DOES carry it — proving the
+    // detector sees what this lane avoids
+    val loadedPlan = executed(ops.Embeddings.serveAnnFrom(spark, sf, path))
+    assert(sigs.exists(loadedPlan.contains),
+      "detector failed to flag the literal lane's codebook constant")
+  }
 }
