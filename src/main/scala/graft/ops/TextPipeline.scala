@@ -649,6 +649,129 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_quality_score — a TRAINED text-quality model, closed-form: the
+  // modern pipeline stage past heuristic ratios (q_text_quality). A
+  // linear scorer over hashed token features, trained and applied
+  // entirely in DataFrame algebra — no per-row UDF, no iteration, no
+  // floating point anywhere:
+  //   label   heuristic silver label on the TRAIN split (doc_id%5!=0):
+  //           good = stopword evidence (n_stop·16 ≥ n_toks, i.e. ratio
+  //           ≥ 1/16 — FIXTURE-CALIBRATED: the synthetic corpus's
+  //           median stopword ratio is ≈0.06, so 1/16 splits it near
+  //           the middle; natural English sits near 0.4 and would use
+  //           a higher bar) AND a length floor — integer comparisons,
+  //           exact on both engines;
+  //   feature token-occurrence buckets b = md5-h32(tok) % 64 (the same
+  //           cross-engine h32 the dedup family uses);
+  //   weights CLOSED FORM, difference of class-conditional frequencies
+  //           cleared of denominators: w_b = cnt_good_b·N_bad −
+  //           cnt_bad_b·N_good (all BIGINT — the q_forecast_rev
+  //           exact-arithmetic discipline, so the trained model is
+  //           bit-identical in the DuckDB twin);
+  //   score   holdout docs (doc_id%5=0) score as Σ w_bucket over their
+  //           token occurrences — one broadcast join against the
+  //           64-row weight frame + one grouped long sum.
+  // Output: per source, holdout docs / positive scores / agreement with
+  // the silver label / total score. At 100 TB: training is one
+  // grouped aggregate over the token stream (map-side combine into 64
+  // cells), the model is O(64) rows broadcast, scoring is one join —
+  // nothing grows with the corpus but the two linear passes.
+  // ---------------------------------------------------------------------
+  private val qsBuckets = 64
+
+  val qualityScore: Q = (s, d) => {
+    val sw = array(stopwords.map(lit): _*)
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => array_contains(sw, t))).cast("long"))
+      .withColumn(
+        "label_good",
+        col("n_stop") * 16 >= col("n_toks") && col("n_toks") >= 20)
+    val occ = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("label_good"),
+        explode(col("toks")).as("tok"))
+      .withColumn("b", Hashing.h32(7, col("tok")) % qsBuckets)
+    val train = occ.filter(col("doc_id") % 5 =!= 0)
+    val totals = train
+      .groupBy()
+      .agg(
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("label_good"), 0L).otherwise(1L)).as("n_bad"))
+    val weights = train
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(col("label_good"), 0L).otherwise(1L)).as("cb"))
+      .crossJoin(broadcast(totals)) // 64 × 1-row witness
+      .select(
+        col("b"),
+        (col("cg") * col("n_bad") - col("cb") * col("n_good")).as("w"))
+    val scored = occ
+      .filter(col("doc_id") % 5 === 0)
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col("doc_id"), col("source"), col("label_good"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when((col("score") > 0) === col("label_good"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("score")).as("score_total"))
+      .orderBy(col("source"))
+  }
+
+  val qualityScoreSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH lab AS (
+       |  SELECT doc_id, source, toks,
+       |    (CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT) * 16
+       |       >= CAST(len(toks) AS BIGINT)
+       |     AND CAST(len(toks) AS BIGINT) >= 20) AS label_good
+       |  FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+       |        FROM documents)),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, source, label_good,
+       |    ${Hashing.sqlH32(7, "tok")} % $qsBuckets AS b
+       |  FROM (SELECT doc_id, source, label_good, unnest(toks) AS tok
+       |        FROM lab)),
+       |tr AS (SELECT * FROM occ WHERE doc_id % 5 <> 0),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_good,
+       |         CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_bad
+       |  FROM tr),
+       |w AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |      * tot.n_bad
+       |    - CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |      * tot.n_good AS w
+       |  FROM tr, tot GROUP BY b, tot.n_bad, tot.n_good),
+       |sc AS (
+       |  SELECT o.doc_id, o.source, o.label_good,
+       |    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+       |  FROM occ o LEFT JOIN w ON o.b = w.b
+       |  WHERE o.doc_id % 5 = 0
+       |  GROUP BY o.doc_id, o.source, o.label_good)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN (score > 0) = label_good THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(SUM(score) AS BIGINT) AS score_total
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_minhash_corpus — corpus-level MinHash signatures via the custom
   // TypedImperativeAggregate graft.plans.MinHashUnion: per source, the
   // elementwise-min of all document signatures == the MinHash signature
@@ -2500,6 +2623,7 @@ object TextPipeline {
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
+    "q_quality_score" -> qualityScore,
     "q_doc_fingerprint" -> docFingerprint,
     "q_ngram_udtf" -> ngramUdtf,
     "q_hash_split" -> hashSplit,
@@ -2536,6 +2660,7 @@ object TextPipeline {
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_text_quality" -> textQualitySql,
+    "q_quality_score" -> qualityScoreSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ngram_udtf" -> ngramUdtfSql,
     "q_hash_split" -> hashSplitSql,

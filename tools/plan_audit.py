@@ -37,6 +37,7 @@ ALLOW = {
         "q_similarity_ivfpq": (6, "bounded query panel; probed-cell members only"),
         "q_similarity_ivfpq_loaded": (6, "same serving operators as q_similarity_ivfpq, models from the parquet artifact"),
         "q_similarity_ivfpq_served": (4, "centroid assign/probe cross the collection with the O(centroidCap) broadcast centroid FRAME (file-served model; encode/ADC are equi-joins)"),
+        "q_quality_score": (2, "1-row training-totals witness crossed into the 64-bucket weight frame"),
         "q_ann_recall": (12, "bounded query panel (recall yardstick)"),
         "q_embed_neardup": (2, "bounded probe panel"),
         "q_dedup_recall": (4, "bounded 60-doc probe panel (truth side)"),
