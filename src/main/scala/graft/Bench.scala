@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val startLoadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,8 +92,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // Run-condition stamp: bench numbers swing up to ±4x under
+    // concurrent load (another sbt on the box), and round 10's committed
+    // artifact silently captured a load-skewed run. The 1-minute load
+    // average at start/end makes a contaminated artifact self-identifying
+    // (quiet box ≈ the JVM's own cores; skewed run ≫).
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cond =
+      s""""run_conditions":{"load_avg_end":${fmt(math.max(loadAvg, 0.0))},""" +
+        s""""load_avg_start":${fmt(math.max(startLoadAvg, 0.0))},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$cond}"""
     // The driver's bounded stdout-tail capture has truncated the long
     // per-query line EVERY round (`parsed: null`, ~79 of 216 entries
     // retained) — so the complete artifact is also WRITTEN to a file,
