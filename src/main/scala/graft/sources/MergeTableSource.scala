@@ -664,13 +664,24 @@ class GraftMergeScan(
     * actually read (post bucket pruning) — without this a V2 relation
     * reports the huge default and a joined merge table can never be
     * broadcast; with it a pruned point read is stats-visible as tiny.
+    * Bytes come from the MANIFEST's per-bucket totals (recorded at
+    * write time), so planning statistics cost zero file-status RPCs;
+    * a pre-round-11 bucket without the field falls back to one
+    * getFileStatus per file.
     */
   override def estimateStatistics(): Statistics = {
+    val recorded = resolvedVersion
+      .map(v => MergeSink.manifestBytes(spark, dir, v))
+      .getOrElse(Map.empty[Int, Long])
     val conf = spark.sessionState.newHadoopConf()
-    val bytes = plannedFiles(currentFiles()).map { part =>
-      val p = new Path(part.file)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val bytes = plannedFiles(snapshotFiles)
+      .groupBy(_.bucket)
+      .map { case (b, parts) =>
+        recorded.getOrElse(b, parts.map { part =>
+          val p = new Path(part.file)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum)
+      }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -708,17 +719,17 @@ class GraftMergeScan(
   /** (planned, total) bucket-file counts of the batch scan — the
     * observable pruning contract PlanSpec asserts on.
     */
-  lazy val fileCounts: (Int, Int) = {
-    val all = currentFiles()
-    (plannedFiles(all).size, all.values.map(_._2.size).sum)
-  }
+  lazy val fileCounts: (Int, Int) =
+    (plannedFiles(snapshotFiles).size, snapshotFiles.values.map(_._2.size).sum)
 
   /** TIME TRAVEL: the snapshot version this scan reads — `versionAsOf`
     * when given (must still be committed AND inside the retention
     * window — a collected version fails loudly, never reads partial
-    * state), else the current head.
+    * state), else the current head. Resolved ONCE per scan: statistics
+    * estimation and partition planning must read the SAME snapshot
+    * even if a commit lands between them mid-planning.
     */
-  private def resolvedVersion: Option[Long] = versionAsOf match {
+  private lazy val resolvedVersion: Option[Long] = versionAsOf match {
     case Some(v) =>
       require(
         MergeSink.commits(spark, dir).exists(_.version == v) &&
@@ -729,7 +740,10 @@ class GraftMergeScan(
     case None => MergeSink.lastCommit(spark, dir).map(_.version)
   }
 
-  private def currentFiles(): Map[Int, (Long, Seq[String])] =
+  /** The snapshot's bucket files, listed ONCE per scan (statistics,
+    * fileCounts, and planning all reuse it — formerly three listings).
+    */
+  private lazy val snapshotFiles: Map[Int, (Long, Seq[String])] =
     resolvedVersion match {
       case None => Map.empty
       case Some(v) => MergeTableUtil.currentDataFiles(spark, dir, v)
@@ -780,7 +794,7 @@ class GraftMergeScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      plannedFiles(currentFiles()).toArray
+      plannedFiles(snapshotFiles).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new MergeReaderFactory(
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()),

@@ -105,7 +105,11 @@ object MergeSink {
         .sortBy(_.version)
   }
 
-  /** The bucket -> content-version map for a committed version. */
+  /** The bucket -> content-version map for a committed version.
+    * Manifest lines are `b v [bytes]` — the third field (bucket data
+    * bytes, written since round 11) feeds planner statistics without
+    * any file-status round-trip; absent on older tables.
+    */
   def manifest(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
     val (fs, p) = fsOf(spark, dir)
     val mf = new Path(p, s"_manifest_v$version")
@@ -118,8 +122,34 @@ object MergeSink {
           .getLines()
           .filterNot(l => l.isEmpty || l.startsWith("B "))
           .map { l =>
-            val Array(b, v) = l.split(" ", 2)
-            b.toInt -> v.toLong
+            val parts = l.split(" ")
+            parts(0).toInt -> parts(1).toLong
+          }
+          .toMap
+      finally in.close()
+    }
+  }
+
+  /** bucket -> total data bytes recorded in a committed version's
+    * manifest (empty for pre-round-11 manifests without the field).
+    * O(1) metadata read — what the DSv2 scan's reported statistics use
+    * instead of O(files) file-status calls per planning.
+    */
+  def manifestBytes(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) Map.empty
+    else {
+      val in = fs.open(mf)
+      try
+        scala.io.Source
+          .fromInputStream(in, "UTF-8")
+          .getLines()
+          .filterNot(l => l.isEmpty || l.startsWith("B "))
+          .flatMap { l =>
+            val parts = l.split(" ")
+            if (parts.length >= 3) Some(parts(0).toInt -> parts(2).toLong)
+            else None
           }
           .toMap
       finally in.close()
@@ -333,7 +363,10 @@ object MergeSink {
               rest.map(c => col(s"st.$c").as(c)).toIndexedSeq: _*))
       }
 
-    publish(spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId)
+    publish(
+      spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId,
+      prevBytes =
+        last.map(c => manifestBytes(spark, dir, c.version)).getOrElse(Map.empty))
   }
 
   /** Durably publish version `newV`: write `rows` (bucketed by their
@@ -353,9 +386,16 @@ object MergeSink {
       rows: Option[DataFrame],
       newV: Long,
       runId: String,
-      epochId: Long): Unit = {
+      epochId: Long,
+      prevBytes: Map[Int, Long] = Map.empty): Unit = {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
+    // bucket -> data bytes for the new manifest: rewritten buckets are
+    // measured once right after their rename (the files were just
+    // written — one listing per touched bucket at WRITE time), carried
+    // buckets reuse the previous manifest's figure. This is what lets a
+    // READER's statistics be O(1) metadata instead of O(files) RPCs.
+    var newBytes = Map.empty[Int, Long]
     rows.foreach { m =>
       // data first: one partitioned write of the touched buckets. The
       // caller guarantees `m` is hash-partitioned by "__b" (upsertBatch
@@ -375,6 +415,9 @@ object MergeSink {
           if (!fs.rename(src, dst))
             throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
           written += b
+          newBytes += b -> fs.listStatus(dst).iterator
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
         } // else: the bucket lost all its rows — drop its manifest entry
       }
       fs.delete(tmp, true)
@@ -382,10 +425,15 @@ object MergeSink {
     // ... then the manifest ...
     val newManifest =
       (prevManifest -- touched) ++ written.toSeq.sorted.map(_ -> newV)
+    val bytesOf: Int => Option[Long] =
+      b => newBytes.get(b).orElse(prevBytes.get(b))
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
       val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
-        s"$b $v"
+        bytesOf(b) match {
+          case Some(sz) => s"$b $v $sz"
+          case None => s"$b $v" // pre-round-11 bucket with unknown size
+        }
       }).mkString("", "\n", "\n")
       mfOut.write(body.getBytes("UTF-8"))
     } finally mfOut.close()
@@ -528,7 +576,8 @@ object MergeSink {
         val newV = c.version + 1
         publish(
           spark, dir, nb, m, touched, Some(kept), newV,
-          runId = "maintenance", epochId = newV)
+          runId = "maintenance", epochId = newV,
+          prevBytes = manifestBytes(spark, dir, c.version))
         touched.size
     }
 
@@ -578,7 +627,7 @@ object MergeSink {
         publish(
           spark, dir, targetBuckets, Map.empty,
           touched = (0 until targetBuckets).toSet, Some(rows), newV,
-          runId = "maintenance", epochId = newV)
+          runId = "maintenance", epochId = newV) // all buckets rewritten: sizes measured fresh
         manifest(spark, dir, newV).size
     }
   }

@@ -511,6 +511,31 @@ class StateSpec extends SparkSpec {
       "previous (compacted) version unreadable after one more commit")
   }
 
+  test("MERGE sink manifest records bucket bytes (stats without file RPCs)") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_mb_tbl").toString
+    MS.upsertBatch(
+      (1L to 40L).map(k => (k, 10L, k * 0.5)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "mb-run")
+    // second commit touches ONE key's bucket; the others carry forward
+    MS.upsertBatch(
+      Seq((1L, 20L, 9.9)).toDF("k", "seq", "v"),
+      table, "k", "seq", 1L, "mb-run")
+    val head = MS.lastCommit(spark, table).get.version
+    val m = MS.manifest(spark, table, head)
+    val bytes = MS.manifestBytes(spark, table, head)
+    assert(bytes.keySet == m.keySet,
+      s"every manifest bucket needs a byte figure: ${bytes.keySet} vs ${m.keySet}")
+    // recorded figures equal the actual file sizes (write-time listing)
+    val actual = MS.currentFiles(spark, table).map { case (b, fs2) =>
+      b -> fs2.map(f => new java.io.File(new java.net.URI(
+        if (f.startsWith("file:")) f else s"file://$f").getPath).length).sum
+    }
+    assert(bytes == actual, s"recorded $bytes vs actual $actual")
+  }
+
   test("MERGE sink change feed classifies insert/update/delete and skips untouched keys") {
     val s = spark
     import s.implicits._
