@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Connector read-throughput yardstick: how fast does the
+  * `graft-merge` DSv2 scan decode bytes vs Spark's built-in parquet
+  * scan over the SAME bucket files? The built-in scan is the ceiling —
+  * both now run the vectorized ColumnarBatch reader, so the gap should
+  * be noise; the round-10 row-at-a-time reader sat several× below it.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ReadBench"
+  * Prints one JSON line with MB/s for both paths (full-scan aggregate,
+  * best of 3 after a warmup).
+  */
+object ReadBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // A decode-bound table: salted hash columns + md5 strings make the
+    // bytes REAL (the events fixture dictionary-compresses to ~1 MB at
+    // sf0.1 — at that size per-task fixed costs drown the decode loop
+    // this bench exists to measure).
+    val n = sys.env.getOrElse("SPARK_GRAFT_READBENCH_ROWS", "3000000").toLong
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_readbench_tbl").toString
+    val src = spark.range(n).select(
+      col("id").as("k"),
+      col("id").as("seq"),
+      (xxhash64(col("id")) % 1000000).cast("double").as("v1"),
+      (xxhash64(col("id"), lit(1)) % 1000000).cast("double").as("v2"),
+      md5(col("id").cast("string")).as("tag"))
+    graft.streaming.MergeSink.upsertBatch(src, table, "k", "seq", 0L, "rb")
+
+    val files = graft.streaming.MergeSink
+      .currentFiles(spark, table).values.flatten.toSeq
+    val bytes = files.map(f => new java.io.File(
+      new java.net.URI(if (f.startsWith("file:")) f else s"file://$f").getPath)
+      .length).sum
+
+    // identical work on both paths: decode every row of every column,
+    // reduce to one row (sum defeats lazy column skipping). The
+    // aggregate Dataset is built ONCE per variant and re-executed, so
+    // the timed loop is the decode pipeline, not Catalyst re-planning.
+    def agg(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.agg(
+        sum(col("k")) + sum(col("seq")) +
+          sum(col("v1")).cast("long") + sum(col("v2")).cast("long") +
+          sum(length(col("tag"))).cast("long"))
+    def work(df: org.apache.spark.sql.DataFrame): Long =
+      df.head().getLong(0)
+
+    // ONE frame per path, planned once (a fresh load() would re-pay
+    // schema inference — 16 footer reads per iteration on the
+    // connector vs one native, an unfair planning tax). Rounds are
+    // INTERLEAVED so progressive JIT warm-up and page-cache state bias
+    // no variant; best-of-5 per variant.
+    val dfConn = spark.read.format("graft-merge").option("path", table).load()
+    // cdc=true variant: tombstones surfaced (none here), so the reader
+    // skips the __deleted handling — isolates that overhead when
+    // diagnosing decode-rate gaps
+    val dfCdc = spark.read.format("graft-merge").option("path", table)
+      .option("cdc", "true").load()
+      .select("k", "seq", "v1", "v2", "tag")
+    val dfNative = spark.read.parquet(files: _*)
+    val dfConnSel = spark.read.format("graft-merge").option("path", table)
+      .load().select("k", "seq", "v1", "v2", "tag")
+    val variants = Seq(
+      "conn" -> agg(dfConn), "conn_sel" -> agg(dfConnSel),
+      "cdc" -> agg(dfCdc), "native" -> agg(dfNative))
+    val checks = variants.map { case (n, df) => n -> work(df) }.toMap // warmup
+    require(checks("conn") == checks("native"),
+      s"connector and native scans disagree: $checks")
+    val best = scala.collection.mutable.Map(
+      variants.map(_._1 -> Double.MaxValue): _*)
+    (1 to 5).foreach { _ =>
+      variants.foreach { case (n, df) =>
+        val t0 = System.nanoTime()
+        work(df)
+        best(n) = math.min(best(n), (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    val (tConn, tCdc, tNative) = (best("conn"), best("cdc"), best("native"))
+    System.err.println(s"[readbench] all variants: $best")
+    if (sys.env.contains("SPARK_GRAFT_READBENCH_PLANS"))
+      variants.foreach { case (n, df) =>
+        System.err.println(
+          s"[readbench] ===== $n =====\n" +
+            df.queryExecution.executedPlan.toString.take(3000))
+      }
+
+    def nparts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.toRdd.getNumPartitions
+    val pConn = nparts(
+      spark.read.format("graft-merge").option("path", table).load())
+    val pNative = nparts(spark.read.parquet(files: _*))
+    def mbs(t: Double): Double = bytes / t / 1e6
+    println(
+      f"""{"metric":"read_throughput","sf":"$sfDir","files":${files.size},"bytes":$bytes,"connector_sec":$tConn%.3f,"connector_cdc_sec":$tCdc%.3f,"native_sec":$tNative%.3f,"connector_mb_s":${mbs(tConn)}%.1f,"native_mb_s":${mbs(tNative)}%.1f,"ratio_connector_over_native":${tConn / tNative}%.2f,"connector_partitions":$pConn,"native_partitions":$pNative}""")
+    spark.stop()
+  }
+}

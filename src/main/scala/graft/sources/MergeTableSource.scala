@@ -65,11 +65,13 @@ import graft.streaming.MergeSink
   * asking for a collected version fails loudly rather than silently
   * skipping committed history.
   *
-  * The reader is a real parquet `PartitionReader[InternalRow]` (one
-  * partition per data file — the natural split unit, since a bucket is
-  * the copy-on-write granularity): footer-projected columns, per-file
-  * schema reconciliation (a column absent from an older file reads as
-  * NULL — the mixed-schema CDC case), no driver-side row movement.
+  * The reader is VECTORIZED (see [[MergeReaderFactory]]): file splits
+  * bin-pack into read tasks with Spark's own split math (a fragmented
+  * small-bucket table doesn't pay a task per tiny file), each split
+  * decodes through Spark's `VectorizedParquetRecordReader` into
+  * `ColumnarBatch`es with per-file schema reconciliation (a column
+  * absent from an older file reads as NULL — the mixed-schema CDC
+  * case), no driver-side row movement.
   */
 class GraftMergeProvider extends TableProvider with DataSourceRegister {
 
@@ -404,23 +406,13 @@ class GraftMergeScanBuilder(
       : Option[(StructType, Array[Any], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
+    // ORDER MATTERS: every re-plan of an aggregate over this scan calls
+    // in here, so the PURE rejects (wrong scan kind, unsupported
+    // aggregate grammar) must run before anything that touches the
+    // filesystem — an unpushable sum() used to pay a 16-footer
+    // driver-side sweep per planning (measured ~0.24 s fixed cost).
     if (cdc || pushed.nonEmpty || keyValues.isDefined) return None
     if (agg.groupByExpressions.nonEmpty) return None
-    // resolve the snapshot this scan would read
-    val version = versionAsOf.orElse(
-      MergeSink.lastCommit(spark, dir).map(_.version))
-    val files: Seq[String] = version match {
-      case None => Seq.empty
-      case Some(v) =>
-        if (!MergeSink.commits(spark, dir).exists(_.version == v) ||
-          MergeSink.manifest(spark, dir, v).isEmpty) return None
-        MergeTableUtil.currentDataFiles(spark, dir, v)
-          .values.flatMap(_._2).toSeq
-    }
-    // a physically-retained tombstone makes footer counts lies
-    if (files.nonEmpty &&
-      MergeTableUtil.dataSchema(spark, dir)
-        .fieldNames.contains(MergeSink.DeletedCol)) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
@@ -450,6 +442,23 @@ class GraftMergeScanBuilder(
         }
         if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
       }
+    if (wanted.isEmpty) return None
+    // only a provably-pushable aggregate pays the metadata reads:
+    // resolve the snapshot, then reject tables physically retaining
+    // tombstones (footer counts would include them)
+    val version = versionAsOf.orElse(
+      MergeSink.lastCommit(spark, dir).map(_.version))
+    val files: Seq[String] = version match {
+      case None => Seq.empty
+      case Some(v) =>
+        if (!MergeSink.commits(spark, dir).exists(_.version == v) ||
+          MergeSink.manifest(spark, dir, v).isEmpty) return None
+        MergeTableUtil.currentDataFiles(spark, dir, v)
+          .values.flatMap(_._2).toSeq
+    }
+    if (files.nonEmpty &&
+      MergeTableUtil.dataSchema(spark, dir)
+        .fieldNames.contains(MergeSink.DeletedCol)) return None
     wanted.flatMap { fns =>
       FooterStats.compute(spark, files, fns).map { values =>
         (StructType(fns.map { case (n, dt, _) => StructField(n, dt) }),
@@ -631,10 +640,50 @@ case class AggResultReaderFactory() extends PartitionReaderFactory {
 }
 
 /** One data file of one bucket (and, for streaming, the commit version
-  * that wrote it).
+  * that wrote it). `bytes` is the manifest-recorded size estimate used
+  * for partition packing only — never for read bounds.
   */
-case class MergeFilePartition(file: String, bucket: Int, version: Long)
-    extends InputPartition
+case class MergeFileSplit(file: String, bucket: Int, version: Long, bytes: Long)
+
+/** One read task: a bin-packed set of file splits. A 100 TB table's
+  * buckets are O(100 MB–1 GB) and pack 1:1, but a FRAGMENTED table
+  * (high-frequency tiny upserts, the q_merge_compact scenario) would
+  * otherwise pay a full task per kilobyte-scale file — packing mirrors
+  * Spark's own file-source split math so small buckets coalesce.
+  */
+case class MergeFilePartition(splits: Seq[MergeFileSplit]) extends InputPartition
+
+private[graft] object MergePartitionPacker {
+
+  /** Spark's FilePartition target-size formula: min(maxPartitionBytes,
+    * max(openCost, totalWithOpenCost / defaultParallelism)), then
+    * first-fit-decreasing into bins.
+    */
+  def pack(spark: SparkSession, splits: Seq[MergeFileSplit]): Array[InputPartition] = {
+    if (splits.isEmpty) return Array.empty
+    val openCost = 4L << 20
+    val maxSplit =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      catch { case _: Throwable => 134217728L }
+    val costs = splits.map(s => math.max(s.bytes, 1L) + openCost)
+    // ceil-divide with 5% slack: a floor target (or uneven file sizes
+    // against an exact one) spills a straggler bin past the core count
+    // — 9 tasks on 8 cores is a whole extra scheduling wave
+    val par = math.max(spark.sparkContext.defaultParallelism, 1)
+    val target = math.min(
+      maxSplit,
+      math.max(openCost, (costs.sum + par - 1) / par * 105 / 100))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[MergeFileSplit], Long)]
+    splits.zip(costs).sortBy(-_._2).foreach { case (s, c) =>
+      bins.indexWhere(_._2 + c <= target) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(s), c))
+        case i => val (b, t) = bins(i); b += s; bins(i) = (b, t + c)
+      }
+    }
+    bins.map(b => MergeFilePartition(b._1.toSeq): InputPartition).toArray
+  }
+}
 
 object GraftMergeScan {
   /** Observability hook for tests: (planned files, total files,
@@ -750,7 +799,7 @@ class GraftMergeScan(
     }
 
   private def plannedFiles(
-      all: Map[Int, (Long, Seq[String])]): Seq[MergeFilePartition] = {
+      all: Map[Int, (Long, Seq[String])]): Seq[MergeFileSplit] = {
     // an empty/never-committed table (reachable with a user-supplied
     // schema via supportsExternalMetadata) is an empty scan, never a
     // resolvedVersion.get throw
@@ -776,9 +825,19 @@ class GraftMergeScan(
       }
     // _version of a batch-read row = the manifest's content version for
     // its bucket (the commit that wrote the file), same meaning as replay
+    val recordedBytes = resolvedVersion
+      .map(v => MergeSink.manifestBytes(spark, dir, v))
+      .getOrElse(Map.empty[Int, Long])
     val planned = all.toSeq.sortBy(_._1)
       .filter { case (b, _) => buckets.contains(b) }
-      .flatMap { case (b, (cv, fs)) => fs.map(f => MergeFilePartition(f, b, cv)) }
+      .flatMap { case (b, (cv, fs)) =>
+        // per-file packing estimate: the bucket total spread evenly
+        // (exact in the 1-file-per-bucket layout); read bounds always
+        // come from the executor's own file status, never this figure
+        val est = recordedBytes.get(b)
+          .map(_ / math.max(fs.size, 1)).getOrElse(0L)
+        fs.map(f => MergeFileSplit(f, b, cv, est))
+      }
     GraftMergeScan.lastPrune.set(
       (planned.size, all.values.map(_._2.size).sum, runtimeKeys.isDefined))
     planned
@@ -794,7 +853,7 @@ class GraftMergeScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      plannedFiles(snapshotFiles).toArray
+      MergePartitionPacker.pack(spark, plannedFiles(snapshotFiles))
     override def createReaderFactory(): PartitionReaderFactory =
       new MergeReaderFactory(
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
@@ -872,7 +931,7 @@ class GraftMergeMicroBatchStream(
             "up within retention")
     }
     val versions = cs.map(_.version).filter(v => v > s0 && v <= e0)
-    versions.flatMap { v =>
+    val splits = versions.flatMap { v =>
       val m = MergeSink.manifest(spark, dir, v)
       // a retained marker whose manifest vanished is a torn GC — same
       // contract violation, same loud failure
@@ -881,16 +940,21 @@ class GraftMergeMicroBatchStream(
           s"graft-merge: version $v fell out of the retention window " +
             s"(requested replay range ${s0 + 1}..$e0); " +
             "readers must keep up within retention")
+      val mb = MergeSink.manifestBytes(spark, dir, v)
       val conf = spark.sessionState.newHadoopConf()
       m.toSeq.sorted.collect { case (b, cv) if cv == v =>
         val d = new Path(s"$dir/data/b$b/v$cv")
         val fs = d.getFileSystem(conf)
-        if (!fs.exists(d)) Seq.empty[MergeFilePartition]
-        else fs.listStatus(d).iterator.map(_.getPath.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted
-          .map(f => MergeFilePartition(f, b, v))
+        if (!fs.exists(d)) Seq.empty[MergeFileSplit]
+        else {
+          val files = fs.listStatus(d).iterator.map(_.getPath.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+          val est = mb.get(b).map(_ / math.max(files.size, 1)).getOrElse(0L)
+          files.map(f => MergeFileSplit(f, b, v, est))
+        }
       }.flatten
-    }.toArray
+    }
+    MergePartitionPacker.pack(spark, splits)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -951,7 +1015,24 @@ class MergeReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[MergeFilePartition]
-    new MergeColumnarReader(conf.value, p, required, hideTombstones)
+    new PartitionReader[ColumnarBatch] {
+      private val it = p.splits.iterator
+      private var cur: MergeColumnarReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = new MergeColumnarReader(
+              conf.value, it.next(), required, hideTombstones)
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false // unreachable
+      }
+      override def get(): ColumnarBatch = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
   }
 
   // Spark plans all-columnar when supportColumnarReads is true; the row
@@ -975,10 +1056,12 @@ class MergeReaderFactory(
   }
 }
 
-/** Columnar reader for one bucket file (see [[MergeReaderFactory]]). */
+/** Columnar reader for ONE bucket file (see [[MergeReaderFactory]];
+  * the factory chains one of these per split of a packed partition).
+  */
 class MergeColumnarReader(
     conf: Configuration,
-    partition: MergeFilePartition,
+    partition: MergeFileSplit,
     required: StructType,
     hideTombstones: Boolean)
     extends PartitionReader[ColumnarBatch] {
@@ -988,12 +1071,17 @@ class MergeColumnarReader(
   private val Capacity = 4096
 
   // Requested DATA schema: required data fields (declared order), plus
-  // __deleted appended when tombstones must be hidden. A field the file
-  // lacks (mixed-schema CDC history, or __deleted on a pre-CDC file)
-  // becomes a missing-column NULL vector — no footer probe needed.
+  // __deleted appended when tombstones must be hidden AND this file
+  // actually carries the column — a tombstone-free file skips the extra
+  // projection and the per-batch tombstone scan entirely (measured:
+  // the rider column cost ~65% on a full-scan decode). Other fields
+  // the file lacks (mixed-schema CDC history) become missing-column
+  // NULL vectors inside the vectorized reader.
   private val requiredData =
     required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
-  private val needDeleted = hideTombstones
+  private val needDeleted = hideTombstones &&
+    MergeTableUtil.footerOf(conf, partition.file)
+      .containsField(MergeSink.DeletedCol)
   private val readerDataSchema = StructType(
     if (needDeleted)
       requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
