@@ -228,11 +228,23 @@ private[graft] object MergeTableUtil {
   }
 }
 
-class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
+class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** The merge key and seq are NOT NULL by the table's own contract
+    * (every row is identified and ordered by them — the Iceberg
+    * "identifier fields are required" discipline), and row-level DML
+    * requires non-nullable row-id attributes.
+    */
+  private val tableSchema = {
+    val idCols = Set(properties.get("key"), properties.get("seq")).flatten
+    StructType(tableSchema0.fields.map(f =>
+      if (idCols.contains(f.name)) f.copy(nullable = false) else f))
+  }
 
   override def name(): String = s"graft-merge `${properties.getOrElse("path", "?")}`"
   override def schema(): StructType = tableSchema
@@ -254,6 +266,22 @@ class GraftMergeTable(tableSchema: StructType, properties: Map[String, String])
   // key-predicate DELETE is bucket-pruned exactly like a point lookup;
   // abort safety is upsertBatch's (nothing visible until the marker).
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // Row-level SQL DML (MERGE INTO / UPDATE / subquery DELETE): the
+  // delta protocol — see sources/MergeRowLevelOps.scala. Translatable
+  // DELETEs still short-circuit through the metadata path below.
+  // -------------------------------------------------------------------
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    def prop(k: String): String = properties.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft-merge row-level DML: table property '$k' is required"))
+    val (dir, key, seq) = (prop("path"), prop("key"), prop("seq"))
+    () => new GraftMergeRowLevelOperation(
+      dir, key, seq, tableSchema, info.command)
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     MergeDeleteSupport.translate(filters, tableSchema).isDefined
 

@@ -164,6 +164,12 @@ private[graft] object MergeWriteUtil {
 
 case class StagedFileMessage(file: String) extends WriterCommitMessage
 
+/** A task that received no rows stages no file (and an all-empty
+  * write — e.g. a MERGE whose arms all matched nothing — commits no
+  * table version).
+  */
+case object NoStagedDataMessage extends WriterCommitMessage
+
 class GraftMergeBatchWrite(
     dir: String,
     key: String,
@@ -246,8 +252,9 @@ case class MergeStagingWriterFactory(
 }
 
 /** Executor-side staging writer: streams InternalRows into ONE parquet
-  * file per task under the staging dir. No buffering beyond parquet's
-  * own row groups; abort deletes the file.
+  * file per task under the staging dir — opened LAZILY on the first
+  * row, so an empty partition stages nothing. No buffering beyond
+  * parquet's own row groups; abort deletes the file.
   */
 class MergeStagingWriter(
     conf: Configuration,
@@ -261,13 +268,18 @@ class MergeStagingWriter(
   private val messageType = MergeWriteUtil.parquetSchema(schema)
   private val factory = new SimpleGroupFactory(messageType)
 
-  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
-    val c = new Configuration(conf)
-    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
-    ExampleParquetWriter.builder(
-      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, c))
-      .withConf(c)
-      .build()
+  private var opened: ParquetWriter[org.apache.parquet.example.data.Group] = _
+
+  private def writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+    if (opened == null) {
+      val c = new Configuration(conf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
+      opened = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, c))
+        .withConf(c)
+        .build()
+    }
+    opened
   }
 
   override def write(row: InternalRow): Unit = {
@@ -295,17 +307,19 @@ class MergeStagingWriter(
   private var closed = false
 
   private def closeOnce(): Unit =
-    if (!closed) { closed = true; writer.close() }
+    if (!closed) { closed = true; if (opened != null) opened.close() }
 
   override def commit(): WriterCommitMessage = {
     closeOnce()
-    StagedFileMessage(file.toString)
+    if (opened == null) NoStagedDataMessage else StagedFileMessage(file.toString)
   }
 
   override def abort(): Unit = {
     closeOnce()
-    val fs = file.getFileSystem(conf)
-    fs.delete(file, false)
+    if (opened != null) {
+      val fs = file.getFileSystem(conf)
+      fs.delete(file, false)
+    }
   }
 
   // Spark always calls close() after commit/abort — and on exception

@@ -1936,6 +1936,85 @@ object Streams {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_dsv2_merge_into — SQL MERGE INTO through the row-level delta
+  // protocol (SupportsRowLevelOperations + SupportsDelta,
+  // sources/MergeRowLevelOps.scala): the first half of the event log
+  // seeds the table (INSERT INTO = merge-upsert), the second half —
+  // pre-aggregated to latest-per-user, the MERGE cardinality
+  // contract — drives a three-arm MERGE: matched error keys DELETE
+  // (tombstone commit), matched keys UPDATE (delta rows that out-seq
+  // their stored copies), unmatched non-error keys INSERT. Spark
+  // rewrites the statement into per-row operations; every one lands as
+  // a merge-batch row through the same two-phase staged writer as
+  // INSERT INTO. Oracle: the half-split full-outer reconstruction.
+  // ---------------------------------------------------------------------
+  val dsv2MergeIntoGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gmrg$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_mrg_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_mrg_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(
+      s"""INSERT INTO $cat.g.t
+         |SELECT user_id, event_id, value FROM $view WHERE event_id <= $t1
+         |""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $cat.g.t t USING (
+         |  SELECT user_id, max(event_id) AS event_id,
+         |    max_by(value, event_id) AS value,
+         |    max_by(event_type, event_id) AS ty
+         |  FROM $view WHERE event_id > $t1 GROUP BY user_id) s
+         |ON t.user_id = s.user_id
+         |WHEN MATCHED AND s.ty = 'error' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET event_id = s.event_id, value = s.value
+         |WHEN NOT MATCHED AND s.ty != 'error' THEN
+         |  INSERT (user_id, event_id, value)
+         |  VALUES (s.user_id, s.event_id, s.value)
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |sum(event_id) AS id_total,
+         |sum(CAST(round(value * 100) AS BIGINT)) AS cents_total
+         |FROM $cat.g.t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val dsv2MergeIntoGatedSql: String =
+    """WITH b AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |h1 AS (
+      |  SELECT user_id, max(event_id) AS id1,
+      |    arg_max(value, event_id) AS v1
+      |  FROM events, b WHERE event_id <= b.t1 GROUP BY user_id),
+      |h2 AS (
+      |  SELECT e.user_id, max(e.event_id) AS id2,
+      |    arg_max(e.value, e.event_id) AS v2,
+      |    arg_max(e.event_type, e.event_id) AS ty2
+      |  FROM events e, b WHERE e.event_id > b.t1 GROUP BY e.user_id),
+      |fin AS (
+      |  SELECT COALESCE(h2.user_id, h1.user_id) AS user_id,
+      |    CASE WHEN h2.user_id IS NULL THEN h1.id1 ELSE h2.id2 END AS last_id,
+      |    CASE WHEN h2.user_id IS NULL THEN h1.v1 ELSE h2.v2 END AS last_val,
+      |    CASE WHEN h2.user_id IS NOT NULL AND h2.ty2 = 'error'
+      |         THEN 1 ELSE 0 END AS dead
+      |  FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM fin WHERE dead = 0
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_agg_pushdown — AGGREGATE PUSHDOWN on the connector
   // (SupportsPushDownAggregates): count(*) / count(col) / min / max
   // over the merge table answered entirely from parquet FOOTERS + the
@@ -2511,6 +2590,7 @@ object Streams {
     "q_dsv2_sql" -> dsv2SqlGated,
     "q_dsv2_agg_pushdown" -> dsv2AggPushGated,
     "q_dsv2_delete" -> dsv2DeleteGated,
+    "q_dsv2_merge_into" -> dsv2MergeIntoGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -2546,6 +2626,7 @@ object Streams {
     "q_dsv2_sql" -> dsv2SqlGatedSql,
     "q_dsv2_agg_pushdown" -> dsv2AggPushGatedSql,
     "q_dsv2_delete" -> dsv2DeleteGatedSql,
+    "q_dsv2_merge_into" -> dsv2MergeIntoGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,

@@ -168,6 +168,74 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d").head().getLong(0) == 0L)
   }
 
+  test("MERGE INTO runs as a delta write: update/insert/delete arms all land") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    spark.sql(
+      s"""CREATE TABLE $cat.db.m (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.db.m VALUES (1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)")
+    Seq((2L, 11L, 9.9), (4L, 11L, 4.4))
+      .toDF("k", "seq", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v, seq = s.seq
+         |WHEN NOT MATCHED THEN INSERT (k, seq, v) VALUES (s.k, s.seq, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v FROM $cat.db.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // k=1 untouched, k=2 updated, k=3 deleted, k=4 inserted
+    assert(rows.sameElements(Array((1L, 1.0), (2L, 9.9), (4L, 4.4))),
+      rows.toSeq.toString)
+    // the update WON deterministically: its seq out-sequenced the
+    // stored copy even though s.seq (11) only just exceeded it
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/m").toString
+    val seq2 = MergeSink.currentState(spark, path).get
+      .filter(col("k") === 2L).head().getLong(1)
+    assert(seq2 >= 11L, s"update row's seq: $seq2")
+    // the MERGE delete is a retained tombstone, like every delete here
+    val tombs = spark.read.format("graft-merge")
+      .option("path", path).option("cdc", "true").load()
+      .filter(col(MergeSink.DeletedCol)).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(3L), s"tombstones: $tombs")
+  }
+
+  test("MERGE with a no-op source commits nothing; UPDATE bumps seq to win") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    spark.sql(
+      s"""CREATE TABLE $cat.db.u (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.u VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/u").toString
+    val before = MergeSink.commits(spark, path)
+    Seq.empty[(Long, Long, Double)].toDF("k", "seq", "v")
+      .createOrReplaceTempView("merge_empty")
+    spark.sql(
+      s"""MERGE INTO $cat.db.u t USING merge_empty s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(MergeSink.commits(spark, path) == before,
+      "empty MERGE minted a table version")
+    // SQL UPDATE without touching seq: the delta writer bumps it so
+    // the new value wins the latest-by-seq race against the stored row
+    spark.sql(s"UPDATE $cat.db.u SET v = v * 10 WHERE k = 1")
+    val r = spark.sql(s"SELECT seq, v FROM $cat.db.u WHERE k = 1").head()
+    assert(r.getDouble(1) == 10.0, r.toString)
+    assert(r.getLong(0) == 11L, s"seq not bumped: ${r.getLong(0)}")
+    // and a DELETE whose predicate the V1 grammar can't express still
+    // works (row-level path), leaving the translatable fast path intact
+    spark.sql(
+      s"DELETE FROM $cat.db.u WHERE k IN (SELECT k FROM $cat.db.u WHERE v > 5)")
+    val left = spark.sql(s"SELECT k FROM $cat.db.u").collect().map(_.getLong(0))
+    assert(left.sameElements(Array(2L)), left.toSeq.toString)
+  }
+
   test("catalog schema follows committed CDC evolution past the declaration") {
     val cat = freshCatalog()
     val s2 = spark
