@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -750,20 +750,30 @@ class GraftMergeScan(
     val recorded = resolvedVersion
       .map(v => MergeSink.manifestBytes(spark, dir, v))
       .getOrElse(Map.empty[Int, Long])
+    val recordedRows = resolvedVersion
+      .map(v => MergeSink.manifestRows(spark, dir, v))
+      .getOrElse(Map.empty[Int, Long])
     val conf = spark.sessionState.newHadoopConf()
-    val bytes = plannedFiles(snapshotFiles)
-      .groupBy(_.bucket)
+    val byBucket = plannedFiles(snapshotFiles).groupBy(_.bucket)
+    val bytes = byBucket
       .map { case (b, parts) =>
         recorded.getOrElse(b, parts.map { part =>
           val p = new Path(part.file)
           p.getFileSystem(conf).getFileStatus(p).getLen
         }.sum)
       }.sum
+    // physical row count (retained tombstones included — the scan DOES
+    // read them); only reported when every planned bucket recorded one
+    val rows: Option[Long] =
+      if (byBucket.nonEmpty && byBucket.keys.forall(recordedRows.contains))
+        Some(byBucket.keys.map(recordedRows).sum)
+      else None
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
 
@@ -886,7 +896,8 @@ class GraftMergeScan(
       new MergeReaderFactory(
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
         required,
-        hideTombstones = !cdc)
+        hideTombstones = !cdc,
+        pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -989,7 +1000,8 @@ class GraftMergeMicroBatchStream(
     new MergeReaderFactory(
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       required,
-      hideTombstones = false)
+      hideTombstones = false,
+      pushedFilters = Array.empty)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1035,7 +1047,8 @@ class SerializableHadoopConf(@transient var value: Configuration)
 class MergeReaderFactory(
     conf: SerializableHadoopConf,
     required: StructType,
-    hideTombstones: Boolean)
+    hideTombstones: Boolean,
+    pushedFilters: Array[Filter])
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -1051,7 +1064,7 @@ class MergeReaderFactory(
           if (cur == null) {
             if (!it.hasNext) return false
             cur = new MergeColumnarReader(
-              conf.value, it.next(), required, hideTombstones)
+              conf.value, it.next(), required, hideTombstones, pushedFilters)
           }
           if (cur.next()) return true
           cur.close(); cur = null
@@ -1091,12 +1104,15 @@ class MergeColumnarReader(
     conf: Configuration,
     partition: MergeFileSplit,
     required: StructType,
-    hideTombstones: Boolean)
+    hideTombstones: Boolean,
+    pushedFilters: Array[Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   import MergeTableUtil.{BucketCol, VersionCol}
 
   private val Capacity = 4096
+
+  private val fileSchema = MergeTableUtil.footerOf(conf, partition.file)
 
   // Requested DATA schema: required data fields (declared order), plus
   // __deleted appended when tombstones must be hidden AND this file
@@ -1108,12 +1124,38 @@ class MergeColumnarReader(
   private val requiredData =
     required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
   private val needDeleted = hideTombstones &&
-    MergeTableUtil.footerOf(conf, partition.file)
-      .containsField(MergeSink.DeletedCol)
+    fileSchema.containsField(MergeSink.DeletedCol)
   private val readerDataSchema = StructType(
     if (needDeleted)
       requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
     else requiredData.toSeq)
+
+  /** Pushed predicates as a parquet `FilterPredicate` for ROW-GROUP
+    * SKIPPING: a pruned-out row group's pages are never read. Purely an
+    * IO optimization — Spark re-evaluates every filter post-scan (this
+    * scan keeps them all as residuals), and a predicate on a column
+    * this file lacks simply doesn't translate. At 100 TB with
+    * key-sorted bucket files this is the footer min/max level of
+    * pruning below the manifest's bucket level.
+    */
+  private val rowGroupFilter
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (pushedFilters.isEmpty) None
+    else {
+      val pf = new ParquetFilters(
+        fileSchema,
+        /* pushDownDate = */ false,
+        /* pushDownTimestamp = */ false,
+        /* pushDownDecimal = */ false,
+        /* pushDownStringPredicate = */ true,
+        /* pushDownInFilterThreshold = */ 10,
+        /* caseSensitive = */ false,
+        org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+          org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      pushedFilters.flatMap(pf.createFilter(_).toSeq)
+        .reduceOption(
+          org.apache.parquet.filter2.predicate.FilterApi.and(_, _))
+    }
 
   // _version/_bucket ride the partition-value mechanism: constant
   // vectors appended AFTER the data columns by initBatch.
@@ -1143,6 +1185,8 @@ class MergeColumnarReader(
     dflt("spark.sql.legacy.parquet.nanosAsLong", "false")
     dflt("spark.sql.caseSensitive", "false")
     dflt("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    rowGroupFilter.foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p))
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, Capacity)

@@ -135,7 +135,21 @@ object MergeSink {
     * O(1) metadata read — what the DSv2 scan's reported statistics use
     * instead of O(files) file-status calls per planning.
     */
-  def manifestBytes(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
+  def manifestBytes(spark: SparkSession, dir: String, version: Long): Map[Int, Long] =
+    manifestField(spark, dir, version, 2)
+
+  /** bucket -> row count recorded in the manifest (includes retained
+    * tombstone rows — a PHYSICAL figure, which is what a scan-size
+    * estimate wants). Empty for manifests without the field.
+    */
+  def manifestRows(spark: SparkSession, dir: String, version: Long): Map[Int, Long] =
+    manifestField(spark, dir, version, 3)
+
+  private def manifestField(
+      spark: SparkSession,
+      dir: String,
+      version: Long,
+      idx: Int): Map[Int, Long] = {
     val (fs, p) = fsOf(spark, dir)
     val mf = new Path(p, s"_manifest_v$version")
     if (!fs.exists(mf)) Map.empty
@@ -148,7 +162,7 @@ object MergeSink {
           .filterNot(l => l.isEmpty || l.startsWith("B "))
           .flatMap { l =>
             val parts = l.split(" ")
-            if (parts.length >= 3) Some(parts(0).toInt -> parts(2).toLong)
+            if (parts.length > idx) Some(parts(0).toInt -> parts(idx).toLong)
             else None
           }
           .toMap
@@ -365,8 +379,7 @@ object MergeSink {
 
     publish(
       spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId,
-      prevBytes =
-        last.map(c => manifestBytes(spark, dir, c.version)).getOrElse(Map.empty))
+      prevVersion = last.map(_.version))
   }
 
   /** Durably publish version `newV`: write `rows` (bucketed by their
@@ -387,15 +400,20 @@ object MergeSink {
       newV: Long,
       runId: String,
       epochId: Long,
-      prevBytes: Map[Int, Long] = Map.empty): Unit = {
+      prevVersion: Option[Long] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
-    // bucket -> data bytes for the new manifest: rewritten buckets are
-    // measured once right after their rename (the files were just
-    // written — one listing per touched bucket at WRITE time), carried
-    // buckets reuse the previous manifest's figure. This is what lets a
+    // bucket -> (data bytes, row count) for the new manifest: rewritten
+    // buckets are measured once right after their rename (one listing +
+    // footer read per touched bucket at WRITE time), carried buckets
+    // reuse the previous manifest's figures. This is what lets a
     // READER's statistics be O(1) metadata instead of O(files) RPCs.
+    val prevBytes = prevVersion
+      .map(v => manifestBytes(spark, dir, v)).getOrElse(Map.empty[Int, Long])
+    val prevRows = prevVersion
+      .map(v => manifestRows(spark, dir, v)).getOrElse(Map.empty[Int, Long])
     var newBytes = Map.empty[Int, Long]
+    var newRows = Map.empty[Int, Long]
     rows.foreach { m =>
       // data first: one partitioned write of the touched buckets. The
       // caller guarantees `m` is hash-partitioned by "__b" (upsertBatch
@@ -415,9 +433,16 @@ object MergeSink {
           if (!fs.rename(src, dst))
             throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
           written += b
-          newBytes += b -> fs.listStatus(dst).iterator
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(_.getLen).sum
+          val parts = fs.listStatus(dst).iterator
+            .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+          newBytes += b -> parts.map(_.getLen).sum
+          newRows += b -> parts.map { st =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                st.getPath, spark.sparkContext.hadoopConfiguration))
+            try r.getRecordCount
+            finally r.close()
+          }.sum
         } // else: the bucket lost all its rows — drop its manifest entry
       }
       fs.delete(tmp, true)
@@ -427,12 +452,15 @@ object MergeSink {
       (prevManifest -- touched) ++ written.toSeq.sorted.map(_ -> newV)
     val bytesOf: Int => Option[Long] =
       b => newBytes.get(b).orElse(prevBytes.get(b))
+    val rowsOf: Int => Option[Long] =
+      b => newRows.get(b).orElse(prevRows.get(b))
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
       val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
-        bytesOf(b) match {
-          case Some(sz) => s"$b $v $sz"
-          case None => s"$b $v" // pre-round-11 bucket with unknown size
+        (bytesOf(b), rowsOf(b)) match {
+          case (Some(sz), Some(rc)) => s"$b $v $sz $rc"
+          case (Some(sz), None) => s"$b $v $sz"
+          case _ => s"$b $v" // pre-round-11 bucket with unknown size
         }
       }).mkString("", "\n", "\n")
       mfOut.write(body.getBytes("UTF-8"))
@@ -577,7 +605,7 @@ object MergeSink {
         publish(
           spark, dir, nb, m, touched, Some(kept), newV,
           runId = "maintenance", epochId = newV,
-          prevBytes = manifestBytes(spark, dir, c.version))
+          prevVersion = Some(c.version))
         touched.size
     }
 

@@ -498,6 +498,43 @@ class Dsv2Spec extends SparkSpec {
     assert(cdcAgg.head().getLong(0) == 1L)
   }
 
+  test("pushed predicates skip parquet row groups inside a bucket file") {
+    val s2 = spark
+    import s2.implicits._
+    // a SORTED multi-row-group file: tiny block size forces many row
+    // groups, sorting gives each a tight disjoint min/max range
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_rg_tbl").toString
+    spark.range(200000)
+      .select(col("id").as("k"), col("id").as("seq"),
+        md5(col("id").cast("string")).as("tag"))
+      .repartition(1).sortWithinPartitions("seq")
+      .write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("seq", "long").add("tag", "string")
+    val split = graft.sources.MergeFileSplit(file, 0, 0L, 0L)
+    val hconf = spark.sessionState.newHadoopConf()
+    def rowsRead(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val r = new graft.sources.MergeColumnarReader(
+        hconf, split, schema, hideTombstones = true, pushedFilters = filters)
+      try {
+        var n = 0L
+        while (r.next()) n += r.get().numRows()
+        n
+      } finally r.close()
+    }
+    val all = rowsRead(Array.empty)
+    assert(all == 200000L, s"baseline read $all rows")
+    val pruned = rowsRead(Array(
+      org.apache.spark.sql.sources.GreaterThan("seq", 190000L)))
+    // the reader returns whole surviving ROW GROUPS (Spark re-filters
+    // rows post-scan): more than the matching rows, far less than all
+    assert(pruned >= 10000L && pruned < all / 2,
+      s"row groups not skipped: read $pruned of $all rows")
+  }
+
   test("streaming write leaves no empty staging parents behind") {
     val s2 = spark
     import s2.implicits._

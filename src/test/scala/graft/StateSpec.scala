@@ -534,6 +534,10 @@ class StateSpec extends SparkSpec {
         if (f.startsWith("file:")) f else s"file://$f").getPath).length).sum
     }
     assert(bytes == actual, s"recorded $bytes vs actual $actual")
+    // row counts recorded too, and their total equals the table's rows
+    val rows = MS.manifestRows(spark, table, head)
+    assert(rows.keySet == m.keySet, s"row figures incomplete: ${rows.keySet}")
+    assert(rows.values.sum == 40L, s"recorded rows: $rows")
   }
 
   test("MERGE sink change feed classifies insert/update/delete and skips untouched keys") {
