@@ -2,9 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -253,7 +251,10 @@ case class MergeStagingWriterFactory(
 
 /** Executor-side staging writer: streams InternalRows into ONE parquet
   * file per task under the staging dir — opened LAZILY on the first
-  * row, so an empty partition stages nothing. No buffering beyond
+  * row, so an empty partition stages nothing. Rows go through Spark's
+  * own `ParquetWriteSupport` (InternalRow straight to column writers —
+  * no per-row record-object materialization; the former example-API
+  * Group writer allocated and boxed every field). No buffering beyond
   * parquet's own row groups; abort deletes the file.
   */
 class MergeStagingWriter(
@@ -265,16 +266,29 @@ class MergeStagingWriter(
     extends DataWriter[InternalRow] {
 
   private val file = new Path(s"$staging/part-$partitionId-$taskId.parquet")
-  private val messageType = MergeWriteUtil.parquetSchema(schema)
-  private val factory = new SimpleGroupFactory(messageType)
+  // fail-early type guard: the merge table stays flat-primitive (the
+  // read side decodes exactly this set), even though Spark's write
+  // support could serialize more
+  MergeWriteUtil.parquetSchema(schema)
 
-  private var opened: ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var opened: ParquetWriter[InternalRow] = _
 
-  private def writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+  private def writer: ParquetWriter[InternalRow] = {
     if (opened == null) {
       val c = new Configuration(conf)
-      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(messageType, c)
-      opened = ExampleParquetWriter.builder(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+        .setSchema(schema, c)
+      // the write support reads these as required conf entries (Spark's
+      // own write path sets them before handing the conf over)
+      def dflt(k: String, v: String): Unit = if (c.get(k) == null) c.set(k, v)
+      dflt("spark.sql.parquet.writeLegacyFormat", "false")
+      dflt("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      dflt("spark.sql.parquet.fieldId.write.enabled", "true")
+      dflt("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      dflt("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      dflt("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      dflt("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+      opened = new MergeStagingWriter.Builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, c))
         .withConf(c)
         .build()
@@ -282,27 +296,7 @@ class MergeStagingWriter(
     opened
   }
 
-  override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        schema(i).dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
-            g.add(i, row.getLong(i))
-          case IntegerType => g.add(i, row.getInt(i))
-          case DoubleType => g.add(i, row.getDouble(i))
-          case FloatType => g.add(i, row.getFloat(i))
-          case BooleanType => g.add(i, row.getBoolean(i))
-          case StringType => g.add(i, row.getUTF8String(i).toString)
-          case other =>
-            throw new IllegalArgumentException(s"unsupported $other")
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
-  }
+  override def write(row: InternalRow): Unit = writer.write(row)
 
   private var closed = false
 
@@ -325,4 +319,15 @@ class MergeStagingWriter(
   // Spark always calls close() after commit/abort — and on exception
   // paths may call it after abort already closed; make it idempotent
   override def close(): Unit = closeOnce()
+}
+
+object MergeStagingWriter {
+  /** parquet-mr builder bound to Spark's InternalRow write support. */
+  private class Builder(file: org.apache.parquet.io.OutputFile)
+      extends ParquetWriter.Builder[InternalRow, Builder](file) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+  }
 }
