@@ -892,12 +892,28 @@ class GraftMergeScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       MergePartitionPacker.pack(spark, plannedFiles(snapshotFiles))
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // ONE driver-side decision per scan: if NO current bucket carries
+      // the tombstone column, every reader skips both the per-file
+      // footer probe and the __deleted projection entirely — the
+      // common (tombstone-free) table reads exactly like a native scan.
+      // The manifest's per-bucket flag answers this from O(1) metadata;
+      // manifests predating the field fall back to one footer sweep.
+      val tombstonesPossible = !cdc && resolvedVersion.exists { v =>
+        val flags = MergeSink.manifestDeletedFlags(spark, dir, v)
+        val buckets = snapshotFiles.keySet
+        if (buckets.forall(flags.contains)) flags.exists(_._2 == 1L)
+        else
+          (try MergeTableUtil.dataSchema(spark, dir)
+            .fieldNames.contains(MergeSink.DeletedCol)
+          catch { case _: IllegalArgumentException => false /* empty */ })
+      }
       new MergeReaderFactory(
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
         required,
-        hideTombstones = !cdc,
+        hideTombstones = tombstonesPossible,
         pushed)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {

@@ -145,6 +145,15 @@ object MergeSink {
   def manifestRows(spark: SparkSession, dir: String, version: Long): Map[Int, Long] =
     manifestField(spark, dir, version, 3)
 
+  /** bucket -> 1 if the bucket's files carry the `__deleted` COLUMN
+    * (0 otherwise). Lets a reader decide tombstone handling from O(1)
+    * metadata instead of sweeping footers. Empty for manifests without
+    * the field — callers must then fall back to a footer check.
+    */
+  def manifestDeletedFlags(
+      spark: SparkSession, dir: String, version: Long): Map[Int, Long] =
+    manifestField(spark, dir, version, 4)
+
   private def manifestField(
       spark: SparkSession,
       dir: String,
@@ -412,6 +421,12 @@ object MergeSink {
       .map(v => manifestBytes(spark, dir, v)).getOrElse(Map.empty[Int, Long])
     val prevRows = prevVersion
       .map(v => manifestRows(spark, dir, v)).getOrElse(Map.empty[Int, Long])
+    val prevDel = prevVersion
+      .map(v => manifestDeletedFlags(spark, dir, v))
+      .getOrElse(Map.empty[Int, Long])
+    // every bucket written this commit shares the merged frame's schema
+    val writesDeleted =
+      if (rows.exists(_.columns.contains(DeletedCol))) 1L else 0L
     var newBytes = Map.empty[Int, Long]
     var newRows = Map.empty[Int, Long]
     rows.foreach { m =>
@@ -454,12 +469,15 @@ object MergeSink {
       b => newBytes.get(b).orElse(prevBytes.get(b))
     val rowsOf: Int => Option[Long] =
       b => newRows.get(b).orElse(prevRows.get(b))
+    val delOf: Int => Option[Long] =
+      b => if (written.contains(b)) Some(writesDeleted) else prevDel.get(b)
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
       val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
-        (bytesOf(b), rowsOf(b)) match {
-          case (Some(sz), Some(rc)) => s"$b $v $sz $rc"
-          case (Some(sz), None) => s"$b $v $sz"
+        (bytesOf(b), rowsOf(b), delOf(b)) match {
+          case (Some(sz), Some(rc), Some(dl)) => s"$b $v $sz $rc $dl"
+          case (Some(sz), Some(rc), None) => s"$b $v $sz $rc"
+          case (Some(sz), _, _) => s"$b $v $sz"
           case _ => s"$b $v" // pre-round-11 bucket with unknown size
         }
       }).mkString("", "\n", "\n")
