@@ -259,7 +259,17 @@ class PropertySpec extends SparkSpec {
       "q_bpe_train_batched", "q_bpe_encode_loaded",
       "q_similarity_ivfpq_loaded", "q_semantic_dedup",
       "q_semantic_dedup_incr", "q_phrase_search",
-      "q_dsv2_write", "q_merge_retention")
+      "q_dsv2_write", "q_merge_retention",
+      // round-11 additions most at risk: the SQL catalog lane (INSERT
+      // INTO staging task count follows partitioning), MERGE INTO (the
+      // delta writer's per-row ops arrive in partition order), the
+      // footer-served aggregate (must not depend on how the table was
+      // written), compaction (rebucket = full reshuffle by design),
+      // the joined-frames ANN serving (argmin/ADC joins must rank
+      // identically at any partitioning), and the closed-form quality
+      // scorer (weight sums are integer and order-free — the POINT).
+      "q_dsv2_sql", "q_dsv2_merge_into", "q_dsv2_agg_pushdown",
+      "q_merge_compact", "q_similarity_ivfpq_served", "q_quality_score")
     val orig = spark.conf.getOption("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
