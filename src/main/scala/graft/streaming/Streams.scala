@@ -2015,6 +2015,57 @@ object Streams {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_dsv2_update — SQL UPDATE through the row-level delta protocol:
+  // the latest-wins table (both event-log halves merged) takes
+  // `UPDATE t SET value = value * 2 WHERE user_id % 7 = 0` — Spark
+  // rewrites it into per-row update operations; each arrives at the
+  // delta writer with its row id (key, old seq) and leaves as a
+  // merge-batch row at seq+1, out-sequencing the stored copy it
+  // replaces (the UPDATE consumes one sequence slot — the log-like
+  // discipline shared with SQL DELETE). Oracle: latest-wins state with
+  // the matching keys' values doubled.
+  // ---------------------------------------------------------------------
+  val dsv2UpdateGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gupd$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_upd_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_upd_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table, "user_id", "event_id", 0L, "du")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table, "user_id", "event_id", 1L, "du")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'user_id', seq 'event_id', path '$table')""".stripMargin)
+    s.sql(s"UPDATE $cat.g.t SET value = value * 2 WHERE user_id % 7 = 0")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |sum(CAST(round(value * 100) AS BIGINT)) AS cents_total
+         |FROM $cat.g.t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val dsv2UpdateGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, arg_max(value, event_id) AS last_val
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(CAST(round(
+      |  CASE WHEN user_id % 7 = 0 THEN last_val * 2 ELSE last_val END
+      |  * 100) AS BIGINT)) AS BIGINT) AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_agg_pushdown — AGGREGATE PUSHDOWN on the connector
   // (SupportsPushDownAggregates): count(*) / count(col) / min / max
   // over the merge table answered entirely from parquet FOOTERS + the
@@ -2591,6 +2642,7 @@ object Streams {
     "q_dsv2_agg_pushdown" -> dsv2AggPushGated,
     "q_dsv2_delete" -> dsv2DeleteGated,
     "q_dsv2_merge_into" -> dsv2MergeIntoGated,
+    "q_dsv2_update" -> dsv2UpdateGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -2627,6 +2679,7 @@ object Streams {
     "q_dsv2_agg_pushdown" -> dsv2AggPushGatedSql,
     "q_dsv2_delete" -> dsv2DeleteGatedSql,
     "q_dsv2_merge_into" -> dsv2MergeIntoGatedSql,
+    "q_dsv2_update" -> dsv2UpdateGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,
