@@ -702,14 +702,25 @@ private[graft] object MergePartitionPacker {
     val target = math.min(
       maxSplit,
       math.max(openCost, (costs.sum + par - 1) / par * 105 / 100))
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[MergeFileSplit], Long)]
+    // LINEAR accumulate-and-close (Spark's FilePartition discipline),
+    // largest-first for balance: O(n log n) at any file count — a
+    // first-fit search over open bins would go quadratic on a
+    // 100k-file fragmented table
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[MergeFileSplit]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[MergeFileSplit]
+    var curCost = 0L
     splits.zip(costs).sortBy(-_._2).foreach { case (s, c) =>
-      bins.indexWhere(_._2 + c <= target) match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(s), c))
-        case i => val (b, t) = bins(i); b += s; bins(i) = (b, t + c)
+      if (cur.nonEmpty && curCost + c > target) {
+        bins += cur
+        cur = scala.collection.mutable.ArrayBuffer.empty[MergeFileSplit]
+        curCost = 0L
       }
+      cur += s
+      curCost += c
     }
-    bins.map(b => MergeFilePartition(b._1.toSeq): InputPartition).toArray
+    if (cur.nonEmpty) bins += cur
+    bins.map(b => MergeFilePartition(b.toSeq): InputPartition).toArray
   }
 }
 
