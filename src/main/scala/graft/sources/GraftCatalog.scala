@@ -258,6 +258,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && fs.listStatus(d).nonEmpty)
       throw new IllegalStateException(
         s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    // cascade must route through dropTable so MANAGED tables' data
+    // directories (under <warehouse>/_data/) are removed too — deleting
+    // only the namespace dir would orphan them on disk
+    if (cascade) {
+      def dropAll(ns: Array[String]): Unit = {
+        listTables(ns).foreach(dropTable)
+        listNamespaces(ns).foreach(dropAll)
+      }
+      dropAll(namespace)
+    }
     fs.delete(d, true)
   }
 }

@@ -201,6 +201,16 @@ class MergeDeltaWriter(
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     val bumped = seqPlusOne(id.get(1, seqType))
     val newSeq = row.get(seqIdx, seqType)
+    val oldKey = id.get(0, keyType)
+    val newKey = row.get(keyIdx, keyType)
+    // A SET that reassigns the merge key moves the row to a new
+    // identity: the stored copy under the OLD key is still visible in
+    // its bucket and must be tombstoned, or both rows survive.
+    if (!java.util.Objects.equals(oldKey, newKey))
+      inner.write(staged(
+        i => if (i == keyIdx) oldKey else null,
+        bumped,
+        deleted = true))
     inner.write(staged(
       i => row.get(i, tableSchema(i).dataType),
       if (newSeq == null) bumped else seqMax(bumped, newSeq),

@@ -294,8 +294,17 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
     val cond = MergeDeleteSupport.translate(filters, tableSchema)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-merge DELETE: cannot translate ${filters.mkString(", ")}"))
+    // Pin the snapshot: the emptiness check and the tombstone build are
+    // two scans, and without an explicit version a commit landing
+    // between them could change the matched set (single-writer is the
+    // table's discipline, but the pin costs nothing and removes the
+    // race class). The pinned version stays readable: retention keeps
+    // current + previous, and this DELETE is the only next commit.
+    val pinned = MergeSink.lastCommit(spark, dir).map(_.version)
+      .getOrElse(return) // never-committed table: no-op
     val matching = spark.read.format("graft-merge")
       .option("path", dir).option("key", key)
+      .option("versionAsOf", pinned.toString)
       .load()
       .filter(cond)
     if (matching.isEmpty) return // no-op DELETE commits nothing
@@ -476,17 +485,30 @@ class GraftMergeScanBuilder(
     // tombstones (footer counts would include them)
     val version = versionAsOf.orElse(
       MergeSink.lastCommit(spark, dir).map(_.version))
-    val files: Seq[String] = version match {
-      case None => Seq.empty
+    val byBucket: Map[Int, (Long, Seq[String])] = version match {
+      case None => Map.empty
       case Some(v) =>
         if (!MergeSink.commits(spark, dir).exists(_.version == v) ||
           MergeSink.manifest(spark, dir, v).isEmpty) return None
         MergeTableUtil.currentDataFiles(spark, dir, v)
-          .values.flatMap(_._2).toSeq
     }
-    if (files.nonEmpty &&
-      MergeTableUtil.dataSchema(spark, dir)
-        .fieldNames.contains(MergeSink.DeletedCol)) return None
+    val files: Seq[String] = byBucket.values.flatMap(_._2).toSeq
+    // tombstone rejection against the RESOLVED version's own files —
+    // a time-travel aggregate must not trust the HEAD schema (the
+    // snapshots can differ): manifest flags when present, else the
+    // resolved files' footers (the same footers compute() reads anyway)
+    if (files.nonEmpty) {
+      val flags = MergeSink.manifestDeletedFlags(spark, dir, version.get)
+      val hasTombstoneCol =
+        if (byBucket.keySet.forall(flags.contains)) flags.exists(_._2 == 1L)
+        else {
+          val conf = spark.sessionState.newHadoopConf()
+          files.exists(f =>
+            MergeTableUtil.footerOf(conf, f)
+              .containsField(MergeSink.DeletedCol))
+        }
+      if (hasTombstoneCol) return None
+    }
     wanted.flatMap { fns =>
       FooterStats.compute(spark, files, fns).map { values =>
         (StructType(fns.map { case (n, dt, _) => StructField(n, dt) }),
@@ -997,6 +1019,7 @@ class GraftMergeMicroBatchStream(
             "up within retention")
     }
     val versions = cs.map(_.version).filter(v => v > s0 && v <= e0)
+    val conf = spark.sessionState.newHadoopConf()
     val splits = versions.flatMap { v =>
       val m = MergeSink.manifest(spark, dir, v)
       // a retained marker whose manifest vanished is a torn GC — same
@@ -1007,7 +1030,6 @@ class GraftMergeMicroBatchStream(
             s"(requested replay range ${s0 + 1}..$e0); " +
             "readers must keep up within retention")
       val mb = MergeSink.manifestBytes(spark, dir, v)
-      val conf = spark.sessionState.newHadoopConf()
       m.toSeq.sorted.collect { case (b, cv) if cv == v =>
         val d = new Path(s"$dir/data/b$b/v$cv")
         val fs = d.getFileSystem(conf)

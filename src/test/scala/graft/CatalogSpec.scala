@@ -236,6 +236,44 @@ class CatalogSpec extends SparkSpec {
     assert(left.sameElements(Array(2L)), left.toSeq.toString)
   }
 
+  test("UPDATE reassigning the merge key tombstones the old identity") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.rk (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.rk VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    // k=1 moves to k=100: without the old-key tombstone BOTH rows stay
+    // visible (silent duplication of table state)
+    spark.sql(s"UPDATE $cat.db.rk SET k = k + 99 WHERE k = 1")
+    val rows = spark.sql(s"SELECT k, v FROM $cat.db.rk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.sameElements(Array((2L, 2.0), (100L, 1.0))),
+      rows.toSeq.toString)
+    // the move is a real delete event under the old key, CDC-visible
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/rk").toString
+    val tombs = spark.read.format("graft-merge")
+      .option("path", path).option("cdc", "true").load()
+      .filter(col(MergeSink.DeletedCol)).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(1L), s"tombstones: $tombs")
+  }
+
+  test("DROP NAMESPACE CASCADE removes managed tables' data directories") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.gone (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.gone VALUES (1, 10)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val dataPath = new org.apache.hadoop.fs.Path(wh, "_data/db/gone")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(dataPath))
+    spark.sql(s"DROP NAMESPACE $cat.db CASCADE")
+    assert(!fs.exists(dataPath),
+      "cascade-drop of the namespace orphaned managed table data")
+  }
+
   test("catalog schema follows committed CDC evolution past the declaration") {
     val cat = freshCatalog()
     val s2 = spark
