@@ -132,18 +132,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(k => k -> props.getProperty(k))
       .toMap ++ versionAsOf.map("versionAsOf" -> _)
     val spark = SparkSession.active
+    val MS = graft.streaming.MergeSink
     // committed data is authoritative for the schema (CDC batches may
     // have evolved it past the declaration); the declared schema serves
     // until the first commit
-    val schema = graft.streaming.MergeSink
-      .lastCommit(spark, opts("path")) match {
-      case Some(_) =>
-        val visible = MergeTableUtil.dataSchema(spark, opts("path"))
-        StructType(visible.fields.filterNot(
-          _.name == graft.streaming.MergeSink.DeletedCol))
+    val base = MS.lastCommit(spark, opts("path")) match {
+      case Some(_) => MergeTableUtil.dataSchema(spark, opts("path"))
       case None =>
         DataType.fromJson(props.getProperty("schema")).asInstanceOf[StructType]
     }
+    // a table declared with `cdc 'true'` is the commit-log VIEW of its
+    // path: batch reads return the retained log, streaming reads replay
+    // it — which makes `spark.readStream.table(...)` work through pure
+    // SQL identifiers (the schema must carry the replay columns)
+    val schema =
+      if (opts.get("cdc").exists(_.toBoolean))
+        StructType(
+          base.fields.toSeq ++
+            (if (base.fieldNames.contains(MS.DeletedCol)) Nil
+             else Seq(org.apache.spark.sql.types.StructField(
+               MS.DeletedCol, org.apache.spark.sql.types.BooleanType))) ++
+            Seq(
+              org.apache.spark.sql.types.StructField(
+                MergeTableUtil.VersionCol,
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField(
+                MergeTableUtil.BucketCol,
+                org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else StructType(base.fields.filterNot(_.name == MS.DeletedCol))
     new GraftMergeTable(schema, opts)
   }
 
@@ -162,17 +178,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     def opt(k: String): Option[String] =
       given.get(TableCatalog.OPTION_PREFIX + k).orElse(given.get(k))
     val key = opt("key").getOrElse(throw new IllegalArgumentException(
-      "graft-merge: OPTIONS must declare key (the merge key column)"))
+      "graft-merge: OPTIONS must declare key (the merge key column, " +
+        "or a comma-list for a composite key)"))
     val seq = opt("seq").getOrElse(throw new IllegalArgumentException(
       "graft-merge: OPTIONS must declare seq (the total-order column)"))
-    require(schema.fieldNames.contains(key),
-      s"graft-merge: key column '$key' not in declared schema")
+    graft.streaming.MergeSink.keyCols(key).foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"graft-merge: key column '$k' not in declared schema"))
     require(schema.fieldNames.contains(seq),
       s"graft-merge: seq column '$seq' not in declared schema")
     val external = opt("path")
       .orElse(Option(properties.get(TableCatalog.PROP_LOCATION)))
     val path = external.getOrElse(managedDataPath(ident).toString)
     val props = new util.Properties
+    // any OTHER declared option (e.g. `cdc 'true'` for a commit-log
+    // view) persists too and flows back as a table property on load
+    given.foreach { case (k, v) =>
+      if (k.startsWith(TableCatalog.OPTION_PREFIX)) {
+        val bare = k.stripPrefix(TableCatalog.OPTION_PREFIX)
+        if (bare != "key" && bare != "seq" && bare != "path")
+          props.setProperty(bare, v)
+      }
+    }
     props.setProperty("path", path)
     props.setProperty("key", key)
     props.setProperty("seq", seq)
@@ -182,10 +209,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftMergeTable(schema, Map("path" -> path, "key" -> key, "seq" -> seq))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema follows the " +
-        "committed data (CDC evolution), merge options are immutable")
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the routine operations a
+    * SQL user performs on any real table. Everything structural stays
+    * immutable and rejects loudly: the schema follows the committed
+    * data (CDC evolution), and the merge options (path/key/seq) define
+    * the table's physical identity.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val reserved = Set("path", "key", "seq", "schema",
+      TableCatalog.PROP_EXTERNAL)
+    val props = readMeta(ident)
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        require(!reserved.contains(set.property),
+          s"graft catalog: table property '${set.property}' is immutable " +
+            "(it defines the table's physical identity)")
+        props.setProperty(set.property, set.value)
+      case rm: TableChange.RemoveProperty =>
+        require(!reserved.contains(rm.property),
+          s"graft catalog: table property '${rm.property}' is immutable " +
+            "(it defines the table's physical identity)")
+        props.remove(rm.property)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other — " +
+            "schema follows the committed data (CDC evolution); only " +
+            "SET/UNSET TBLPROPERTIES is a metadata operation here")
+    }
+    writeMeta(ident, props, overwrite = true)
+    loadWith(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val mp = metaPath(ident)

@@ -70,7 +70,8 @@ class GraftMergeRowLevelOperation(
       versionAsOf = None, tableSchema)
 
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(key), Expressions.column(seq))
+    (MergeSink.keyCols(key).map(Expressions.column) :+
+      Expressions.column(seq)).toArray
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -158,11 +159,13 @@ class MergeDeltaWriter(
     conf, staging, stagedSchema, partitionId, taskId)
 
   private val n = tableSchema.length
-  private val keyIdx = tableSchema.fieldIndex(key)
+  // row id layout is the declared rowId() order: (k1, …, km, seq)
+  private val keyIdxs = MergeSink.keyCols(key)
+    .map(tableSchema.fieldIndex).toArray
+  private val keyTypes = keyIdxs.map(tableSchema(_).dataType)
+  private val m = keyIdxs.length
   private val seqIdx = tableSchema.fieldIndex(seq)
   private val seqType = tableSchema(seqIdx).dataType
-  // row id layout is the declared rowId() order: (key, seq)
-  private val keyType = tableSchema(keyIdx).dataType
 
   private def seqPlusOne(idSeq: Any): Any = (seqType, idSeq) match {
     case (LongType, v: java.lang.Long) => v + 1L
@@ -198,19 +201,26 @@ class MergeDeltaWriter(
       row.get(seqIdx, seqType),
       deleted = false))
 
+  /** The id row's key values (positions 0..m-1) routed back to their
+    * table-schema slots; non-key data columns are null (tombstones).
+    */
+  private def oldKeyData(id: InternalRow): Int => Any = { i =>
+    val k = keyIdxs.indexOf(i)
+    if (k >= 0) id.get(k, keyTypes(k)) else null
+  }
+
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    val bumped = seqPlusOne(id.get(1, seqType))
+    val bumped = seqPlusOne(id.get(m, seqType))
     val newSeq = row.get(seqIdx, seqType)
-    val oldKey = id.get(0, keyType)
-    val newKey = row.get(keyIdx, keyType)
-    // A SET that reassigns the merge key moves the row to a new
+    // A SET that reassigns any merge-key column moves the row to a new
     // identity: the stored copy under the OLD key is still visible in
     // its bucket and must be tombstoned, or both rows survive.
-    if (!java.util.Objects.equals(oldKey, newKey))
-      inner.write(staged(
-        i => if (i == keyIdx) oldKey else null,
-        bumped,
-        deleted = true))
+    val keyMoved = (0 until m).exists { k =>
+      !java.util.Objects.equals(
+        id.get(k, keyTypes(k)), row.get(keyIdxs(k), keyTypes(k)))
+    }
+    if (keyMoved)
+      inner.write(staged(oldKeyData(id), bumped, deleted = true))
     inner.write(staged(
       i => row.get(i, tableSchema(i).dataType),
       if (newSeq == null) bumped else seqMax(bumped, newSeq),
@@ -219,10 +229,8 @@ class MergeDeltaWriter(
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     inner.write(staged(
-      i =>
-        if (i == keyIdx) id.get(0, keyType)
-        else null, // tombstone: data columns are irrelevant once dead
-      seqPlusOne(id.get(1, seqType)),
+      oldKeyData(id), // tombstone: data columns are irrelevant once dead
+      seqPlusOne(id.get(m, seqType)),
       deleted = true))
 
   override def commit(): WriterCommitMessage = inner.commit()

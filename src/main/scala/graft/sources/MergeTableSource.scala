@@ -125,24 +125,31 @@ private[graft] object MergeTableUtil {
       .lastCommit(spark, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-merge: no committed version at $dir"))
-    val files = currentDataFiles(spark, dir, c.version).values.flatMap(_._2).toSeq
-    require(files.nonEmpty, s"graft-merge: committed version ${c.version} references no data files")
-    val conf = spark.sessionState.newHadoopConf()
-    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
-    files.foreach { f =>
-      footerOf(conf, f).getFields.asScala.foreach { t =>
-        val p = t.asPrimitiveType()
-        val sf = sparkFieldOf(p)
-        fields.get(sf.name) match {
-          case Some(prev) =>
-            require(prev.dataType == sf.dataType,
-              s"graft-merge: column ${sf.name} has conflicting types " +
-                s"${prev.dataType} vs ${sf.dataType} across bucket files")
-          case None => fields += sf.name -> sf
+    // the manifest's recorded union schema answers with ZERO footer
+    // reads; legacy manifests fall back to the footer sweep
+    MergeSink.manifestSchema(spark, dir, c.version).getOrElse {
+      MergeSink.metadataFallbacks.incrementAndGet()
+      val files =
+        currentDataFiles(spark, dir, c.version).values.flatMap(_._2).toSeq
+      require(files.nonEmpty,
+        s"graft-merge: committed version ${c.version} references no data files")
+      val conf = spark.sessionState.newHadoopConf()
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      files.foreach { f =>
+        footerOf(conf, f).getFields.asScala.foreach { t =>
+          val p = t.asPrimitiveType()
+          val sf = sparkFieldOf(p)
+          fields.get(sf.name) match {
+            case Some(prev) =>
+              require(prev.dataType == sf.dataType,
+                s"graft-merge: column ${sf.name} has conflicting types " +
+                  s"${prev.dataType} vs ${sf.dataType} across bucket files")
+            case None => fields += sf.name -> sf
+          }
         }
       }
+      StructType(fields.values.toSeq)
     }
-    StructType(fields.values.toSeq)
   }
 
   def footerOf(conf: Configuration, file: String): MessageType = {
@@ -206,14 +213,20 @@ private[graft] object MergeTableUtil {
       spark: SparkSession,
       dir: String,
       version: Long): Map[Int, (Long, Seq[String])] = {
-    val conf = spark.sessionState.newHadoopConf()
+    lazy val conf = spark.sessionState.newHadoopConf()
+    val recorded = MergeSink.manifestFiles(spark, dir, version)
     MergeSink.manifest(spark, dir, version).map { case (b, v) =>
-      val d = new Path(s"$dir/data/b$b/v$v")
-      val fs = d.getFileSystem(conf)
-      val files =
-        if (!fs.exists(d)) Seq.empty[String]
-        else fs.listStatus(d).iterator.map(_.getPath.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted
+      val files = recorded.get(b) match {
+        // manifest-recorded names: zero listings per planning
+        case Some(names) => names.map(n => s"$dir/data/b$b/v$v/$n")
+        case None =>
+          MergeSink.metadataFallbacks.incrementAndGet()
+          val d = new Path(s"$dir/data/b$b/v$v")
+          val fs = d.getFileSystem(conf)
+          if (!fs.exists(d)) Seq.empty[String]
+          else fs.listStatus(d).iterator.map(_.getPath.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+      }
       b -> (v, files)
     }
   }
@@ -221,14 +234,21 @@ private[graft] object MergeTableUtil {
   /** The same bucket function the writer used (`pmod(xxhash64(k), nb)`),
     * evaluated driver-side on a literal — metadata, not a job.
     */
-  def bucketOf(value: Any, dt: DataType, nb: Int): Int = {
-    val h = XxHash64(Seq(Literal.create(value, dt)), 42L)
+  def bucketOf(value: Any, dt: DataType, nb: Int): Int =
+    bucketOfTuple(Seq(value), Seq(dt), nb)
+
+  /** Composite-key bucket: values/types in the key list's declared
+    * order, hashed exactly as the writer's `xxhash64(k1, k2, …)`.
+    */
+  def bucketOfTuple(values: Seq[Any], dts: Seq[DataType], nb: Int): Int = {
+    val h = XxHash64(
+      values.zip(dts).map { case (v, dt) => Literal.create(v, dt) }, 42L)
       .eval(InternalRow.empty).asInstanceOf[Long]
     (((h % nb) + nb) % nb).toInt
   }
 }
 
-class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
+class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -241,13 +261,24 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
     * requires non-nullable row-id attributes.
     */
   private val tableSchema = {
-    val idCols = Set(properties.get("key"), properties.get("seq")).flatten
+    val idCols =
+      props.get("key").toSeq.flatMap(MergeSink.keyCols).toSet ++
+        props.get("seq")
     StructType(tableSchema0.fields.map(f =>
       if (idCols.contains(f.name)) f.copy(nullable = false) else f))
   }
 
-  override def name(): String = s"graft-merge `${properties.getOrElse("path", "?")}`"
+  override def name(): String = s"graft-merge `${props.getOrElse("path", "?")}`"
   override def schema(): StructType = tableSchema
+
+  /** Surface the merge options (and any user table properties) to SQL:
+    * `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` read this.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -274,7 +305,7 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    def prop(k: String): String = properties.getOrElse(k,
+    def prop(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"graft-merge row-level DML: table property '$k' is required"))
     val (dir, key, seq) = (prop("path"), prop("key"), prop("seq"))
@@ -287,7 +318,7 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    def prop(k: String): String = properties.getOrElse(k,
+    def prop(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"graft-merge DELETE: table property '$k' is required"))
     val (dir, key, seq) = (prop("path"), prop("key"), prop("seq"))
@@ -321,7 +352,7 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
     // catalog-loaded tables carry path/key/seq as TABLE PROPERTIES (the
     // SQL reader passes no per-scan options); per-read options override
     val merged = new java.util.HashMap[String, String]
-    properties.foreach { case (k, v) => merged.put(k, v) }
+    props.foreach { case (k, v) => merged.put(k, v) }
     merged.putAll(options.asCaseSensitiveMap())
     val o = new CaseInsensitiveStringMap(merged)
     new GraftMergeScanBuilder(
@@ -338,7 +369,7 @@ class GraftMergeTable(tableSchema0: StructType, properties: Map[String, String])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     def opt(name: String): String =
       Option(info.options.get(name))
-        .orElse(properties.get(name))
+        .orElse(props.get(name))
         .getOrElse(throw new IllegalArgumentException(
           s"graft-merge write: option '$name' is required (merge semantics)"))
     new GraftMergeWriteBuilder(opt("path"), opt("key"), opt("seq"), info)
@@ -406,8 +437,14 @@ class GraftMergeScanBuilder(
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
-  /** Key values extracted from prunable predicates, or None = no pruning. */
-  private var keyValues: Option[Seq[Any]] = None
+  /** The merge key columns (a comma-list option for composite keys). */
+  private val kcols: Seq[String] =
+    keyCol.map(MergeSink.keyCols).getOrElse(Nil)
+
+  /** Key TUPLES extracted from prunable predicates (each tuple = one
+    * value per key column, declared order), or None = no pruning.
+    */
+  private var keyValues: Option[Seq[Seq[Any]]] = None
 
   // -------------------------------------------------------------------
   // AGGREGATE PUSHDOWN: count(*) / count(col) / min / max answered from
@@ -519,22 +556,50 @@ class GraftMergeScanBuilder(
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val prunable = keyCol.map { k =>
-      filters.collect {
-        case f @ EqualTo(`k`, v) => (f, Seq(v))
-        case f @ EqualNullSafe(`k`, v) if v != null => (f, Seq(v))
-        case f @ In(`k`, vs) if vs.nonEmpty && !vs.contains(null) => (f, vs.toSeq)
+    // Bucket pruning needs a bounded candidate set for EVERY key column
+    // (the bucket is a hash of all of them): collect each column's
+    // equality conjuncts; a column with several keeps its smallest set
+    // (conjunctive semantics — any one is a superset bound). The tuple
+    // candidates are then the cartesian product of the per-column sets —
+    // a SUPERSET of the true tuple set, which is all file-level pruning
+    // needs — capped so a wide IN-list cross can't explode planning.
+    if (kcols.nonEmpty) {
+      val perCol: Seq[Seq[(Filter, Seq[Any])]] = kcols.map { k =>
+        filters.collect {
+          case f @ EqualTo(`k`, v) => (f, Seq(v))
+          case f @ EqualNullSafe(`k`, v) if v != null => (f, Seq(v))
+          case f @ In(`k`, vs) if vs.nonEmpty && !vs.contains(null) =>
+            (f, vs.toSeq)
+        }.toSeq
       }
-    }.getOrElse(Array.empty[(Filter, Seq[Any])])
-    if (prunable.nonEmpty) {
-      pushed = prunable.map(_._1)
-      // conjunctive semantics: each prunable conjunct is a superset bound,
-      // so the candidate key set is the smallest conjunct's value set
-      keyValues = Some(prunable.map(_._2).minBy(_.size))
+      if (perCol.forall(_.nonEmpty)) {
+        val chosen = perCol.map(_.minBy(_._2.size))
+        if (chosen.map(_._2.size.toLong).product <= 256L)
+          keyValues = Some(
+            chosen.map(_._2).foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
+              acc.flatMap(t => vs.map(v => t :+ v))
+            })
+      }
     }
-    // every filter stays post-scan (Spark re-evaluates): pruning is a
-    // FILE-level optimization, rows inside a surviving bucket still need
-    // the predicate
+    // Record every comparison conjunct the reader can hand to parquet
+    // as a row-group filter (the level of pruning BELOW the bucket —
+    // it bites on compacted, key-sorted buckets). Key-tuple bucket
+    // pruning above uses only the equality subset; correctness needs
+    // neither: every filter also stays post-scan (Spark re-evaluates) —
+    // pruning here is purely an IO optimization.
+    def skippable(f: Filter): Boolean = {
+      def has(a: String) = fullSchema.fieldNames.contains(a)
+      f match {
+        case EqualTo(a, v) => v != null && has(a)
+        case In(a, vs) => vs.nonEmpty && !vs.contains(null) && has(a)
+        case org.apache.spark.sql.sources.GreaterThan(a, v) => v != null && has(a)
+        case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) => v != null && has(a)
+        case org.apache.spark.sql.sources.LessThan(a, v) => v != null && has(a)
+        case org.apache.spark.sql.sources.LessThanOrEqual(a, v) => v != null && has(a)
+        case _ => false
+      }
+    }
+    pushed = filters.filter(skippable)
     filters
   }
 
@@ -762,11 +827,14 @@ class GraftMergeScan(
     versionAsOf: Option[Long],
     fullSchema: StructType,
     required: StructType,
-    keyValues: Option[Seq[Any]],
+    keyValues: Option[Seq[Seq[Any]]],
     pushed: Array[Filter])
     extends Scan
     with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  private val kcols: Seq[String] =
+    keyCol.map(MergeSink.keyCols).getOrElse(Nil)
 
   override def readSchema(): StructType = required
 
@@ -818,20 +886,25 @@ class GraftMergeScan(
   // 100 TB a fact-to-dim join reads O(build-side keys) buckets instead
   // of the table, with no predicate in the query text at all.
   // -------------------------------------------------------------------
-  @volatile private var runtimeKeys: Option[Seq[Any]] = None
+  @volatile private var runtimeKeys: Option[Seq[Seq[Any]]] = None
 
+  // Runtime filtering is declared for SINGLE-column keys only: the
+  // bucket is a hash of ALL key columns, and a join typically builds
+  // runtime IN-sets for one attribute — useless (and unsound to prune
+  // on) without the others. Composite tables still get compile-time
+  // tuple pruning through pushFilters.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    keyCol
-      .map(k => Array(
-        org.apache.spark.sql.connector.expressions.Expressions.column(k)))
-      .getOrElse(Array.empty)
+    if (kcols.size == 1)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(kcols.head))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
-    runtimeKeys = keyCol.flatMap { k =>
+    runtimeKeys = kcols.headOption.filter(_ => kcols.size == 1).flatMap { k =>
       filters.collectFirst {
-        case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq
-        case EqualTo(`k`, v) if v != null => Seq(v)
+        case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq.map(Seq(_))
+        case EqualTo(`k`, v) if v != null => Seq(Seq(v))
       }
     }
   }
@@ -878,20 +951,21 @@ class GraftMergeScan(
       GraftMergeScan.lastPrune.set((0, 0, runtimeKeys.isDefined))
       return Seq.empty
     }
-    // compile-time pushed keys AND runtime (join-driven) keys each bound
-    // the bucket set; both present -> intersection
+    // compile-time pushed key tuples AND runtime (join-driven) keys each
+    // bound the bucket set; both present -> intersection
     val keySets = Seq(keyValues, runtimeKeys).flatten
     val buckets =
       if (keySets.isEmpty) all.keySet
       else {
-        val dt = keyCol.flatMap(k => fullSchema.fields.find(_.name == k))
-          .map(_.dataType)
-          .getOrElse(LongType)
+        val dts = kcols.map(k =>
+          fullSchema.fields.find(_.name == k).map(_.dataType)
+            .getOrElse(LongType))
         // nb must be the WRITER's bucket count, from the manifest header
         // of the version this scan reads
         val writerNb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
         keySets
-          .map(vs => vs.map(v => MergeTableUtil.bucketOf(v, dt, writerNb)).toSet)
+          .map(ts => ts.map(t =>
+            MergeTableUtil.bucketOfTuple(t, dts, writerNb)).toSet)
           .reduce(_ intersect _)
       }
     // _version of a batch-read row = the manifest's content version for
@@ -916,7 +990,9 @@ class GraftMergeScan(
 
   override def description(): String = {
     val (planned, total) = fileCounts
-    val pk = keyValues.map(_.mkString("[", ",", "]")).getOrElse("none")
+    val pk = keyValues.map(_.map(t =>
+      if (t.size == 1) t.head.toString else t.mkString("(", ";", ")"))
+      .mkString("[", ",", "]")).getOrElse("none")
     val asOf = versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
     s"GraftMergeScan dir=$dir$asOf files=$planned/$total prunedKeys=$pk " +
       s"pushed=${pushed.mkString("[", ", ", "]")}"
@@ -1030,16 +1106,21 @@ class GraftMergeMicroBatchStream(
             s"(requested replay range ${s0 + 1}..$e0); " +
             "readers must keep up within retention")
       val mb = MergeSink.manifestBytes(spark, dir, v)
+      val recorded = MergeSink.manifestFiles(spark, dir, v)
       m.toSeq.sorted.collect { case (b, cv) if cv == v =>
-        val d = new Path(s"$dir/data/b$b/v$cv")
-        val fs = d.getFileSystem(conf)
-        if (!fs.exists(d)) Seq.empty[MergeFileSplit]
-        else {
-          val files = fs.listStatus(d).iterator.map(_.getPath.toString)
-            .filter(_.endsWith(".parquet")).toSeq.sorted
-          val est = mb.get(b).map(_ / math.max(files.size, 1)).getOrElse(0L)
-          files.map(f => MergeFileSplit(f, b, v, est))
+        val files = recorded.get(b) match {
+          // manifest-recorded names: zero listings per replayed version
+          case Some(names) => names.map(n => s"$dir/data/b$b/v$cv/$n")
+          case None =>
+            MergeSink.metadataFallbacks.incrementAndGet()
+            val d = new Path(s"$dir/data/b$b/v$cv")
+            val fs = d.getFileSystem(conf)
+            if (!fs.exists(d)) Seq.empty[String]
+            else fs.listStatus(d).iterator.map(_.getPath.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted
         }
+        val est = mb.get(b).map(_ / math.max(files.size, 1)).getOrElse(0L)
+        files.map(f => MergeFileSplit(f, b, v, est))
       }.flatten
     }
     MergePartitionPacker.pack(spark, splits)
@@ -1161,7 +1242,24 @@ class MergeColumnarReader(
 
   private val Capacity = 4096
 
-  private val fileSchema = MergeTableUtil.footerOf(conf, partition.file)
+  // ONE metadata round-trip for the whole split: a single getFileStatus
+  // feeds the input file, and a single footer read feeds BOTH the
+  // schema reconciliation below AND the reader itself (handed to
+  // `initialize`, so `VectorizedParquetRecordReader` does not re-read
+  // it — this was the residual decode gap vs the native scan). The
+  // filter predicate still prunes row groups: parquet-mr's
+  // footer-accepting reader constructor re-applies it.
+  private val inputFile: HadoopInputFile = {
+    val path = new Path(partition.file)
+    val fs = path.getFileSystem(conf)
+    HadoopInputFile.fromStatus(fs.getFileStatus(path), conf)
+  }
+  private val footer: org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val r = ParquetFileReader.open(inputFile)
+    try r.getFooter
+    finally r.close()
+  }
+  private val fileSchema = footer.getFileMetaData.getSchema
 
   // Requested DATA schema: required data fields (declared order), plus
   // __deleted appended when tombstones must be hidden AND this file
@@ -1239,12 +1337,11 @@ class MergeColumnarReader(
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, Capacity)
-    val path = new Path(partition.file)
-    val len = path.getFileSystem(c).getFileStatus(path).getLen
-    val split = new FileSplit(path, 0, len, Array.empty[String])
+    val split = new FileSplit(
+      new Path(partition.file), 0, inputFile.getLength, Array.empty[String])
     val ctx = new TaskAttemptContextImpl(c, new TaskAttemptID())
     try {
-      r.initialize(split, ctx)
+      r.initialize(split, ctx, Some(inputFile), None, Some(footer))
       r.initBatch(StructType(partCols), partValues)
       r.enableReturningBatches()
     } catch { case t: Throwable => r.close(); throw t }

@@ -50,9 +50,10 @@ class GraftMergeWriteBuilder(
     info: LogicalWriteInfo)
     extends WriteBuilder {
 
-  require(
-    info.schema.fieldNames.contains(key),
-    s"graft-merge write: key column '$key' missing from ${info.schema.fieldNames.mkString(",")}")
+  MergeSink.keyCols(key).foreach(k =>
+    require(
+      info.schema.fieldNames.contains(k),
+      s"graft-merge write: key column '$k' missing from ${info.schema.fieldNames.mkString(",")}"))
   require(
     info.schema.fieldNames.contains(seq),
     s"graft-merge write: seq column '$seq' missing from ${info.schema.fieldNames.mkString(",")}")

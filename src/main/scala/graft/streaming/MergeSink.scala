@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Transactional streaming MERGE sink: a `foreachBatch` upsert into a
   * parquet-backed state table that survives kill/restart with no
@@ -69,6 +70,23 @@ object MergeSink {
   /** Reserved tombstone column: boolean, true = delete this key. */
   val DeletedCol = "__deleted"
 
+  /** Every `key` parameter in this API is a COMMA-SEPARATED column
+    * list: `"user_id"` (the common case) or `"order_id,line_no"` (a
+    * composite CDC key — most real primary keys are). The bucket
+    * function hashes the columns in declared order
+    * (`xxhash64(k1, k2, …)`), which for a single column is bit-exactly
+    * the layout every pre-composite table was written with.
+    */
+  def keyCols(key: String): Seq[String] = {
+    val ks = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(ks.nonEmpty, s"merge key list is empty: '$key'")
+    ks
+  }
+
+  /** The writer's bucket expression over the key columns. */
+  private[graft] def bucketExpr(key: String, nb: Int) =
+    pmod(xxhash64(keyCols(key).map(col): _*), lit(nb)).cast("int")
+
   /** Buckets per table. Fixed at first commit (recorded in the
     * manifest); 16 keeps test tables multi-file while a 100 TB table
     * would size this so each bucket holds O(100 MB–1 GB).
@@ -105,10 +123,19 @@ object MergeSink {
         .sortBy(_.version)
   }
 
+  /** Counts planning-time metadata FALLBACKS (a directory listing or
+    * footer sweep where the manifest should have answered) — purely an
+    * observability hook: StateSpec pins that planning over a
+    * current-format table performs ZERO of them.
+    */
+  val metadataFallbacks = new java.util.concurrent.atomic.AtomicLong()
+
   /** The bucket -> content-version map for a committed version.
-    * Manifest lines are `b v [bytes]` — the third field (bucket data
-    * bytes, written since round 11) feeds planner statistics without
-    * any file-status round-trip; absent on older tables.
+    * Manifest lines are `b v [bytes rows deletedFlag [files]]` — the
+    * optional fields (written since rounds 11/12) serve planner
+    * statistics, tombstone handling, and file listings without any
+    * file-status round-trip; absent on older tables. An `S <json>`
+    * header line (round 12) records the committed union schema.
     */
   def manifest(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
     val (fs, p) = fsOf(spark, dir)
@@ -120,10 +147,64 @@ object MergeSink {
         scala.io.Source
           .fromInputStream(in, "UTF-8")
           .getLines()
-          .filterNot(l => l.isEmpty || l.startsWith("B "))
+          .filterNot(l =>
+            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
           .map { l =>
             val parts = l.split(" ")
             parts(0).toInt -> parts(1).toLong
+          }
+          .toMap
+      finally in.close()
+    }
+  }
+
+  /** The committed UNION SCHEMA recorded in a version's manifest (the
+    * physical data schema, tombstone column included when present) —
+    * resolves the table schema with zero footer reads. None on
+    * manifests predating the field.
+    */
+  def manifestSchema(
+      spark: SparkSession, dir: String, version: Long): Option[StructType] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try
+        scala.io.Source
+          .fromInputStream(in, "UTF-8")
+          .getLines()
+          .collectFirst { case l if l.startsWith("S ") =>
+            org.apache.spark.sql.types.DataType.fromJson(l.drop(2))
+              .asInstanceOf[StructType]
+          }
+      finally in.close()
+    }
+  }
+
+  /** bucket -> data file NAMES recorded in the manifest (relative to
+    * the bucket's version directory). Lets scan/replay planning resolve
+    * every file with zero directory listings. Empty for manifests
+    * without the field.
+    */
+  def manifestFiles(
+      spark: SparkSession, dir: String, version: Long): Map[Int, Seq[String]] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) Map.empty
+    else {
+      val in = fs.open(mf)
+      try
+        scala.io.Source
+          .fromInputStream(in, "UTF-8")
+          .getLines()
+          .filterNot(l =>
+            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
+          .flatMap { l =>
+            val parts = l.split(" ")
+            if (parts.length > 5)
+              Some(parts(0).toInt -> parts(5).split(",").toSeq)
+            else None
           }
           .toMap
       finally in.close()
@@ -168,7 +249,8 @@ object MergeSink {
         scala.io.Source
           .fromInputStream(in, "UTF-8")
           .getLines()
-          .filterNot(l => l.isEmpty || l.startsWith("B "))
+          .filterNot(l =>
+            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
           .flatMap { l =>
             val parts = l.split(" ")
             if (parts.length > idx) Some(parts(0).toInt -> parts(idx).toLong)
@@ -241,16 +323,21 @@ object MergeSink {
       case None => Map.empty
       case Some(c) =>
         val (fs, _) = fsOf(spark, dir)
+        val recorded = manifestFiles(spark, dir, c.version)
         manifest(spark, dir, c.version).map { case (b, v) =>
-          val d = new Path(s"$dir/data/b$b/v$v")
-          val files =
-            if (!fs.exists(d)) Seq.empty[String]
-            else
-              fs.listStatus(d)
-                .iterator
-                .map(_.getPath.toString)
-                .filter(_.endsWith(".parquet"))
-                .toSeq
+          val files = recorded.get(b) match {
+            case Some(names) => names.map(n => s"$dir/data/b$b/v$v/$n")
+            case None =>
+              metadataFallbacks.incrementAndGet()
+              val d = new Path(s"$dir/data/b$b/v$v")
+              if (!fs.exists(d)) Seq.empty[String]
+              else
+                fs.listStatus(d)
+                  .iterator
+                  .map(_.getPath.toString)
+                  .filter(_.endsWith(".parquet"))
+                  .toSeq
+          }
           b -> files
         }
     }
@@ -332,7 +419,10 @@ object MergeSink {
     val prevManifest =
       last.map(c => manifest(spark, dir, c.version)).getOrElse(Map.empty[Int, Long])
 
-    val bucketOf = pmod(xxhash64(col(key)), lit(nb)).cast("int")
+    val kcols = keyCols(key)
+    kcols.foreach(k => require(batch.columns.contains(k),
+      s"merge batch lacks key column '$k' (${batch.columns.mkString(",")})"))
+    val bucketOf = bucketExpr(key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     // Which buckets does this batch touch? (≤ nb values — metadata, not data)
@@ -350,7 +440,10 @@ object MergeSink {
           .flatMap(b => prevManifest.get(b).map(v => s"$dir/data/b$b/v$v"))
         // The tombstone column may exist on either side only (a CDC
         // batch onto a pre-CDC table, or a pure-upsert batch onto a CDC
-        // table): absent means "not deleted" on both.
+        // table): absent means "not deleted" on both. Any OTHER column
+        // one side lacks (schema evolution landing in an occupied
+        // bucket) reads as NULL on that side — the same semantics the
+        // mergeSchema reader gives the stored history.
         def withDeleted(df: DataFrame): DataFrame =
           if (df.columns.contains(DeletedCol)) df
           else df.withColumn(DeletedCol, lit(false))
@@ -361,10 +454,8 @@ object MergeSink {
             if (stored.columns.contains(DeletedCol) ||
               cols.contains(DeletedCol))
               withDeleted(stored)
-                .select((cols.filterNot(_ == DeletedCol).map(col) :+
-                  col(DeletedCol)).toIndexedSeq: _*)
-                .unionByName(withDeleted(batchC))
-            else stored.select(cols.map(col).toIndexedSeq: _*).unionByName(batchC)
+                .unionByName(withDeleted(batchC), allowMissingColumns = true)
+            else stored.unionByName(batchC, allowMissingColumns = true)
           }
         // ONE shuffle does both jobs: partition by bucket up front, then
         // aggregate on (__b, key) — the bucket is a function of the key,
@@ -375,15 +466,15 @@ object MergeSink {
         // former shape (key-shuffled agg + repartition(__b) in publish)
         // paid the merge row volume through the shuffle twice.
         val withB = base.withColumn("__b", bucketOf)
-        val rest = withB.columns.filter(c => c != key && c != "__b")
+        val rest = withB.columns.filter(c => !kcols.contains(c) && c != "__b")
         Some(
           withB
             .repartition(col("__b"))
-            .groupBy(col("__b"), col(key))
+            .groupBy((col("__b") +: kcols.map(col)).toIndexedSeq: _*)
             .agg(max_by(
               struct(rest.map(col).toIndexedSeq: _*), col(seq)).as("st"))
-            .select(col("__b") +: col(key) +:
-              rest.map(c => col(s"st.$c").as(c)).toIndexedSeq: _*))
+            .select((col("__b") +: kcols.map(col)) ++
+              rest.map(c => col(s"st.$c").as(c)): _*))
       }
 
     publish(
@@ -424,11 +515,15 @@ object MergeSink {
     val prevDel = prevVersion
       .map(v => manifestDeletedFlags(spark, dir, v))
       .getOrElse(Map.empty[Int, Long])
+    val prevFiles = prevVersion
+      .map(v => manifestFiles(spark, dir, v))
+      .getOrElse(Map.empty[Int, Seq[String]])
     // every bucket written this commit shares the merged frame's schema
     val writesDeleted =
       if (rows.exists(_.columns.contains(DeletedCol))) 1L else 0L
     var newBytes = Map.empty[Int, Long]
     var newRows = Map.empty[Int, Long]
+    var newFiles = Map.empty[Int, Seq[String]]
     rows.foreach { m =>
       // data first: one partitioned write of the touched buckets. The
       // caller guarantees `m` is hash-partitioned by "__b" (upsertBatch
@@ -450,6 +545,7 @@ object MergeSink {
           written += b
           val parts = fs.listStatus(dst).iterator
             .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+          newFiles += b -> parts.map(_.getPath.getName).sorted
           newBytes += b -> parts.map(_.getLen).sum
           newRows += b -> parts.map { st =>
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -471,13 +567,51 @@ object MergeSink {
       b => newRows.get(b).orElse(prevRows.get(b))
     val delOf: Int => Option[Long] =
       b => if (written.contains(b)) Some(writesDeleted) else prevDel.get(b)
+    val filesOf: Int => Option[Seq[String]] =
+      b => newFiles.get(b).orElse(prevFiles.get(b)).filter(_.nonEmpty)
+    // committed union schema (minus the routing column), recorded so
+    // readers resolve schema from the manifest instead of O(files)
+    // footer reads. Carried-forward buckets keep contributing through
+    // the PREVIOUS version's recorded schema; a legacy table whose
+    // previous manifest lacks one stays footer-resolved until a full
+    // rewrite (compaction) re-bases it. The union is monotone by name
+    // (this table's operations never drop a column), same-name type
+    // conflicts fail exactly like the footer path.
+    val rowsSchema: Option[StructType] = rows.map(m =>
+      StructType(m.schema.fields.filter(_.name != "__b")
+        .map(f => StructField(f.name, f.dataType))))
+    val carried = (prevManifest -- touched).nonEmpty
+    val prevSchema: Option[StructType] =
+      prevVersion.flatMap(v => manifestSchema(spark, dir, v))
+    def mergeByName(a: StructType, b: StructType): StructType = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      (a.fields ++ b.fields).foreach { f =>
+        out.get(f.name) match {
+          case Some(prev) =>
+            require(prev.dataType == f.dataType,
+              s"merge table: column ${f.name} has conflicting types " +
+                s"${prev.dataType} vs ${f.dataType} across commits")
+          case None => out += f.name -> f
+        }
+      }
+      StructType(out.values.toSeq)
+    }
+    val unionSchema: Option[StructType] = (prevSchema, rowsSchema) match {
+      case (Some(a), Some(b)) => Some(mergeByName(a, b))
+      case (None, Some(b)) if !carried => Some(b)
+      case (Some(a), None) => Some(a)
+      case _ => None
+    }
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
-      val body = (s"B $nb" +: newManifest.toSeq.sorted.map { case (b, v) =>
-        (bytesOf(b), rowsOf(b), delOf(b)) match {
-          case (Some(sz), Some(rc), Some(dl)) => s"$b $v $sz $rc $dl"
-          case (Some(sz), Some(rc), None) => s"$b $v $sz $rc"
-          case (Some(sz), _, _) => s"$b $v $sz"
+      val body = ((s"B $nb" +: unionSchema.map(s => s"S ${s.json}").toSeq) ++
+        newManifest.toSeq.sorted.map { case (b, v) =>
+        (bytesOf(b), rowsOf(b), delOf(b), filesOf(b)) match {
+          case (Some(sz), Some(rc), Some(dl), Some(fns)) =>
+            s"$b $v $sz $rc $dl ${fns.mkString(",")}"
+          case (Some(sz), Some(rc), Some(dl), None) => s"$b $v $sz $rc $dl"
+          case (Some(sz), Some(rc), _, _) => s"$b $v $sz $rc"
+          case (Some(sz), _, _, _) => s"$b $v $sz"
           case _ => s"$b $v" // pre-round-11 bucket with unknown size
         }
       }).mkString("", "\n", "\n")
@@ -526,6 +660,16 @@ object MergeSink {
       spark: SparkSession,
       dir: String,
       keys: Seq[Any]): Seq[String] =
+    lookupFilesTuples(spark, dir, keys.map(Seq(_)))
+
+  /** Composite-key variant of [[lookupFiles]]: each tuple's values are
+    * the key columns IN DECLARED ORDER; the tuple hashes exactly as the
+    * writer bucketed it (`xxhash64(k1, k2, …)`).
+    */
+  def lookupFilesTuples(
+      spark: SparkSession,
+      dir: String,
+      tuples: Seq[Seq[Any]]): Seq[String] =
     lastCommit(spark, dir) match {
       case None => Seq.empty
       case Some(c) =>
@@ -534,8 +678,9 @@ object MergeSink {
         val buckets = spark
           .range(1)
           .select(
-            array(keys.map(k =>
-              pmod(xxhash64(lit(k)), lit(nb)).cast("int")).toIndexedSeq: _*)
+            array(tuples.map(t =>
+              pmod(xxhash64(t.map(lit).toIndexedSeq: _*), lit(nb))
+                .cast("int")).toIndexedSeq: _*)
               .as("bs"))
           .head()
           .getSeq[Int](0)
@@ -553,14 +698,34 @@ object MergeSink {
       spark: SparkSession,
       dir: String,
       key: String,
-      keys: Seq[Any]): Option[DataFrame] = {
-    val files = lookupFiles(spark, dir, keys)
+      keys: Seq[Any]): Option[DataFrame] =
+    pointLookupTuples(spark, dir, key, keys.map(Seq(_)))
+
+  /** Composite-key point lookup: tuples are key values in the `key`
+    * list's declared order; the match is the AND of the columns'
+    * equalities, OR'd over the (bounded) tuple set.
+    */
+  def pointLookupTuples(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      tuples: Seq[Seq[Any]]): Option[DataFrame] = {
+    val kcols = keyCols(key)
+    require(tuples.forall(_.size == kcols.size),
+      s"pointLookup: each tuple needs ${kcols.size} values for keys $kcols")
+    val files = lookupFilesTuples(spark, dir, tuples)
     if (files.isEmpty) None
     else {
+      val cond =
+        if (kcols.size == 1) col(kcols.head).isin(tuples.map(_.head): _*)
+        else tuples
+          .map(t => kcols.zip(t).map { case (c, v) => col(c) === lit(v) }
+            .reduce(_ && _))
+          .reduce(_ || _)
       val raw = spark.read
         .option("mergeSchema", true)
         .parquet(files: _*)
-        .filter(col(key).isin(keys: _*))
+        .filter(cond)
       Some(
         if (raw.columns.contains(DeletedCol))
           raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
@@ -599,7 +764,7 @@ object MergeSink {
         if (allPaths.isEmpty) return 0
         val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
         if (!raw.columns.contains(DeletedCol)) return 0
-        val bucketOf = pmod(xxhash64(col(key)), lit(nb)).cast("int")
+        val bucketOf = bucketExpr(key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
         // bounded set (deleted keys inside the horizon), so this
         // distinct is metadata-scale.
@@ -663,10 +828,19 @@ object MergeSink {
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
         val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
-        val bucketOf = pmod(xxhash64(col(key)), lit(targetBuckets)).cast("int")
+        val bucketOf = bucketExpr(key, targetBuckets)
+        // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
+        // every row group's key min/max would otherwise span the whole
+        // key range, and the reader's row-group skipping (pushed
+        // predicate -> parquet FilterPredicate) has nothing to bite on.
+        // A compacted table's point/range reads prune below the bucket
+        // level for free. Leading __b keeps the write path's required
+        // ordering satisfied so no second sort is inserted.
         val rows = raw
           .withColumn("__b", bucketOf)
           .repartition(col("__b")) // publish expects bucket-partitioned rows
+          .sortWithinPartitions(
+            (col("__b") +: keyCols(key).map(col)).toIndexedSeq: _*)
         val newV = c.version + 1
         // prevManifest = empty: the new manifest lists ONLY the rewritten
         // buckets (the whole table), under the new bucket count
@@ -722,29 +896,36 @@ object MergeSink {
     val ref = newOpt.orElse(oldOpt).getOrElse(return None)
     val oldDF = oldOpt.getOrElse(ref.filter(lit(false)))
     val newDF = newOpt.getOrElse(ref.filter(lit(false)))
-    val dataCols = ref.columns.filterNot(_ == key).toIndexedSeq
+    val kcols = keyCols(key)
+    val k0 = kcols.head // presence sentinel: key cols are NOT NULL
+    val dataCols = ref.columns.filterNot(kcols.contains).toIndexedSeq
     val o = oldDF.select(
-      (col(key).as(s"o_$key") +: dataCols.map(c => col(c).as(s"o_$c"))): _*)
+      (kcols.map(k => col(k).as(s"o_$k")) ++
+        dataCols.map(c => col(c).as(s"o_$c"))): _*)
     val n = newDF.select(
-      (col(key).as(s"n_$key") +: dataCols.map(c => col(c).as(s"n_$c"))): _*)
+      (kcols.map(k => col(k).as(s"n_$k")) ++
+        dataCols.map(c => col(c).as(s"n_$c"))): _*)
     val rowChanged =
       if (dataCols.isEmpty) lit(false) // key-only table: presence IS the row
       else
         dataCols
           .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
           .reduce(_ || _)
+    val joinCond = kcols
+      .map(k => col(s"o_$k") === col(s"n_$k"))
+      .reduce(_ && _)
     Some(
-      o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+      o.join(n, joinCond, "full_outer")
         .select(
-          (when(col(s"o_$key").isNull, "insert")
-            .when(col(s"n_$key").isNull, "delete")
+          (when(col(s"o_$k0").isNull, "insert")
+            .when(col(s"n_$k0").isNull, "delete")
             .when(rowChanged, "update")
             .as("change") +:
-            coalesce(col(s"n_$key"), col(s"o_$key")).as(key) +:
-            dataCols.map(c =>
-              when(col(s"n_$key").isNull, col(s"o_$c"))
-                .otherwise(col(s"n_$c"))
-                .as(c))): _*)
+            (kcols.map(k => coalesce(col(s"n_$k"), col(s"o_$k")).as(k)) ++
+              dataCols.map(c =>
+                when(col(s"n_$k0").isNull, col(s"o_$c"))
+                  .otherwise(col(s"n_$c"))
+                  .as(c)))): _*)
         .filter(col("change").isNotNull))
   }
 

@@ -1697,10 +1697,18 @@ object Streams {
         java.nio.file.Files.createTempDirectory("graft_dsv2_ck").toString)
       .start()
     q.awaitTermination()
-    val log = s.table(name)
-    // Fold the replay into the change feed between the last two
-    // versions: a bucket's content "as of prev" is its rows at the
-    // highest replayed version below the head — the log IS the history.
+    foldReplayToChangeFeed(s.table(name))
+  }
+
+  /** Fold a replayed commit log (memory-sink rows tagged
+    * `_version`/`_bucket`, tombstones retained) into the last-two-
+    * snapshot change feed — shared by the option-based and
+    * catalog-based CDC stream lanes, which must produce identical
+    * results from their different read paths.
+    */
+  private def foldReplayToChangeFeed(log: DataFrame): DataFrame = {
+    // a bucket's content "as of prev" is its rows at the highest
+    // replayed version below the head — the log IS the history.
     val vmax = log.agg(max(col("_version"))).head().getLong(0)
     // both join sides derive from the same memory-sink view: rename the
     // bucket key on the derived frames so the self-join resolves
@@ -1752,6 +1760,66 @@ object Streams {
   }
 
   val dsv2ChangesGatedSql: String = mergeChangesGatedSql
+
+  // ---------------------------------------------------------------------
+  // q_catalog_stream — STREAMING READ THROUGH THE CATALOG: the same CDC
+  // replay as q_dsv2_changes, but the reader names a SQL identifier —
+  // `spark.readStream.table("cat.g.t_changes")` — instead of wiring
+  // format/options by hand. The catalog table is declared with the
+  // `cdc 'true'` property, making it the commit-log VIEW of its path
+  // (its schema carries __deleted/_version/_bucket; streaming reads
+  // replay, batch reads return the retained log). Folds to exactly
+  // q_merge_changes' oracle: the pure-SQL identifier path must
+  // reconstruct the same change feed the library computes.
+  // ---------------------------------------------------------------------
+  val catalogStreamGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gcst$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_cst_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cst_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "cst")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "cst")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t_changes
+         |(user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'user_id', seq 'event_id', path '$table',
+         |  cdc 'true')""".stripMargin)
+    val name = s"graft_stream_cst_$nRun"
+    val q = s.readStream
+      .table(s"$cat.g.t_changes")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cst_ck").toString)
+      .start()
+    q.awaitTermination()
+    foldReplayToChangeFeed(s.table(name))
+  }
+
+  val catalogStreamGatedSql: String = mergeChangesGatedSql
 
   // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
@@ -2064,6 +2132,104 @@ object Streams {
       |  CASE WHEN user_id % 7 = 0 THEN last_val * 2 ELSE last_val END
       |  * 100) AS BIGINT)) AS BIGINT) AS cents_total
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_merge_composite — COMPOSITE MERGE KEY end to end: the table keys
+  // on (user_id, event_type) — the real-CDC shape most primary keys
+  // have — with the bucket a hash of BOTH columns
+  // (`xxhash64(user_id, event_type)`). Two library commits build the
+  // latest-wins-per-(user,type) state; a SQL MERGE INTO on the
+  // composite ON clause updates five (user,'click') identities and
+  // inserts a brand-new one through the row-level delta protocol
+  // (rowId = (user_id, event_type, seq)); the final read is a
+  // composite point lookup whose per-column IN conjuncts prune the
+  // scan to the candidate tuples' buckets (the cartesian superset —
+  // PlanSpec pins files < total). At 100 TB: same O(touched buckets)
+  // economics as the single-key table, no synthetic concat-key column.
+  // Oracle: latest-by-(user,type) reconstruction full-outer-joined
+  // with the same merge source.
+  // ---------------------------------------------------------------------
+  val mergeCompositeGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gcmp$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_cmp_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cmp_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val mx = e.agg(max(col("event_id")).as("m")).head().getLong(0)
+    val t1 = mx / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1), table,
+      "user_id,event_type", "event_id", 0L, "cp")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1), table,
+      "user_id,event_type", "event_id", 1L, "cp")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t
+         |(user_id BIGINT, event_type STRING, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'user_id,event_type', seq 'event_id', path '$table')
+         |""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $cat.g.t t USING (
+         |  SELECT CAST(u AS BIGINT) AS user_id, 'click' AS event_type,
+         |    CAST($mx + u AS BIGINT) AS event_id,
+         |    CAST(u AS DOUBLE) * 0.25 AS value
+         |  FROM (SELECT explode(array(1, 3, 7, 11, 13)) AS u)
+         |  UNION ALL
+         |  SELECT CAST(999999 AS BIGINT), 'zzz',
+         |    CAST($mx + 999999 AS BIGINT), CAST(9.99 AS DOUBLE)) s
+         |ON t.user_id = s.user_id AND t.event_type = s.event_type
+         |WHEN MATCHED THEN UPDATE SET event_id = s.event_id, value = s.value
+         |WHEN NOT MATCHED THEN
+         |  INSERT (user_id, event_type, event_id, value)
+         |  VALUES (s.user_id, s.event_type, s.event_id, s.value)
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT user_id, event_type, event_id,
+         |CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM $cat.g.t
+         |WHERE user_id IN (1, 3, 7, 11, 13, 999999)
+         |  AND event_type IN ('click', 'view', 'zzz')
+         |ORDER BY user_id, event_type""".stripMargin)
+  }
+
+  val mergeCompositeGatedSql: String =
+    """WITH b AS (SELECT max(event_id) AS mx FROM events),
+      |st AS (
+      |  SELECT user_id, event_type, max(event_id) AS last_id,
+      |    arg_max(value, event_id) AS last_val
+      |  FROM events GROUP BY user_id, event_type),
+      |src AS (
+      |  SELECT CAST(u AS BIGINT) AS user_id, 'click' AS event_type,
+      |    CAST(b.mx + u AS BIGINT) AS event_id,
+      |    CAST(u AS DOUBLE) * 0.25 AS value
+      |  FROM (SELECT unnest([1, 3, 7, 11, 13]) AS u), b
+      |  UNION ALL
+      |  SELECT CAST(999999 AS BIGINT), 'zzz',
+      |    CAST(b.mx + 999999 AS BIGINT), CAST(9.99 AS DOUBLE) FROM b),
+      |fin AS (
+      |  SELECT coalesce(t.user_id, s.user_id) AS user_id,
+      |    coalesce(t.event_type, s.event_type) AS event_type,
+      |    CASE WHEN s.user_id IS NULL THEN t.last_id
+      |         ELSE s.event_id END AS event_id,
+      |    CASE WHEN s.user_id IS NULL THEN t.last_val
+      |         ELSE s.value END AS value
+      |  FROM st t FULL OUTER JOIN src s
+      |    ON t.user_id = s.user_id AND t.event_type = s.event_type)
+      |SELECT user_id, event_type, event_id,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM fin
+      |WHERE user_id IN (1, 3, 7, 11, 13, 999999)
+      |  AND event_type IN ('click', 'view', 'zzz')
+      |ORDER BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_dsv2_agg_pushdown — AGGREGATE PUSHDOWN on the connector
@@ -2643,6 +2809,8 @@ object Streams {
     "q_dsv2_delete" -> dsv2DeleteGated,
     "q_dsv2_merge_into" -> dsv2MergeIntoGated,
     "q_dsv2_update" -> dsv2UpdateGated,
+    "q_merge_composite" -> mergeCompositeGated,
+    "q_catalog_stream" -> catalogStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -2680,6 +2848,8 @@ object Streams {
     "q_dsv2_delete" -> dsv2DeleteGatedSql,
     "q_dsv2_merge_into" -> dsv2MergeIntoGatedSql,
     "q_dsv2_update" -> dsv2UpdateGatedSql,
+    "q_merge_composite" -> mergeCompositeGatedSql,
+    "q_catalog_stream" -> catalogStreamGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,

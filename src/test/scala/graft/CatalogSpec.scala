@@ -274,6 +274,64 @@ class CatalogSpec extends SparkSpec {
       "cascade-drop of the namespace orphaned managed table data")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES round-trips; identity stays immutable") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.p (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"ALTER TABLE $cat.db.p SET TBLPROPERTIES ('team' = 'graft', 'tier' = 'gold')")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.db.p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p1 = props()
+    assert(p1.get("team").contains("graft") && p1.get("tier").contains("gold"), p1)
+    spark.sql(s"ALTER TABLE $cat.db.p UNSET TBLPROPERTIES ('tier')")
+    assert(!props().contains("tier"))
+    // the table still reads after property edits
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 10)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p").head().getLong(0) == 1L)
+    // identity properties reject loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.p SET TBLPROPERTIES ('key' = 'seq')")
+    }
+    assert(e1.getMessage.contains("immutable"), e1.getMessage)
+    // schema changes stay rejected with the documented reason
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.p ADD COLUMN extra BIGINT")
+    }
+    assert(e2.getMessage.contains("CDC evolution"), e2.getMessage)
+  }
+
+  test("a cdc-property table is the commit-log view: batch sees the retained log") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    val ext = java.nio.file.Files.createTempDirectory("graft_cdcview_tbl").toString
+    MergeSink.upsertBatch(
+      Seq((1L, 10L, false), (2L, 10L, false)).toDF("k", "seq", MergeSink.DeletedCol),
+      ext, "k", "seq", 0L, "cv")
+    MergeSink.upsertBatch(
+      Seq((2L, 20L, true)).toDF("k", "seq", MergeSink.DeletedCol),
+      ext, "k", "seq", 1L, "cv")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.live (k BIGINT, seq BIGINT)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq', path '$ext')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.log (k BIGINT, seq BIGINT)
+         |USING `graft-merge`
+         |OPTIONS (key 'k', seq 'seq', path '$ext', cdc 'true')""".stripMargin)
+    // live view hides the tombstoned key; log view retains it, tagged
+    assert(spark.sql(s"SELECT k FROM $cat.db.live").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val log = spark.table(s"$cat.db.log")
+    assert(log.columns.contains("_version") && log.columns.contains(MergeSink.DeletedCol),
+      log.columns.mkString(","))
+    val dead = log.filter(col(MergeSink.DeletedCol)).select("k", "_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dead.sameElements(Array((2L, 1L))), dead.toSeq.toString)
+  }
+
   test("catalog schema follows committed CDC evolution past the declaration") {
     val cat = freshCatalog()
     val s2 = spark

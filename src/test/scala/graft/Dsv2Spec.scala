@@ -559,4 +559,91 @@ class Dsv2Spec extends SparkSpec {
     assert(leftovers.isEmpty,
       s"empty staging parents accumulated: ${leftovers.toSeq}")
   }
+
+  test("sorted compaction makes range predicates skip row groups on a real table") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    // small parquet blocks force many row groups per bucket file; the
+    // salt makes bytes real (replicated rows dictionary-compress away)
+    spark.conf.set("parquet.block.size", "65536")
+    try {
+      val rows = spark.range(120000)
+        .select(col("id").as("k"), lit(1L).as("seq"),
+          md5(col("id").cast("string")).as("tag"))
+      MergeSink.upsertBatch(rows, table, "k", "seq", 0L, "sc")
+      val pred = Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("k", 114000L))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("seq", "long").add("tag", "string")
+      val hconf = spark.sessionState.newHadoopConf()
+      def rowsRead(): Long =
+        MergeSink.currentFiles(spark, table).values.flatten.map { f =>
+          val r = new graft.sources.MergeColumnarReader(
+            hconf, graft.sources.MergeFileSplit(f, 0, 0L, 0L),
+            schema, hideTombstones = true, pushedFilters = pred)
+          try {
+            var n = 0L
+            while (r.next()) n += r.get().numRows()
+            n
+          } finally r.close()
+        }.sum
+      // pre-compaction buckets are hash-ordered: every row group's key
+      // range spans everything, nothing skips
+      val before = rowsRead()
+      val snap = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")), bit_xor(xxhash64(col("k"), col("tag"))))
+        .head()
+      assert(MergeSink.compact(spark, table, "k", targetBuckets = 4) == 4)
+      val after = rowsRead()
+      assert(after < before / 2,
+        s"sorted compaction did not enable row-group skipping: " +
+          s"read $after rows (was $before)")
+      // snapshot identical after compaction
+      val snap2 = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")), bit_xor(xxhash64(col("k"), col("tag"))))
+        .head()
+      assert(snap == snap2, s"$snap vs $snap2")
+      // and the connector pushes the range conjunct end to end
+      val df = spark.read.format("graft-merge")
+        .option("path", table).option("key", "k").load()
+        .filter(col("k") > 114000L)
+      assert(df.count() == 5999L)
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("pushed=[GreaterThan(k"),
+        s"range conjunct not recorded for row-group skipping:\n$scan")
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
+  test("composite key: per-column equality conjuncts prune to tuple buckets") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    val rows = (0L until 150L).flatMap(a =>
+      Seq((a, "x", 10L, a * 1.0), (a, "y", 10L, a * 2.0)))
+      .toDF("acct", "leg", "seq", "v")
+    MergeSink.upsertBatch(rows, table, "acct,leg", "seq", 0L, "ckd")
+    GraftMergeScan.lastPrune.set(null)
+    val df = spark.read.format("graft-merge")
+      .option("path", table).option("key", "acct,leg").load()
+      .filter(col("acct").isin(3L, 9L) && col("leg") === "y")
+    val got = df.select("acct", "leg", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((3L, "y", 6.0), (9L, "y", 18.0)), got.toString)
+    val prune = GraftMergeScan.lastPrune.get()
+    assert(prune != null, "scan never planned")
+    assert(prune._1 < prune._2,
+      s"composite conjuncts did not prune: ${prune._1}/${prune._2} files")
+    // a predicate on ONE key column alone cannot bound the bucket set
+    // (the bucket hashes all of them) — must scan everything, not
+    // mis-prune
+    GraftMergeScan.lastPrune.set(null)
+    val partial = spark.read.format("graft-merge")
+      .option("path", table).option("key", "acct,leg").load()
+      .filter(col("acct") === 3L)
+    assert(partial.count() == 2L)
+    val p2 = GraftMergeScan.lastPrune.get()
+    assert(p2._1 == p2._2,
+      s"partial-key predicate pruned unsoundly: ${p2._1}/${p2._2}")
+  }
 }

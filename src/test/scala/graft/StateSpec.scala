@@ -540,6 +540,58 @@ class StateSpec extends SparkSpec {
     assert(rows.values.sum == 40L, s"recorded rows: $rows")
   }
 
+  test("manifest records file lists + union schema: planning needs zero listings") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_mf_tbl").toString
+    MS.upsertBatch(
+      (1L to 40L).map(k => (k, 10L, k * 0.5)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "mf-run")
+    // CDC batch evolves the schema past the first commit (tag + tombstone
+    // column) and touches only its own bucket — the rest carry forward
+    MS.upsertBatch(
+      Seq((2L, 20L, 2.0, "x", false))
+        .toDF("k", "seq", "v", "tag", MS.DeletedCol),
+      table, "k", "seq", 1L, "mf-run")
+    val head = MS.lastCommit(spark, table).get.version
+    val m = MS.manifest(spark, table, head)
+    val names = MS.manifestFiles(spark, table, head)
+    assert(names.keySet == m.keySet,
+      s"every manifest bucket needs a file list: ${names.keySet} vs ${m.keySet}")
+    // the recorded union schema covers carried-forward AND new columns
+    val sch = MS.manifestSchema(spark, table, head).get
+    assert(sch.fieldNames.toSet ==
+      Set("k", "seq", "v", "tag", MS.DeletedCol), sch.treeString)
+
+    // batch planning + schema resolution + replay planning: ZERO
+    // listings/footer sweeps (everything answered by the manifest)
+    MS.metadataFallbacks.set(0)
+    val got = spark.read.format("graft-merge")
+      .option("path", table).option("key", "k").load()
+      .select("k", "seq", "v", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 40, s"read ${got.length} rows")
+    val name = "state_spec_mf_replay"
+    val q = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // v0 contributes all 40 rows; v1 contributes the full post-merge
+    // content of the buckets it physically wrote (replay is per-bucket)
+    val v1Buckets = m.filter(_._2 == head).keySet
+    val v1Rows = MS.manifestRows(spark, table, head)
+      .filter { case (b, _) => v1Buckets(b) }.values.sum
+    assert(spark.table(name).count() == 40L + v1Rows)
+    spark.catalog.dropTempView(name)
+    assert(MS.metadataFallbacks.get() == 0L,
+      s"planning fell back to listings/footers ${MS.metadataFallbacks.get()} times")
+  }
+
   test("MERGE sink change feed classifies insert/update/delete and skips untouched keys") {
     val s = spark
     import s.implicits._
@@ -677,5 +729,67 @@ class StateSpec extends SparkSpec {
     MS.upsertBatch(partials(delta, 2L), table, "agg_key", "epoch", 2L, "agg-run")
     assert(rollup() == direct(ev.union(delta)), "late epoch did not add")
     ev.unpersist()
+  }
+
+  test("MERGE sink composite key: latest-wins per tuple, pruned lookup, tombstones, compaction") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_ck_tbl").toString
+    val key = "acct,leg"
+    // 120 accounts × 2 legs; second batch overwrites the 'b' legs at
+    // higher seq and re-sends stale 'a' rows that must LOSE
+    val b0 = (0L until 120L).flatMap(a =>
+      Seq((a, "a", 10L, a * 1.0), (a, "b", 10L, a * 2.0)))
+      .toDF("acct", "leg", "seq", "v")
+    MS.upsertBatch(b0, table, key, "seq", 0L, "ck-run")
+    val b1 = (0L until 120L).flatMap(a =>
+      Seq((a, "b", 20L, a * 3.0), (a, "a", 5L, -1.0)))
+      .toDF("acct", "leg", "seq", "v")
+    MS.upsertBatch(b1, table, key, "seq", 1L, "ck-run")
+    def state() = MS.currentState(spark, table).get
+      .select("acct", "leg", "seq", "v").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val st = state()
+    assert(st.size == 240, s"expected 240 composite keys, got ${st.size}")
+    assert(st((7L, "a")) == (10L, 7.0), "stale 'a' row won its tuple race")
+    assert(st((7L, "b")) == (20L, 21.0), "'b' leg did not take the update")
+
+    // tuple-pruned lookup: files strictly fewer than the table's, rows
+    // equal to the full-table composite filter
+    val tuples: Seq[Seq[Any]] = Seq(Seq(3L, "a"), Seq(3L, "b"), Seq(99L, "a"))
+    val files = MS.lookupFilesTuples(spark, table, tuples)
+    val allFiles = MS.currentFiles(spark, table).values.flatten.toSeq
+    assert(files.nonEmpty && files.size < allFiles.size,
+      s"tuple lookup resolved ${files.size}/${allFiles.size} files — no pruning")
+    val looked = MS.pointLookupTuples(spark, table, key, tuples).get
+      .select("acct", "leg", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(looked == Set((3L, "a", 3.0), (3L, "b", 9.0), (99L, "a", 99.0)),
+      looked.toString)
+
+    // a composite-key tombstone kills exactly its tuple, not the
+    // sibling leg of the same account
+    MS.upsertBatch(
+      Seq((3L, "b", 30L, 0.0, true)).toDF("acct", "leg", "seq", "v", MS.DeletedCol),
+      table, key, "seq", 2L, "ck-run")
+    val afterDel = state()
+    assert(!afterDel.contains((3L, "b")) && afterDel.contains((3L, "a")),
+      "composite tombstone scope wrong")
+
+    // the change feed keys on the tuple: exactly one delete row
+    val ch = MS.changes(spark, table, key).get
+      .select("change", "acct", "leg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(ch.sameElements(Array(("delete", 3L, "b"))), ch.toSeq.toString)
+
+    // compaction re-hashes tuples to the new modulus invisibly
+    val snap = afterDel
+    assert(MS.compact(spark, table, key, targetBuckets = 4) == 4)
+    assert(state() == snap, "compaction changed visible state")
+    val postFiles = MS.lookupFilesTuples(spark, table, Seq(Seq(3L, "a")))
+    assert(postFiles.size == 1 && postFiles.head.contains("/b"),
+      s"post-compaction tuple lookup: $postFiles")
   }
 }
