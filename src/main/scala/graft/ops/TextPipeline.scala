@@ -1442,6 +1442,211 @@ object TextPipeline {
        |GROUP BY bin ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_corpus_incremental — THE DAY-2 PIPELINE CAPSTONE: one arriving
+  // batch (every 5th doc) runs the full corpus-maintenance chain end to
+  // end, each stage against a steady-state artifact, never
+  // corpus × corpus —
+  //   (1) incremental dedup: exact-digest + gram-digest probes against
+  //       the existing corpus's indexes (q_dedup_incremental's shape);
+  //   (2) decontamination: survivors drop any doc sharing a token
+  //       8-gram with the held-out eval slice (content-hash bucket
+  //       >= 90) of the corpus (q_decontaminate's rule, batch-vs-eval);
+  //   (3) trained quality gate: the corpus-trained 64-bucket integer
+  //       scorer (q_quality_score's closed-form model) is PERSISTED as
+  //       a parquet artifact, reloaded, and broadcast-joined against
+  //       the survivors — only score > 0 passes;
+  //   (4) packing: the cleaned batch packs into 4096-token bins in
+  //       doc_id order (q_seq_packing's two-level prefix sum).
+  // Output: per-bin doc/token/lang stats of the FINAL packed batch —
+  // survivorship encodes every upstream decision, so the DuckDB twin
+  // (recomputing the whole chain declaratively, trained weights
+  // included, in exact integer arithmetic) gates all four stages at
+  // once: the incremental path is pinned bit-identical to the full
+  // recompute. Scale: every stage is batch-sized work against
+  // O(index)-sized artifacts; the weight artifact is O(64) rows.
+  // ---------------------------------------------------------------------
+  val corpusIncremental: Q = (s, d) => {
+    val sw = array(stopwords.map(lit): _*)
+    val base = Tables
+      .documents(s, d)
+      .withColumn("arriving", (col("doc_id") % 5) === 4)
+      .withColumn("eval_slice",
+        !col("arriving") && h32(7, col("text")) % 100 >= 90)
+      .withColumn("exact_d", md5(norm(col("text"))))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g", tokenGramDigests(col("toks")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(sw, t))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("arriving"), col("eval_slice"),
+        col("exact_d"), col("toks"), col("g"), col("n_toks"), col("n_stop"))
+      // five consumers over interpreted-HOF columns: evaluate ONCE
+      .localCheckpoint()
+    val corpus = base.filter(!col("arriving"))
+    val batch = base.filter(col("arriving"))
+    // (1) incremental dedup against the corpus indexes
+    val exactIndex = corpus.select(col("exact_d").as("xd")).distinct()
+    val gramIndex = corpus.select(explode(col("g")).as("gd")).distinct()
+    val exactHits = batch
+      .join(exactIndex, col("exact_d") === col("xd"), "left_semi")
+      .select(col("doc_id")).withColumn("xhit", lit(1L))
+    val gramHits = batch
+      .select(col("doc_id"), explode(col("g")).as("gd"))
+      .join(gramIndex, Seq("gd"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    val kept1 = batch
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(gramHits, Seq("doc_id"), "left")
+      .filter(col("xhit").isNull &&
+        coalesce(col("hits"), lit(0L)) * 2 < size(col("g")))
+      .select(col("doc_id"), col("lang"), col("toks"), col("g"), col("n_toks"))
+    // (2) decontamination against the eval slice's gram set
+    val evalGrams = corpus.filter(col("eval_slice"))
+      .select(explode(col("g")).as("gd")).distinct()
+    val contamHits = kept1
+      .select(col("doc_id"), explode(col("g")).as("gd"))
+      .join(evalGrams, Seq("gd"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("chit", lit(1L))
+    val kept2 = kept1.join(contamHits, Seq("doc_id"), "left")
+      .filter(col("chit").isNull)
+    // (3) corpus-trained quality weights — persisted, reloaded, served
+    val occ = corpus
+      .withColumn("label_good",
+        col("n_stop") * 16 >= col("n_toks") && col("n_toks") >= 20)
+      .select(col("label_good"), explode(col("toks")).as("tok"))
+      .withColumn("qb", h32(7, col("tok")) % qsBuckets)
+    val totals = occ.groupBy().agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("label_good"), 0L).otherwise(1L)).as("n_bad"))
+    val weights = occ.groupBy(col("qb"))
+      .agg(
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(col("label_good"), 0L).otherwise(1L)).as("cb"))
+      .crossJoin(broadcast(totals)) // 64 × 1-row witness
+      .select(col("qb"),
+        (col("cg") * col("n_bad") - col("cb") * col("n_good")).as("w"))
+    val wdir = java.nio.file.Files
+      .createTempDirectory("graft_qw_art").toString
+    weights.repartition(1).write.mode("overwrite").parquet(wdir)
+    val loadedW = s.read.parquet(wdir) // the artifact, not the plan
+    val scored = kept2
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("qb", h32(7, col("tok")) % qsBuckets)
+      .join(broadcast(loadedW), Seq("qb"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+    val kept3 = kept2
+      .join(scored.filter(col("score") > 0).select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_toks"))
+      .withColumn("blk", expr(s"doc_id div $packBlock"))
+      .localCheckpoint() // feeds both prefix-sum phases
+    // (4) pack the cleaned batch: two-level global prefix sum
+    val wIn = Window
+      .partitionBy(col("blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrefix = kept3
+      .withColumn("pre_in", coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val wBlk = Window
+      .orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = kept3
+      .groupBy(col("blk"))
+      .agg(sum(col("n_toks")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("boff"))
+    withPrefix
+      .join(blkOff, Seq("blk"))
+      .withColumn("bin", expr(s"(boff + pre_in) div $packTokens"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("bin"))
+  }
+
+  val corpusIncrementalSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, (doc_id % 5) = 4 AS arriving,
+       |    md5(${sqlNorm("text")}) AS exact_d,
+       |    ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |doc AS MATERIALIZED (
+       |  SELECT doc_id, lang, arriving,
+       |    (NOT arriving AND ${sqlH32(7, "text")} % 100 >= 90) AS eval_slice,
+       |    exact_d, toks, ${sqlTokenGramDigests("toks")} AS g,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT)
+       |      AS n_stop
+       |  FROM base),
+       |xi AS (SELECT DISTINCT exact_d AS xd FROM doc WHERE NOT arriving),
+       |gi AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(g) AS gd FROM doc WHERE NOT arriving),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, lang, exact_d, toks, g, n_toks, len(g) AS ng
+       |  FROM doc WHERE arriving),
+       |gh AS (
+       |  SELECT t.doc_id, count(*) AS hits
+       |  FROM (SELECT doc_id, unnest(g) AS gd FROM b) t
+       |  SEMI JOIN gi ON t.gd = gi.gd GROUP BY t.doc_id),
+       |xh AS (SELECT DISTINCT b.doc_id FROM b SEMI JOIN xi
+       |       ON b.exact_d = xi.xd),
+       |kept1 AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang, b.toks, b.g, b.n_toks
+       |  FROM b LEFT JOIN xh ON b.doc_id = xh.doc_id
+       |         LEFT JOIN gh ON b.doc_id = gh.doc_id
+       |  WHERE xh.doc_id IS NULL AND 2 * coalesce(gh.hits, 0) < b.ng),
+       |ev AS (SELECT DISTINCT unnest(g) AS gd FROM doc WHERE eval_slice),
+       |ch AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(g) AS gd FROM kept1) t
+       |  SEMI JOIN ev ON t.gd = ev.gd),
+       |kept2 AS MATERIALIZED (
+       |  SELECT kept1.doc_id, kept1.lang, kept1.toks, kept1.n_toks
+       |  FROM kept1 LEFT JOIN ch ON kept1.doc_id = ch.doc_id
+       |  WHERE ch.doc_id IS NULL),
+       |occ AS MATERIALIZED (
+       |  SELECT (n_stop * 16 >= n_toks AND n_toks >= 20) AS label_good,
+       |    ${sqlH32(7, "tok")} % $qsBuckets AS qb
+       |  FROM (SELECT n_stop, n_toks, unnest(toks) AS tok
+       |        FROM doc WHERE NOT arriving)),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_good,
+       |         CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_bad
+       |  FROM occ),
+       |w AS (
+       |  SELECT qb,
+       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |      * tot.n_bad
+       |    - CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |      * tot.n_good AS w
+       |  FROM occ, tot GROUP BY qb, tot.n_bad, tot.n_good),
+       |sc AS (
+       |  SELECT o.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+       |  FROM (SELECT doc_id, ${sqlH32(7, "tok")} % $qsBuckets AS qb
+       |        FROM (SELECT doc_id, unnest(toks) AS tok FROM kept2)) o
+       |  LEFT JOIN w ON o.qb = w.qb GROUP BY o.doc_id),
+       |kept3 AS (
+       |  SELECT kept2.doc_id, kept2.lang, kept2.n_toks
+       |  FROM kept2 JOIN sc ON kept2.doc_id = sc.doc_id
+       |  WHERE sc.score > 0)
+       |SELECT start // $packTokens AS bin, count(*) AS n_docs,
+       |CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |count(DISTINCT lang) AS n_langs
+       |FROM (
+       |  SELECT lang, n_toks,
+       |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start
+       |  FROM kept3) p
+       |GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_vocab_topk — vocabulary construction: the top-5 most frequent
   // tokens per language with occurrence and document frequencies (the
   // primitive under tokenizer/vocab building and stopword induction).
@@ -2629,6 +2834,7 @@ object TextPipeline {
     "q_hash_split" -> hashSplit,
     "q_decontaminate" -> decontaminate,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_corpus_incremental" -> corpusIncremental,
     "q_seq_packing" -> seqPacking,
     "q_vocab_topk" -> vocabTopk,
     "q_unigram_lm" -> unigramLm
@@ -2666,6 +2872,7 @@ object TextPipeline {
     "q_hash_split" -> hashSplitSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_corpus_incremental" -> corpusIncrementalSql,
     "q_seq_packing" -> seqPackingSql,
     "q_vocab_topk" -> vocabTopkSql,
     "q_unigram_lm" -> unigramLmSql
