@@ -113,8 +113,30 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
-      println(s"""{"metric":"bench_file","path":"$outPath","n_queries":${results.size}}""")
+      // OVERWRITE GUARD: a later, load-contaminated run must not replace
+      // a quieter (sealing) artifact — the round-10/11 discipline gap
+      // where "the last run wins" buried the representative number. A
+      // NOISIER run (higher start load than recorded, beyond a 1.0
+      // tolerance) diverts to a sibling path; a quieter-or-similar run
+      // replaces as before. SPARK_GRAFT_BENCH_FORCE=1 overrides.
+      val target: java.nio.file.Path =
+        if (!java.nio.file.Files.exists(p) ||
+          sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")) p
+        else {
+          val prior = new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val re = """"load_avg_start":([0-9.]+)""".r
+          val priorLoad = re.findFirstMatchIn(prior).map(_.group(1).toDouble)
+          val cur = math.max(startLoadAvg, 0.0)
+          priorLoad match {
+            case Some(q) if cur > q + 1.0 =>
+              p.resolveSibling(p.getFileName.toString
+                .replaceAll("\\.json$", "") + "_loaded.json")
+            case _ => p
+          }
+        }
+      java.nio.file.Files.write(target, (full + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"bench_file","path":"$target","n_queries":${results.size}}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] write $outPath failed: ${e.getMessage}")
     }
