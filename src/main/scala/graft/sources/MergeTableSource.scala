@@ -1186,6 +1186,15 @@ class MergeReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[MergeFilePartition]
+    // Hadoop Configuration copy + requested-schema setup is a
+    // per-split fixed cost worth real milliseconds; the prepared conf
+    // depends only on whether the file rides the __deleted column, so
+    // ONE copy per partition serves every split (splits in a partition
+    // read sequentially — no concurrent mutation).
+    val prepared = new java.util.HashMap[java.lang.Boolean, Configuration]
+    val confFor: Boolean => Configuration = nd =>
+      prepared.computeIfAbsent(nd,
+        _ => MergeColumnarReader.preparedConf(conf.value, required, nd))
     new PartitionReader[ColumnarBatch] {
       private val it = p.splits.iterator
       private var cur: MergeColumnarReader = _
@@ -1194,7 +1203,8 @@ class MergeReaderFactory(
           if (cur == null) {
             if (!it.hasNext) return false
             cur = new MergeColumnarReader(
-              conf.value, it.next(), required, hideTombstones, pushedFilters)
+              conf.value, it.next(), required, hideTombstones, pushedFilters,
+              confFor)
           }
           if (cur.next()) return true
           cur.close(); cur = null
@@ -1230,12 +1240,51 @@ class MergeReaderFactory(
 /** Columnar reader for ONE bucket file (see [[MergeReaderFactory]];
   * the factory chains one of these per split of a packed partition).
   */
+object MergeColumnarReader {
+
+  /** The reader-side Configuration for one requested schema: the base
+    * conf copied once, the ParquetReadSupport contract filled in. Built
+    * per PARTITION (see [[MergeReaderFactory]]) — a per-split copy was
+    * a measurable slice of the decode gap vs the native scan.
+    */
+  def preparedConf(
+      base: Configuration,
+      required: StructType,
+      needDeleted: Boolean): Configuration = {
+    import MergeTableUtil.{BucketCol, VersionCol}
+    val requiredData =
+      required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
+    val readerDataSchema = StructType(
+      if (needDeleted)
+        requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
+      else requiredData.toSeq)
+    val c = new Configuration(base)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readerDataSchema.json)
+    c.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    // The schema converter reads these as REQUIRED conf entries (Spark's
+    // own scan prep writes them before handing the conf over); a session
+    // that set them explicitly already has them via newHadoopConf — fill
+    // the documented defaults otherwise.
+    def dflt(k: String, v: String): Unit = if (c.get(k) == null) c.set(k, v)
+    dflt("spark.sql.parquet.binaryAsString", "false")
+    dflt("spark.sql.parquet.int96AsTimestamp", "true")
+    dflt("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    dflt("spark.sql.legacy.parquet.nanosAsLong", "false")
+    dflt("spark.sql.caseSensitive", "false")
+    dflt("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    c
+  }
+}
+
 class MergeColumnarReader(
     conf: Configuration,
     partition: MergeFileSplit,
     required: StructType,
     hideTombstones: Boolean,
-    pushedFilters: Array[Filter] = Array.empty)
+    pushedFilters: Array[Filter] = Array.empty,
+    confFor: Boolean => Configuration = null)
     extends PartitionReader[ColumnarBatch] {
 
   import MergeTableUtil.{BucketCol, VersionCol}
@@ -1315,25 +1364,19 @@ class MergeColumnarReader(
     }.asInstanceOf[Array[Any]])
 
   private val reader: VectorizedParquetRecordReader = {
-    val c = new Configuration(conf)
-    c.set(
-      ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readerDataSchema.json)
-    c.set(
-      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    // The schema converter reads these as REQUIRED conf entries (Spark's
-    // own scan prep writes them before handing the conf over); a session
-    // that set them explicitly already has them via newHadoopConf — fill
-    // the documented defaults otherwise.
-    def dflt(k: String, v: String): Unit = if (c.get(k) == null) c.set(k, v)
-    dflt("spark.sql.parquet.binaryAsString", "false")
-    dflt("spark.sql.parquet.int96AsTimestamp", "true")
-    dflt("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    dflt("spark.sql.legacy.parquet.nanosAsLong", "false")
-    dflt("spark.sql.caseSensitive", "false")
-    dflt("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
-    rowGroupFilter.foreach(p =>
-      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p))
+    val shared =
+      if (confFor != null) confFor(needDeleted)
+      else MergeColumnarReader.preparedConf(conf, required, needDeleted)
+    // only a per-file filter predicate forces a private copy (the
+    // predicate is file-schema-specific); the common full-scan path
+    // reuses the partition's prepared conf untouched
+    val c = rowGroupFilter match {
+      case Some(p) =>
+        val cc = new Configuration(shared)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(cc, p)
+        cc
+      case None => shared
+    }
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, Capacity)

@@ -130,6 +130,44 @@ object MergeSink {
     */
   val metadataFallbacks = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Bounded per-JVM cache of PARSED manifest lines. A manifest is
+    * immutable once its commit marker exists (publish writes manifest
+    * strictly before marker; every read path resolves versions through
+    * the marker list first), so caching by (dir, version) is safe —
+    * and one scan planning consults the manifest ~6 ways (entries,
+    * bytes, rows, flags, files, bucket count): without this it paid
+    * six small-file reads per planning, with it one.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        size > 256
+    }
+
+  private def manifestLines(
+      spark: SparkSession, dir: String, version: Long): Option[Seq[String]] = {
+    val key = (dir, version)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return Some(hit)
+    }
+    val (fs, p) = fsOf(spark, dir)
+    val mf = new Path(p, s"_manifest_v$version")
+    if (!fs.exists(mf)) None // missing is NOT cached (GC / not-yet-written)
+    else {
+      val in = fs.open(mf)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      manifestCache.synchronized { manifestCache.put(key, lines) }
+      Some(lines)
+    }
+  }
+
+  private def entryLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(l => l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
+
   /** The bucket -> content-version map for a committed version.
     * Manifest lines are `b v [bytes rows deletedFlag [files]]` — the
     * optional fields (written since rounds 11/12) serve planner
@@ -137,26 +175,15 @@ object MergeSink {
     * file-status round-trip; absent on older tables. An `S <json>`
     * header line (round 12) records the committed union schema.
     */
-  def manifest(spark: SparkSession, dir: String, version: Long): Map[Int, Long] = {
-    val (fs, p) = fsOf(spark, dir)
-    val mf = new Path(p, s"_manifest_v$version")
-    if (!fs.exists(mf)) Map.empty
-    else {
-      val in = fs.open(mf)
-      try
-        scala.io.Source
-          .fromInputStream(in, "UTF-8")
-          .getLines()
-          .filterNot(l =>
-            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
-          .map { l =>
-            val parts = l.split(" ")
-            parts(0).toInt -> parts(1).toLong
-          }
-          .toMap
-      finally in.close()
+  def manifest(spark: SparkSession, dir: String, version: Long): Map[Int, Long] =
+    manifestLines(spark, dir, version) match {
+      case None => Map.empty
+      case Some(lines) =>
+        entryLines(lines).map { l =>
+          val parts = l.split(" ")
+          parts(0).toInt -> parts(1).toLong
+        }.toMap
     }
-  }
 
   /** The committed UNION SCHEMA recorded in a version's manifest (the
     * physical data schema, tombstone column included when present) —
@@ -164,23 +191,12 @@ object MergeSink {
     * manifests predating the field.
     */
   def manifestSchema(
-      spark: SparkSession, dir: String, version: Long): Option[StructType] = {
-    val (fs, p) = fsOf(spark, dir)
-    val mf = new Path(p, s"_manifest_v$version")
-    if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      try
-        scala.io.Source
-          .fromInputStream(in, "UTF-8")
-          .getLines()
-          .collectFirst { case l if l.startsWith("S ") =>
-            org.apache.spark.sql.types.DataType.fromJson(l.drop(2))
-              .asInstanceOf[StructType]
-          }
-      finally in.close()
-    }
-  }
+      spark: SparkSession, dir: String, version: Long): Option[StructType] =
+    manifestLines(spark, dir, version).flatMap(
+      _.collectFirst { case l if l.startsWith("S ") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.drop(2))
+          .asInstanceOf[StructType]
+      })
 
   /** bucket -> data file NAMES recorded in the manifest (relative to
     * the bucket's version directory). Lets scan/replay planning resolve
@@ -188,28 +204,17 @@ object MergeSink {
     * without the field.
     */
   def manifestFiles(
-      spark: SparkSession, dir: String, version: Long): Map[Int, Seq[String]] = {
-    val (fs, p) = fsOf(spark, dir)
-    val mf = new Path(p, s"_manifest_v$version")
-    if (!fs.exists(mf)) Map.empty
-    else {
-      val in = fs.open(mf)
-      try
-        scala.io.Source
-          .fromInputStream(in, "UTF-8")
-          .getLines()
-          .filterNot(l =>
-            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
-          .flatMap { l =>
-            val parts = l.split(" ")
-            if (parts.length > 5)
-              Some(parts(0).toInt -> parts(5).split(",").toSeq)
-            else None
-          }
-          .toMap
-      finally in.close()
+      spark: SparkSession, dir: String, version: Long): Map[Int, Seq[String]] =
+    manifestLines(spark, dir, version) match {
+      case None => Map.empty
+      case Some(lines) =>
+        entryLines(lines).flatMap { l =>
+          val parts = l.split(" ")
+          if (parts.length > 5)
+            Some(parts(0).toInt -> parts(5).split(",").toSeq)
+          else None
+        }.toMap
     }
-  }
 
   /** bucket -> total data bytes recorded in a committed version's
     * manifest (empty for pre-round-11 manifests without the field).
@@ -239,27 +244,16 @@ object MergeSink {
       spark: SparkSession,
       dir: String,
       version: Long,
-      idx: Int): Map[Int, Long] = {
-    val (fs, p) = fsOf(spark, dir)
-    val mf = new Path(p, s"_manifest_v$version")
-    if (!fs.exists(mf)) Map.empty
-    else {
-      val in = fs.open(mf)
-      try
-        scala.io.Source
-          .fromInputStream(in, "UTF-8")
-          .getLines()
-          .filterNot(l =>
-            l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
-          .flatMap { l =>
-            val parts = l.split(" ")
-            if (parts.length > idx) Some(parts(0).toInt -> parts(idx).toLong)
-            else None
-          }
-          .toMap
-      finally in.close()
+      idx: Int): Map[Int, Long] =
+    manifestLines(spark, dir, version) match {
+      case None => Map.empty
+      case Some(lines) =>
+        entryLines(lines).flatMap { l =>
+          val parts = l.split(" ")
+          if (parts.length > idx) Some(parts(0).toInt -> parts(idx).toLong)
+          else None
+        }.toMap
     }
-  }
 
   /** Bucket count recorded in a committed version's manifest header —
     * the writer's hash modulus, which any pruning reader (the DSv2
@@ -268,21 +262,12 @@ object MergeSink {
   def bucketCount(spark: SparkSession, dir: String, version: Long): Int =
     numBuckets(spark, dir, version)
 
-  private def numBuckets(spark: SparkSession, dir: String, version: Long): Int = {
-    val (fs, p) = fsOf(spark, dir)
-    val mf = new Path(p, s"_manifest_v$version")
-    if (!fs.exists(mf)) DefaultBuckets
-    else {
-      val in = fs.open(mf)
-      try
-        scala.io.Source
-          .fromInputStream(in, "UTF-8")
-          .getLines()
-          .collectFirst { case l if l.startsWith("B ") => l.drop(2).trim.toInt }
-          .getOrElse(DefaultBuckets)
-      finally in.close()
-    }
-  }
+  private def numBuckets(spark: SparkSession, dir: String, version: Long): Int =
+    manifestLines(spark, dir, version)
+      .flatMap(_.collectFirst { case l if l.startsWith("B ") =>
+        l.drop(2).trim.toInt
+      })
+      .getOrElse(DefaultBuckets)
 
   private def readVersion(
       spark: SparkSession,
