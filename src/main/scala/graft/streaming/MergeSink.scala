@@ -837,6 +837,60 @@ object MergeSink {
     }
   }
 
+  /** INCREMENTAL compaction: re-sort ONLY the buckets whose content
+    * version is newer than `sinceVersion`, carrying every other
+    * bucket's files forward untouched. This is the maintenance shape a
+    * 100 TB table actually runs: a steady upsert stream dirties a few
+    * buckets per commit (upserts write merge output UNSORTED, so the
+    * reader's row-group skipping has nothing to bite on in a freshly
+    * dirtied bucket), and the cost of restoring the sorted layout must
+    * track the DIRTIED bytes — never the table. Callers record the
+    * version of their last maintenance pass and hand it back as
+    * `sinceVersion`; the full-rewrite [[compact]] stays the rebucketing
+    * path (changing the modulus requires re-hashing every row, which
+    * incremental by construction cannot).
+    *
+    * Same maintenance contract as [[compact]]: invisible to readers
+    * (rows including retained tombstones carry bit-identically), one
+    * commit, previous version readable for the normal retention
+    * window. Returns the set of buckets rewritten; a table with no
+    * bucket newer than `sinceVersion` commits NOTHING and mints no
+    * version.
+    */
+  def compactIncremental(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      sinceVersion: Long): Set[Int] = {
+    lastCommit(spark, dir) match {
+      case None => Set.empty
+      case Some(c) =>
+        val m = manifest(spark, dir, c.version)
+        val dirty = m.collect {
+          case (b, v) if v > sinceVersion => b
+        }.toSet
+        if (dirty.isEmpty) return Set.empty
+        val nb = numBuckets(spark, dir, c.version)
+        val paths = dirty.toSeq.sorted.map(b => s"$dir/data/b$b/v${m(b)}")
+        val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
+        // same modulus: every row re-hashes to the bucket it came from,
+        // so the rewrite is a per-bucket sort, not a shuffle across the
+        // carried buckets
+        val bucketOf = bucketExpr(key, nb)
+        val rows = raw
+          .withColumn("__b", bucketOf)
+          .repartition(col("__b"))
+          .sortWithinPartitions(
+            (col("__b") +: keyCols(key).map(col)).toIndexedSeq: _*)
+        val newV = c.version + 1
+        publish(
+          spark, dir, nb, m, touched = dirty, Some(rows), newV,
+          runId = "maintenance", epochId = newV,
+          prevVersion = Some(c.version))
+        dirty
+    }
+  }
+
   /** CHANGE FEED: the per-key differences between the previous and
     * current committed snapshots — the read side of CDC (the Delta/
     * Iceberg change-data-feed shape). Reads ONLY the buckets whose

@@ -1608,6 +1608,61 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_compact_incr — INCREMENTAL compaction as a gated maintenance
+  // commit: three upserts build the table, a full sorted compaction
+  // re-bases it, then a day-2 upsert dirties only the handful of buckets
+  // its keys hash to. MergeSink.compactIncremental(sinceVersion =
+  // the compaction's version) rewrites EXACTLY those dirtied buckets
+  // sorted, carrying every clean bucket's files untouched — asserted:
+  // the rewritten set is non-empty and a STRICT subset of the table's
+  // buckets, and a second pass against the new version rewrites nothing
+  // and mints no version (so a full-rewrite masquerading as incremental
+  // cannot green). The gate then proves invisibility: the post-
+  // maintenance snapshot aggregate equals the declarative latest-wins
+  // state over every batch. At 100 TB this is the maintenance loop that
+  // keeps the sorted (row-group-skippable) layout WITHOUT ever paying a
+  // table-sized rewrite — cost tracks the dirtied bytes.
+  // ---------------------------------------------------------------------
+  val mergeCompactIncrGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cinc_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    (0 until 3).foreach { i =>
+      MergeSink.upsertBatch(
+        e.filter(col("event_id") % 3 === i),
+        table, "user_id", "event_id", i.toLong, "ci")
+    }
+    val nb = 8
+    MergeSink.compact(s, table, "user_id", targetBuckets = nb)
+    val baseV = MergeSink.lastCommit(s, table).get.version
+    // day-2: a small upsert (a few keys) dirties only their buckets
+    MergeSink.upsertBatch(
+      e.filter(col("user_id").isin(PointIds: _*)),
+      table, "user_id", "event_id", 3L, "ci")
+    val rewritten =
+      MergeSink.compactIncremental(s, table, "user_id", baseV)
+    require(rewritten.nonEmpty && rewritten.size < nb,
+      s"incremental compaction rewrote ${rewritten.size}/$nb buckets — " +
+        "not incremental, the gate would pass vacuously")
+    val v2 = MergeSink.lastCommit(s, table).get.version
+    val again = MergeSink.compactIncremental(s, table, "user_id", v2)
+    require(again.isEmpty && MergeSink.lastCommit(s, table).get.version == v2,
+      "clean-table incremental compaction was not a no-op")
+    MergeSink
+      .currentState(s, table)
+      .get
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("id_total"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
   // q_dsv2_lookup — the bucket-pruned point lookup THROUGH THE DSv2
   // SOURCE: the same two-commit merge table as q_merge_point, read back
   // with spark.read.format("graft-merge") and a plain .isin filter. The
@@ -2814,6 +2869,7 @@ object Streams {
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
+    "q_merge_compact_incr" -> mergeCompactIncrGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -2853,6 +2909,7 @@ object Streams {
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,
+    "q_merge_compact_incr" -> mergeCompactGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

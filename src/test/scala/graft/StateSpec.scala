@@ -511,6 +511,53 @@ class StateSpec extends SparkSpec {
       "previous (compacted) version unreadable after one more commit")
   }
 
+  test("MERGE sink incremental compaction rewrites ONLY dirtied buckets; clean buckets carry by version; no-op mints nothing") {
+    val s = spark
+    import s.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_merge_cinc_tbl").toString
+    def df(rows: (Long, Long, Double)*) =
+      rows.toDF("user_id", "event_id", "value")
+    MS.upsertBatch(
+      df((1L to 64L).map(k => (k, 10L, k * 0.5)): _*),
+      table, "user_id", "event_id", 0L, "cinc-run")
+    // full sorted re-base at 8 buckets, the day-1 maintenance
+    MS.compact(spark, table, "user_id", targetBuckets = 8)
+    val baseV = MS.lastCommit(spark, table).get.version
+    val baseManifest = MS.manifest(spark, table, baseV)
+    assert(baseManifest.values.forall(_ == baseV))
+    // day-2: one small upsert dirties only the buckets keys 3/5 hash to
+    MS.upsertBatch(
+      df((3L, 99L, 1.0), (5L, 99L, 2.0)),
+      table, "user_id", "event_id", 1L, "cinc-run")
+    val dirtyV = MS.lastCommit(spark, table).get.version
+    val dirty = MS.manifest(spark, table, dirtyV)
+      .collect { case (b, v) if v > baseV => b }.toSet
+    assert(dirty.nonEmpty && dirty.size < 8, s"bad fixture: dirty=$dirty")
+    val preState = MS.currentState(spark, table).get
+      .orderBy("user_id").collect().toSeq
+
+    val rewritten = MS.compactIncremental(spark, table, "user_id", baseV)
+    assert(rewritten == dirty,
+      s"rewrote $rewritten, expected exactly the dirtied $dirty")
+    val v2 = MS.lastCommit(spark, table).get.version
+    val m2 = MS.manifest(spark, table, v2)
+    // clean buckets: content version UNCHANGED (files carried, not
+    // rewritten); dirty buckets: re-based at the maintenance version
+    m2.foreach { case (b, v) =>
+      if (dirty.contains(b)) assert(v == v2, s"bucket $b not rewritten")
+      else assert(v == baseV, s"clean bucket $b was rewritten to v$v")
+    }
+    val postState = MS.currentState(spark, table).get
+      .orderBy("user_id").collect().toSeq
+    assert(postState == preState,
+      "incremental compaction changed the visible table")
+    // already-clean table: nothing rewritten, no version minted
+    assert(MS.compactIncremental(spark, table, "user_id", v2).isEmpty)
+    assert(MS.lastCommit(spark, table).get.version == v2,
+      "no-op incremental compaction minted a version")
+  }
+
   test("MERGE sink manifest records bucket bytes (stats without file RPCs)") {
     val s = spark
     import s.implicits._
