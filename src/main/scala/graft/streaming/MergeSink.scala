@@ -518,7 +518,20 @@ object MergeSink {
       // production scale. Without that layout every upstream task would
       // write its own shard of every bucket (tasks × buckets files).
       val tmp = new Path(p, s"_tmp_v$newV")
-      m.write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
+      // Bloom-indexed columns ride parquet's own bloom-filter support:
+      // writer options pass through newHadoopConfWithOptions into the
+      // parquet job conf, so every bucket file written by this commit
+      // carries the filters and the reader's FilterPredicate prunes row
+      // groups through them (see [[setBloomIndex]]).
+      val w0 = m.write.mode("overwrite").partitionBy("__b")
+      val w = bloomIndexCols(spark, dir)
+        .filter { case (c, _) => m.columns.contains(c) }
+        .foldLeft(w0) { case (acc, (c, ndv)) =>
+          val on = acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+          ndv.fold(on)(n =>
+            on.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
+        }
+      w.parquet(tmp.toString)
       touched.toSeq.sorted.foreach { b =>
         val src = new Path(tmp, s"__b=$b")
         if (fs.exists(src)) {
@@ -834,6 +847,51 @@ object MergeSink {
           touched = (0 until targetBuckets).toSet, Some(rows), newV,
           runId = "maintenance", epochId = newV) // all buckets rewritten: sizes measured fresh
         manifest(spark, dir, newV).size
+    }
+  }
+
+  /** Declare BLOOM-INDEXED columns for a table: every bucket file
+    * written from now on (upserts, DML rewrites, compaction) carries a
+    * parquet-native bloom filter for each listed column, and the
+    * connector's pushed equality conjuncts prune ROW GROUPS through
+    * them. This is the skipping tier for high-cardinality NON-key
+    * equality — the one predicate shape the layout's other two tiers
+    * can't serve: bucket pruning needs the key (hash), and min/max
+    * stats need sorted data (a random secondary id spans every row
+    * group's range). Blooms live IN the data files (the parquet
+    * column-index machinery), so the metadata cost is distributed and
+    * per-file — nothing table-sized accumulates in the manifest, which
+    * is what a 100 TB table demands. Entries are `col` or `col:ndv`
+    * (expected distinct values per bucket file — sizes the filter;
+    * unset falls back to parquet's max-bytes cap). Takes effect on
+    * FUTURE writes; run [[compact]] (or [[compactIncremental]] after
+    * dirtying) to index existing data.
+    */
+  def setBloomIndex(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_bloom_cols"), true)
+    try out.write(cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's bloom-indexed columns: (column, expected NDV). */
+  def bloomIndexCols(
+      spark: SparkSession, dir: String): Seq[(String, Option[Long])] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_bloom_cols")
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        l.split(":") match {
+          case Array(c, n) => (c, Some(n.toLong))
+          case _ => (l, None)
+        }
+      }
     }
   }
 

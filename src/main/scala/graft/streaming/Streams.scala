@@ -1358,6 +1358,64 @@ object Streams {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_bloom — NON-KEY point lookup served by parquet-native bloom
+  // filters: the merge table's third skipping tier. Bucket pruning
+  // needs the key (hash); min/max row-group stats need sorted data; a
+  // point predicate on a random high-cardinality SECONDARY column
+  // (here sid = md5(event_id), stored) is the shape neither serves —
+  // without an index it scans every bucket. setBloomIndex("sid")
+  // makes every bucket file carry a parquet bloom for the column, and
+  // the connector's pushed In conjunct prunes row groups through the
+  // file blooms at read time (required: the plan records the pushed
+  // conjunct; Dsv2Spec pins the skip mechanics with a dictionary-off
+  // control). The five probe sids are the PointIds users' latest
+  // events, so the oracle reconstructs the identical rows keyed by
+  // user — the gate proves sid-served reads return exactly the
+  // latest-wins state. At 100 TB the blooms live IN the data files:
+  // per-file metadata, distributed with the data, nothing table-sized
+  // anywhere.
+  // ---------------------------------------------------------------------
+  val mergeBloomGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_bloom_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        md5(col("event_id").cast("string")).as("sid"))
+    MergeSink.setBloomIndex(s, table, Seq("sid:20000"))
+    MergeSink.upsertBatch(e, table, "user_id", "event_id", 0L, "bl")
+    require(MergeSink.bloomIndexCols(s, table).nonEmpty)
+    // the probe sids: each PointIds user's LATEST event id, hashed —
+    // O(|PointIds|) driver values, the bounded probe-panel shape
+    val targets = e
+      .filter(col("user_id").isin(PointIds: _*))
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("last_id"))
+      .select(md5(col("last_id").cast("string")))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    val df = s.read.format("graft-merge")
+      .option("path", table)
+      .option("key", "user_id")
+      .load()
+      .filter(col("sid").isin(targets: _*))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy(col("user_id"))
+    require(
+      df.queryExecution.executedPlan.toString.contains("pushed=[In(sid"),
+      "sid conjunct not pushed to the connector's row-group filter")
+    df
+  }
+
+  val mergeBloomGatedSql: String = mergePointGatedSql
+
+  // ---------------------------------------------------------------------
   // q_merge_timetravel — TIME TRAVEL on the merge table under the oracle
   // gate: two commits land, then the PREVIOUS version is read back
   // through MergeSink.stateAt. The oracle recomputes that snapshot
@@ -2870,6 +2928,7 @@ object Streams {
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
     "q_merge_compact_incr" -> mergeCompactIncrGated,
+    "q_merge_bloom" -> mergeBloomGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -2910,6 +2969,7 @@ object Streams {
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,
     "q_merge_compact_incr" -> mergeCompactGatedSql,
+    "q_merge_bloom" -> mergeBloomGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

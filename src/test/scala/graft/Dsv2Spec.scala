@@ -615,6 +615,66 @@ class Dsv2Spec extends SparkSpec {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("bloom-indexed non-key equality skips row groups where stats cannot (unsorted high-cardinality column)") {
+    val s2 = spark
+    import s2.implicits._
+    // tiny blocks -> many row groups; dictionary OFF so the only
+    // possible skipping mechanism for a random column is the bloom
+    // (min/max spans everything in unsorted data, and at production
+    // cardinalities the dictionary fallback kicks in anyway)
+    spark.conf.set("parquet.block.size", "65536")
+    spark.conf.set("parquet.enable.dictionary", "false")
+    try {
+      val rows = spark.range(60000)
+        .select(col("id").as("k"), lit(1L).as("seq"),
+          xxhash64(col("id")).as("sid"),
+          md5(col("id").cast("string")).as("tag"))
+      def rowsRead(table: String, pred: Array[org.apache.spark.sql.sources.Filter]): Long = {
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("seq", "long")
+          .add("sid", "long").add("tag", "string")
+        val hconf = spark.sessionState.newHadoopConf()
+        MergeSink.currentFiles(spark, table).values.flatten.map { f =>
+          val r = new graft.sources.MergeColumnarReader(
+            hconf, graft.sources.MergeFileSplit(f, 0, 0L, 0L),
+            schema, hideTombstones = true, pushedFilters = pred)
+          try {
+            var n = 0L
+            while (r.next()) n += r.get().numRows()
+            n
+          } finally r.close()
+        }.sum
+      }
+      val target = rows.filter(col("k") === 31337L).head().getLong(2)
+      val pred = Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("sid", target))
+
+      // control: NO bloom index -> a random-column equality reads all
+      val plain = freshTable()
+      MergeSink.upsertBatch(rows, plain, "k", "seq", 0L, "bf")
+      assert(rowsRead(plain, pred) == 60000L,
+        "control broken: something other than blooms skipped row groups")
+
+      val indexed = freshTable()
+      MergeSink.setBloomIndex(spark, indexed, Seq("sid:8000"))
+      MergeSink.upsertBatch(rows, indexed, "k", "seq", 0L, "bf")
+      val read = rowsRead(indexed, pred)
+      assert(read < 60000L / 8,
+        s"bloom index did not skip row groups: read $read of 60000")
+
+      // end to end through the connector: the pushed equality prunes
+      // through the file blooms and the answer is exact
+      val df = spark.read.format("graft-merge")
+        .option("path", indexed).option("key", "k").load()
+        .filter(col("sid") === target)
+      assert(df.select("k").head().getLong(0) == 31337L)
+      assert(df.queryExecution.executedPlan.toString.contains("pushed=[EqualTo(sid"))
+    } finally {
+      spark.conf.unset("parquet.block.size")
+      spark.conf.unset("parquet.enable.dictionary")
+    }
+  }
+
   test("composite key: per-column equality conjuncts prune to tuple buckets") {
     val s2 = spark
     import s2.implicits._
