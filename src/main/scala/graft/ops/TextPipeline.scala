@@ -939,6 +939,60 @@ object TextPipeline {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_catalog_fn — the engine's scalar functions as SQL CITIZENS: the
+  // GraftCatalog FunctionCatalog serves `cat.ns.damerau(a, b)` to pure
+  // SQL (bound via the V2 magic-invoke path — the call compiles to a
+  // direct invocation in generated code, the same tier as a builtin).
+  // The gate runs the whole query text through spark.sql with ZERO
+  // DataFrame-side expressions: a per-language damerau profile of
+  // document prefixes against a fixed probe, hash-matched against
+  // DuckDB's builtin damerau_levenshtein. A require pins the sibling
+  // xxbucket() function to the merge-table layout's bucket expression
+  // (not DuckDB-expressible — xxhash64 is Spark's), so both functions
+  // resolve through the catalog.
+  // ---------------------------------------------------------------------
+  val catalogFn: Q = (s, d) => {
+    val cat = "graft_fn_cat"
+    s.conf.set(
+      s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(
+      s"spark.sql.catalog.$cat.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_fn_wh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sys")
+    // xxbucket == the writer's bucket layout, through SQL resolution
+    val probeBuckets = s.sql(
+      s"SELECT $cat.sys.xxbucket(id, 16) AS b FROM range(64)")
+      .collect().map(_.getInt(0)).toSeq
+    val layout = s.range(64)
+      .select(pmod(xxhash64(col("id")), lit(16)).cast("int").as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    require(probeBuckets == layout,
+      "catalog xxbucket diverged from the merge-table bucket layout")
+    Tables
+      .documents(s, d)
+      .select(
+        col("lang"),
+        substring(norm(col("text")), 1, 24).as("pfx"))
+      .createOrReplaceTempView("docs_fn")
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM($cat.sys.damerau(pfx, 'the quick brown fox')) AS BIGINT)
+         |    AS sum_d,
+         |  CAST(MIN($cat.sys.damerau(pfx, 'the quick brown fox')) AS BIGINT)
+         |    AS min_d
+         |FROM docs_fn GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val catalogFnSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(SUM(damerau_levenshtein(substr(${sqlNorm("text")}, 1, 24),
+       |    'the quick brown fox')) AS BIGINT) AS sum_d,
+       |  CAST(MIN(damerau_levenshtein(substr(${sqlNorm("text")}, 1, 24),
+       |    'the quick brown fox')) AS BIGINT) AS min_d
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_entity_resolution — end-to-end fuzzy entity resolution over a
   // deterministic dirty registry: every third customer contributes its
   // clean name AND a transposition-corrupted variant (adjacent digit
@@ -2824,6 +2878,7 @@ object TextPipeline {
     "q_substring_dup" -> substringDup,
     "q_edit_distance" -> editDistance,
     "q_damerau" -> damerauPairs,
+    "q_catalog_fn" -> catalogFn,
     "q_entity_resolution" -> entityResolution,
     "q_lang_id" -> langId,
     "q_token_count" -> tokenCount,
@@ -2862,6 +2917,7 @@ object TextPipeline {
     "q_substring_dup" -> substringDupSql,
     "q_edit_distance" -> editDistanceSql,
     "q_damerau" -> damerauPairsSql,
+    "q_catalog_fn" -> catalogFnSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,

@@ -350,4 +350,42 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.ev").schema.fieldNames.contains("tag"),
       "catalog served the stale declared schema after CDC evolution")
   }
+
+  test("FunctionCatalog: damerau/xxbucket resolve through SQL, nulls flow, unknown names fail loudly") {
+    val cat = freshCatalog()
+    // known distances: one transposition = 1 edit; and the unrestricted
+    // variant's signature case ("ca" -> "abc" = 2, not 3)
+    val r = spark.sql(
+      s"""SELECT $cat.db.damerau('abcdef', 'abdcef') AS t,
+         |       $cat.db.damerau('ca', 'abc') AS u,
+         |       $cat.db.damerau(NULL, 'x') AS n""".stripMargin).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2 && r.isNullAt(2), r.toString)
+    // column-wise equality with the native Catalyst expression
+    val s2 = spark
+    import s2.implicits._
+    val names = (1 to 200).map(i => s"Customer#$i").toDF("a")
+    names.createOrReplaceTempView("fn_tv")
+    val viaSql = spark.sql(
+      s"SELECT $cat.db.damerau(a, 'Customer#150') AS d FROM fn_tv ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    val viaExpr = names
+      .select(graft.plans.DamerauLevenshtein.damerau(col("a"), lit("Customer#150")).as("d"))
+      .orderBy("a").collect().map(_.getInt(0)).toSeq
+    assert(viaSql == viaExpr)
+    // xxbucket == the writer layout's bucket expression
+    val viaFn = spark.sql(s"SELECT $cat.db.xxbucket(id, 16) AS b FROM range(500)")
+      .collect().map(_.getInt(0)).toSeq
+    val viaLayout = spark.range(500)
+      .select(pmod(xxhash64(col("id")), lit(16)).cast("int").as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaFn == viaLayout)
+    // discovery + loud failure
+    assert(spark.sql(s"SHOW FUNCTIONS IN $cat.db").collect()
+      .map(_.getString(0)).count(f => f.endsWith("damerau") || f.endsWith("xxbucket")) == 2)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT $cat.db.no_such_fn(1)").collect())
+    // wrong arity/type rejected at bind
+    intercept[Exception](
+      spark.sql(s"SELECT $cat.db.damerau('a')").collect())
+  }
 }
