@@ -351,6 +351,35 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("writeStream.toTable upserts into a catalog table by pure SQL identifier") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    spark.sql(
+      s"""CREATE TABLE $cat.db.st (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.st VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    val src = java.nio.file.Files.createTempDirectory("cat_st_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("cat_st_ck").toString
+    // the arriving batch supersedes k=2 and inserts k=3
+    Seq((2L, 20L, 22.0), (3L, 20L, 3.0)).toDF("k", "seq", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    import org.apache.spark.sql.types._
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("seq", LongType), StructField("v", DoubleType))))
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.db.st")
+    q.awaitTermination()
+    val st = spark.table(s"$cat.db.st").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(st == Seq((1L, 10L, 1.0), (2L, 20L, 22.0), (3L, 20L, 3.0)),
+      st.toString)
+  }
+
   test("FunctionCatalog: damerau/xxbucket resolve through SQL, nulls flow, unknown names fail loudly") {
     val cat = freshCatalog()
     // known distances: one transposition = 1 edit; and the unrestricted
