@@ -41,7 +41,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog
     extends TableCatalog
     with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Maintenance operations as SQL PROCEDURES (`CALL cat.sys.compact
+    * ('db.t', 4)`) — the Iceberg-procedures shape on the V2
+    * ProcedureCatalog API. Compaction, incremental compaction,
+    * tombstone expiry, and bloom-index declaration become one-line SQL
+    * operations a warehouse operator can schedule without any Scala.
+    */
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft catalog: no such procedure ${ident.name()} " +
+          s"(have: ${GraftProcedures.names.mkString(", ")})"))
+
+  /** Table options for a catalog identifier — the procedure surface's
+    * resolution hook (path/key/seq of the table a CALL names).
+    */
+  private[sources] def tableOptions(ident: Identifier): Map[String, String] = {
+    val props = readMeta(ident)
+    props.stringPropertyNames.asScala
+      .map(k => k -> props.getProperty(k)).toMap
+  }
 
   /** Engine scalar functions as SQL citizens: `SELECT cat.ns.damerau
     * (a, b)` resolves here (any existing namespace serves them — they
@@ -427,6 +454,9 @@ object GraftFunctions {
     }
   }
 
+  // (scalar functions above; maintenance procedures live in
+  // [[GraftProcedures]])
+
   object XxBucketBound extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(LongType, IntegerType)
     override def resultType(): DataType = IntegerType
@@ -440,5 +470,145 @@ object GraftFunctions {
     override def produceResult(
         input: org.apache.spark.sql.catalyst.InternalRow): Integer =
       Integer.valueOf(invoke(input.getLong(0), input.getInt(1)))
+  }
+}
+
+/** Maintenance procedures for merge tables, resolved through the
+  * [[GraftCatalog]] ProcedureCatalog surface: `CALL cat.sys.compact
+  * ('db.t', 4)`. Each procedure names its target table by catalog
+  * identifier string ('ns.table'), resolves path/key/seq from the
+  * table metadata, runs the corresponding [[graft.streaming.MergeSink]]
+  * maintenance commit, and returns a one-row result relation (the
+  * Iceberg-procedure reporting shape) via a LocalScan.
+  */
+object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  import graft.streaming.MergeSink
+
+  val names: Array[String] =
+    Array("compact", "compact_incremental", "expire_tombstones",
+      "set_bloom_index")
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => Some(new CompactProc(cat))
+      case "compact_incremental" => Some(new CompactIncrProc(cat))
+      case "expire_tombstones" => Some(new ExpireProc(cat))
+      case "set_bloom_index" => Some(new BloomProc(cat))
+      case _ => None
+    }
+
+  private case class ResultScan(schema: StructType, row: InternalRow)
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  /** Common shape: UNBOUND == BOUND (parameters are fixed), one-row
+    * result. Subclasses give the parameter list past `table` and the
+    * body over the resolved (path, key, seq) options.
+    */
+  sealed abstract class MaintenanceProc(
+      cat: GraftCatalog,
+      procName: String,
+      resultCol: String,
+      extraParams: Seq[ProcedureParameter])
+      extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // commits table versions
+    override def parameters(): Array[ProcedureParameter] =
+      (ProcedureParameter.in("table", StringType)
+        .comment("catalog table identifier, e.g. 'db.events'")
+        .build() +: extraParams).toArray
+
+    protected def run(opts: Map[String, String], input: InternalRow): Int
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"$procName: bad table identifier '${input.getUTF8String(0)}'")
+      val ident = Identifier.of(parts.dropRight(1), parts.last)
+      val n = run(cat.tableOptions(ident), input)
+      val out: Scan = ResultScan(
+        StructType(Seq(StructField(resultCol, IntegerType, nullable = false))),
+        new GenericInternalRow(Array[Any](n)))
+      java.util.Collections.singletonList(out).iterator()
+    }
+  }
+
+  /** `CALL cat.sys.compact('ns.t', target_buckets)` — the full-table
+    * sorted rewrite ([[MergeSink.compact]]): rebuckets to the target
+    * modulus, restoring O(100 MB-1 GB) bucket files as volume drifts.
+    */
+  final class CompactProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "compact", "buckets_written",
+        Seq(ProcedureParameter.in("target_buckets", IntegerType).build())) {
+    override def description(): String =
+      "full sorted rewrite of a merge table at a new bucket count"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.compact(
+        SparkSession.active, opts("path"), opts("key"), input.getInt(1))
+  }
+
+  /** `CALL cat.sys.compact_incremental('ns.t', since_version)` — the
+    * dirtied-buckets-only sorted rewrite
+    * ([[MergeSink.compactIncremental]]); cost tracks dirtied bytes.
+    */
+  final class CompactIncrProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "compact_incremental",
+        "buckets_rewritten",
+        Seq(ProcedureParameter.in("since_version", LongType).build())) {
+    override def description(): String =
+      "re-sort only buckets dirtied since the given table version"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.compactIncremental(
+        SparkSession.active, opts("path"), opts("key"), input.getLong(1)).size
+  }
+
+  /** `CALL cat.sys.expire_tombstones('ns.t', horizon)` — retire
+    * tombstones whose seq is at or below the horizon
+    * ([[MergeSink.expireTombstones]]).
+    */
+  final class ExpireProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "expire_tombstones",
+        "buckets_rewritten",
+        Seq(ProcedureParameter.in("horizon", LongType).build())) {
+    override def description(): String =
+      "retire tombstones with seq <= horizon (frees space; older " +
+        "replays already fail loudly past retention)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.expireTombstones(
+        SparkSession.active, opts("path"), opts("key"), opts("seq"),
+        input.getLong(1))
+  }
+
+  /** `CALL cat.sys.set_bloom_index('ns.t', 'col[:ndv],col2')` —
+    * declare bloom-indexed columns ([[MergeSink.setBloomIndex]]);
+    * future writes carry parquet blooms for them.
+    */
+  final class BloomProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "set_bloom_index", "indexed_cols",
+        Seq(ProcedureParameter.in("cols", StringType).build())) {
+    override def description(): String =
+      "declare bloom-indexed columns (col[:ndv] comma-list) for future writes"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      MergeSink.setBloomIndex(SparkSession.active, opts("path"), cols)
+      cols.size
+    }
   }
 }

@@ -2059,6 +2059,58 @@ object Streams {
   val dsv2SqlGatedSql: String = mergePointGatedSql
 
   // ---------------------------------------------------------------------
+  // q_catalog_maint — the WAREHOUSE OPERATOR'S DAY entirely in SQL:
+  // CREATE + two INSERT commits, CALL compact (full sorted rewrite at a
+  // new modulus, ProcedureCatalog), another INSERT dirtying a few
+  // buckets, CALL compact_incremental (strict-subset rewrite, asserted
+  // through the procedure's own result row), then the latest-wins
+  // aggregate read back — every maintenance operation a one-line CALL
+  // a scheduler can own, zero Scala in the operating loop. The oracle
+  // is the declarative latest-wins state over the full log: three
+  // maintenance commits later, the table still answers bit-identically.
+  // ---------------------------------------------------------------------
+  val catalogMaintGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gmnt$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_mnt_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ev (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_mnt_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(s"INSERT INTO $cat.g.ev SELECT * FROM $view WHERE event_id <= $t1")
+    s.sql(
+      s"INSERT INTO $cat.g.ev SELECT * FROM $view WHERE event_id > $t1 " +
+        s"AND user_id % 4 != 1")
+    val written = s.sql(s"CALL $cat.sys.compact('g.ev', 4)").head().getInt(0)
+    require(written == 4, s"CALL compact wrote $written buckets")
+    val path = s"$wh/_data/g/ev"
+    val baseV = MergeSink.lastCommit(s, path).get.version
+    s.sql(
+      s"INSERT INTO $cat.g.ev SELECT * FROM $view WHERE event_id > $t1 " +
+        s"AND user_id % 4 = 1")
+    val rewritten = s
+      .sql(s"CALL $cat.sys.compact_incremental('g.ev', $baseV)")
+      .head().getInt(0)
+    require(rewritten >= 1 && rewritten <= 4,
+      s"CALL compact_incremental rewrote $rewritten buckets")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(event_id) AS BIGINT) AS id_total,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.ev GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // q_dsv2_delete — SQL DELETE on the merge table (SupportsDelete):
   // `DELETE FROM t WHERE event_type = 'error'` becomes a TOMBSTONE
   // COMMIT — matching visible rows re-enter the merge as
@@ -2929,6 +2981,7 @@ object Streams {
     "q_merge_compact" -> mergeCompactGated,
     "q_merge_compact_incr" -> mergeCompactIncrGated,
     "q_merge_bloom" -> mergeBloomGated,
+    "q_catalog_maint" -> catalogMaintGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -2970,6 +3023,7 @@ object Streams {
     "q_merge_compact" -> mergeCompactGatedSql,
     "q_merge_compact_incr" -> mergeCompactGatedSql,
     "q_merge_bloom" -> mergeBloomGatedSql,
+    "q_catalog_maint" -> mergeCompactGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

@@ -351,6 +351,59 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("CALL procedures: compact / compact_incremental / expire_tombstones / set_bloom_index from SQL") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    spark.sql(
+      s"""CREATE TABLE $cat.db.m (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.m SELECT id, 10, id * 0.5 FROM range(64)")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/m").toString
+    val preState = spark.table(s"$cat.db.m").orderBy("k").collect().toSeq
+
+    // full compaction to 4 buckets, reported
+    val c = spark.sql(s"CALL $cat.sys.compact('db.m', 4)").head()
+    assert(c.getInt(0) == 4, c.toString)
+    assert(MergeSink.currentFiles(spark, path).size == 4)
+    val baseV = MergeSink.lastCommit(spark, path).get.version
+
+    // dirty two keys, then incremental compaction rewrites only their buckets
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (3, 20, 9.0), (5, 20, 9.0)")
+    val ci = spark.sql(
+      s"CALL $cat.sys.compact_incremental('db.m', $baseV)").head()
+    assert(ci.getInt(0) >= 1 && ci.getInt(0) < 4, ci.toString)
+
+    // bloom index declaration lands in the sidecar
+    val bi = spark.sql(s"CALL $cat.sys.set_bloom_index('db.m', 'v:1000')").head()
+    assert(bi.getInt(0) == 1)
+    assert(MergeSink.bloomIndexCols(spark, path) == Seq(("v", Some(1000L))))
+
+    // tombstone a key, then expire it via CALL
+    spark.sql(s"DELETE FROM $cat.db.m WHERE k = 7")
+    val rawDead = () => spark.read.option("mergeSchema", true)
+      .parquet(MergeSink.currentFiles(spark, path).values.flatten.toSeq: _*)
+      .filter(col(MergeSink.DeletedCol)).count()
+    assert(rawDead() == 1L)
+    val ex = spark.sql(s"CALL $cat.sys.expire_tombstones('db.m', 1000000)").head()
+    assert(ex.getInt(0) >= 1, ex.toString)
+    assert(rawDead() == 0L, "tombstone survived expiry")
+
+    // state through it all: latest-wins minus the deleted key
+    val post = spark.table(s"$cat.db.m").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = preState
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filterNot(_._1 == 7L)
+      .map { case (k, s, v) =>
+        if (k == 3L || k == 5L) (k, 20L, 9.0) else (k, s, v) }
+    assert(post == expected)
+
+    // unknown procedure fails loudly
+    intercept[Exception](spark.sql(s"CALL $cat.sys.vacuum('db.m')").collect())
+  }
+
   test("writeStream.toTable upserts into a catalog table by pure SQL identifier") {
     val cat = freshCatalog()
     val s2 = spark
