@@ -175,6 +175,22 @@ class GraftCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     loadWith(ident, Some(version))
 
+  /** `SELECT … FROM t TIMESTAMP AS OF <ts>` — Spark hands MICROS since
+    * epoch; resolve to the latest version whose commit marker is at or
+    * before it (marker mtime, the Delta convention) and serve that
+    * snapshot through the same versionAsOf machinery.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val props = readMeta(ident)
+    val path = props.getProperty("path")
+    val v = graft.streaming.MergeSink
+      .versionAt(SparkSession.active, path, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: table ${ident.name()} has no commit at or " +
+          s"before timestamp ${timestampMicros / 1000L} ms"))
+    loadWith(ident, Some(v.toString))
+  }
+
   private def loadWith(ident: Identifier, versionAsOf: Option[String]): Table = {
     val props = readMeta(ident)
     val opts = props.stringPropertyNames.asScala

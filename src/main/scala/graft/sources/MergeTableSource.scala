@@ -115,6 +115,24 @@ private[graft] object MergeTableUtil {
     d
   }
 
+  /** `timestampAsOf` accepted forms: epoch MILLIS (all digits), SQL
+    * timestamp (`2026-08-15 12:00:00[.fff]`, session-zone-free: taken
+    * as UTC for determinism), or ISO-8601 instant.
+    */
+  def parseTsMillis(raw: String): Long = {
+    val s = raw.trim
+    if (s.forall(_.isDigit)) s.toLong
+    else
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime
+            .parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+            .toEpochMilli
+      }
+  }
+
   /** Physical data schema of the CURRENT snapshot: union-by-name of the
     * manifest files' footers (mixed schemas arise from CDC batches onto
     * pre-CDC tables). Driver-side O(files) metadata reads — the same
@@ -355,12 +373,24 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
     props.foreach { case (k, v) => merged.put(k, v) }
     merged.putAll(options.asCaseSensitiveMap())
     val o = new CaseInsensitiveStringMap(merged)
+    // TIMESTAMP-based travel resolves to a version HERE (one marker
+    // listing) so everything downstream — pruning, statistics, the agg
+    // pushdown — sees exactly the versionAsOf machinery
+    val spark = SparkSession.active
+    val dir = MergeTableUtil.dirOf(o)
+    val asOf = Option(o.get("versionAsOf")).map(_.toLong).orElse(
+      Option(o.get("timestampAsOf")).map { raw =>
+        val ts = MergeTableUtil.parseTsMillis(raw)
+        graft.streaming.MergeSink.versionAt(spark, dir, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-merge: no commit at or before timestampAsOf=$raw"))
+      })
     new GraftMergeScanBuilder(
-      SparkSession.active,
-      MergeTableUtil.dirOf(o),
+      spark,
+      dir,
       Option(o.get("key")),
       o.getBoolean("cdc", false),
-      Option(o.get("versionAsOf")).map(_.toLong),
+      asOf,
       tableSchema)
   }
 

@@ -123,6 +123,30 @@ object MergeSink {
         .sortBy(_.version)
   }
 
+  /** TIMESTAMP-based time travel: the latest version whose commit
+    * marker was published at or before `tsMillis` (marker file
+    * modification time — the Delta/Iceberg convention: commit wall
+    * time IS the marker's filesystem timestamp, nothing extra to
+    * record or parse). None when the table has no commit that old.
+    * One marker-directory listing, O(retained versions).
+    */
+  def versionAt(
+      spark: SparkSession, dir: String, tsMillis: Long): Option[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return None
+    val at = fs.listStatus(p)
+      .iterator
+      .flatMap { st =>
+        st.getPath.getName match {
+          case MarkerRe(v, _, _) if st.getModificationTime <= tsMillis =>
+            Some(v.toLong)
+          case _ => None
+        }
+      }
+      .toSeq
+    if (at.isEmpty) None else Some(at.max)
+  }
+
   /** Counts planning-time metadata FALLBACKS (a directory listing or
     * footer sweep where the manifest should have answered) — purely an
     * observability hook: StateSpec pins that planning over a

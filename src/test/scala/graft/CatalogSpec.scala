@@ -351,6 +351,41 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("TIMESTAMP AS OF resolves by commit-marker wall time (catalog SQL + connector option)") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.tt (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (2, 20, 22.0), (3, 20, 3.0)")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), "_data/db/tt")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // pin commit wall times deterministically: v0 at t0, v1 a minute on
+    val t0 = 1700000000000L
+    fs.listStatus(path).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_commit_v0")) fs.setTimes(st.getPath, t0, t0)
+      if (n.startsWith("_commit_v1")) fs.setTimes(st.getPath, t0 + 60000L, t0 + 60000L)
+    }
+    def keysAt(expr: String): Seq[(Long, Long)] =
+      spark.sql(s"SELECT k, seq FROM $cat.db.tt TIMESTAMP AS OF $expr ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // between the commits: only v0's state
+    assert(keysAt(s"timestamp_millis(${t0 + 30000L})") == Seq((1L, 10L), (2L, 10L)))
+    // after both: the merged head
+    assert(keysAt(s"timestamp_millis(${t0 + 90000L})") ==
+      Seq((1L, 10L), (2L, 20L), (3L, 20L)))
+    // before any commit: loud failure
+    intercept[Exception](keysAt(s"timestamp_millis(${t0 - 1L})"))
+    // connector option form, epoch-millis string
+    val viaOpt = spark.read.format("graft-merge")
+      .option("path", path.toString).option("key", "k")
+      .option("timestampAsOf", (t0 + 30000L).toString).load()
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaOpt == Seq(1L, 2L))
+  }
+
   test("CALL procedures: compact / compact_incremental / expire_tombstones / set_bloom_index from SQL") {
     val cat = freshCatalog()
     val s2 = spark
