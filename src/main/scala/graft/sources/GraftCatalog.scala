@@ -169,7 +169,23 @@ class GraftCatalog
     fs.exists(metaPath(ident))
 
   override def loadTable(ident: Identifier): Table =
-    loadWith(ident, None)
+    try loadWith(ident, None)
+    catch {
+      // `cat.db.t.history` parses as namespace [db, t], name "history":
+      // serve the parent table's metadata relation (the Iceberg
+      // inspection shape) when the parent exists and the trailing
+      // segment names a metadata kind
+      case e: NoSuchTableException
+          if ident.namespace().nonEmpty &&
+            MergeMetadataTable.kinds.contains(
+              ident.name().toLowerCase(java.util.Locale.ROOT)) =>
+        val parent = Identifier.of(
+          ident.namespace.dropRight(1), ident.namespace.last)
+        if (!tableExists(parent)) throw e
+        new MergeMetadataTable(
+          ident.name().toLowerCase(java.util.Locale.ROOT),
+          readMeta(parent).getProperty("path"))
+    }
 
   /** TIME TRAVEL through SQL: `SELECT … FROM t VERSION AS OF <v>`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -625,6 +641,114 @@ object GraftProcedures {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       MergeSink.setBloomIndex(SparkSession.active, opts("path"), cols)
       cols.size
+    }
+  }
+}
+
+/** METADATA TABLES (`SELECT * FROM cat.db.t.history` /
+  * `cat.db.t.files`) — the Iceberg inspection shape: a table's commit
+  * history and current file inventory served as relations, answered
+  * ENTIRELY from markers + manifests (metadata-scale: O(retained
+  * versions) and O(buckets) driver-resident rows via LocalScan — never
+  * a data-file read, which is exactly what makes them usable against a
+  * 100 TB table).
+  */
+object MergeMetadataTable {
+  import org.apache.spark.sql.types._
+
+  val kinds: Set[String] = Set("history", "files")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" =>
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("run_id", StringType, nullable = false),
+        StructField("epoch", LongType, nullable = false),
+        StructField("buckets", IntegerType, nullable = false),
+        StructField("bytes", LongType, nullable = true),
+        StructField("rows", LongType, nullable = true)))
+    case "files" =>
+      StructType(Seq(
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("content_version", LongType, nullable = false),
+        StructField("n_files", IntegerType, nullable = true),
+        StructField("bytes", LongType, nullable = true),
+        StructField("rows", LongType, nullable = true),
+        StructField("has_tombstones", BooleanType, nullable = true),
+        StructField("files", ArrayType(StringType), nullable = true)))
+  }
+}
+
+class MergeMetadataTable(kind: String, path: String)
+    extends Table
+    with SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  import graft.streaming.MergeSink
+
+  override def name(): String = s"$path#$kind"
+  override def schema(): StructType = MergeMetadataTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType =
+          MergeMetadataTable.schemaOf(kind)
+        override def rows(): Array[InternalRow] = computeRows()
+      }
+    }
+
+  private def computeRows(): Array[InternalRow] = {
+    val spark = SparkSession.active
+    kind match {
+      case "history" =>
+        val times = MergeSink.commitTimes(spark, path)
+        MergeSink.commits(spark, path).map { c =>
+          val m = MergeSink.manifest(spark, path, c.version)
+          val bytes = MergeSink.manifestBytes(spark, path, c.version)
+          val rows = MergeSink.manifestRows(spark, path, c.version)
+          new GenericInternalRow(Array[Any](
+            c.version,
+            times.getOrElse(c.version, 0L) * 1000L, // micros
+            UTF8String.fromString(c.runId),
+            c.epoch,
+            m.size,
+            if (bytes.isEmpty && m.nonEmpty) null else bytes.values.sum,
+            if (rows.isEmpty && m.nonEmpty) null else rows.values.sum
+          )): InternalRow
+        }.toArray
+      case "files" =>
+        MergeSink.lastCommit(spark, path) match {
+          case None => Array.empty[InternalRow]
+          case Some(c) =>
+            val m = MergeSink.manifest(spark, path, c.version)
+            val bytes = MergeSink.manifestBytes(spark, path, c.version)
+            val rows = MergeSink.manifestRows(spark, path, c.version)
+            val flags = MergeSink.manifestDeletedFlags(spark, path, c.version)
+            val files = MergeSink.manifestFiles(spark, path, c.version)
+            m.toSeq.sortBy(_._1).map { case (b, v) =>
+              val fns = files.get(b)
+              new GenericInternalRow(Array[Any](
+                b,
+                v,
+                fns.map(_.size).orNull,
+                bytes.get(b).orNull,
+                rows.get(b).orNull,
+                flags.get(b).map(_ != 0L).orNull,
+                fns.map(ns =>
+                  new GenericArrayData(
+                    ns.map(UTF8String.fromString).toArray[Any])).orNull
+              )): InternalRow
+            }.toArray
+        }
     }
   }
 }

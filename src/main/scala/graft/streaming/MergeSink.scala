@@ -147,6 +147,25 @@ object MergeSink {
     if (at.isEmpty) None else Some(at.max)
   }
 
+  /** Commit wall times: version -> marker modification millis (the
+    * same clock [[versionAt]] resolves against). Retained versions
+    * only — GC removes old markers with their manifests.
+    */
+  def commitTimes(spark: SparkSession, dir: String): Map[Long, Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Map.empty
+    else
+      fs.listStatus(p)
+        .iterator
+        .flatMap { st =>
+          st.getPath.getName match {
+            case MarkerRe(v, _, _) => Some(v.toLong -> st.getModificationTime)
+            case _ => None
+          }
+        }
+        .toMap
+  }
+
   /** Counts planning-time metadata FALLBACKS (a directory listing or
     * footer sweep where the manifest should have answered) — purely an
     * observability hook: StateSpec pins that planning over a

@@ -351,6 +351,38 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("metadata tables: t.history and t.files answer from markers + manifests") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.mt (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.mt SELECT id, 10, id * 1.0 FROM range(40)")
+    spark.sql(s"INSERT INTO $cat.db.mt VALUES (1, 20, 9.0), (100, 20, 5.0)")
+    val hist = spark.sql(
+      s"SELECT version, run_id, buckets, rows FROM $cat.db.mt.history ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.forall(_.getString(1).nonEmpty))
+    // v1 carries all of v0's buckets plus any new ones; rows total grows
+    // by the one genuinely new key (k=100; k=1 is superseded in place)
+    assert(hist(1).getLong(3) == hist(0).getLong(3) + 1,
+      hist.mkString(";"))
+    val files = spark.sql(
+      s"""SELECT count(*) AS n, CAST(SUM(rows) AS BIGINT) AS r,
+         |  CAST(SUM(n_files) AS BIGINT) AS f, max(content_version) AS cv
+         |FROM $cat.db.mt.files""".stripMargin).head()
+    assert(files.getLong(1) == 41L, files.toString) // 40 keys + k=100
+    assert(files.getLong(0) >= 1L && files.getLong(2) >= files.getLong(0))
+    assert(files.getLong(3) == 1L)
+    // committed_at is the marker clock (nonzero, ordered)
+    val times = spark.sql(
+      s"SELECT committed_at FROM $cat.db.mt.history ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(times.forall(_ > 0L) && times(0) <= times(1))
+    // a metadata suffix on a missing table still fails loudly
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.nope.history").collect())
+  }
+
   test("TIMESTAMP AS OF resolves by commit-marker wall time (catalog SQL + connector option)") {
     val cat = freshCatalog()
     spark.sql(
