@@ -351,6 +351,24 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("CREATE TABLE AS SELECT creates and merge-loads in one statement") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, seq BIGINT, v DOUBLE) " +
+      "USING `graft-merge` OPTIONS (key 'k', seq 'seq')")
+    spark.sql(s"INSERT INTO $cat.db.src SELECT id, 10, id * 1.0 FROM range(20)")
+    // CTAS: the duplicate-keyed source collapses latest-wins on load
+    spark.sql(
+      s"""CREATE TABLE $cat.db.dst USING `graft-merge`
+         |OPTIONS (key 'k', seq 'seq') AS
+         |SELECT k, seq + CAST(k % 2 AS BIGINT) * 10 AS seq, v * 2 AS v
+         |FROM $cat.db.src""".stripMargin)
+    val dst = spark.table(s"$cat.db.dst").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dst.size == 20 && dst.forall { case (k, s) =>
+      s == (if (k % 2 == 1) 20L else 10L) }, dst.toString)
+    assert(spark.sql(s"SELECT version FROM $cat.db.dst.history").count() == 1L)
+  }
+
   test("metadata tables: t.history and t.files answer from markers + manifests") {
     val cat = freshCatalog()
     spark.sql(
