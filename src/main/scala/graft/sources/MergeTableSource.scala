@@ -302,7 +302,8 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE) // INSERT OVERWRITE = truncate-and-load
 
   // -------------------------------------------------------------------
   // SQL DELETE (`DELETE FROM t WHERE …`) — a TOMBSTONE COMMIT, the

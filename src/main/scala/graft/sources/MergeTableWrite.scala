@@ -40,15 +40,18 @@ import graft.streaming.MergeSink
   * re-merges the identical batch — latest-wins is idempotent under
   * replay either way.
   *
-  * "append" is the only accepted mode: rows MERGE by key (the table's
-  * semantics); overwrite/ignore would silently mean something else.
+  * "append" merges rows by key (the table's semantics); INSERT
+  * OVERWRITE (SupportsTruncate) replaces the table state as a new
+  * version; "ignore" would silently mean something else and is not
+  * accepted.
   */
 class GraftMergeWriteBuilder(
     dir: String,
     key: String,
     seq: String,
     info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
 
   MergeSink.keyCols(key).foreach(k =>
     require(
@@ -58,13 +61,29 @@ class GraftMergeWriteBuilder(
     info.schema.fieldNames.contains(seq),
     s"graft-merge write: seq column '$seq' missing from ${info.schema.fieldNames.mkString(",")}")
 
+  /** `INSERT OVERWRITE` (SupportsTruncate): the committed batch
+    * REPLACES the table state — [[graft.streaming.MergeSink
+    * .overwriteBatch]] instead of the merge-upsert, same two-phase
+    * staging. Conditional REPLACE WHERE is deliberately NOT offered
+    * (no SupportsOverwrite): partial overwrites of a latest-wins merge
+    * table are expressed as row-level DML, which already exists.
+    */
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
   override def build(): Write = new Write {
     override def description(): String =
-      s"GraftMergeWrite dir=$dir key=$key seq=$seq"
+      s"GraftMergeWrite dir=$dir key=$key seq=$seq overwrite=$overwriteAll"
     override def toBatch: BatchWrite =
-      new GraftMergeBatchWrite(dir, key, seq, info.schema, info.queryId)
-    override def toStreaming: StreamingWrite =
+      new GraftMergeBatchWrite(
+        dir, key, seq, info.schema, info.queryId, overwriteAll)
+    override def toStreaming: StreamingWrite = {
+      require(!overwriteAll,
+        "graft-merge: streaming truncate/complete-mode overwrite is not " +
+          "supported — stream in update mode (merge-upsert semantics)")
       new GraftMergeStreamingWrite(dir, key, seq, info.schema, info.queryId)
+    }
   }
 }
 
@@ -121,7 +140,8 @@ private[graft] object MergeWriteUtil {
       queryId: String,
       epochId: Long,
       runId: String,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage],
+      overwriteAll: Boolean = false): Unit = {
     val spark = SparkSession.active
     val staging = stagingDir(dir, queryId)
     val p = new Path(staging)
@@ -132,7 +152,8 @@ private[graft] object MergeWriteUtil {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(files: _*)
-    MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
+    if (overwriteAll) MergeSink.overwriteBatch(batch, dir, key, seq, epochId, runId)
+    else MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
     fs.delete(p, true)
     dropEmptyStagingParent(fs, p)
   }
@@ -174,7 +195,8 @@ class GraftMergeBatchWrite(
     key: String,
     seq: String,
     schema: StructType,
-    queryId: String)
+    queryId: String,
+    overwriteAll: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -188,7 +210,8 @@ class GraftMergeBatchWrite(
     // a retried commit of the same query skips on its marker
     MergeWriteUtil.commitStaged(
       dir, key, seq, schema, queryId, epochId = 0L,
-      runId = s"dsv2b-$queryId", messages = messages)
+      runId = s"dsv2b-$queryId", messages = messages,
+      overwriteAll = overwriteAll)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MergeWriteUtil.abortStaged(dir, queryId)

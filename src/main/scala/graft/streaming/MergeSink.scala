@@ -510,6 +510,75 @@ object MergeSink {
       prevVersion = last.map(_.version))
   }
 
+  /** OVERWRITE commit (`INSERT OVERWRITE` / truncate-and-load): the
+    * batch becomes the ENTIRE table state at the new version — every
+    * previous bucket is dropped from the manifest (their files stay
+    * readable for the normal one-version retention window, so time
+    * travel to the pre-overwrite snapshot still answers), and the
+    * batch's rows land latest-wins-deduped by key under the SAME
+    * bucket modulus (an overwrite is a data replacement, not a layout
+    * change — [[compact]] owns rebucketing). An EMPTY batch is a pure
+    * TRUNCATE: a committed version with no data. Same idempotence,
+    * fencing, and two-phase (data -> manifest -> marker) contract as
+    * [[upsertBatch]].
+    */
+  def overwriteBatch(
+      batch: DataFrame,
+      dir: String,
+      key: String,
+      seq: String,
+      epochId: Long,
+      runId: String = "batch"): Unit = {
+    val spark = batch.sparkSession
+    val all = commits(spark, dir)
+    if (all.exists(c => c.runId == runId && c.epoch == epochId))
+      return // idempotent replay
+    ensureWriter(spark, dir, runId)
+    val last = all.lastOption
+    last.foreach { c =>
+      if (c.runId == runId && epochId <= c.epoch)
+        throw new IllegalStateException(
+          s"epoch regression in run $runId: batch epoch $epochId <= " +
+            s"committed epoch ${c.epoch} with no matching commit marker")
+    }
+    val newV = last.map(_.version + 1).getOrElse(0L)
+    val nb = last.map(c => numBuckets(spark, dir, c.version)).getOrElse(DefaultBuckets)
+    val kcols = keyCols(key)
+    kcols.foreach(k => require(batch.columns.contains(k),
+      s"overwrite batch lacks key column '$k' (${batch.columns.mkString(",")})"))
+    val bucketOf = bucketExpr(key, nb)
+    val cols = batch.columns.filter(_ != "__b")
+    val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
+    val touched = batchC
+      .select(bucketOf.as("__b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+    val merged =
+      if (touched.isEmpty) None // TRUNCATE: a version with no data
+      else {
+        val withB = batchC.withColumn("__b", bucketOf)
+        val rest = withB.columns.filter(c => !kcols.contains(c) && c != "__b")
+        Some(
+          withB
+            .repartition(col("__b"))
+            .groupBy((col("__b") +: kcols.map(col)).toIndexedSeq: _*)
+            .agg(max_by(
+              struct(rest.map(col).toIndexedSeq: _*), col(seq)).as("st"))
+            .select((col("__b") +: kcols.map(col)) ++
+              rest.map(c => col(s"st.$c").as(c)): _*))
+      }
+    // prevManifest EMPTY: no bucket carries — the new manifest lists
+    // only what this batch wrote (or nothing, for a truncate). The
+    // PREVIOUS version still feeds the recorded union schema (schema is
+    // monotone across commits; a truncated table must not forget its
+    // shape), which publish resolves via prevVersion.
+    publish(
+      spark, dir, nb, Map.empty, touched, merged, newV, runId, epochId,
+      prevVersion = last.map(_.version))
+  }
+
   /** Durably publish version `newV`: write `rows` (bucketed by their
     * "__b" column) for the `touched` buckets, then the manifest, then
     * the O(1) visibility marker — strictly in that order (the

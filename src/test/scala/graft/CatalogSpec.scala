@@ -351,6 +351,30 @@ class CatalogSpec extends SparkSpec {
       "catalog served the stale declared schema after CDC evolution")
   }
 
+  test("INSERT OVERWRITE replaces the table state as a new time-travelable version") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ow (k BIGINT, seq BIGINT, v DOUBLE) " +
+      "USING `graft-merge` OPTIONS (key 'k', seq 'seq')")
+    spark.sql(s"INSERT INTO $cat.db.ow SELECT id, 10, id * 1.0 FROM range(30)")
+    spark.sql(s"INSERT INTO $cat.db.ow VALUES (5, 20, 99.0)")
+    // overwrite with a smaller, duplicate-keyed load (dedup latest-wins)
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.db.ow
+         |SELECT id % 3, id, id * 1.0 FROM range(9)""".stripMargin)
+    val st = spark.table(s"$cat.db.ow").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(st == Seq((0L, 6L), (1L, 7L), (2L, 8L)), st.toString)
+    // the pre-overwrite snapshot still answers (one-version retention)
+    val prev = spark.sql(s"SELECT count(*) FROM $cat.db.ow VERSION AS OF 1")
+      .head().getLong(0)
+    assert(prev == 30L, s"pre-overwrite snapshot lost: $prev")
+    // upserts continue on top of the overwritten state
+    spark.sql(s"INSERT INTO $cat.db.ow VALUES (1, 100, 1.0)")
+    assert(spark.table(s"$cat.db.ow").count() == 3L)
+    assert(spark.sql(s"SELECT seq FROM $cat.db.ow WHERE k = 1")
+      .head().getLong(0) == 100L)
+  }
+
   test("CREATE TABLE AS SELECT creates and merge-loads in one statement") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, seq BIGINT, v DOUBLE) " +
