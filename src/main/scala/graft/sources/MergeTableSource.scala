@@ -850,6 +850,19 @@ object GraftMergeScan {
     new java.util.concurrent.atomic.AtomicReference[(Int, Int, Boolean)]()
 }
 
+/** Sum-aggregated custom metric (driver-reported once per scan). */
+case class GraftScanMetric(metricName: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+
+case class GraftScanMetricValue(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 class GraftMergeScan(
     spark: SparkSession,
     dir: String,
@@ -1027,6 +1040,30 @@ class GraftMergeScan(
     val asOf = versionAsOf.map(v => s" versionAsOf=$v").getOrElse("")
     s"GraftMergeScan dir=$dir$asOf files=$planned/$total prunedKeys=$pk " +
       s"pushed=${pushed.mkString("[", ", ", "]")}"
+  }
+
+  /** Planning outcomes surfaced as SQL-UI metrics (the V2 custom-metric
+    * hook): how many bucket files the snapshot held, how many survived
+    * key pruning, and the manifest bytes planned — the description()
+    * numbers, machine-readable per executed scan. Zero extra work: all
+    * three come from state planning already computed.
+    */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      GraftScanMetric("snapshotDataFiles", "snapshot data files"),
+      GraftScanMetric("prunedDataFiles", "data files pruned by key"),
+      GraftScanMetric("plannedBytes", "manifest bytes planned"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val (planned, total) = fileCounts
+    val bytes = estimateStatistics().sizeInBytes()
+    Array(
+      GraftScanMetricValue("snapshotDataFiles", total),
+      GraftScanMetricValue("prunedDataFiles", (total - planned).toLong),
+      GraftScanMetricValue(
+        "plannedBytes", if (bytes.isPresent) bytes.getAsLong else 0L))
   }
 
   override def toBatch: Batch = new Batch {

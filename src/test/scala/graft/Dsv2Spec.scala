@@ -66,6 +66,13 @@ class Dsv2Spec extends SparkSpec {
       .filter(col("user_id").isin(keys: _*))
       .orderBy("user_id").collect()
     assert(df.orderBy("user_id").collect().sameElements(expected))
+    // planning outcomes surface as driver-reported custom metrics
+    val metrics = scan.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(metrics("snapshotDataFiles") == total.toLong &&
+      metrics("prunedDataFiles") == (total - planned).toLong &&
+      metrics("plannedBytes") > 0L, metrics.toString)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      metrics.keySet)
   }
 
   test("column pruning reaches the parquet projection") {
