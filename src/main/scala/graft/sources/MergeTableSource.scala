@@ -386,13 +386,24 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
           throw new IllegalArgumentException(
             s"graft-merge: no commit at or before timestampAsOf=$raw"))
       })
+    // CDC replay start: `startingVersion` = first version to replay
+    // ("latest" = only commits AFTER the query starts — the new-data-
+    // only subscription). Resolved to the stream's initial offset
+    // (highest version already consumed).
+    val startOffset = Option(o.get("startingVersion")).map {
+      case "latest" =>
+        graft.streaming.MergeSink
+          .lastCommit(spark, dir).map(_.version).getOrElse(-1L)
+      case v => v.toLong - 1L
+    }
     new GraftMergeScanBuilder(
       spark,
       dir,
       Option(o.get("key")),
       o.getBoolean("cdc", false),
       asOf,
-      tableSchema)
+      tableSchema,
+      startOffset)
   }
 
   override def newWriteBuilder(
@@ -459,7 +470,8 @@ class GraftMergeScanBuilder(
     keyCol: Option[String],
     cdc: Boolean,
     versionAsOf: Option[Long],
-    fullSchema: StructType)
+    fullSchema: StructType,
+    startOffset: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -647,7 +659,8 @@ class GraftMergeScanBuilder(
       new GraftMergeAggScan(schema, values, detail)
     case None =>
       new GraftMergeScan(
-        spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues, pushed)
+        spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues,
+        pushed, startOffset)
   }
 }
 
@@ -872,7 +885,8 @@ class GraftMergeScan(
     fullSchema: StructType,
     required: StructType,
     keyValues: Option[Seq[Seq[Any]]],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    startOffset: Option[Long] = None)
     extends Scan
     with SupportsRuntimeFiltering
     with SupportsReportStatistics {
@@ -1096,7 +1110,7 @@ class GraftMergeScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(cdc,
       "graft-merge: streaming read requires option cdc=true (the commit-log replay schema)")
-    new GraftMergeMicroBatchStream(spark, dir, required)
+    new GraftMergeMicroBatchStream(spark, dir, required, startOffset)
   }
 }
 
@@ -1108,10 +1122,16 @@ case class MergeOffset(version: Long) extends Offset {
 class GraftMergeMicroBatchStream(
     spark: SparkSession,
     dir: String,
-    required: StructType)
+    required: StructType,
+    startOffset: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  override def initialOffset(): Offset = MergeOffset(-1L)
+  /** Where replay begins: the version AFTER the highest already
+    * "consumed" — -1 (full retained history) unless `startingVersion`
+    * chose a later entry point ("latest" = new commits only).
+    */
+  override def initialOffset(): Offset =
+    MergeOffset(startOffset.getOrElse(-1L))
 
   override def latestOffset(): Offset =
     MergeOffset(MergeSink.lastCommit(spark, dir).map(_.version).getOrElse(-1L))

@@ -2111,6 +2111,64 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // q_dsv2_overwrite — INSERT OVERWRITE as a versioned truncate-and-
+  // load (SupportsTruncate -> MergeSink.overwriteBatch): the full log
+  // lands as two merge commits, then INSERT OVERWRITE replaces the
+  // table with only the SECOND half — the final state must equal the
+  // declarative latest-wins over that half alone (the oracle), proving
+  // the overwrite dropped every first-half-only key while keeping the
+  // table a normal merge table (the read is the ordinary connector
+  // scan). The pre-overwrite snapshot must still time-travel (checked
+  // with a require on the v1 row count) — an overwrite is a COMMIT,
+  // not an erasure.
+  // ---------------------------------------------------------------------
+  val dsv2OverwriteGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gow$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_ow_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ev (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_ow_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(s"INSERT INTO $cat.g.ev SELECT * FROM $view WHERE event_id <= $t1")
+    s.sql(s"INSERT INTO $cat.g.ev SELECT * FROM $view WHERE event_id > $t1")
+    val preCount = s.table(s"$cat.g.ev").count()
+    s.sql(s"INSERT OVERWRITE $cat.g.ev SELECT * FROM $view WHERE event_id > $t1")
+    // the replaced snapshot is a real version, not an erasure
+    val travel = s.sql(s"SELECT count(*) FROM $cat.g.ev VERSION AS OF 1")
+      .head().getLong(0)
+    require(travel == preCount,
+      s"pre-overwrite snapshot lost: $travel != $preCount")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(event_id) AS BIGINT) AS id_total,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.ev GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
+  }
+
+  val dsv2OverwriteGatedSql: String =
+    """WITH mx AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st AS (
+      |  SELECT e.user_id, max(e.event_id) AS last_id,
+      |    arg_max(e.value, e.event_id) AS last_val
+      |  FROM events e, mx WHERE e.event_id > mx.t1 GROUP BY e.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_delete — SQL DELETE on the merge table (SupportsDelete):
   // `DELETE FROM t WHERE event_type = 'error'` becomes a TOMBSTONE
   // COMMIT — matching visible rows re-enter the merge as
@@ -2982,6 +3040,7 @@ object Streams {
     "q_merge_compact_incr" -> mergeCompactIncrGated,
     "q_merge_bloom" -> mergeBloomGated,
     "q_catalog_maint" -> catalogMaintGated,
+    "q_dsv2_overwrite" -> dsv2OverwriteGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -3024,6 +3083,7 @@ object Streams {
     "q_merge_compact_incr" -> mergeCompactGatedSql,
     "q_merge_bloom" -> mergeBloomGatedSql,
     "q_catalog_maint" -> mergeCompactGatedSql,
+    "q_dsv2_overwrite" -> dsv2OverwriteGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

@@ -127,6 +127,45 @@ class Dsv2Spec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("startingVersion bounds CDC replay: numeric entry point and latest") {
+    val table = freshTable()
+    val s2 = spark
+    import s2.implicits._
+    (0 to 2).foreach { i =>
+      MergeSink.upsertBatch(
+        Seq((i.toLong, 10L + i, false)).toDF("k", "seq", MergeSink.DeletedCol),
+        table, "k", "seq", i.toLong, "sv")
+    }
+    // numeric: replay begins AT the named version — earlier retained
+    // history is skipped, later commits still arrive
+    val name = "dsv2_spec_startver"
+    val q = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val versions = spark.table(name).select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.sameElements(Array(2L)), s"replayed ${versions.toSeq}")
+    spark.catalog.dropTempView(name)
+    // latest: the subscription starts AT the current head — nothing
+    // already committed replays (new-commits-only semantics)
+    val name2 = name + "_latest"
+    val q2 = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table(name2).isEmpty, "latest replayed retained history")
+    spark.catalog.dropTempView(name2)
+  }
+
   test("schema reconciliation: pre-CDC files read __deleted as null") {
     val table = freshTable()
     val e = Tables.events(spark, sf)
