@@ -419,12 +419,13 @@ object GraftFunctions {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Array[String] = Array("damerau", "xxbucket")
+  val names: Array[String] = Array("damerau", "xxbucket", "bucket")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "damerau" => Some(DamerauUnbound)
       case "xxbucket" => Some(XxBucketUnbound)
+      case "bucket" => Some(BucketUnbound)
       case _ => None
     }
 
@@ -502,6 +503,41 @@ object GraftFunctions {
     override def produceResult(
         input: org.apache.spark.sql.catalyst.InternalRow): Integer =
       Integer.valueOf(invoke(input.getLong(0), input.getInt(1)))
+  }
+
+  /** `bucket(numBuckets INT, key BIGINT) -> INT` — the same layout
+    * bucket as [[XxBucketBound]] in the STANDARD bucket-transform
+    * argument order (Iceberg's `system.bucket` shape). This name is
+    * load-bearing: Spark's storage-partitioned-join machinery resolves
+    * a scan-reported `Expressions.bucket(nb, col)` clustering through
+    * the table catalog's FunctionCatalog under exactly "bucket", so
+    * this function is what lets two co-bucketed merge tables join with
+    * zero shuffle.
+    */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets INT, key BIGINT) -> INT: merge-table layout bucket"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != IntegerType ||
+        inputType.fields(1).dataType != LongType)
+        throw new UnsupportedOperationException(
+          s"bucket expects (INT numBuckets, BIGINT key), got $inputType")
+      BucketBound
+    }
+  }
+
+  object BucketBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    def invoke(nb: Int, key: Long): Int = XxBucketBound.invoke(key, nb)
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      Integer.valueOf(invoke(input.getInt(0), input.getLong(1)))
   }
 }
 

@@ -809,8 +809,21 @@ case class MergeFileSplit(file: String, bucket: Int, version: Long, bytes: Long)
   * (high-frequency tiny upserts, the q_merge_compact scenario) would
   * otherwise pay a full task per kilobyte-scale file — packing mirrors
   * Spark's own file-source split math so small buckets coalesce.
+  *
+  * `spjBucket` is set only under storage-partitioned-join planning
+  * (one partition per bucket, [[HasPartitionKey]] = the bucket id);
+  * packed partitions may span buckets and never surface a key.
   */
-case class MergeFilePartition(splits: Seq[MergeFileSplit]) extends InputPartition
+case class MergeFilePartition(
+    splits: Seq[MergeFileSplit],
+    spjBucket: Option[Int] = None)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](spjBucket.getOrElse(
+      throw new IllegalStateException(
+        "partitionKey() on a packed (non-SPJ) merge partition"))))
+}
 
 private[graft] object MergePartitionPacker {
 
@@ -889,10 +902,55 @@ class GraftMergeScan(
     startOffset: Option[Long] = None)
     extends Scan
     with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   private val kcols: Seq[String] =
     keyCol.map(MergeSink.keyCols).getOrElse(Nil)
+
+  // -------------------------------------------------------------------
+  // STORAGE-PARTITIONED JOIN: the table IS hash-clustered by
+  // xxbucket(key, nb) on disk, so two merge tables with the same
+  // bucket count joined on their key need NO shuffle at all — the
+  // scan reports its physical clustering as a V2 KeyGroupedPartitioning
+  // over the catalog's own `xxbucket` function, each input partition
+  // carries its bucket id as the partition key, and Spark's
+  // EnsureRequirements matches the two sides bucket-for-bucket. At
+  // 100 TB this deletes the single largest cost of a fact-to-fact
+  // join (shuffling both sides); the same clustering also serves
+  // join-then-aggregate-on-key with zero exchanges.
+  // Requires `spark.sql.sources.v2.bucketing.enabled` (also the gate
+  // for per-bucket task planning below — packed multi-bucket tasks
+  // have no single partition key) and a catalog-resolved table (the
+  // transform binds through the catalog's FunctionCatalog).
+  // -------------------------------------------------------------------
+  private def spjMode: Boolean =
+    kcols.size == 1 && !cdc &&
+      fullSchema.fields.exists(f =>
+        f.name == kcols.head && f.dataType == LongType) &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean &&
+      resolvedVersion.isDefined
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spjMode) {
+      // the STANDARD bucket transform (not a generic named transform):
+      // Spark's SPJ machinery special-cases it — numBuckets rides the
+      // TransformExpression's bucket slot, the single child stays a
+      // bare column reference (the only shape physical
+      // KeyGroupedPartitioning accepts), and the catalog resolves the
+      // backing function under the name "bucket"
+      val nb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.bucket(nb, kcols.head)),
+          snapshotFiles.size)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+  }
 
   override def readSchema(): StructType = required
 
@@ -1082,7 +1140,16 @@ class GraftMergeScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      MergePartitionPacker.pack(spark, plannedFiles(snapshotFiles))
+      if (spjMode)
+        // SPJ planning: one task per bucket, keyed by bucket id —
+        // Spark groups same-key partitions itself, so a multi-file
+        // bucket still reads in one key group
+        plannedFiles(snapshotFiles).groupBy(_.bucket).toSeq.sortBy(_._1)
+          .map { case (b, fs) =>
+            MergeFilePartition(fs, Some(b)): InputPartition
+          }.toArray
+      else
+        MergePartitionPacker.pack(spark, plannedFiles(snapshotFiles))
     override def createReaderFactory(): PartitionReaderFactory = {
       // ONE driver-side decision per scan: if NO current bucket carries
       // the tombstone column, every reader skips both the per-file

@@ -2111,6 +2111,99 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // q_merge_spj — STORAGE-PARTITIONED JOIN: two merge tables with the
+  // same bucket layout joined on their merge key with ZERO shuffle.
+  // The scan reports its on-disk hash clustering as a V2
+  // KeyGroupedPartitioning over the catalog's own `xxbucket` function;
+  // Spark matches the two sides bucket-for-bucket and the join (and a
+  // follow-on GROUP BY the key) runs without a single exchange — at
+  // 100 TB this deletes the dominant cost of a fact-to-fact join. The
+  // gate REQUIREs the shuffle-free plan (join and join+agg both), then
+  // answers an aggregate the DuckDB oracle recomputes from the two
+  // tables' declarative latest-wins states.
+  // ---------------------------------------------------------------------
+  val mergeSpjGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gspj$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.fa (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $cat.g.fb (user_id BIGINT, event_id BIGINT, w DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    val view = s"graft_spj_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    s.sql(s"INSERT INTO $cat.g.fa SELECT user_id, event_id, value FROM $view")
+    s.sql(
+      s"""INSERT INTO $cat.g.fb SELECT user_id, event_id, value * 2
+         |FROM $view WHERE user_id % 3 = 0""".stripMargin)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def shuffles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      val joined = s.sql(
+        s"""SELECT a.user_id, a.value, b.w FROM $cat.g.fa a
+           |JOIN $cat.g.fb b ON a.user_id = b.user_id""".stripMargin)
+      require(shuffles(joined) == 0,
+        s"storage-partitioned join did not engage:\n" +
+          joined.queryExecution.executedPlan)
+      // the clustering serves the follow-on aggregate-on-key too
+      val perKey = s.sql(
+        s"""SELECT a.user_id,
+           |CAST(SUM(CAST(round((a.value + b.w) * 100) AS BIGINT)) AS BIGINT)
+           |  AS cents
+           |FROM $cat.g.fa a JOIN $cat.g.fb b ON a.user_id = b.user_id
+           |GROUP BY a.user_id""".stripMargin)
+      require(shuffles(perKey) == 0,
+        s"join+agg re-shuffled:\n" + perKey.queryExecution.executedPlan)
+      val out = perKey.groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cents")).as("cents_total"))
+        .orderBy("bucket")
+      // materialize the SHUFFLE-FREE physical plan BEFORE confs restore
+      // (a Dataset caches its QueryExecution once built — the later
+      // collect executes exactly this plan)
+      out.queryExecution.executedPlan
+      out
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  val mergeSpjGatedSql: String =
+    """WITH fa AS (
+      |  SELECT user_id, arg_max(value, event_id) AS v
+      |  FROM events GROUP BY user_id),
+      |fb AS (
+      |  SELECT user_id, arg_max(value * 2, event_id) AS w
+      |  FROM events WHERE user_id % 3 = 0 GROUP BY user_id),
+      |pk AS (
+      |  SELECT fa.user_id,
+      |    CAST(CAST(round((fa.v + fb.w) * 100) AS BIGINT) AS BIGINT) AS cents
+      |  FROM fa JOIN fb ON fa.user_id = fb.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM pk GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_overwrite — INSERT OVERWRITE as a versioned truncate-and-
   // load (SupportsTruncate -> MergeSink.overwriteBatch): the full log
   // lands as two merge commits, then INSERT OVERWRITE replaces the
@@ -3041,6 +3134,7 @@ object Streams {
     "q_merge_bloom" -> mergeBloomGated,
     "q_catalog_maint" -> catalogMaintGated,
     "q_dsv2_overwrite" -> dsv2OverwriteGated,
+    "q_merge_spj" -> mergeSpjGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -3084,6 +3178,7 @@ object Streams {
     "q_merge_bloom" -> mergeBloomGatedSql,
     "q_catalog_maint" -> mergeCompactGatedSql,
     "q_dsv2_overwrite" -> dsv2OverwriteGatedSql,
+    "q_merge_spj" -> mergeSpjGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

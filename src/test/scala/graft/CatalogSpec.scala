@@ -579,4 +579,66 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"SELECT $cat.db.damerau('a')").collect())
   }
+
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.fa (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.fb (k BIGINT, seq BIGINT, w DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.fa SELECT id, 1L, id * 0.5 FROM range(500)")
+    spark.sql(s"INSERT INTO $cat.db.fb SELECT id, 1L, id * 2.0 FROM range(300)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      def shufflesOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      val j = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM $cat.db.fa a
+           |JOIN $cat.db.fb b ON a.k = b.k""".stripMargin)
+      assert(shufflesOf(j) == 0,
+        s"SPJ did not engage:\n${j.queryExecution.executedPlan}")
+      val got = j.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.length == 300, s"join lost rows: ${got.length}")
+      assert(got.forall { case (k, v, w) => v == k * 0.5 && w == k * 2.0 })
+      // grouped-aggregate on the key over the join: STILL zero exchanges
+      // (the clustering satisfies the aggregate's distribution too)
+      val agg = spark.sql(
+        s"""SELECT a.k, sum(a.v + b.w) s FROM $cat.db.fa a
+           |JOIN $cat.db.fb b ON a.k = b.k GROUP BY a.k""".stripMargin)
+      assert(shufflesOf(agg) == 0,
+        s"join+agg re-shuffled:\n${agg.queryExecution.executedPlan}")
+      // control: conf off -> the same join shuffles both sides
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM $cat.db.fa a
+           |JOIN $cat.db.fb b ON a.k = b.k""".stripMargin)
+      assert(shufflesOf(off) == 2, "control join should shuffle both sides")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // control: MISMATCHED bucket counts (fb compacted to 4) -> the
+      // transforms' literals differ, Spark falls back to a correct
+      // shuffled join, never a wrong co-partitioned one
+      spark.sql(s"CALL $cat.sys.compact('db.fb', 4)")
+      val mm = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM $cat.db.fa a
+           |JOIN $cat.db.fb b ON a.k = b.k""".stripMargin)
+      assert(shufflesOf(mm) == 2,
+        s"mismatched bucket counts must shuffle:\n${mm.queryExecution.executedPlan}")
+      assert(mm.count() == 300)
+    } finally {
+      saved.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
+      }
+    }
+  }
 }
