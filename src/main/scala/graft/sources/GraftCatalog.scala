@@ -319,6 +319,18 @@ class GraftCatalog
             "SET/UNSET TBLPROPERTIES is a metadata operation here")
     }
     writeMeta(ident, props, overwrite = true)
+    // ENGINE-backed properties take effect in the data dir too:
+    // `history_keep` is the snapshot-retention depth (SET pushes it to
+    // the table's `_history_keep`; UNSET restores the default 2)
+    changes.foreach {
+      case set: TableChange.SetProperty if set.property == "history_keep" =>
+        graft.streaming.MergeSink.setHistoryKeep(
+          SparkSession.active, props.getProperty("path"), set.value.toInt)
+      case rm: TableChange.RemoveProperty if rm.property == "history_keep" =>
+        graft.streaming.MergeSink.setHistoryKeep(
+          SparkSession.active, props.getProperty("path"), 2)
+      case _ =>
+    }
     loadWith(ident, None)
   }
 
@@ -562,7 +574,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
-      "set_bloom_index")
+      "set_bloom_index", "set_history_keep")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -570,6 +582,7 @@ object GraftProcedures {
       case "compact_incremental" => Some(new CompactIncrProc(cat))
       case "expire_tombstones" => Some(new ExpireProc(cat))
       case "set_bloom_index" => Some(new BloomProc(cat))
+      case "set_history_keep" => Some(new HistoryKeepProc(cat))
       case _ => None
     }
 
@@ -660,6 +673,24 @@ object GraftProcedures {
       MergeSink.expireTombstones(
         SparkSession.active, opts("path"), opts("key"), opts("seq"),
         input.getLong(1))
+  }
+
+  /** `CALL cat.sys.set_history_keep('ns.t', 5)` — per-table snapshot
+    * retention depth ([[MergeSink.setHistoryKeep]]): how many committed
+    * versions stay readable for time travel / CDC replay. Applies at
+    * the next commit's GC.
+    */
+  final class HistoryKeepProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "set_history_keep", "keep",
+        Seq(ProcedureParameter.in("keep", IntegerType).build())) {
+    override def description(): String =
+      "set how many committed versions stay readable (time travel depth)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val keep = input.getInt(1)
+      MergeSink.setHistoryKeep(SparkSession.active, opts("path"), keep)
+      keep
+    }
   }
 
   /** `CALL cat.sys.set_bloom_index('ns.t', 'col[:ndv],col2')` —

@@ -1044,7 +1044,9 @@ class GraftMergeScan(
         MergeSink.commits(spark, dir).exists(_.version == v) &&
           MergeSink.manifest(spark, dir, v).nonEmpty,
         s"graft-merge: versionAsOf=$v is not a committed, retained " +
-          s"version of $dir (retention keeps current + previous)")
+          s"version of $dir (snapshot retention keeps the most recent " +
+          s"${graft.streaming.MergeSink.historyKeep(spark, dir)} versions" +
+          " — raise it with setHistoryKeep / CALL sys.set_history_keep)")
       Some(v)
     case None => MergeSink.lastCommit(spark, dir).map(_.version)
   }

@@ -730,9 +730,12 @@ object MergeSink {
     // ... then the O(1) marker that makes it all visible
     fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
 
-    // GC: keep the current + previous version readable. Live data =
-    // bucket dirs referenced by either retained manifest.
-    val keepVersions = Set(newV, newV - 1).filter(_ >= 0)
+    // GC: keep the most recent `historyKeep` versions readable (default
+    // current + previous). Live data = bucket dirs referenced by any
+    // retained manifest.
+    val keep = historyKeep(spark, dir).toLong
+    val earliestKept = newV - keep + 1
+    val keepVersions = (math.max(earliestKept, 0L) to newV).toSet
     val live: Set[(Int, Long)] = keepVersions.flatMap(v =>
       manifest(spark, dir, v).toSeq.map { case (b, cv) => (b, cv) })
     fs.listStatus(p)
@@ -740,8 +743,8 @@ object MergeSink {
       .map(_.getPath)
       .filter { q =>
         val n = q.getName
-        (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < newV - 1)) ||
-        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < newV - 1))
+        (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
+        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept))
       }
       .foreach(fs.delete(_, true))
     val dataRoot = new Path(p, "data")
@@ -979,6 +982,38 @@ object MergeSink {
     * FUTURE writes; run [[compact]] (or [[compactIncremental]] after
     * dirtying) to index existing data.
     */
+  /** Per-table SNAPSHOT retention: how many committed versions stay
+    * readable (time travel + CDC replay depth). Default 2 (current +
+    * previous — the original hardwired window). Stored as a one-line
+    * `_history_keep` file in the table dir, like `_bloom_cols`: a
+    * property of the DATA directory, so path-based and catalog access
+    * agree, and each commit's GC reads one tiny file — nothing scales
+    * with table size or history depth. Takes effect at the NEXT
+    * commit's GC; raising it never resurrects already-collected
+    * versions.
+    */
+  def setHistoryKeep(spark: SparkSession, dir: String, keep: Int): Unit = {
+    require(keep >= 1, s"history keep must be >= 1, got $keep")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_history_keep"), true)
+    try out.write(s"$keep\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's snapshot-retention depth (see [[setHistoryKeep]]). */
+  def historyKeep(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_history_keep")
+    if (!fs.exists(f)) 2
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim.toInt
+      finally in.close()
+    }
+  }
+
   def setBloomIndex(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     val (fs, p) = fsOf(spark, dir)
     fs.mkdirs(p)

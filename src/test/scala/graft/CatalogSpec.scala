@@ -303,6 +303,36 @@ class CatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("CDC evolution"), e2.getMessage)
   }
 
+  test("snapshot retention from SQL: TBLPROPERTIES and CALL set_history_keep reach the GC") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.hk (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"ALTER TABLE $cat.db.hk SET TBLPROPERTIES ('history_keep' = '4')")
+    (0 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.hk VALUES ($i, ${10 + i}, $i.5)")
+    }
+    // keep=4 after 5 commits: v0 collected, v1..v4 travelable
+    val hist = spark.sql(s"SELECT version FROM $cat.db.hk.history")
+      .collect().map(_.getLong(0)).sorted
+    assert(hist.sameElements(Array(1L, 2L, 3L, 4L)), hist.toSeq.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.hk VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // the procedure form tightens it back; next commit shrinks the window
+    spark.sql(s"CALL $cat.sys.set_history_keep('db.hk', 2)")
+    spark.sql(s"INSERT INTO $cat.db.hk VALUES (9, 99, 9.5)")
+    val after = spark.sql(s"SELECT version FROM $cat.db.hk.history")
+      .collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(Array(4L, 5L)), after.toSeq.toString)
+    // UNSET restores the default depth (2)
+    spark.sql(s"ALTER TABLE $cat.db.hk UNSET TBLPROPERTIES ('history_keep')")
+    assert(graft.streaming.MergeSink.historyKeep(
+      spark,
+      spark.sql(s"SHOW TBLPROPERTIES $cat.db.hk").collect()
+        .find(_.getString(0) == "path").get.getString(1)) == 2)
+  }
+
   test("a cdc-property table is the commit-log view: batch sees the retained log") {
     val cat = freshCatalog()
     val s2 = spark

@@ -839,4 +839,36 @@ class StateSpec extends SparkSpec {
     assert(postFiles.size == 1 && postFiles.head.contains("/b"),
       s"post-compaction tuple lookup: $postFiles")
   }
+
+  test("snapshot retention: setHistoryKeep widens the time-travel window at the next GC") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_histkeep").toString
+    MS.setHistoryKeep(spark, table, 3)
+    assert(MS.historyKeep(spark, table) == 3)
+    (0 to 3).foreach { i =>
+      MS.upsertBatch(
+        Seq((i.toLong, 10L + i, i * 1.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", i.toLong, "hk")
+    }
+    // keep=3 after 4 commits: versions 1,2,3 retained, v0 collected
+    val retained = MS.commits(spark, table).map(_.version).sorted
+    assert(retained.sameElements(Array(1L, 2L, 3L)), retained.toSeq.toString)
+    // time travel reaches TWO versions back (impossible at default 2)
+    val v1 = MS.stateAt(spark, table, 1L).get
+    assert(v1.count() == 2L, "v1 snapshot should hold keys 0 and 1")
+    // a collected version fails loudly through the connector
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-merge")
+        .option("path", table).option("versionAsOf", "0").load().count()
+    }
+    assert(err.getMessage.contains("snapshot retention"), err.getMessage)
+    // tightening back to the default shrinks the window at the next commit
+    MS.setHistoryKeep(spark, table, 2)
+    MS.upsertBatch(
+      Seq((9L, 99L, 9.0)).toDF("k", "seq", "v"), table, "k", "seq", 9L, "hk")
+    val after = MS.commits(spark, table).map(_.version).sorted
+    assert(after.sameElements(Array(3L, 4L)), after.toSeq.toString)
+  }
 }
