@@ -41,6 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog
     extends TableCatalog
     with SupportsNamespaces
+    with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -291,6 +292,116 @@ class GraftCatalog
     new GraftMergeTable(schema, Map("path" -> path, "key" -> key, "seq" -> seq))
   }
 
+  // ------------------------------------------------------------------
+  // StagingTableCatalog — ATOMIC CTAS / RTAS. Plain CTAS through a
+  // non-staging catalog is create-then-write: a failed SELECT strands
+  // an empty (or half-written) table in the catalog. Staged, the
+  // metadata publish happens ONLY in commitStagedChanges after the
+  // write succeeded — a failed CTAS leaves no table, a failed RTAS
+  // leaves the old definition untouched. REPLACE keeps the table's
+  // data directory (and therefore its commit history: the pre-replace
+  // snapshot stays time-travelable like any overwrite), writes the new
+  // rows as an overwrite commit that REDEFINES the recorded schema,
+  // and forbids changing key/seq/path — those are the table's physical
+  // identity.
+  // ------------------------------------------------------------------
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = false, orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private def stage(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean,
+      orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft-merge tables own their layout (hash buckets); " +
+        "PARTITIONED BY is not supported")
+    val exists = tableExists(ident)
+    if (!replace && exists) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
+    val given = properties.asScala
+    def opt(k: String): Option[String] =
+      given.get(TableCatalog.OPTION_PREFIX + k).orElse(given.get(k))
+    val prev = if (exists) Some(readMeta(ident)) else None
+    val key = opt("key").orElse(prev.map(_.getProperty("key")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-merge: OPTIONS must declare key (the merge key column, " +
+          "or a comma-list for a composite key)"))
+    val seq = opt("seq").orElse(prev.map(_.getProperty("seq")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-merge: OPTIONS must declare seq (the total-order column)"))
+    prev.foreach { pp =>
+      require(pp.getProperty("key") == key && pp.getProperty("seq") == seq,
+        "graft catalog: REPLACE TABLE cannot change key/seq — they are " +
+          "the table's physical identity (bucketing and row ordering); " +
+          "DROP and re-create to re-key")
+    }
+    graft.streaming.MergeSink.keyCols(key).foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"graft-merge: key column '$k' not in the staged schema"))
+    require(schema.fieldNames.contains(seq),
+      s"graft-merge: seq column '$seq' not in the staged schema")
+    val external = opt("path")
+      .orElse(Option(properties.get(TableCatalog.PROP_LOCATION)))
+    prev.foreach { pp =>
+      require(external.forall(_ == pp.getProperty("path")),
+        "graft catalog: REPLACE TABLE cannot relocate the table")
+    }
+    val path = prev.map(_.getProperty("path"))
+      .orElse(external).getOrElse(managedDataPath(ident).toString)
+    val props = new util.Properties
+    given.foreach { case (k, v) =>
+      if (k.startsWith(TableCatalog.OPTION_PREFIX)) {
+        val bare = k.stripPrefix(TableCatalog.OPTION_PREFIX)
+        if (bare != "key" && bare != "seq" && bare != "path")
+          props.setProperty(bare, v)
+      }
+    }
+    props.setProperty("path", path)
+    props.setProperty("key", key)
+    props.setProperty("seq", seq)
+    props.setProperty("schema", schema.json)
+    props.setProperty(TableCatalog.PROP_EXTERNAL,
+      prev.map(_.getProperty(TableCatalog.PROP_EXTERNAL))
+        .getOrElse(external.isDefined.toString))
+    val managedNew = !exists && external.isEmpty
+    new GraftStagedTable(
+      this, ident,
+      new GraftMergeTable(
+        schema, Map("path" -> path, "key" -> key, "seq" -> seq)),
+      props,
+      replaceData = exists,
+      // abort of a NEW managed table removes the data its write
+      // committed; an aborted REPLACE keeps the old definition (the
+      // overwrite commit, if it happened, stays time-travelable)
+      abortCleanupPath = if (managedNew) Some(path) else None)
+  }
+
+  private[sources] def commitStagedMeta(
+      ident: Identifier, props: util.Properties, overwrite: Boolean): Unit =
+    writeMeta(ident, props, overwrite)
+
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the routine operations a
     * SQL user performs on any real table. Everything structural stays
     * immutable and rejects loudly: the schema follows the committed
@@ -417,6 +528,52 @@ class GraftCatalog
     }
     fs.delete(d, true)
   }
+}
+
+/** A staged CTAS/RTAS table ([[GraftCatalog.stageCreate]] family): the
+  * inner [[GraftMergeTable]] serves the write (for a REPLACE, routed
+  * through `replaceTableSemantics()` — an overwrite commit that also
+  * redefines the recorded schema); the catalog METADATA publish is
+  * deferred to [[commitStagedChanges]], which is what makes the whole
+  * statement atomic from SQL's point of view.
+  */
+private[sources] class GraftStagedTable(
+    cat: GraftCatalog,
+    ident: Identifier,
+    inner: GraftMergeTable,
+    meta: util.Properties,
+    replaceData: Boolean,
+    abortCleanupPath: Option[String])
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def properties(): util.Map[String, String] = inner.properties()
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val wb = inner.newWriteBuilder(info)
+      .asInstanceOf[GraftMergeWriteBuilder]
+    if (replaceData) wb.replaceTableSemantics()
+    wb
+  }
+
+  override def commitStagedChanges(): Unit =
+    // exclusive create for CTAS (two racing CTAS resolve to one
+    // winner); overwrite for RTAS (the definition existed)
+    cat.commitStagedMeta(ident, meta, overwrite = replaceData)
+
+  override def abortStagedChanges(): Unit =
+    abortCleanupPath.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+    }
 }
 
 /** The engine's SQL-callable scalar functions (the [[GraftCatalog]]

@@ -69,15 +69,26 @@ class GraftMergeWriteBuilder(
     * table are expressed as row-level DML, which already exists.
     */
   private var overwriteAll = false
+  private var redefineSchema = false
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  /** REPLACE TABLE AS SELECT semantics (reached only through the
+    * catalog's staged replace, never plain SQL INSERT): overwrite AND
+    * record only the new batch's schema in the manifest — a replace
+    * REDEFINES the table, unlike a truncate, which keeps its shape.
+    */
+  def replaceTableSemantics(): this.type = {
+    overwriteAll = true; redefineSchema = true; this
+  }
 
   override def build(): Write = new Write {
     override def description(): String =
       s"GraftMergeWrite dir=$dir key=$key seq=$seq overwrite=$overwriteAll"
     override def toBatch: BatchWrite =
       new GraftMergeBatchWrite(
-        dir, key, seq, info.schema, info.queryId, overwriteAll)
+        dir, key, seq, info.schema, info.queryId, overwriteAll,
+        keepSchema = !redefineSchema)
     override def toStreaming: StreamingWrite = {
       require(!overwriteAll,
         "graft-merge: streaming truncate/complete-mode overwrite is not " +
@@ -141,7 +152,8 @@ private[graft] object MergeWriteUtil {
       epochId: Long,
       runId: String,
       messages: Array[WriterCommitMessage],
-      overwriteAll: Boolean = false): Unit = {
+      overwriteAll: Boolean = false,
+      keepSchema: Boolean = true): Unit = {
     val spark = SparkSession.active
     val staging = stagingDir(dir, queryId)
     val p = new Path(staging)
@@ -152,7 +164,9 @@ private[graft] object MergeWriteUtil {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(files: _*)
-    if (overwriteAll) MergeSink.overwriteBatch(batch, dir, key, seq, epochId, runId)
+    if (overwriteAll)
+      MergeSink.overwriteBatch(
+        batch, dir, key, seq, epochId, runId, keepSchema = keepSchema)
     else MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
     fs.delete(p, true)
     dropEmptyStagingParent(fs, p)
@@ -196,7 +210,8 @@ class GraftMergeBatchWrite(
     seq: String,
     schema: StructType,
     queryId: String,
-    overwriteAll: Boolean = false)
+    overwriteAll: Boolean = false,
+    keepSchema: Boolean = true)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -211,7 +226,7 @@ class GraftMergeBatchWrite(
     MergeWriteUtil.commitStaged(
       dir, key, seq, schema, queryId, epochId = 0L,
       runId = s"dsv2b-$queryId", messages = messages,
-      overwriteAll = overwriteAll)
+      overwriteAll = overwriteAll, keepSchema = keepSchema)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MergeWriteUtil.abortStaged(dir, queryId)

@@ -528,7 +528,8 @@ object MergeSink {
       key: String,
       seq: String,
       epochId: Long,
-      runId: String = "batch"): Unit = {
+      runId: String = "batch",
+      keepSchema: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
@@ -573,10 +574,14 @@ object MergeSink {
     // only what this batch wrote (or nothing, for a truncate). The
     // PREVIOUS version still feeds the recorded union schema (schema is
     // monotone across commits; a truncated table must not forget its
-    // shape), which publish resolves via prevVersion.
+    // shape), which publish resolves via prevVersion — EXCEPT under
+    // `keepSchema = false` (REPLACE TABLE AS SELECT): a replace
+    // REDEFINES the table, so the new manifest records only the new
+    // shape; older versions keep their own recorded schema for time
+    // travel.
     publish(
       spark, dir, nb, Map.empty, touched, merged, newV, runId, epochId,
-      prevVersion = last.map(_.version))
+      prevVersion = if (keepSchema) last.map(_.version) else None)
   }
 
   /** Durably publish version `newV`: write `rows` (bucketed by their

@@ -423,6 +423,65 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT version FROM $cat.db.dst.history").count() == 1L)
   }
 
+  test("atomic CTAS: a failed SELECT leaves NO table; RTAS replaces atomically") {
+    val cat = freshCatalog()
+    // failed CTAS: raise_error fires mid-write -> no catalog entry, no
+    // orphaned managed data dir (the staged-create abort cleans it)
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.boom USING `graft-merge`
+           |OPTIONS (key 'k', seq 'seq') AS
+           |SELECT id AS k, 1L AS seq,
+           |  CASE WHEN id > 5 THEN raise_error('ctas boom') ELSE 'x' END AS v
+           |FROM range(20)""".stripMargin)
+    }
+    assert(!spark.catalog.tableExists(s"$cat.db.boom"),
+      "failed CTAS left a table behind")
+    // REPLACE TABLE AS SELECT: new rows, REDEFINED schema (v dropped,
+    // w added), same key/seq; the pre-replace snapshot stays
+    // time-travelable (replace = overwrite commit, not erasure)
+    spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT, seq BIGINT, v DOUBLE) " +
+      "USING `graft-merge` OPTIONS (key 'k', seq 'seq')")
+    spark.sql(s"INSERT INTO $cat.db.r SELECT id, 10, id * 1.0 FROM range(10)")
+    spark.sql(
+      s"""REPLACE TABLE $cat.db.r USING `graft-merge`
+         |OPTIONS (key 'k', seq 'seq') AS
+         |SELECT id AS k, 20L AS seq, concat('w', id) AS w
+         |FROM range(3)""".stripMargin)
+    val replaced = spark.table(s"$cat.db.r")
+    assert(replaced.schema.fieldNames.sorted.sameElements(
+      Array("k", "seq", "w")),
+      s"replace did not redefine schema: ${replaced.schema.fieldNames.toSeq}")
+    assert(replaced.count() == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.r VERSION AS OF 0")
+      .head().getLong(0) == 10L, "pre-replace snapshot lost")
+    // identity stays immutable through REPLACE
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""REPLACE TABLE $cat.db.r USING `graft-merge`
+           |OPTIONS (key 'seq', seq 'k') AS
+           |SELECT 1L AS k, 1L AS seq FROM range(1)""".stripMargin)
+    }
+    assert(e.getMessage.contains("physical identity"), e.getMessage)
+    // CREATE OR REPLACE on a missing table creates it
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.db.cor USING `graft-merge`
+         |OPTIONS (key 'k', seq 'seq') AS
+         |SELECT id AS k, 1L AS seq FROM range(5)""".stripMargin)
+    assert(spark.table(s"$cat.db.cor").count() == 5L)
+    // failed RTAS keeps the old definition AND rows visible
+    intercept[Exception] {
+      spark.sql(
+        s"""REPLACE TABLE $cat.db.cor USING `graft-merge`
+           |OPTIONS (key 'k', seq 'seq') AS
+           |SELECT id AS k, 2L AS seq,
+           |  CASE WHEN id > 2 THEN raise_error('rtas boom') ELSE 'y' END AS z
+           |FROM range(9)""".stripMargin)
+    }
+    assert(spark.table(s"$cat.db.cor").count() == 5L,
+      "failed RTAS disturbed the table")
+  }
+
   test("metadata tables: t.history and t.files answer from markers + manifests") {
     val cat = freshCatalog()
     spark.sql(
