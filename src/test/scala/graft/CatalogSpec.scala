@@ -706,6 +706,19 @@ class CatalogSpec extends SparkSpec {
            |JOIN $cat.db.fb b ON a.k = b.k GROUP BY a.k""".stripMargin)
       assert(shufflesOf(agg) == 0,
         s"join+agg re-shuffled:\n${agg.queryExecution.executedPlan}")
+      // a sparse side (3 keys -> a strict subset of the buckets) still
+      // joins shuffle-free: pushPartValues aligns the mismatched
+      // partition-value sets instead of falling back
+      spark.sql(
+        s"""CREATE TABLE $cat.db.fc (k BIGINT, seq BIGINT, u DOUBLE)
+           |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.db.fc SELECT id, 1L, id * 3.0 FROM range(3)")
+      val sparse = spark.sql(
+        s"""SELECT a.k, a.v, c.u FROM $cat.db.fa a
+           |JOIN $cat.db.fc c ON a.k = c.k""".stripMargin)
+      assert(shufflesOf(sparse) == 0,
+        s"sparse-side SPJ fell back:\n${sparse.queryExecution.executedPlan}")
+      assert(sparse.count() == 3)
       // control: conf off -> the same join shuffles both sides
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val off = spark.sql(
