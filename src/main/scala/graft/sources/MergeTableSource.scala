@@ -903,7 +903,8 @@ class GraftMergeScan(
     extends Scan
     with SupportsRuntimeFiltering
     with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   private val kcols: Seq[String] =
     keyCol.map(MergeSink.keyCols).getOrElse(Nil)
@@ -950,6 +951,30 @@ class GraftMergeScan(
     } else
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
+  }
+
+  /** Reported per-partition ORDERING — the completion of the SPJ
+    * story: a COMPACTED table's bucket files are key-sorted (the
+    * manifest's `O` flag, written only by compaction and dropped by
+    * any dirty write), and under SPJ planning each read task is one
+    * bucket, so the partition streams in key order. Two compacted
+    * co-bucketed tables then sort-merge-join with NO shuffle and NO
+    * sort — the scan feeds the join directly. Claimed only when every
+    * planned bucket is a single file (concatenating two sorted files
+    * is not sorted) and the sort columns are exactly the merge key.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val sorted = spjMode &&
+      resolvedVersion.exists(v =>
+        MergeSink.manifestSortedBy(spark, dir, v).contains(kcols)) &&
+      snapshotFiles.values.forall(_._2.size == 1)
+    if (sorted)
+      kcols.map(k =>
+        Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))
+        .toArray
+    else Array.empty
   }
 
   override def readSchema(): StructType = required

@@ -209,7 +209,8 @@ object MergeSink {
   }
 
   private def entryLines(lines: Seq[String]): Seq[String] =
-    lines.filterNot(l => l.isEmpty || l.startsWith("B ") || l.startsWith("S "))
+    lines.filterNot(l => l.isEmpty || l.startsWith("B ") ||
+      l.startsWith("S ") || l.startsWith("O "))
 
   /** The bucket -> content-version map for a committed version.
     * Manifest lines are `b v [bytes rows deletedFlag [files]]` — the
@@ -297,6 +298,20 @@ object MergeSink {
           else None
         }.toMap
     }
+
+  /** The key columns EVERY bucket file of a committed version is
+    * sorted by (an `O c1,c2` manifest header, written by compaction —
+    * the only operation that sorts the whole table). None when any
+    * bucket may be unsorted: ordinary upsert/overwrite commits never
+    * write the flag, so it drops automatically the moment a dirty
+    * write lands. What the DSv2 scan's reported ordering keys on.
+    */
+  def manifestSortedBy(
+      spark: SparkSession, dir: String, version: Long): Option[Seq[String]] =
+    manifestLines(spark, dir, version).flatMap(
+      _.collectFirst { case l if l.startsWith("O ") =>
+        l.drop(2).trim.split(",").toSeq
+      })
 
   /** Bucket count recorded in a committed version's manifest header —
     * the writer's hash modulus, which any pruning reader (the DSv2
@@ -602,7 +617,8 @@ object MergeSink {
       newV: Long,
       runId: String,
       epochId: Long,
-      prevVersion: Option[Long] = None): Unit = {
+      prevVersion: Option[Long] = None,
+      sortedBy: Option[Seq[String]] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
     // bucket -> (data bytes, row count) for the new manifest: rewritten
@@ -719,7 +735,9 @@ object MergeSink {
     }
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
-      val body = ((s"B $nb" +: unionSchema.map(s => s"S ${s.json}").toSeq) ++
+      val body = ((s"B $nb" +:
+        (unionSchema.map(s => s"S ${s.json}").toSeq ++
+          sortedBy.map(ks => s"O ${ks.mkString(",")}").toSeq)) ++
         newManifest.toSeq.sorted.map { case (b, v) =>
         (bytesOf(b), rowsOf(b), delOf(b), filesOf(b)) match {
           case (Some(sz), Some(rc), Some(dl), Some(fns)) =>
@@ -965,7 +983,10 @@ object MergeSink {
         publish(
           spark, dir, targetBuckets, Map.empty,
           touched = (0 until targetBuckets).toSet, Some(rows), newV,
-          runId = "maintenance", epochId = newV) // all buckets rewritten: sizes measured fresh
+          runId = "maintenance", epochId = newV,
+          // every bucket rewritten key-sorted: the manifest records the
+          // table-wide sort (what SupportsReportOrdering keys on)
+          sortedBy = Some(keyCols(key))) // all buckets rewritten: sizes measured fresh
         manifest(spark, dir, newV).size
     }
   }
@@ -1096,7 +1117,14 @@ object MergeSink {
         publish(
           spark, dir, nb, m, touched = dirty, Some(rows), newV,
           runId = "maintenance", epochId = newV,
-          prevVersion = Some(c.version))
+          prevVersion = Some(c.version),
+          // the rewritten buckets are sorted NOW; the carried ones are
+          // sorted iff the whole table was sorted as of sinceVersion
+          // (every carried content version <= sinceVersion is part of
+          // that all-sorted state) — then and only then the table-wide
+          // flag survives
+          sortedBy = manifestSortedBy(spark, dir, sinceVersion)
+            .filter(_ == keyCols(key)))
         dirty
     }
   }

@@ -669,6 +669,61 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"SELECT $cat.db.damerau('a')").collect())
   }
 
+  test("compacted tables sort-merge-join with zero shuffle AND zero sort") {
+    val cat = freshCatalog()
+    for (t <- Seq("sa", "sb")) {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.$t (k BIGINT, seq BIGINT, v DOUBLE)
+           |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.db.$t SELECT id, 1L, id * 1.0 FROM range(400)")
+      // compaction = the sort: bucket files become key-sorted and the
+      // manifest records the table-wide O flag
+      spark.sql(s"CALL $cat.sys.compact('db.$t', 8)")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      def sortsAndShuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val plan = df.queryExecution.executedPlan
+        (plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.size,
+          plan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size)
+      }
+      val j = spark.sql(
+        s"""SELECT a.k, a.v, b.v AS w FROM $cat.db.sa a
+           |JOIN $cat.db.sb b ON a.k = b.k""".stripMargin)
+      val (sorts, shuffles) = sortsAndShuffles(j)
+      assert(shuffles == 0 && sorts == 0,
+        s"expected sortless shuffle-free SMJ, got sorts=$sorts " +
+          s"shuffles=$shuffles:\n${j.queryExecution.executedPlan}")
+      assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.count() == 400)
+      // a dirty write drops the sorted flag: the join needs sorts again
+      // (still shuffle-free — bucketing survives, ordering does not)
+      spark.sql(s"INSERT INTO $cat.db.sb VALUES (7, 9L, 9.9)")
+      val j2 = spark.sql(
+        s"""SELECT a.k, a.v, b.v AS w FROM $cat.db.sa a
+           |JOIN $cat.db.sb b ON a.k = b.k""".stripMargin)
+      val (sorts2, shuffles2) = sortsAndShuffles(j2)
+      assert(shuffles2 == 0 && sorts2 > 0,
+        s"dirty write should drop ordering only: sorts=$sorts2 " +
+          s"shuffles=$shuffles2:\n${j2.queryExecution.executedPlan}")
+      assert(j2.count() == 400)
+    } finally {
+      saved.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
     val cat = freshCatalog()
     spark.sql(

@@ -840,6 +840,40 @@ class StateSpec extends SparkSpec {
       s"post-compaction tuple lookup: $postFiles")
   }
 
+  test("sorted-manifest flag lifecycle: compaction sets, dirty write drops, incremental restores") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_sorted_flag").toString
+    MS.upsertBatch(
+      (1L to 50L).map(i => (i, 10L, i * 1.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "sf")
+    def flagAt(v: Long) = MS.manifestSortedBy(spark, table, v)
+    assert(flagAt(0L).isEmpty, "ordinary upsert must not claim sortedness")
+    MS.compact(spark, table, "k", targetBuckets = 4)
+    val compactV = MS.lastCommit(spark, table).get.version
+    assert(flagAt(compactV).contains(Seq("k")), "compaction should set O flag")
+    MS.upsertBatch(
+      Seq((7L, 20L, 7.7)).toDF("k", "seq", "v"), table, "k", "seq", 1L, "sf")
+    val dirtyV = MS.lastCommit(spark, table).get.version
+    assert(flagAt(dirtyV).isEmpty, "dirty write must drop the O flag")
+    // incremental compaction since the FULL compact restores it (the
+    // carried buckets were part of that all-sorted state)
+    MS.compactIncremental(spark, table, "k", sinceVersion = compactV)
+    val incrV = MS.lastCommit(spark, table).get.version
+    assert(flagAt(incrV).contains(Seq("k")),
+      "incremental since the full compact should restore the O flag")
+    // ... but NOT when sinceVersion predates the full compact's
+    // all-sorted state being re-established after new dirt
+    MS.upsertBatch(
+      Seq((8L, 30L, 8.8)).toDF("k", "seq", "v"), table, "k", "seq", 2L, "sf")
+    MS.compactIncremental(spark, table, "k",
+      sinceVersion = dirtyV) // dirtyV's manifest had no flag
+    val incr2V = MS.lastCommit(spark, table).get.version
+    assert(flagAt(incr2V).isEmpty,
+      "incremental since an unsorted baseline must not claim sortedness")
+  }
+
   test("snapshot retention: setHistoryKeep widens the time-travel window at the next GC") {
     val s2 = spark
     import s2.implicits._
