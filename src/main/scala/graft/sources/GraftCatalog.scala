@@ -423,11 +423,44 @@ class GraftCatalog
           s"graft catalog: table property '${rm.property}' is immutable " +
             "(it defines the table's physical identity)")
         props.remove(rm.property)
+      // ADD COLUMN(S): schema evolution as METADATA — on a committed
+      // table a schema-only commit extends the manifest's recorded
+      // union schema (zero data rewritten; old rows read NULL); on a
+      // never-committed table the declared schema property extends.
+      // Appending nullable columns only: drops/renames/type changes
+      // would orphan or misread committed data and stay rejected.
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only, " +
+            s"got ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          s"graft catalog: new column ${add.fieldNames.head} must be " +
+            "nullable (existing rows read it as NULL)")
+        require(add.position == null,
+          "graft catalog: ADD COLUMN appends at the end (column order " +
+            "is the commit history's union order); FIRST/AFTER is not " +
+            "supported")
+        val f = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        val path = props.getProperty("path")
+        if (graft.streaming.MergeSink.lastCommit(
+            SparkSession.active, path).isDefined)
+          graft.streaming.MergeSink.addColumns(
+            SparkSession.active, path, Seq(f))
+        else {
+          val cur = DataType.fromJson(props.getProperty("schema"))
+            .asInstanceOf[StructType]
+          require(!cur.fieldNames.map(_.toLowerCase)
+            .contains(f.name.toLowerCase),
+            s"graft catalog: column ${f.name} already exists")
+          props.setProperty("schema", StructType(cur.fields :+ f).json)
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-            "schema follows the committed data (CDC evolution); only " +
-            "SET/UNSET TBLPROPERTIES is a metadata operation here")
+            "the schema evolves by ADD COLUMN or committed CDC batches " +
+            "only (no drops/renames/type changes over committed data); " +
+            "otherwise SET/UNSET TBLPROPERTIES is the metadata surface")
     }
     writeMeta(ident, props, overwrite = true)
     // ENGINE-backed properties take effect in the data dir too:

@@ -108,6 +108,22 @@ class GraftMergeProvider extends TableProvider with DataSourceRegister {
 private[graft] object MergeTableUtil {
   val VersionCol = "_version"
   val BucketCol = "_bucket"
+  val FileCol = "_file"
+
+  /** Scan-served metadata columns (never stored in data files): the
+    * commit that wrote the row's file, its bucket, and the file path —
+    * all split-constant, served as constant vectors at zero per-row
+    * cost. Batch tables expose them via SupportsMetadataColumns (hidden
+    * until selected — the Iceberg `_file` convention); the CDC schema
+    * carries `_version`/`_bucket` as ordinary columns, shadowing these.
+    */
+  val metaFields: Seq[StructField] = Seq(
+    StructField(VersionCol, LongType, nullable = false),
+    StructField(BucketCol, IntegerType, nullable = false),
+    StructField(FileCol, StringType, nullable = false))
+
+  def isMetaCol(name: String): Boolean =
+    name == VersionCol || name == BucketCol || name == FileCol
 
   def dirOf(options: CaseInsensitiveStringMap): String = {
     val d = options.get("path")
@@ -271,7 +287,28 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_version` / `_bucket` / `_file`, selectable by name but hidden
+    * from `SELECT *` (Spark's metadata-column resolution). On a CDC
+    * table the data schema already carries `_version`/`_bucket`;
+    * declaring a conflicting name here is shadowed by the data column,
+    * per the SupportsMetadataColumns contract.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    MergeTableUtil.metaFields
+      .filterNot(m => tableSchema0.fieldNames.contains(m.name))
+      .map(f =>
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = f.name
+          override def dataType(): DataType = f.dataType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "graft-merge scan metadata (split-constant)"
+        })
+      .toArray
 
   /** The merge key and seq are NOT NULL by the table's own contract
     * (every row is identified and ordered by them — the Iceberg
@@ -396,6 +433,19 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
           .lastCommit(spark, dir).map(_.version).getOrElse(-1L)
       case v => v.toLong - 1L
     }
+    // Streaming ADMISSION CONTROL: cap how many commit-log versions one
+    // micro-batch replays (the maxFilesPerTrigger dual for a version-
+    // addressed log). A catch-up read over a deep retained history —
+    // routine against a 100 TB table with history_keep in the hundreds —
+    // must drain in bounded batches, not one giant replay.
+    def posLong(name: String): Option[Long] =
+      Option(o.get(name)).map { raw =>
+        val v = raw.toLong
+        require(v > 0, s"graft-merge: $name must be > 0, got $raw")
+        v
+      }
+    val maxVersions = posLong("maxVersionsPerTrigger")
+    val maxBytes = posLong("maxBytesPerTrigger")
     new GraftMergeScanBuilder(
       spark,
       dir,
@@ -403,7 +453,9 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
       o.getBoolean("cdc", false),
       asOf,
       tableSchema,
-      startOffset)
+      startOffset,
+      maxVersions,
+      maxBytes)
   }
 
   override def newWriteBuilder(
@@ -471,7 +523,9 @@ class GraftMergeScanBuilder(
     cdc: Boolean,
     versionAsOf: Option[Long],
     fullSchema: StructType,
-    startOffset: Option[Long] = None)
+    startOffset: Option[Long] = None,
+    maxVersions: Option[Long] = None,
+    maxBytes: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -649,9 +703,15 @@ class GraftMergeScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // keep declared order; empty projection (count(*)) keeps zero fields
+    // keep declared order; empty projection (count(*)) keeps zero fields.
+    // Requested METADATA columns (_version/_bucket/_file on a batch
+    // table — absent from fullSchema) append after the data columns,
+    // where the reader's constant-vector mechanism serves them.
     required = StructType(
-      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
+        MergeTableUtil.metaFields.filter(m =>
+          requiredSchema.fieldNames.contains(m.name) &&
+            !fullSchema.fieldNames.contains(m.name)))
   }
 
   override def build(): Scan = aggPushed match {
@@ -660,7 +720,7 @@ class GraftMergeScanBuilder(
     case None =>
       new GraftMergeScan(
         spark, dir, keyCol, cdc, versionAsOf, fullSchema, required, keyValues,
-        pushed, startOffset)
+        pushed, startOffset, maxVersions, maxBytes)
   }
 }
 
@@ -876,12 +936,24 @@ object GraftMergeScan {
     new java.util.concurrent.atomic.AtomicReference[(Int, Int, Boolean)]()
 }
 
-/** Sum-aggregated custom metric (driver-reported once per scan). */
-case class GraftScanMetric(metricName: String, desc: String)
+/** Sum-aggregated custom metrics (driver-reported once per scan).
+  * Concrete zero-arg classes, NOT a parameterized case class: the SQL
+  * UI's status listener re-instantiates the metric by CLASS NAME via a
+  * zero-argument constructor to aggregate task values — a constructor
+  * with parameters makes every aggregation fail (logged, metrics blank
+  * in the UI) even though the query itself succeeds.
+  */
+sealed abstract class GraftScanMetric(metricName: String, desc: String)
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = metricName
   override def description(): String = desc
 }
+class SnapshotFilesMetric
+    extends GraftScanMetric("snapshotDataFiles", "snapshot data files")
+class PrunedFilesMetric
+    extends GraftScanMetric("prunedDataFiles", "data files pruned by key")
+class PlannedBytesMetric
+    extends GraftScanMetric("plannedBytes", "manifest bytes planned")
 
 case class GraftScanMetricValue(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -899,7 +971,9 @@ class GraftMergeScan(
     required: StructType,
     keyValues: Option[Seq[Seq[Any]]],
     pushed: Array[Filter],
-    startOffset: Option[Long] = None)
+    startOffset: Option[Long] = None,
+    maxVersions: Option[Long] = None,
+    maxBytes: Option[Long] = None)
     extends Scan
     with SupportsRuntimeFiltering
     with SupportsReportStatistics
@@ -1150,9 +1224,9 @@ class GraftMergeScan(
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(
-      GraftScanMetric("snapshotDataFiles", "snapshot data files"),
-      GraftScanMetric("prunedDataFiles", "data files pruned by key"),
-      GraftScanMetric("plannedBytes", "manifest bytes planned"))
+      new SnapshotFilesMetric,
+      new PrunedFilesMetric,
+      new PlannedBytesMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
@@ -1204,7 +1278,8 @@ class GraftMergeScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(cdc,
       "graft-merge: streaming read requires option cdc=true (the commit-log replay schema)")
-    new GraftMergeMicroBatchStream(spark, dir, required, startOffset)
+    new GraftMergeMicroBatchStream(
+      spark, dir, required, startOffset, maxVersions, maxBytes)
   }
 }
 
@@ -1217,7 +1292,9 @@ class GraftMergeMicroBatchStream(
     spark: SparkSession,
     dir: String,
     required: StructType,
-    startOffset: Option[Long] = None)
+    startOffset: Option[Long] = None,
+    maxVersions: Option[Long] = None,
+    maxBytes: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Where replay begins: the version AFTER the highest already
@@ -1238,8 +1315,44 @@ class GraftMergeMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(latestOffset())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowCap.getOrElse(latestOffset())
+  /** Rate-limited horizon (admission control): at most
+    * `maxVersionsPerTrigger` commit-log versions and/or
+    * `maxBytesPerTrigger` manifest-recorded written bytes per
+    * micro-batch — a catch-up replay over a deep retained history
+    * drains in bounded batches instead of one giant one. The byte cap
+    * is served ENTIRELY from manifests (the bytes each version's
+    * written buckets recorded at commit time — zero file RPCs) and
+    * always admits at least one version, so an oversized commit passes
+    * alone rather than stalling the stream. Under AvailableNow the run
+    * still stops exactly at the prepared cap, just in several batches.
+    * Unlimited when neither option is set.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowCap.getOrElse(latestOffset())
+      .asInstanceOf[MergeOffset].version
+    val s0 = start.asInstanceOf[MergeOffset].version
+    val vCapped = maxVersions.fold(head)(mv => math.min(head, s0 + mv))
+    val capped = maxBytes match {
+      case None => vCapped
+      case Some(mb) =>
+        val vs = MergeSink.commits(spark, dir)
+          .map(_.version).filter(v => v > s0 && v <= vCapped)
+        var budget = mb
+        var last = s0
+        var admitted = 0
+        vs.takeWhile { v =>
+          val m = MergeSink.manifest(spark, dir, v)
+          val bytes = MergeSink.manifestBytes(spark, dir, v)
+          val written = m.collect { case (b, cv) if cv == v =>
+            bytes.getOrElse(b, 0L) }.sum
+          val admit = admitted == 0 || written <= budget
+          if (admit) { budget -= written; last = v; admitted += 1 }
+          admit
+        }
+        last
+    }
+    MergeOffset(capped)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"version\"\\s*:\\s*(-?\\d+)".r
@@ -1433,9 +1546,8 @@ object MergeColumnarReader {
       base: Configuration,
       required: StructType,
       needDeleted: Boolean): Configuration = {
-    import MergeTableUtil.{BucketCol, VersionCol}
     val requiredData =
-      required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
+      required.fields.filterNot(f => MergeTableUtil.isMetaCol(f.name))
     val readerDataSchema = StructType(
       if (needDeleted)
         requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
@@ -1500,7 +1612,7 @@ class MergeColumnarReader(
   // the file lacks (mixed-schema CDC history) become missing-column
   // NULL vectors inside the vectorized reader.
   private val requiredData =
-    required.fields.filterNot(f => f.name == VersionCol || f.name == BucketCol)
+    required.fields.filterNot(f => MergeTableUtil.isMetaCol(f.name))
   private val needDeleted = hideTombstones &&
     fileSchema.containsField(MergeSink.DeletedCol)
   private val readerDataSchema = StructType(
@@ -1535,13 +1647,16 @@ class MergeColumnarReader(
           org.apache.parquet.filter2.predicate.FilterApi.and(_, _))
     }
 
-  // _version/_bucket ride the partition-value mechanism: constant
+  // _version/_bucket/_file ride the partition-value mechanism: constant
   // vectors appended AFTER the data columns by initBatch.
   private val partCols = required.fields
-    .filter(f => f.name == VersionCol || f.name == BucketCol)
+    .filter(f => MergeTableUtil.isMetaCol(f.name))
   private val partValues = new GenericInternalRow(
     partCols.map {
       case f if f.name == VersionCol => partition.version: Any
+      case f if f.name == MergeTableUtil.FileCol =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(partition.file): Any
       case _ => partition.bucket: Any
     }.asInstanceOf[Array[Any]])
 

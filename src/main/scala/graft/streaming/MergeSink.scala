@@ -618,7 +618,8 @@ object MergeSink {
       runId: String,
       epochId: Long,
       prevVersion: Option[Long] = None,
-      sortedBy: Option[Seq[String]] = None): Unit = {
+      sortedBy: Option[Seq[String]] = None,
+      schemaOverride: Option[StructType] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     var written = Set.empty[Int]
     // bucket -> (data bytes, row count) for the new manifest: rewritten
@@ -727,12 +728,15 @@ object MergeSink {
       }
       StructType(out.values.toSeq)
     }
-    val unionSchema: Option[StructType] = (prevSchema, rowsSchema) match {
-      case (Some(a), Some(b)) => Some(mergeByName(a, b))
-      case (None, Some(b)) if !carried => Some(b)
-      case (Some(a), None) => Some(a)
-      case _ => None
-    }
+    // schemaOverride: a SCHEMA-ONLY commit ([[addColumns]]) or a
+    // schema-redefining replace supplies the recorded schema verbatim
+    val unionSchema: Option[StructType] = schemaOverride.orElse(
+      (prevSchema, rowsSchema) match {
+        case (Some(a), Some(b)) => Some(mergeByName(a, b))
+        case (None, Some(b)) if !carried => Some(b)
+        case (Some(a), None) => Some(a)
+        case _ => None
+      })
     val mfOut = fs.create(new Path(p, s"_manifest_v$newV"), true)
     try {
       val body = ((s"B $nb" +:
@@ -950,6 +954,56 @@ object MergeSink {
     * the normal retention window. Runs under the single-writer
     * "maintenance" discipline, same as [[expireTombstones]].
     */
+  /** `ALTER TABLE … ADD COLUMN(S)` — a SCHEMA-ONLY commit: a new
+    * version whose manifest carries every bucket forward untouched and
+    * records the extended union schema. Zero data rewritten (existing
+    * rows read the new column as NULL — the reader's missing-column
+    * vectors, the same mechanism mixed-schema CDC history uses); the
+    * sorted flag carries (nothing moved). New columns must be nullable
+    * and must not collide (case-insensitively) with existing ones or
+    * the reserved scan names. Returns the minted version.
+    *
+    * Legacy tables whose manifest predates the recorded-schema format
+    * fail loudly: compact once to re-base, then evolve.
+    */
+  def addColumns(
+      spark: SparkSession,
+      dir: String,
+      adds: Seq[StructField]): Long = {
+    require(adds.nonEmpty, "addColumns: no columns given")
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"addColumns: $dir has no committed version (declare the column " +
+          "in the CREATE schema instead)"))
+    val base = manifestSchema(spark, dir, last.version).getOrElse(
+      throw new IllegalStateException(
+        s"addColumns: $dir's manifest predates the recorded-schema " +
+          "format; run compaction once to re-base it, then evolve"))
+    val taken = base.fieldNames.map(_.toLowerCase).toSet ++
+      Set(DeletedCol, "_version", "_bucket", "_file", "__b")
+    adds.foreach { f =>
+      require(f.nullable,
+        s"addColumns: new column ${f.name} must be nullable " +
+          "(existing rows read it as NULL)")
+      require(!taken.contains(f.name.toLowerCase),
+        s"addColumns: column ${f.name} already exists or is reserved")
+    }
+    val newV = last.version + 1
+    publish(
+      spark, dir,
+      bucketCount(spark, dir, last.version),
+      manifest(spark, dir, last.version),
+      touched = Set.empty,
+      rows = None,
+      newV,
+      runId = "maintenance",
+      epochId = newV,
+      prevVersion = Some(last.version),
+      sortedBy = manifestSortedBy(spark, dir, last.version),
+      schemaOverride = Some(StructType(base.fields ++ adds)))
+    newV
+  }
+
   def compact(
       spark: SparkSession,
       dir: String,

@@ -2262,6 +2262,74 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_dsv2_evolution — ALTER TABLE ADD COLUMN as a SCHEMA-ONLY commit:
+  // first-half events land, the table gains `etype STRING` (zero data
+  // rewritten — the gate requires every pre-alter bucket file carried
+  // untouched), the second half lands WITH the column. The final
+  // per-bucket aggregate counts keys whose winning row predates the
+  // evolution (their etype reads as the missing-column NULL) — the
+  // oracle recomputes that declaratively: a key's stored etype is NULL
+  // iff its latest event is first-half. This pins the entire NULL-fill
+  // read path across mixed-schema files, not just the DDL.
+  // ---------------------------------------------------------------------
+  val dsv2EvolutionGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gevo$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ev (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_evo_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(
+      s"""INSERT INTO $cat.g.ev
+         |SELECT user_id, event_id, value FROM $view
+         |WHERE event_id <= $t1""".stripMargin)
+    val path = s.sql(s"SHOW TBLPROPERTIES $cat.g.ev")
+      .filter(col("key") === "path").head().getString(1)
+    val MS = graft.streaming.MergeSink
+    val preV = MS.lastCommit(s, path).get.version
+    val preFiles = MS.manifestFiles(s, path, preV)
+    s.sql(s"ALTER TABLE $cat.g.ev ADD COLUMN etype STRING")
+    val postV = MS.lastCommit(s, path).get.version
+    require(postV == preV + 1 &&
+      MS.manifestFiles(s, path, postV) == preFiles,
+      "ADD COLUMN must be a schema-only commit carrying every file")
+    s.sql(
+      s"""INSERT INTO $cat.g.ev
+         |SELECT user_id, event_id, value, event_type FROM $view
+         |WHERE event_id > $t1""".stripMargin)
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(CASE WHEN etype IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS legacy_keys,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.ev GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
+  }
+
+  val dsv2EvolutionGatedSql: String =
+    """WITH mx AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st AS (
+      |  SELECT e.user_id, max(e.event_id) AS last_id,
+      |    arg_max(e.value, e.event_id) AS last_val
+      |  FROM events e GROUP BY e.user_id)
+      |SELECT st.user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(CASE WHEN st.last_id <= mx.t1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS legacy_keys,
+      |CAST(SUM(CAST(round(st.last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st, mx GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_delete — SQL DELETE on the merge table (SupportsDelete):
   // `DELETE FROM t WHERE event_type = 'error'` becomes a TOMBSTONE
   // COMMIT — matching visible rows re-enter the merge as
@@ -3134,6 +3202,7 @@ object Streams {
     "q_merge_bloom" -> mergeBloomGated,
     "q_catalog_maint" -> catalogMaintGated,
     "q_dsv2_overwrite" -> dsv2OverwriteGated,
+    "q_dsv2_evolution" -> dsv2EvolutionGated,
     "q_merge_spj" -> mergeSpjGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
@@ -3178,6 +3247,7 @@ object Streams {
     "q_merge_bloom" -> mergeBloomGatedSql,
     "q_catalog_maint" -> mergeCompactGatedSql,
     "q_dsv2_overwrite" -> dsv2OverwriteGatedSql,
+    "q_dsv2_evolution" -> dsv2EvolutionGatedSql,
     "q_merge_spj" -> mergeSpjGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,

@@ -296,11 +296,16 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.db.p SET TBLPROPERTIES ('key' = 'seq')")
     }
     assert(e1.getMessage.contains("immutable"), e1.getMessage)
-    // schema changes stay rejected with the documented reason
-    val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.p ADD COLUMN extra BIGINT")
+    // destructive schema changes stay rejected with the documented
+    // reason (ADD COLUMN is now a supported schema-only commit)
+    for (bad <- Seq(
+        s"ALTER TABLE $cat.db.p DROP COLUMN seq",
+        s"ALTER TABLE $cat.db.p RENAME COLUMN seq TO s2",
+        s"ALTER TABLE $cat.db.p ALTER COLUMN seq TYPE DOUBLE")) {
+      val e2 = intercept[Exception] { spark.sql(bad) }
+      assert(e2.getMessage.contains("committed data") ||
+        e2.getMessage.contains("unsupported ALTER TABLE"), s"$bad: ${e2.getMessage}")
     }
-    assert(e2.getMessage.contains("CDC evolution"), e2.getMessage)
   }
 
   test("snapshot retention from SQL: TBLPROPERTIES and CALL set_history_keep reach the GC") {
@@ -797,5 +802,52 @@ class CatalogSpec extends SparkSpec {
         case (key, None) => spark.conf.unset(key)
       }
     }
+  }
+
+  test("ALTER TABLE ADD COLUMN: schema-only commit, zero data rewritten") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ev (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1, 10, 1.5), (2, 10, 2.5)")
+    val path = spark.sql(s"SHOW TBLPROPERTIES $cat.db.ev")
+      .filter(col("key") === "path").head().getString(1)
+    val preFiles = MergeSink.manifestFiles(
+      spark, path, MergeSink.lastCommit(spark, path).get.version)
+    spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN note STRING")
+    // the evolution is a COMMIT (time travel reaches the pre-alter
+    // shape's data) that rewrote NOTHING: every bucket file carried
+    val post = MergeSink.lastCommit(spark, path).get.version
+    assert(MergeSink.manifestFiles(spark, path, post) == preFiles,
+      "schema-only commit must carry every file untouched")
+    // old rows read the new column as NULL; new rows carry values
+    assert(spark.table(s"$cat.db.ev").schema.fieldNames
+      .sameElements(Array("k", "seq", "v", "note")))
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (3, 11, 3.5, 'fresh')")
+    val got = spark.sql(
+      s"SELECT k, note FROM $cat.db.ev ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some("fresh"))), got)
+    // filters and aggregates over the evolved column work across the
+    // mixed files
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.ev WHERE note IS NULL")
+      .head().getLong(0) == 2L)
+    // rejections: duplicates, non-nullable, nested, positioned
+    for (bad <- Seq(
+        s"ALTER TABLE $cat.db.ev ADD COLUMN v DOUBLE",
+        s"ALTER TABLE $cat.db.ev ADD COLUMN must STRING NOT NULL",
+        s"ALTER TABLE $cat.db.ev ADD COLUMN early STRING FIRST"))
+      intercept[Exception] { spark.sql(bad) }
+    // a never-committed table evolves its DECLARED schema (no commit)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.empty (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.db.empty ADD COLUMN tag STRING")
+    assert(spark.table(s"$cat.db.empty").schema.fieldNames
+      .sameElements(Array("k", "seq", "v", "tag")))
+    spark.sql(s"INSERT INTO $cat.db.empty VALUES (1, 1, 1.0, 't')")
+    assert(spark.sql(s"SELECT tag FROM $cat.db.empty").head()
+      .getString(0) == "t")
   }
 }

@@ -73,6 +73,13 @@ class Dsv2Spec extends SparkSpec {
       metrics("plannedBytes") > 0L, metrics.toString)
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
       metrics.keySet)
+    // the SQL UI re-instantiates each metric BY CLASS NAME through a
+    // zero-arg constructor to aggregate task values — a metric class
+    // that can't do that silently never aggregates (only a logged error)
+    scan.supportedCustomMetrics().foreach { m =>
+      val fresh = m.getClass.getDeclaredConstructor().newInstance()
+      assert(fresh.name() == m.name(), s"${m.getClass} not UI-recoverable")
+    }
   }
 
   test("column pruning reaches the parquet projection") {
@@ -751,5 +758,101 @@ class Dsv2Spec extends SparkSpec {
     val p2 = GraftMergeScan.lastPrune.get()
     assert(p2._1 == p2._2,
       s"partial-key predicate pruned unsoundly: ${p2._1}/${p2._2}")
+  }
+
+  test("metadata columns: _version/_bucket/_file selectable, hidden from *") {
+    val table = freshTable()
+    val s2 = spark
+    import s2.implicits._
+    MergeSink.upsertBatch(
+      (1L to 40L).map(i => (i, 1L, i * 1.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "meta")
+    MergeSink.upsertBatch(
+      Seq((7L, 2L, 7.7)).toDF("k", "seq", "v"),
+      table, "k", "seq", 1L, "meta")
+    val df = spark.read.format("graft-merge")
+      .option("path", table).option("key", "k").load()
+    // hidden from SELECT *
+    assert(df.columns.toSeq == Seq("k", "seq", "v"), df.columns.mkString(","))
+    val meta = df.select(
+      col("k"), col("_version"), col("_bucket"), col("_file"))
+    // _bucket is the writer's hash; _version is the bucket's manifest
+    // content version; _file is the physical path of the row's file
+    val manifest = MergeSink.manifest(spark, table, 1L)
+    meta.collect().foreach { r =>
+      val (k, v, b, f) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
+      assert(manifest(b) == v, s"k=$k: _version $v vs manifest ${manifest(b)}")
+      assert(f.contains(s"/b$b/v$v/") && f.endsWith(".parquet"), f)
+    }
+    // the updated key's row reports the commit that rewrote its bucket
+    assert(meta.filter(col("k") === 7L).head().getLong(1) == 1L)
+    // usable in predicates and grouping (per-file row accounting — the
+    // small-files diagnosis a maintenance job runs)
+    val perFile = df.groupBy(col("_file")).count()
+    assert(perFile.count() >= 1L &&
+      perFile.agg(sum(col("count"))).head().getLong(0) == 40L)
+    // CDC schema carries _version/_bucket as DATA columns — unchanged
+    val cdc = spark.read.format("graft-merge")
+      .option("path", table).option("key", "k").option("cdc", "true").load()
+    assert(cdc.columns.contains("_version") && cdc.columns.contains("_bucket"))
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch's replayed versions") {
+    val table = freshTable()
+    val s2 = spark
+    import s2.implicits._
+    // keep all 5 versions replayable (default retention is 2-deep)
+    MergeSink.setHistoryKeep(spark, table, 10)
+    (0 to 4).foreach { i =>
+      MergeSink.upsertBatch(
+        Seq((i.toLong, i.toLong, i * 1.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", i.toLong, "mvt")
+    }
+    val name = "dsv2_spec_mvt"
+    val q = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 5 versions at <=2/batch: at least 3 micro-batches, AvailableNow
+    // still drains to the prepared horizon
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    val log = spark.table(name)
+    val versions = log.select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.sameElements(Array(0L, 1L, 2L, 3L, 4L)),
+      versions.mkString(","))
+    val fullReplayRows = log.count()
+    spark.catalog.dropTempView(name)
+    // byte-based admission: a 1-byte budget still admits one version
+    // per batch (never stalls), so 5 versions take 5 batches
+    val name2 = "dsv2_spec_mbt"
+    val q2 = spark.readStream
+      .format("graft-merge").option("path", table).option("cdc", "true")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val batches2 = q2.recentProgress.count(_.numInputRows > 0)
+    assert(batches2 == 5, s"expected 5 byte-capped batches, got $batches2")
+    assert(spark.table(name2).count() == fullReplayRows)
+    spark.catalog.dropTempView(name2)
+    // a non-positive cap is a loud config error (surfaces when the
+    // stream builds its scan — the first micro-batch)
+    val badQ = spark.readStream.format("graft-merge")
+      .option("path", table).option("cdc", "true")
+      .option("maxVersionsPerTrigger", "0").load()
+      .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+    val bad = intercept[Exception] { badQ.awaitTermination() }
+    assert(bad.getMessage.contains("maxVersionsPerTrigger") ||
+      Option(bad.getCause).exists(_.getMessage.contains("maxVersionsPerTrigger")),
+      s"unexpected: $bad")
   }
 }
