@@ -764,7 +764,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
-      "set_bloom_index", "set_history_keep")
+      "set_bloom_index", "set_history_keep", "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -773,6 +773,7 @@ object GraftProcedures {
       case "expire_tombstones" => Some(new ExpireProc(cat))
       case "set_bloom_index" => Some(new BloomProc(cat))
       case "set_history_keep" => Some(new HistoryKeepProc(cat))
+      case "zorder" => Some(new ZOrderProc(cat))
       case _ => None
     }
 
@@ -845,6 +846,26 @@ object GraftProcedures {
         opts: Map[String, String], input: InternalRow): Int =
       MergeSink.compactIncremental(
         SparkSession.active, opts("path"), opts("key"), input.getLong(1)).size
+  }
+
+  /** `CALL cat.sys.zorder('ns.t', target_buckets, 'c1,c2')` — the
+    * OPTIMIZE ZORDER BY rewrite ([[MergeSink.compactZOrder]]): bucket
+    * files sort by the Morton interleave of the two named columns so
+    * footer min/max stats prune range predicates on EITHER dimension.
+    */
+  final class ZOrderProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "zorder", "buckets_written",
+        Seq(
+          ProcedureParameter.in("target_buckets", IntegerType).build(),
+          ProcedureParameter.in("cols", StringType).build())) {
+    override def description(): String =
+      "full rewrite z-ordered by two clustering columns (2-D pruning)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.compactZOrder(
+        SparkSession.active, opts("path"), opts("key"), input.getInt(1),
+        input.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
   /** `CALL cat.sys.expire_tombstones('ns.t', horizon)` — retire

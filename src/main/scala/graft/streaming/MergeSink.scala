@@ -1142,6 +1142,66 @@ object MergeSink {
     * bucket newer than `sinceVersion` commits NOTHING and mints no
     * version.
     */
+  /** Z-ORDER compaction (`OPTIMIZE ... ZORDER BY (c1, c2)`): a full
+    * rewrite like [[compact]], but bucket files sort by the Morton
+    * interleave of the two clustering columns (each rank-scaled to 16
+    * bits by its global min/max — one tiny aggregate over the table)
+    * instead of the merge key. Rows close in BOTH dimensions land in
+    * the same row groups, so footer min/max statistics prune range
+    * predicates on EITHER column — the layout for two-dimensional
+    * selective scans (time × entity, price × date), where key-sorting
+    * helps only its leading column. The manifest records no `O` flag:
+    * z-order is an IO layout, not a planner-usable total ordering.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      targetBuckets: Int,
+      zCols: Seq[String]): Int = {
+    require(targetBuckets >= 1, s"compactZOrder: targetBuckets=$targetBuckets")
+    require(zCols.size == 2,
+      s"compactZOrder: exactly two clustering columns (got $zCols) — " +
+        "the Morton interleave is 2-D; wider layouts compose hierarchies")
+    lastCommit(spark, dir) match {
+      case None => 0
+      case Some(c) =>
+        val m = manifest(spark, dir, c.version)
+        val allPaths =
+          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+        if (allPaths.isEmpty) return 0
+        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        zCols.foreach(zc => require(raw.columns.contains(zc),
+          s"compactZOrder: no column '$zc' in ${raw.columns.mkString(",")}"))
+        // global per-column ranges (one footer-cheap aggregate) scale
+        // each dimension to the interleave's 16-bit domain
+        val st = raw.agg(
+          min(col(zCols.head)).cast("double"),
+          max(col(zCols.head)).cast("double"),
+          min(col(zCols(1))).cast("double"),
+          max(col(zCols(1))).cast("double")).head()
+        def scaled(zc: String, lo: Double, hi: Double) = {
+          val span = if (hi > lo) hi - lo else 1.0
+          least(lit(65535L), greatest(lit(0L),
+            ((col(zc).cast("double") - lit(lo)) / lit(span) * 65535.0)
+              .cast("long")))
+        }
+        val z = graft.plans.ZOrder2.zorder(
+          scaled(zCols.head, st.getDouble(0), st.getDouble(1)),
+          scaled(zCols(1), st.getDouble(2), st.getDouble(3)))
+        val rows = raw
+          .withColumn("__b", bucketExpr(key, targetBuckets))
+          .repartition(col("__b"))
+          .sortWithinPartitions(col("__b"), z)
+        val newV = c.version + 1
+        publish(
+          spark, dir, targetBuckets, Map.empty,
+          touched = (0 until targetBuckets).toSet, Some(rows), newV,
+          runId = "maintenance", epochId = newV)
+        manifest(spark, dir, newV).size
+    }
+  }
+
   def compactIncremental(
       spark: SparkSession,
       dir: String,

@@ -2188,6 +2188,133 @@ object Streams {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q_merge_zorder — OPTIMIZE ... ZORDER BY as SQL: after
+  // `CALL cat.sys.zorder('g.ev', 8, 'user_id,value')` the table's
+  // bucket files are Morton-ordered on (user_id, value), so footer
+  // min/max stats prune 2-D range scans (Dsv2Spec pins the actual
+  // row-group skipping on both dimensions). The gate pins the CALL
+  // path end to end and that the rewrite is CONTENT-PRESERVING: a 2-D
+  // range aggregate over the z-ordered table must equal the
+  // declarative latest-wins oracle under the same predicate.
+  // ---------------------------------------------------------------------
+  val mergeZOrderGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gzo$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_zo_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ev (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    val view = s"graft_zo_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    s.sql(s"INSERT INTO $cat.g.ev SELECT user_id, event_id, value FROM $view")
+    val written = s.sql(s"CALL $cat.sys.zorder('g.ev', 8, 'user_id,value')")
+      .head().getInt(0)
+    require(written == 8, s"zorder rewrote $written buckets, expected 8")
+    s.sql(
+      s"""SELECT count(*) AS n,
+         |CAST(SUM(user_id) AS BIGINT) AS uid_total,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.ev
+         |WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 10 AND 60
+         |""".stripMargin)
+  }
+
+  val mergeZOrderGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, arg_max(value, event_id) AS last_val
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |CAST(SUM(user_id) AS BIGINT) AS uid_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st
+      |WHERE user_id BETWEEN 100 AND 400 AND last_val BETWEEN 10 AND 60""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_merge_sortjoin — the full layout payoff: after `CALL compact` on
+  // both co-bucketed tables, the scans report BOTH the bucket
+  // clustering (KeyGroupedPartitioning) and the within-bucket key
+  // ordering (SupportsReportOrdering keyed on the manifest's O flag),
+  // so the fact-to-fact join plans as a sort-merge join with ZERO
+  // shuffle AND ZERO sort — the scan streams straight into the merge.
+  // At 100 TB this deletes both the exchange AND the sort spill from
+  // every join between maintained tables. The gate REQUIREs the
+  // sortless shuffle-free plan, then returns the per-bucket aggregate
+  // the oracle recomputes declaratively.
+  // ---------------------------------------------------------------------
+  val mergeSortJoinGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gsmj$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_smj_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.fa (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    s.sql(
+      s"""CREATE TABLE $cat.g.fb (user_id BIGINT, event_id BIGINT, w DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    val view = s"graft_smj_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    s.sql(s"INSERT INTO $cat.g.fa SELECT user_id, event_id, value FROM $view")
+    s.sql(
+      s"""INSERT INTO $cat.g.fb SELECT user_id, event_id, value * 2
+         |FROM $view WHERE user_id % 3 = 0""".stripMargin)
+    // compaction IS the sort: bucket files become key-ordered and the
+    // manifest records the table-wide O flag the scan's reported
+    // ordering keys on
+    s.sql(s"CALL $cat.sys.compact('g.fa', 16)")
+    s.sql(s"CALL $cat.sys.compact('g.fb', 16)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val joined = s.sql(
+        s"""SELECT a.user_id,
+           |CAST(SUM(CAST(round((a.value + b.w) * 100) AS BIGINT)) AS BIGINT)
+           |  AS cents
+           |FROM $cat.g.fa a JOIN $cat.g.fb b ON a.user_id = b.user_id
+           |GROUP BY a.user_id""".stripMargin)
+      val plan = joined.queryExecution.executedPlan
+      val sorts = plan.collect {
+        case e: org.apache.spark.sql.execution.SortExec => e }.size
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      require(sorts == 0 && shuffles == 0 &&
+        plan.toString.contains("SortMergeJoin"),
+        s"expected sortless shuffle-free SMJ (sorts=$sorts " +
+          s"shuffles=$shuffles):\n$plan")
+      val out = joined.groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cents")).as("cents_total"))
+        .orderBy("bucket")
+      out.queryExecution.executedPlan // pin the plan before confs restore
+      out
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
   val mergeSpjGatedSql: String =
     """WITH fa AS (
       |  SELECT user_id, arg_max(value, event_id) AS v
@@ -3204,6 +3331,8 @@ object Streams {
     "q_dsv2_overwrite" -> dsv2OverwriteGated,
     "q_dsv2_evolution" -> dsv2EvolutionGated,
     "q_merge_spj" -> mergeSpjGated,
+    "q_merge_sortjoin" -> mergeSortJoinGated,
+    "q_merge_zorder" -> mergeZOrderGated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -3249,6 +3378,8 @@ object Streams {
     "q_dsv2_overwrite" -> dsv2OverwriteGatedSql,
     "q_dsv2_evolution" -> dsv2EvolutionGatedSql,
     "q_merge_spj" -> mergeSpjGatedSql,
+    "q_merge_sortjoin" -> mergeSpjGatedSql,
+    "q_merge_zorder" -> mergeZOrderGatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

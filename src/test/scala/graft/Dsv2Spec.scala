@@ -760,6 +760,64 @@ class Dsv2Spec extends SparkSpec {
       s"partial-key predicate pruned unsoundly: ${p2._1}/${p2._2}")
   }
 
+  test("z-order compaction prunes row groups on BOTH clustering dimensions") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    spark.conf.set("parquet.block.size", "65536")
+    try {
+      // k-order == y-major: a key-sorted layout gives y narrow per-row-
+      // group ranges but x cycles through its full domain in EVERY row
+      // group — the 1-D layout's blind spot z-order exists to fix
+      val rows = spark.range(160000).select(
+        col("id").as("k"), lit(1L).as("seq"),
+        (col("id") % 400).as("x"), expr("id DIV 400").as("y"),
+        md5(col("id").cast("string")).as("tag"))
+      MergeSink.upsertBatch(rows, table, "k", "seq", 0L, "zc")
+      assert(MergeSink.compact(spark, table, "k", targetBuckets = 4) == 4)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("seq", "long")
+        .add("x", "long").add("y", "long").add("tag", "string")
+      val hconf = spark.sessionState.newHadoopConf()
+      def rowsRead(pred: org.apache.spark.sql.sources.Filter): Long =
+        MergeSink.currentFiles(spark, table).values.flatten.map { f =>
+          val r = new graft.sources.MergeColumnarReader(
+            hconf, graft.sources.MergeFileSplit(f, 0, 0L, 0L),
+            schema, hideTombstones = true, pushedFilters = Array(pred))
+          try {
+            var n = 0L
+            while (r.next()) n += r.get().numRows()
+            n
+          } finally r.close()
+        }.sum
+      val predX = org.apache.spark.sql.sources.GreaterThan("x", 379L) // 5%
+      val predY = org.apache.spark.sql.sources.GreaterThan("y", 379L) // 5%
+      val xKeySorted = rowsRead(predX)
+      val yKeySorted = rowsRead(predY)
+      assert(yKeySorted < 160000L / 2, s"key sort should prune y: $yKeySorted")
+      assert(xKeySorted > 160000L / 2,
+        s"x unexpectedly pruned under key sort: $xKeySorted — fixture broken")
+      val snap = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")),
+          bit_xor(xxhash64(col("k"), col("x"), col("y"), col("tag")))).head()
+      assert(MergeSink.compactZOrder(
+        spark, table, "k", targetBuckets = 4, Seq("x", "y")) == 4)
+      val xZ = rowsRead(predX)
+      val yZ = rowsRead(predY)
+      assert(xZ < xKeySorted / 2,
+        s"z-order did not prune x: read $xZ rows (key-sorted read $xKeySorted)")
+      assert(yZ < 160000L / 2, s"z-order lost y pruning entirely: $yZ")
+      // content bit-identical after the rewrite
+      val snap2 = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")),
+          bit_xor(xxhash64(col("k"), col("x"), col("y"), col("tag")))).head()
+      assert(snap == snap2, s"$snap vs $snap2")
+      // z-order is an IO layout, not a planner ordering: no O flag
+      assert(MergeSink.manifestSortedBy(spark, table,
+        MergeSink.lastCommit(spark, table).get.version).isEmpty)
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
   test("metadata columns: _version/_bucket/_file selectable, hidden from *") {
     val table = freshTable()
     val s2 = spark
