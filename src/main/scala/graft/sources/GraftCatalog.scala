@@ -473,6 +473,14 @@ class GraftCatalog
       case rm: TableChange.RemoveProperty if rm.property == "history_keep" =>
         graft.streaming.MergeSink.setHistoryKeep(
           SparkSession.active, props.getProperty("path"), 2)
+      // time-based retention window (milliseconds); UNSET clears it
+      case set: TableChange.SetProperty if set.property == "history_keep_ms" =>
+        graft.streaming.MergeSink.setHistoryKeepMs(
+          SparkSession.active, props.getProperty("path"), set.value.toLong)
+      case rm: TableChange.RemoveProperty
+          if rm.property == "history_keep_ms" =>
+        graft.streaming.MergeSink.setHistoryKeepMs(
+          SparkSession.active, props.getProperty("path"), 0L)
       case _ =>
     }
     loadWith(ident, None)
@@ -934,9 +942,22 @@ object GraftProcedures {
 object MergeMetadataTable {
   import org.apache.spark.sql.types._
 
-  val kinds: Set[String] = Set("history", "files")
+  val kinds: Set[String] = Set("history", "files", "detail")
 
   def schemaOf(kind: String): StructType = kind match {
+    case "detail" =>
+      StructType(Seq(
+        StructField("location", StringType, nullable = false),
+        StructField("version", LongType, nullable = true),
+        StructField("buckets", IntegerType, nullable = true),
+        StructField("total_bytes", LongType, nullable = true),
+        StructField("total_rows", LongType, nullable = true),
+        StructField("n_files", IntegerType, nullable = true),
+        StructField("sorted_by", StringType, nullable = true),
+        StructField("bloom_cols", StringType, nullable = true),
+        StructField("history_keep", IntegerType, nullable = false),
+        StructField("history_keep_ms", LongType, nullable = true),
+        StructField("retained_versions", IntegerType, nullable = false)))
     case "history" =>
       StructType(Seq(
         StructField("version", LongType, nullable = false),
@@ -987,6 +1008,41 @@ class MergeMetadataTable(kind: String, path: String)
   private def computeRows(): Array[InternalRow] = {
     val spark = SparkSession.active
     kind match {
+      case "detail" =>
+        // DESCRIBE DETAIL: one row of table-level operational facts,
+        // answered from markers + the head manifest + the three tiny
+        // knob files — O(1) metadata against any table size
+        val commits = MergeSink.commits(spark, path)
+        val head = commits.lastOption
+        val m = head.map(c => MergeSink.manifest(spark, path, c.version))
+          .getOrElse(Map.empty[Int, Long])
+        val bytes = head.map(c => MergeSink.manifestBytes(spark, path, c.version))
+          .getOrElse(Map.empty[Int, Long])
+        val rows = head.map(c => MergeSink.manifestRows(spark, path, c.version))
+          .getOrElse(Map.empty[Int, Long])
+        val files = head.map(c => MergeSink.manifestFiles(spark, path, c.version))
+          .getOrElse(Map.empty[Int, Seq[String]])
+        val sorted = head.flatMap(c =>
+          MergeSink.manifestSortedBy(spark, path, c.version))
+        val blooms = MergeSink.bloomIndexCols(spark, path)
+        Array(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(path),
+          head.map(_.version).orNull,
+          head.map(c => MergeSink.bucketCount(spark, path, c.version)).orNull,
+          if (bytes.isEmpty && m.nonEmpty) null else bytes.values.sum,
+          if (rows.isEmpty && m.nonEmpty) null else rows.values.sum,
+          if (files.isEmpty && m.nonEmpty) null
+          else files.values.map(_.size).sum,
+          sorted.map(ks => UTF8String.fromString(ks.mkString(","))).orNull,
+          if (blooms.isEmpty) null
+          else UTF8String.fromString(blooms.map {
+            case (c, Some(ndv)) => s"$c:$ndv"
+            case (c, None) => c
+          }.mkString(",")),
+          MergeSink.historyKeep(spark, path),
+          MergeSink.historyKeepMs(spark, path).orNull,
+          commits.size
+        )): InternalRow)
       case "history" =>
         val times = MergeSink.commitTimes(spark, path)
         MergeSink.commits(spark, path).map { c =>

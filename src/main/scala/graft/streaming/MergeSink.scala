@@ -761,7 +761,15 @@ object MergeSink {
     // current + previous). Live data = bucket dirs referenced by any
     // retained manifest.
     val keep = historyKeep(spark, dir).toLong
-    val earliestKept = newV - keep + 1
+    // retention = UNION of the depth and time windows: a version
+    // survives if it is among the last `keep` OR its commit marker is
+    // younger than `history_keep_ms` (marker mtime = the commit clock)
+    val earliestByTime: Long = historyKeepMs(spark, dir).map { ms =>
+      val cutoff = System.currentTimeMillis() - ms
+      commitTimes(spark, dir).collect { case (v, t) if t >= cutoff => v }
+        .minOption.getOrElse(newV)
+    }.getOrElse(Long.MaxValue)
+    val earliestKept = math.min(newV - keep + 1, earliestByTime)
     val keepVersions = (math.max(earliestKept, 0L) to newV).toSet
     val live: Set[(Int, Long)] = keepVersions.flatMap(v =>
       manifest(spark, dir, v).toSeq.map { case (b, cv) => (b, cv) })
@@ -1090,6 +1098,40 @@ object MergeSink {
       val in = fs.open(f)
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().next().trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** TIME-based snapshot retention, composing with the version-depth
+    * window: each commit's GC keeps every version either rule retains
+    * (depth keeps the last N; time keeps any version whose commit
+    * marker is younger than `ms` — marker mtime IS the commit clock,
+    * the TIMESTAMP AS OF convention). The Delta/Iceberg
+    * `logRetentionDuration` shape: "replay yesterday" holds regardless
+    * of how many versions landed today, without hand-sizing a depth.
+    * Stored as a one-line `_history_keep_ms` file; `ms <= 0` clears it.
+    */
+  def setHistoryKeepMs(spark: SparkSession, dir: String, ms: Long): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_history_keep_ms")
+    if (ms <= 0L) { fs.delete(f, false); () }
+    else {
+      fs.mkdirs(p)
+      val out = fs.create(f, true)
+      try out.write(s"$ms\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The table's time-retention window (see [[setHistoryKeepMs]]). */
+  def historyKeepMs(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_history_keep_ms")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim.toLong)
       finally in.close()
     }
   }

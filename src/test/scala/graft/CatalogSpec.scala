@@ -804,6 +804,43 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test(".detail metadata table and history_keep_ms TBLPROPERTY") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.dt (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.dt SELECT id, 1L, id * 1.0 FROM range(100)")
+    spark.sql(s"CALL $cat.sys.compact('db.dt', 4)")
+    spark.sql(s"CALL $cat.sys.set_bloom_index('db.dt', 'v')")
+    spark.sql(
+      s"ALTER TABLE $cat.db.dt SET TBLPROPERTIES ('history_keep_ms' = '3600000')")
+    val det = spark.table(s"$cat.db.dt.detail").head()
+    val m = det.schema.fieldNames.zipWithIndex.toMap
+    assert(det.getLong(m("version")) == 1L, det.toString)
+    assert(det.getInt(m("buckets")) == 4, det.toString)
+    assert(det.getLong(m("total_rows")) == 100L, det.toString)
+    assert(det.getLong(m("total_bytes")) > 0L, det.toString)
+    assert(det.getInt(m("n_files")) == 4, det.toString)
+    assert(det.getString(m("sorted_by")) == "k", det.toString)
+    assert(det.getString(m("bloom_cols")) == "v", det.toString)
+    assert(det.getInt(m("history_keep")) == 2, det.toString)
+    assert(det.getLong(m("history_keep_ms")) == 3600000L, det.toString)
+    assert(det.getInt(m("retained_versions")) == 2, det.toString)
+    // UNSET clears the time window; detail reads NULL
+    spark.sql(s"ALTER TABLE $cat.db.dt UNSET TBLPROPERTIES ('history_keep_ms')")
+    val det2 = spark.table(s"$cat.db.dt.detail").head()
+    assert(det2.isNullAt(m("history_keep_ms")), det2.toString)
+    // the time window actually retains: depth 2 with a 1h window keeps
+    // all versions of a burst of commits
+    spark.sql(
+      s"ALTER TABLE $cat.db.dt SET TBLPROPERTIES ('history_keep_ms' = '3600000')")
+    for (i <- 2 to 4)
+      spark.sql(s"INSERT INTO $cat.db.dt VALUES ($i, 10, 0.5)")
+    assert(spark.table(s"$cat.db.dt.detail").head()
+      .getInt(m("retained_versions")) == 5,
+      "time window must retain the whole young burst")
+  }
+
   test("ALTER TABLE ADD COLUMN: schema-only commit, zero data rewritten") {
     val cat = freshCatalog()
     spark.sql(

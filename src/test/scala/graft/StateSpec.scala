@@ -874,6 +874,43 @@ class StateSpec extends SparkSpec {
       "incremental since an unsorted baseline must not claim sortedness")
   }
 
+  test("time-based retention: history_keep_ms keeps young versions beyond the depth window") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_time_keep").toString
+    // depth stays at the default 2, but ANY version younger than an
+    // hour survives — the "replay yesterday" contract independent of
+    // commit rate
+    MS.setHistoryKeepMs(spark, table, 60L * 60L * 1000L)
+    (0 to 4).foreach { i =>
+      MS.upsertBatch(
+        Seq((i.toLong, i.toLong, i * 1.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", i.toLong, "tk")
+    }
+    assert(MS.commits(spark, table).map(_.version) == Seq(0L, 1L, 2L, 3L, 4L),
+      "young versions beyond depth 2 must survive under the time window")
+    // age every marker past the window: the NEXT commit's GC collects
+    // everything older than the depth floor
+    val (fs, p) = {
+      val pp = new org.apache.hadoop.fs.Path(table)
+      (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
+    }
+    val old = System.currentTimeMillis() - 2L * 60L * 60L * 1000L
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("_commit_v"))
+        fs.setTimes(st.getPath, old, -1L)
+    }
+    MS.upsertBatch(
+      Seq((9L, 9L, 9.9)).toDF("k", "seq", "v"), table, "k", "seq", 5L, "tk")
+    val retained = MS.commits(spark, table).map(_.version)
+    assert(retained == Seq(4L, 5L),
+      s"aged-out versions must fall back to the depth window: $retained")
+    // clearing the window restores pure depth-based GC
+    MS.setHistoryKeepMs(spark, table, 0L)
+    assert(MS.historyKeepMs(spark, table).isEmpty)
+  }
+
   test("snapshot retention: setHistoryKeep widens the time-travel window at the next GC") {
     val s2 = spark
     import s2.implicits._
