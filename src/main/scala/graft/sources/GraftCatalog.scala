@@ -772,7 +772,8 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
-      "set_bloom_index", "set_history_keep", "zorder")
+      "set_bloom_index", "set_history_keep", "set_history_keep_ms",
+      "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -781,6 +782,7 @@ object GraftProcedures {
       case "expire_tombstones" => Some(new ExpireProc(cat))
       case "set_bloom_index" => Some(new BloomProc(cat))
       case "set_history_keep" => Some(new HistoryKeepProc(cat))
+      case "set_history_keep_ms" => Some(new HistoryKeepMsProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
       case _ => None
     }
@@ -909,6 +911,22 @@ object GraftProcedures {
       val keep = input.getInt(1)
       MergeSink.setHistoryKeep(SparkSession.active, opts("path"), keep)
       keep
+    }
+  }
+
+  /** `CALL cat.sys.set_history_keep_ms('ns.t', 86400000)` — the
+    * TIME retention window ([[MergeSink.setHistoryKeepMs]]); 0 clears.
+    */
+  final class HistoryKeepMsProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "set_history_keep_ms", "keep_ms",
+        Seq(ProcedureParameter.in("keep_ms", LongType).build())) {
+    override def description(): String =
+      "retain every version younger than this many milliseconds (0 clears)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val ms = input.getLong(1)
+      MergeSink.setHistoryKeepMs(SparkSession.active, opts("path"), ms)
+      (ms / 1000L).toInt
     }
   }
 

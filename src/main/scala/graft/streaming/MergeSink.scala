@@ -607,6 +607,47 @@ object MergeSink {
     * EMPTY (every row removed, e.g. by tombstone retirement) is dropped
     * from the manifest rather than published as a fileless directory.
     */
+  /** Thrown when another writer holds the claim on the version this
+    * publish attempt would mint. RETRYABLE by design: re-read the head
+    * (the winner's commit is or will be visible) and re-run the
+    * operation against it — upsert/DML semantics are defined against
+    * the latest state, so the retry recomputes, never replays.
+    */
+  final class ConcurrentCommitException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Atomically claim `newV` (see the call site in [[publish]]). */
+  private def claimVersion(
+      spark: SparkSession,
+      fs: FileSystem,
+      p: Path,
+      newV: Long,
+      dir: String): Unit = {
+    val claim = new Path(p, s"_claim_v$newV")
+    fs.mkdirs(p)
+    def tryCreate(): Boolean =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException if fs.exists(claim) => false }
+    if (tryCreate()) return
+    def fail(reason: String): Nothing =
+      throw new ConcurrentCommitException(
+        s"graft-merge: version $newV of $dir is claimed by another " +
+          s"writer ($reason); re-read the head and retry the operation")
+    // already-marked means the race is fully lost, not merely pending
+    if (commits(spark, dir).exists(_.version == newV))
+      fail("its commit marker exists")
+    val ttl = spark.conf.getOption("spark.graft.commitClaimTtlMs")
+      .map(_.toLong).getOrElse(15L * 60L * 1000L)
+    val age =
+      try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (age <= ttl) fail(s"claim is ${age / 1000L}s old, within the " +
+      s"${ttl / 1000L}s TTL")
+    // torn attempt: the claimant died mid-publish — steal
+    fs.delete(claim, false)
+    if (!tryCreate()) fail("claim re-taken during steal")
+  }
+
   private def publish(
       spark: SparkSession,
       dir: String,
@@ -621,6 +662,17 @@ object MergeSink {
       sortedBy: Option[Seq[String]] = None,
       schemaOverride: Option[StructType] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
+    // ---- concurrent-commit claim (BEFORE any data movement) ----
+    // Exactly one publish attempt may own version `newV`: an atomic
+    // exclusive create of `_claim_v<N>`. A loser discovers the claim
+    // and throws ConcurrentCommitException having touched NOTHING —
+    // two racing writers can no longer both rename into data/b*/vN and
+    // corrupt each other. A claim whose attempt died mid-publish (no
+    // marker) is stealable after a TTL (default 15 min,
+    // spark.graft.commitClaimTtlMs) — the standard lease compromise; a
+    // writer legitimately slower than the TTL must be fenced first
+    // (ensureWriter), which streaming incarnations already are.
+    claimVersion(spark, fs, p, newV, dir)
     var written = Set.empty[Int]
     // bucket -> (data bytes, row count) for the new manifest: rewritten
     // buckets are measured once right after their rename (one listing +
@@ -756,6 +808,8 @@ object MergeSink {
     } finally mfOut.close()
     // ... then the O(1) marker that makes it all visible
     fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
+    // the version is committed: release its claim
+    fs.delete(new Path(p, s"_claim_v$newV"), false)
 
     // GC: keep the most recent `historyKeep` versions readable (default
     // current + previous). Live data = bucket dirs referenced by any

@@ -831,9 +831,8 @@ class CatalogSpec extends SparkSpec {
     val det2 = spark.table(s"$cat.db.dt.detail").head()
     assert(det2.isNullAt(m("history_keep_ms")), det2.toString)
     // the time window actually retains: depth 2 with a 1h window keeps
-    // all versions of a burst of commits
-    spark.sql(
-      s"ALTER TABLE $cat.db.dt SET TBLPROPERTIES ('history_keep_ms' = '3600000')")
+    // all versions of a burst of commits (set via the CALL surface)
+    spark.sql(s"CALL $cat.sys.set_history_keep_ms('db.dt', 3600000)")
     for (i <- 2 to 4)
       spark.sql(s"INSERT INTO $cat.db.dt VALUES ($i, 10, 0.5)")
     assert(spark.table(s"$cat.db.dt.detail").head()

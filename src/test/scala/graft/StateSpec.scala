@@ -874,6 +874,39 @@ class StateSpec extends SparkSpec {
       "incremental since an unsorted baseline must not claim sortedness")
   }
 
+  test("concurrent-commit claim: a racing writer fails loudly before touching data") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_claim").toString
+    MS.upsertBatch(
+      Seq((1L, 10L, 1.0)).toDF("k", "seq", "v"), table, "k", "seq", 0L, "cc")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a concurrent publish mid-flight: it holds the v1 claim
+    val claim = new org.apache.hadoop.fs.Path(p, "_claim_v1")
+    fs.create(claim, false).close()
+    val e = intercept[MS.ConcurrentCommitException] {
+      MS.upsertBatch(
+        Seq((2L, 10L, 2.0)).toDF("k", "seq", "v"), table, "k", "seq", 1L, "cc")
+    }
+    assert(e.getMessage.contains("claimed by another writer"), e.getMessage)
+    // the loser touched NOTHING: head unchanged, no v1 data dirs
+    assert(MS.commits(spark, table).map(_.version) == Seq(0L))
+    val dataRoot = new org.apache.hadoop.fs.Path(p, "data")
+    val v1Dirs = fs.listStatus(dataRoot).flatMap(b =>
+      fs.listStatus(b.getPath)).map(_.getPath.getName).filter(_ == "v1")
+    assert(v1Dirs.isEmpty, s"loser staged data: ${v1Dirs.toSeq}")
+    // a TORN claim (dead claimant, no marker) is stealable after TTL
+    fs.setTimes(claim, System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+    MS.upsertBatch(
+      Seq((2L, 10L, 2.0)).toDF("k", "seq", "v"), table, "k", "seq", 1L, "cc")
+    assert(MS.commits(spark, table).map(_.version) == Seq(0L, 1L))
+    // committed versions release their claims — nothing lingers
+    assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_claim_")),
+      "claims must be released on commit")
+  }
+
   test("time-based retention: history_keep_ms keeps young versions beyond the depth window") {
     val s2 = spark
     import s2.implicits._
