@@ -1108,20 +1108,43 @@ class GraftMergeScan(
   // runtime IN-sets for one attribute — useless (and unsound to prune
   // on) without the others. Composite tables still get compile-time
   // tuple pruning through pushFilters.
+  /** Spark's DPP rule RESOLVES every declared attribute against the
+    * scan's (column-pruned) output and throws on a miss — so declare
+    * the key columns only when the projection kept them ALL. All or
+    * nothing is also the semantic truth: the bucket hashes every key
+    * column, so a partial tuple can never prune.
+    */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (kcols.size == 1)
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(kcols.head))
+    if (kcols.nonEmpty && kcols.forall(k => required.fieldNames.contains(k)))
+      kcols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
     else Array.empty
 
+  /** Runtime (DPP-dual) bucket pruning. Single key: the pushed In/=
+    * set prunes directly. Composite key: the bucket hashes ALL key
+    * columns, so pruning is sound only when EVERY key column received
+    * a runtime value set — then the capped cross product of the
+    * per-column sets bounds the tuple set (the same 256-tuple cap as
+    * static pushdown); any missing column means scan everything rather
+    * than mis-prune.
+    */
   override def filter(filters: Array[Filter]): Unit = {
-    runtimeKeys = kcols.headOption.filter(_ => kcols.size == 1).flatMap { k =>
+    val perCol: Seq[Option[Seq[Any]]] = kcols.map { k =>
       filters.collectFirst {
-        case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq.map(Seq(_))
-        case EqualTo(`k`, v) if v != null => Seq(Seq(v))
+        case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq
+        case EqualTo(`k`, v) if v != null => Seq(v)
       }
     }
+    runtimeKeys =
+      if (perCol.isEmpty || perCol.exists(_.isEmpty)) None
+      else {
+        val sets = perCol.map(_.get)
+        if (sets.map(_.size.toLong).product > 256L) None
+        else Some(sets.foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
+          acc.flatMap(t => vs.map(v => t :+ v))
+        })
+      }
   }
 
   /** (planned, total) bucket-file counts of the batch scan — the

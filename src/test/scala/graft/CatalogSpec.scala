@@ -804,6 +804,42 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("declared admission control: maxVersionsPerTrigger rides table metadata into readStream.table") {
+    val cat = freshCatalog()
+    val s2 = spark
+    import s2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cat_mvt").toString
+    MergeSink.setHistoryKeep(spark, path, 10)
+    (0 to 4).foreach { i =>
+      MergeSink.upsertBatch(
+        Seq((i.toLong, i.toLong, i * 1.0)).toDF("k", "seq", "v"),
+        path, "k", "seq", i.toLong, "cmvt")
+    }
+    // the rate limit is DECLARED ON THE TABLE — every pure-SQL stream
+    // consumer inherits it without per-query options
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ch (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'k', seq 'seq', path '$path', cdc 'true',
+         |  maxVersionsPerTrigger '2')""".stripMargin)
+    val name = "cat_mvt_sink"
+    val q = spark.readStream.table(s"$cat.db.ch")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cat_mvt_ck").toString)
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"table-declared rate limit ignored: $batches batches")
+    val versions = spark.table(name).select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.sameElements(Array(0L, 1L, 2L, 3L, 4L)),
+      versions.mkString(","))
+    spark.catalog.dropTempView(name)
+  }
+
   test(".detail metadata table and history_keep_ms TBLPROPERTY") {
     val cat = freshCatalog()
     spark.sql(

@@ -760,6 +760,52 @@ class Dsv2Spec extends SparkSpec {
       s"partial-key predicate pruned unsoundly: ${p2._1}/${p2._2}")
   }
 
+  test("runtime filtering on a composite key: full-tuple join prunes, partial join scans all") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    MergeSink.upsertBatch(
+      spark.range(4000).select(
+        (col("id") % 200).as("acct"),
+        (col("id") % 7).as("leg"),
+        lit(1L).as("seq"),
+        col("id").cast("double").as("v")),
+      table, "acct,leg", "seq", 0L, "rfc")
+    val fact = spark.read.format("graft-merge")
+      .option("path", table).option("key", "acct,leg").load()
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("dsv2_dim_comp").toString
+    Seq((3L, 1L, "a"), (9L, 2L, "b"), (500L, 0L, "x"))
+      .toDF("acct", "leg", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag").isin("a", "b"))
+    GraftMergeScan.lastPrune.set(null)
+    val joined = fact.join(dim, Seq("acct", "leg")).select("acct", "leg", "v")
+    val rows = joined.collect()
+    val prune = GraftMergeScan.lastPrune.get()
+    assert(prune != null, "scan never planned")
+    val (planned, total, runtime) = prune
+    assert(runtime, "runtime filters were never delivered to the scan")
+    assert(planned < total,
+      s"composite runtime tuples did not prune: $planned of $total files")
+    // correctness vs the unpruned join
+    val expected = fact.join(
+      spark.read.parquet(dimPath).filter(col("tag").isin("a", "b")),
+      Seq("acct", "leg")).select("acct", "leg", "v").collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      expected.map(_.toString).sorted))
+    // a join on ONE of two key columns cannot bound the bucket set:
+    // must scan everything, never mis-prune
+    GraftMergeScan.lastPrune.set(null)
+    val partial = fact.join(
+      spark.read.parquet(dimPath).filter(col("tag") === "a")
+        .select("acct"), Seq("acct"))
+    assert(partial.count() == 7L) // acct 3 spans all 7 legs
+    val p2 = GraftMergeScan.lastPrune.get()
+    assert(p2._1 == p2._2,
+      s"partial-key runtime filter pruned unsoundly: ${p2._1}/${p2._2}")
+  }
+
   test("z-order compaction prunes row groups on BOTH clustering dimensions") {
     val s2 = spark
     import s2.implicits._
