@@ -1519,25 +1519,50 @@ object TextPipeline {
   // recompute. Scale: every stage is batch-sized work against
   // O(index)-sized artifacts; the weight artifact is O(64) rows.
   // ---------------------------------------------------------------------
-  val corpusIncremental: Q = (s, d) => {
+  /** The per-document feature columns every day-2 stage consumes
+    * (exact digest, tokens, gram digests, token/stopword counts),
+    * derived once from `text`. Callers MUST localCheckpoint the result
+    * before fanning out (the interpreted-HOF re-evaluation trap).
+    */
+  private def docFeatures(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sw = array(stopwords.map(lit): _*)
-    val base = Tables
-      .documents(s, d)
-      .withColumn("arriving", (col("doc_id") % 5) === 4)
-      .withColumn("eval_slice",
-        !col("arriving") && h32(7, col("text")) % 100 >= 90)
-      .withColumn("exact_d", md5(norm(col("text"))))
+    df.withColumn("exact_d", md5(norm(col("text"))))
       .withColumn("toks", tokens(col("text")))
       .withColumn("g", tokenGramDigests(col("toks")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => array_contains(sw, t))).cast("long"))
-      .select(col("doc_id"), col("lang"), col("arriving"), col("eval_slice"),
-        col("exact_d"), col("toks"), col("g"), col("n_toks"), col("n_stop"))
+      .drop("text")
+  }
+
+  val corpusIncremental: Q = (s, d) => {
+    val base = docFeatures(
+      Tables
+        .documents(s, d)
+        .withColumn("arriving", (col("doc_id") % 5) === 4)
+        .withColumn("eval_slice",
+          !col("arriving") && h32(7, col("text")) % 100 >= 90)
+        .select(col("doc_id"), col("lang"), col("arriving"),
+          col("eval_slice"), col("text")))
       // five consumers over interpreted-HOF columns: evaluate ONCE
       .localCheckpoint()
-    val corpus = base.filter(!col("arriving"))
-    val batch = base.filter(col("arriving"))
+    dayTwoChain(s,
+      base.filter(!col("arriving")),
+      base.filter(col("arriving")))
+  }
+
+  /** Stages (1)-(4) of the day-2 chain over a feature-frame corpus and
+    * arriving batch (see [[corpusIncremental]]; [[corpusCdc]] feeds the
+    * same chain from a merge table's snapshot + change feed). `corpus`
+    * needs doc_id/lang/eval_slice/exact_d/toks/g/n_toks/n_stop; `batch`
+    * the same minus eval_slice/n_stop.
+    */
+  private def dayTwoChain(
+      s: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // (1) incremental dedup against the corpus indexes
     val exactIndex = corpus.select(col("exact_d").as("xd")).distinct()
     val gramIndex = corpus.select(explode(col("g")).as("gd")).distinct()
@@ -1698,6 +1723,52 @@ object TextPipeline {
        |      AS start
        |  FROM kept3) p
        |GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_corpus_cdc — THE TWO HALVES OF THE ENGINE FUSED: the training
+  // corpus IS a versioned merge table (keyed by doc_id), and the day-2
+  // maintenance chain consumes its own storage primitives —
+  //   corpus  = the table's pre-batch SNAPSHOT (versionAsOf v0);
+  //   batch   = the table's CHANGE FEED after v0 (cdc read, `_version`
+  //             > v0, tombstones dropped) — exactly what a scheduled
+  //             day-2 job would read, no "which docs are new" column
+  //             smuggled through the data;
+  // then the identical stages (1)-(4) of [[corpusIncremental]]. Same
+  // oracle: the declarative full recompute — which pins that snapshot +
+  // change-feed plumbing delivers bit-identical inputs to the pipeline.
+  // Scale: the CDC read replays only the arriving commit's buckets; the
+  // snapshot read is the ordinary pruned/columnar connector scan — the
+  // corpus never re-lands anywhere.
+  // ---------------------------------------------------------------------
+  val corpusCdc: Q = (s, d) => {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_corpus_tbl").toString
+    val MS = graft.streaming.MergeSink
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    MS.upsertBatch(
+      docs.filter(col("doc_id") % 5 =!= 4).withColumn("seq", lit(1L)),
+      table, "doc_id", "seq", 0L, "corp")
+    val v0 = MS.lastCommit(s, table).get.version
+    MS.upsertBatch(
+      docs.filter(col("doc_id") % 5 === 4).withColumn("seq", lit(2L)),
+      table, "doc_id", "seq", 1L, "corp")
+    val corpusRaw = s.read.format("graft-merge")
+      .option("path", table).option("key", "doc_id")
+      .option("versionAsOf", v0).load()
+      .select(col("doc_id"), col("lang"), col("text"))
+    val batchRaw = s.read.format("graft-merge")
+      .option("path", table).option("key", "doc_id")
+      .option("cdc", "true").load()
+      .filter(col("_version") > v0 &&
+        !coalesce(col(MS.DeletedCol), lit(false)))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docFeatures(
+      corpusRaw.withColumn("eval_slice", h32(7, col("text")) % 100 >= 90))
+      .localCheckpoint()
+    val batch = docFeatures(batchRaw).localCheckpoint()
+    dayTwoChain(s, corpus, batch)
   }
 
   // ---------------------------------------------------------------------
@@ -2890,6 +2961,7 @@ object TextPipeline {
     "q_decontaminate" -> decontaminate,
     "q_dedup_incremental" -> dedupIncremental,
     "q_corpus_incremental" -> corpusIncremental,
+    "q_corpus_cdc" -> corpusCdc,
     "q_seq_packing" -> seqPacking,
     "q_vocab_topk" -> vocabTopk,
     "q_unigram_lm" -> unigramLm
@@ -2929,6 +3001,7 @@ object TextPipeline {
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_corpus_incremental" -> corpusIncrementalSql,
+    "q_corpus_cdc" -> corpusIncrementalSql,
     "q_seq_packing" -> seqPackingSql,
     "q_vocab_topk" -> vocabTopkSql,
     "q_unigram_lm" -> unigramLmSql
