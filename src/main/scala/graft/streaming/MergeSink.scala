@@ -616,18 +616,28 @@ object MergeSink {
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
 
-  /** Atomically claim `newV` (see the call site in [[publish]]). */
+  /** Atomically claim `newV` (see the call site in [[publish]]). The
+    * claim file RECORDS the claimant's runId: the same writer retrying
+    * after its own mid-publish failure re-takes its claim immediately
+    * (a transient job failure must not cost the TTL), while a foreign
+    * claim stays exclusive until committed or torn-and-expired.
+    */
   private def claimVersion(
       spark: SparkSession,
       fs: FileSystem,
       p: Path,
       newV: Long,
-      dir: String): Unit = {
+      dir: String,
+      runId: String): Unit = {
     val claim = new Path(p, s"_claim_v$newV")
     fs.mkdirs(p)
     def tryCreate(): Boolean =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException if fs.exists(claim) => false }
+      try {
+        val out = fs.create(claim, false)
+        try out.write(runId.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException if fs.exists(claim) => false }
     if (tryCreate()) return
     def fail(reason: String): Nothing =
       throw new ConcurrentCommitException(
@@ -636,14 +646,21 @@ object MergeSink {
     // already-marked means the race is fully lost, not merely pending
     if (commits(spark, dir).exists(_.version == newV))
       fail("its commit marker exists")
+    val owner =
+      try {
+        val in = fs.open(claim)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
     val ttl = spark.conf.getOption("spark.graft.commitClaimTtlMs")
       .map(_.toLong).getOrElse(15L * 60L * 1000L)
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-    if (age <= ttl) fail(s"claim is ${age / 1000L}s old, within the " +
-      s"${ttl / 1000L}s TTL")
-    // torn attempt: the claimant died mid-publish — steal
+    if (owner != runId && age <= ttl)
+      fail(s"claim by '$owner' is ${age / 1000L}s old, within the " +
+        s"${ttl / 1000L}s TTL")
+    // own retry after a mid-publish failure, or a torn attempt past TTL
     fs.delete(claim, false)
     if (!tryCreate()) fail("claim re-taken during steal")
   }
@@ -672,7 +689,7 @@ object MergeSink {
     // spark.graft.commitClaimTtlMs) — the standard lease compromise; a
     // writer legitimately slower than the TTL must be fenced first
     // (ensureWriter), which streaming incarnations already are.
-    claimVersion(spark, fs, p, newV, dir)
+    claimVersion(spark, fs, p, newV, dir, runId)
     var written = Set.empty[Int]
     // bucket -> (data bytes, row count) for the new manifest: rewritten
     // buckets are measured once right after their rename (one listing +

@@ -897,11 +897,26 @@ class StateSpec extends SparkSpec {
     val v1Dirs = fs.listStatus(dataRoot).flatMap(b =>
       fs.listStatus(b.getPath)).map(_.getPath.getName).filter(_ == "v1")
     assert(v1Dirs.isEmpty, s"loser staged data: ${v1Dirs.toSeq}")
-    // a TORN claim (dead claimant, no marker) is stealable after TTL
-    fs.setTimes(claim, System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+    // the SAME writer retrying after its own mid-publish failure
+    // re-takes its claim immediately (no TTL wait): simulate by
+    // marking the claim as owned by this runId
+    val out = fs.create(claim, true)
+    out.write("cc".getBytes("UTF-8")); out.close()
     MS.upsertBatch(
-      Seq((2L, 10L, 2.0)).toDF("k", "seq", "v"), table, "k", "seq", 1L, "cc")
+      Seq((3L, 11L, 3.0)).toDF("k", "seq", "v"), table, "k", "seq", 1L, "cc")
     assert(MS.commits(spark, table).map(_.version) == Seq(0L, 1L))
+    // roll back to test the foreign-claim TTL steal on v2
+    val claim2 = new org.apache.hadoop.fs.Path(p, "_claim_v2")
+    fs.create(claim2, false).close()
+    intercept[MS.ConcurrentCommitException] {
+      MS.upsertBatch(
+        Seq((2L, 12L, 2.0)).toDF("k", "seq", "v"), table, "k", "seq", 2L, "cc")
+    }
+    // a TORN claim (dead claimant, no marker) is stealable after TTL
+    fs.setTimes(claim2, System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+    MS.upsertBatch(
+      Seq((2L, 12L, 2.0)).toDF("k", "seq", "v"), table, "k", "seq", 2L, "cc")
+    assert(MS.commits(spark, table).map(_.version) == Seq(1L, 2L)) // v0 GC'"'"'d
     // committed versions release their claims — nothing lingers
     assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_claim_")),
       "claims must be released on commit")
