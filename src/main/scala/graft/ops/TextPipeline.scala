@@ -1772,6 +1772,133 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // q_corpus_silver — the MEDALLION pipeline shape, table to table:
+  // raw docs land in a BRONZE merge table (two commits); the
+  // corpus-trained 64-bucket quality scorer is persisted as an
+  // artifact and loaded as a 64-entry LITERAL MAP (a model this size
+  // ships in the plan — zero joins in the hot path); then a STREAMING
+  // job reads bronze's change feed (rate-limited to one version per
+  // micro-batch — the admission-control path under real load), scores
+  // each doc STATELESSLY (aggregate() over the token array against the
+  // map literal — per-row work, no shuffle, no state store), and
+  // upserts survivors into a SILVER merge table via the exactly-once
+  // sink. The gate reads silver's final snapshot and matches the
+  // declarative oracle — pinning source, admission control, scoring,
+  // and sink in one lane. At 100 TB each micro-batch is bounded work
+  // and the silver table is queryable mid-stream at every version.
+  // ---------------------------------------------------------------------
+  val corpusSilver: Q = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val bronze = java.nio.file.Files
+      .createTempDirectory("graft_bronze").toString
+    val silver = java.nio.file.Files
+      .createTempDirectory("graft_silver").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_silver_ck").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    MS.upsertBatch(
+      docs.filter(col("doc_id") % 2 === 0).withColumn("seq", lit(1L)),
+      bronze, "doc_id", "seq", 0L, "brz")
+    MS.upsertBatch(
+      docs.filter(col("doc_id") % 2 =!= 0).withColumn("seq", lit(1L)),
+      bronze, "doc_id", "seq", 1L, "brz")
+    // train on the WHOLE bronze corpus (a batch read of the table),
+    // persist, reload — the artifact, not the plan
+    val feat = docFeatures(
+      s.read.format("graft-merge").option("path", bronze)
+        .option("key", "doc_id").load()
+        .select(col("doc_id"), col("lang"), col("text")))
+    val occ = feat
+      .withColumn("label_good",
+        col("n_stop") * 16 >= col("n_toks") && col("n_toks") >= 20)
+      .select(col("label_good"), explode(col("toks")).as("tok"))
+      .withColumn("qb", h32(7, col("tok")) % qsBuckets)
+    val totals = occ.groupBy().agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("label_good"), 0L).otherwise(1L)).as("n_bad"))
+    val weights = occ.groupBy(col("qb"))
+      .agg(
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(col("label_good"), 0L).otherwise(1L)).as("cb"))
+      .crossJoin(broadcast(totals)) // 64 × 1-row witness
+      .select(col("qb"),
+        (col("cg") * col("n_bad") - col("cb") * col("n_good")).as("w"))
+    val wdir = java.nio.file.Files
+      .createTempDirectory("graft_silver_w").toString
+    weights.repartition(1).write.mode("overwrite").parquet(wdir)
+    val wmap: Map[Long, Long] = s.read.parquet(wdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wlit = typedLit(wmap)
+    // bronze -> silver: stateless scoring over the rate-limited feed
+    val src = s.readStream.format("graft-merge")
+      .option("path", bronze).option("cdc", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+    val cleaned = src
+      .filter(!coalesce(col(MS.DeletedCol), lit(false)))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("score",
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + coalesce(
+            element_at(wlit, h32(7, t) % qsBuckets), lit(0L))))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("seq"), col("lang"), col("n_toks"))
+    val q = MS.sink(cleaned, silver, ckpt, key = "doc_id", seq = "seq")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the rate limit must have split the run into >= 2 micro-batches
+    require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxVersionsPerTrigger did not bound the silver backfill")
+    MS.currentState(s, silver).get
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tok_total"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusSilverSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH doc AS MATERIALIZED (
+       |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, lang, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS BIGINT)
+       |      AS n_stop
+       |  FROM doc),
+       |occ AS MATERIALIZED (
+       |  SELECT (n_stop * 16 >= n_toks AND n_toks >= 20) AS label_good,
+       |    ${sqlH32(7, "tok")} % $qsBuckets AS qb
+       |  FROM (SELECT n_stop, n_toks, unnest(toks) AS tok FROM feat)),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_good,
+       |         CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_bad
+       |  FROM occ),
+       |w AS (
+       |  SELECT qb,
+       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |      * tot.n_bad
+       |    - CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |      * tot.n_good AS w
+       |  FROM occ, tot GROUP BY qb, tot.n_bad, tot.n_good),
+       |sc AS (
+       |  SELECT o.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+       |  FROM (SELECT doc_id, ${sqlH32(7, "tok")} % $qsBuckets AS qb
+       |        FROM (SELECT doc_id, unnest(toks) AS tok FROM feat)) o
+       |  LEFT JOIN w ON o.qb = w.qb GROUP BY o.doc_id)
+       |SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(SUM(f.n_toks) AS BIGINT) AS tok_total
+       |FROM feat f JOIN sc ON f.doc_id = sc.doc_id
+       |WHERE sc.score > 0
+       |GROUP BY f.lang ORDER BY f.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_vocab_topk — vocabulary construction: the top-5 most frequent
   // tokens per language with occurrence and document frequencies (the
   // primitive under tokenizer/vocab building and stopword induction).
@@ -2962,6 +3089,7 @@ object TextPipeline {
     "q_dedup_incremental" -> dedupIncremental,
     "q_corpus_incremental" -> corpusIncremental,
     "q_corpus_cdc" -> corpusCdc,
+    "q_corpus_silver" -> corpusSilver,
     "q_seq_packing" -> seqPacking,
     "q_vocab_topk" -> vocabTopk,
     "q_unigram_lm" -> unigramLm
@@ -3002,6 +3130,7 @@ object TextPipeline {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_corpus_incremental" -> corpusIncrementalSql,
     "q_corpus_cdc" -> corpusIncrementalSql,
+    "q_corpus_silver" -> corpusSilverSql,
     "q_seq_packing" -> seqPackingSql,
     "q_vocab_topk" -> vocabTopkSql,
     "q_unigram_lm" -> unigramLmSql
