@@ -773,7 +773,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
-      "zorder")
+      "vacuum", "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -783,6 +783,7 @@ object GraftProcedures {
       case "set_bloom_index" => Some(new BloomProc(cat))
       case "set_history_keep" => Some(new HistoryKeepProc(cat))
       case "set_history_keep_ms" => Some(new HistoryKeepMsProc(cat))
+      case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
       case _ => None
     }
@@ -928,6 +929,18 @@ object GraftProcedures {
       MergeSink.setHistoryKeepMs(SparkSession.active, opts("path"), ms)
       (ms / 1000L).toInt
     }
+  }
+
+  /** `CALL cat.sys.vacuum('ns.t')` — standalone retention GC + torn
+    * leftover sweep ([[MergeSink.vacuum]]) for quiesced tables.
+    */
+  final class VacuumProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "vacuum", "paths_removed", Seq.empty) {
+    override def description(): String =
+      "run retention GC and sweep torn claims/tmp/staging leftovers"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.vacuum(SparkSession.active, opts("path"))
   }
 
   /** `CALL cat.sys.set_bloom_index('ns.t', 'col[:ndv],col2')` —

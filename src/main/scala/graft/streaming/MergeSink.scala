@@ -831,10 +831,24 @@ object MergeSink {
     // GC: keep the most recent `historyKeep` versions readable (default
     // current + previous). Live data = bucket dirs referenced by any
     // retained manifest.
+    gc(spark, fs, p, dir, newV)
+  }
+
+  /** Retention GC, run by every commit and callable standalone as
+    * VACUUM ([[vacuum]]): retention = UNION of the depth and time
+    * windows — a version survives if it is among the last `keep` OR
+    * its commit marker is younger than `history_keep_ms` (marker
+    * mtime = the commit clock). Sweeps collected markers + manifests,
+    * unreferenced bucket-version data dirs, and (vacuum only, via
+    * [[vacuum]]) torn staging/claim leftovers.
+    */
+  private def gc(
+      spark: SparkSession,
+      fs: FileSystem,
+      p: Path,
+      dir: String,
+      newV: Long): Unit = {
     val keep = historyKeep(spark, dir).toLong
-    // retention = UNION of the depth and time windows: a version
-    // survives if it is among the last `keep` OR its commit marker is
-    // younger than `history_keep_ms` (marker mtime = the commit clock)
     val earliestByTime: Long = historyKeepMs(spark, dir).map { ms =>
       val cutoff = System.currentTimeMillis() - ms
       commitTimes(spark, dir).collect { case (v, t) if t >= cutoff => v }
@@ -864,6 +878,54 @@ object MergeSink {
         }
       }
     }
+  }
+
+  /** Standalone VACUUM: the same retention GC every commit runs, for
+    * QUIESCED tables (a table nobody writes never sheds anything
+    * otherwise — e.g. after tightening `history_keep` or setting a
+    * time window), plus a sweep of torn leftovers no commit cleans:
+    * claims and tmp/staging dirs older than the claim TTL with no
+    * matching commit marker. Returns the number of paths deleted.
+    * Safe on a live table: everything it deletes is either outside
+    * the retention window or provably torn.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return 0
+    var removed = 0
+    lastCommit(spark, dir).foreach { c =>
+      val before = fs.listStatus(p).length
+      gc(spark, fs, p, dir, c.version)
+      removed += math.max(0, before - fs.listStatus(p).length)
+    }
+    val ttl = spark.conf.getOption("spark.graft.commitClaimTtlMs")
+      .map(_.toLong).getOrElse(15L * 60L * 1000L)
+    val now = System.currentTimeMillis()
+    val marked = commits(spark, dir).map(_.version).toSet
+    val ClaimRe = "_claim_v(\\d+)".r
+    val TmpRe = "_tmp_v(\\d+).*".r
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val tornVersion = n match {
+        case ClaimRe(v) => Some(v.toLong)
+        case TmpRe(v) => Some(v.toLong)
+        case _ => None
+      }
+      tornVersion.foreach { v =>
+        if (!marked.contains(v) && now - st.getModificationTime > ttl) {
+          fs.delete(st.getPath, true)
+          removed += 1
+        }
+      }
+      // V2-write staging parents (`_staging_<queryId>`) are swept by
+      // their own commit/abort; one orphaned by a killed driver ages
+      // out here under the same lease rule
+      if (n.startsWith("_staging_") && now - st.getModificationTime > ttl) {
+        fs.delete(st.getPath, true)
+        removed += 1
+      }
+    }
+    removed
   }
 
   /** Data files a point lookup for `keys` must read — the bucket-pruned

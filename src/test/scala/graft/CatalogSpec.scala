@@ -874,6 +874,14 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.dt.detail").head()
       .getInt(m("retained_versions")) == 5,
       "time window must retain the whole young burst")
+    // CALL vacuum (the only parameter is the table): clearing the time
+    // window and vacuuming sheds the burst back to the depth window
+    // WITHOUT a commit
+    spark.sql(s"CALL $cat.sys.set_history_keep_ms('db.dt', 0)")
+    spark.sql(s"CALL $cat.sys.vacuum('db.dt')")
+    assert(spark.table(s"$cat.db.dt.detail").head()
+      .getInt(m("retained_versions")) == 2,
+      "vacuum must apply retention on a quiesced table")
   }
 
   test("ALTER TABLE ADD COLUMN: schema-only commit, zero data rewritten") {

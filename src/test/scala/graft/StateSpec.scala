@@ -874,6 +874,47 @@ class StateSpec extends SparkSpec {
       "incremental since an unsorted baseline must not claim sortedness")
   }
 
+  test("vacuum: quiesced tables shed history and torn leftovers without a commit") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_vacuum").toString
+    MS.setHistoryKeep(spark, table, 5)
+    (0 to 4).foreach { i =>
+      MS.upsertBatch(
+        Seq((i.toLong, i.toLong, i * 1.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", i.toLong, "vc")
+    }
+    assert(MS.commits(spark, table).size == 5)
+    // tighten retention AFTER the last commit: nothing sheds until the
+    // next commit — unless vacuum runs
+    MS.setHistoryKeep(spark, table, 2)
+    assert(MS.commits(spark, table).size == 5)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant torn leftovers: an aged unmarked claim + tmp + staging dir
+    val old = System.currentTimeMillis() - 16L * 60L * 1000L
+    for (n <- Seq("_claim_v9", "_tmp_v9", "_staging_dead")) {
+      if (n.startsWith("_tmp") || n.startsWith("_staging")) fs.mkdirs(
+        new org.apache.hadoop.fs.Path(p, n))
+      else fs.create(new org.apache.hadoop.fs.Path(p, n), false).close()
+      fs.setTimes(new org.apache.hadoop.fs.Path(p, n), old, -1L)
+    }
+    // a FRESH claim (in-flight writer) must survive the vacuum
+    fs.create(new org.apache.hadoop.fs.Path(p, "_claim_v5"), false).close()
+    val removed = MS.vacuum(spark, table)
+    assert(removed >= 3, s"vacuum removed only $removed paths")
+    assert(MS.commits(spark, table).map(_.version) == Seq(3L, 4L),
+      "vacuum must apply the tightened retention")
+    val names = fs.listStatus(p).map(_.getPath.getName).toSet
+    assert(!names.contains("_claim_v9") && !names.contains("_tmp_v9") &&
+      !names.contains("_staging_dead"), names.toString)
+    assert(names.contains("_claim_v5"), "vacuum killed a live claim")
+    // current state intact
+    assert(MS.currentState(spark, table).get.count() == 5L)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_claim_v5"), false)
+  }
+
   test("concurrent-commit claim: a racing writer fails loudly before touching data") {
     val s2 = spark
     import s2.implicits._
