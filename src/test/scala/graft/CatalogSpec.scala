@@ -604,7 +604,8 @@ class CatalogSpec extends SparkSpec {
     assert(post == expected)
 
     // unknown procedure fails loudly
-    intercept[Exception](spark.sql(s"CALL $cat.sys.vacuum('db.m')").collect())
+    intercept[Exception](
+      spark.sql(s"CALL $cat.sys.defragment('db.m')").collect())
   }
 
   test("writeStream.toTable upserts into a catalog table by pure SQL identifier") {
