@@ -178,14 +178,22 @@ class GraftCatalog
       // segment names a metadata kind
       case e: NoSuchTableException
           if ident.namespace().nonEmpty &&
-            MergeMetadataTable.kinds.contains(
-              ident.name().toLowerCase(java.util.Locale.ROOT)) =>
+            (MergeMetadataTable.kinds.contains(
+              ident.name().toLowerCase(java.util.Locale.ROOT)) ||
+              ident.name().toLowerCase(java.util.Locale.ROOT) == "changes") =>
         val parent = Identifier.of(
           ident.namespace.dropRight(1), ident.namespace.last)
         if (!tableExists(parent)) throw e
-        new MergeMetadataTable(
-          ident.name().toLowerCase(java.util.Locale.ROOT),
-          readMeta(parent).getProperty("path"))
+        // `cat.db.t.changes` — the CDC VIEW of any catalog table (the
+        // Delta table_changes / Iceberg changelog shape): batch reads
+        // return the retained commit log, streaming reads replay it —
+        // no second `cdc 'true'` table declaration needed
+        if (ident.name().toLowerCase(java.util.Locale.ROOT) == "changes")
+          loadWith(parent, None, forceCdc = true)
+        else
+          new MergeMetadataTable(
+            ident.name().toLowerCase(java.util.Locale.ROOT),
+            readMeta(parent).getProperty("path"))
     }
 
   /** TIME TRAVEL through SQL: `SELECT … FROM t VERSION AS OF <v>`. */
@@ -208,12 +216,16 @@ class GraftCatalog
     loadWith(ident, Some(v.toString))
   }
 
-  private def loadWith(ident: Identifier, versionAsOf: Option[String]): Table = {
+  private def loadWith(
+      ident: Identifier,
+      versionAsOf: Option[String],
+      forceCdc: Boolean = false): Table = {
     val props = readMeta(ident)
     val opts = props.stringPropertyNames.asScala
       .filterNot(k => k == "schema" || k == TableCatalog.PROP_EXTERNAL)
       .map(k => k -> props.getProperty(k))
-      .toMap ++ versionAsOf.map("versionAsOf" -> _)
+      .toMap ++ versionAsOf.map("versionAsOf" -> _) ++
+      (if (forceCdc) Map("cdc" -> "true") else Map.empty)
     val spark = SparkSession.active
     val MS = graft.streaming.MergeSink
     // committed data is authoritative for the schema (CDC batches may

@@ -841,6 +841,50 @@ class CatalogSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test(".changes suffix: the CDC view of any catalog table, batch and streaming") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ch (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    // keep the whole history replayable (default depth is 2)
+    spark.sql(
+      s"ALTER TABLE $cat.db.ch SET TBLPROPERTIES ('history_keep' = '5')")
+    spark.sql(s"INSERT INTO $cat.db.ch VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    spark.sql(s"INSERT INTO $cat.db.ch VALUES (1, 20, 1.5)")
+    spark.sql(s"DELETE FROM $cat.db.ch WHERE k = 2")
+    // batch: the retained commit log with replay columns
+    val log = spark.table(s"$cat.db.ch.changes")
+    assert(log.columns.contains("_version") &&
+      log.columns.contains(MergeSink.DeletedCol), log.columns.mkString(","))
+    assert(log.filter(col(MergeSink.DeletedCol)).count() == 1L,
+      "the DELETE's tombstone must appear in the change view")
+    val versions = log.select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.nonEmpty && versions.last == 2L, versions.mkString(","))
+    // the base table stays a plain snapshot (no replay columns)
+    assert(!spark.table(s"$cat.db.ch").columns.contains("_version"))
+    // streaming: readStream.table over the suffix replays the log
+    val name = "cat_changes_sink"
+    val q = spark.readStream.table(s"$cat.db.ch.changes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_chg_ck").toString)
+      .start()
+    q.awaitTermination()
+    // batch .changes serves the head manifest's buckets (latest content
+    // per bucket, tombstones retained); STREAMING replays every
+    // committed version's written buckets — supersets it
+    val replayVersions = spark.table(name).select("_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(replayVersions.sameElements(Array(0L, 1L, 2L)),
+      replayVersions.mkString(","))
+    assert(spark.table(name).count() >= log.count(),
+      "streaming replay lost rows vs the batch view")
+    spark.catalog.dropTempView(name)
+  }
+
   test(".detail metadata table and history_keep_ms TBLPROPERTY") {
     val cat = freshCatalog()
     spark.sql(
