@@ -299,6 +299,8 @@ class GraftCatalog
     props.setProperty("key", key)
     props.setProperty("seq", seq)
     props.setProperty("schema", schema.json)
+    // SHOW CREATE TABLE renders `USING graft-merge` from this
+    props.setProperty(TableCatalog.PROP_PROVIDER, "graft-merge")
     props.setProperty(TableCatalog.PROP_EXTERNAL, external.isDefined.toString)
     writeMeta(ident, props, overwrite = false)
     new GraftMergeTable(schema, Map("path" -> path, "key" -> key, "seq" -> seq))
@@ -394,6 +396,7 @@ class GraftCatalog
     props.setProperty("key", key)
     props.setProperty("seq", seq)
     props.setProperty("schema", schema.json)
+    props.setProperty(TableCatalog.PROP_PROVIDER, "graft-merge")
     props.setProperty(TableCatalog.PROP_EXTERNAL,
       prev.map(_.getProperty(TableCatalog.PROP_EXTERNAL))
         .getOrElse(external.isDefined.toString))
@@ -422,7 +425,7 @@ class GraftCatalog
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val reserved = Set("path", "key", "seq", "schema",
-      TableCatalog.PROP_EXTERNAL)
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_PROVIDER)
     val props = readMeta(ident)
     changes.foreach {
       case set: TableChange.SetProperty =>

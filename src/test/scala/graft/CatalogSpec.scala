@@ -43,6 +43,18 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.sameElements(Array((1L, 10L, 1.5), (2L, 20L, 9.5), (3L, 21L, 3.5))),
       rows.toSeq.toString)
+    // SHOW CREATE TABLE round-trips: the emitted DDL names the
+    // provider and carries key/seq as properties, which CREATE accepts
+    // as bare options — a dumped definition re-creates a working table
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.db.accounts")
+      .head().getString(0)
+    assert(ddl.contains("graft-merge") && ddl.contains("'key' = 'k'") &&
+      ddl.contains("'seq' = 'seq'"), ddl)
+    spark.sql(ddl.replace(s"$cat.db.accounts", s"$cat.db.accounts2")
+      .replace("USING graft-merge", "USING `graft-merge`") // the documented backtick rule
+      .replaceAll("'path' = '[^']*',?\\s*", "")) // fresh managed location
+    spark.sql(s"INSERT INTO $cat.db.accounts2 VALUES (1, 1, 1.0)")
+    assert(spark.table(s"$cat.db.accounts2").count() == 1L)
     // RENAME TO resolves inside the same catalog: target omits it
     spark.sql(s"ALTER TABLE $cat.db.accounts RENAME TO db.ledger")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.ledger").head().getLong(0) == 3)
