@@ -1935,6 +1935,62 @@ object Streams {
   val catalogStreamGatedSql: String = mergeChangesGatedSql
 
   // ---------------------------------------------------------------------
+  // q_catalog_changes — the `.changes` SUFFIX gated end to end: the
+  // catalog table is declared PLAIN (a snapshot table, no cdc option);
+  // `readStream.table("cat.g.t.changes")` replays its commit log
+  // anyway (the Delta table_changes shape as a pure SQL identifier),
+  // and folding the replay reproduces exactly the library change feed
+  // — same oracle as q_merge_changes / q_catalog_stream.
+  // ---------------------------------------------------------------------
+  val catalogChangesGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gchg$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_chg_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_chg_tbl")
+      .toString
+    val e = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+    val t1 = e.agg(max(col("event_id")).as("m")).head().getLong(0) / 2
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") <= t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lit(false).as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 0L, "chg")
+    MergeSink.upsertBatch(
+      e.filter(col("event_id") > t1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("event_type") === "error").as(MergeSink.DeletedCol)),
+      table, "user_id", "event_id", 1L, "chg")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t
+         |(user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'user_id', seq 'event_id', path '$table')""".stripMargin)
+    val name = s"graft_stream_chg_$nRun"
+    val q = s.readStream
+      .table(s"$cat.g.t.changes")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_chg_ck2").toString)
+      .start()
+    q.awaitTermination()
+    foldReplayToChangeFeed(s.table(name))
+  }
+
+  val catalogChangesGatedSql: String = mergeChangesGatedSql
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -3322,6 +3378,7 @@ object Streams {
     "q_dsv2_update" -> dsv2UpdateGated,
     "q_merge_composite" -> mergeCompositeGated,
     "q_catalog_stream" -> catalogStreamGated,
+    "q_catalog_changes" -> catalogChangesGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -3369,6 +3426,7 @@ object Streams {
     "q_dsv2_update" -> dsv2UpdateGatedSql,
     "q_merge_composite" -> mergeCompositeGatedSql,
     "q_catalog_stream" -> catalogStreamGatedSql,
+    "q_catalog_changes" -> catalogChangesGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,
