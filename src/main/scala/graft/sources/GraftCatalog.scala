@@ -788,7 +788,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
-      "vacuum", "zorder")
+      "restore", "vacuum", "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -798,6 +798,7 @@ object GraftProcedures {
       case "set_bloom_index" => Some(new BloomProc(cat))
       case "set_history_keep" => Some(new HistoryKeepProc(cat))
       case "set_history_keep_ms" => Some(new HistoryKeepMsProc(cat))
+      case "restore" => Some(new RestoreProc(cat))
       case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
       case _ => None
@@ -944,6 +945,20 @@ object GraftProcedures {
       MergeSink.setHistoryKeepMs(SparkSession.active, opts("path"), ms)
       (ms / 1000L).toInt
     }
+  }
+
+  /** `CALL cat.sys.restore('ns.t', v)` — roll the table back to a
+    * retained version as a PURE METADATA commit ([[MergeSink.restore]]).
+    */
+  final class RestoreProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "restore", "restored_as_version",
+        Seq(ProcedureParameter.in("to_version", LongType).build())) {
+    override def description(): String =
+      "roll back to a retained version (metadata-only; zero data copied)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.restore(
+        SparkSession.active, opts("path"), input.getLong(1)).toInt
   }
 
   /** `CALL cat.sys.vacuum('ns.t')` — standalone retention GC + torn

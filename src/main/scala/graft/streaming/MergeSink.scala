@@ -1095,6 +1095,48 @@ object MergeSink {
     * the normal retention window. Runs under the single-writer
     * "maintenance" discipline, same as [[expireTombstones]].
     */
+  /** RESTORE to a retained version — a PURE METADATA commit (the
+    * Delta RESTORE shape): the new head's manifest re-references
+    * `toVersion`'s bucket content verbatim, so zero data is copied or
+    * rewritten and the restore is O(manifest) at any table size. The
+    * rolled-back-over versions stay time-travelable for their normal
+    * retention window (a restore is a COMMIT, not an erasure), and
+    * the restored content stays live as long as any retained manifest
+    * references it — the GC's reference rule, unchanged. CDC caveat
+    * (same as Delta's): the restore commit writes no bucket files, so
+    * the change feed emits NO events for it — downstream CDC readers
+    * needing the rollback as a diff should compare snapshots
+    * ([[stateAt]]) instead. Returns the minted version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"restore: $dir has no committed version"))
+    require(toVersion != last.version,
+      s"restore: $dir is already at version $toVersion")
+    val m = manifest(spark, dir, toVersion)
+    if (m.isEmpty && !commits(spark, dir).exists(_.version == toVersion))
+      throw new IllegalStateException(
+        s"restore: version $toVersion of $dir is not retained " +
+          s"(earliest retained is ${commits(spark, dir).headOption
+            .map(_.version).getOrElse(0L)}); widen history_keep " +
+          "BEFORE you need rollback depth")
+    val newV = last.version + 1
+    publish(
+      spark, dir,
+      bucketCount(spark, dir, toVersion),
+      m,
+      touched = Set.empty,
+      rows = None,
+      newV,
+      runId = "maintenance",
+      epochId = newV,
+      prevVersion = Some(toVersion),
+      sortedBy = manifestSortedBy(spark, dir, toVersion),
+      schemaOverride = manifestSchema(spark, dir, toVersion))
+    newV
+  }
+
   /** `ALTER TABLE … ADD COLUMN(S)` — a SCHEMA-ONLY commit: a new
     * version whose manifest carries every bucket forward untouched and
     * records the extended union schema. Zero data rewritten (existing

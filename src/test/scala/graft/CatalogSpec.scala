@@ -853,6 +853,20 @@ class CatalogSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("CALL restore rolls a table back through pure SQL") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.r (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 20, -9.9)") // bad deploy
+    val v = spark.sql(s"CALL $cat.sys.restore('db.r', 0)").head().getInt(0)
+    assert(v == 2, s"restored_as_version $v")
+    val got = spark.sql(s"SELECT k, v FROM $cat.db.r ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(Array((1L, 1.0), (2L, 2.0))), got.toSeq.toString)
+  }
+
   test(".changes suffix: the CDC view of any catalog table, batch and streaming") {
     val cat = freshCatalog()
     spark.sql(

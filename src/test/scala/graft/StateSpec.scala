@@ -874,6 +874,56 @@ class StateSpec extends SparkSpec {
       "incremental since an unsorted baseline must not claim sortedness")
   }
 
+  test("restore: rollback to a retained version is a metadata-only commit") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_restore").toString
+    MS.setHistoryKeep(spark, table, 5)
+    MS.upsertBatch(
+      (1L to 20L).map(i => (i, 10L, i * 1.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "rs")
+    val good = MS.currentState(spark, table).get.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    MS.upsertBatch( // the bad deploy: clobbers half the keys
+      (1L to 10L).map(i => (i, 20L, -1.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 1L, "rs")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(d).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath.toString))
+      walk(new org.apache.hadoop.fs.Path(p, "data")).toSet
+    }
+    val before = dataFiles()
+    val restored = MS.restore(spark, table, 0L)
+    assert(restored == 2L)
+    // metadata-only: the data tree is BYTE-FOR-BYTE the same file set
+    assert(dataFiles() == before, "restore copied or rewrote data files")
+    // the head now reads as version 0 did
+    val now = MS.currentState(spark, table).get.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(now == good, "restored state diverged from the target version")
+    // the rolled-back-over bad version stays time-travelable
+    assert(MS.stateAt(spark, table, 1L).get
+      .filter(col("v") === -1.0).count() == 10L)
+    // restoring to a GC'd version fails loudly
+    val bad = intercept[IllegalStateException] {
+      MS.restore(spark, table, 99L)
+    }
+    assert(bad.getMessage.contains("not retained") ||
+      bad.getMessage.contains("retained"), bad.getMessage)
+    // a later write on top of the restore merges against the restored
+    // state, not the bad one
+    MS.upsertBatch(
+      Seq((1L, 30L, 100.0)).toDF("k", "seq", "v"), table, "k", "seq", 2L, "rs")
+    val after = MS.currentState(spark, table).get
+      .filter(col("k") === 1L).head().getDouble(2)
+    assert(after == 100.0)
+    assert(MS.currentState(spark, table).get.count() == 20L)
+  }
+
   test("vacuum: quiesced tables shed history and torn leftovers without a commit") {
     val s2 = spark
     import s2.implicits._
