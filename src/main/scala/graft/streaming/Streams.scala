@@ -1991,6 +1991,70 @@ object Streams {
   val catalogChangesGatedSql: String = mergeChangesGatedSql
 
   // ---------------------------------------------------------------------
+  // q_merge_restore — rollback gated end to end: both halves of the
+  // log land as two commits, `CALL cat.sys.restore('g.t', 0)` rolls
+  // back to the first (a metadata-only commit — the gate REQUIREs the
+  // data-file inventory unchanged), and the final per-bucket aggregate
+  // must equal the declarative latest-wins over the FIRST half alone —
+  // proving the head now serves exactly the pre-deploy snapshot while
+  // the rolled-back-over version stays time-travelable (REQUIREd too).
+  // ---------------------------------------------------------------------
+  val mergeRestoreGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"grst$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_rst_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_rst_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    val t1 = s.sql(s"SELECT max(event_id) DIV 2 FROM $view").head().getLong(0)
+    s.sql(s"INSERT INTO $cat.g.t SELECT * FROM $view WHERE event_id <= $t1")
+    s.sql(s"INSERT INTO $cat.g.t SELECT * FROM $view WHERE event_id > $t1")
+    val path = s.sql(s"SHOW TBLPROPERTIES $cat.g.t")
+      .filter(col("key") === "path").head().getString(1)
+    val MS = graft.streaming.MergeSink
+    val filesBefore = MS.manifestFiles(s, path, 0L)
+    val preRestoreCount = s.table(s"$cat.g.t").count()
+    require(
+      s.sql(s"CALL $cat.sys.restore('g.t', 0)").head().getInt(0) == 2,
+      "restore did not mint version 2")
+    // metadata-only: the restored head references v0's exact files
+    require(MS.manifestFiles(s, path, 2L) == filesBefore,
+      "restore must re-reference, not rewrite")
+    // the bad deploy stays time-travelable
+    require(
+      s.sql(s"SELECT count(*) FROM $cat.g.t VERSION AS OF 1")
+        .head().getLong(0) == preRestoreCount,
+      "rolled-back-over version lost")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(event_id) AS BIGINT) AS id_total,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.t GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
+  }
+
+  val mergeRestoreGatedSql: String =
+    """WITH mx AS (SELECT max(event_id) // 2 AS t1 FROM events),
+      |st AS (
+      |  SELECT e.user_id, max(e.event_id) AS last_id,
+      |    arg_max(e.value, e.event_id) AS last_val
+      |  FROM events e, mx WHERE e.event_id <= mx.t1 GROUP BY e.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -3379,6 +3443,7 @@ object Streams {
     "q_merge_composite" -> mergeCompositeGated,
     "q_catalog_stream" -> catalogStreamGated,
     "q_catalog_changes" -> catalogChangesGated,
+    "q_merge_restore" -> mergeRestoreGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -3427,6 +3492,7 @@ object Streams {
     "q_merge_composite" -> mergeCompositeGatedSql,
     "q_catalog_stream" -> catalogStreamGatedSql,
     "q_catalog_changes" -> catalogChangesGatedSql,
+    "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,
