@@ -788,7 +788,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
-      "restore", "vacuum", "zorder")
+      "analyze", "restore", "vacuum", "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -798,6 +798,7 @@ object GraftProcedures {
       case "set_bloom_index" => Some(new BloomProc(cat))
       case "set_history_keep" => Some(new HistoryKeepProc(cat))
       case "set_history_keep_ms" => Some(new HistoryKeepMsProc(cat))
+      case "analyze" => Some(new AnalyzeProc(cat))
       case "restore" => Some(new RestoreProc(cat))
       case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
@@ -945,6 +946,18 @@ object GraftProcedures {
       MergeSink.setHistoryKeepMs(SparkSession.active, opts("path"), ms)
       (ms / 1000L).toInt
     }
+  }
+
+  /** `CALL cat.sys.analyze('ns.t')` — one-pass column statistics for
+    * the cost model ([[MergeSink.analyze]]); stale after any commit.
+    */
+  final class AnalyzeProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "analyze", "columns_analyzed", Seq.empty) {
+    override def description(): String =
+      "compute per-column NDV/nulls/min-max for the optimizer (one pass)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.analyze(SparkSession.active, opts("path"))
   }
 
   /** `CALL cat.sys.restore('ns.t', v)` — roll the table back to a

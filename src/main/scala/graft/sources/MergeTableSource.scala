@@ -1084,12 +1084,64 @@ class GraftMergeScan(
       if (byBucket.nonEmpty && byBucket.keys.forall(recordedRows.contains))
         Some(byBucket.keys.map(recordedRows).sum)
       else None
+    // ANALYZE sidecar ([[MergeSink.analyze]]): per-column NDV / null
+    // count / numeric min-max / string lengths, served to the cost
+    // model ONLY when the sidecar matches the resolved version exactly
+    // (stale NDVs misestimate joins worse than none). min/max re-type
+    // from the stored doubles into the column's catalyst value — the
+    // contract transformV2Stats expects.
+    val colStats: Map[String, graft.streaming.MergeSink.ColStats] =
+      resolvedVersion
+        .flatMap(v => MergeSink.statsFor(spark, dir, v))
+        .map(_._2).getOrElse(Map.empty)
+    def typed(d: Double, dt: DataType): Option[Object] = dt match {
+      case LongType => Some(java.lang.Long.valueOf(d.toLong))
+      case IntegerType => Some(java.lang.Integer.valueOf(d.toInt))
+      case ShortType => Some(java.lang.Short.valueOf(d.toShort))
+      case ByteType => Some(java.lang.Byte.valueOf(d.toByte))
+      case DoubleType => Some(java.lang.Double.valueOf(d))
+      case FloatType => Some(java.lang.Float.valueOf(d.toFloat))
+      case _ => None // decimals/timestamps: ndv + nulls still serve
+    }
+    val colStatsJava = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    required.fields.foreach { f =>
+      colStats.get(f.name).foreach { cs =>
+        colStatsJava.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.nulls)
+            override def min(): java.util.Optional[Object] =
+              cs.min.flatMap(typed(_, f.dataType))
+                .map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              cs.max.flatMap(typed(_, f.dataType))
+                .map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def avgLen(): java.util.OptionalLong =
+              cs.avgLen.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def maxLen(): java.util.OptionalLong =
+              cs.maxLen.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStatsJava
     }
   }
 

@@ -98,6 +98,7 @@ object MergeSink {
   private val MarkerRe = "_commit_v(\\d+)_r([^_]+)_e(\\d+)".r
   private val ManifestRe = "_manifest_v(\\d+)".r
   private val WriterRe = "_writer_e(\\d+)_r([^_]+)".r
+  private val StatsRe = "_stats_v(\\d+)".r
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -864,7 +865,8 @@ object MergeSink {
       .filter { q =>
         val n = q.getName
         (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
-        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept))
+        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
+        (StatsRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept))
       }
       .foreach(fs.delete(_, true))
     val dataRoot = new Path(p, "data")
@@ -1095,6 +1097,111 @@ object MergeSink {
     * the normal retention window. Runs under the single-writer
     * "maintenance" discipline, same as [[expireTombstones]].
     */
+  /** One analyzed column's figures (see [[analyze]]/[[statsFor]]);
+    * min/max kept as doubles and re-typed by the serving scan.
+    */
+  final case class ColStats(
+      ndv: Long,
+      nulls: Long,
+      min: Option[Double],
+      max: Option[Double],
+      avgLen: Option[Long],
+      maxLen: Option[Long])
+
+  /** ANALYZE TABLE: ONE pass over the current snapshot computing
+    * per-column statistics — approximate NDV (HLL++), null count, and
+    * numeric min/max (string columns record avg/max length instead) —
+    * written as a `_stats_v<head>` JSON sidecar. The connector scan
+    * serves them to the optimizer ONLY while the head is still the
+    * analyzed version: any commit silently invalidates (stale NDVs
+    * misestimate joins worse than none), and the sidecar GCs with its
+    * version. One bounded aggregate per run — the cost model a 100 TB
+    * join reorder needs, paid once per maintenance cycle, never per
+    * query. Returns the number of columns analyzed.
+    */
+  def analyze(spark: SparkSession, dir: String): Int = {
+    import org.apache.spark.sql.types.{NumericType, StringType => SStr}
+    val c = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(s"analyze: $dir has no committed version"))
+    val df = currentState(spark, dir).getOrElse(
+      throw new IllegalStateException(s"analyze: $dir has no readable state"))
+    val fields = df.schema.fields
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).as("__rows"))
+    fields.foreach { f =>
+      aggs += approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}")
+      aggs += count(col(f.name)).as(s"__nn_${f.name}")
+      f.dataType match {
+        case _: NumericType =>
+          aggs += min(col(f.name)).cast("double").as(s"__min_${f.name}")
+          aggs += max(col(f.name)).cast("double").as(s"__max_${f.name}")
+        case SStr =>
+          aggs += avg(length(col(f.name))).cast("long").as(s"__avgl_${f.name}")
+          aggs += max(length(col(f.name))).cast("long").as(s"__maxl_${f.name}")
+        case _ => ()
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    def opt[T](name: String, get: Int => T): Option[T] = {
+      val i = r.schema.fieldNames.indexOf(name)
+      if (i < 0 || r.isNullAt(i)) None else Some(get(i))
+    }
+    val rows = r.getLong(r.schema.fieldNames.indexOf("__rows"))
+    val body = fields.map { f =>
+      val ndv = opt(s"__ndv_${f.name}", r.getLong).getOrElse(0L)
+      val nulls = rows - opt(s"__nn_${f.name}", r.getLong).getOrElse(0L)
+      val mn = opt(s"__min_${f.name}", r.getDouble)
+      val mx = opt(s"__max_${f.name}", r.getDouble)
+      val al = opt(s"__avgl_${f.name}", r.getLong)
+      val ml = opt(s"__maxl_${f.name}", r.getLong)
+      def j(o: Option[_]): String = o.map(_.toString).getOrElse("null")
+      s"""{"col":"${f.name}","ndv":$ndv,"nulls":$nulls,""" +
+        s""""min":${j(mn)},"max":${j(mx)},""" +
+        s""""avgLen":${j(al)},"maxLen":${j(ml)}}"""
+    }
+    val (fs, p) = fsOf(spark, dir)
+    val out = fs.create(new Path(p, s"_stats_v${c.version}"), true)
+    try out.write(
+      (s"""{"rows":$rows,"version":${c.version}}""" +:
+        body.toSeq).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fields.length
+  }
+
+  /** The analyzed statistics for EXACTLY `version`, if present:
+    * (snapshot row count, per-column figures). None after any newer
+    * commit (the staleness rule) or when never analyzed.
+    */
+  def statsFor(
+      spark: SparkSession,
+      dir: String,
+      version: Long): Option[(Long, Map[String, ColStats])] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, s"_stats_v$version")
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    def num(src: String, k: String): Option[Double] =
+      s""""$k":(-?[0-9.eE+]+)""".r.findFirstMatchIn(src).map(_.group(1).toDouble)
+    def str(src: String, k: String): Option[String] =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(src).map(_.group(1))
+    val rows = lines.headOption.flatMap(num(_, "rows")).map(_.toLong)
+    val cols = lines.drop(1).flatMap { l =>
+      str(l, "col").map { name =>
+        name -> ColStats(
+          num(l, "ndv").map(_.toLong).getOrElse(0L),
+          num(l, "nulls").map(_.toLong).getOrElse(0L),
+          num(l, "min"),
+          num(l, "max"),
+          num(l, "avgLen").map(_.toLong),
+          num(l, "maxLen").map(_.toLong))
+      }
+    }.toMap
+    rows.map(_ -> cols)
+  }
+
   /** RESTORE to a retained version — a PURE METADATA commit (the
     * Delta RESTORE shape): the new head's manifest re-references
     * `toVersion`'s bucket content verbatim, so zero data is copied or
@@ -1388,8 +1495,18 @@ object MergeSink {
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
         val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
-        zCols.foreach(zc => require(raw.columns.contains(zc),
-          s"compactZOrder: no column '$zc' in ${raw.columns.mkString(",")}"))
+        zCols.foreach { zc =>
+          val f = raw.schema.fields.find(_.name == zc).getOrElse(
+            throw new IllegalArgumentException(
+              s"compactZOrder: no column '$zc' in ${raw.columns.mkString(",")}"))
+          // rank-scaling casts through double: a non-numeric column
+          // would silently scale to NULL -> bucket 0 -> NO clustering
+          require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            f.dataType == org.apache.spark.sql.types.TimestampType,
+            s"compactZOrder: column '$zc' is ${f.dataType.simpleString} — " +
+              "z-order clustering needs a numeric/timestamp dimension " +
+              "(hash or bucket string columns first)")
+        }
         // global per-column ranges (one footer-cheap aggregate) scale
         // each dimension to the interleave's 16-bit domain
         val st = raw.agg(

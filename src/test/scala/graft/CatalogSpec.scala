@@ -865,6 +865,8 @@ class CatalogSpec extends SparkSpec {
     val got = spark.sql(s"SELECT k, v FROM $cat.db.r ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.sameElements(Array((1L, 1.0), (2L, 2.0))), got.toSeq.toString)
+    // ANALYZE through SQL: one pass, all three columns
+    assert(spark.sql(s"CALL $cat.sys.analyze('db.r')").head().getInt(0) == 3)
   }
 
   test(".changes suffix: the CDC view of any catalog table, batch and streaming") {

@@ -864,6 +864,62 @@ class Dsv2Spec extends SparkSpec {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("ANALYZE: column statistics reach the optimizer; any commit stales them") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    MergeSink.upsertBatch(
+      spark.range(1000).select(
+        col("id").as("k"), lit(1L).as("seq"),
+        (col("id") % 10).as("cat"),
+        md5(col("id").cast("string")).as("tag")),
+      table, "k", "seq", 0L, "an")
+    assert(MergeSink.analyze(spark, table) == 4)
+    def scanStats() = {
+      val df = spark.read.format("graft-merge")
+        .option("path", table).option("key", "k").load()
+      df.queryExecution.optimizedPlan
+        .collectFirst { case r: DataSourceV2ScanRelation => r.scan }
+        .get.asInstanceOf[GraftMergeScan].estimateStatistics()
+    }
+    val st = scanStats()
+    val cols = st.columnStats()
+    assert(!cols.isEmpty, "analyze sidecar not served")
+    def of(name: String) = {
+      val e = cols.entrySet().iterator()
+      var found: org.apache.spark.sql.connector.read.colstats.ColumnStatistics = null
+      while (e.hasNext) {
+        val kv = e.next()
+        if (kv.getKey.fieldNames().head == name) found = kv.getValue
+      }
+      assert(found != null, s"no stats for $name"); found
+    }
+    // k: 1000 distinct, min 0 max 999 (typed back to LONG)
+    val kst = of("k")
+    val ndv = kst.distinctCount().getAsLong
+    assert(math.abs(ndv - 1000L) < 100L, s"k ndv $ndv") // HLL approx
+    assert(kst.min().get() == java.lang.Long.valueOf(0L) &&
+      kst.max().get() == java.lang.Long.valueOf(999L),
+      s"${kst.min()} .. ${kst.max()}")
+    assert(kst.nullCount().getAsLong == 0L)
+    // cat: 10 distinct — exactly the join-reorder signal CBO needs
+    val cndv = of("cat").distinctCount().getAsLong
+    assert(math.abs(cndv - 10L) <= 1L, s"cat ndv $cndv")
+    // tag (string): lengths recorded, no numeric min/max
+    val tst = of("tag")
+    assert(tst.maxLen().getAsLong == 32L && tst.avgLen().getAsLong == 32L)
+    assert(!tst.min().isPresent)
+    // ANY commit stales the sidecar: better no stats than wrong NDVs
+    MergeSink.upsertBatch(
+      Seq((5000L, 1L, 3L, "x")).toDF("k", "seq", "cat", "tag"),
+      table, "k", "seq", 1L, "an")
+    assert(scanStats().columnStats().isEmpty,
+      "stale statistics served after a commit")
+    // re-analyze restores service at the new head
+    MergeSink.analyze(spark, table)
+    assert(!scanStats().columnStats().isEmpty)
+  }
+
   test("metadata columns: _version/_bucket/_file selectable, hidden from *") {
     val table = freshTable()
     val s2 = spark
