@@ -788,7 +788,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
-      "analyze", "restore", "vacuum", "zorder")
+      "analyze", "restore", "restore_ts", "vacuum", "zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -800,6 +800,7 @@ object GraftProcedures {
       case "set_history_keep_ms" => Some(new HistoryKeepMsProc(cat))
       case "analyze" => Some(new AnalyzeProc(cat))
       case "restore" => Some(new RestoreProc(cat))
+      case "restore_ts" => Some(new RestoreTsProc(cat))
       case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
       case _ => None
@@ -972,6 +973,29 @@ object GraftProcedures {
         opts: Map[String, String], input: InternalRow): Int =
       MergeSink.restore(
         SparkSession.active, opts("path"), input.getLong(1)).toInt
+  }
+
+  /** `CALL cat.sys.restore_ts('ns.t', '2026-08-15 06:00:00')` — roll
+    * back to the snapshot as of a wall-clock instant (epoch millis,
+    * SQL timestamp, or ISO instant — the TIMESTAMP AS OF forms),
+    * resolved through the commit-marker clock, then the same
+    * metadata-only [[MergeSink.restore]].
+    */
+  final class RestoreTsProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "restore_ts", "restored_as_version",
+        Seq(ProcedureParameter.in("to_timestamp", StringType).build())) {
+    override def description(): String =
+      "roll back to the snapshot as of a timestamp (metadata-only)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val raw = input.getUTF8String(1).toString
+      val spark = SparkSession.active
+      val ms = MergeTableUtil.parseTsMillis(raw)
+      val v = MergeSink.versionAt(spark, opts("path"), ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore_ts: no commit at or before '$raw'"))
+      MergeSink.restore(spark, opts("path"), v).toInt
+    }
   }
 
   /** `CALL cat.sys.vacuum('ns.t')` — standalone retention GC + torn

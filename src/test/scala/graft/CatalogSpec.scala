@@ -858,6 +858,8 @@ class CatalogSpec extends SparkSpec {
     spark.sql(
       s"""CREATE TABLE $cat.db.r (k BIGINT, seq BIGINT, v DOUBLE)
          |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"ALTER TABLE $cat.db.r SET TBLPROPERTIES ('history_keep' = '10')")
     spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 10, 1.0), (2, 10, 2.0)")
     spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 20, -9.9)") // bad deploy
     val v = spark.sql(s"CALL $cat.sys.restore('db.r', 0)").head().getInt(0)
@@ -867,6 +869,28 @@ class CatalogSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, 1.0), (2L, 2.0))), got.toSeq.toString)
     // ANALYZE through SQL: one pass, all three columns
     assert(spark.sql(s"CALL $cat.sys.analyze('db.r')").head().getInt(0) == 3)
+    // restore_ts resolves through the commit-marker clock: age v0's
+    // marker to a known instant, restore to just after it — back to v0
+    // (a second metadata-only rollback on top of the first)
+    val path = spark.sql(s"SHOW TBLPROPERTIES $cat.db.r")
+      .filter(col("key") === "path").head().getString(1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_commit_v")) {
+        val v = "_commit_v(\\d+)".r.findFirstMatchIn(n).get.group(1).toLong
+        fs.setTimes(st.getPath, t0 + v * 60000L, -1L)
+      }
+    }
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (9, 99, 9.0)") // dirty again
+    assert(spark.sql(
+      s"CALL $cat.sys.restore_ts('db.r', '${t0 + 30000L}')")
+      .head().getInt(0) > 0)
+    val back = spark.sql(s"SELECT k, v FROM $cat.db.r ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.sameElements(Array((1L, 1.0), (2L, 2.0))), back.toSeq.toString)
   }
 
   test(".changes suffix: the CDC view of any catalog table, batch and streaming") {
