@@ -230,9 +230,20 @@ class GraftCatalog
     val MS = graft.streaming.MergeSink
     // committed data is authoritative for the schema (CDC batches may
     // have evolved it past the declaration); the declared schema serves
-    // until the first commit
+    // until the first commit. A VERSION/TIMESTAMP AS OF read resolves
+    // the schema from THAT version's recorded manifest — a REPLACE
+    // TABLE or ADD COLUMN after the snapshot must not bleed the head
+    // schema into time travel (columns the replace dropped stay
+    // readable at the old version; columns it added don't exist there).
     val base = MS.lastCommit(spark, opts("path")) match {
-      case Some(_) => MergeTableUtil.dataSchema(spark, opts("path"))
+      case Some(_) =>
+        versionAsOf
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .flatMap(v => MS.manifestSchema(spark, opts("path"), v))
+          .map(s => org.apache.spark.sql.types.StructType(
+            s.fields.map(f =>
+              org.apache.spark.sql.types.StructField(f.name, f.dataType))))
+          .getOrElse(MergeTableUtil.dataSchema(spark, opts("path")))
       case None =>
         DataType.fromJson(props.getProperty("schema")).asInstanceOf[StructType]
     }
@@ -508,6 +519,11 @@ class GraftCatalog
     val managed = props.getProperty(TableCatalog.PROP_EXTERNAL) == "false"
     fs.delete(mp, false)
     if (managed) fs.delete(new Path(props.getProperty("path")), true)
+    // the path's history is destroyed, not extended: a re-CREATE at
+    // the same (deterministic managed) path must not hit the old
+    // table's cached manifests
+    graft.streaming.MergeSink
+      .invalidateManifestCache(props.getProperty("path"))
     true
   }
 

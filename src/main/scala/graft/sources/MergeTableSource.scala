@@ -132,8 +132,14 @@ private[graft] object MergeTableUtil {
   }
 
   /** `timestampAsOf` accepted forms: epoch MILLIS (all digits), SQL
-    * timestamp (`2026-08-15 12:00:00[.fff]`, session-zone-free: taken
-    * as UTC for determinism), or ISO-8601 instant.
+    * timestamp (`2026-08-15 12:00:00[.fff]`), or ISO-8601 instant.
+    * A ZONE-LESS timestamp resolves in the SESSION timezone
+    * (`spark.sql.session.timeZone`) — the same resolution Spark
+    * applies to `TIMESTAMP AS OF '<literal>'` before handing the
+    * catalog epoch micros, so the SQL clause, this option, and
+    * `CALL restore_ts` all pick the same version for the same string
+    * (the Delta convention; previously this parsed as UTC and the
+    * three entry points disagreed on any non-UTC session).
     */
   def parseTsMillis(raw: String): Long = {
     val s = raw.trim
@@ -142,9 +148,14 @@ private[graft] object MergeTableUtil {
       try java.time.Instant.parse(s).toEpochMilli
       catch {
         case _: java.time.format.DateTimeParseException =>
+          val zone = java.time.ZoneId.of(
+            SparkSession.active.conf
+              .get("spark.sql.session.timeZone", java.util.TimeZone
+                .getDefault.getID))
           java.time.LocalDateTime
             .parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC)
+            .atZone(zone)
+            .toInstant
             .toEpochMilli
       }
   }
@@ -999,7 +1010,13 @@ class GraftMergeScan(
   // have no single partition key) and a catalog-resolved table (the
   // transform binds through the catalog's FunctionCatalog).
   // -------------------------------------------------------------------
-  private def spjMode: Boolean =
+  // evaluated ONCE per scan (lazy val, first use = plan time): the
+  // bucketing conf is re-readable, and a conf flip between
+  // outputPartitioning (planning) and planInputPartitions (execution)
+  // must not let packed partitions ride under a KeyGroupedPartitioning
+  // plan (partitionKey() would throw — or worse, a shuffle-free join
+  // would misalign)
+  private lazy val spjMode: Boolean =
     kcols.size == 1 && !cdc &&
       fullSchema.fields.exists(f =>
         f.name == kcols.head && f.dataType == LongType) &&

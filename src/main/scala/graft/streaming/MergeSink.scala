@@ -189,6 +189,21 @@ object MergeSink {
         size > 256
     }
 
+  /** Drop every cached manifest for `dir`. Manifests are immutable
+    * once committed, so the cache never needs this during normal
+    * operation — but DROP TABLE + re-CREATE at the same path (managed
+    * tables reuse the deterministic warehouse path) would otherwise
+    * serve the OLD table's cached lines to the new table's early
+    * versions: stale schema, references to deleted files, zero
+    * filesystem reads to notice. Called by the catalog's dropTable /
+    * purgeTable (and safe to call anywhere a path's history is
+    * destroyed rather than extended).
+    */
+  private[graft] def invalidateManifestCache(dir: String): Unit =
+    manifestCache.synchronized {
+      manifestCache.keySet.removeIf(_._1 == dir)
+    }
+
   private def manifestLines(
       spark: SparkSession, dir: String, version: Long): Option[Seq[String]] = {
     val key = (dir, version)
@@ -885,11 +900,24 @@ object MergeSink {
   /** Standalone VACUUM: the same retention GC every commit runs, for
     * QUIESCED tables (a table nobody writes never sheds anything
     * otherwise — e.g. after tightening `history_keep` or setting a
-    * time window), plus a sweep of torn leftovers no commit cleans:
-    * claims and tmp/staging dirs older than the claim TTL with no
-    * matching commit marker. Returns the number of paths deleted.
-    * Safe on a live table: everything it deletes is either outside
-    * the retention window or provably torn.
+    * time window), plus a sweep of stale leftovers no commit cleans.
+    * Two leases, deliberately different:
+    *
+    *  - CLAIMS (`_claim_vN` with no marker) age out at the claim TTL
+    *    (`spark.graft.commitClaimTtlMs`, default 15 min) — identical
+    *    to the steal rule every writer already applies, so vacuum
+    *    removes nothing a competing writer could still trust.
+    *  - TMP/STAGING dirs (`_tmp_v*`, `_staging_*`) age out at the
+    *    much larger `spark.graft.vacuumStagingTtlMs` (default 24 h):
+    *    a long-running batch write at 100 TB scale is
+    *    indistinguishable from a torn one by age alone, and deleting
+    *    a LIVE writer's staging mid-flight fails its commit. The
+    *    lease is a bound on how long a single write attempt may run,
+    *    not proof of tornness — operators running writes longer than
+    *    the staging TTL must raise it (or not run vacuum
+    *    concurrently).
+    *
+    * Returns the number of paths deleted.
     */
   def vacuum(spark: SparkSession, dir: String): Int = {
     val (fs, p) = fsOf(spark, dir)
@@ -900,20 +928,24 @@ object MergeSink {
       gc(spark, fs, p, dir, c.version)
       removed += math.max(0, before - fs.listStatus(p).length)
     }
-    val ttl = spark.conf.getOption("spark.graft.commitClaimTtlMs")
+    val claimTtl = spark.conf.getOption("spark.graft.commitClaimTtlMs")
       .map(_.toLong).getOrElse(15L * 60L * 1000L)
+    val stagingTtl = spark.conf.getOption("spark.graft.vacuumStagingTtlMs")
+      .map(_.toLong).getOrElse(24L * 60L * 60L * 1000L)
     val now = System.currentTimeMillis()
     val marked = commits(spark, dir).map(_.version).toSet
     val ClaimRe = "_claim_v(\\d+)".r
     val TmpRe = "_tmp_v(\\d+).*".r
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      val tornVersion = n match {
-        case ClaimRe(v) => Some(v.toLong)
-        case TmpRe(v) => Some(v.toLong)
+      // (version under lease, applicable TTL) — claims at the steal
+      // TTL, data staging at the long write-attempt lease (see doc)
+      val leased = n match {
+        case ClaimRe(v) => Some(v.toLong -> claimTtl)
+        case TmpRe(v) => Some(v.toLong -> stagingTtl)
         case _ => None
       }
-      tornVersion.foreach { v =>
+      leased.foreach { case (v, ttl) =>
         if (!marked.contains(v) && now - st.getModificationTime > ttl) {
           fs.delete(st.getPath, true)
           removed += 1
@@ -921,8 +953,9 @@ object MergeSink {
       }
       // V2-write staging parents (`_staging_<queryId>`) are swept by
       // their own commit/abort; one orphaned by a killed driver ages
-      // out here under the same lease rule
-      if (n.startsWith("_staging_") && now - st.getModificationTime > ttl) {
+      // out here under the write-attempt lease
+      if (n.startsWith("_staging_") &&
+        now - st.getModificationTime > stagingTtl) {
         fs.delete(st.getPath, true)
         removed += 1
       }

@@ -472,6 +472,13 @@ class CatalogSpec extends SparkSpec {
     assert(replaced.count() == 3L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.r VERSION AS OF 0")
       .head().getLong(0) == 10L, "pre-replace snapshot lost")
+    // ... and the snapshot serves its OWN recorded schema, not the
+    // redefined head's: v (dropped by the replace) stays readable,
+    // w (added by it) doesn't exist there
+    val v0 = spark.sql(s"SELECT * FROM $cat.db.r VERSION AS OF 0")
+    assert(v0.schema.fieldNames.sorted.sameElements(Array("k", "seq", "v")),
+      s"time travel served the head schema: ${v0.schema.fieldNames.toSeq}")
+    assert(v0.agg(sum("v")).head().getDouble(0) == 45.0)
     // identity stays immutable through REPLACE
     val e = intercept[Exception] {
       spark.sql(
@@ -1026,5 +1033,65 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.empty VALUES (1, 1, 1.0, 't')")
     assert(spark.sql(s"SELECT tag FROM $cat.db.empty").head()
       .getString(0) == "t")
+  }
+
+  test("DROP + re-CREATE at the same managed path serves the NEW table") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.twice (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.twice VALUES (1, 1, 1.0), (2, 1, 2.0)")
+    // populate the manifest cache for the managed path's version 0
+    assert(spark.table(s"$cat.db.twice").count() == 2L)
+    spark.sql(s"DROP TABLE $cat.db.twice")
+    // same identifier -> same deterministic managed path; the old
+    // table's cached manifests must not leak into the new incarnation
+    spark.sql(
+      s"""CREATE TABLE $cat.db.twice (k BIGINT, seq BIGINT, tag STRING)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.twice VALUES (7, 1, 'fresh')")
+    val df = spark.table(s"$cat.db.twice")
+    assert(df.schema.fieldNames.sameElements(Array("k", "seq", "tag")),
+      s"stale schema served: ${df.schema.fieldNames.toSeq}")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((7L, 1L, "fresh")), rows.toString)
+  }
+
+  test("zone-less TIMESTAMP AS OF agrees across SQL, option, and restore_ts") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.tz (k BIGINT, seq BIGINT, v DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.tz VALUES (1, 1, 1.0)")
+    Thread.sleep(1100) // marker mtimes are the commit clock (sec granularity on some FS)
+    spark.sql(s"INSERT INTO $cat.db.tz VALUES (2, 2, 2.0)")
+    val dRow = spark.table(s"$cat.db.tz.detail").head()
+    val path = dRow.getString(
+      dRow.schema.fieldNames.indexOf("location"))
+    val times = MergeSink.commitTimes(spark, path)
+    // a wall instant strictly between the two commits, rendered as a
+    // ZONE-LESS local timestamp in a deliberately non-UTC session zone
+    val midMs = (times(0L) + times(1L)) / 2
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla") // UTC+8:45
+    try {
+      val local = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(midMs),
+        java.time.ZoneId.of("Australia/Eucla"))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      // all three entry points must resolve the SAME version (0)
+      val viaSql = spark.sql(
+        s"SELECT count(*) FROM $cat.db.tz TIMESTAMP AS OF '$local'")
+        .head().getLong(0)
+      val viaOpt = spark.read.format("graft-merge")
+        .option("path", path).option("key", "k").option("seq", "seq")
+        .option("timestampAsOf", local).load().count()
+      assert(viaSql == 1L, s"SQL TIMESTAMP AS OF saw $viaSql rows")
+      assert(viaOpt == 1L,
+        s"timestampAsOf option disagreed with SQL: $viaOpt rows " +
+          "(zone-less parse must use the session timezone)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }

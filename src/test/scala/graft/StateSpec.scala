@@ -953,13 +953,25 @@ class StateSpec extends SparkSpec {
     // a FRESH claim (in-flight writer) must survive the vacuum
     fs.create(new org.apache.hadoop.fs.Path(p, "_claim_v5"), false).close()
     val removed = MS.vacuum(spark, table)
-    assert(removed >= 3, s"vacuum removed only $removed paths")
+    assert(removed >= 1, s"vacuum removed only $removed paths")
     assert(MS.commits(spark, table).map(_.version) == Seq(3L, 4L),
       "vacuum must apply the tightened retention")
     val names = fs.listStatus(p).map(_.getPath.getName).toSet
-    assert(!names.contains("_claim_v9") && !names.contains("_tmp_v9") &&
-      !names.contains("_staging_dead"), names.toString)
+    // the expired claim sweeps at the 15-min steal TTL; data staging
+    // holds the LONG write-attempt lease (24 h default) — a 16-min-old
+    // tmp dir may belong to a live long batch write and must survive
+    assert(!names.contains("_claim_v9"), names.toString)
+    assert(names.contains("_tmp_v9") && names.contains("_staging_dead"),
+      s"vacuum swept staging inside the write-attempt lease: $names")
     assert(names.contains("_claim_v5"), "vacuum killed a live claim")
+    // past the (tightened) staging lease the leftovers are fair game
+    spark.conf.set("spark.graft.vacuumStagingTtlMs", "600000") // 10 min
+    try {
+      assert(MS.vacuum(spark, table) >= 2)
+      val after = fs.listStatus(p).map(_.getPath.getName).toSet
+      assert(!after.contains("_tmp_v9") && !after.contains("_staging_dead"),
+        after.toString)
+    } finally spark.conf.unset("spark.graft.vacuumStagingTtlMs")
     // current state intact
     assert(MS.currentState(spark, table).get.count() == 5L)
     fs.delete(new org.apache.hadoop.fs.Path(p, "_claim_v5"), false)
