@@ -114,7 +114,8 @@ class GraftMergeDeltaWrite(
         })
         MergeWriteUtil.commitStaged(
           dir, key, seq, stagedSchema, queryId, epochId = 0L,
-          runId = s"dsv2m-$queryId", messages = messages)
+          runId = s"dsv2m-$queryId", messages = messages,
+          retryOnConflict = true)
       else MergeWriteUtil.abortStaged(dir, queryId)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

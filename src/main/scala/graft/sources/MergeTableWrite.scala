@@ -153,7 +153,8 @@ private[graft] object MergeWriteUtil {
       runId: String,
       messages: Array[WriterCommitMessage],
       overwriteAll: Boolean = false,
-      keepSchema: Boolean = true): Unit = {
+      keepSchema: Boolean = true,
+      retryOnConflict: Boolean = false): Unit = {
     val spark = SparkSession.active
     val staging = stagingDir(dir, queryId)
     val p = new Path(staging)
@@ -164,10 +165,36 @@ private[graft] object MergeWriteUtil {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(files: _*)
-    if (overwriteAll)
-      MergeSink.overwriteBatch(
-        batch, dir, key, seq, epochId, runId, keepSchema = keepSchema)
-    else MergeSink.upsertBatch(batch, dir, key, seq, epochId, runId)
+    // Batch statements (SQL INSERT / MERGE / UPDATE / DELETE) retry a
+    // lost commit race automatically: the MERGE recomputes against the
+    // winner's head (a lost claim touches nothing, so the staged task
+    // files are intact). The staged rows themselves are not re-derived
+    // — which is exactly this table's isolation rule: every row races
+    // by (key, seq) latest-wins, so a delta staged against the old
+    // snapshot loses to any winner row with a higher seq, same as it
+    // would have losing the race in the opposite commit order.
+    // Streaming epochs do NOT retry here: their table is single-writer
+    // by contract and a claim conflict means a zombie incarnation,
+    // which must fail loudly.
+    def attempt(): Unit = {
+      if (overwriteAll)
+        MergeSink.overwriteBatch(
+          batch, dir, key, seq, epochId, runId, keepSchema = keepSchema,
+          reRegister = retryOnConflict)
+      else
+        MergeSink.upsertBatch(
+          batch, dir, key, seq, epochId, runId,
+          reRegister = retryOnConflict)
+    }
+    if (retryOnConflict) {
+      val attempts = spark.conf
+        .getOption("spark.graft.commitRetryAttempts").map(_.toInt)
+        .getOrElse(10)
+      val backoff = spark.conf
+        .getOption("spark.graft.commitRetryBackoffMs").map(_.toLong)
+        .getOrElse(100L)
+      MergeSink.withCommitRetry(attempts, backoff)(attempt())
+    } else attempt()
     fs.delete(p, true)
     dropEmptyStagingParent(fs, p)
   }
@@ -226,7 +253,8 @@ class GraftMergeBatchWrite(
     MergeWriteUtil.commitStaged(
       dir, key, seq, schema, queryId, epochId = 0L,
       runId = s"dsv2b-$queryId", messages = messages,
-      overwriteAll = overwriteAll, keepSchema = keepSchema)
+      overwriteAll = overwriteAll, keepSchema = keepSchema,
+      retryOnConflict = true)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     MergeWriteUtil.abortStaged(dir, queryId)

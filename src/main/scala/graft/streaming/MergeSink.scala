@@ -431,17 +431,63 @@ object MergeSink {
     * create (S3 without preconditions) registration must go through a
     * conditional-put lease object instead — the protocol is unchanged.
     */
-  private def ensureWriter(spark: SparkSession, dir: String, runId: String): Unit = {
+  private def ensureWriter(
+      spark: SparkSession,
+      dir: String,
+      runId: String,
+      reRegister: Boolean = false): Unit = {
     val ws = writers(spark, dir)
     if (ws.nonEmpty && ws.last._2 == runId) return // current holder
-    if (ws.exists(_._2 == runId))
+    if (ws.exists(_._2 == runId) && !reRegister)
       throw new IllegalStateException(
         s"writer $runId is FENCED: incarnation ${ws.last._2} registered at " +
           s"fencing epoch ${ws.last._1} after it — this writer must stop")
+    // reRegister: a BATCH writer (one SQL statement, not a long-lived
+    // incarnation) retrying after a lost commit race takes a fresh
+    // fencing epoch under the same runId — semantically a new
+    // statement. Streaming incarnations never pass this flag: a fenced
+    // stream is a zombie and must stay dead.
     val e = ws.lastOption.map(_._1 + 1).getOrElse(0L)
     val (fs, p) = fsOf(spark, dir)
     fs.mkdirs(p)
     fs.create(new Path(p, s"_writer_e${e}_r$runId"), false).close()
+  }
+
+  /** Run `op` with automatic retry on [[ConcurrentCommitException]] —
+    * the dual of the reference's transaction-retry loop
+    * (/root/reference/src/opusdb/atomic/stm.clj:85-106,124-143:
+    * `process-result`/`run` re-attempt an aborted transaction after an
+    * exponential backoff of `2^min(n,5)` units). `op` must be a
+    * RECOMPUTE-FROM-HEAD closure — every commit operation here is
+    * (upsert/DML semantics are defined against the latest committed
+    * state, which the operation re-reads on entry) — so the retry
+    * recomputes the loser's work against the winner's commit, never
+    * replays stale bytes. Backoff sleeps `backoffMs << min(n-1, 5)`
+    * (the reference's exponent cap, scaled to commit latencies: a
+    * racing writer's publish takes real seconds at scale, not the
+    * STM's microseconds). After `maxAttempts` losses the LAST
+    * ConcurrentCommitException propagates.
+    *
+    * Batch callers racing under DISTINCT runIds must also pass
+    * `reRegister = true` to the commit operation: losing the claim
+    * race means the other writer registered a newer fencing epoch, and
+    * the retry re-registers rather than dying fenced.
+    */
+  def withCommitRetry[T](
+      maxAttempts: Int = 10,
+      backoffMs: Long = 100L)(op: => T): T = {
+    require(maxAttempts >= 1, s"withCommitRetry: maxAttempts=$maxAttempts")
+    var n = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          n += 1
+          if (n >= maxAttempts) throw e
+          Thread.sleep(backoffMs << math.min(n - 1, 5))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Apply one micro-batch: merge into the touched buckets, write ONLY
@@ -457,12 +503,13 @@ object MergeSink {
       key: String,
       seq: String,
       epochId: Long,
-      runId: String = "batch"): Unit = {
+      runId: String = "batch",
+      reRegister: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
       return // idempotent replay of a committed batch (even if fenced since)
-    ensureWriter(spark, dir, runId)
+    ensureWriter(spark, dir, runId, reRegister)
     val last = all.lastOption
     last.foreach { c =>
       // Same incarnation, older epoch, no marker for it: Spark replays
@@ -560,12 +607,13 @@ object MergeSink {
       seq: String,
       epochId: Long,
       runId: String = "batch",
-      keepSchema: Boolean = true): Unit = {
+      keepSchema: Boolean = true,
+      reRegister: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
       return // idempotent replay
-    ensureWriter(spark, dir, runId)
+    ensureWriter(spark, dir, runId, reRegister)
     val last = all.lastOption
     last.foreach { c =>
       if (c.runId == runId && epochId <= c.epoch)
@@ -647,18 +695,36 @@ object MergeSink {
       runId: String): Unit = {
     val claim = new Path(p, s"_claim_v$newV")
     fs.mkdirs(p)
+    // Exclusive create must be ATOMIC. HDFS's create(overwrite=false)
+    // is; Hadoop's LocalFileSystem is check-then-create (two same-box
+    // writers — e.g. two SQL sessions on one driver — could BOTH win
+    // and double-mint a version), so the file scheme goes through
+    // O_CREAT|O_EXCL via NIO, which the OS serializes.
     def tryCreate(): Boolean =
-      try {
-        val out = fs.create(claim, false)
-        try out.write(runId.getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException if fs.exists(claim) => false }
+      if (fs.getUri.getScheme == "file")
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(claim.toUri.getPath),
+            runId.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else
+        try {
+          val out = fs.create(claim, false)
+          try out.write(runId.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException if fs.exists(claim) => false }
     if (tryCreate()) return
     def fail(reason: String): Nothing =
       throw new ConcurrentCommitException(
         s"graft-merge: version $newV of $dir is claimed by another " +
-          s"writer ($reason); re-read the head and retry the operation")
+          s"writer ($reason); retry the operation against the new head " +
+          "(MergeSink.withCommitRetry wraps exactly this loop; SQL " +
+          "INSERT/DML retry automatically)")
     // already-marked means the race is fully lost, not merely pending
     if (commits(spark, dir).exists(_.version == newV))
       fail("its commit marker exists")

@@ -2055,6 +2055,75 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_race — CONCURRENT SQL writers, gated end to end: two
+  // sessionless threads INSERT disjoint halves of the event log into
+  // the same catalog table simultaneously (one barrier, zero
+  // pre-arrangement). Both race through the connector's commit path:
+  // the claim protocol serializes version minting, the loser's
+  // ConcurrentCommitException is retried automatically
+  // (withCommitRetry — the reference's process-result/run backoff
+  // loop, stm.clj:85-106,124-143), and the retry RECOMPUTES the merge
+  // against the winner's head. The gate REQUIREs both statements'
+  // commits present (exactly two versions, both dsv2b runIds) and the
+  // final aggregate equals the declarative latest-wins over the full
+  // log — the serializable-equivalent outcome.
+  // ---------------------------------------------------------------------
+  val mergeRaceGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"grace$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_race_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val view = s"graft_race_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(pred: String): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        s.sql(s"INSERT INTO $cat.g.t SELECT * FROM $view WHERE $pred")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val a = writer("user_id % 2 = 0")
+    val b = writer("user_id % 2 = 1")
+    a.start(); b.start(); a.join(); b.join()
+    require(errs.isEmpty, s"racing INSERT failed: ${errs.peek()}")
+    val path = s.sql(s"SHOW TBLPROPERTIES $cat.g.t")
+      .filter(col("key") === "path").head().getString(1)
+    val cs = graft.streaming.MergeSink.commits(s, path)
+    require(cs.map(_.version) == Seq(0L, 1L),
+      s"both racing statements must commit exactly once: $cs")
+    require(cs.forall(_.runId.startsWith("dsv2b-")) &&
+      cs.map(_.runId).distinct.size == 2,
+      s"expected two distinct SQL-writer commits: $cs")
+    s.sql(
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(event_id) AS BIGINT) AS id_total,
+         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_total
+         |FROM $cat.g.t GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
+  }
+
+  val mergeRaceGatedSql: String =
+    """WITH st AS (
+      |  SELECT e.user_id, max(e.event_id) AS last_id,
+      |    arg_max(e.value, e.event_id) AS last_val
+      |  FROM events e GROUP BY e.user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(CAST(round(last_val * 100) AS BIGINT)) AS BIGINT)
+      |  AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -3444,6 +3513,7 @@ object Streams {
     "q_catalog_stream" -> catalogStreamGated,
     "q_catalog_changes" -> catalogChangesGated,
     "q_merge_restore" -> mergeRestoreGated,
+    "q_merge_race" -> mergeRaceGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -3493,6 +3563,7 @@ object Streams {
     "q_catalog_stream" -> catalogStreamGatedSql,
     "q_catalog_changes" -> catalogChangesGatedSql,
     "q_merge_restore" -> mergeRestoreGatedSql,
+    "q_merge_race" -> mergeRaceGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,

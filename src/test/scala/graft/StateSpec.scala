@@ -1025,6 +1025,89 @@ class StateSpec extends SparkSpec {
       "claims must be released on commit")
   }
 
+  test("withCommitRetry: a loser recomputes against the winner's head and lands") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    // -- deterministic forced race: the v1 claim is held by 'other',
+    // which commits 300 ms later; the retrying writer must back off,
+    // see other's commit, and land at v2 (recomputed, not replayed) --
+    val table = Files.createTempDirectory("graft_retry").toString
+    MS.upsertBatch(
+      Seq((1L, 10L, 1.0)).toDF("k", "seq", "v"), table, "k", "seq", 0L, "w0")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "_claim_v1"), false)
+    out.write("other".getBytes("UTF-8")); out.close()
+    @volatile var helperErr: Throwable = null
+    val helper = new Thread(() => {
+      try {
+        Thread.sleep(300)
+        MS.upsertBatch(
+          Seq((2L, 20L, 2.0)).toDF("k", "seq", "v"),
+          table, "k", "seq", 0L, "other", reRegister = true)
+      } catch { case t: Throwable => helperErr = t }
+    })
+    helper.start()
+    MS.withCommitRetry(maxAttempts = 20, backoffMs = 100L) {
+      MS.upsertBatch(
+        Seq((3L, 30L, 3.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", 0L, "loser", reRegister = true)
+    }
+    helper.join()
+    assert(helperErr == null, s"helper writer failed: $helperErr")
+    val cs = MS.commits(spark, table)
+    assert(cs.map(_.version).max == 2L, cs.toString)
+    assert(cs.exists(_.runId == "other") && cs.exists(_.runId == "loser"),
+      s"both writers must have committed: $cs")
+    val keys = MS.currentState(spark, table).get
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(keys == Seq(1L, 2L, 3L), s"converged state wrong: $keys")
+
+    // -- genuine race: two writers, one barrier, zero pre-arrangement;
+    // both must succeed with the loser recomputing --
+    val t2 = Files.createTempDirectory("graft_race2").toString
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(runId: String, lo: Long, hi: Long): Thread = new Thread(() => {
+      try {
+        val df = spark.range(lo, hi)
+          .select(col("id").as("k"), lit(1L).as("seq"),
+            (col("id") * 1.0).as("v"))
+        barrier.await()
+        MS.withCommitRetry(maxAttempts = 30, backoffMs = 100L) {
+          MS.upsertBatch(df, t2, "k", "seq", 0L, runId, reRegister = true)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val a = racer("ra", 0L, 5L)
+    val b = racer("rb", 5L, 10L)
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"racing writer failed: ${errs.peek()}")
+    val cs2 = MS.commits(spark, t2)
+    assert(cs2.map(_.runId).toSet == Set("ra", "rb"),
+      s"both racers must commit exactly once: $cs2")
+    assert(cs2.map(_.version) == Seq(0L, 1L), cs2.toString)
+    assert(MS.currentState(spark, t2).get.count() == 10L,
+      "converged state must equal sequential execution")
+
+    // -- exhaustion: a permanently-held foreign claim propagates the
+    // ConcurrentCommitException after maxAttempts --
+    val c3 = fs // reuse fs (same local filesystem)
+    val p2 = new org.apache.hadoop.fs.Path(t2)
+    val held = new org.apache.hadoop.fs.Path(p2, "_claim_v2")
+    val o2 = c3.create(held, false)
+    o2.write("immortal".getBytes("UTF-8")); o2.close()
+    intercept[MS.ConcurrentCommitException] {
+      MS.withCommitRetry(maxAttempts = 2, backoffMs = 1L) {
+        MS.upsertBatch(
+          Seq((99L, 99L, 9.9)).toDF("k", "seq", "v"),
+          t2, "k", "seq", 1L, "ra", reRegister = true)
+      }
+    }
+    c3.delete(held, false)
+  }
+
   test("time-based retention: history_keep_ms keeps young versions beyond the depth window") {
     val s2 = spark
     import s2.implicits._
