@@ -99,6 +99,9 @@ object MergeSink {
   private val ManifestRe = "_manifest_v(\\d+)".r
   private val WriterRe = "_writer_e(\\d+)_r([^_]+)".r
   private val StatsRe = "_stats_v(\\d+)".r
+  // a version staged by a MULTI-TABLE transaction: visible iff the txn
+  // file its content names exists (see [[commitTransaction]])
+  private val PendingRe = "_pending_v(\\d+)_r([^_]+)_e(\\d+)".r
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -110,19 +113,51 @@ object MergeSink {
     commits(spark, dir).lastOption
 
   /** All committed versions, ascending — the table's retained history
-    * (GC keeps the current and previous snapshot).
+    * (GC keeps the current and previous snapshot). A version holds a
+    * direct `_commit_` marker, OR a `_pending_` marker whose recorded
+    * transaction file exists — the multi-table atomic-commit read rule
+    * ([[commitTransaction]]): the txn file's existence commits every
+    * participant at one instant, whether or not the per-table
+    * promotion has run yet. Zero extra IO on tables with no pending
+    * markers (the common case — pendings are transient).
     */
   def commits(spark: SparkSession, dir: String): Seq[Commit] = {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) Seq.empty
-    else
-      fs.listStatus(p)
-        .iterator
-        .map(_.getPath.getName)
-        .collect { case MarkerRe(v, r, e) => Commit(v.toLong, e.toLong, r) }
-        .toSeq
-        .sortBy(_.version)
+    else {
+      val names = fs.listStatus(p).iterator.map(_.getPath.getName).toSeq
+      val direct =
+        names.collect { case MarkerRe(v, r, e) => Commit(v.toLong, e.toLong, r) }
+      val pend = names.collect {
+        case n @ PendingRe(v, r, e)
+            if pendingCommitted(spark, fs, new Path(p, n)).isDefined =>
+          Commit(v.toLong, e.toLong, r)
+      }
+      (direct ++ pend).distinctBy(_.version).sortBy(_.version)
+    }
   }
+
+  /** If the pending marker's transaction committed (its recorded txn
+    * file exists), the txn file's modification time — the COMMIT
+    * INSTANT shared by every participant table. None = still in
+    * flight or torn.
+    */
+  private def pendingCommitted(
+      spark: SparkSession, fs: FileSystem, pending: Path): Option[Long] =
+    try {
+      val in = fs.open(pending)
+      val txnPath =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim
+        finally in.close()
+      if (txnPath.isEmpty) None
+      else {
+        val tp = new Path(txnPath)
+        val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (tfs.exists(tp)) Some(tfs.getFileStatus(tp).getModificationTime)
+        else None
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** TIMESTAMP-based time travel: the latest version whose commit
     * marker was published at or before `tsMillis` (marker file
@@ -133,19 +168,10 @@ object MergeSink {
     */
   def versionAt(
       spark: SparkSession, dir: String, tsMillis: Long): Option[Long] = {
-    val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) return None
-    val at = fs.listStatus(p)
-      .iterator
-      .flatMap { st =>
-        st.getPath.getName match {
-          case MarkerRe(v, _, _) if st.getModificationTime <= tsMillis =>
-            Some(v.toLong)
-          case _ => None
-        }
-      }
-      .toSeq
-    if (at.isEmpty) None else Some(at.max)
+    val ts = commitTimes(spark, dir).collect {
+      case (v, t) if t <= tsMillis => v
+    }
+    if (ts.isEmpty) None else Some(ts.max)
   }
 
   /** Commit wall times: version -> marker modification millis (the
@@ -155,16 +181,25 @@ object MergeSink {
   def commitTimes(spark: SparkSession, dir: String): Map[Long, Long] = {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) Map.empty
-    else
-      fs.listStatus(p)
-        .iterator
-        .flatMap { st =>
-          st.getPath.getName match {
-            case MarkerRe(v, _, _) => Some(v.toLong -> st.getModificationTime)
-            case _ => None
-          }
+    else {
+      val sts = fs.listStatus(p)
+      val direct = sts.iterator.flatMap { st =>
+        st.getPath.getName match {
+          case MarkerRe(v, _, _) => Some(v.toLong -> st.getModificationTime)
+          case _ => None
         }
-        .toMap
+      }.toMap
+      // a committed-but-unpromoted txn participant's clock is the TXN
+      // file's mtime — the one instant every participant shares
+      val pend = sts.iterator.flatMap { st =>
+        st.getPath.getName match {
+          case PendingRe(v, _, _) =>
+            pendingCommitted(spark, fs, st.getPath).map(v.toLong -> _)
+          case _ => None
+        }
+      }.toMap
+      direct ++ pend // the txn instant wins while the pending survives
+    }
   }
 
   /** Counts planning-time metadata FALLBACKS (a directory listing or
@@ -504,11 +539,40 @@ object MergeSink {
       seq: String,
       epochId: Long,
       runId: String = "batch",
-      reRegister: Boolean = false): Unit = {
+      reRegister: Boolean = false): Unit =
+    planUpsert(batch, dir, key, seq, epochId, runId, reRegister).foreach {
+      pc =>
+        publish(
+          pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
+          pc.newV, runId, epochId, prevVersion = pc.prevVersion)
+    }
+
+  /** Everything [[publish]] needs for one planned merge commit —
+    * computed by [[planUpsert]], so a single-table upsert and a
+    * multi-table transaction ([[commitTransaction]]) share one merge
+    * path and differ only in how the result becomes visible.
+    */
+  private final case class PlannedCommit(
+      spark: SparkSession,
+      nb: Int,
+      prevManifest: Map[Int, Long],
+      touched: Set[Int],
+      rows: Option[DataFrame],
+      newV: Long,
+      prevVersion: Option[Long])
+
+  private def planUpsert(
+      batch: DataFrame,
+      dir: String,
+      key: String,
+      seq: String,
+      epochId: Long,
+      runId: String,
+      reRegister: Boolean): Option[PlannedCommit] = {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
-      return // idempotent replay of a committed batch (even if fenced since)
+      return None // idempotent replay of a committed batch (even if fenced since)
     ensureWriter(spark, dir, runId, reRegister)
     val last = all.lastOption
     last.foreach { c =>
@@ -583,9 +647,121 @@ object MergeSink {
               rest.map(c => col(s"st.$c").as(c)): _*))
       }
 
-    publish(
-      spark, dir, nb, prevManifest, touched, merged, newV, runId, epochId,
-      prevVersion = last.map(_.version))
+    Some(PlannedCommit(
+      spark, nb, prevManifest, touched, merged, newV, last.map(_.version)))
+  }
+
+  /** One participant of a multi-table transaction: a merge-upsert
+    * batch destined for `dir` under that table's (key, seq) contract.
+    */
+  final case class TxnWrite(
+      dir: String, key: String, seq: String, batch: DataFrame)
+
+  /** CROSS-TABLE ATOMIC TRANSACTION — the storage dual of the
+    * reference's `dosync` over MULTIPLE refs
+    * (/root/reference/src/opusdb/examples/bank.clj:10-18: one
+    * transaction debits one account ref and credits another; readers
+    * never observe the debit without the credit; an exception rolls
+    * both back — stm_test.clj:48-60). Two-phase:
+    *
+    *  1. STAGE: each table's merge runs exactly like [[upsertBatch]]
+    *     (claim the next version, write bucket data, manifest) but
+    *     publishes a PENDING marker naming a shared transaction file
+    *     instead of a commit marker. Pending versions are invisible:
+    *     [[commits]] trusts a pending iff its txn file exists.
+    *  2. COMMIT POINT: one atomic exclusive create of
+    *     `txnDir/txn_<runId>`. The instant it exists, EVERY
+    *     participant's staged version is committed — readers of each
+    *     table resolve it with no further coordination. A crash
+    *     before this point leaves nothing visible anywhere; after it,
+    *     everything, everywhere.
+    *
+    * Promotion then folds each pending into an ordinary commit marker
+    * (idempotent; [[vacuum]] completes it after a crash) and the txn
+    * file is removed once no pending references it. Any failure
+    * before the commit point rolls every staged participant back
+    * ([[abortPending]]) — EXCEPT a fatal error (a real crash kills
+    * cleanup too), which the invisible-until-txn-file rule already
+    * covers. A lost version-claim race on any table aborts the whole
+    * transaction with the retryable [[ConcurrentCommitException]];
+    * [[withCommitRetry]] re-runs it against the new heads.
+    *
+    * At 100 TB the commit point stays O(1) — one file create —
+    * regardless of how much data the participants staged; the txn
+    * file read that pending resolution costs is paid only while a
+    * transaction is in flight or unpromoted (steady-state tables have
+    * no pending markers, so the read path is unchanged).
+    *
+    * Returns (dir -> minted version) per participant. `hook` is a
+    * test seam (called at "staged:<dir>", "precommit", "committed",
+    * "promoted:<dir>") — StateSpec kills the writer there to prove
+    * all-or-nothing visibility.
+    */
+  def commitTransaction(
+      spark: SparkSession,
+      txnDir: String,
+      writes: Seq[TxnWrite],
+      runId: String = s"txn-${java.util.UUID.randomUUID().toString.take(8)}",
+      hook: String => Unit = _ => ()): Seq[(String, Long)] = {
+    require(writes.nonEmpty, "commitTransaction: no writes")
+    require(writes.map(_.dir).distinct.size == writes.size,
+      "commitTransaction: one write per table " +
+        s"(${writes.map(_.dir).mkString(", ")})")
+    val (tfs, tp) = fsOf(spark, txnDir)
+    tfs.mkdirs(tp)
+    val txnFile = new Path(tp, s"txn_$runId")
+    if (tfs.exists(txnFile)) {
+      // this transaction already passed its commit point (a crashed
+      // attempt being re-run): complete the promotions and return
+      val in = tfs.open(txnFile)
+      val parts =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val Array(d, v) = l.split("\t"); d -> v.toLong
+          }.toList
+        finally in.close()
+      parts.foreach { case (d, v) => promotePending(spark, d, v, runId, 0L) }
+      tfs.delete(txnFile, false)
+      return parts
+    }
+    val staged = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      writes.foreach { w =>
+        planUpsert(
+          w.batch, w.dir, w.key, w.seq, epochId = 0L, runId,
+          reRegister = true) match {
+          case Some(pc) =>
+            publish(
+              pc.spark, w.dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
+              pc.newV, runId, epochId = 0L, prevVersion = pc.prevVersion,
+              pendingTxnFile = Some(txnFile.toString))
+            staged += w.dir -> pc.newV
+          case None => () // this txn already committed this table
+        }
+        hook(s"staged:${w.dir}")
+      }
+      hook("precommit")
+      // ---- THE COMMIT POINT ----
+      val out = tfs.create(txnFile, false)
+      try out.write(staged.map { case (d, v) => s"$d\t$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      hook("committed")
+      staged.foreach { case (d, v) =>
+        promotePending(spark, d, v, runId, 0L)
+        hook(s"promoted:$d")
+      }
+      tfs.delete(txnFile, false)
+      staged.toSeq
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the commit point was NOT reached (an exception past it is a
+        // promotion failure, which vacuum completes — promotion never
+        // throws retryably); roll every staged participant back
+        if (!tfs.exists(txnFile))
+          staged.foreach { case (d, v) => abortPending(spark, d, v, runId, 0L) }
+        throw e
+    }
   }
 
   /** OVERWRITE commit (`INSERT OVERWRITE` / truncate-and-load): the
@@ -759,7 +935,8 @@ object MergeSink {
       epochId: Long,
       prevVersion: Option[Long] = None,
       sortedBy: Option[Seq[String]] = None,
-      schemaOverride: Option[StructType] = None): Unit = {
+      schemaOverride: Option[StructType] = None,
+      pendingTxnFile: Option[String] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     // ---- concurrent-commit claim (BEFORE any data movement) ----
     // Exactly one publish attempt may own version `newV`: an atomic
@@ -905,15 +1082,68 @@ object MergeSink {
       }).mkString("", "\n", "\n")
       mfOut.write(body.getBytes("UTF-8"))
     } finally mfOut.close()
-    // ... then the O(1) marker that makes it all visible
-    fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
-    // the version is committed: release its claim
-    fs.delete(new Path(p, s"_claim_v$newV"), false)
+    pendingTxnFile match {
+      case None =>
+        // ... then the O(1) marker that makes it all visible
+        fs.create(
+          new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
+        // the version is committed: release its claim
+        fs.delete(new Path(p, s"_claim_v$newV"), false)
+        // GC: keep the most recent `historyKeep` versions readable
+        // (default current + previous). Live data = bucket dirs
+        // referenced by any retained manifest.
+        gc(spark, fs, p, dir, newV)
+      case Some(txn) =>
+        // MULTI-TABLE participant: a PENDING marker naming the txn
+        // file. Invisible until that file exists (the shared commit
+        // point); the claim stays held and GC waits — both release at
+        // promotion ([[promotePending]]).
+        val out =
+          fs.create(new Path(p, s"_pending_v${newV}_r${runId}_e$epochId"), true)
+        try out.write((txn + "\n").getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
 
-    // GC: keep the most recent `historyKeep` versions readable (default
-    // current + previous). Live data = bucket dirs referenced by any
-    // retained manifest.
+  /** Complete a committed transaction participant: the pending marker
+    * becomes a direct `_commit_` marker, the claim releases, retention
+    * GC runs. Idempotent — [[vacuum]] re-runs it for participants
+    * whose transaction crashed after its commit point.
+    */
+  private def promotePending(
+      spark: SparkSession,
+      dir: String,
+      newV: Long,
+      runId: String,
+      epochId: Long): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
+    fs.delete(new Path(p, s"_pending_v${newV}_r${runId}_e$epochId"), false)
+    fs.delete(new Path(p, s"_claim_v$newV"), false)
     gc(spark, fs, p, dir, newV)
+  }
+
+  /** Roll back an UNCOMMITTED transaction participant (no txn file):
+    * staged data, manifest, pending marker, and claim all go — the
+    * table is byte-identical to before the attempt.
+    */
+  private def abortPending(
+      spark: SparkSession,
+      dir: String,
+      newV: Long,
+      runId: String,
+      epochId: Long): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.delete(new Path(p, s"_pending_v${newV}_r${runId}_e$epochId"), false)
+    fs.delete(new Path(p, s"_manifest_v$newV"), false)
+    invalidateManifestCache(dir)
+    val dataRoot = new Path(p, "data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { b =>
+        val vd = new Path(b.getPath, s"v$newV")
+        if (fs.exists(vd)) fs.delete(vd, true)
+      }
+    fs.delete(new Path(p, s"_claim_v$newV"), false)
   }
 
   /** Retention GC, run by every commit and callable standalone as
@@ -1024,6 +1254,24 @@ object MergeSink {
         now - st.getModificationTime > stagingTtl) {
         fs.delete(st.getPath, true)
         removed += 1
+      }
+      // transaction participants: a pending whose txn COMMITTED gets
+      // its promotion completed (the coordinator crashed between the
+      // commit point and promotion — the version was already visible
+      // through the pending-resolution read rule, this just folds it
+      // into a direct marker and releases the claim); a pending whose
+      // txn never committed is torn once past the claim TTL and rolls
+      // back completely
+      n match {
+        case PendingRe(v, r, e) =>
+          if (pendingCommitted(spark, fs, st.getPath).isDefined) {
+            promotePending(spark, dir, v.toLong, r, e.toLong)
+            removed += 1
+          } else if (now - st.getModificationTime > claimTtl) {
+            abortPending(spark, dir, v.toLong, r, e.toLong)
+            removed += 1
+          }
+        case _ => ()
       }
     }
     removed

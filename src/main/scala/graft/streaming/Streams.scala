@@ -2112,6 +2112,107 @@ object Streams {
          |FROM $cat.g.t GROUP BY user_id % 10 ORDER BY bucket""".stripMargin)
   }
 
+  // ---------------------------------------------------------------------
+  // q_txn_transfer — CROSS-TABLE ATOMIC TRANSACTION gated end to end:
+  // the dosync-over-multiple-refs dual (bank.clj:10-18 debits one ref
+  // and credits another in ONE transaction). Every event posts a debit
+  // to the `debits` table and the matching credit to the `credits`
+  // table — two tables, one commitTransaction: the txn-file commit
+  // point makes both versions visible at the same instant. The gate
+  // REQUIREs (1) a killed transaction (crash before the commit point,
+  // abort handler suppressed) leaves BOTH tables at their prior
+  // versions — no half-state, the money-conservation invariant the
+  // reference's bank example exists to prove; (2) after the second
+  // (successful, retry-wrapped) transaction, debits + credits sum to
+  // EXACTLY zero in integer cents across both tables. Output: per-
+  // bucket account aggregate over the union of both tables vs the
+  // latest-wins oracle on raw events.
+  // ---------------------------------------------------------------------
+  val txnTransferGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val debits = java.nio.file.Files
+      .createTempDirectory("graft_txn_debits").toString
+    val credits = java.nio.file.Files
+      .createTempDirectory("graft_txn_credits").toString
+    val txnDir = java.nio.file.Files
+      .createTempDirectory("graft_txn_log").toString
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val t1 = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    def debitHalf(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .select(col("user_id").as("account"), col("event_id"),
+        (-col("cents")).as("amount"))
+    def creditHalf(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .select((col("user_id") + 1000001L).as("account"), col("event_id"),
+        col("cents").as("amount"))
+    def writes(pred: org.apache.spark.sql.Column) = Seq(
+      MS.TxnWrite(debits, "account", "event_id", debitHalf(pred)),
+      MS.TxnWrite(credits, "account", "event_id", creditHalf(pred)))
+    // txn 1: first half of the ledger, atomically into both tables
+    MS.commitTransaction(s, txnDir, writes(col("event_id") <= t1))
+    val vA = MS.commits(s, debits).map(_.version)
+    val vB = MS.commits(s, credits).map(_.version)
+    require(vA == Seq(0L) && vB == Seq(0L), s"txn1 versions: $vA / $vB")
+    // a transaction KILLED before its commit point (abort suppressed,
+    // as a crash would) leaves no half-state anywhere
+    class Kill extends scala.util.control.ControlThrowable("kill")
+    try {
+      MS.commitTransaction(s, txnDir, writes(col("event_id") > t1),
+        hook = k => if (k == "precommit") throw new Kill)
+      require(false, "kill did not fire")
+    } catch { case _: Kill => () }
+    require(MS.commits(s, debits).map(_.version) == Seq(0L) &&
+      MS.commits(s, credits).map(_.version) == Seq(0L),
+      "killed transaction leaked a half-state")
+    require(MS.currentState(s, debits).get.count() ==
+      MS.currentState(s, credits).get.count(),
+      "debit/credit row counts diverged after the kill")
+    // txn 2: the rest. The killed attempt's claims belong to a dead
+    // runId and block the next writer until the TTL — exactly what
+    // VACUUM's torn-transaction sweep is for; age them past the lease
+    // and run it, as an operator recovering from a crashed job would
+    for (t <- Seq(debits, credits)) {
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_pending_") || n.startsWith("_claim_"))
+          fs.setTimes(st.getPath,
+            System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+      }
+      MS.vacuum(s, t)
+    }
+    MS.withCommitRetry() {
+      MS.commitTransaction(s, txnDir, writes(col("event_id") > t1))
+    }
+    def read(t: String) = s.read.format("graft-merge")
+      .option("path", t).option("key", "account").option("seq", "event_id")
+      .load()
+    val un = read(debits).unionByName(read(credits))
+    // THE invariant: money is conserved across the two tables, exactly
+    val total = un.agg(sum("amount")).head().getLong(0)
+    require(total == 0L, s"conservation broken: $total cents")
+    un.groupBy((col("account") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_acc"),
+        sum(col("amount")).cast("long").as("total"))
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("n_acc"), col("total"))
+  }
+
+  val txnTransferGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+      |  FROM events GROUP BY user_id),
+      |un AS (
+      |  SELECT user_id AS account, -cents AS amount FROM st
+      |  UNION ALL
+      |  SELECT user_id + 1000001 AS account, cents AS amount FROM st)
+      |SELECT account % 10 AS bucket, count(*) AS n_acc,
+      |  CAST(SUM(amount) AS BIGINT) AS total
+      |FROM un GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val mergeRaceGatedSql: String =
     """WITH st AS (
       |  SELECT e.user_id, max(e.event_id) AS last_id,
@@ -3514,6 +3615,7 @@ object Streams {
     "q_catalog_changes" -> catalogChangesGated,
     "q_merge_restore" -> mergeRestoreGated,
     "q_merge_race" -> mergeRaceGated,
+    "q_txn_transfer" -> txnTransferGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -3564,6 +3666,7 @@ object Streams {
     "q_catalog_changes" -> catalogChangesGatedSql,
     "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_race" -> mergeRaceGatedSql,
+    "q_txn_transfer" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,

@@ -1025,6 +1025,123 @@ class StateSpec extends SparkSpec {
       "claims must be released on commit")
   }
 
+  test("cross-table transaction: all-or-nothing visibility at every crash point") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val A = Files.createTempDirectory("graft_txn_a").toString
+    val B = Files.createTempDirectory("graft_txn_b").toString
+    val txnDir = Files.createTempDirectory("graft_txn_log").toString
+    MS.upsertBatch(
+      Seq((1L, 1L, 10.0)).toDF("k", "seq", "v"), A, "k", "seq", 0L, "seed")
+    MS.upsertBatch(
+      Seq((1L, 1L, -10.0)).toDF("k", "seq", "v"), B, "k", "seq", 0L, "seed")
+    // fatal by NonFatal's definition: the abort handler must NOT run,
+    // modeling a hard kill between protocol steps
+    class Kill extends scala.util.control.ControlThrowable("simulated crash")
+    def txn(runId: String, killAt: Option[String] = None,
+        boomAt: Option[String] = None): Seq[(String, Long)] =
+      MS.commitTransaction(
+        spark, txnDir,
+        Seq(
+          MS.TxnWrite(A, "k", "seq", Seq((2L, 2L, 5.0)).toDF("k", "seq", "v")),
+          MS.TxnWrite(B, "k", "seq", Seq((2L, 2L, -5.0)).toDF("k", "seq", "v"))),
+        runId = runId,
+        hook = k => {
+          if (killAt.contains(k)) throw new Kill
+          if (boomAt.contains(k)) throw new RuntimeException("boom")
+        })
+    def versionsOf(d: String) = MS.commits(spark, d).map(_.version)
+    def names(d: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+
+    // (a) EXCEPTION after both staged, before the commit point: the
+    // dosync-atomicity-on-exception dual — full rollback, zero residue
+    intercept[RuntimeException] { txn("ta", boomAt = Some("precommit")) }
+    assert(versionsOf(A) == Seq(0L) && versionsOf(B) == Seq(0L))
+    for (d <- Seq(A, B))
+      assert(!names(d).exists(n => n.startsWith("_pending_") ||
+        n.startsWith("_claim_") || n == "_manifest_v1"),
+        s"abort left residue in $d: ${names(d)}")
+
+    // (b) CRASH (kill, no cleanup) before the commit point: staged
+    // pendings exist on disk but NEITHER table shows the new version
+    intercept[Kill] { txn("tb", killAt = Some("precommit")) }
+    for (d <- Seq(A, B)) {
+      assert(names(d).exists(_.startsWith("_pending_v1")),
+        s"expected staged pending in $d: ${names(d)}")
+      assert(versionsOf(d) == Seq(0L),
+        s"HALF-STATE VISIBLE in $d: ${versionsOf(d)}")
+      assert(MS.currentState(spark, d).get.count() == 1L)
+    }
+    // torn participants roll back through vacuum once past the TTL
+    for (d <- Seq(A, B)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = System.currentTimeMillis() - 16L * 60L * 1000L
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_pending_") || n.startsWith("_claim_"))
+          fs.setTimes(st.getPath, old, -1L)
+      }
+      assert(MS.vacuum(spark, d) >= 1)
+      assert(!names(d).exists(n => n.startsWith("_pending_") ||
+        n.startsWith("_claim_")), s"vacuum left txn residue in $d")
+    }
+
+    // (c) CRASH just past the commit point (txn file durable, no
+    // promotion ran): BOTH tables serve the new version immediately —
+    // the txn file IS the visibility, promotion is bookkeeping
+    intercept[Kill] { txn("tc", killAt = Some("committed")) }
+    for (d <- Seq(A, B)) {
+      assert(versionsOf(d) == Seq(0L, 1L),
+        s"committed txn not visible in $d: ${versionsOf(d)}")
+      assert(MS.currentState(spark, d).get.count() == 2L)
+      // the commit CLOCK is the txn instant: time travel agrees
+      assert(MS.versionAt(spark, d, System.currentTimeMillis() + 1000L)
+        .contains(1L))
+    }
+    // conservation holds the moment the txn file exists
+    val total = MS.currentState(spark, A).get.agg(sum("v")).head().getDouble(0) +
+      MS.currentState(spark, B).get.agg(sum("v")).head().getDouble(0)
+    assert(total == 0.0, s"conservation broken: $total")
+    // re-running the SAME transaction completes promotion idempotently
+    val done = txn("tc")
+    assert(done.toSet == Set(A -> 1L, B -> 1L), done.toString)
+    for (d <- Seq(A, B)) {
+      assert(versionsOf(d) == Seq(0L, 1L), s"double-commit in $d")
+      assert(MS.currentState(spark, d).get.count() == 2L)
+      assert(!names(d).exists(_.startsWith("_pending_")),
+        s"promotion left pending in $d")
+      assert(!names(d).exists(_.startsWith("_claim_")),
+        s"promotion left claim in $d")
+    }
+    assert(names(txnDir).isEmpty, s"txn log not drained: ${names(txnDir)}")
+
+    // (d) a foreign claim on ONE table aborts the WHOLE transaction
+    // retryably, leaving the other untouched
+    val pA = new org.apache.hadoop.fs.Path(A)
+    val fsA = pA.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foreign = new org.apache.hadoop.fs.Path(pA, "_claim_v2")
+    val o = fsA.create(foreign, false)
+    o.write("other".getBytes("UTF-8")); o.close()
+    intercept[MS.ConcurrentCommitException] { txn("td") }
+    assert(versionsOf(A) == Seq(0L, 1L) && versionsOf(B) == Seq(0L, 1L))
+    assert(!names(B).exists(_.startsWith("_pending_")),
+      "aborted txn left residue in the second table")
+    fsA.delete(foreign, false)
+
+    // (e) happy path under retry: lands on both, conservation exact
+    MS.withCommitRetry() { txn("te") }
+    assert(versionsOf(A).max == 2L && versionsOf(B).max == 2L)
+    val t2 = MS.currentState(spark, A).get.agg(sum("v")).head().getDouble(0) +
+      MS.currentState(spark, B).get.agg(sum("v")).head().getDouble(0)
+    assert(t2 == 0.0, s"conservation broken after retry path: $t2")
+  }
+
   test("withCommitRetry: a loser recomputes against the winner's head and lands") {
     val s2 = spark
     import s2.implicits._
