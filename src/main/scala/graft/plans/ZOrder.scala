@@ -1,11 +1,13 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext,
   ExprCode
 }
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton (z-order) interleave of two 16-bit keys — the clustering key
@@ -110,5 +112,122 @@ object ZOrder2 {
       e
     }
     s"((${spread(a)} << 1) | ${spread(b)})"
+  }
+}
+
+/** N-dimensional Morton (z-order) interleave — [[ZOrder2]] generalized
+  * to 2–4 clustering columns, the arity real `OPTIMIZE ZORDER BY`
+  * statements use. Bit `j` of dimension `i` lands at output position
+  * `j * n + (n - 1 - i)` (dimension 0 owns the most significant bit of
+  * each group), which for n = 2 reproduces ZOrder2's layout exactly.
+  *
+  * Input contract: longs whose LOW `bits` bits are the key (callers
+  * rank-scale each dimension into `[0, 2^bits)` first); `n * bits`
+  * must fit a positive long. The interleave is a fully unrolled
+  * shift-mask-or chain inside whole-stage codegen — `n * bits` ALU ops
+  * per row, paid once per OPTIMIZE rewrite. Null iff any input is
+  * null. [[ZOrderN.sqlZOrder]] is the DuckDB bit-twin.
+  */
+case class ZOrderN(children: Seq[Expression], bits: Int)
+    extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2 || children.size > 4)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes 2-4 dimensions, got ${children.size}")
+    else if (bits < 1 || bits > 16 || bits * children.size > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: bits=$bits with ${children.size} dims must " +
+          "satisfy 1 <= bits <= 16 and dims*bits <= 63")
+    else if (children.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint dimensions, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zordern"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long]
+      var j = 0
+      while (j < bits) {
+        z |= ((x >> j) & 1L) << (j * n + (n - 1 - i))
+        j += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val n = children.size
+    val evals = children.map(_.genCode(ctx))
+    val terms = (for {
+      i <- 0 until n
+      j <- 0 until bits
+    } yield s"${ev.value} |= ((${evals(i).value} >> $j) & 1L) << " +
+      s"${j * n + (n - 1 - i)};").mkString("\n")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          $terms
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object ZOrderN {
+
+  /** Column API: N-D z-order interleave of long columns' low `bits`
+    * bits (see the class doc for the bit layout).
+    */
+  def zorder(
+      cols: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(ZOrderN(cols.map(Exprs.expression), bits))
+  }
+
+  /** Reference interleave for tests: identical bit placement to eval. */
+  def interleave(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    var z = 0L
+    for (i <- 0 until n; j <- 0 until bits)
+      z |= ((vals(i) >> j) & 1L) << (j * n + (n - 1 - i))
+    z
+  }
+
+  /** DuckDB SQL twin: the same unrolled shift-mask-or chain with SQL
+    * bit operators (BIGINT `>> << & |` match Java long semantics at
+    * these widths). `n * bits` terms — the oracle runs once at test SF.
+    */
+  def sqlZOrder(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    val terms = for {
+      i <- 0 until n
+      j <- 0 until bits
+    } yield s"(((CAST(${cols(i)} AS BIGINT) >> $j) & 1) << " +
+      s"${j * n + (n - 1 - i)})"
+    terms.mkString("(", " | ", ")")
   }
 }

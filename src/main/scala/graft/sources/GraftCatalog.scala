@@ -893,10 +893,11 @@ object GraftProcedures {
         SparkSession.active, opts("path"), opts("key"), input.getLong(1)).size
   }
 
-  /** `CALL cat.sys.zorder('ns.t', target_buckets, 'c1,c2')` — the
-    * OPTIMIZE ZORDER BY rewrite ([[MergeSink.compactZOrder]]): bucket
-    * files sort by the Morton interleave of the two named columns so
-    * footer min/max stats prune range predicates on EITHER dimension.
+  /** `CALL cat.sys.zorder('ns.t', target_buckets, 'c1,c2[,c3,c4]')` —
+    * the OPTIMIZE ZORDER BY rewrite ([[MergeSink.compactZOrder]]):
+    * bucket files sort by the Morton interleave of the 2–4 named
+    * columns so footer min/max stats prune range predicates on ANY
+    * clustered dimension.
     */
   final class ZOrderProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "zorder", "buckets_written",
@@ -904,7 +905,7 @@ object GraftProcedures {
           ProcedureParameter.in("target_buckets", IntegerType).build(),
           ProcedureParameter.in("cols", StringType).build())) {
     override def description(): String =
-      "full rewrite z-ordered by two clustering columns (2-D pruning)"
+      "full rewrite z-ordered by 2-4 clustering columns (N-D pruning)"
     override protected def run(
         opts: Map[String, String], input: InternalRow): Int =
       MergeSink.compactZOrder(

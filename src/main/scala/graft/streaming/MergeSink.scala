@@ -1813,15 +1813,20 @@ object MergeSink {
     * bucket newer than `sinceVersion` commits NOTHING and mints no
     * version.
     */
-  /** Z-ORDER compaction (`OPTIMIZE ... ZORDER BY (c1, c2)`): a full
-    * rewrite like [[compact]], but bucket files sort by the Morton
-    * interleave of the two clustering columns (each rank-scaled to 16
-    * bits by its global min/max — one tiny aggregate over the table)
-    * instead of the merge key. Rows close in BOTH dimensions land in
+  /** Z-ORDER compaction (`OPTIMIZE ... ZORDER BY (c1, c2[, c3, c4])`):
+    * a full rewrite like [[compact]], but bucket files sort by the
+    * Morton interleave of 2–4 clustering columns (each rank-scaled by
+    * its global min/max — one tiny aggregate over the table — into the
+    * interleave's per-dimension bit budget: 16 bits up to three
+    * dimensions, 15 at four, so the composite always fits a long)
+    * instead of the merge key. Rows close in EVERY dimension land in
     * the same row groups, so footer min/max statistics prune range
-    * predicates on EITHER column — the layout for two-dimensional
-    * selective scans (time × entity, price × date), where key-sorting
-    * helps only its leading column. The manifest records no `O` flag:
+    * predicates on ANY clustered column — the layout for
+    * multi-dimensional selective scans (time × entity × amount), where
+    * key-sorting helps only its leading column. Two columns use
+    * [[graft.plans.ZOrder2]]'s spread-mask cascade (bit-identical to
+    * every previously-written 2-D layout); wider use
+    * [[graft.plans.ZOrderN]]. The manifest records no `O` flag:
     * z-order is an IO layout, not a planner-usable total ordering.
     */
   def compactZOrder(
@@ -1831,9 +1836,10 @@ object MergeSink {
       targetBuckets: Int,
       zCols: Seq[String]): Int = {
     require(targetBuckets >= 1, s"compactZOrder: targetBuckets=$targetBuckets")
-    require(zCols.size == 2,
-      s"compactZOrder: exactly two clustering columns (got $zCols) — " +
-        "the Morton interleave is 2-D; wider layouts compose hierarchies")
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"compactZOrder: 2-4 clustering columns (got $zCols)")
+    require(zCols.distinct.size == zCols.size,
+      s"compactZOrder: duplicate clustering column in $zCols")
     lastCommit(spark, dir) match {
       case None => 0
       case Some(c) =>
@@ -1854,22 +1860,29 @@ object MergeSink {
               "z-order clustering needs a numeric/timestamp dimension " +
               "(hash or bucket string columns first)")
         }
+        val bits = math.min(16, 62 / zCols.size)
+        val maxV = (1L << bits) - 1L
         // global per-column ranges (one footer-cheap aggregate) scale
-        // each dimension to the interleave's 16-bit domain
+        // each dimension to the interleave's bit domain
         val st = raw.agg(
-          min(col(zCols.head)).cast("double"),
-          max(col(zCols.head)).cast("double"),
-          min(col(zCols(1))).cast("double"),
-          max(col(zCols(1))).cast("double")).head()
-        def scaled(zc: String, lo: Double, hi: Double) = {
+          zCols.flatMap(zc => Seq(
+            min(col(zc)).cast("double"), max(col(zc)).cast("double")))
+            .head,
+          zCols.flatMap(zc => Seq(
+            min(col(zc)).cast("double"), max(col(zc)).cast("double")))
+            .tail: _*).head()
+        def scaled(i: Int) = {
+          val (lo, hi) = (st.getDouble(2 * i), st.getDouble(2 * i + 1))
           val span = if (hi > lo) hi - lo else 1.0
-          least(lit(65535L), greatest(lit(0L),
-            ((col(zc).cast("double") - lit(lo)) / lit(span) * 65535.0)
+          least(lit(maxV), greatest(lit(0L),
+            ((col(zCols(i)).cast("double") - lit(lo)) / lit(span) * maxV)
               .cast("long")))
         }
-        val z = graft.plans.ZOrder2.zorder(
-          scaled(zCols.head, st.getDouble(0), st.getDouble(1)),
-          scaled(zCols(1), st.getDouble(2), st.getDouble(3)))
+        val z =
+          if (zCols.size == 2)
+            graft.plans.ZOrder2.zorder(scaled(0), scaled(1))
+          else
+            graft.plans.ZOrderN.zorder(zCols.indices.map(scaled), bits)
         val rows = raw
           .withColumn("__b", bucketExpr(key, targetBuckets))
           .repartition(col("__b"))

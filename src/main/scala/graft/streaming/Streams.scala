@@ -2529,6 +2529,73 @@ object Streams {
       |WHERE user_id BETWEEN 100 AND 400 AND last_val BETWEEN 10 AND 60""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_zorder3 — N-dimensional OPTIMIZE ZORDER: `CALL
+  // cat.sys.zorder('g.ev', 8, 'user_id,event_id,value')` clusters the
+  // table on THREE dimensions via the ZOrderN Morton interleave
+  // (Dsv2Spec pins actual row-group skipping on all three). The gate
+  // pins the CALL path, content preservation under a 3-D range
+  // predicate, and — the bit-twin — recomputes the 3-D interleave of
+  // deterministic bucketizations of the surviving rows with the native
+  // zordern expression, aggregated exactly; the DuckDB oracle computes
+  // the identical interleave with SQL bit operators
+  // (ZOrderN.sqlZOrder), so one flipped bit anywhere in the N-D spread
+  // hash-mismatches.
+  // ---------------------------------------------------------------------
+  val mergeZOrder3Gated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gzo3$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_zo3_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ev (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')""".stripMargin)
+    val view = s"graft_zo3_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    s.sql(s"INSERT INTO $cat.g.ev SELECT user_id, event_id, value FROM $view")
+    val written = s.sql(
+      s"CALL $cat.sys.zorder('g.ev', 8, 'user_id,event_id,value')")
+      .head().getInt(0)
+    require(written == 8, s"zorder3 rewrote $written buckets, expected 8")
+    val t = s.table(s"$cat.g.ev")
+      .filter(col("user_id").between(100, 700))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .filter(col("cents").between(500, 8000))
+    val z = graft.plans.ZOrderN.zorder(
+      Seq(col("user_id") % 256, col("cents") % 256, col("event_id") % 256),
+      8)
+    t.agg(
+      count(lit(1)).as("n"),
+      sum(col("user_id")).cast("long").as("uid_total"),
+      sum(col("cents")).cast("long").as("cents_total"),
+      sum(z).cast("long").as("z_total"),
+      min(z).cast("long").as("z_min"),
+      max(z).cast("long").as("z_max"))
+  }
+
+  val mergeZOrder3GatedSql: String = {
+    val z = graft.plans.ZOrderN.sqlZOrder(
+      Seq("(user_id % 256)", "(cents % 256)", "(last_id % 256)"), 8)
+    s"""WITH st AS (
+       |  SELECT user_id, max(event_id) AS last_id,
+       |    CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cents
+       |  FROM events GROUP BY user_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |CAST(SUM(user_id) AS BIGINT) AS uid_total,
+       |CAST(SUM(cents) AS BIGINT) AS cents_total,
+       |CAST(SUM($z) AS BIGINT) AS z_total,
+       |CAST(MIN($z) AS BIGINT) AS z_min,
+       |CAST(MAX($z) AS BIGINT) AS z_max
+       |FROM st
+       |WHERE user_id BETWEEN 100 AND 700
+       |  AND cents BETWEEN 500 AND 8000""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_merge_sortjoin — the full layout payoff: after `CALL compact` on
   // both co-bucketed tables, the scans report BOTH the bucket
   // clustering (KeyGroupedPartitioning) and the within-bucket key
@@ -3627,6 +3694,7 @@ object Streams {
     "q_merge_spj" -> mergeSpjGated,
     "q_merge_sortjoin" -> mergeSortJoinGated,
     "q_merge_zorder" -> mergeZOrderGated,
+    "q_merge_zorder3" -> mergeZOrder3Gated,
     "q_stream_asof" -> streamAsofGated,
     "q_stream_quantiles" -> streamQuantilesGated,
     "q_stream_tumbling" -> streamTumblingGated,
@@ -3678,6 +3746,7 @@ object Streams {
     "q_merge_spj" -> mergeSpjGatedSql,
     "q_merge_sortjoin" -> mergeSpjGatedSql,
     "q_merge_zorder" -> mergeZOrderGatedSql,
+    "q_merge_zorder3" -> mergeZOrder3GatedSql,
     "q_stream_asof" -> streamAsofGatedSql,
     "q_stream_quantiles" -> streamQuantilesGatedSql,
     "q_stream_tumbling" -> streamTumblingGatedSql,

@@ -864,6 +864,65 @@ class Dsv2Spec extends SparkSpec {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("3-D z-order prunes row groups on ALL THREE clustering dimensions") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    spark.conf.set("parquet.block.size", "65536")
+    try {
+      // id enumerates a 64x64x64 cube k-major: under key sort, w gets
+      // narrow per-row-group ranges but x and y cycle their full
+      // domains inside every row group
+      val rows = spark.range(262144).select(
+        col("id").as("k"), lit(1L).as("seq"),
+        (col("id") % 64).as("x"),
+        expr("(id DIV 64) % 64").as("y"),
+        expr("id DIV 4096").as("w"),
+        md5(col("id").cast("string")).as("tag"))
+      MergeSink.upsertBatch(rows, table, "k", "seq", 0L, "z3")
+      assert(MergeSink.compact(spark, table, "k", targetBuckets = 4) == 4)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("seq", "long")
+        .add("x", "long").add("y", "long").add("w", "long")
+        .add("tag", "string")
+      val hconf = spark.sessionState.newHadoopConf()
+      def rowsRead(pred: org.apache.spark.sql.sources.Filter): Long =
+        MergeSink.currentFiles(spark, table).values.flatten.map { f =>
+          val r = new graft.sources.MergeColumnarReader(
+            hconf, graft.sources.MergeFileSplit(f, 0, 0L, 0L),
+            schema, hideTombstones = true, pushedFilters = Array(pred))
+          try {
+            var n = 0L
+            while (r.next()) n += r.get().numRows()
+            n
+          } finally r.close()
+        }.sum
+      // each predicate selects the top ~6% of one dimension
+      val preds = Seq("x", "y", "w").map(c =>
+        c -> org.apache.spark.sql.sources.GreaterThan(c, 59L))
+      val keySorted = preds.map { case (c, p) => c -> rowsRead(p) }.toMap
+      assert(keySorted("x") > 262144L / 2 && keySorted("y") > 262144L / 2,
+        s"x/y unexpectedly pruned under key sort: $keySorted — fixture broken")
+      val snap = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")),
+          bit_xor(xxhash64(col("k"), col("x"), col("y"), col("w")))).head()
+      assert(MergeSink.compactZOrder(
+        spark, table, "k", targetBuckets = 4, Seq("x", "y", "w")) == 4)
+      val z = preds.map { case (c, p) => c -> rowsRead(p) }.toMap
+      for (c <- Seq("x", "y", "w"))
+        assert(z(c) < 262144L / 2,
+          s"3-D z-order did not prune $c: read ${z(c)} of 262144 " +
+            s"(key-sorted: ${keySorted(c)})")
+      assert(z("x") < keySorted("x") / 2 && z("y") < keySorted("y") / 2,
+        s"z-order barely helped the non-leading dims: $z vs $keySorted")
+      // content bit-identical after the rewrite
+      val snap2 = MergeSink.currentState(spark, table).get
+        .agg(count(lit(1)), sum(col("k")),
+          bit_xor(xxhash64(col("k"), col("x"), col("y"), col("w")))).head()
+      assert(snap == snap2, s"$snap vs $snap2")
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
   test("ANALYZE: column statistics reach the optimizer; any commit stales them") {
     val s2 = spark
     import s2.implicits._

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.ZOrder2
+import graft.plans.{ZOrder2, ZOrderN}
 import org.apache.spark.sql.functions._
 
 /** ZOrder2 expression contract: the codegen'd interleave must equal the
@@ -83,5 +83,63 @@ class ZOrderSpec extends SparkSpec {
       .collect()
     assert(out(0).isNullAt(0))
     assert(!out(1).isNullAt(0))
+  }
+
+  test("ZOrderN: n=2 reproduces ZOrder2; 3-D/4-D match the reference interleave") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    // n=2 @ 16 bits is bit-identical to ZOrder2 (layout compatibility)
+    val pairs = Seq.fill(100)(
+      (rnd.nextLong().abs % 65536, rnd.nextLong().abs % 65536))
+    pairs.toDF("x", "y")
+      .select(
+        ZOrder2.zorder(col("x"), col("y")).as("z2"),
+        ZOrderN.zorder(Seq(col("x"), col("y")), 16).as("zn"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // 3-D: codegen path (parquet-backed would be needed for WSCG; here
+    // exercise eval + the reference) on exhaustive small domain
+    val triples = for (x <- 0L to 7L; y <- 0L to 7L; w <- 0L to 7L)
+      yield (x, y, w)
+    triples.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        ZOrderN.zorder(Seq(col("x"), col("y"), col("w")), 3).as("z"))
+      .collect()
+      .foreach { r =>
+        val want = ZOrderN.interleave(
+          Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 3)
+        assert(r.getLong(3) == want, r.toString)
+      }
+    // the 3-D interleave is a bijection on the cube — 512 distinct
+    // values covering [0, 512)
+    val zs = triples.map { case (x, y, w) =>
+      ZOrderN.interleave(Seq(x, y, w), 3)
+    }
+    assert(zs.toSet == (0L until 512L).toSet)
+    // 4-D @ 15 bits: monotone locality sanity — fixing all dims' high
+    // bits fixes the z high bits
+    val a = ZOrderN.interleave(Seq(1L << 14, 1L << 14, 1L << 14, 1L << 14), 15)
+    assert(a == (15L << 56), s"4-D top-bit placement wrong: $a")
+    // null propagates
+    val out = Seq((Some(1L), Option.empty[Long], Some(2L)))
+      .toDF("x", "y", "w")
+      .select(ZOrderN.zorder(Seq(col("x"), col("y"), col("w")), 8).as("z"))
+      .collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("ZOrderN participates in whole-stage codegen") {
+    val plan = Tables
+      .orders(spark, sf)
+      .select(ZOrderN.zorder(
+        Seq(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice")).cast("long")), 16).as("z"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(
+      plan.contains("*(1) Project [zordern"),
+      s"zordern not inside a codegen stage:\n$plan")
   }
 }
