@@ -1177,7 +1177,9 @@ object MergeSink {
         val n = q.getName
         (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
         (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
-        (StatsRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept))
+        (StatsRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
+        ("_statsparts_v(\\d+)".r.findFirstMatchIn(n)
+          .exists(_.group(1).toLong < earliestKept))
       }
       .foreach(fs.delete(_, true))
     val dataRoot = new Path(p, "data")
@@ -1455,64 +1457,223 @@ object MergeSink {
       avgLen: Option[Long],
       maxLen: Option[Long])
 
-  /** ANALYZE TABLE: ONE pass over the current snapshot computing
-    * per-column statistics — approximate NDV (HLL++), null count, and
-    * numeric min/max (string columns record avg/max length instead) —
-    * written as a `_stats_v<head>` JSON sidecar. The connector scan
-    * serves them to the optimizer ONLY while the head is still the
-    * analyzed version: any commit silently invalidates (stale NDVs
-    * misestimate joins worse than none), and the sidecar GCs with its
-    * version. One bounded aggregate per run — the cost model a 100 TB
-    * join reorder needs, paid once per maintenance cycle, never per
-    * query. Returns the number of columns analyzed.
+  /** Buckets the LAST [[analyze]] call actually re-profiled — a spec
+    * observability seam (the exact-cost contract: steady-state
+    * re-analysis reads only the buckets whose content changed).
     */
-  def analyze(spark: SparkSession, dir: String): Int = {
-    import org.apache.spark.sql.types.{NumericType, StringType => SStr}
-    val c = lastCommit(spark, dir).getOrElse(
-      throw new IllegalStateException(s"analyze: $dir has no committed version"))
-    val df = currentState(spark, dir).getOrElse(
-      throw new IllegalStateException(s"analyze: $dir has no readable state"))
-    val fields = df.schema.fields
-    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
-      count(lit(1)).as("__rows"))
-    fields.foreach { f =>
-      aggs += approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}")
-      aggs += count(col(f.name)).as(s"__nn_${f.name}")
-      f.dataType match {
-        case _: NumericType =>
-          aggs += min(col(f.name)).cast("double").as(s"__min_${f.name}")
-          aggs += max(col(f.name)).cast("double").as(s"__max_${f.name}")
-        case SStr =>
-          aggs += avg(length(col(f.name))).cast("long").as(s"__avgl_${f.name}")
-          aggs += max(length(col(f.name))).cast("long").as(s"__maxl_${f.name}")
+  val lastAnalyzeProfiled =
+    new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
+
+  /** One column's per-bucket statistics partial: everything needed to
+    * MERGE bucket figures into table figures without re-reading the
+    * bucket — a DataSketches HLL sketch for NDV (union-mergeable, the
+    * property Spark's own approx_count_distinct result number lacks),
+    * plus the trivially-mergeable non-null count, min/max, and string
+    * length sum/max.
+    */
+  private final case class ColPartial(
+      sketch: Option[Array[Byte]],
+      nonNull: Long,
+      min: Option[Double],
+      max: Option[Double],
+      lenSum: Option[Long],
+      lenMax: Option[Long])
+
+  private final case class BucketPartial(
+      contentVersion: Long,
+      rows: Long,
+      cols: Map[String, ColPartial])
+
+  /** The newest persisted per-bucket partials for `dir`, regardless of
+    * the version they were computed at — validity is decided PER
+    * BUCKET by comparing each partial's recorded content version with
+    * the current manifest entry, so partials survive any number of
+    * commits that left a bucket untouched.
+    */
+  private def latestPartials(
+      spark: SparkSession, dir: String): Map[Int, BucketPartial] = {
+    val PartsRe = "_statsparts_v(\\d+)".r
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return Map.empty
+    val newest = fs.listStatus(p).iterator.map(_.getPath.getName).collect {
+      case PartsRe(v) => v.toLong
+    }.maxOption.getOrElse(return Map.empty)
+    val in = fs.open(new Path(p, s"_statsparts_v$newest"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val buckets = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    val cols = scala.collection.mutable
+      .Map.empty[Int, scala.collection.mutable.Map[String, ColPartial]]
+    def opt(s: String): Option[String] = if (s == "-") None else Some(s)
+    lines.foreach { l =>
+      val f = l.split(" ", -1)
+      f.headOption match {
+        case Some("P") => buckets += f(1).toInt -> (f(2).toLong, f(3).toLong)
+        case Some("C") =>
+          cols.getOrElseUpdate(f(1).toInt, scala.collection.mutable.Map.empty)
+            .+=(new String(
+              java.util.Base64.getDecoder.decode(f(2)), "UTF-8") ->
+              ColPartial(
+                opt(f(8)).map(java.util.Base64.getDecoder.decode),
+                f(3).toLong,
+                opt(f(4)).map(_.toDouble), opt(f(5)).map(_.toDouble),
+                opt(f(6)).map(_.toLong), opt(f(7)).map(_.toLong)))
         case _ => ()
       }
     }
-    val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
-    def opt[T](name: String, get: Int => T): Option[T] = {
-      val i = r.schema.fieldNames.indexOf(name)
-      if (i < 0 || r.isNullAt(i)) None else Some(get(i))
-    }
-    val rows = r.getLong(r.schema.fieldNames.indexOf("__rows"))
-    val body = fields.map { f =>
-      val ndv = opt(s"__ndv_${f.name}", r.getLong).getOrElse(0L)
-      val nulls = rows - opt(s"__nn_${f.name}", r.getLong).getOrElse(0L)
-      val mn = opt(s"__min_${f.name}", r.getDouble)
-      val mx = opt(s"__max_${f.name}", r.getDouble)
-      val al = opt(s"__avgl_${f.name}", r.getLong)
-      val ml = opt(s"__maxl_${f.name}", r.getLong)
-      def j(o: Option[_]): String = o.map(_.toString).getOrElse("null")
-      s"""{"col":"${f.name}","ndv":$ndv,"nulls":$nulls,""" +
-        s""""min":${j(mn)},"max":${j(mx)},""" +
-        s""""avgLen":${j(al)},"maxLen":${j(ml)}}"""
-    }
+    buckets.map { case (b, (cv, rows)) =>
+      b -> BucketPartial(
+        cv, rows, cols.getOrElse(b, scala.collection.mutable.Map.empty).toMap)
+    }.toMap
+  }
+
+  /** ANALYZE TABLE — INCREMENTAL by construction: per-bucket statistics
+    * partials (HLL sketch + mergeable aggregates per column; see
+    * [[ColPartial]]) persist in a `_statsparts_v<head>` sidecar keyed
+    * by each bucket's CONTENT VERSION, and a run re-profiles ONLY the
+    * buckets whose content version moved since the last run — the
+    * [[compactIncremental]] discipline applied to statistics. The
+    * merged table-level figures land in the `_stats_v<head>` sidecar
+    * the connector scan serves to the optimizer (ONLY while the head
+    * is still the analyzed version: stale NDVs misestimate joins worse
+    * than none; both sidecars GC with their version window). Steady
+    * state at 100 TB: an upsert dirties a few buckets, re-analysis
+    * costs those buckets' bytes plus an O(buckets) sketch union —
+    * never the table — and the figures are IDENTICAL to a from-scratch
+    * run, because every bucket's numbers came through the same
+    * partials either way. Returns the number of columns analyzed;
+    * [[lastAnalyzeProfiled]] records the re-profiled bucket set.
+    */
+  def analyze(spark: SparkSession, dir: String): Int = {
+    import org.apache.spark.sql.types.{
+      IntegerType, LongType, NumericType, StringType => SStr}
+    val c = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(s"analyze: $dir has no committed version"))
+    val m = manifest(spark, dir, c.version)
     val (fs, p) = fsOf(spark, dir)
+    val prev = latestPartials(spark, dir)
+    val reuse = m.keySet.filter(b =>
+      prev.get(b).exists(_.contentVersion == m(b)))
+    val dirty = m.keySet -- reuse
+    lastAnalyzeProfiled.set(dirty)
+    val fresh: Map[Int, BucketPartial] =
+      if (dirty.isEmpty) Map.empty
+      else {
+        // one job: union of the dirty buckets' scans, each tagged with
+        // its literal bucket id, aggregated per bucket. Cost = dirty
+        // bytes, not table bytes.
+        val scans = dirty.toSeq.sorted.map { b =>
+          spark.read.option("mergeSchema", true)
+            .parquet(s"$dir/data/b$b/v${m(b)}")
+            .withColumn("__bkt", lit(b))
+        }
+        var df = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+        if (df.columns.contains(DeletedCol))
+          df = df.filter(!coalesce(col(DeletedCol), lit(false)))
+            .drop(DeletedCol)
+        val fields = df.schema.fields.filter(_.name != "__bkt")
+        val aggs =
+          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+            count(lit(1)).as("__rows"))
+        fields.foreach { f =>
+          // the HLL input must be a sketch-supported type; anything
+          // else goes through an injective string cast (NDV-preserving)
+          val hin = f.dataType match {
+            case IntegerType | LongType | SStr => col(f.name)
+            case _ => col(f.name).cast("string")
+          }
+          aggs += hll_sketch_agg(hin).as(s"__hll_${f.name}")
+          aggs += count(col(f.name)).as(s"__nn_${f.name}")
+          f.dataType match {
+            case _: NumericType =>
+              aggs += min(col(f.name)).cast("double").as(s"__min_${f.name}")
+              aggs += max(col(f.name)).cast("double").as(s"__max_${f.name}")
+            case SStr =>
+              aggs += sum(length(col(f.name))).cast("long")
+                .as(s"__lsum_${f.name}")
+              aggs += max(length(col(f.name))).cast("long")
+                .as(s"__lmax_${f.name}")
+            case _ => ()
+          }
+        }
+        val got = df.groupBy(col("__bkt"))
+          .agg(aggs.head, aggs.tail.toSeq: _*).collect()
+        val byBucket = got.map { r =>
+          def opt[T](name: String, get: Int => T): Option[T] = {
+            val i = r.schema.fieldNames.indexOf(name)
+            if (i < 0 || r.isNullAt(i)) None else Some(get(i))
+          }
+          val b = r.getInt(r.schema.fieldNames.indexOf("__bkt"))
+          val rows = r.getLong(r.schema.fieldNames.indexOf("__rows"))
+          b -> BucketPartial(m(b), rows, fields.map { f =>
+            f.name -> ColPartial(
+              opt(s"__hll_${f.name}",
+                i => r.get(i).asInstanceOf[Array[Byte]]),
+              opt(s"__nn_${f.name}", r.getLong).getOrElse(0L),
+              opt(s"__min_${f.name}", r.getDouble),
+              opt(s"__max_${f.name}", r.getDouble),
+              opt(s"__lsum_${f.name}", r.getLong),
+              opt(s"__lmax_${f.name}", r.getLong))
+          }.toMap)
+        }.toMap
+        // a dirty bucket whose visible rows are all tombstoned yields
+        // no aggregate row: record it empty so the partial still reuses
+        dirty.map(b => b -> byBucket.getOrElse(b,
+          BucketPartial(m(b), 0L, Map.empty))).toMap
+      }
+    val parts: Map[Int, BucketPartial] =
+      reuse.map(b => b -> prev(b)).toMap ++ fresh
+    // ---- persist the partials sidecar (at the analyzed head) ----
+    val enc = java.util.Base64.getEncoder
+    def j(o: Option[_]): String = o.map(_.toString).getOrElse("-")
+    val partLines = parts.toSeq.sortBy(_._1).flatMap { case (b, bp) =>
+      s"P $b ${bp.contentVersion} ${bp.rows}" +:
+        bp.cols.toSeq.sortBy(_._1).map { case (name, cp) =>
+          s"C $b ${enc.encodeToString(name.getBytes("UTF-8"))} " +
+            s"${cp.nonNull} ${j(cp.min)} ${j(cp.max)} " +
+            s"${j(cp.lenSum)} ${j(cp.lenMax)} " +
+            cp.sketch.map(enc.encodeToString).getOrElse("-")
+        }
+    }
+    val pout = fs.create(new Path(p, s"_statsparts_v${c.version}"), true)
+    try pout.write(partLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally pout.close()
+    // ---- merge partials into the served table-level sidecar ----
+    val totalRows = parts.valuesIterator.map(_.rows).sum
+    val colNames = parts.valuesIterator
+      .flatMap(_.cols.keysIterator).toSeq.distinct.sorted
+    val body = colNames.map { name =>
+      val cps = parts.valuesIterator.map(bp =>
+        (bp.rows, bp.cols.get(name))).toSeq
+      val union = new org.apache.datasketches.hll.Union(12)
+      cps.foreach { case (_, cp) =>
+        cp.flatMap(_.sketch).foreach(bytes =>
+          union.update(org.apache.datasketches.hll.HllSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(bytes))))
+      }
+      val ndv = math.round(union.getEstimate)
+      // a bucket without this column serves it as NULL (evolution):
+      // its whole row count is nulls
+      val nonNull = cps.map(_._2.map(_.nonNull).getOrElse(0L)).sum
+      val nulls = totalRows - nonNull
+      val mn = cps.flatMap(_._2.flatMap(_.min)).minOption
+      val mx = cps.flatMap(_._2.flatMap(_.max)).maxOption
+      val lsum = cps.flatMap(_._2.flatMap(_.lenSum))
+      val al =
+        if (lsum.isEmpty || nonNull == 0L) None else Some(lsum.sum / nonNull)
+      val ml = cps.flatMap(_._2.flatMap(_.lenMax)).maxOption
+      def jj(o: Option[_]): String = o.map(_.toString).getOrElse("null")
+      s"""{"col":"$name","ndv":$ndv,"nulls":$nulls,""" +
+        s""""min":${jj(mn)},"max":${jj(mx)},""" +
+        s""""avgLen":${jj(al)},"maxLen":${jj(ml)}}"""
+    }
     val out = fs.create(new Path(p, s"_stats_v${c.version}"), true)
     try out.write(
-      (s"""{"rows":$rows,"version":${c.version}}""" +:
-        body.toSeq).mkString("", "\n", "\n").getBytes("UTF-8"))
+      (s"""{"rows":$totalRows,"version":${c.version}}""" +:
+        body).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fields.length
+    colNames.size
   }
 
   /** The analyzed statistics for EXACTLY `version`, if present:

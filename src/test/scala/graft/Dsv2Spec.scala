@@ -979,6 +979,66 @@ class Dsv2Spec extends SparkSpec {
     assert(!scanStats().columnStats().isEmpty)
   }
 
+  test("incremental ANALYZE: re-profiles only changed buckets, figures match full run") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    MergeSink.upsertBatch(
+      spark.range(4000).select(
+        col("id").as("k"), lit(1L).as("seq"),
+        (col("id") % 40).as("cat"),
+        md5(col("id").cast("string")).as("tag")),
+      table, "k", "seq", 0L, "ia")
+    val head0 = MergeSink.lastCommit(spark, table).get.version
+    val allBuckets = MergeSink.manifest(spark, table, head0).keySet
+    assert(MergeSink.analyze(spark, table) == 4)
+    // first run has no partials to reuse: profiles every bucket
+    assert(MergeSink.lastAnalyzeProfiled.get() == allBuckets)
+    // dirty exactly ONE bucket (single-key upsert)
+    MergeSink.upsertBatch(
+      Seq((99999L, 1L, 7L, "fresh")).toDF("k", "seq", "cat", "tag"),
+      table, "k", "seq", 1L, "ia")
+    val head1 = MergeSink.lastCommit(spark, table).get.version
+    val m0 = MergeSink.manifest(spark, table, head0)
+    val m1 = MergeSink.manifest(spark, table, head1)
+    val touched = m1.keySet.filter(b => m0.get(b) != m1.get(b))
+    assert(touched.size == 1, s"fixture: one key should touch one bucket, got $touched")
+    assert(MergeSink.analyze(spark, table) == 4)
+    // THE exact-cost contract: the second run read ONLY the touched bucket
+    assert(MergeSink.lastAnalyzeProfiled.get() == touched,
+      s"incremental analyze re-profiled ${MergeSink.lastAnalyzeProfiled.get()} " +
+        s"instead of only $touched")
+    // stats are SERVED at the new head
+    val (rowsInc, colsInc) = MergeSink.statsFor(spark, table, head1).get
+    assert(rowsInc == 4001L)
+    def sidecar(): String = {
+      val p = new org.apache.hadoop.fs.Path(table, s"_stats_v$head1")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val incText = sidecar()
+    // figures must MATCH a from-scratch run: drop the partials and
+    // re-analyze everything
+    val pp = new org.apache.hadoop.fs.Path(table)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(pp).foreach { st =>
+      if (st.getPath.getName.startsWith("_statsparts_"))
+        fs.delete(st.getPath, false)
+    }
+    assert(MergeSink.analyze(spark, table) == 4)
+    assert(MergeSink.lastAnalyzeProfiled.get() == m1.keySet,
+      "full run should have profiled every bucket")
+    assert(sidecar() == incText,
+      "incremental figures diverged from the from-scratch run")
+    // sanity on the merged numbers themselves
+    val kNdv = colsInc("k").ndv
+    assert(math.abs(kNdv - 4001L) < 80L, s"k ndv $kNdv")
+    assert(colsInc("cat").min.contains(0.0) && colsInc("cat").max.contains(39.0))
+    assert(colsInc("tag").maxLen.contains(32L))
+  }
+
   test("metadata columns: _version/_bucket/_file selectable, hidden from *") {
     val table = freshTable()
     val s2 = spark
