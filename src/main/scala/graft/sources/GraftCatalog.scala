@@ -187,7 +187,11 @@ class GraftCatalog
         // `cat.db.t.changes` — the CDC VIEW of any catalog table (the
         // Delta table_changes / Iceberg changelog shape): batch reads
         // return the retained commit log, streaming reads replay it —
-        // no second `cdc 'true'` table declaration needed
+        // no second `cdc 'true'` table declaration needed. CAVEAT
+        // (same as Delta): metadata-only commits write no bucket
+        // files, so RESTORE / schema-only evolution emit NO events
+        // here — a consumer needing a rollback as a diff must compare
+        // snapshots (VERSION AS OF) instead
         if (ident.name().toLowerCase(java.util.Locale.ROOT) == "changes")
           loadWith(parent, None, forceCdc = true)
         else
@@ -481,11 +485,70 @@ class GraftCatalog
             s"graft catalog: column ${f.name} already exists")
           props.setProperty("schema", StructType(cur.fields :+ f).json)
         }
+      // RENAME COLUMN: metadata-only through column mapping — the
+      // recorded schema renames the field and keeps its alias chain +
+      // stable id; committed data files are untouched and resolve by
+      // former name. Key/seq columns are the bucket layout's identity
+      // and stay immutable.
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns only")
+        val from = ren.fieldNames.head
+        val to = ren.newName
+        val path = props.getProperty("path")
+        val protectedCols = graft.streaming.MergeSink
+          .keyCols(props.getProperty("key")) :+ props.getProperty("seq")
+        if (graft.streaming.MergeSink.lastCommit(
+            SparkSession.active, path).isDefined)
+          graft.streaming.MergeSink.renameColumn(
+            SparkSession.active, path, from, to, protectedCols)
+        else {
+          require(!protectedCols.contains(from),
+            s"graft catalog: column $from is the table's key/seq identity")
+          val cur = DataType.fromJson(props.getProperty("schema"))
+            .asInstanceOf[StructType]
+          require(cur.fieldNames.contains(from),
+            s"graft catalog: no column $from")
+          require(!cur.fieldNames.map(_.toLowerCase)
+            .contains(to.toLowerCase),
+            s"graft catalog: column $to already exists")
+          props.setProperty("schema", StructType(cur.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)).json)
+        }
+      // DROP COLUMN: metadata-only — the field leaves the recorded
+      // schema; stale bytes stay blocked from name reuse until a full
+      // compaction purges them.
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames.head
+        val path = props.getProperty("path")
+        val protectedCols = graft.streaming.MergeSink
+          .keyCols(props.getProperty("key")) :+ props.getProperty("seq")
+        if (graft.streaming.MergeSink.lastCommit(
+            SparkSession.active, path).isDefined)
+          try graft.streaming.MergeSink.dropColumn(
+            SparkSession.active, path, name, protectedCols)
+          catch {
+            case e: IllegalArgumentException if del.ifExists() => ()
+          }
+        else {
+          require(!protectedCols.contains(name),
+            s"graft catalog: column $name is the table's key/seq identity")
+          val cur = DataType.fromJson(props.getProperty("schema"))
+            .asInstanceOf[StructType]
+          if (!cur.fieldNames.contains(name)) {
+            if (!del.ifExists())
+              throw new IllegalArgumentException(
+                s"graft catalog: no column $name")
+          } else props.setProperty(
+            "schema", StructType(cur.fields.filter(_.name != name)).json)
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-            "the schema evolves by ADD COLUMN or committed CDC batches " +
-            "only (no drops/renames/type changes over committed data); " +
+            "the schema evolves by ADD/RENAME/DROP COLUMN or committed " +
+            "CDC batches (no type changes over committed data); " +
             "otherwise SET/UNSET TBLPROPERTIES is the metadata surface")
     }
     writeMeta(ident, props, overwrite = true)

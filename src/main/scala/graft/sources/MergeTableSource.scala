@@ -1705,12 +1705,26 @@ class MergeColumnarReader(
   // NULL vectors inside the vectorized reader.
   private val requiredData =
     required.fields.filterNot(f => MergeTableUtil.isMetaCol(f.name))
+  // COLUMN MAPPING: a field the file lacks under its CURRENT name may
+  // exist under a FORMER name (files written before a RENAME COLUMN —
+  // the alias chain rides the field metadata). Request the file's own
+  // name in the same position: ColumnarBatch columns are positional,
+  // so the relabeled vector serves the current column with zero copy.
+  // Fields renamed nowhere (no alias metadata) take the fast path.
+  private val physData: Array[StructField] = requiredData.map { f =>
+    if (fileSchema.containsField(f.name)) f
+    else MergeSink.aliasesOf(f)
+      .find(fileSchema.containsField)
+      .map(a => f.copy(name = a))
+      .getOrElse(f)
+  }
+  private val aliased = !physData.sameElements(requiredData)
   private val needDeleted = hideTombstones &&
     fileSchema.containsField(MergeSink.DeletedCol)
   private val readerDataSchema = StructType(
     if (needDeleted)
-      requiredData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
-    else requiredData.toSeq)
+      physData.toSeq :+ StructField(MergeSink.DeletedCol, BooleanType)
+    else physData.toSeq)
 
   /** Pushed predicates as a parquet `FilterPredicate` for ROW-GROUP
     * SKIPPING: a pruned-out row group's pages are never read. Purely an
@@ -1754,7 +1768,12 @@ class MergeColumnarReader(
 
   private val reader: VectorizedParquetRecordReader = {
     val shared =
-      if (confFor != null) confFor(needDeleted)
+      if (aliased)
+        // per-file physical names (pre-rename file): private conf with
+        // the substituted requested schema
+        MergeColumnarReader.preparedConf(
+          conf, StructType(physData.toIndexedSeq), needDeleted)
+      else if (confFor != null) confFor(needDeleted)
       else MergeColumnarReader.preparedConf(conf, required, needDeleted)
     // only a per-file filter predicate forces a private copy (the
     // predicate is file-schema-specific); the common full-scan path

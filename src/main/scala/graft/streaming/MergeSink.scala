@@ -378,6 +378,70 @@ object MergeSink {
       })
       .getOrElse(DefaultBuckets)
 
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING (rename/drop without rewriting data) — per-column
+  // stable ids and former-name chains ride the recorded schema's FIELD
+  // METADATA (the Delta column-mapping shape, name-chain variant):
+  //   graft.gid      stable column id, assigned at first rename/drop
+  //   graft.aliases  comma list of former physical names, newest first
+  // Data files keep whatever name was current when they were written;
+  // readers resolve a field to the first candidate (current name, then
+  // aliases) the file actually contains. Tables never renamed carry no
+  // metadata and skip every mapping code path.
+  // ------------------------------------------------------------------
+  private[graft] val AliasKey = "graft.aliases"
+  private[graft] val GidKey = "graft.gid"
+
+  private[graft] def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(AliasKey))
+      f.metadata.getString(AliasKey).split(",").filter(_.nonEmpty).toSeq
+    else Seq.empty
+
+  /** current name -> physical candidates in resolution order. Empty
+    * when no field of `schema` was ever renamed (the fast path).
+    */
+  private[graft] def columnAliases(schema: StructType): Map[String, Seq[String]] =
+    schema.fields.iterator
+      .filter(f => aliasesOf(f).nonEmpty)
+      .map(f => f.name -> (f.name +: aliasesOf(f)))
+      .toMap
+
+  /** Project a raw (possibly mixed-name, mixed-schema) frame onto
+    * `schema`'s CURRENT names: each field reads from the first of its
+    * physical candidates present (coalesce when several file
+    * generations coexist in one read), columns the schema dropped stop
+    * projecting, and a column present in no read file serves typed
+    * NULLs (the schema-evolution read rule). Identity when the schema
+    * carries no aliases AND the raw columns already match — tables
+    * never renamed pay nothing.
+    */
+  private def currentView(raw: DataFrame, schema: StructType): DataFrame = {
+    val am = columnAliases(schema)
+    val have = raw.columns.toSet
+    if (am.isEmpty && schema.fields.forall(f => have.contains(f.name)) &&
+      raw.columns.length == schema.fields.length) return raw
+    val cols = schema.fields.toSeq.map { f =>
+      val cands = am.getOrElse(f.name, Seq(f.name)).filter(have.contains)
+      if (cands.isEmpty) lit(null).cast(f.dataType).as(f.name)
+      else if (cands.size == 1) col(cands.head).cast(f.dataType).as(f.name)
+      else coalesce(cands.map(col): _*).cast(f.dataType).as(f.name)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** [[currentView]] against the schema RECORDED at `version`; raw
+    * passes through untouched for legacy tables without one.
+    */
+  private def currentViewAt(
+      spark: SparkSession,
+      dir: String,
+      version: Long,
+      raw: DataFrame): DataFrame =
+    manifestSchema(spark, dir, version) match {
+      case Some(s) => currentView(raw, s)
+      case None => raw
+    }
+
   private def readVersion(
       spark: SparkSession,
       dir: String,
@@ -386,7 +450,8 @@ object MergeSink {
     if (m.isEmpty) None
     else {
       val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
-      val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
+      val raw = currentViewAt(spark, dir, version,
+        spark.read.option("mergeSchema", true).parquet(paths: _*))
       // CDC tables retain tombstones physically; the TABLE is its live rows
       if (raw.columns.contains(DeletedCol))
         Some(raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol))
@@ -541,11 +606,77 @@ object MergeSink {
       runId: String = "batch",
       reRegister: Boolean = false): Unit =
     planUpsert(batch, dir, key, seq, epochId, runId, reRegister).foreach {
-      pc =>
-        publish(
-          pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
-          pc.newV, runId, epochId, prevVersion = pc.prevVersion)
+      pc0 =>
+        var pc = pc0
+        var done = false
+        while (!done) {
+          try {
+            publish(
+              pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
+              pc.newV, runId, epochId, prevVersion = pc.prevVersion)
+            done = true
+          } catch {
+            case e: ConcurrentCommitException =>
+              rebased(pc.spark, dir, pc) match {
+                case Some(next) => pc = next
+                case None => throw e
+              }
+          }
+        }
     }
+
+  /** Rebases [[rebased]] performed since JVM start — spec
+    * observability for the retry-less disjoint-writer path.
+    */
+  val rebaseCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** FAST-APPEND REBASE (the Iceberg disjoint-commit shape): a writer
+    * that lost the version-claim race but whose touched buckets are
+    * UNTOUCHED by everything that landed since its base snapshot does
+    * not need to recompute anything — its merge read exactly the
+    * bucket contents the new head still carries, so the same planned
+    * rows publish verbatim against the NEXT version with the new
+    * head's manifest as the carry. Returns the re-pointed plan, or
+    * None when a real conflict (overlapping buckets, a rebucketing
+    * compaction, or a winner that never lands within the wait window)
+    * forces the loud ConcurrentCommitException path —
+    * [[withCommitRetry]] then recomputes from the new head. At 100 TB
+    * this is the difference between two writers on disjoint key
+    * ranges costing one commit each and the loser re-running its
+    * whole merge.
+    */
+  private def rebased(
+      spark: SparkSession,
+      dir: String,
+      pc: PlannedCommit): Option[PlannedCommit] = {
+    val waitMs = spark.conf.getOption("spark.graft.rebaseWaitMs")
+      .map(_.toLong).getOrElse(10000L)
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      lastCommit(spark, dir) match {
+        case Some(h) if h.version >= pc.newV =>
+          // the claim holder (and possibly more) committed: my merge
+          // stays valid iff no landed commit moved a bucket I touched
+          // (or changed the modulus my rows are hashed by)
+          if (numBuckets(spark, dir, h.version) != pc.nb) return None
+          val mh = manifest(spark, dir, h.version)
+          val changed = (mh.keySet ++ pc.prevManifest.keySet)
+            .filter(b => mh.get(b) != pc.prevManifest.get(b))
+          if ((changed & pc.touched).nonEmpty) return None
+          rebaseCount.incrementAndGet()
+          return Some(pc.copy(
+            newV = h.version + 1,
+            prevManifest = mh,
+            prevVersion = Some(h.version)))
+        case _ =>
+          // claim held but not yet (or never) committed — wait for the
+          // marker within the window, then give up to the retry path
+          if (System.currentTimeMillis() > deadline) return None
+          Thread.sleep(50L)
+      }
+    }
+    None
+  }
 
   /** Everything [[publish]] needs for one planned merge commit —
     * computed by [[planUpsert]], so a single-table upsert and a
@@ -620,7 +751,11 @@ object MergeSink {
         val base =
           if (touchedPaths.isEmpty) batchC
           else {
-            val stored = spark.read.option("mergeSchema", true).parquet(touchedPaths: _*)
+            // resolve the stored side through the current schema's
+            // column mapping: files written before a RENAME still
+            // carry the old physical name (no-op when never renamed)
+            val stored = currentViewAt(spark, dir, last.get.version,
+              spark.read.option("mergeSchema", true).parquet(touchedPaths: _*))
             if (stored.columns.contains(DeletedCol) ||
               cols.contains(DeletedCol))
               withDeleted(stored)
@@ -1354,9 +1489,11 @@ object MergeSink {
           .map(t => kcols.zip(t).map { case (c, v) => col(c) === lit(v) }
             .reduce(_ && _))
           .reduce(_ || _)
-      val raw = spark.read
-        .option("mergeSchema", true)
-        .parquet(files: _*)
+      val head = lastCommit(spark, dir).get // files nonEmpty => committed
+      val raw = currentViewAt(spark, dir, head.version,
+        spark.read
+          .option("mergeSchema", true)
+          .parquet(files: _*))
         .filter(cond)
       Some(
         if (raw.columns.contains(DeletedCol))
@@ -1394,7 +1531,8 @@ object MergeSink {
         val allPaths =
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
-        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        val raw = currentViewAt(spark, dir, c.version,
+          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
         if (!raw.columns.contains(DeletedCol)) return 0
         val bucketOf = bucketExpr(key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
@@ -1410,9 +1548,10 @@ object MergeSink {
         if (touched.isEmpty) return 0
         val touchedPaths = touched.toSeq.sorted
           .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
-        val kept = spark.read
-          .option("mergeSchema", true)
-          .parquet(touchedPaths: _*)
+        val kept = currentViewAt(spark, dir, c.version,
+          spark.read
+            .option("mergeSchema", true)
+            .parquet(touchedPaths: _*))
           .filter(!(coalesce(col(DeletedCol), lit(false)) && col(seq) < lit(horizon)))
           .withColumn("__b", bucketOf)
           .repartition(col("__b")) // publish expects bucket-partitioned rows
@@ -1777,14 +1916,33 @@ object MergeSink {
       throw new IllegalStateException(
         s"addColumns: $dir's manifest predates the recorded-schema " +
           "format; run compaction once to re-base it, then evolve"))
-    val taken = base.fieldNames.map(_.toLowerCase).toSet ++
+    val taken = physicalNames(base) ++
       Set(DeletedCol, "_version", "_bucket", "_file", "__b")
+    val blocked = droppedCols(spark, dir).map(_.toLowerCase).toSet
     adds.foreach { f =>
       require(f.nullable,
         s"addColumns: new column ${f.name} must be nullable " +
           "(existing rows read it as NULL)")
       require(!taken.contains(f.name.toLowerCase),
-        s"addColumns: column ${f.name} already exists or is reserved")
+        s"addColumns: column ${f.name} already exists (or is an alias " +
+          "of a renamed column, or reserved)")
+      require(!blocked.contains(f.name.toLowerCase),
+        s"addColumns: column ${f.name} was dropped and its bytes may " +
+          "survive in retained data files — a same-name add would " +
+          "resurrect them; run full compaction first")
+    }
+    // a table already using column mapping ids extends them; one that
+    // never renamed/dropped stays id-free (adds carry no metadata)
+    val mapped = base.fields.exists(_.metadata.contains(GidKey))
+    val newFields = if (!mapped) adds else {
+      var next = base.fields.iterator
+        .filter(_.metadata.contains(GidKey))
+        .map(_.metadata.getLong(GidKey)).max + 1
+      adds.map { f =>
+        val g = next; next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(GidKey, g).build())
+      }
     }
     val newV = last.version + 1
     publish(
@@ -1798,7 +1956,180 @@ object MergeSink {
       epochId = newV,
       prevVersion = Some(last.version),
       sortedBy = manifestSortedBy(spark, dir, last.version),
-      schemaOverride = Some(StructType(base.fields ++ adds)))
+      schemaOverride = Some(StructType(base.fields ++ newFields)))
+    newV
+  }
+
+  /** Names of DROPPED columns (and their whole alias chains) that may
+    * still exist in retained data files — recorded in the
+    * `_dropped_cols` table file so a later ADD/RENAME COLUMN cannot
+    * reuse a name whose stale bytes would silently resurrect into the
+    * new column. A FULL rewrite ([[compact]]/[[compactZOrder]]) purges
+    * every file and clears the list.
+    */
+  def droppedCols(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_dropped_cols")
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  private def writeDroppedCols(
+      spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_dropped_cols")
+    if (names.isEmpty) { fs.delete(f, false); () }
+    else {
+      val out = fs.create(f, true)
+      try out.write(names.distinct.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Every name this schema could resolve a read against (current
+    * names + every alias), lowercased — the collision domain for
+    * rename/add targets.
+    */
+  private def physicalNames(schema: StructType): Set[String] =
+    schema.fields.iterator
+      .flatMap(f => f.name +: aliasesOf(f))
+      .map(_.toLowerCase)
+      .toSet
+
+  /** Ensure every field carries a stable column id ([[GidKey]]):
+    * assigned once, ordinally, the first time the table needs column
+    * mapping; later ADDs take max+1 (see [[addColumns]]). Two fields
+    * never share a gid — renames move a NAME between commits, never an
+    * id.
+    */
+  private def withGids(schema: StructType): StructType = {
+    var next = schema.fields.iterator
+      .filter(_.metadata.contains(GidKey))
+      .map(_.metadata.getLong(GidKey))
+      .maxOption.map(_ + 1).getOrElse(0L)
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(GidKey)) f
+      else {
+        val g = next; next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(GidKey, g).build())
+      }
+    })
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — a METADATA-ONLY commit (the
+    * column-mapping payoff): the recorded schema renames the field,
+    * prepends the old name to its alias chain, and keeps its stable
+    * id; ZERO data files are rewritten, because every reader resolves
+    * the field to the first (current-then-aliases) name a file
+    * actually contains. The new name must not collide with any live
+    * name, any alias (older files still answer to those), any dropped
+    * name still possibly on disk, or the reserved scan names. Key/seq
+    * columns are the table's physical identity (the bucket layout
+    * hashes them) and cannot be renamed — pass them in
+    * `protectedCols`. Returns the minted version.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      dir: String,
+      from: String,
+      to: String,
+      protectedCols: Seq[String] = Nil): Long = {
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"renameColumn: $dir has no committed version (rename the " +
+          "declared schema instead)"))
+    val base0 = manifestSchema(spark, dir, last.version).getOrElse(
+      throw new IllegalStateException(
+        s"renameColumn: $dir's manifest predates the recorded-schema " +
+          "format; run compaction once to re-base it, then evolve"))
+    require(base0.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${base0.fieldNames.mkString(",")}")
+    require(!protectedCols.contains(from),
+      s"renameColumn: '$from' is a key/seq column — the bucket layout " +
+        "hashes it; it is the table's physical identity")
+    val taken = physicalNames(base0) - from.toLowerCase ++
+      droppedCols(spark, dir).map(_.toLowerCase) ++
+      Set(DeletedCol, "_version", "_bucket", "_file", "__b")
+    require(!taken.contains(to.toLowerCase),
+      s"renameColumn: name '$to' is in use, reserved, aliased by " +
+        "another column, or was dropped and may survive in retained " +
+        "files (run full compaction first)")
+    val base = withGids(base0)
+    val evolved = StructType(base.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(
+        name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(AliasKey, (from +: aliasesOf(f)).mkString(","))
+          .build())
+    })
+    val newV = last.version + 1
+    publish(
+      spark, dir,
+      bucketCount(spark, dir, last.version),
+      manifest(spark, dir, last.version),
+      touched = Set.empty,
+      rows = None,
+      newV,
+      runId = "maintenance",
+      epochId = newV,
+      prevVersion = Some(last.version),
+      schemaOverride = Some(evolved))
+    newV
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — a METADATA-ONLY commit: the field
+    * leaves the recorded schema, so readers stop projecting it
+    * immediately at zero rewrite cost; its bytes linger in data files
+    * until upserts/compaction rewrite them. The dropped name AND its
+    * alias chain go on the [[droppedCols]] block list so no later ADD
+    * or RENAME can resurrect the stale bytes; a full rewrite clears
+    * the list. Returns the minted version.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      protectedCols: Seq[String] = Nil): Long = {
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"dropColumn: $dir has no committed version (drop from the " +
+          "declared schema instead)"))
+    val base0 = manifestSchema(spark, dir, last.version).getOrElse(
+      throw new IllegalStateException(
+        s"dropColumn: $dir's manifest predates the recorded-schema " +
+          "format; run compaction once to re-base it, then evolve"))
+    val victim = base0.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: no column '$name' in ${base0.fieldNames.mkString(",")}"))
+    require(!protectedCols.contains(name),
+      s"dropColumn: '$name' is a key/seq column — the table's physical " +
+        "identity cannot be dropped")
+    require(base0.fields.length > 1,
+      "dropColumn: cannot drop the table's only column")
+    val base = withGids(base0)
+    val evolved = StructType(base.fields.filter(_.name != name))
+    val newV = last.version + 1
+    publish(
+      spark, dir,
+      bucketCount(spark, dir, last.version),
+      manifest(spark, dir, last.version),
+      touched = Set.empty,
+      rows = None,
+      newV,
+      runId = "maintenance",
+      epochId = newV,
+      prevVersion = Some(last.version),
+      schemaOverride = Some(evolved))
+    writeDroppedCols(spark, dir,
+      droppedCols(spark, dir) ++ (name +: aliasesOf(victim)))
     newV
   }
 
@@ -1815,7 +2146,8 @@ object MergeSink {
         val allPaths =
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
-        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        val raw = currentViewAt(spark, dir, c.version,
+          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
         val bucketOf = bucketExpr(key, targetBuckets)
         // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
         // every row group's key min/max would otherwise span the whole
@@ -1838,7 +2170,13 @@ object MergeSink {
           runId = "maintenance", epochId = newV,
           // every bucket rewritten key-sorted: the manifest records the
           // table-wide sort (what SupportsReportOrdering keys on)
-          sortedBy = Some(keyCols(key))) // all buckets rewritten: sizes measured fresh
+          sortedBy = Some(keyCols(key)), // all buckets rewritten: sizes measured fresh
+          // a full rewrite must not let the recorded schema forget its
+          // column-mapping metadata (rows-derived schemas are plain)
+          schemaOverride = manifestSchema(spark, dir, c.version))
+        // every file now carries only current columns under current
+        // names: dropped-name bytes are gone, the block list clears
+        writeDroppedCols(spark, dir, Seq.empty)
         manifest(spark, dir, newV).size
     }
   }
@@ -2008,7 +2346,8 @@ object MergeSink {
         val allPaths =
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
-        val raw = spark.read.option("mergeSchema", true).parquet(allPaths: _*)
+        val raw = currentViewAt(spark, dir, c.version,
+          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
         zCols.foreach { zc =>
           val f = raw.schema.fields.find(_.name == zc).getOrElse(
             throw new IllegalArgumentException(
@@ -2052,7 +2391,13 @@ object MergeSink {
         publish(
           spark, dir, targetBuckets, Map.empty,
           touched = (0 until targetBuckets).toSet, Some(rows), newV,
-          runId = "maintenance", epochId = newV)
+          runId = "maintenance", epochId = newV,
+          // a full rewrite must not let the recorded schema forget its
+          // column-mapping metadata (rows-derived schemas are plain)
+          schemaOverride = manifestSchema(spark, dir, c.version))
+        // every file now carries only current columns under current
+        // names: dropped-name bytes are gone, the block list clears
+        writeDroppedCols(spark, dir, Seq.empty)
         manifest(spark, dir, newV).size
     }
   }
@@ -2072,7 +2417,8 @@ object MergeSink {
         if (dirty.isEmpty) return Set.empty
         val nb = numBuckets(spark, dir, c.version)
         val paths = dirty.toSeq.sorted.map(b => s"$dir/data/b$b/v${m(b)}")
-        val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
+        val raw = currentViewAt(spark, dir, c.version,
+          spark.read.option("mergeSchema", true).parquet(paths: _*))
         // same modulus: every row re-hashes to the bucket it came from,
         // so the rewrite is a per-bucket sort, not a shuffle across the
         // carried buckets
@@ -2125,20 +2471,25 @@ object MergeSink {
     val mCur = manifest(spark, dir, curV)
     val touched = (mPrev.keySet ++ mCur.keySet)
       .filter(b => mPrev.get(b) != mCur.get(b))
-    def visible(m: Map[Int, Long]): Option[DataFrame] = {
+    def visible(m: Map[Int, Long], atV: Long): Option[DataFrame] = {
       val paths = touched.toSeq.sorted
         .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
       if (paths.isEmpty) None
       else {
-        val raw = spark.read.option("mergeSchema", true).parquet(paths: _*)
+        val raw = currentViewAt(spark, dir, atV,
+          spark.read.option("mergeSchema", true).parquet(paths: _*))
         Some(
           if (raw.columns.contains(DeletedCol))
             raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
           else raw)
       }
     }
-    val oldOpt = visible(mPrev)
-    val newOpt = visible(mCur)
+    // BOTH sides resolve through the CURRENT version's schema: a diff
+    // compares values per key, and a renamed column's old-side values
+    // must land under its current name for the per-column comparison
+    // to line up (a pure rename then diffs as zero changes, correctly)
+    val oldOpt = visible(mPrev, curV)
+    val newOpt = visible(mCur, curV)
     val ref = newOpt.orElse(oldOpt).getOrElse(return None)
     val oldDF = oldOpt.getOrElse(ref.filter(lit(false)))
     val newDF = newOpt.getOrElse(ref.filter(lit(false)))

@@ -309,14 +309,18 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("immutable"), e1.getMessage)
     // destructive schema changes stay rejected with the documented
-    // reason (ADD COLUMN is now a supported schema-only commit)
+    // reason: key/seq are the table's physical identity even now that
+    // RENAME/DROP COLUMN exist for data columns; type changes stay
+    // unsupported outright
     for (bad <- Seq(
         s"ALTER TABLE $cat.db.p DROP COLUMN seq",
         s"ALTER TABLE $cat.db.p RENAME COLUMN seq TO s2",
         s"ALTER TABLE $cat.db.p ALTER COLUMN seq TYPE DOUBLE")) {
       val e2 = intercept[Exception] { spark.sql(bad) }
-      assert(e2.getMessage.contains("committed data") ||
-        e2.getMessage.contains("unsupported ALTER TABLE"), s"$bad: ${e2.getMessage}")
+      assert(e2.getMessage.contains("physical identity") ||
+        e2.getMessage.contains("key/seq") ||
+        e2.getMessage.contains("unsupported ALTER TABLE"),
+        s"$bad: ${e2.getMessage}")
     }
   }
 
@@ -1033,6 +1037,84 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.empty VALUES (1, 1, 1.0, 't')")
     assert(spark.sql(s"SELECT tag FROM $cat.db.empty").head()
       .getString(0) == "t")
+  }
+
+  test("RENAME/DROP COLUMN via column mapping: metadata-only, old files readable") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.cm
+         |(k BIGINT, seq BIGINT, v DOUBLE, note STRING)
+         |USING `graft-merge` OPTIONS (key 'k', seq 'seq')""".stripMargin)
+    spark.sql(
+      s"ALTER TABLE $cat.db.cm SET TBLPROPERTIES ('history_keep' = '10')")
+    spark.sql(
+      s"INSERT INTO $cat.db.cm VALUES (1, 1, 1.5, 'a'), (2, 1, 2.5, 'b')")
+    val path = spark.sql(s"SHOW TBLPROPERTIES $cat.db.cm")
+      .filter(col("key") === "path").head().getString(1)
+    val filesBefore = MergeSink.currentFiles(spark, path)
+    // ---- RENAME: metadata-only commit, pre-rename files serve the data
+    spark.sql(s"ALTER TABLE $cat.db.cm RENAME COLUMN v TO amount")
+    assert(spark.table(s"$cat.db.cm").schema.fieldNames
+      .sameElements(Array("k", "seq", "amount", "note")))
+    assert(MergeSink.currentFiles(spark, path) == filesBefore,
+      "rename rewrote data files")
+    val r0 = spark.sql(
+      s"SELECT k, amount FROM $cat.db.cm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r0 == Seq((1L, 1.5), (2L, 2.5)),
+      s"pre-rename file data not served under new name: $r0")
+    // new writes use the new physical name; reads mix generations
+    spark.sql(s"INSERT INTO $cat.db.cm VALUES (3, 1, 3.5, 'c')")
+    val mixed = spark.sql(
+      s"""SELECT count(*) AS n, sum(amount) AS total FROM $cat.db.cm
+         |WHERE amount > 1.0""".stripMargin).head()
+    assert(mixed.getLong(0) == 3L && mixed.getDouble(1) == 7.5, mixed.toString)
+    // library read paths resolve the mapping too
+    val lib = MergeSink.currentState(spark, path).get
+      .select("k", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(lib == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)), lib.toString)
+    // time travel serves the PRE-RENAME schema and data
+    val v0 = spark.sql(s"SELECT * FROM $cat.db.cm VERSION AS OF 0")
+    assert(v0.schema.fieldNames.sameElements(
+      Array("k", "seq", "v", "note")),
+      s"time travel must show the old name: ${v0.schema.fieldNames.toSeq}")
+    assert(v0.count() == 2L)
+    // collisions and identity stay rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cm RENAME COLUMN note TO v")
+    } // 'v' is an alias old files still answer to
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cm RENAME COLUMN k TO key2")
+    } // key identity
+    // ---- DROP: metadata-only; the name is blocked from resurrection
+    spark.sql(s"ALTER TABLE $cat.db.cm DROP COLUMN note")
+    assert(spark.table(s"$cat.db.cm").schema.fieldNames
+      .sameElements(Array("k", "seq", "amount")))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cm ADD COLUMN note STRING")
+    }
+    assert(e.getMessage.contains("compaction"),
+      s"blocked re-add should point at compaction: ${e.getMessage}")
+    // ---- full compaction purges stale bytes and clears the block
+    spark.sql(s"CALL $cat.sys.compact('db.cm', 4)")
+    // schema (and its mapping metadata) survives the rewrite
+    val after = spark.sql(
+      s"SELECT k, amount FROM $cat.db.cm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)), after.toString)
+    // physical files now carry ONLY current names — no v, no note
+    val physCols = spark.read.parquet(
+      MergeSink.currentFiles(spark, path).values.flatten.toSeq: _*)
+      .columns.toSet
+    assert(physCols == Set("k", "seq", "amount"),
+      s"compaction left stale physical columns: $physCols")
+    // the name is reusable now, and comes back EMPTY (nothing resurrects)
+    spark.sql(s"ALTER TABLE $cat.db.cm ADD COLUMN note STRING")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.cm WHERE note IS NOT NULL")
+      .head().getLong(0) == 0L,
+      "dropped column data resurrected through a same-name re-add")
   }
 
   test("DROP + re-CREATE at the same managed path serves the NEW table") {

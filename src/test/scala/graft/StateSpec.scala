@@ -1142,6 +1142,98 @@ class StateSpec extends SparkSpec {
     assert(t2 == 0.0, s"conservation broken after retry path: $t2")
   }
 
+  test("disjoint-bucket writers: loser rebases retry-less; overlap loses loudly") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val table = Files.createTempDirectory("graft_rebase").toString
+    // find keys with known bucket relationships under the default modulus
+    val bucketOf: Long => Int = {
+      val m = spark.range(200)
+        .select(col("id"),
+          pmod(xxhash64(col("id")), lit(MS.DefaultBuckets)).cast("int"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      k => m(k)
+    }
+    val kA = 1L
+    val kDisjoint = (2L to 199L).find(bucketOf(_) != bucketOf(kA)).get
+    val kSame = (2L to 199L).find(bucketOf(_) == bucketOf(kA)).get
+    MS.setHistoryKeep(spark, table, 10)
+    // seed: base snapshot with both buckets occupied
+    MS.upsertBatch(
+      Seq((kA, 1L, 1.0), (kDisjoint, 1L, 2.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "seed")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def holdClaim(v: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, s"_claim_v$v"), false)
+      out.write("other".getBytes("UTF-8")); out.close()
+    }
+    // -- disjoint: 'other' holds the v1 claim and commits kA's bucket
+    // 300 ms later; the loser (touching ONLY kDisjoint's bucket) must
+    // land at v2 WITHOUT ConcurrentCommitException or recompute --
+    holdClaim(1L)
+    @volatile var helperErr: Throwable = null
+    val helper = new Thread(() => {
+      try {
+        Thread.sleep(300)
+        MS.upsertBatch(
+          Seq((kA, 10L, 11.0)).toDF("k", "seq", "v"),
+          table, "k", "seq", 0L, "other", reRegister = true)
+      } catch { case t: Throwable => helperErr = t }
+    })
+    val rebasesBefore = MS.rebaseCount.get()
+    helper.start()
+    // NO withCommitRetry wrapper: the rebase path alone must carry this
+    MS.upsertBatch(
+      Seq((kDisjoint, 10L, 22.0)).toDF("k", "seq", "v"),
+      table, "k", "seq", 0L, "loser", reRegister = true)
+    helper.join()
+    assert(helperErr == null, s"claim-holding writer failed: $helperErr")
+    assert(MS.rebaseCount.get() == rebasesBefore + 1,
+      "the disjoint loser should have landed via exactly one rebase")
+    val cs = MS.commits(spark, table).map(c => (c.version, c.runId))
+    assert(cs == Seq((0L, "seed"), (1L, "other"), (2L, "loser")), cs.toString)
+    // content equals sequential execution
+    val got = MS.currentState(spark, table).get
+      .select("k", "seq", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((kA, 10L, 11.0), (kDisjoint, 10L, 22.0))
+      .sortBy(_._1), got.toString)
+
+    // -- overlap: same dance, but the loser touches kA's bucket too
+    // (kSame hashes with kA) — must fail LOUDLY, not silently drop the
+    // winner's rows --
+    holdClaim(3L)
+    val helper2 = new Thread(() => {
+      try {
+        Thread.sleep(300)
+        MS.upsertBatch(
+          Seq((kA, 20L, 111.0)).toDF("k", "seq", "v"),
+          table, "k", "seq", 1L, "other", reRegister = true)
+      } catch { case t: Throwable => helperErr = t }
+    })
+    helper2.start()
+    intercept[MS.ConcurrentCommitException] {
+      MS.upsertBatch(
+        Seq((kSame, 20L, 222.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", 1L, "loser", reRegister = true)
+    }
+    helper2.join()
+    assert(helperErr == null, s"claim-holding writer failed: $helperErr")
+    // the retry wrapper then recomputes and lands it
+    MS.withCommitRetry() {
+      MS.upsertBatch(
+        Seq((kSame, 20L, 222.0)).toDF("k", "seq", "v"),
+        table, "k", "seq", 1L, "loser", reRegister = true)
+    }
+    val fin = MS.currentState(spark, table).get
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fin(kA) == 111.0 && fin(kSame) == 222.0 && fin(kDisjoint) == 22.0,
+      fin.toString)
+  }
+
   test("withCommitRetry: a loser recomputes against the winner's head and lands") {
     val s2 = spark
     import s2.implicits._
