@@ -1228,6 +1228,18 @@ object MergeSink {
         // (default current + previous). Live data = bucket dirs
         // referenced by any retained manifest.
         gc(spark, fs, p, dir, newV)
+        // AUTO-ANALYZE (opt-in): a table whose operator keeps
+        // statistics (a partials sidecar exists) refreshes them as
+        // part of the commit — incremental, so the added cost is the
+        // just-written buckets the commit already has hot, and the
+        // optimizer never sees a stale-then-empty gap between commit
+        // and the next maintenance cycle. Off by default: streaming
+        // sinks with strict latency budgets should schedule ANALYZE
+        // themselves.
+        if (spark.conf.getOption("spark.graft.autoAnalyze")
+            .exists(_.toBoolean) &&
+          latestPartials(spark, dir).nonEmpty)
+          analyze(spark, dir)
       case Some(txn) =>
         // MULTI-TABLE participant: a PENDING marker naming the txn
         // file. Invisible until that file exists (the shared commit
@@ -1703,8 +1715,11 @@ object MergeSink {
         // its literal bucket id, aggregated per bucket. Cost = dirty
         // bytes, not table bytes.
         val scans = dirty.toSeq.sorted.map { b =>
-          spark.read.option("mergeSchema", true)
-            .parquet(s"$dir/data/b$b/v${m(b)}")
+          // per-bucket column-mapping resolution: a bucket written
+          // before a RENAME profiles under the CURRENT names
+          currentViewAt(spark, dir, c.version,
+            spark.read.option("mergeSchema", true)
+              .parquet(s"$dir/data/b$b/v${m(b)}"))
             .withColumn("__bkt", lit(b))
         }
         var df = scans.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1761,8 +1776,28 @@ object MergeSink {
         dirty.map(b => b -> byBucket.getOrElse(b,
           BucketPartial(m(b), 0L, Map.empty))).toMap
       }
+    // Canonicalize partial column keys through the schema's column
+    // mapping (a partial computed before a RENAME recorded the old
+    // physical name) and drop partials of DROPPED columns — the
+    // served figures always speak the CURRENT schema's names.
+    val schemaOpt = manifestSchema(spark, dir, c.version)
+    val renameTo: Map[String, String] = schemaOpt
+      .map(_.fields.iterator
+        .flatMap(f => aliasesOf(f).map(_ -> f.name)).toMap)
+      .getOrElse(Map.empty)
+    val liveNames: Option[Set[String]] = schemaOpt.map(_.fieldNames.toSet)
+    def canon(bp: BucketPartial): BucketPartial =
+      if (renameTo.isEmpty && liveNames.isEmpty) bp
+      else bp.copy(cols = bp.cols.toSeq
+        .map { case (n, cp) => renameTo.getOrElse(n, n) -> cp }
+        .filter { case (n, _) => liveNames.forall(_.contains(n)) }
+        // two keys canonicalizing to one name (a pre-rename profile
+        // that saw both generations): the data-bearing entry wins
+        .groupMapReduce(_._1)(_._2)((a, b) =>
+          if (a.nonNull >= b.nonNull) a else b))
     val parts: Map[Int, BucketPartial] =
-      reuse.map(b => b -> prev(b)).toMap ++ fresh
+      (reuse.map(b => b -> prev(b)).toMap ++ fresh)
+        .map { case (b, bp) => b -> canon(bp) }
     // ---- persist the partials sidecar (at the analyzed head) ----
     val enc = java.util.Base64.getEncoder
     def j(o: Option[_]): String = o.map(_.toString).getOrElse("-")

@@ -1039,6 +1039,48 @@ class Dsv2Spec extends SparkSpec {
     assert(colsInc("tag").maxLen.contains(32L))
   }
 
+  test("auto-analyze: commits refresh served stats; names track renames") {
+    val s2 = spark
+    import s2.implicits._
+    val table = freshTable()
+    MergeSink.setHistoryKeep(spark, table, 10)
+    MergeSink.upsertBatch(
+      spark.range(2000).select(
+        col("id").as("k"), lit(1L).as("seq"), (col("id") % 20).as("cat")),
+      table, "k", "seq", 0L, "aa")
+    spark.conf.set("spark.graft.autoAnalyze", "true")
+    try {
+      MergeSink.analyze(spark, table) // opting a table in = analyzing it once
+      // an ordinary commit refreshes the sidecar as part of publish —
+      // incrementally (only the touched bucket re-profiles)
+      MergeSink.upsertBatch(
+        Seq((90001L, 1L, 7L)).toDF("k", "seq", "cat"),
+        table, "k", "seq", 1L, "aa")
+      val h1 = MergeSink.lastCommit(spark, table).get.version
+      val served = MergeSink.statsFor(spark, table, h1)
+      assert(served.isDefined, "auto-analyze did not refresh at the new head")
+      assert(served.get._1 == 2001L)
+      assert(MergeSink.lastAnalyzeProfiled.get().size == 1,
+        s"auto-refresh re-profiled ${MergeSink.lastAnalyzeProfiled.get()}")
+      // a RENAME commit refreshes too, and the figures speak the NEW
+      // name (old-name partials canonicalize through the alias chain)
+      MergeSink.renameColumn(spark, table, "cat", "category")
+      val h2 = MergeSink.lastCommit(spark, table).get.version
+      val (rows2, cols2) = MergeSink.statsFor(spark, table, h2).get
+      assert(rows2 == 2001L)
+      assert(cols2.contains("category") && !cols2.contains("cat"),
+        s"stats speak stale names: ${cols2.keySet}")
+      assert(cols2("category").min.contains(0.0) &&
+        cols2("category").max.contains(19.0), cols2("category").toString)
+      // a table never analyzed does NOT pay the refresh
+      val t2 = freshTable()
+      MergeSink.upsertBatch(
+        Seq((1L, 1L, 1L)).toDF("k", "seq", "cat"), t2, "k", "seq", 0L, "aa")
+      assert(MergeSink.statsFor(spark, t2,
+        MergeSink.lastCommit(spark, t2).get.version).isEmpty)
+    } finally spark.conf.unset("spark.graft.autoAnalyze")
+  }
+
   test("metadata columns: _version/_bucket/_file selectable, hidden from *") {
     val table = freshTable()
     val s2 = spark
