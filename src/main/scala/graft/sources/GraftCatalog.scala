@@ -575,6 +575,40 @@ class GraftCatalog
     loadWith(ident, None)
   }
 
+  /** CROSS-TABLE ATOMIC TRANSACTION over CATALOG tables: resolve each
+    * `db.table` identifier's path/key/seq from the catalog metadata
+    * and run [[graft.streaming.MergeSink.commitTransaction]] with the
+    * warehouse-level `_txn` log as the shared commit point — callers
+    * name tables, not paths. Returns (identifier, minted version) per
+    * participant. Retry a lost claim race with
+    * [[graft.streaming.MergeSink.withCommitRetry]].
+    */
+  def commitTransaction(
+      writes: Seq[(String, org.apache.spark.sql.DataFrame)],
+      runId: String =
+        s"txn-${java.util.UUID.randomUUID().toString.take(8)}",
+      epochId: Long = 0L): Seq[(String, Long)] = {
+    val MS = graft.streaming.MergeSink
+    val resolved = writes.map { case (name, df) =>
+      val parts = name.split("\\.")
+      val ident = Identifier.of(parts.dropRight(1), parts.last)
+      if (!tableExists(ident)) throw new NoSuchTableException(ident)
+      val props = readMeta(ident)
+      (name, MS.TxnWrite(
+        props.getProperty("path"),
+        props.getProperty("key"),
+        props.getProperty("seq"),
+        df))
+    }
+    val txnDir = new Path(warehouse, "_txn").toString
+    val minted = MS.commitTransaction(
+      SparkSession.active, txnDir, resolved.map(_._2), runId, epochId)
+    val byDir = minted.toMap
+    resolved.flatMap { case (name, w) =>
+      byDir.get(w.dir).map(name -> _)
+    }
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val mp = metaPath(ident)
     if (!fs.exists(mp)) return false

@@ -837,6 +837,7 @@ object MergeSink {
       txnDir: String,
       writes: Seq[TxnWrite],
       runId: String = s"txn-${java.util.UUID.randomUUID().toString.take(8)}",
+      epochId: Long = 0L,
       hook: String => Unit = _ => ()): Seq[(String, Long)] = {
     require(writes.nonEmpty, "commitTransaction: no writes")
     require(writes.map(_.dir).distinct.size == writes.size,
@@ -844,7 +845,10 @@ object MergeSink {
         s"(${writes.map(_.dir).mkString(", ")})")
     val (tfs, tp) = fsOf(spark, txnDir)
     tfs.mkdirs(tp)
-    val txnFile = new Path(tp, s"txn_$runId")
+    // epoch-qualified: a STREAMING incarnation commits one transaction
+    // per micro-batch under its stable runId — replay idempotence is
+    // per (runId, epoch), exactly the single-table sink's contract
+    val txnFile = new Path(tp, s"txn_${runId}_e$epochId")
     if (tfs.exists(txnFile)) {
       // this transaction already passed its commit point (a crashed
       // attempt being re-run): complete the promotions and return
@@ -855,7 +859,9 @@ object MergeSink {
             val Array(d, v) = l.split("\t"); d -> v.toLong
           }.toList
         finally in.close()
-      parts.foreach { case (d, v) => promotePending(spark, d, v, runId, 0L) }
+      parts.foreach { case (d, v) =>
+        promotePending(spark, d, v, runId, epochId)
+      }
       tfs.delete(txnFile, false)
       return parts
     }
@@ -863,19 +869,20 @@ object MergeSink {
     try {
       writes.foreach { w =>
         planUpsert(
-          w.batch, w.dir, w.key, w.seq, epochId = 0L, runId,
+          w.batch, w.dir, w.key, w.seq, epochId, runId,
           reRegister = true) match {
           case Some(pc) =>
             publish(
               pc.spark, w.dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
-              pc.newV, runId, epochId = 0L, prevVersion = pc.prevVersion,
+              pc.newV, runId, epochId, prevVersion = pc.prevVersion,
               pendingTxnFile = Some(txnFile.toString))
             staged += w.dir -> pc.newV
-          case None => () // this txn already committed this table
+          case None => () // this (runId, epoch) already committed this table
         }
         hook(s"staged:${w.dir}")
       }
       hook("precommit")
+      if (staged.isEmpty) return Seq.empty // full replay: nothing to commit
       // ---- THE COMMIT POINT ----
       val out = tfs.create(txnFile, false)
       try out.write(staged.map { case (d, v) => s"$d\t$v" }
@@ -883,7 +890,7 @@ object MergeSink {
       finally out.close()
       hook("committed")
       staged.foreach { case (d, v) =>
-        promotePending(spark, d, v, runId, 0L)
+        promotePending(spark, d, v, runId, epochId)
         hook(s"promoted:$d")
       }
       tfs.delete(txnFile, false)
@@ -894,10 +901,57 @@ object MergeSink {
         // promotion failure, which vacuum completes — promotion never
         // throws retryably); roll every staged participant back
         if (!tfs.exists(txnFile))
-          staged.foreach { case (d, v) => abortPending(spark, d, v, runId, 0L) }
+          staged.foreach { case (d, v) =>
+            abortPending(spark, d, v, runId, epochId)
+          }
         throw e
     }
   }
+
+  /** EXACTLY-ONCE STREAMING SINK INTO MULTIPLE TABLES: every
+    * micro-batch commits one [[commitTransaction]] over all `targets`
+    * — each target derives its own rows from the batch via `prepare`
+    * — so downstream readers observe every micro-batch's effects in
+    * ALL tables or in none, at every point in time. Restart safety is
+    * the single-table sink's contract lifted to the transaction: the
+    * stable streaming query id + epoch make a replayed batch
+    * idempotent per table, a batch that crashed before its commit
+    * point re-stages cleanly (same runId re-takes its own claims),
+    * and one that crashed after it completes promotion on replay.
+    * The bank-ledger shape (bank.clj:10-18) as a streaming pipeline:
+    * debits and credits land atomically, forever, per micro-batch.
+    */
+  final case class TxnTarget(
+      dir: String,
+      key: String,
+      seq: String,
+      prepare: DataFrame => DataFrame = identity)
+
+  def txnSink(
+      df: DataFrame,
+      txnDir: String,
+      targets: Seq[TxnTarget],
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[
+    org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val runId = Option(
+          batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(
+            java.util.UUID
+              .nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+              .toString)
+        withCommitRetry() {
+          commitTransaction(
+            batch.sparkSession, txnDir,
+            targets.map(t => TxnWrite(t.dir, t.key, t.seq, t.prepare(batch))),
+            runId = runId, epochId = epochId)
+        }
+        ()
+      }
 
   /** OVERWRITE commit (`INSERT OVERWRITE` / truncate-and-load): the
     * batch becomes the ENTIRE table state at the new version — every

@@ -2213,6 +2213,91 @@ object Streams {
       |  CAST(SUM(amount) AS BIGINT) AS total
       |FROM un GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_txn_stream — the cross-table transaction as an EXACTLY-ONCE
+  // STREAMING SINK (MergeSink.txnSink): the event stream lands in
+  // THREE micro-batches (maxFilesPerTrigger=1 over a 3-file source),
+  // and every micro-batch commits its debit rows to one table and its
+  // credit rows to another in ONE transaction — the bank ledger
+  // (bank.clj:10-18) as a continuously-maintained pipeline. The gate
+  // REQUIREs the two tables' commit histories in LOCKSTEP (same
+  // (version, epoch) sequence — no table ever ran ahead), >= 2
+  // micro-batches (the multi-epoch path, not one big batch), exact
+  // conservation at the end, and the same per-bucket oracle as
+  // q_txn_transfer. StateSpec drives the replay/crash matrix
+  // (idempotent epoch replay, crash-after-commit-point completion,
+  // crash-before re-staging) the oracle can't.
+  // ---------------------------------------------------------------------
+  val txnStreamGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val debits = java.nio.file.Files
+      .createTempDirectory("graft_txns_debits").toString
+    val credits = java.nio.file.Files
+      .createTempDirectory("graft_txns_credits").toString
+    val txnDir = java.nio.file.Files
+      .createTempDirectory("graft_txns_log").toString
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_txns_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_txns_ckpt").toString
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    // three source files -> three micro-batches under AvailableNow
+    Seq(
+      col("event_id") <= t1,
+      col("event_id") > t1 && col("event_id") <= t2,
+      col("event_id") > t2)
+      .foreach(p =>
+        e.filter(p).coalesce(1).write.mode("append").parquet(src))
+    def prepDebit(b: DataFrame) = b.select(
+      col("user_id").as("account"), col("event_id"),
+      (-round(col("value") * 100).cast("long")).as("amount"))
+    def prepCredit(b: DataFrame) = b.select(
+      (col("user_id") + 1000001L).as("account"), col("event_id"),
+      round(col("value") * 100).cast("long").as("amount"))
+    withStatePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = MS.txnSink(
+        stream, txnDir,
+        Seq(
+          MS.TxnTarget(debits, "account", "event_id", prepDebit),
+          MS.TxnTarget(credits, "account", "event_id", prepCredit)),
+        ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val hA = MS.commits(s, debits).map(c => (c.version, c.epoch))
+    val hB = MS.commits(s, credits).map(c => (c.version, c.epoch))
+    require(hA == hB,
+      s"ledger tables diverged — atomicity broken: $hA vs $hB")
+    require(hA.size >= 2,
+      s"expected multiple micro-batch transactions, got $hA")
+    def read(t: String) = s.read.format("graft-merge")
+      .option("path", t).option("key", "account").option("seq", "event_id")
+      .load()
+    val un = read(debits).unionByName(read(credits))
+    require(un.agg(sum("amount")).head().getLong(0) == 0L,
+      "conservation broken across the streamed ledger")
+    un.groupBy((col("account") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_acc"),
+        sum(col("amount")).cast("long").as("total"))
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("n_acc"), col("total"))
+  }
+
   val mergeRaceGatedSql: String =
     """WITH st AS (
       |  SELECT e.user_id, max(e.event_id) AS last_id,
@@ -3683,6 +3768,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGated,
     "q_merge_race" -> mergeRaceGated,
     "q_txn_transfer" -> txnTransferGated,
+    "q_txn_stream" -> txnStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
     "q_merge_retention" -> mergeRetentionGated,
     "q_merge_compact" -> mergeCompactGated,
@@ -3735,6 +3821,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_race" -> mergeRaceGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
+    "q_txn_stream" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
     "q_merge_retention" -> mergeRetentionGatedSql,
     "q_merge_compact" -> mergeCompactGatedSql,

@@ -1117,6 +1117,40 @@ class CatalogSpec extends SparkSpec {
       "dropped column data resurrected through a same-name re-add")
   }
 
+  test("catalog-resolved cross-table transaction: identifiers in, atomic commit out") {
+    val s2 = spark
+    import s2.implicits._
+    val cat = freshCatalog()
+    for (t <- Seq("debits", "credits"))
+      spark.sql(
+        s"""CREATE TABLE $cat.db.$t (account BIGINT, seq BIGINT, cents BIGINT)
+           |USING `graft-merge` OPTIONS (key 'account', seq 'seq')""".stripMargin)
+    val gcat = spark.sessionState.catalogManager
+      .catalog(cat).asInstanceOf[GraftCatalog]
+    val minted = gcat.commitTransaction(Seq(
+      "db.debits" -> Seq((1L, 1L, -500L), (2L, 1L, -250L))
+        .toDF("account", "seq", "cents"),
+      "db.credits" -> Seq((101L, 1L, 500L), (102L, 1L, 250L))
+        .toDF("account", "seq", "cents")))
+    assert(minted.toSet == Set("db.debits" -> 0L, "db.credits" -> 0L),
+      minted.toString)
+    // both visible through plain SQL, atomically committed
+    val total = spark.sql(
+      s"""SELECT CAST(SUM(cents) AS BIGINT) FROM (
+         |  SELECT cents FROM $cat.db.debits
+         |  UNION ALL SELECT cents FROM $cat.db.credits)""".stripMargin)
+      .head().getLong(0)
+    assert(total == 0L, s"conservation broken: $total")
+    // unknown identifier aborts the whole transaction: nothing commits
+    intercept[Exception] {
+      gcat.commitTransaction(Seq(
+        "db.debits" -> Seq((3L, 2L, -1L)).toDF("account", "seq", "cents"),
+        "db.nope" -> Seq((3L, 2L, 1L)).toDF("account", "seq", "cents")))
+    }
+    assert(spark.table(s"$cat.db.debits").count() == 2L,
+      "failed transaction leaked rows")
+  }
+
   test("DROP + re-CREATE at the same managed path serves the NEW table") {
     val cat = freshCatalog()
     spark.sql(

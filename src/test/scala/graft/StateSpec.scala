@@ -1142,6 +1142,64 @@ class StateSpec extends SparkSpec {
     assert(t2 == 0.0, s"conservation broken after retry path: $t2")
   }
 
+  test("epoch transactions: replay idempotence + crash completion across tables") {
+    val s2 = spark
+    import s2.implicits._
+    val MS = graft.streaming.MergeSink
+    val A = Files.createTempDirectory("graft_etxn_a").toString
+    val B = Files.createTempDirectory("graft_etxn_b").toString
+    val txnDir = Files.createTempDirectory("graft_etxn_log").toString
+    MS.setHistoryKeep(spark, A, 10)
+    MS.setHistoryKeep(spark, B, 10)
+    class Kill extends scala.util.control.ControlThrowable("kill")
+    def commitEpoch(e: Long, killAt: Option[String] = None) =
+      MS.commitTransaction(
+        spark, txnDir,
+        Seq(
+          MS.TxnWrite(A, "k", "seq",
+            Seq((e, e, e * 1.0)).toDF("k", "seq", "v")),
+          MS.TxnWrite(B, "k", "seq",
+            Seq((e, e, -e * 1.0)).toDF("k", "seq", "v"))),
+        runId = "q1", epochId = e,
+        hook = k => if (killAt.contains(k)) throw new Kill)
+    def hist(d: String) = MS.commits(spark, d).map(c => (c.version, c.epoch))
+
+    commitEpoch(0L)
+    commitEpoch(1L)
+    assert(hist(A) == Seq((0L, 0L), (1L, 1L)) && hist(A) == hist(B))
+    // a REPLAYED epoch (restart after the commit, before the
+    // checkpoint advanced) is a complete no-op on both tables
+    assert(commitEpoch(1L).isEmpty)
+    assert(hist(A) == Seq((0L, 0L), (1L, 1L)) && hist(A) == hist(B),
+      "replayed epoch minted a version")
+    // crash AFTER the commit point: both tables already visible; the
+    // replay completes promotion and drains the txn log
+    intercept[Kill] { commitEpoch(2L, killAt = Some("committed")) }
+    assert(hist(A).last == ((2L, 2L)) && hist(B).last == ((2L, 2L)),
+      "committed epoch not visible after crash")
+    commitEpoch(2L) // replay: promotion-completion path
+    val (tfs, tp) = {
+      val p = new org.apache.hadoop.fs.Path(txnDir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    assert(tfs.listStatus(tp).isEmpty, "txn log not drained after replay")
+    assert(hist(A).last == ((2L, 2L)), "replay after crash double-committed")
+    // crash BEFORE the commit point: nothing visible; the replay
+    // re-stages under the same runId (re-taking its own claims) and
+    // commits cleanly
+    intercept[Kill] { commitEpoch(3L, killAt = Some("precommit")) }
+    assert(hist(A).last == ((2L, 2L)) && hist(B).last == ((2L, 2L)),
+      "uncommitted epoch leaked")
+    commitEpoch(3L)
+    assert(hist(A).last == ((3L, 3L)) && hist(A) == hist(B))
+    // converged content: one row per epoch in each table, conserved
+    assert(MS.currentState(spark, A).get.count() == 4L)
+    val total =
+      MS.currentState(spark, A).get.agg(sum("v")).head().getDouble(0) +
+        MS.currentState(spark, B).get.agg(sum("v")).head().getDouble(0)
+    assert(total == 0.0)
+  }
+
   test("disjoint-bucket writers: loser rebases retry-less; overlap loses loudly") {
     val s2 = spark
     import s2.implicits._
