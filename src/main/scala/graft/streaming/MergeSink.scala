@@ -1308,8 +1308,13 @@ object MergeSink {
 
   /** Complete a committed transaction participant: the pending marker
     * becomes a direct `_commit_` marker, the claim releases, retention
-    * GC runs. Idempotent — [[vacuum]] re-runs it for participants
-    * whose transaction crashed after its commit point.
+    * GC runs. The marker's mtime is SET TO THE TXN FILE'S — the shared
+    * commit instant — so the table's commit clock (TIMESTAMP AS OF,
+    * `versionAt`, `.history`) keeps agreeing across every participant
+    * after the pendings are gone: `AS OF '<t>'` at one instant is a
+    * transaction-consistent cut of ALL the tables one transaction
+    * wrote. Idempotent — [[vacuum]] re-runs it for participants whose
+    * transaction crashed after its commit point.
     */
   private def promotePending(
       spark: SparkSession,
@@ -1318,11 +1323,32 @@ object MergeSink {
       runId: String,
       epochId: Long): Unit = {
     val (fs, p) = fsOf(spark, dir)
-    fs.create(new Path(p, s"_commit_v${newV}_r${runId}_e$epochId"), true).close()
-    fs.delete(new Path(p, s"_pending_v${newV}_r${runId}_e$epochId"), false)
+    val pending = new Path(p, s"_pending_v${newV}_r${runId}_e$epochId")
+    val txnInstant =
+      if (fs.exists(pending)) pendingCommitted(spark, fs, pending) else None
+    val marker = new Path(p, s"_commit_v${newV}_r${runId}_e$epochId")
+    fs.create(marker, true).close()
+    txnInstant.foreach(t => fs.setTimes(marker, t, -1L))
+    fs.delete(pending, false)
     fs.delete(new Path(p, s"_claim_v$newV"), false)
     gc(spark, fs, p, dir, newV)
   }
+
+  /** A TRANSACTION-CONSISTENT version cut across several tables: each
+    * table resolved AS OF the same wall instant (`versionAt`). Because
+    * a multi-table transaction's participants all carry the TXN FILE's
+    * mtime as their commit time (pending resolution while staged,
+    * [[promotePending]] afterwards), no instant can ever split one
+    * transaction — the cut either includes every participant's version
+    * or none. The read-side completion of [[commitTransaction]]: load
+    * each table `VERSION AS OF` its entry and join freely. None for a
+    * table with no commit that old.
+    */
+  def consistentSnapshot(
+      spark: SparkSession,
+      dirs: Seq[String],
+      tsMillis: Long): Map[String, Option[Long]] =
+    dirs.map(d => d -> versionAt(spark, d, tsMillis)).toMap
 
   /** Roll back an UNCOMMITTED transaction participant (no txn file):
     * staged data, manifest, pending marker, and claim all go — the

@@ -1198,6 +1198,20 @@ class StateSpec extends SparkSpec {
       MS.currentState(spark, A).get.agg(sum("v")).head().getDouble(0) +
         MS.currentState(spark, B).get.agg(sum("v")).head().getDouble(0)
     assert(total == 0.0)
+    // the commit CLOCK agrees across participants even after all
+    // pendings promoted away: each version's marker carries the shared
+    // txn instant, so TIMESTAMP AS OF can never split a transaction
+    val ta = MS.commitTimes(spark, A)
+    val tb = MS.commitTimes(spark, B)
+    assert(ta.keySet == tb.keySet, s"$ta vs $tb")
+    ta.keys.foreach(v =>
+      assert(ta(v) == tb(v), s"txn clock diverged at v$v: $ta vs $tb"))
+    // a consistent cut at any transaction's instant includes BOTH
+    // tables' versions in lockstep
+    val cut = MS.consistentSnapshot(spark, Seq(A, B), ta(2L))
+    assert(cut(A).contains(2L) && cut(B).contains(2L), cut.toString)
+    val cut0 = MS.consistentSnapshot(spark, Seq(A, B), ta(0L))
+    assert(cut0(A).contains(0L) && cut0(B).contains(0L), cut0.toString)
   }
 
   test("disjoint-bucket writers: loser rebases retry-less; overlap loses loudly") {
