@@ -60,7 +60,16 @@ object Search {
   // addition is order-dependent; a sum() over an unordered group would
   // not be reproducible).
   // ---------------------------------------------------------------------
-  val bm25: Q = (s, d) => {
+  val bm25: Q = (s, d) =>
+    bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(bmTopK)
+
+  /** Every document matching at least one query term, BM25-scored:
+    * (doc_id, lang, n_match, score) — the shared scoring pipeline
+    * behind [[bm25]] (top-k cut) and [[hybridSearch]] (rank fusion).
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables
       .documents(s, d)
       .select(
@@ -100,8 +109,6 @@ object Search {
       .withColumn("score", bmTerms.map(t => col(s"s_$t")).reduce(_ + _))
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_match"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(bmTopK)
   }
 
   val bm25Sql: String = {
@@ -137,6 +144,122 @@ object Search {
        |SELECT f.doc_id, dd.lang, f.n_match, f.score
        |FROM folded f JOIN documents dd ON dd.doc_id = f.doc_id
        |ORDER BY f.score DESC, f.doc_id ASC LIMIT $bmTopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_hybrid_search — HYBRID RETRIEVAL: the keyword shortlist (BM25
+  // over `documents`) fused with the semantic shortlist (embedding
+  // cosine against a fixed query vector over `embeddings`, id-joined
+  // doc_id == vec_id) by Reciprocal Rank Fusion:
+  //   rrf(d) = 1/(k + rank_text(d)) + 1/(k + rank_vec(d)),   k = 60
+  // — the standard fusion behind every lexical+vector retrieval stack
+  // (Cormack/Clarke/Buettcher SIGIR'09; what OpenSearch/Vespa ship),
+  // and the targeted-corpus-probe shape a training-data pipeline runs
+  // when neither modality alone is trustworthy. Ranks are integers, so
+  // the fused score is a sum of exact double reciprocals — oracle
+  // hash-exact with no float drift.
+  //
+  // Scale: each modality produces its shortlist with its own bounded
+  // machinery (BM25 = term-keyed aggregates + TakeOrderedAndProject;
+  // cosine = one corpus scan vs a broadcast query — the brute baseline
+  // whose LSH/IVF scale paths live in Embeddings); the global ranking
+  // window runs over ≤ 2·T ALREADY-SHORTLISTED rows, and the fusion
+  // is a full-outer join of two T-row frames — O(T), independent of
+  // corpus size.
+  // ---------------------------------------------------------------------
+  private val hybridT = 50 // shortlist depth per modality
+  private val hybridRrfK = 60 // the SIGIR'09 constant
+  private val hybridTopK = 15
+  private val hybridQueryVec = 1L // vec_id whose embedding is the query
+
+  val hybridSearch: Q = (s, d) => {
+    val textTop = bm25Scored(s, d)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(hybridT) // TakeOrderedAndProject: per-partition heads
+      .withColumn("r_text",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long")) // global window over <= T rows only
+      .select(col("doc_id").as("id"), col("r_text"))
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === hybridQueryVec)
+      .select(col("embedding").as("qv"))
+    val vecTop = e
+      .filter(col("vec_id") =!= hybridQueryVec)
+      .crossJoin(broadcast(q)) // 1-row query-vector witness
+      .select(
+        col("vec_id"),
+        (fdot(col("qv"), col("embedding")) /
+          (sqrt(fdot(col("qv"), col("qv"))) *
+            sqrt(fdot(col("embedding"), col("embedding"))))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(hybridT)
+      .withColumn("r_vec",
+        row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("vec_id").as("id"), col("r_vec"))
+    textTop
+      .join(vecTop, Seq("id"), "full_outer")
+      .select(
+        col("id").as("doc_id"),
+        col("r_text"),
+        col("r_vec"),
+        (coalesce(lit(1.0) / (lit(hybridRrfK) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(hybridRrfK) + col("r_vec")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(hybridTopK)
+  }
+
+  val hybridSearchSql: String = {
+    val toks = sqlTokens("text")
+    val termList = bmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val sumExpr = bmTerms
+      .map(t => s"COALESCE(MAX(CASE WHEN t = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, $toks AS toks, CAST(len($toks) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+       |  WHERE list_contains($termList, t)
+       |  GROUP BY doc_id, dl, t),
+       |df AS (
+       |  SELECT t, count(*) AS df
+       |  FROM (SELECT unnest(list_intersect($termList, toks)) AS t FROM d)
+       |  GROUP BY t),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.t,
+       |    ${sqlBmScore("tf.tf", "tf.dl", "stats.avgdl", "stats.n_docs", "df.df")} AS s
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats),
+       |folded AS (
+       |  SELECT doc_id, $sumExpr AS score FROM scored GROUP BY doc_id),
+       |text_top AS (
+       |  SELECT doc_id AS id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_text
+       |  FROM folded ORDER BY score DESC, doc_id ASC LIMIT $hybridT),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = $hybridQueryVec),
+       |cosed AS (
+       |  SELECT e.vec_id,
+       |    ${sqlCosine("qv.embedding", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN qv
+       |  WHERE e.vec_id != $hybridQueryVec),
+       |vec_top AS (
+       |  SELECT vec_id AS id, CAST(row_number() OVER (
+       |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS r_vec
+       |  FROM cosed ORDER BY cos DESC, vec_id ASC LIMIT $hybridT)
+       |SELECT COALESCE(t.id, v.id) AS doc_id, t.r_text, v.r_vec,
+       |  COALESCE(1.0e0 / ($hybridRrfK + t.r_text), 0.0) +
+       |  COALESCE(1.0e0 / ($hybridRrfK + v.r_vec), 0.0) AS rrf
+       |FROM text_top t FULL OUTER JOIN vec_top v ON t.id = v.id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $hybridTopK""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -324,6 +447,7 @@ object Search {
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> bm25,
+    "q_hybrid_search" -> hybridSearch,
     "q_tfidf_terms" -> tfidfTerms,
     "q_inverted_index" -> invertedIndex,
     "q_phrase_search" -> phraseSearch
@@ -331,6 +455,7 @@ object Search {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
+    "q_hybrid_search" -> hybridSearchSql,
     "q_tfidf_terms" -> tfidfTermsSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_phrase_search" -> phraseSearchSql

@@ -54,6 +54,7 @@ ALLOW = {
         "q_profile_sketch": (2, "1-row stats row"),
         "q_bank_conservation": (2, "1-row totals witness"),
         "q_bm25": (2, "tiny query-terms frame"),
+        "q_hybrid_search": (4, "1-row corpus-stats + 1-row query-vector witnesses"),
         "q_tfidf_terms": (2, "corpus-stats witness"),
         "q_unigram_lm": (2, "1-row totals witness"),
         "q_text_quality": (2, "1-row corpus stats"),
