@@ -901,7 +901,8 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
-      "analyze", "restore", "restore_ts", "vacuum", "zorder")
+      "analyze", "restore", "restore_ts", "vacuum", "zorder",
+      "create_mv", "refresh_mv")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -916,6 +917,8 @@ object GraftProcedures {
       case "restore_ts" => Some(new RestoreTsProc(cat))
       case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
+      case "create_mv" => Some(new CreateMvProc(cat))
+      case "refresh_mv" => Some(new RefreshMvProc(cat))
       case _ => None
     }
 
@@ -951,7 +954,13 @@ object GraftProcedures {
       require(parts.nonEmpty && parts.forall(_.nonEmpty),
         s"$procName: bad table identifier '${input.getUTF8String(0)}'")
       val ident = Identifier.of(parts.dropRight(1), parts.last)
-      val n = run(cat.tableOptions(ident), input)
+      oneRow(run(cat.tableOptions(ident), input))
+    }
+
+    /** The one-row `resultCol = n` report relation every procedure
+      * returns.
+      */
+    protected final def oneRow(n: Int): java.util.Iterator[Scan] = {
       val out: Scan = ResultScan(
         StructType(Seq(StructField(resultCol, IntegerType, nullable = false))),
         new GenericInternalRow(Array[Any](n)))
@@ -1140,6 +1149,54 @@ object GraftProcedures {
       MergeSink.setBloomIndex(SparkSession.active, opts("path"), cols)
       cols.size
     }
+  }
+
+  /** `CALL cat.sys.create_mv('db.mv', 'db.src', 'g1[,g2]',
+    * 'total=sum:cents,n=count:*', 'algebraic'|'rescan')` — define a
+    * MATERIALIZED VIEW over a catalog table and run its first
+    * (full) refresh ([[MaterializedViews]]). The view is an ordinary
+    * merge table keyed by the grouping columns; its definition
+    * persists as `graft.mv.*` table properties.
+    */
+  final class CreateMvProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_mv", "groups_materialized",
+        Seq(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("group_cols", StringType).build(),
+          ProcedureParameter.in("aggs", StringType).build(),
+          ProcedureParameter.in("mode", StringType).build())) {
+    override def description(): String =
+      "create a materialized view (grouped aggregate) and fully refresh it"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      // the view table does not exist yet — no tableOptions resolution
+      oneRow(MaterializedViews.create(
+        SparkSession.active, cat,
+        mvIdent = input.getUTF8String(0).toString,
+        srcIdent = input.getUTF8String(1).toString,
+        groupCols = input.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        aggs = MaterializedViews.parseAggs(input.getUTF8String(3).toString),
+        mode = input.getUTF8String(4).toString).toInt)
+  }
+
+  /** `CALL cat.sys.refresh_mv('db.mv')` — advance the view to its
+    * source's head: algebraic delta fold or touched-group rescan,
+    * O(changed groups) either way; full rebuild only when the last
+    * applied source version fell out of retention. Returns the number
+    * of view rows written (0 = already current).
+    */
+  final class RefreshMvProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "refresh_mv", "groups_updated",
+        Seq.empty) {
+    override def description(): String =
+      "incrementally refresh a materialized view to its source's head"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      // resolves BOTH the view's and the source's options itself
+      oneRow(MaterializedViews.refresh(
+        SparkSession.active, cat, input.getUTF8String(0).toString).toInt)
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -2580,10 +2580,102 @@ object MergeSink {
       key: String): Option[DataFrame] = {
     val cs = commits(spark, dir)
     if (cs.size < 2) return None
-    val prevV = cs(cs.size - 2).version
-    val curV = cs.last.version
-    val mPrev = manifest(spark, dir, prevV)
-    val mCur = manifest(spark, dir, curV)
+    changesBetween(spark, dir, key, cs(cs.size - 2).version, cs.last.version)
+  }
+
+  /** [[changes]] generalized to an ARBITRARY retained version range:
+    * the NET per-key differences between the snapshots at `fromV` and
+    * `toV` (intermediate versions collapse — a key inserted then
+    * deleted inside the range produces no row). Both versions must
+    * still be retained; cost is O(buckets whose manifest entry moved
+    * across the range), never a table scan.
+    */
+  def changesBetween(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      fromV: Long,
+      toV: Long): Option[DataFrame] =
+    changeJoin(spark, dir, key, fromV, toV).map {
+      case ChangeJoin(joined, kcols, dataCols, rowChanged, k0) =>
+        joined
+          .select(
+            (when(col(s"o_$k0").isNull, "insert")
+              .when(col(s"n_$k0").isNull, "delete")
+              .when(rowChanged, "update")
+              .as("change") +:
+              (kcols.map(k => coalesce(col(s"n_$k"), col(s"o_$k")).as(k)) ++
+                dataCols.map(c =>
+                  when(col(s"n_$k0").isNull, col(s"o_$c"))
+                    .otherwise(col(s"n_$c"))
+                    .as(c)))): _*)
+          .filter(col("change").isNotNull)
+    }
+
+  /** The change feed in RETRACTION encoding — the delta-stream shape
+    * incremental view maintenance consumes (`__mult` = +1 for an
+    * arriving row, -1 for a retracted one; an update contributes both
+    * rows). `SUM(x * __mult)` grouped any way IS the exact change to
+    * `SUM(x)` over that group between the two snapshots — the
+    * self-maintainable-aggregate algebra ([[MaterializedViews]] rides
+    * this to refresh sum/count views with ZERO source re-reads).
+    * Same retention/cost contract as [[changesBetween]].
+    */
+  def changeDelta(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      fromV: Long,
+      toV: Long): Option[DataFrame] =
+    changeJoin(spark, dir, key, fromV, toV).map {
+      case ChangeJoin(joined, kcols, dataCols, rowChanged, k0) =>
+        def side(prefix: String, mult: Int) = struct(
+          (lit(mult).as("__mult") +:
+            (kcols.map(k => col(s"${prefix}_$k").as(k)) ++
+              dataCols.map(c => col(s"${prefix}_$c").as(c)))): _*)
+        val negCond = col(s"o_$k0").isNotNull &&
+          (col(s"n_$k0").isNull || rowChanged)
+        val posCond = col(s"n_$k0").isNotNull &&
+          (col(s"o_$k0").isNull || rowChanged)
+        joined
+          .select(explode(array(
+            when(negCond, side("o", -1)),
+            when(posCond, side("n", 1)))).as("__r"))
+          .filter(col("__r").isNotNull)
+          .select(
+            (kcols.map(k => col(s"__r.$k").as(k)) ++
+              dataCols.map(c => col(s"__r.$c").as(c)) :+
+              col("__r.__mult").as("__mult")): _*)
+    }
+
+  private final case class ChangeJoin(
+      joined: DataFrame,
+      kcols: Seq[String],
+      dataCols: Seq[String],
+      rowChanged: Column,
+      k0: String)
+
+  /** Shared core of [[changesBetween]]/[[changeDelta]]: the
+    * key-partitioned full-outer join of the two snapshots restricted
+    * to buckets whose manifest entry moved, both sides resolved
+    * through the NEWER version's schema (renames line up; a pure
+    * rename diffs as zero changes).
+    */
+  private def changeJoin(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      fromV: Long,
+      toV: Long): Option[ChangeJoin] = {
+    require(fromV < toV,
+      s"changesBetween: fromV $fromV must precede toV $toV")
+    val cs = commits(spark, dir)
+    Seq(fromV, toV).foreach(v =>
+      require(cs.exists(_.version == v),
+        s"changesBetween: version $v of $dir is not retained " +
+          s"(have ${cs.map(_.version).mkString(",")})"))
+    val mPrev = manifest(spark, dir, fromV)
+    val mCur = manifest(spark, dir, toV)
     val touched = (mPrev.keySet ++ mCur.keySet)
       .filter(b => mPrev.get(b) != mCur.get(b))
     def visible(m: Map[Int, Long], atV: Long): Option[DataFrame] = {
@@ -2599,12 +2691,12 @@ object MergeSink {
           else raw)
       }
     }
-    // BOTH sides resolve through the CURRENT version's schema: a diff
+    // BOTH sides resolve through the NEWER version's schema: a diff
     // compares values per key, and a renamed column's old-side values
     // must land under its current name for the per-column comparison
     // to line up (a pure rename then diffs as zero changes, correctly)
-    val oldOpt = visible(mPrev, curV)
-    val newOpt = visible(mCur, curV)
+    val oldOpt = visible(mPrev, toV)
+    val newOpt = visible(mCur, toV)
     val ref = newOpt.orElse(oldOpt).getOrElse(return None)
     val oldDF = oldOpt.getOrElse(ref.filter(lit(false)))
     val newDF = newOpt.getOrElse(ref.filter(lit(false)))
@@ -2626,19 +2718,8 @@ object MergeSink {
     val joinCond = kcols
       .map(k => col(s"o_$k") === col(s"n_$k"))
       .reduce(_ && _)
-    Some(
-      o.join(n, joinCond, "full_outer")
-        .select(
-          (when(col(s"o_$k0").isNull, "insert")
-            .when(col(s"n_$k0").isNull, "delete")
-            .when(rowChanged, "update")
-            .as("change") +:
-            (kcols.map(k => coalesce(col(s"n_$k"), col(s"o_$k")).as(k)) ++
-              dataCols.map(c =>
-                when(col(s"n_$k0").isNull, col(s"o_$c"))
-                  .otherwise(col(s"n_$c"))
-                  .as(c)))): _*)
-        .filter(col("change").isNotNull))
+    Some(ChangeJoin(
+      o.join(n, joinCond, "full_outer"), kcols, dataCols, rowChanged, k0))
   }
 
   /** Wire a streaming DataFrame into the merge table: every micro-batch

@@ -2310,6 +2310,197 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MATERIALIZED VIEWS (MaterializedViews): the event ledger lands in a
+  // merge table in two commits — v0 = the ids not divisible by 3; v1
+  // confines inserts (id%3=0), updates (+7 cents where id%5=0) and
+  // deletes (id%7=0 among the remainder) to groups grp < 20 — so an
+  // incremental refresh provably touches ≤ 20 of the 97 groups.
+  // Shared by the three q_mv_*/q_catalog_mv lanes.
+  // ---------------------------------------------------------------------
+  private def mvSourceRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      (col("user_id") % 97).as("grp"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  private def mvLoadV0(e: DataFrame, dir: String): Unit =
+    graft.streaming.MergeSink.upsertBatch(
+      e.filter(col("event_id") % 3 =!= 0).withColumn("rv", lit(1L)),
+      dir, "event_id", "rv", epochId = 0L, runId = "load")
+
+  private def mvLoadV1(e: DataFrame, dir: String): Unit = {
+    val narrow = col("grp") < 20
+    val ins = e.filter(col("event_id") % 3 === 0 && narrow)
+      .withColumn("rv", lit(2L)).withColumn("__deleted", lit(false))
+    val upd = e.filter(col("event_id") % 3 =!= 0 &&
+        col("event_id") % 5 === 0 && narrow)
+      .withColumn("cents", col("cents") + 7L)
+      .withColumn("rv", lit(2L)).withColumn("__deleted", lit(false))
+    val del = e.filter(col("event_id") % 3 =!= 0 &&
+        col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0 && narrow)
+      .withColumn("rv", lit(2L)).withColumn("__deleted", lit(true))
+    graft.streaming.MergeSink.upsertBatch(
+      ins.unionByName(upd).unionByName(del),
+      dir, "event_id", "rv", epochId = 1L, runId = "load")
+  }
+
+  /** The two lanes' shared oracle arithmetic over the raw events. */
+  private def mvOracleWith: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id % 97 AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |final AS (
+      |  SELECT grp, CASE WHEN grp < 20 AND event_id % 5 = 0
+      |    THEN cents + 7 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE event_id % 3 <> 0
+      |    AND NOT (grp < 20 AND event_id % 5 <> 0 AND event_id % 7 = 0)
+      |  UNION ALL
+      |  SELECT grp, cents FROM base WHERE event_id % 3 = 0 AND grp < 20)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_mv_refresh — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE, algebraic
+  // mode: the view (per-group sum + count) materializes at source v0,
+  // then advances to v1 by folding the retraction delta
+  // (MergeSink.changeDelta) into the stored aggregates — ZERO source
+  // re-aggregation, and the gate REQUIREs the refresh wrote only the
+  // ≤ 20 changed groups (of 97), a second refresh is a no-op, and a
+  // REPLAYED refresh commit is idempotent (exactly-once via the
+  // (runId, epoch=source version) contract). Oracle: the full
+  // aggregate over the final source state — the refresh must converge
+  // to exactly the from-scratch answer.
+  // ---------------------------------------------------------------------
+  val mvRefreshGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val src = java.nio.file.Files.createTempDirectory("graft_mv_src").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mv_v").toString
+    val aggs = Seq(MV.Agg("total", "sum", "cents"), MV.Agg("n", "count", "*"))
+    val e = mvSourceRows(s, d)
+    mvLoadV0(e, src)
+    val g0 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
+    require(g0 > 20L, s"initial materialization too small: $g0 groups")
+    mvLoadV1(e, src)
+    val g1 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
+    require(g1 >= 1L && g1 <= 20L,
+      s"algebraic refresh must write only the changed groups, wrote $g1")
+    // already current -> no-op; and the view advanced in exactly 2 commits
+    require(MV.refreshDir(
+      s, src, "event_id", mv, Seq("grp"), aggs, "algebraic") == 0L,
+      "refresh at head must be a no-op")
+    val MS = graft.streaming.MergeSink
+    require(MS.commits(s, mv).map(_.version) == Seq(0L, 1L),
+      "view history must be initial + one incremental commit")
+    MS.currentState(s, mv).get
+      .select(col("grp"), col("total"), col("n"))
+      .orderBy(col("grp"))
+  }
+
+  val mvRefreshGatedSql: String =
+    mvOracleWith +
+      """SELECT grp, CAST(SUM(cents) AS BIGINT) AS total,
+        |  count(*) AS n
+        |FROM final GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_mv_rescan — the same view maintenance for NON-self-maintainable
+  // aggregates (min/max cannot fold a delete): rescan mode recomputes
+  // ONLY the groups the delta touched via a semi-join-pruned source
+  // pass. The v1 deletes remove candidate minima, so a wrong
+  // (algebraic-style) fold is oracle-visible. Same ≤ 20-group cost
+  // bound, same convergence oracle.
+  // ---------------------------------------------------------------------
+  val mvRescanGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val src = java.nio.file.Files.createTempDirectory("graft_mvr_src").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvr_v").toString
+    val aggs = Seq(MV.Agg("mn", "min", "cents"), MV.Agg("mx", "max", "cents"),
+      MV.Agg("n", "count", "*"))
+    val e = mvSourceRows(s, d)
+    mvLoadV0(e, src)
+    val g0 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "rescan")
+    require(g0 > 20L, s"initial materialization too small: $g0 groups")
+    mvLoadV1(e, src)
+    val g1 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "rescan")
+    require(g1 >= 1L && g1 <= 20L,
+      s"rescan refresh must recompute only touched groups, wrote $g1")
+    require(MV.refreshDir(
+      s, src, "event_id", mv, Seq("grp"), aggs, "rescan") == 0L,
+      "refresh at head must be a no-op")
+    graft.streaming.MergeSink.currentState(s, mv).get
+      .select(col("grp"), col("mn"), col("mx"), col("n"))
+      .orderBy(col("grp"))
+  }
+
+  val mvRescanGatedSql: String =
+    mvOracleWith +
+      """SELECT grp, CAST(MIN(cents) AS BIGINT) AS mn,
+        |  CAST(MAX(cents) AS BIGINT) AS mx, count(*) AS n
+        |FROM final GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_catalog_mv — the MATERIALIZED VIEW as a CATALOG CITIZEN, end to
+  // end through SQL: CREATE TABLE + INSERT the v0 ledger, CALL
+  // cat.sys.create_mv (definition persists as graft.mv.* properties;
+  // first refresh materializes in full), apply the v1 inserts/updates
+  // with INSERT and the deletes with row-level DELETE, CALL
+  // cat.sys.refresh_mv and REQUIRE it reports only the changed groups,
+  // then read the view back as an ordinary catalog table. Same
+  // convergence oracle as q_mv_refresh.
+  // ---------------------------------------------------------------------
+  val catalogMvGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gmv$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_mv_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.src (event_id BIGINT, grp BIGINT,
+         |cents BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'event_id', seq 'rv')
+         |""".stripMargin)
+    // the source accrues 3 commits before the incremental refresh reads
+    // v0 -> head; default retention (keep 2) would GC v0 and force the
+    // full-rebuild fallback — widen it, as any CDC consumer must
+    s.sql(s"CALL $cat.sys.set_history_keep('g.src', 6)")
+    val view = s"graft_mv_events_$nRun"
+    mvSourceRows(s, d).createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.g.src
+             |SELECT event_id, grp, cents, 1 AS rv FROM $view
+             |WHERE event_id % 3 <> 0""".stripMargin)
+    val created = s.sql(
+      s"""CALL $cat.sys.create_mv('g.mv', 'g.src', 'grp',
+         |'total=sum:cents,n=count:*', 'algebraic')""".stripMargin)
+      .head().getInt(0)
+    require(created > 20, s"create_mv materialized too little: $created")
+    // day-2: inserts + updates via INSERT (latest-wins upsert), the
+    // deletes via row-level DELETE — all confined to grp < 20
+    s.sql(s"""INSERT INTO $cat.g.src
+             |SELECT event_id, grp,
+             |  CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
+             |    THEN cents + 7 ELSE cents END,
+             |  2 AS rv
+             |FROM $view
+             |WHERE grp < 20 AND (event_id % 3 = 0 OR event_id % 5 = 0)
+             |""".stripMargin)
+    s.sql(s"""DELETE FROM $cat.g.src
+             |WHERE grp < 20 AND event_id % 3 <> 0
+             |  AND event_id % 5 <> 0 AND event_id % 7 = 0""".stripMargin)
+    val refreshed = s.sql(s"CALL $cat.sys.refresh_mv('g.mv')").head().getInt(0)
+    require(refreshed >= 1 && refreshed <= 20,
+      s"refresh_mv must fold only the changed groups, wrote $refreshed")
+    require(s.sql(s"CALL $cat.sys.refresh_mv('g.mv')").head().getInt(0) == 0,
+      "refresh_mv at head must be a no-op")
+    s.sql(s"SELECT grp, total, n FROM $cat.g.mv ORDER BY grp")
+  }
+
+  val catalogMvGatedSql: String =
+    mvRefreshGatedSql
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -3767,6 +3958,9 @@ object Streams {
     "q_catalog_changes" -> catalogChangesGated,
     "q_merge_restore" -> mergeRestoreGated,
     "q_merge_race" -> mergeRaceGated,
+    "q_mv_refresh" -> mvRefreshGated,
+    "q_mv_rescan" -> mvRescanGated,
+    "q_catalog_mv" -> catalogMvGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
@@ -3820,6 +4014,9 @@ object Streams {
     "q_catalog_changes" -> catalogChangesGatedSql,
     "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_race" -> mergeRaceGatedSql,
+    "q_mv_refresh" -> mvRefreshGatedSql,
+    "q_mv_rescan" -> mvRescanGatedSql,
+    "q_catalog_mv" -> catalogMvGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,

@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.MaterializedViews
+import graft.sources.MaterializedViews.Agg
+import graft.streaming.MergeSink
+
+/** Materialized views: incremental refresh correctness (algebraic fold
+  * and touched-group rescan), the retraction delta they ride, the
+  * exactly-once replay contract, and the retention-fallback path.
+  * Convergence oracle everywhere: after any refresh the view equals
+  * the from-scratch aggregate of the source's head.
+  */
+class MvSpec extends SparkSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def df(rows: Seq[(Long, Long, Long)], rv: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "grp", "v").withColumn("rv", lit(rv))
+  }
+
+  private def fullAgg(src: String, aggs: Seq[Agg]): Map[Long, Seq[Any]] =
+    MergeSink.currentState(spark, src).get
+      .groupBy(col("grp"))
+      .agg(
+        aggs.map {
+          case Agg(a, "sum", c) => sum(col(c)).as(a)
+          case Agg(a, "count", "*") => count(lit(1)).as(a)
+          case Agg(a, "count", c) => count(col(c)).as(a)
+          case Agg(a, "min", c) => min(col(c)).as(a)
+          case Agg(a, "max", c) => max(col(c)).as(a)
+        }.head,
+        aggs.map {
+          case Agg(a, "sum", c) => sum(col(c)).as(a)
+          case Agg(a, "count", "*") => count(lit(1)).as(a)
+          case Agg(a, "count", c) => count(col(c)).as(a)
+          case Agg(a, "min", c) => min(col(c)).as(a)
+          case Agg(a, "max", c) => max(col(c)).as(a)
+        }.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.get))
+      .toMap
+
+  private def viewState(mv: String, aggs: Seq[Agg]): Map[Long, Seq[Any]] =
+    MergeSink.currentState(spark, mv).get
+      .select((col("grp") +: aggs.map(a => col(a.alias))): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.get))
+      .toMap
+
+  test("changeDelta: retraction encoding nets inserts/updates/deletes") {
+    val src = tmp("mv_delta_src")
+    // v0: keys 1..4
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 1L, 40L)), 1L),
+      src, "id", "rv", 0L, "load")
+    // v1: update 2 (20 -> 25), delete 3, insert 5
+    MergeSink.upsertBatch(
+      df(Seq((2L, 0L, 25L), (5L, 2L, 50L)), 2L)
+        .withColumn("__deleted", lit(false))
+        .unionByName(
+          df(Seq((3L, 1L, 30L)), 2L).withColumn("__deleted", lit(true))),
+      src, "id", "rv", 1L, "load")
+    val d = MergeSink.changeDelta(spark, src, "id", 0L, 1L).get
+      .select("id", "grp", "v", "__mult")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(d == Set(
+      (2L, 20L, -1), (2L, 25L, 1), // update = retract + assert
+      (3L, 30L, -1), // delete
+      (5L, 50L, 1))) // insert
+    // per-group SUM(v * mult) is exactly the change to SUM(v)
+    val sums = MergeSink.changeDelta(spark, src, "id", 0L, 1L).get
+      .groupBy("grp").agg(sum(expr("v * __mult")).as("dv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(0L -> 5L, 1L -> -30L, 2L -> 50L))
+  }
+
+  test("changeDelta: a key inserted then deleted inside the range nets out") {
+    val src = tmp("mv_net_src")
+    MergeSink.setHistoryKeep(spark, src, 8)
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L)), 1L), src, "id", "rv", 0L, "load")
+    MergeSink.upsertBatch( // v1: insert 9
+      df(Seq((9L, 3L, 90L)), 2L), src, "id", "rv", 1L, "load")
+    MergeSink.upsertBatch( // v2: delete 9 again
+      df(Seq((9L, 3L, 90L)), 3L).withColumn("__deleted", lit(true)),
+      src, "id", "rv", 2L, "load")
+    val d = MergeSink.changeDelta(spark, src, "id", 0L, 2L)
+    assert(d.forall(_.filter(col("id") === 9L).count() == 0L),
+      "net-collapsed key must not appear in the range delta")
+  }
+
+  private val sumAggs =
+    Seq(Agg("total", "sum", "v"), Agg("n", "count", "*"))
+
+  test("algebraic refresh equals full recompute; vanished group tombstoned") {
+    val src = tmp("mv_alg_src")
+    val mv = tmp("mv_alg_v")
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 2L, 40L)), 1L),
+      src, "id", "rv", 0L, "load")
+    val g0 = MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    assert(g0 == 3L)
+    assert(viewState(mv, sumAggs) == fullAgg(src, sumAggs))
+    // day 2: update 1, delete BOTH rows of grp 1 (vanish), insert grp 3
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 15L), (6L, 3L, 60L)), 2L)
+        .withColumn("__deleted", lit(false))
+        .unionByName(
+          df(Seq((3L, 1L, 30L)), 2L).withColumn("__deleted", lit(true))),
+      src, "id", "rv", 1L, "load")
+    val g1 = MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    assert(g1 == 3L, s"changed groups 0,1,3 — wrote $g1")
+    val got = viewState(mv, sumAggs)
+    assert(got == fullAgg(src, sumAggs))
+    assert(!got.contains(1L), "emptied group must leave the view")
+    // at head: no-op, no new commit
+    val nC = MergeSink.commits(spark, mv).size
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic") == 0L)
+    assert(MergeSink.commits(spark, mv).size == nC)
+  }
+
+  private val mmAggs =
+    Seq(Agg("mn", "min", "v"), Agg("mx", "max", "v"), Agg("n", "count", "*"))
+
+  test("rescan refresh recomputes min/max correctly under deletes") {
+    val src = tmp("mv_rs_src")
+    val mv = tmp("mv_rs_v")
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 0L, 90L), (3L, 1L, 30L)), 1L),
+      src, "id", "rv", 0L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), mmAggs, "rescan") == 2L)
+    // delete the current MINIMUM of grp 0 — not algebraically foldable
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L)), 2L).withColumn("__deleted", lit(true)),
+      src, "id", "rv", 1L, "load")
+    val g1 = MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), mmAggs, "rescan")
+    assert(g1 == 1L, s"only grp 0 touched — wrote $g1")
+    val got = viewState(mv, mmAggs)
+    assert(got == fullAgg(src, mmAggs))
+    assert(got(0L) == Seq(90L, 90L, 1L))
+  }
+
+  test("algebraic mode rejects min/max upfront") {
+    val e = intercept[IllegalArgumentException] {
+      MaterializedViews.refreshDir(
+        spark, tmp("mv_rej_src"), "id", tmp("mv_rej_v"),
+        Seq("grp"), mmAggs, "algebraic")
+    }
+    assert(e.getMessage.contains("rescan"))
+  }
+
+  test("refresh is exactly-once: a replayed refresh commit is a no-op") {
+    val src = tmp("mv_once_src")
+    val mv = tmp("mv_once_v")
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 1L, 20L)), 1L), src, "id", "rv", 0L, "load")
+    MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 11L)), 2L), src, "id", "rv", 1L, "load")
+    MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    val before = viewState(mv, sumAggs)
+    val commits = MergeSink.commits(spark, mv).map(c => (c.version, c.epoch))
+    // a crashed-then-replayed refresh re-runs against the same head:
+    // the (runId, epoch) idempotence makes it free and harmless
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic") == 0L)
+    assert(viewState(mv, sumAggs) == before)
+    assert(MergeSink.commits(spark, mv)
+      .map(c => (c.version, c.epoch)) == commits)
+  }
+
+  test("retention-expired delta falls back to a full rebuild") {
+    val src = tmp("mv_fb_src")
+    val mv = tmp("mv_fb_v")
+    // keep only 2 versions on the source
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 1L, 20L)), 1L), src, "id", "rv", 0L, "load")
+    MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    // three more source commits: v0 falls out of the keep-2 window
+    MergeSink.upsertBatch(df(Seq((3L, 2L, 30L)), 2L), src, "id", "rv", 1L, "load")
+    MergeSink.upsertBatch(df(Seq((4L, 3L, 40L)), 3L), src, "id", "rv", 2L, "load")
+    MergeSink.upsertBatch(df(Seq((5L, 4L, 50L)), 4L), src, "id", "rv", 3L, "load")
+    assert(!MergeSink.commits(spark, src).exists(_.version == 0L),
+      "precondition: v0 must have been GC'd")
+    val g = MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    assert(g == 5L, s"full rebuild must rewrite every group, wrote $g")
+    assert(viewState(mv, sumAggs) == fullAgg(src, sumAggs))
+  }
+
+  test("catalog surface: create_mv/refresh_mv procedures end to end") {
+    val cat = "mvspec"
+    val wh = tmp("mv_cat_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.src (id BIGINT, grp BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.m.src VALUES (1, 0, 10, 1), (2, 0, 20, 1), (3, 1, 30, 1)")
+    val created = spark.sql(
+      s"""CALL $cat.sys.create_mv('m.mv', 'm.src', 'grp',
+         |'total=sum:v,n=count:*', 'algebraic')""".stripMargin)
+      .head().getInt(0)
+    assert(created == 2)
+    // the definition persists as table properties
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.m.mv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.mv.source") == "m.src")
+    assert(props("graft.mv.mode") == "algebraic")
+    spark.sql(s"INSERT INTO $cat.m.src VALUES (4, 1, 40, 2)")
+    assert(spark.sql(s"CALL $cat.sys.refresh_mv('m.mv')")
+      .head().getInt(0) == 1)
+    val got = spark.sql(s"SELECT grp, total, n FROM $cat.m.mv ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 30L, 2L), (1L, 70L, 2L)))
+    // refresh of a non-view table fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.refresh_mv('m.src')").collect()
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+  }
+}
