@@ -242,7 +242,9 @@ class GraftCatalog
     val base = MS.lastCommit(spark, opts("path")) match {
       case Some(_) =>
         versionAsOf
-          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .flatMap(v => scala.util.Try(v.toLong).toOption
+            // a non-numeric VERSION AS OF is a named tag
+            .orElse(MS.tagVersion(spark, opts("path"), v)))
           .flatMap(v => MS.manifestSchema(spark, opts("path"), v))
           .map(s => org.apache.spark.sql.types.StructType(
             s.fields.map(f =>
@@ -902,7 +904,8 @@ object GraftProcedures {
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
-      "create_mv", "refresh_mv")
+      "create_mv", "refresh_mv",
+      "create_tag", "drop_tag", "wap_publish", "wap_abort")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -919,6 +922,10 @@ object GraftProcedures {
       case "zorder" => Some(new ZOrderProc(cat))
       case "create_mv" => Some(new CreateMvProc(cat))
       case "refresh_mv" => Some(new RefreshMvProc(cat))
+      case "create_tag" => Some(new CreateTagProc(cat))
+      case "drop_tag" => Some(new DropTagProc(cat))
+      case "wap_publish" => Some(new WapPublishProc(cat))
+      case "wap_abort" => Some(new WapAbortProc(cat))
       case _ => None
     }
 
@@ -1197,6 +1204,68 @@ object GraftProcedures {
       // resolves BOTH the view's and the source's options itself
       oneRow(MaterializedViews.refresh(
         SparkSession.active, cat, input.getUTF8String(0).toString).toInt)
+  }
+
+  /** `CALL cat.sys.create_tag('ns.t', 'name', version)` — pin a human
+    * name to a retained version; `VERSION AS OF 'name'` resolves
+    * through it ([[MergeSink.createTag]]).
+    */
+  final class CreateTagProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_tag", "tagged_version",
+        Seq(ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).build())) {
+    override def description(): String =
+      "pin a named tag to a retained version (VERSION AS OF 'name')"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val v = input.getLong(2)
+      MergeSink.createTag(
+        SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString, v)
+      v.toInt
+    }
+  }
+
+  /** `CALL cat.sys.drop_tag('ns.t', 'name')`. */
+  final class DropTagProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "drop_tag", "dropped",
+        Seq(ProcedureParameter.in("name", StringType).build())) {
+    override def description(): String = "drop a named tag"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      if (MergeSink.dropTag(SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString)) 1 else 0
+  }
+
+  /** `CALL cat.sys.wap_publish('ns.t', 'wap-id')` — atomically make a
+    * staged write-audit-publish commit visible
+    * ([[MergeSink.wapPublish]]); returns the published version.
+    */
+  final class WapPublishProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "wap_publish", "published_version",
+        Seq(ProcedureParameter.in("wap_id", StringType).build())) {
+    override def description(): String =
+      "publish a staged WAP commit (one atomic commit point)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      MergeSink.wapPublish(SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString).toInt
+  }
+
+  /** `CALL cat.sys.wap_abort('ns.t', 'wap-id')` — roll a staged WAP
+    * commit back; the table is byte-identical to before the stage.
+    */
+  final class WapAbortProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "wap_abort", "aborted",
+        Seq(ProcedureParameter.in("wap_id", StringType).build())) {
+    override def description(): String =
+      "abort a staged WAP commit (nothing was ever visible)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      MergeSink.wapAbort(SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString)
+      1
+    }
   }
 }
 

@@ -427,7 +427,15 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
     // pushdown — sees exactly the versionAsOf machinery
     val spark = SparkSession.active
     val dir = MergeTableUtil.dirOf(o)
-    val asOf = Option(o.get("versionAsOf")).map(_.toLong).orElse(
+    // a non-numeric versionAsOf is a NAMED TAG ref (_refs/<name>)
+    val asOf = Option(o.get("versionAsOf")).map { raw =>
+      raw.toLongOption.getOrElse(
+        graft.streaming.MergeSink.tagVersion(spark, dir, raw).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-merge: versionAsOf='$raw' is neither a version " +
+              s"number nor a tag of $dir (tags: ${graft.streaming.MergeSink
+                .tags(spark, dir).keys.toSeq.sorted.mkString(",")})")))
+    }.orElse(
       Option(o.get("timestampAsOf")).map { raw =>
         val ts = MergeTableUtil.parseTsMillis(raw)
         graft.streaming.MergeSink.versionAt(spark, dir, ts).getOrElse(

@@ -176,15 +176,31 @@ private[graft] object MergeWriteUtil {
     // Streaming epochs do NOT retry here: their table is single-writer
     // by contract and a claim conflict means a zombie incarnation,
     // which must fail loudly.
-    def attempt(): Unit = {
-      if (overwriteAll)
-        MergeSink.overwriteBatch(
-          batch, dir, key, seq, epochId, runId, keepSchema = keepSchema,
-          reRegister = retryOnConflict)
-      else
-        MergeSink.upsertBatch(
-          batch, dir, key, seq, epochId, runId,
-          reRegister = retryOnConflict)
+    // WRITE-AUDIT-PUBLISH through SQL: while spark.graft.wapId is set,
+    // batch INSERT/MERGE/UPDATE/DELETE statements STAGE invisibly under
+    // that id (MergeSink.wapStage) instead of committing — audit the
+    // staged snapshot, then CALL cat.sys.wap_publish / wap_abort.
+    // Streaming epochs never consult it (exactly-once sinks own their
+    // visibility).
+    val wapId =
+      if (retryOnConflict)
+        spark.conf.getOption("spark.graft.wapId").filter(_.nonEmpty)
+      else None
+    def attempt(): Unit = wapId match {
+      case Some(id) =>
+        if (overwriteAll) throw new UnsupportedOperationException(
+          "graft-merge: INSERT OVERWRITE/REPLACE cannot stage under a " +
+            "wap id (unset spark.graft.wapId)")
+        MergeSink.wapStage(batch, dir, key, seq, id)
+      case None =>
+        if (overwriteAll)
+          MergeSink.overwriteBatch(
+            batch, dir, key, seq, epochId, runId, keepSchema = keepSchema,
+            reRegister = retryOnConflict)
+        else
+          MergeSink.upsertBatch(
+            batch, dir, key, seq, epochId, runId,
+            reRegister = retryOnConflict)
     }
     if (retryOnConflict) {
       val attempts = spark.conf

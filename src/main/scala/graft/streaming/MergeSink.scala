@@ -953,6 +953,223 @@ object MergeSink {
         ()
       }
 
+  // ------------------------------------------------------------------
+  // WRITE-AUDIT-PUBLISH: stage a commit invisibly, inspect it, then
+  // make it visible with one atomic file create — the Iceberg WAP
+  // pattern expressed through the SAME pending-marker machinery the
+  // cross-table transaction uses (a WAP stage is a one-participant
+  // transaction whose commit point is deliberately withheld).
+  // ------------------------------------------------------------------
+
+  private def wapPath(p: Path, wapId: String): Path =
+    new Path(new Path(p, "_wap"), wapId)
+
+  // no underscore: wap ids ride marker filenames, where `_` separates
+  // the version/runId/epoch fields
+  private val WapIdRe = "[A-Za-z0-9][A-Za-z0-9.-]*".r
+
+  /** Resolve the staged (version, runId, epoch) of `wapId`: the
+    * pending marker whose recorded txn file is this wap's.
+    */
+  private def wapPending(
+      spark: SparkSession,
+      fs: FileSystem,
+      p: Path,
+      wapId: String): Option[(Long, String, Long)] = {
+    val wf = wapPath(p, wapId).toString
+    fs.listStatus(p).iterator.map(_.getPath.getName).collectFirst {
+      case n @ PendingRe(v, r, e)
+          if { // first line of the pending names its txn file
+            val in = fs.open(new Path(p, n))
+            val recorded =
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().nextOption().map(_.trim).getOrElse("")
+              finally in.close()
+            recorded == wf
+          } => (v.toLong, r, e.toLong)
+    }
+  }
+
+  /** STAGE a merge batch under `wapId` without making it visible:
+    * the full upsert runs (claim, bucket data, manifest) but the
+    * marker stays PENDING on a wap file that does not exist yet —
+    * readers resolve the head as if nothing happened. Returns the
+    * staged (future) version. The stage RESERVES the table's next
+    * version: concurrent writers see [[ConcurrentCommitException]]
+    * until [[wapPublish]]/[[wapAbort]] releases it, and — like any
+    * in-flight claim — the reservation is leased: past the claim TTL
+    * (15 min default) a stale stage can be stolen or vacuum-rolled-
+    * back, so audit windows longer than the lease must raise
+    * `spark.graft.commitClaimTtlMs`. Re-staging an already-PUBLISHED
+    * wapId is an idempotent no-op (the (runId, epoch) contract).
+    */
+  def wapStage(
+      batch: DataFrame,
+      dir: String,
+      key: String,
+      seq: String,
+      wapId: String): Long = {
+    require(WapIdRe.pattern.matcher(wapId).matches(),
+      s"wapStage: bad wap id '$wapId' (letters/digits/.- only)")
+    val spark = batch.sparkSession
+    val (fs, p) = fsOf(spark, dir)
+    val runId = s"wap-$wapId"
+    require(wapPending(spark, fs, p, wapId).isEmpty,
+      s"wapStage: wap id '$wapId' is already staged on $dir " +
+        "(audit it, then wapPublish or wapAbort)")
+    planUpsert(batch, dir, key, seq, epochId = 0L, runId, reRegister = true)
+      match {
+      case None => // this wapId already ran its full stage+publish
+        commits(spark, dir).find(_.runId == runId).map(_.version).getOrElse(
+          throw new IllegalStateException(
+            s"wapStage: committed marker for $runId vanished"))
+      case Some(pc) =>
+        publish(
+          pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
+          pc.newV, runId, 0L, prevVersion = pc.prevVersion,
+          pendingTxnFile = Some(wapPath(p, wapId).toString))
+        pc.newV
+    }
+  }
+
+  /** AUDIT a staged wap: the table AS IF the stage were published
+    * (its manifest carries the head's untouched buckets, so this is
+    * the complete future state, not just the staged rows). Quality
+    * gates run here — on real committed bytes — before anything is
+    * visible. None if `wapId` has no stage on this table.
+    */
+  def wapAudit(
+      spark: SparkSession,
+      dir: String,
+      wapId: String): Option[DataFrame] = {
+    val (fs, p) = fsOf(spark, dir)
+    wapPending(spark, fs, p, wapId)
+      .flatMap { case (v, _, _) => readVersion(spark, dir, v) }
+  }
+
+  /** PUBLISH a staged wap: one atomic create of the wap file is the
+    * commit point (the instant it exists, [[commits]] trusts the
+    * pending — exactly the transaction-file rule), then the pending
+    * promotes to an ordinary marker. Fails loudly if the stage's
+    * claim was stolen (audit outlived the lease and another writer
+    * minted the version): nothing half-published, re-stage against
+    * the new head. Returns the published version.
+    */
+  def wapPublish(spark: SparkSession, dir: String, wapId: String): Long = {
+    val (fs, p) = fsOf(spark, dir)
+    val (v, runId, epoch) = wapPending(spark, fs, p, wapId).getOrElse(
+      throw new IllegalArgumentException(
+        s"wapPublish: no staged wap '$wapId' on $dir"))
+    // the claim must still be OURS and the version unminted — a stale
+    // stage whose lease expired may have been overtaken
+    val claim = new Path(p, s"_claim_v$v")
+    val ours = fs.exists(claim) && {
+      val in = fs.open(claim)
+      val rec = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().nextOption().map(_.trim).getOrElse("")
+      finally in.close()
+      rec == runId
+    }
+    val overtaken = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .exists { n => MarkerRe.findFirstMatchIn(n)
+        .exists(m => m.group(1).toLong == v && !n.contains(s"_r${runId}_")) }
+    if (!ours || overtaken)
+      throw new ConcurrentCommitException(
+        s"wapPublish: stage '$wapId' (v$v) outlived its claim lease and " +
+          s"was overtaken on $dir — wapAbort the leftovers and re-stage " +
+          "against the new head")
+    val wf = wapPath(p, wapId)
+    fs.mkdirs(wf.getParent)
+    fs.create(wf, false).close() // ---- THE COMMIT POINT ----
+    promotePending(spark, dir, v, runId, epoch)
+    fs.delete(wf, false)
+    v
+  }
+
+  /** ABORT a staged wap: staged data, manifest, pending marker and
+    * claim all go — the table is byte-identical to before the stage.
+    * If the stage was OVERTAKEN (its lease expired and another writer
+    * minted the version), the version's manifest and committed bucket
+    * data now belong to that writer — only the stage's own leftovers
+    * (pending marker + bucket dirs no retained manifest references)
+    * are removed.
+    */
+  def wapAbort(spark: SparkSession, dir: String, wapId: String): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    wapPending(spark, fs, p, wapId).foreach { case (v, runId, epoch) =>
+      val cs = commits(spark, dir)
+      if (!cs.exists(_.version == v)) abortPending(spark, dir, v, runId, epoch)
+      else {
+        fs.delete(new Path(p, s"_pending_v${v}_r${runId}_e$epoch"), false)
+        val live: Set[(Int, Long)] = cs.map(_.version).toSet
+          .flatMap((cv: Long) => manifest(spark, dir, cv).toSeq)
+        val dataRoot = new Path(p, "data")
+        if (fs.exists(dataRoot))
+          fs.listStatus(dataRoot).foreach { b =>
+            val bid = b.getPath.getName.stripPrefix("b").toInt
+            val vd = new Path(b.getPath, s"v$v")
+            if (fs.exists(vd) && !live.contains((bid, v)))
+              fs.delete(vd, true)
+          }
+      }
+    }
+    fs.delete(wapPath(p, wapId), false)
+  }
+
+  // ------------------------------------------------------------------
+  // NAMED REFS (TAGS): a human name pinned to a retained version —
+  // `VERSION AS OF 'name'` resolves through it (the Iceberg tag
+  // shape). A tag does NOT extend retention; reading a tag whose
+  // version was GC'd fails with the usual retention message.
+  // ------------------------------------------------------------------
+
+  private def refsDir(p: Path): Path = new Path(p, "_refs")
+
+  /** Pin `name` to `version` (must be committed and retained). Tag
+    * names must not look like version numbers. Fails if the tag
+    * exists — tags are immutable; [[dropTag]] first to re-point.
+    */
+  def createTag(
+      spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(WapIdRe.pattern.matcher(name).matches() &&
+      !name.forall(_.isDigit),
+      s"createTag: bad tag name '$name' (letters/digits/.-, not all digits)")
+    require(commits(spark, dir).exists(_.version == version),
+      s"createTag: version $version is not a committed, retained " +
+        s"version of $dir")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(refsDir(p))
+    val f = new Path(refsDir(p), name)
+    if (fs.exists(f))
+      throw new IllegalArgumentException(
+        s"createTag: tag '$name' already exists on $dir (dropTag first)")
+    val out = fs.create(f, false)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.delete(new Path(refsDir(p), name), false)
+  }
+
+  /** All tags: name -> version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(refsDir(p))) Map.empty
+    else
+      fs.listStatus(refsDir(p)).iterator.map { st =>
+        val in = fs.open(st.getPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toLong
+        finally in.close()
+        st.getPath.getName -> v
+      }.toMap
+  }
+
+  def tagVersion(
+      spark: SparkSession, dir: String, name: String): Option[Long] =
+    tags(spark, dir).get(name)
+
   /** OVERWRITE commit (`INSERT OVERWRITE` / truncate-and-load): the
     * batch becomes the ENTIRE table state at the new version — every
     * previous bucket is dropped from the manifest (their files stay

@@ -2501,6 +2501,73 @@ object Streams {
     mvRefreshGatedSql
 
   // ---------------------------------------------------------------------
+  // q_merge_wap — WRITE-AUDIT-PUBLISH gated end to end: the second half
+  // of the event log STAGES under a wap id (full commit machinery, zero
+  // visibility — the gate REQUIREs head, count and history unchanged),
+  // the audit reads the complete future state (carried buckets + staged
+  // rows) and its row count is the quality gate, then ONE atomic file
+  // create publishes. A tag pins the pre-publish snapshot and the gate
+  // REQUIREs `VERSION AS OF '<tag>'` still answers with the old state
+  // after publish. Output: the latest-wins aggregate over the full log
+  // — publishing staged bytes must equal having committed them directly.
+  // ---------------------------------------------------------------------
+  val mergeWapGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val t = java.nio.file.Files.createTempDirectory("graft_wap_tbl").toString
+    MS.setHistoryKeep(s, t, 8)
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val mid = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    MS.upsertBatch(e.filter(col("event_id") <= mid),
+      t, "user_id", "event_id", 0L, "load")
+    val preCount = MS.currentState(s, t).get.count()
+    // STAGE day 2 — invisible until published
+    val staged = MS.wapStage(e.filter(col("event_id") > mid),
+      t, "user_id", "event_id", "day2")
+    require(staged == 1L, s"stage reserved v$staged, expected v1")
+    require(MS.commits(s, t).map(_.version) == Seq(0L),
+      "staged wap leaked into the commit history")
+    require(MS.currentState(s, t).get.count() == preCount,
+      "staged wap leaked rows to readers")
+    // AUDIT the future state: every user present exactly once
+    val audit = MS.wapAudit(s, t, "day2").get
+    val users = e.select(col("user_id")).distinct().count()
+    require(audit.count() == users &&
+      audit.select(col("user_id")).distinct().count() == users,
+      "audit must see the complete deduped future state")
+    // pin the pre-publish snapshot by name, then PUBLISH
+    MS.createTag(s, t, "pre-day2", 0L)
+    require(MS.wapPublish(s, t, "day2") == 1L)
+    require(MS.commits(s, t).map(_.version) == Seq(0L, 1L),
+      "publish must mint exactly the staged version")
+    def read(v: Option[String]) = {
+      val r = s.read.format("graft-merge")
+        .option("path", t).option("key", "user_id").option("seq", "event_id")
+      v.fold(r)(tag => r.option("versionAsOf", tag)).load()
+    }
+    require(read(Some("pre-day2")).count() == preCount,
+      "the tagged pre-publish snapshot must still answer")
+    read(None)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("event_id")).cast("long").as("id_total"),
+        sum(col("cents")).cast("long").as("cents_total"))
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("n_keys"), col("id_total"),
+        col("cents_total"))
+  }
+
+  val mergeWapGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id, max(event_id) AS last_id,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_id) AS BIGINT) AS id_total,
+      |CAST(SUM(last_cents) AS BIGINT) AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -3961,6 +4028,7 @@ object Streams {
     "q_mv_refresh" -> mvRefreshGated,
     "q_mv_rescan" -> mvRescanGated,
     "q_catalog_mv" -> catalogMvGated,
+    "q_merge_wap" -> mergeWapGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
@@ -4017,6 +4085,7 @@ object Streams {
     "q_mv_refresh" -> mvRefreshGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,
     "q_catalog_mv" -> catalogMvGatedSql,
+    "q_merge_wap" -> mergeWapGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
