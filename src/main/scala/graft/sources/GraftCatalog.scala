@@ -905,7 +905,8 @@ object GraftProcedures {
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
       "create_mv", "refresh_mv",
-      "create_tag", "drop_tag", "wap_publish", "wap_abort")
+      "create_tag", "drop_tag", "wap_publish", "wap_abort",
+      "add_check", "drop_check")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -926,6 +927,8 @@ object GraftProcedures {
       case "drop_tag" => Some(new DropTagProc(cat))
       case "wap_publish" => Some(new WapPublishProc(cat))
       case "wap_abort" => Some(new WapAbortProc(cat))
+      case "add_check" => Some(new AddCheckProc(cat))
+      case "drop_check" => Some(new DropCheckProc(cat))
       case _ => None
     }
 
@@ -1266,6 +1269,37 @@ object GraftProcedures {
         input.getUTF8String(1).toString)
       1
     }
+  }
+
+  /** `CALL cat.sys.add_check('ns.t', 'positive', 'cents >= 0')` —
+    * declare a CHECK constraint ([[MergeSink.setCheckConstraint]]):
+    * every future admitted batch (INSERT/DML/upsert/txn/WAP stage)
+    * must satisfy it or the whole commit aborts untouched.
+    */
+  final class AddCheckProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "add_check", "constraints_declared",
+        Seq(ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("expression", StringType).build())) {
+    override def description(): String =
+      "declare a CHECK constraint enforced on every future write"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val spark = SparkSession.active
+      MergeSink.setCheckConstraint(spark, opts("path"),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      MergeSink.checkConstraints(spark, opts("path")).size
+    }
+  }
+
+  /** `CALL cat.sys.drop_check('ns.t', 'name')`. */
+  final class DropCheckProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "drop_check", "dropped",
+        Seq(ProcedureParameter.in("name", StringType).build())) {
+    override def description(): String = "drop a CHECK constraint"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int =
+      if (MergeSink.dropCheckConstraint(SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString)) 1 else 0
   }
 }
 

@@ -704,6 +704,7 @@ object MergeSink {
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
       return None // idempotent replay of a committed batch (even if fenced since)
+    enforceConstraints(batch, dir) // before anything stages
     ensureWriter(spark, dir, runId, reRegister)
     val last = all.lastOption
     last.foreach { c =>
@@ -1195,6 +1196,7 @@ object MergeSink {
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
       return // idempotent replay
+    enforceConstraints(batch, dir) // before anything stages
     ensureWriter(spark, dir, runId, reRegister)
     val last = all.lastOption
     last.foreach { c =>
@@ -2593,6 +2595,115 @@ object MergeSink {
       try Some(scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().next().trim.toLong)
       finally in.close()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK CONSTRAINTS: named boolean SQL expressions every ADMITTED
+  // batch must satisfy (SQL CHECK semantics: NULL passes, FALSE
+  // rejects). Enforced BEFORE the claim on every write path that
+  // admits new rows — upsert, overwrite, transactions, WAP stages,
+  // SQL INSERT/DML — so a violating batch aborts with the table
+  // untouched. Tombstone rows are exempt (a delete carries no data).
+  // Cost: one extra pass over the BATCH (all constraints fused into
+  // one predicate), never over the table.
+  // ------------------------------------------------------------------
+
+  private val ConstraintNameRe = "[A-Za-z][A-Za-z0-9_-]*".r
+
+  /** Declare (or replace) the named constraint. The expression is
+    * parsed now (a typo fails here, not at the next write); columns it
+    * references must be present on every future batch.
+    */
+  def setCheckConstraint(
+      spark: SparkSession, dir: String, name: String, exprSql: String): Unit = {
+    require(ConstraintNameRe.pattern.matcher(name).matches(),
+      s"setCheckConstraint: bad constraint name '$name'")
+    require(!exprSql.contains("\t") && !exprSql.contains("\n"),
+      "setCheckConstraint: expression must be a single line")
+    spark.sessionState.sqlParser.parseExpression(exprSql) // fail fast
+    val kept = checkConstraints(spark, dir).filterNot(_._1 == name)
+    writeConstraints(spark, dir, kept :+ (name -> exprSql))
+  }
+
+  def dropCheckConstraint(
+      spark: SparkSession, dir: String, name: String): Boolean = {
+    val cur = checkConstraints(spark, dir)
+    val kept = cur.filterNot(_._1 == name)
+    if (kept.size == cur.size) false
+    else { writeConstraints(spark, dir, kept); true }
+  }
+
+  /** Declared constraints in declaration order: (name, expression). */
+  def checkConstraints(
+      spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_constraints")
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+        }.toList
+      finally in.close()
+    }
+  }
+
+  private def writeConstraints(
+      spark: SparkSession, dir: String, cs: Seq[(String, String)]): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    if (cs.isEmpty) { fs.delete(new Path(p, "_constraints"), false); return }
+    val out = fs.create(new Path(p, "_constraints"), true)
+    try out.write(cs.map { case (n, e) => s"$n\t$e" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Thrown when an admitted batch violates a declared constraint. */
+  final class ConstraintViolationException(msg: String)
+      extends RuntimeException(msg)
+
+  /** One fused pass over the batch; throws [[ConstraintViolationException]]
+    * naming every violated constraint plus a sample row.
+    */
+  private def enforceConstraints(batch: DataFrame, dir: String): Unit = {
+    val cs = checkConstraints(batch.sparkSession, dir)
+    if (cs.isEmpty) return
+    val live =
+      if (batch.columns.contains(DeletedCol))
+        batch.filter(!coalesce(col(DeletedCol), lit(false)))
+      else batch
+    val flags = cs.map { case (n, e) =>
+      val parsed =
+        try expr(e)
+        catch { case scala.util.control.NonFatal(t) =>
+          throw new ConstraintViolationException(
+            s"check constraint '$n' on $dir failed to parse: $e (${t.getMessage})")
+      }
+      n -> not(coalesce(parsed, lit(true))) // NULL passes, FALSE violates
+    }
+    val sample =
+      try live
+        .filter(flags.map(_._2).reduce(_ || _))
+        .select(struct(live.columns.map(col).toIndexedSeq: _*).as("row") +:
+          flags.map { case (n, f) => f.as(s"viol_$n") }: _*)
+        .take(1)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new ConstraintViolationException(
+          s"check constraints on $dir reference columns this batch lacks " +
+            s"(${cs.map(c => s"${c._1}: ${c._2}").mkString("; ")}) — " +
+            s"batch columns: ${live.columns.mkString(",")} (${e.getMessage})")
+      }
+    sample.headOption.foreach { r =>
+      val violated = cs.map(_._1).zipWithIndex
+        .collect { case (n, i) if r.getBoolean(i + 1) => n }
+      val exprs = cs.toMap
+      throw new ConstraintViolationException(
+        s"batch rejected by check constraint(s) on $dir: " +
+          violated.map(n => s"'$n' (${exprs(n)})").mkString(", ") +
+          s"; sample violating row: ${r.get(0)} — nothing was committed")
     }
   }
 

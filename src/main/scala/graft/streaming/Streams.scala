@@ -2568,6 +2568,53 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_constraint — CHECK CONSTRAINTS gated end to end: the table
+  // declares 'cents >= 0' and 'user_id IS NOT NULL'; a poisoned batch
+  // (negated cents on every 11th event) is REJECTED with the violating
+  // constraint named and the gate REQUIREs the table is completely
+  // untouched (no commit, no claim, no version minted); the clean
+  // batch then admits normally. Output: the latest-wins aggregate —
+  // enforcement must be pure admission control, invisible in the data.
+  // ---------------------------------------------------------------------
+  val mergeConstraintGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val t = java.nio.file.Files.createTempDirectory("graft_ck_tbl").toString
+    MS.setCheckConstraint(s, t, "nonneg", "cents >= 0")
+    MS.setCheckConstraint(s, t, "has-user", "user_id IS NOT NULL")
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val poisoned = e.withColumn("cents",
+      when(col("event_id") % 11 === 0, -col("cents") - 1L)
+        .otherwise(col("cents")))
+    val err =
+      try { MS.upsertBatch(poisoned, t, "user_id", "event_id", 0L, "load"); "" }
+      catch { case v: MS.ConstraintViolationException => v.getMessage }
+    require(err.contains("nonneg"),
+      s"poisoned batch must be rejected by 'nonneg', got: $err")
+    require(MS.commits(s, t).isEmpty && MS.lastCommit(s, t).isEmpty,
+      "rejected batch must leave the table unborn")
+    MS.upsertBatch(e, t, "user_id", "event_id", 0L, "load")
+    require(MS.commits(s, t).map(_.version) == Seq(0L))
+    s.read.format("graft-merge")
+      .option("path", t).option("key", "user_id").option("seq", "event_id")
+      .load()
+      .groupBy((col("user_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cents")).cast("long").as("cents_total"))
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("n_keys"), col("cents_total"))
+  }
+
+  val mergeConstraintGatedSql: String =
+    """WITH st AS (
+      |  SELECT user_id,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id % 7 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(last_cents) AS BIGINT) AS cents_total
+      |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -4029,6 +4076,7 @@ object Streams {
     "q_mv_rescan" -> mvRescanGated,
     "q_catalog_mv" -> catalogMvGated,
     "q_merge_wap" -> mergeWapGated,
+    "q_merge_constraint" -> mergeConstraintGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
@@ -4086,6 +4134,7 @@ object Streams {
     "q_mv_rescan" -> mvRescanGatedSql,
     "q_catalog_mv" -> catalogMvGatedSql,
     "q_merge_wap" -> mergeWapGatedSql,
+    "q_merge_constraint" -> mergeConstraintGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,
