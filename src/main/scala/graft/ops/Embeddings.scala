@@ -2124,8 +2124,232 @@ object Embeddings {
        |WHERE rank <= $pqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // INCREMENTALLY MAINTAINED ANN INDEX: the IVF postings as a MERGE
+  // TABLE fed by the vector table's change feed. The coarse quantizer
+  // is FROZEN at build time (the standard IVF maintenance discipline —
+  // re-training is a rebuild, not a refresh); day-2 maintenance
+  // assigns ONLY the changed vectors (one bounded kmAssign over the
+  // delta's assertions, tombstones for net-deleted keys) and commits
+  // exactly-once under the (runId, epoch = source version) contract —
+  // the same discipline as MaterializedViews. At 100 TB: a day of new
+  // embeddings costs O(batch × centroids), never a corpus re-index,
+  // and queries keep serving the table mid-refresh (readers see the
+  // previous committed snapshot until the refresh's atomic commit).
+  // ---------------------------------------------------------------------
+
+  /** Advance the postings table at `ixDir` to `srcDir`'s head under
+    * the frozen quantizer `ck2` (cent_id, cv, cnrm2). Returns rows
+    * written (assignments + tombstones; 0 = already current). Falls
+    * back to a full re-assignment when the last applied source version
+    * left retention.
+    */
+  def annIndexRefresh(
+      s: SparkSession,
+      srcDir: String,
+      srcKey: String,
+      ixDir: String,
+      ck2: DataFrame): Long = {
+    val MS = graft.streaming.MergeSink
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val runId = "annix-" + md.digest(ixDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val srcHead = MS.lastCommit(s, srcDir) match {
+      case Some(c) => c.version
+      case None => return 0L
+    }
+    val applied = MS.commits(s, ixDir)
+      .filter(_.runId == runId).map(_.epoch).maxOption
+    if (applied.contains(srcHead)) return 0L
+    def assignRows(vecs: DataFrame): DataFrame =
+      kmAssign(
+        vecs.select(col("vec_id"), col("embedding"))
+          .withColumn("nrm2", fdot(col("embedding"), col("embedding"))),
+        ck2, Seq("vec_id", "embedding", "nrm2"))
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          sqrt(col("nrm2")).as("nrm"))
+    def commitIx(rows: DataFrame, overwrite: Boolean): Long = {
+      val out = rows.withColumn("__rv", lit(srcHead))
+      val n = out.count()
+      if (overwrite)
+        MS.overwriteBatch(out, ixDir, "vec_id", "__rv",
+          epochId = srcHead, runId = runId)
+      else
+        MS.upsertBatch(out, ixDir, "vec_id", "__rv",
+          epochId = srcHead, runId = runId)
+      n
+    }
+    applied match {
+      case Some(fromV)
+          if MS.commits(s, srcDir).exists(_.version == fromV) =>
+        MS.changeDelta(s, srcDir, srcKey, fromV, srcHead) match {
+          case None =>
+            MS.currentState(s, ixDir).foreach(st =>
+              MS.upsertBatch(st.limit(0), ixDir, "vec_id", "__rv",
+                epochId = srcHead, runId = runId))
+            0L
+          case Some(delta) =>
+            val plus = assignRows(delta.filter(col("__mult") === 1))
+              .withColumn(MS.DeletedCol, lit(false))
+            // a key whose multiplicities net negative vanished entirely
+            val gone = delta
+              .groupBy(col("vec_id"))
+              .agg(sum(col("__mult")).as("m"))
+              .filter(col("m") < 0)
+              .select(col("vec_id"),
+                lit(null).cast("long").as("cell"),
+                lit(null).cast("array<float>").as("embedding"),
+                lit(null).cast("double").as("nrm"),
+                lit(true).as(MS.DeletedCol))
+            commitIx(plus.unionByName(gone), overwrite = false)
+        }
+      case _ =>
+        // first build, or the delta's base left retention: full
+        // re-assignment as ONE overwrite commit
+        commitIx(
+          MS.currentState(s, srcDir).map(assignRows)
+            .getOrElse(return 0L),
+          overwrite = true)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ann_incremental — the index maintenance lane, gated end to end:
+  // day 1 loads 3/4 of the vectors into a merge table, trains the
+  // quantizer on them, and builds the postings table; day 2 commits
+  // inserts (the remaining quarter), re-embeddings (negated vectors —
+  // deterministic, assignment-visible) and deletes to the SOURCE, and
+  // ONE refresh folds exactly those keys into the index (cost bound
+  // REQUIREd; at-head refresh REQUIREd free). Queries then run the
+  // standard multi-probe IVF against the SERVED table. Oracle: DuckDB
+  // re-derives the day-1-trained quantizer, assigns the FINAL vector
+  // set from scratch, and answers the same top-3 — the incrementally
+  // maintained index must be indistinguishable from a fresh build.
+  // ---------------------------------------------------------------------
+  val annIncremental: Q = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_annix_src").toString
+    val ix = java.nio.file.Files
+      .createTempDirectory("graft_annix_ix").toString
+    MS.setHistoryKeep(s, src, 8)
+    val e = checked(s, d).select(col("vec_id"), col("embedding"))
+    val day1 = e.filter(col("vec_id") % 4 =!= 0)
+    MS.upsertBatch(day1.withColumn("rv", lit(1L)),
+      src, "vec_id", "rv", 0L, "load")
+    // freeze the quantizer on day-1 vectors
+    val e1 = day1
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val ck2 = km2Cached(s, d, "incr", e1, centroidPick)
+    val built = annIndexRefresh(s, src, "vec_id", ix, ck2)
+    require(built > 0L, "initial index build wrote nothing")
+    // day 2: deletes, re-embeddings (negated), inserts — to the SOURCE
+    val del = day1.filter(col("vec_id") % 9 === 0)
+      .withColumn("rv", lit(2L))
+      .withColumn(MS.DeletedCol, lit(true))
+    val upd = day1
+      .filter(col("vec_id") % 9 =!= 0 && col("vec_id") % 10 === 1)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x))
+      .withColumn("rv", lit(2L))
+      .withColumn(MS.DeletedCol, lit(false))
+    val ins = e.filter(col("vec_id") % 4 === 0)
+      .withColumn("rv", lit(2L))
+      .withColumn(MS.DeletedCol, lit(false))
+    MS.upsertBatch(del.unionByName(upd).unionByName(ins),
+      src, "vec_id", "rv", 1L, "load")
+    val refreshed = annIndexRefresh(s, src, "vec_id", ix, ck2)
+    val changed = del.count() + upd.count() + ins.count()
+    require(refreshed == changed,
+      s"refresh must touch exactly the changed keys: $refreshed != $changed")
+    require(annIndexRefresh(s, src, "vec_id", ix, ck2) == 0L,
+      "refresh at head must be free")
+    // the index table's own history: one build + one incremental commit
+    require(MS.commits(s, ix).map(_.version) == Seq(0L, 1L))
+    // ---- query the SERVED postings table (multi-probe IVF) ----
+    val served = s.read.format("graft-merge")
+      .option("path", ix).option("key", "vec_id").option("seq", "__rv")
+      .load()
+    val eFinal = MS.currentState(s, src).get
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val qprobe = ivfProbe(eFinal, ck2, probeP)
+    val cand = served
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"),
+        col("vec_id").as("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+    val wRank = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("n_candidates"),
+        col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIncrementalSql: String = {
+    s"""WITH n1 AS (SELECT vec_id, embedding,
+       |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings
+       |  WHERE vec_id % 4 <> 0),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS cv, nrm2 AS cnrm2
+       |  FROM n1 WHERE $sqlCentroidPick),
+       |a0 AS (
+       |  ${sqlKmAssign("n1", "c0")}),
+       |r1 AS (
+       |  ${sqlKmRecompute("a0")}),
+       |c1 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r1),
+       |a1 AS (
+       |  ${sqlKmAssign("n1", "c1")}),
+       |r2 AS (
+       |  ${sqlKmRecompute("a1")}),
+       |c2 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r2),
+       |nf0 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 4 <> 0 AND vec_id % 9 <> 0 AND vec_id % 10 = 1
+       |      THEN list_transform(embedding, x -> -x) ELSE embedding END
+       |      AS embedding
+       |  FROM embeddings
+       |  WHERE vec_id % 4 = 0 OR vec_id % 9 <> 0),
+       |nf AS (SELECT vec_id, embedding,
+       |  ${sqlDot("embedding", "embedding")} AS nrm2 FROM nf0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, sqrt(nrm2) AS nrm, cell FROM (
+       |  ${sqlKmAssign("nf", "c2")}) a),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv, nrm2 AS qnrm2
+       |       FROM nf $sqlQuerySample),
+       |qprobe AS (
+       |  SELECT query_id, qv, sqrt(qnrm2) AS qnrm, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm2, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("c.cv", "q.qv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q0 q CROSS JOIN c2 c) t
+       |  WHERE prb <= $probeP),
+       |cand AS (
+       |  SELECT q.query_id, a.cell, a.vec_id AS neighbor_id,
+       |    ${sqlDot("q.qv", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |  FROM assigned a JOIN qprobe q ON a.cell = q.cell AND a.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cell, count(*) OVER (PARTITION BY query_id) AS n_candidates,
+       |    neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, cell, n_candidates, rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_pq" -> similarityPq,
+    "q_ann_incremental" -> annIncremental,
     "q_similarity_ivfpq" -> similarityIvfPq,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqLoaded,
     "q_similarity_ivfpq_served" -> similarityIvfPqServed,
@@ -2142,6 +2366,7 @@ object Embeddings {
 
   val oracleSql: Map[String, String] = Map(
     "q_similarity_pq" -> similarityPqSql,
+    "q_ann_incremental" -> annIncrementalSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqSql,
     "q_similarity_ivfpq_served" -> similarityIvfPqSql,

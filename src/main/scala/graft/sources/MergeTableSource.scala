@@ -1881,6 +1881,31 @@ class MergeColumnarReader(
             case StringType =>
               val b = sv.getUTF8String(i).getBytes
               ov.putByteArray(o, b, 0, b.length)
+            case ArrayType(et, _) =>
+              // append the elements to the child vector, then record
+              // the (start, length) slice — the writable-vector array
+              // contract (embedding columns etc. survive tombstone
+              // filtering without leaving the columnar path)
+              val arr = sv.getArray(i)
+              val child = ov.arrayData()
+              val start = child.getElementsAppended
+              val len = arr.numElements()
+              var j = 0
+              while (j < len) {
+                if (arr.isNullAt(j)) child.appendNull()
+                else et match {
+                  case FloatType => child.appendFloat(arr.getFloat(j))
+                  case DoubleType => child.appendDouble(arr.getDouble(j))
+                  case LongType => child.appendLong(arr.getLong(j))
+                  case IntegerType => child.appendInt(arr.getInt(j))
+                  case other =>
+                    throw new IllegalArgumentException(
+                      s"graft-merge: unsupported array element type " +
+                        s"$other for ${required.fields(c).name}")
+                }
+                j += 1
+              }
+              ov.putArray(o, start, len)
             case other =>
               throw new IllegalArgumentException(
                 s"graft-merge: unsupported type $other for ${required.fields(c).name}")

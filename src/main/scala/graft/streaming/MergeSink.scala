@@ -1451,14 +1451,43 @@ object MergeSink {
     val carried = (prevManifest -- touched).nonEmpty
     val prevSchema: Option[StructType] =
       prevVersion.flatMap(v => manifestSchema(spark, dir, v))
+    // same type modulo NULLABILITY, widened to nullable: parquet
+    // round-trips (and unionByName) flip containsNull/nullable flags,
+    // and nullable is the safe superset — only a genuine type change
+    // (different class or element type) conflicts
+    def unify(x: org.apache.spark.sql.types.DataType,
+        y: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.types.DataType] = (x, y) match {
+      case (a, b) if a == b => Some(a)
+      case (org.apache.spark.sql.types.ArrayType(ae, an),
+            org.apache.spark.sql.types.ArrayType(be, bn)) =>
+        unify(ae, be).map(
+          org.apache.spark.sql.types.ArrayType(_, an || bn))
+      case (org.apache.spark.sql.types.MapType(ak, av, an),
+            org.apache.spark.sql.types.MapType(bk, bv, bn)) =>
+        for (k <- unify(ak, bk); v <- unify(av, bv))
+          yield org.apache.spark.sql.types.MapType(k, v, an || bn)
+      case (a: StructType, b: StructType)
+          if a.fieldNames.sameElements(b.fieldNames) =>
+        val fs = a.fields.zip(b.fields).map { case (af, bf) =>
+          unify(af.dataType, bf.dataType)
+            .map(t => af.copy(dataType = t,
+              nullable = af.nullable || bf.nullable))
+        }
+        if (fs.forall(_.isDefined)) Some(StructType(fs.map(_.get).toSeq))
+        else None
+      case _ => None
+    }
     def mergeByName(a: StructType, b: StructType): StructType = {
       val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
       (a.fields ++ b.fields).foreach { f =>
         out.get(f.name) match {
           case Some(prev) =>
-            require(prev.dataType == f.dataType,
-              s"merge table: column ${f.name} has conflicting types " +
-                s"${prev.dataType} vs ${f.dataType} across commits")
+            val t = unify(prev.dataType, f.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"merge table: column ${f.name} has conflicting types " +
+                  s"${prev.dataType} vs ${f.dataType} across commits"))
+            out += f.name -> prev.copy(dataType = t)
           case None => out += f.name -> f
         }
       }

@@ -1176,4 +1176,31 @@ class Dsv2Spec extends SparkSpec {
       Option(bad.getCause).exists(_.getMessage.contains("maxVersionsPerTrigger")),
       s"unexpected: $bad")
   }
+
+  test("columnar survivor copy preserves array columns under tombstones") {
+    val s2 = spark
+    import s2.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_arr").toString
+    def vec(id: Long): Seq[Float] = Seq(id.toFloat, -id.toFloat, 0.5f)
+    MergeSink.upsertBatch(
+      (1L to 6L).map(i => (i, vec(i), 1L)).toDF("id", "vec", "rv"),
+      table, "id", "rv", 0L, "load")
+    // tombstone half the keys IN the same buckets -> the read's batches
+    // mix live and dead rows, forcing the survivor-copy path
+    MergeSink.upsertBatch(
+      Seq(2L, 4L, 6L).map(i => (i, vec(i), 2L))
+        .toDF("id", "vec", "rv")
+        .withColumn("__deleted", lit(true)),
+      table, "id", "rv", 1L, "load")
+    val got = spark.read.format("graft-merge")
+      .option("path", table).option("key", "id").option("seq", "rv")
+      .load()
+      .select(col("id"), col("vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    assert(got.keySet == Set(1L, 3L, 5L))
+    Seq(1L, 3L, 5L).foreach(i => assert(got(i) == vec(i), s"id $i"))
+  }
 }
