@@ -1314,7 +1314,8 @@ object GraftProcedures {
 object MergeMetadataTable {
   import org.apache.spark.sql.types._
 
-  val kinds: Set[String] = Set("history", "files", "detail")
+  val kinds: Set[String] =
+    Set("history", "files", "detail", "refs", "constraints")
 
   def schemaOf(kind: String): StructType = kind match {
     case "detail" =>
@@ -1348,6 +1349,15 @@ object MergeMetadataTable {
         StructField("rows", LongType, nullable = true),
         StructField("has_tombstones", BooleanType, nullable = true),
         StructField("files", ArrayType(StringType), nullable = true)))
+    case "refs" =>
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("retained", BooleanType, nullable = false)))
+    case "constraints" =>
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expression", StringType, nullable = false)))
   }
 }
 
@@ -1455,6 +1465,19 @@ class MergeMetadataTable(kind: String, path: String)
               )): InternalRow
             }.toArray
         }
+      case "refs" =>
+        val retained = MergeSink.commits(spark, path).map(_.version).toSet
+        MergeSink.tags(spark, path).toSeq.sorted.map { case (n, v) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), v, retained.contains(v)
+          )): InternalRow
+        }.toArray
+      case "constraints" =>
+        MergeSink.checkConstraints(spark, path).map { case (n, e) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(e)
+          )): InternalRow
+        }.toArray
     }
   }
 }

@@ -299,6 +299,10 @@ object MaterializedViews {
       groupCols: Seq[String],
       aggs: Seq[Agg],
       mode: String): Long = {
+    require(mode == "algebraic" || mode == "rescan",
+      s"create_mv: unknown mode '$mode' (algebraic | rescan)")
+    if (mode == "algebraic") aggs.foreach(deltaExpr) // min/max fail HERE,
+    // before any table exists — not at the first refresh
     val srcOpts = cat.tableOptions(identOf(srcIdent))
     val srcSchema = DataType.fromJson(srcOpts("schema"))
       .asInstanceOf[StructType]

@@ -1751,6 +1751,28 @@ object MergeSink {
         case _ => ()
       }
     }
+    // WAP files no pending references: a publisher that crashed between
+    // its commit point and promotion (the pending sweep above already
+    // folded the commit in), or an abort that died mid-cleanup
+    val wapRoot = new Path(p, "_wap")
+    if (fs.exists(wapRoot)) {
+      val referenced = fs.listStatus(p).iterator
+        .map(_.getPath)
+        .filter(q => PendingRe.pattern.matcher(q.getName).matches())
+        .flatMap { q =>
+          val in = fs.open(q)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().nextOption().map(_.trim)
+          finally in.close()
+        }.toSet
+      fs.listStatus(wapRoot).foreach { st =>
+        if (!referenced.contains(st.getPath.toString) &&
+          now - st.getModificationTime > claimTtl) {
+          fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
+    }
     removed
   }
 

@@ -2313,8 +2313,10 @@ object Streams {
   // MATERIALIZED VIEWS (MaterializedViews): the event ledger lands in a
   // merge table in two commits — v0 = the ids not divisible by 3; v1
   // confines inserts (id%3=0), updates (+7 cents where id%5=0) and
-  // deletes (id%7=0 among the remainder) to groups grp < 20 — so an
-  // incremental refresh provably touches ≤ 20 of the 97 groups.
+  // deletes (id%7=0 among the remainder) to groups with grp % 5 = 0 —
+  // a ~1/5 subset of whatever groups the SF exhibits, so an
+  // incremental refresh provably touches a strict subset at EVERY SF
+  // (sf0.001 exhibits only 15 of the 97 possible groups).
   // Shared by the three q_mv_*/q_catalog_mv lanes.
   // ---------------------------------------------------------------------
   private def mvSourceRows(s: SparkSession, d: String): DataFrame =
@@ -2329,7 +2331,7 @@ object Streams {
       dir, "event_id", "rv", epochId = 0L, runId = "load")
 
   private def mvLoadV1(e: DataFrame, dir: String): Unit = {
-    val narrow = col("grp") < 20
+    val narrow = col("grp") % 5 === 0
     val ins = e.filter(col("event_id") % 3 === 0 && narrow)
       .withColumn("rv", lit(2L)).withColumn("__deleted", lit(false))
     val upd = e.filter(col("event_id") % 3 =!= 0 &&
@@ -2351,13 +2353,13 @@ object Streams {
       |    CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events),
       |final AS (
-      |  SELECT grp, CASE WHEN grp < 20 AND event_id % 5 = 0
+      |  SELECT grp, CASE WHEN grp % 5 = 0 AND event_id % 5 = 0
       |    THEN cents + 7 ELSE cents END AS cents
       |  FROM base
       |  WHERE event_id % 3 <> 0
-      |    AND NOT (grp < 20 AND event_id % 5 <> 0 AND event_id % 7 = 0)
+      |    AND NOT (grp % 5 = 0 AND event_id % 5 <> 0 AND event_id % 7 = 0)
       |  UNION ALL
-      |  SELECT grp, cents FROM base WHERE event_id % 3 = 0 AND grp < 20)
+      |  SELECT grp, cents FROM base WHERE event_id % 3 = 0 AND grp % 5 = 0)
       |""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2378,13 +2380,15 @@ object Streams {
     val mv = java.nio.file.Files.createTempDirectory("graft_mv_v").toString
     val aggs = Seq(MV.Agg("total", "sum", "cents"), MV.Agg("n", "count", "*"))
     val e = mvSourceRows(s, d)
+    val touchable = e.filter(col("grp") % 5 === 0)
+      .select(col("grp")).distinct().count()
     mvLoadV0(e, src)
     val g0 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
-    require(g0 > 20L, s"initial materialization too small: $g0 groups")
+    require(g0 > touchable, s"initial materialization too small: $g0 groups")
     mvLoadV1(e, src)
     val g1 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
-    require(g1 >= 1L && g1 <= 20L,
-      s"algebraic refresh must write only the changed groups, wrote $g1")
+    require(g1 >= 1L && g1 <= touchable,
+      s"algebraic refresh must write only the <= $touchable changed groups, wrote $g1")
     // already current -> no-op; and the view advanced in exactly 2 commits
     require(MV.refreshDir(
       s, src, "event_id", mv, Seq("grp"), aggs, "algebraic") == 0L,
@@ -2418,13 +2422,15 @@ object Streams {
     val aggs = Seq(MV.Agg("mn", "min", "cents"), MV.Agg("mx", "max", "cents"),
       MV.Agg("n", "count", "*"))
     val e = mvSourceRows(s, d)
+    val touchable = e.filter(col("grp") % 5 === 0)
+      .select(col("grp")).distinct().count()
     mvLoadV0(e, src)
     val g0 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "rescan")
-    require(g0 > 20L, s"initial materialization too small: $g0 groups")
+    require(g0 > touchable, s"initial materialization too small: $g0 groups")
     mvLoadV1(e, src)
     val g1 = MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "rescan")
-    require(g1 >= 1L && g1 <= 20L,
-      s"rescan refresh must recompute only touched groups, wrote $g1")
+    require(g1 >= 1L && g1 <= touchable,
+      s"rescan refresh must recompute only the <= $touchable touched groups, wrote $g1")
     require(MV.refreshDir(
       s, src, "event_id", mv, Seq("grp"), aggs, "rescan") == 0L,
       "refresh at head must be a no-op")
@@ -2471,27 +2477,29 @@ object Streams {
     s.sql(s"""INSERT INTO $cat.g.src
              |SELECT event_id, grp, cents, 1 AS rv FROM $view
              |WHERE event_id % 3 <> 0""".stripMargin)
+    val touchable = mvSourceRows(s, d).filter(col("grp") % 5 === 0)
+      .select(col("grp")).distinct().count()
     val created = s.sql(
       s"""CALL $cat.sys.create_mv('g.mv', 'g.src', 'grp',
          |'total=sum:cents,n=count:*', 'algebraic')""".stripMargin)
       .head().getInt(0)
-    require(created > 20, s"create_mv materialized too little: $created")
+    require(created > touchable, s"create_mv materialized too little: $created")
     // day-2: inserts + updates via INSERT (latest-wins upsert), the
-    // deletes via row-level DELETE — all confined to grp < 20
+    // deletes via row-level DELETE — all confined to grp % 5 = 0
     s.sql(s"""INSERT INTO $cat.g.src
              |SELECT event_id, grp,
              |  CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
              |    THEN cents + 7 ELSE cents END,
              |  2 AS rv
              |FROM $view
-             |WHERE grp < 20 AND (event_id % 3 = 0 OR event_id % 5 = 0)
+             |WHERE grp % 5 = 0 AND (event_id % 3 = 0 OR event_id % 5 = 0)
              |""".stripMargin)
     s.sql(s"""DELETE FROM $cat.g.src
-             |WHERE grp < 20 AND event_id % 3 <> 0
+             |WHERE grp % 5 = 0 AND event_id % 3 <> 0
              |  AND event_id % 5 <> 0 AND event_id % 7 = 0""".stripMargin)
     val refreshed = s.sql(s"CALL $cat.sys.refresh_mv('g.mv')").head().getInt(0)
-    require(refreshed >= 1 && refreshed <= 20,
-      s"refresh_mv must fold only the changed groups, wrote $refreshed")
+    require(refreshed >= 1 && refreshed <= touchable,
+      s"refresh_mv must fold only the <= $touchable changed groups, wrote $refreshed")
     require(s.sql(s"CALL $cat.sys.refresh_mv('g.mv')").head().getInt(0) == 0,
       "refresh_mv at head must be a no-op")
     s.sql(s"SELECT grp, total, n FROM $cat.g.mv ORDER BY grp")

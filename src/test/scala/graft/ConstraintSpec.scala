@@ -85,6 +85,10 @@ class ConstraintSpec extends SparkSpec {
          |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
     assert(spark.sql(s"CALL $cat.sys.add_check('c.t', 'positive', 'v >= 0')")
       .head().getInt(0) == 1)
+    // constraints are discoverable through the .constraints metadata table
+    assert(spark.sql(s"SELECT name, expression FROM $cat.c.t.constraints")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("positive", "v >= 0")))
     spark.sql(s"INSERT INTO $cat.c.t VALUES (1, 10, 1), (2, 20, 1)")
     val e = intercept[Exception] {
       spark.sql(s"INSERT INTO $cat.c.t VALUES (3, -30, 2)")

@@ -163,6 +163,10 @@ class WapSpec extends SparkSpec {
     // tag the published snapshot; time travel by name through SQL
     assert(spark.sql(s"CALL $cat.sys.create_tag('w.t', 'after-nightly', 1)")
       .head().getInt(0) == 1)
+    // tags are discoverable through the .refs metadata table
+    assert(spark.sql(s"SELECT name, version, retained FROM $cat.w.t.refs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq == Seq(("after-nightly", 1L, true)))
     spark.sql(s"INSERT INTO $cat.w.t VALUES (4, 40, 3)")
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.w.t VERSION AS OF 'after-nightly'")
@@ -179,5 +183,33 @@ class WapSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.w.t VALUES (6, 60, 5)")
     assert(spark.table(s"$cat.w.t").count() == 5L)
     assert(ids(spark.table(s"$cat.w.t")) == Set(1L, 2L, 3L, 4L, 6L))
+  }
+
+  test("a publish crashed after its commit point completes via vacuum") {
+    val t = tmp("wap_crash")
+    MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), t, "id", "rv", 0L, "load")
+    MergeSink.wapStage(df(Seq((2L, 20L)), 2L), t, "id", "rv", "torn")
+    // simulate the crash: the atomic commit point happened (wap file
+    // exists) but promotion never ran
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wf = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p, "_wap"), "torn")
+    fs.mkdirs(wf.getParent)
+    fs.create(wf, false).close()
+    // the instant the file exists, the staged version IS committed —
+    // readers resolve it with no promotion needed
+    assert(MergeSink.commits(spark, t).map(_.version) == Seq(0L, 1L))
+    assert(ids(MergeSink.currentState(spark, t).get) == Set(1L, 2L))
+    // vacuum folds the pending into a direct marker and (once aged past
+    // the lease) sweeps the orphaned wap file
+    fs.setTimes(wf, System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+    MergeSink.vacuum(spark, t)
+    assert(MergeSink.commits(spark, t).map(_.version) == Seq(0L, 1L))
+    assert(!fs.exists(wf), "orphaned wap file must be swept")
+    assert(fs.listStatus(p).forall(
+      !_.getPath.getName.startsWith("_pending_")),
+      "pending must have been promoted")
+    assert(ids(MergeSink.currentState(spark, t).get) == Set(1L, 2L))
   }
 }
