@@ -2169,7 +2169,9 @@ object Embeddings {
         .select(col("vec_id"), col("cell"), col("embedding"),
           sqrt(col("nrm2")).as("nrm"))
     def commitIx(rows: DataFrame, overwrite: Boolean): Long = {
-      val out = rows.withColumn("__rv", lit(srcHead))
+      // computed once: the report count AND the commit read the
+      // checkpointed blocks (assignment is the expensive part)
+      val out = rows.withColumn("__rv", lit(srcHead)).localCheckpoint()
       val n = out.count()
       if (overwrite)
         MS.overwriteBatch(out, ixDir, "vec_id", "__rv",

@@ -219,6 +219,7 @@ object MaterializedViews {
         folded(RowCountCol).cast(LongType).as(RowCountCol) :+
         lit(srcHead).as(RefreshCol) :+
         (folded(RowCountCol) === 0L).as(MergeSink.DeletedCol)): _*)
+      .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count() // O(changed groups) — the refresh's report
     MergeSink.upsertBatch(
       out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId)
@@ -250,6 +251,7 @@ object MaterializedViews {
       .withColumn(MergeSink.DeletedCol, lit(false))
       .unionByName(vanished.withColumn(MergeSink.DeletedCol, lit(true)))
       .withColumn(RefreshCol, lit(srcHead))
+      .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count()
     MergeSink.upsertBatch(
       out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId)

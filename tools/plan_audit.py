@@ -33,6 +33,7 @@ ALLOW = {
         "q_similarity_topk": (2, "bounded query panel x corpus (brute-force ANN baseline)"),
         "q_similarity_lsh": (2, "bounded query panel; bucket-pruned candidates"),
         "q_similarity_ivf": (4, "bounded query panel x probed cells"),
+        "q_ann_incremental": (2, "bounded query panel x the O(centroidCap) broadcast centroid frame (probe pick); postings join is an equi-join on cell"),
         "q_similarity_pq": (2, "bounded query panel; ADC over members"),
         "q_similarity_ivfpq": (6, "bounded query panel; probed-cell members only"),
         "q_similarity_ivfpq_loaded": (6, "same serving operators as q_similarity_ivfpq, models from the parquet artifact"),
