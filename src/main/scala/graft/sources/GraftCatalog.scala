@@ -906,7 +906,7 @@ object GraftProcedures {
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
       "create_mv", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
-      "add_check", "drop_check")
+      "add_check", "drop_check", "refresh_dependents")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -929,6 +929,7 @@ object GraftProcedures {
       case "wap_abort" => Some(new WapAbortProc(cat))
       case "add_check" => Some(new AddCheckProc(cat))
       case "drop_check" => Some(new DropCheckProc(cat))
+      case "refresh_dependents" => Some(new RefreshDependentsProc(cat))
       case _ => None
     }
 
@@ -1289,6 +1290,25 @@ object GraftProcedures {
         input.getUTF8String(1).toString, input.getUTF8String(2).toString)
       MergeSink.checkConstraints(spark, opts("path")).size
     }
+  }
+
+  /** `CALL cat.sys.refresh_dependents('ns.src')` — refresh every
+    * materialized view defined over the named table
+    * ([[MaterializedViews.refreshDependents]]); the post-commit
+    * maintenance move. Returns the number of views refreshed (views
+    * already at head count too — each refresh is independently
+    * exactly-once and a no-op there).
+    */
+  final class RefreshDependentsProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "refresh_dependents", "views_refreshed",
+        Seq.empty) {
+    override def description(): String =
+      "refresh every materialized view defined over this table"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      oneRow(MaterializedViews.refreshDependents(
+        SparkSession.active, cat, input.getUTF8String(0).toString).size)
   }
 
   /** `CALL cat.sys.drop_check('ns.t', 'name')`. */

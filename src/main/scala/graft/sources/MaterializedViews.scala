@@ -346,6 +346,33 @@ object MaterializedViews {
       mode = mvOpts.getOrElse("graft.mv.mode", "algebraic"))
   }
 
+  /** Refresh EVERY materialized view whose `graft.mv.source` names
+    * `srcIdent` (one catalog listing, then per-view [[refresh]] —
+    * each independently exactly-once). Returns (view, groups written).
+    * The post-commit maintenance move: land data, then
+    * `CALL refresh_dependents('db.src')` brings every derived table
+    * to the new head.
+    */
+  private[sources] def refreshDependents(
+      spark: SparkSession,
+      cat: GraftCatalog,
+      srcIdent: String): Seq[(String, Long)] = {
+    val srcNs = identOf(srcIdent).namespace().toSeq
+    // arrays compare by identity — dedup namespaces as Seqs
+    (cat.listNamespaces().toSeq.map(_.toSeq) :+ srcNs).distinct.flatMap {
+      ns =>
+        cat.listTables(ns.toArray).toSeq.flatMap { id =>
+          val full = (id.namespace() :+ id.name()).mkString(".")
+          val opts = cat.tableOptions(id)
+          opts.get("graft.mv.source") match {
+            case Some(src) if src == srcIdent =>
+              Some(full -> refresh(spark, cat, full))
+            case _ => None
+          }
+        }
+    }
+  }
+
   private def identOf(s: String)
       : org.apache.spark.sql.connector.catalog.Identifier = {
     val parts = s.split("\\.")

@@ -954,6 +954,110 @@ object MergeSink {
         ()
       }
 
+  /** MULTI-TABLE WRITE-AUDIT-PUBLISH: [[commitTransaction]] with the
+    * commit point deliberately withheld. Every participant stages
+    * pending on the shared wap transaction file; none is visible
+    * anywhere until [[publishTransaction]] creates it — ONE atomic
+    * create then makes every table's version visible at the same
+    * instant (audit each table's staged state with [[wapAudit]]
+    * first). [[abortTransaction]] rolls every participant back.
+    * The same claim-lease caveat as [[wapStage]] applies per table.
+    * Returns (dir -> staged version).
+    */
+  def stageTransaction(
+      spark: SparkSession,
+      txnDir: String,
+      writes: Seq[TxnWrite],
+      wapId: String): Seq[(String, Long)] = {
+    require(WapIdRe.pattern.matcher(wapId).matches(),
+      s"stageTransaction: bad wap id '$wapId' (letters/digits/.- only)")
+    require(writes.nonEmpty, "stageTransaction: no writes")
+    require(writes.map(_.dir).distinct.size == writes.size,
+      "stageTransaction: one write per table")
+    val (tfs, tp) = fsOf(spark, txnDir)
+    tfs.mkdirs(tp)
+    val txnFile = new Path(tp, s"txn_wap-${wapId}_e0")
+    require(!tfs.exists(txnFile),
+      s"stageTransaction: wap id '$wapId' already published on $txnDir")
+    val runId = s"wap-$wapId"
+    val staged = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      writes.foreach { w =>
+        planUpsert(w.batch, w.dir, w.key, w.seq, 0L, runId,
+          reRegister = true) match {
+          case Some(pc) =>
+            publish(
+              pc.spark, w.dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
+              pc.newV, runId, 0L, prevVersion = pc.prevVersion,
+              pendingTxnFile = Some(txnFile.toString))
+            staged += w.dir -> pc.newV
+          case None => // already committed under this wapId (replay)
+            commits(spark, w.dir).find(_.runId == runId)
+              .foreach(c => staged += w.dir -> c.version)
+        }
+      }
+      staged.toSeq
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        staged.foreach { case (d, v) => abortPending(spark, d, v, runId, 0L) }
+        throw e
+    }
+  }
+
+  /** The atomic commit point of a [[stageTransaction]]: create the
+    * shared wap transaction file, then promote every participant.
+    * Returns (dir -> published version).
+    */
+  def publishTransaction(
+      spark: SparkSession,
+      txnDir: String,
+      dirs: Seq[String],
+      wapId: String): Seq[(String, Long)] = {
+    val (tfs, tp) = fsOf(spark, txnDir)
+    val txnFile = new Path(tp, s"txn_wap-${wapId}_e0")
+    val runId = s"wap-$wapId"
+    val parts = dirs.map { d =>
+      val (fs, p) = fsOf(spark, d)
+      // pendings record the SHARED txn file; resolve by writer identity
+      val staged = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .collectFirst {
+          case PendingRe(pv, pr, pe) if pr == runId =>
+            (pv.toLong, pr, pe.toLong, true)
+        }
+        .orElse(commits(spark, d).find(_.runId == runId)
+          .map(c => (c.version, runId, c.epoch, false))) // replay: promoted
+        .getOrElse(throw new IllegalArgumentException(
+          s"publishTransaction: no staged participant for '$wapId' on $d"))
+      (d, staged)
+    }
+    tfs.create(txnFile, false).close() // ---- THE COMMIT POINT ----
+    parts.foreach { case (d, (v, r, e, pending)) =>
+      if (pending) promotePending(spark, d, v, r, e)
+    }
+    tfs.delete(txnFile, false)
+    parts.map { case (d, (v, _, _, _)) => d -> v }
+  }
+
+  /** Roll a staged (unpublished) transaction back on every table. */
+  def abortTransaction(
+      spark: SparkSession,
+      txnDir: String,
+      dirs: Seq[String],
+      wapId: String): Unit = {
+    val (tfs, tp) = fsOf(spark, txnDir)
+    require(!tfs.exists(new Path(tp, s"txn_wap-${wapId}_e0")),
+      s"abortTransaction: '$wapId' already passed its commit point")
+    val runId = s"wap-$wapId"
+    dirs.foreach { d =>
+      val (fs, p) = fsOf(spark, d)
+      fs.listStatus(p).iterator.map(_.getPath.getName).foreach {
+        case PendingRe(pv, pr, pe) if pr == runId =>
+          abortPending(spark, d, pv.toLong, pr, pe.toLong)
+        case _ => ()
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // WRITE-AUDIT-PUBLISH: stage a commit invisibly, inspect it, then
   // make it visible with one atomic file create — the Iceberg WAP
@@ -1045,6 +1149,13 @@ object MergeSink {
       wapId: String): Option[DataFrame] = {
     val (fs, p) = fsOf(spark, dir)
     wapPending(spark, fs, p, wapId)
+      .orElse { // a stageTransaction participant (shared txn file):
+        // resolve by the wap writer identity instead
+        fs.listStatus(p).iterator.map(_.getPath.getName).collectFirst {
+          case PendingRe(v, r, e) if r == s"wap-$wapId" =>
+            (v.toLong, r, e.toLong)
+        }
+      }
       .flatMap { case (v, _, _) => readVersion(spark, dir, v) }
   }
 

@@ -239,4 +239,33 @@ class MvSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a materialized view"))
   }
+
+  test("refresh_dependents brings every view of a source to its head") {
+    val cat = "mvdeps"
+    val wh = tmp("mv_deps_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.src (id BIGINT, grp BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.m.src VALUES (1, 0, 10, 1), (2, 1, 20, 1)")
+    spark.sql(s"""CALL $cat.sys.create_mv('m.sums', 'm.src', 'grp',
+      |'total=sum:v', 'algebraic')""".stripMargin).collect()
+    spark.sql(s"""CALL $cat.sys.create_mv('m.exts', 'm.src', 'grp',
+      |'mx=max:v', 'rescan')""".stripMargin).collect()
+    spark.sql(s"INSERT INTO $cat.m.src VALUES (3, 1, 40, 2)")
+    // ONE call refreshes both views
+    assert(spark.sql(s"CALL $cat.sys.refresh_dependents('m.src')")
+      .head().getInt(0) == 2)
+    assert(spark.sql(s"SELECT total FROM $cat.m.sums WHERE grp = 1")
+      .head().getLong(0) == 60L)
+    assert(spark.sql(s"SELECT mx FROM $cat.m.exts WHERE grp = 1")
+      .head().getLong(0) == 40L)
+    // both at head: the next call still succeeds, each view a no-op
+    assert(spark.sql(s"CALL $cat.sys.refresh_dependents('m.src')")
+      .head().getInt(0) == 2)
+  }
 }

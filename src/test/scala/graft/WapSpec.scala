@@ -185,6 +185,53 @@ class WapSpec extends SparkSpec {
     assert(ids(spark.table(s"$cat.w.t")) == Set(1L, 2L, 3L, 4L, 6L))
   }
 
+  test("multi-table WAP: stage two tables, audit both, publish atomically") {
+    val a = tmp("wap_txn_a")
+    val b = tmp("wap_txn_b")
+    val txn = tmp("wap_txn_log")
+    MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), a, "id", "rv", 0L, "load")
+    MergeSink.upsertBatch(df(Seq((1L, -10L)), 1L), b, "id", "rv", 0L, "load")
+    val staged = MergeSink.stageTransaction(spark, txn, Seq(
+      MergeSink.TxnWrite(a, "id", "rv", df(Seq((2L, 20L)), 2L)),
+      MergeSink.TxnWrite(b, "id", "rv", df(Seq((2L, -20L)), 2L))),
+      "nightly2")
+    assert(staged.toMap == Map(a -> 1L, b -> 1L))
+    // nothing visible anywhere
+    assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L))
+    assert(MergeSink.commits(spark, b).map(_.version) == Seq(0L))
+    // audit each participant's complete future state
+    assert(ids(MergeSink.wapAudit(spark, a, "nightly2").get) == Set(1L, 2L))
+    assert(ids(MergeSink.wapAudit(spark, b, "nightly2").get) == Set(1L, 2L))
+    // ONE publish makes both visible
+    val pub = MergeSink.publishTransaction(spark, txn, Seq(a, b), "nightly2")
+    assert(pub.toMap == Map(a -> 1L, b -> 1L))
+    assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L, 1L))
+    assert(MergeSink.commits(spark, b).map(_.version) == Seq(0L, 1L))
+    // conservation across the published pair
+    val total = MergeSink.currentState(spark, a).get
+      .unionByName(MergeSink.currentState(spark, b).get)
+      .agg(sum("v")).head().getLong(0)
+    assert(total == 0L)
+  }
+
+  test("multi-table WAP: abort rolls every participant back") {
+    val a = tmp("wap_txa_a")
+    val b = tmp("wap_txa_b")
+    val txn = tmp("wap_txa_log")
+    MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), a, "id", "rv", 0L, "load")
+    MergeSink.stageTransaction(spark, txn, Seq(
+      MergeSink.TxnWrite(a, "id", "rv", df(Seq((2L, 20L)), 2L)),
+      MergeSink.TxnWrite(b, "id", "rv", df(Seq((2L, -20L)), 2L))),
+      "bad2")
+    MergeSink.abortTransaction(spark, txn, Seq(a, b), "bad2")
+    assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L))
+    assert(MergeSink.commits(spark, b).isEmpty)
+    // both tables writable again at the released versions
+    MergeSink.upsertBatch(df(Seq((3L, 30L)), 3L), a, "id", "rv", 1L, "load",
+      reRegister = true)
+    assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L, 1L))
+  }
+
   test("a publish crashed after its commit point completes via vacuum") {
     val t = tmp("wap_crash")
     MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), t, "id", "rv", 0L, "load")
