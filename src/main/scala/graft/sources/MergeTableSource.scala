@@ -351,7 +351,13 @@ class GraftMergeTable(tableSchema0: StructType, props: Map[String, String])
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE) // INSERT OVERWRITE = truncate-and-load
+      TableCapability.TRUNCATE, // INSERT OVERWRITE = truncate-and-load
+      // MERGE ... WITH SCHEMA EVOLUTION: Spark derives AddColumn
+      // changes from the source's extra columns and applies them
+      // through the catalog's alterTable (our metadata-only ADD
+      // COLUMN) before resolving the merge — new columns land with
+      // zero data rewritten, old rows read NULL
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // -------------------------------------------------------------------
   // SQL DELETE (`DELETE FROM t WHERE …`) — a TOMBSTONE COMMIT, the

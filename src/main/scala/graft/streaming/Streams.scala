@@ -2623,6 +2623,82 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_evolution — MERGE ... WITH SCHEMA EVOLUTION gated end to
+  // end: the day-2 source carries a column the target never declared
+  // (`flag`); Spark derives the AddColumn change from the source
+  // schema and applies it through the catalog's metadata-only ADD
+  // COLUMN (zero data rewritten) before resolving the merge — matched
+  // users update to the source row, new users insert, and every
+  // pre-evolution row reads the new column as NULL. Output: the
+  // per-bucket aggregate over the evolved table (NULL flags fold as
+  // -1) vs the declarative full-outer latest-wins oracle.
+  // ---------------------------------------------------------------------
+  val mergeEvolutionGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gevo$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.t (user_id BIGINT, event_id BIGINT,
+         |cents BIGINT)
+         |USING `graft-merge` OPTIONS (key 'user_id', seq 'event_id')
+         |""".stripMargin)
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val mid = e.agg(max(col("event_id"))).head().getLong(0) / 2
+    val view = s"graft_evo_events_$nRun"
+    e.createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.g.t
+             |SELECT user_id, event_id, cents FROM $view
+             |WHERE event_id <= $mid""".stripMargin)
+    require(!s.table(s"$cat.g.t").columns.contains("flag"))
+    // day-2 source: one row per key (the MERGE cardinality contract),
+    // carrying the NEW `flag` column
+    s.sql(s"""SELECT user_id, max(event_id) AS event_id,
+             |  max_by(cents, event_id) AS cents,
+             |  max(event_id) % 2 AS flag
+             |FROM $view WHERE event_id > $mid GROUP BY user_id"""
+      .stripMargin).createOrReplaceTempView(s"${view}_day2")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.g.t t
+         |USING ${view}_day2 s ON t.user_id = s.user_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(s.table(s"$cat.g.t").columns.contains("flag"),
+      "schema evolution must add the source's new column")
+    s.sql(
+      s"""SELECT user_id % 9 AS bucket, count(*) AS n_keys,
+         |CAST(SUM(cents) AS BIGINT) AS cents_total,
+         |CAST(SUM(COALESCE(flag, -1)) AS BIGINT) AS flag_total
+         |FROM $cat.g.t GROUP BY user_id % 9 ORDER BY bucket""".stripMargin)
+  }
+
+  val mergeEvolutionGatedSql: String =
+    """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+      |fh AS (
+      |  SELECT user_id, max(event_id) AS id,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+      |  FROM events, m WHERE event_id <= mid GROUP BY user_id),
+      |sh AS (
+      |  SELECT user_id, max(event_id) AS id,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+      |  FROM events, m WHERE event_id > mid GROUP BY user_id),
+      |merged AS (
+      |  SELECT COALESCE(s.user_id, f.user_id) AS user_id,
+      |    CASE WHEN s.user_id IS NOT NULL THEN s.cents ELSE f.cents END
+      |      AS cents,
+      |    CASE WHEN s.user_id IS NOT NULL THEN s.id % 2 ELSE -1 END
+      |      AS flag
+      |  FROM fh f FULL OUTER JOIN sh s ON f.user_id = s.user_id)
+      |SELECT user_id % 9 AS bucket, count(*) AS n_keys,
+      |CAST(SUM(cents) AS BIGINT) AS cents_total,
+      |CAST(SUM(flag) AS BIGINT) AS flag_total
+      |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_dsv2_write — the connector's BATCH WRITE path: two merge commits
   // issued through the STANDARD writer API
   // (df.write.format("graft-merge").mode("append") with key/seq
@@ -4085,6 +4161,7 @@ object Streams {
     "q_catalog_mv" -> catalogMvGated,
     "q_merge_wap" -> mergeWapGated,
     "q_merge_constraint" -> mergeConstraintGated,
+    "q_merge_evolution" -> mergeEvolutionGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
     "q_merge_timetravel" -> mergeTimetravelGated,
@@ -4143,6 +4220,7 @@ object Streams {
     "q_catalog_mv" -> catalogMvGatedSql,
     "q_merge_wap" -> mergeWapGatedSql,
     "q_merge_constraint" -> mergeConstraintGatedSql,
+    "q_merge_evolution" -> mergeEvolutionGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
     "q_merge_timetravel" -> mergeTimetravelGatedSql,

@@ -240,6 +240,35 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds the source's new columns") {
+    val cat = "msespec"
+    val wh = tmp("mse_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.tgt (id BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.tgt VALUES (1, 10, 1), (2, 20, 1)")
+    val s2 = spark
+    import s2.implicits._
+    Seq((2L, 25L, 2L, "beta"), (3L, 30L, 2L, "gamma"))
+      .toDF("id", "v", "rv", "tag") // `tag` does not exist on the target
+      .createOrReplaceTempView("mse_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.m.tgt t
+         |USING mse_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT id, v, tag FROM $cat.m.tgt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(got == Seq((1L, 10L, "-"), (2L, 25L, "beta"), (3L, 30L, "gamma")))
+    // the evolved column is part of the table schema now
+    assert(spark.table(s"$cat.m.tgt").columns.contains("tag"))
+  }
+
   test("refresh_dependents brings every view of a source to its head") {
     val cat = "mvdeps"
     val wh = tmp("mv_deps_wh")
