@@ -308,7 +308,13 @@ class GraftCatalog
     given.foreach { case (k, v) =>
       if (k.startsWith(TableCatalog.OPTION_PREFIX)) {
         val bare = k.stripPrefix(TableCatalog.OPTION_PREFIX)
-        if (bare != "key" && bare != "seq" && bare != "path")
+        if (bare.startsWith("check."))
+          // `check.<name> '<expr>'`: declare a CHECK constraint at
+          // creation (the inline-DDL shape) — lives in the table's own
+          // sidecar, exactly as CALL add_check would put it
+          graft.streaming.MergeSink.setCheckConstraint(
+            SparkSession.active, path, bare.stripPrefix("check."), v)
+        else if (bare != "key" && bare != "seq" && bare != "path")
           props.setProperty(bare, v)
       }
     }
@@ -405,7 +411,13 @@ class GraftCatalog
     given.foreach { case (k, v) =>
       if (k.startsWith(TableCatalog.OPTION_PREFIX)) {
         val bare = k.stripPrefix(TableCatalog.OPTION_PREFIX)
-        if (bare != "key" && bare != "seq" && bare != "path")
+        if (bare.startsWith("check."))
+          // `check.<name> '<expr>'`: declare a CHECK constraint at
+          // creation (the inline-DDL shape) — lives in the table's own
+          // sidecar, exactly as CALL add_check would put it
+          graft.streaming.MergeSink.setCheckConstraint(
+            SparkSession.active, path, bare.stripPrefix("check."), v)
+        else if (bare != "key" && bare != "seq" && bare != "path")
           props.setProperty(bare, v)
       }
     }

@@ -73,6 +73,29 @@ class ConstraintSpec extends SparkSpec {
     assert(e.getMessage.contains("lacks"))
   }
 
+  test("CREATE TABLE check.* options declare constraints inline") {
+    val cat = "ckddl"
+    val wh = tmp("ckddl_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.c")
+    spark.sql(
+      s"""CREATE TABLE $cat.c.t (id BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge`
+         |OPTIONS (key 'id', seq 'rv', `check.positive` 'v >= 0')
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT name, expression FROM $cat.c.t.constraints")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("positive", "v >= 0")))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.c.t VALUES (1, -1, 1)")
+    }
+    assert(e.getMessage.contains("positive"))
+    spark.sql(s"INSERT INTO $cat.c.t VALUES (1, 1, 1)")
+    assert(spark.table(s"$cat.c.t").count() == 1L)
+  }
+
   test("SQL surface: add_check/drop_check procedures guard INSERT and DML") {
     val cat = "ckspec"
     val wh = tmp("ck_wh")
