@@ -2259,10 +2259,10 @@ object Embeddings {
     val ins = e.filter(col("vec_id") % 4 === 0)
       .withColumn("rv", lit(2L))
       .withColumn(MS.DeletedCol, lit(false))
-    MS.upsertBatch(del.unionByName(upd).unionByName(ins),
-      src, "vec_id", "rv", 1L, "load")
+    val day2 = del.unionByName(upd).unionByName(ins).localCheckpoint()
+    MS.upsertBatch(day2, src, "vec_id", "rv", 1L, "load")
     val refreshed = annIndexRefresh(s, src, "vec_id", ix, ck2)
-    val changed = del.count() + upd.count() + ins.count()
+    val changed = day2.count() // one materialized batch: commit + bound
     require(refreshed == changed,
       s"refresh must touch exactly the changed keys: $refreshed != $changed")
     require(annIndexRefresh(s, src, "vec_id", ix, ck2) == 0L,
