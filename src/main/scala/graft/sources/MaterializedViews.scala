@@ -346,6 +346,45 @@ object MaterializedViews {
       mode = mvOpts.getOrElse("graft.mv.mode", "algebraic"))
   }
 
+  /** CONTINUOUSLY MAINTAINED VIEW: a streaming sink whose every
+    * micro-batch (1) upserts into the source table and (2) advances
+    * the view to the new head — both exactly-once (the source by the
+    * sink's (queryId, epoch) contract, the refresh by its own
+    * (runId, source version) contract), so a crash ANYWHERE replays
+    * into no-ops and the view is never more than one in-flight
+    * micro-batch behind its source. The streaming dual of
+    * `refresh_dependents`: the analytic state stays queryable and
+    * fresh while data lands.
+    */
+  def maintainedSink(
+      df: DataFrame,
+      srcDir: String,
+      srcKey: String,
+      srcSeq: String,
+      checkpoint: String,
+      mvDir: String,
+      groupCols: Seq[String],
+      aggs: Seq[Agg],
+      mode: String): org.apache.spark.sql.streaming.DataStreamWriter[
+    org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val runId = Option(
+          batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(
+            java.util.UUID
+              .nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+              .toString)
+        MergeSink.upsertBatch(
+          batch, srcDir, srcKey, srcSeq, epochId, runId)
+        refreshDir(
+          batch.sparkSession, srcDir, srcKey, mvDir, groupCols, aggs, mode)
+        ()
+      }
+
   /** Refresh EVERY materialized view whose `graft.mv.source` names
     * `srcIdent` (one catalog listing, then per-view [[refresh]] —
     * each independently exactly-once). Returns (view, groups written).

@@ -2576,6 +2576,72 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_mv_stream — the CONTINUOUSLY MAINTAINED VIEW: the event ledger
+  // streams into the source table in >= 2 micro-batches and EVERY
+  // micro-batch also advances the materialized per-group aggregate
+  // (MaterializedViews.maintainedSink: source upsert + algebraic
+  // refresh in one foreachBatch, each leg independently exactly-once).
+  // The gate REQUIREs the view committed once per data epoch (it was
+  // fresh at every point, not rebuilt at the end) and converged to the
+  // from-scratch aggregate — the DuckDB oracle over the full ledger.
+  // ---------------------------------------------------------------------
+  val mvStreamGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val MS = graft.streaming.MergeSink
+    val src = java.nio.file.Files.createTempDirectory("graft_mvs_src").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvs_v").toString
+    val files = java.nio.file.Files.createTempDirectory("graft_mvs_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mvs_ck").toString
+    val aggs = Seq(MV.Agg("total", "sum", "cents"), MV.Agg("n", "count", "*"))
+    val e = mvSourceRows(s, d)
+    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    // three source files -> three micro-batches under AvailableNow
+    Seq(col("event_id") <= mx / 3,
+      col("event_id") > mx / 3 && col("event_id") <= 2 * mx / 3,
+      col("event_id") > 2 * mx / 3)
+      .foreach(p => e.filter(p).withColumn("rv", lit(1L))
+        .coalesce(1).write.mode("append").parquet(files))
+    withStatePartitions(s, 8) {
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rv",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files)
+      val q = MV.maintainedSink(
+        stream, src, "event_id", "rv", ckpt, mv, Seq("grp"), aggs,
+        "algebraic")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val srcCommits = MS.commits(s, src).size
+    val mvCommits = MS.commits(s, mv).size
+    require(srcCommits >= 2 && mvCommits == srcCommits,
+      s"view must advance once per data epoch: src $srcCommits, mv $mvCommits")
+    // at head: one more refresh is free
+    require(MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs,
+      "algebraic") == 0L, "refresh at head must be a no-op")
+    MS.currentState(s, mv).get
+      .select(col("grp"), col("total"), col("n"))
+      .orderBy(col("grp"))
+  }
+
+  val mvStreamGatedSql: String =
+    """WITH base AS (
+      |  SELECT user_id % 97 AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT grp, CAST(SUM(cents) AS BIGINT) AS total, count(*) AS n
+      |FROM base GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_constraint — CHECK CONSTRAINTS gated end to end: the table
   // declares 'cents >= 0' and 'user_id IS NOT NULL'; a poisoned batch
   // (negated cents on every 11th event) is REJECTED with the violating
@@ -4159,6 +4225,7 @@ object Streams {
     "q_mv_refresh" -> mvRefreshGated,
     "q_mv_rescan" -> mvRescanGated,
     "q_catalog_mv" -> catalogMvGated,
+    "q_mv_stream" -> mvStreamGated,
     "q_merge_wap" -> mergeWapGated,
     "q_merge_constraint" -> mergeConstraintGated,
     "q_merge_evolution" -> mergeEvolutionGated,
@@ -4218,6 +4285,7 @@ object Streams {
     "q_mv_refresh" -> mvRefreshGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,
     "q_catalog_mv" -> catalogMvGatedSql,
+    "q_mv_stream" -> mvStreamGatedSql,
     "q_merge_wap" -> mergeWapGatedSql,
     "q_merge_constraint" -> mergeConstraintGatedSql,
     "q_merge_evolution" -> mergeEvolutionGatedSql,
