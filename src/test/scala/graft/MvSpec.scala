@@ -240,6 +240,32 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("maintained view: a crash between source commit and refresh replays clean") {
+    val src = tmp("mv_crash_src")
+    val mv = tmp("mv_crash_v")
+    val runId = "stream-q1" // the sink's stable streaming identity
+    // epoch 0 lands + view refreshed (the healthy first micro-batch)
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 1L, 20L)), 1L), src, "id", "rv", 0L, runId)
+    MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    // epoch 1 lands but the process DIES before the refresh leg
+    MergeSink.upsertBatch(
+      df(Seq((3L, 1L, 30L)), 2L), src, "id", "rv", 1L, runId)
+    assert(viewState(mv, sumAggs)(1L) == Seq(20L, 1L),
+      "view lags one epoch after the crash — by design")
+    // replay of the micro-batch: the source leg is an exactly-once
+    // no-op (same runId+epoch), the refresh leg advances the view
+    MergeSink.upsertBatch(
+      df(Seq((3L, 1L, 30L)), 2L), src, "id", "rv", 1L, runId)
+    assert(MergeSink.commits(spark, src).map(_.version) == Seq(0L, 1L),
+      "replayed source batch must not double-commit")
+    MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic")
+    assert(viewState(mv, sumAggs) == fullAgg(src, sumAggs))
+    assert(viewState(mv, sumAggs)(1L) == Seq(50L, 2L))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds the source's new columns") {
     val cat = "msespec"
     val wh = tmp("mse_wh")
