@@ -98,8 +98,11 @@ object MaterializedViews {
     case "max" => max(col(a.input)).as(a.alias)
   }
 
-  /** The aggregate's CHANGE over a retraction-encoded delta — defined
-    * only for the self-maintainable kinds (algebraic mode).
+  /** The aggregate's CHANGE over a retraction-encoded delta. sum/count
+    * are self-maintainable under any delta; min/max are valid ONLY
+    * over an insert-only delta (no `__mult < 0` rows) — the caller
+    * checks retractions per range and falls back to the rescan path
+    * when a delete could have removed the current extremum.
     */
   private def deltaExpr(a: Agg): Column = a.kind match {
     case "sum" => sum(col(a.input) * col("__mult")).as(a.alias)
@@ -108,10 +111,18 @@ object MaterializedViews {
     case "count" =>
       sum(when(col(a.input).isNotNull, col("__mult")).otherwise(0))
         .cast(LongType).as(a.alias)
-    case k => throw new IllegalArgumentException(
-      s"materialized view: aggregate '$k' (${a.alias}) is not " +
-        "self-maintainable under deletes — use mode 'rescan'")
+    case "min" => min(col(a.input)).as(a.alias)
+    case "max" => max(col(a.input)).as(a.alias)
   }
+
+  private def hasMinMax(aggs: Seq[Agg]): Boolean =
+    aggs.exists(a => a.kind == "min" || a.kind == "max")
+
+  /** Observability counters for the min/max algebraic fast path:
+    * insert-only ranges fold, delete-bearing ranges rescan.
+    */
+  val minmaxFoldCount = new java.util.concurrent.atomic.AtomicLong()
+  val minmaxRescanCount = new java.util.concurrent.atomic.AtomicLong()
 
   /** Stable per-view writer identity: commits under it carry the
     * applied source version as their epoch. Digest of the view path —
@@ -139,7 +150,6 @@ object MaterializedViews {
       mode: String): Long = {
     require(mode == "algebraic" || mode == "rescan",
       s"materialized view: unknown mode '$mode' (algebraic | rescan)")
-    if (mode == "algebraic") aggs.foreach(deltaExpr) // reject min/max upfront
     val groupCsv = groupCols.mkString(",")
     val runId = mvRunId(mvDir)
     val srcHead = MergeSink.lastCommit(spark, srcDir) match {
@@ -175,6 +185,22 @@ object MaterializedViews {
                 epochId = srcHead, runId = runId))
             0L
           case Some(delta) => mode match {
+            case "algebraic"
+                // min/max fold only over an insert-only range: a
+                // retraction could remove the stored extremum, which
+                // no fold can undo — those ranges rescan instead
+                // (touched groups only; the common append-only case
+                // keeps the O(changed keys) fold)
+                if hasMinMax(aggs) && {
+                  val retracting = delta
+                    .filter(col("__mult") < 0).limit(1).count() > 0
+                  if (retracting) minmaxRescanCount.incrementAndGet()
+                  else minmaxFoldCount.incrementAndGet()
+                  retracting
+                } =>
+              refreshRescan(
+                spark, delta, srcState, mvDir, groupCols, aggs, groupCsv,
+                srcHead, runId)
             case "algebraic" => refreshAlgebraic(
               spark, delta, mvDir, groupCols, aggs, groupCsv, srcHead, runId)
             case "rescan" => refreshRescan(
@@ -211,14 +237,27 @@ object MaterializedViews {
     val joined = dAgg.as("d").join(
       mv.select((groupCols ++ mvCols).map(col): _*).as("m"),
       groupCols, "left")
-    def folded(c: String) = when(col(s"m.$c").isNull, col(s"d.$c"))
-      .otherwise(col(s"m.$c") + col(s"d.$c"))
+    // Three-branch fold: SQL aggregates IGNORE NULL inputs, so a delta
+    // whose rows for a group are all NULL in the aggregated column
+    // yields a NULL change — the stored value must pass through
+    // unchanged (stored + NULL would poison it), and symmetrically a
+    // stored NULL (group whose live rows are all NULL) takes the delta.
+    def folded(c: String, merge: (Column, Column) => Column) = {
+      val m = col(s"m.$c"); val d = col(s"d.$c")
+      when(m.isNull, d).when(d.isNull, m).otherwise(merge(m, d))
+    }
+    def foldedAgg(a: Agg): Column = a.kind match {
+      case "min" => folded(a.alias, least(_, _))
+      case "max" => folded(a.alias, greatest(_, _))
+      case _ => folded(a.alias, _ + _)
+    }
+    val foldedN = folded(RowCountCol, _ + _)
     val out = joined.select(
       (groupCols.map(col) ++
-        aggs.map(a => folded(a.alias).as(a.alias)) :+
-        folded(RowCountCol).cast(LongType).as(RowCountCol) :+
+        aggs.map(a => foldedAgg(a).as(a.alias)) :+
+        foldedN.cast(LongType).as(RowCountCol) :+
         lit(srcHead).as(RefreshCol) :+
-        (folded(RowCountCol) === 0L).as(MergeSink.DeletedCol)): _*)
+        (foldedN === 0L).as(MergeSink.DeletedCol)): _*)
       .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count() // O(changed groups) — the refresh's report
     MergeSink.upsertBatch(
@@ -303,8 +342,6 @@ object MaterializedViews {
       mode: String): Long = {
     require(mode == "algebraic" || mode == "rescan",
       s"create_mv: unknown mode '$mode' (algebraic | rescan)")
-    if (mode == "algebraic") aggs.foreach(deltaExpr) // min/max fail HERE,
-    // before any table exists — not at the first refresh
     val srcOpts = cat.tableOptions(identOf(srcIdent))
     val srcSchema = DataType.fromJson(srcOpts("schema"))
       .asInstanceOf[StructType]
@@ -397,6 +434,7 @@ object MaterializedViews {
       cat: GraftCatalog,
       srcIdent: String): Seq[(String, Long)] = {
     val srcNs = identOf(srcIdent).namespace().toSeq
+    val want = identKey(srcIdent)
     // arrays compare by identity — dedup namespaces as Seqs
     (cat.listNamespaces().toSeq.map(_.toSeq) :+ srcNs).distinct.flatMap {
       ns =>
@@ -404,12 +442,23 @@ object MaterializedViews {
           val full = (id.namespace() :+ id.name()).mkString(".")
           val opts = cat.tableOptions(id)
           opts.get("graft.mv.source") match {
-            case Some(src) if src == srcIdent =>
+            case Some(src) if identKey(src) == want =>
               Some(full -> refresh(spark, cat, full))
             case _ => None
           }
         }
     }
+  }
+
+  /** Identifier equality for dependency matching: namespace + name,
+    * case-insensitively — `DB.Src` and `db.src` name the same table
+    * (Spark resolves identifiers case-insensitively), and a raw
+    * string compare would silently skip an equivalent spelling.
+    */
+  private def identKey(s: String): (Seq[String], String) = {
+    val id = identOf(s)
+    (id.namespace().toSeq.map(_.toLowerCase(java.util.Locale.ROOT)),
+      id.name().toLowerCase(java.util.Locale.ROOT))
   }
 
   private def identOf(s: String)

@@ -2319,11 +2319,15 @@ object Streams {
   // (sf0.001 exhibits only 15 of the 97 possible groups).
   // Shared by the three q_mv_*/q_catalog_mv lanes.
   // ---------------------------------------------------------------------
+  // NULL lane: every 11th event carries NULL cents — the algebraic
+  // fold must pass stored sums through an all-NULL delta (SQL SUM
+  // ignores NULL inputs; stored + NULL must never poison the view)
   private def mvSourceRows(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
       (col("user_id") % 97).as("grp"),
-      round(col("value") * 100).cast("long").as("cents"))
+      when(col("event_id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(round(col("value") * 100).cast("long")).as("cents"))
 
   private def mvLoadV0(e: DataFrame, dir: String): Unit =
     graft.streaming.MergeSink.upsertBatch(
@@ -2350,7 +2354,8 @@ object Streams {
   private def mvOracleWith: String =
     """WITH base AS (
       |  SELECT event_id, user_id % 97 AS grp,
-      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |      ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       |  FROM events),
       |final AS (
       |  SELECT grp, CASE WHEN grp % 5 = 0 AND event_id % 5 = 0
@@ -2636,7 +2641,8 @@ object Streams {
   val mvStreamGatedSql: String =
     """WITH base AS (
       |  SELECT user_id % 97 AS grp,
-      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |      ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       |  FROM events)
       |SELECT grp, CAST(SUM(cents) AS BIGINT) AS total, count(*) AS n
       |FROM base GROUP BY grp ORDER BY grp""".stripMargin

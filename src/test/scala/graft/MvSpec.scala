@@ -154,13 +154,70 @@ class MvSpec extends SparkSpec {
     assert(got(0L) == Seq(90L, 90L, 1L))
   }
 
-  test("algebraic mode rejects min/max upfront") {
-    val e = intercept[IllegalArgumentException] {
-      MaterializedViews.refreshDir(
-        spark, tmp("mv_rej_src"), "id", tmp("mv_rej_v"),
-        Seq("grp"), mmAggs, "algebraic")
-    }
-    assert(e.getMessage.contains("rescan"))
+  test("algebraic min/max: insert-only range folds, delete-bearing range rescans") {
+    val src = tmp("mv_mm_src")
+    val mv = tmp("mv_mm_v")
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 0L, 90L), (3L, 1L, 30L)), 1L),
+      src, "id", "rv", 0L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), mmAggs, "algebraic") == 2L)
+    // day 2a: pure inserts (one a new grp-0 minimum) — must FOLD
+    val folds0 = MaterializedViews.minmaxFoldCount.get()
+    MergeSink.upsertBatch(
+      df(Seq((4L, 0L, 5L), (5L, 1L, 70L)), 2L), src, "id", "rv", 1L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), mmAggs, "algebraic") == 2L)
+    assert(MaterializedViews.minmaxFoldCount.get() == folds0 + 1,
+      "insert-only range must take the algebraic fold fast path")
+    assert(viewState(mv, mmAggs) == fullAgg(src, mmAggs))
+    assert(viewState(mv, mmAggs)(0L) == Seq(5L, 90L, 3L))
+    // day 2b: delete the grp-0 minimum — must RESCAN (fold cannot undo)
+    val rescans0 = MaterializedViews.minmaxRescanCount.get()
+    MergeSink.upsertBatch(
+      df(Seq((4L, 0L, 5L)), 3L).withColumn("__deleted", lit(true)),
+      src, "id", "rv", 2L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), mmAggs, "algebraic") == 1L)
+    assert(MaterializedViews.minmaxRescanCount.get() == rescans0 + 1,
+      "delete-bearing range must fall back to the touched-group rescan")
+    assert(viewState(mv, mmAggs) == fullAgg(src, mmAggs))
+    assert(viewState(mv, mmAggs)(0L) == Seq(10L, 90L, 2L))
+  }
+
+  test("algebraic fold is NULL-safe: all-NULL deltas pass the stored sum through") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("mv_null_src")
+    val mv = tmp("mv_null_v")
+    def rows(t: Seq[(Long, Long, java.lang.Long)], rv: Long): DataFrame =
+      t.toDF("id", "grp", "v").withColumn("rv", lit(rv))
+    // v0: grp 0 holds sum 30 (plus one NULL row); grp 1 is ALL NULL
+    MergeSink.upsertBatch(
+      rows(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 0L, null),
+        (4L, 1L, null)), 1L),
+      src, "id", "rv", 0L, "load")
+    val aggs = Seq(Agg("total", "sum", "v"), Agg("nv", "count", "v"))
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), aggs, "algebraic") == 2L)
+    assert(viewState(mv, aggs)(1L) == Seq(null, 0L),
+      "an all-NULL group stores a NULL sum (SQL SUM ignores NULLs)")
+    // v1: insert a NULL row into grp 0 AND retract its NULL row —
+    // the delta's sum for grp 0 is NULL; the stored 30 must survive.
+    // grp 1 gains its first non-NULL value: NULL stored + 7 = 7.
+    MergeSink.upsertBatch(
+      rows(Seq((5L, 0L, null), (6L, 1L, 7L)), 2L)
+        .withColumn("__deleted", lit(false))
+        .unionByName(rows(Seq((3L, 0L, null)), 2L)
+          .withColumn("__deleted", lit(true))),
+      src, "id", "rv", 1L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), aggs, "algebraic") == 2L)
+    val got = viewState(mv, aggs)
+    assert(got == fullAgg(src, aggs),
+      s"NULL-bearing delta diverged from the from-scratch aggregate: $got")
+    assert(got(0L) == Seq(30L, 2L), "stored sum must survive an all-NULL delta")
+    assert(got(1L) == Seq(7L, 1L), "NULL stored sum must take the delta's value")
   }
 
   test("refresh is exactly-once: a replayed refresh commit is a no-op") {
