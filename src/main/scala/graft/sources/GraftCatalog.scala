@@ -303,6 +303,7 @@ class GraftCatalog
       .orElse(Option(properties.get(TableCatalog.PROP_LOCATION)))
     val path = external.getOrElse(managedDataPath(ident).toString)
     val props = new util.Properties
+    val checks = scala.collection.mutable.ArrayBuffer[(String, String)]()
     // any OTHER declared option (e.g. `cdc 'true'` for a commit-log
     // view) persists too and flows back as a table property on load
     given.foreach { case (k, v) =>
@@ -312,8 +313,7 @@ class GraftCatalog
           // `check.<name> '<expr>'`: declare a CHECK constraint at
           // creation (the inline-DDL shape) — lives in the table's own
           // sidecar, exactly as CALL add_check would put it
-          graft.streaming.MergeSink.setCheckConstraint(
-            SparkSession.active, path, bare.stripPrefix("check."), v)
+          checks += bare.stripPrefix("check.") -> v
         else if (bare != "key" && bare != "seq" && bare != "path")
           props.setProperty(bare, v)
       }
@@ -326,6 +326,13 @@ class GraftCatalog
     props.setProperty(TableCatalog.PROP_PROVIDER, "graft-merge")
     props.setProperty(TableCatalog.PROP_EXTERNAL, external.isDefined.toString)
     writeMeta(ident, props, overwrite = false)
+    // sidecar only AFTER the metadata publish — a CREATE that loses its
+    // race must not strand a _constraints file in the data directory
+    // for a later CREATE at the same path to silently inherit
+    checks.foreach { case (n, e) =>
+      graft.streaming.MergeSink.setCheckConstraint(
+        SparkSession.active, path, n, e)
+    }
     new GraftMergeTable(schema, Map("path" -> path, "key" -> key, "seq" -> seq))
   }
 
@@ -412,10 +419,14 @@ class GraftCatalog
       if (k.startsWith(TableCatalog.OPTION_PREFIX)) {
         val bare = k.stripPrefix(TableCatalog.OPTION_PREFIX)
         if (bare.startsWith("check."))
-          // `check.<name> '<expr>'`: declare a CHECK constraint at
-          // creation (the inline-DDL shape) — lives in the table's own
-          // sidecar, exactly as CALL add_check would put it
-          graft.streaming.MergeSink.setCheckConstraint(
+          // `check.<name> '<expr>'`: a CHECK constraint declared inside
+          // a staged statement. STAGED, not written: it validates this
+          // statement's own write, but the live table's sidecar only
+          // changes if the whole statement commits — an aborted RTAS
+          // leaves the old constraints untouched, a failed CTAS strands
+          // nothing ([[GraftStagedTable.commitStagedChanges]] /
+          // abortStagedChanges resolve it)
+          graft.streaming.MergeSink.stageCheckConstraint(
             SparkSession.active, path, bare.stripPrefix("check."), v)
         else if (bare != "key" && bare != "seq" && bare != "path")
           props.setProperty(bare, v)
@@ -745,18 +756,26 @@ private[sources] class GraftStagedTable(
     wb
   }
 
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
     // exclusive create for CTAS (two racing CTAS resolve to one
     // winner); overwrite for RTAS (the definition existed)
     cat.commitStagedMeta(ident, meta, overwrite = replaceData)
+    // the statement is committed: its check.* constraints (staged in
+    // the pending registry, already enforced on the staged write) now
+    // publish into the table's sidecar
+    graft.streaming.MergeSink.commitStagedChecks(
+      SparkSession.active, meta.getProperty("path"))
+  }
 
-  override def abortStagedChanges(): Unit =
+  override def abortStagedChanges(): Unit = {
+    graft.streaming.MergeSink.discardStagedChecks(meta.getProperty("path"))
     abortCleanupPath.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       fs.delete(path, true)
     }
+  }
 }
 
 /** The engine's SQL-callable scalar functions (the [[GraftCatalog]]
@@ -972,12 +991,28 @@ object GraftProcedures {
 
     protected def run(opts: Map[String, String], input: InternalRow): Int
 
+    /** Procedures that COMMIT table versions are recompute-from-head
+      * closures (compaction, expiry, refresh all re-read the head on
+      * entry), so a lost claim race against a concurrent writer is
+      * retried with the engine's capped backoff
+      * ([[graft.streaming.MergeSink.withCommitRetry]]) instead of
+      * surfacing a raw ConcurrentCommitException to the scheduler that
+      * owns exactly these calls. WAP publication must NOT retry — an
+      * overtaken stage stays overtaken — and sidecar-only procedures
+      * never race.
+      */
+    protected def retriesCommits: Boolean = false
+
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val parts = input.getUTF8String(0).toString.split("\\.")
       require(parts.nonEmpty && parts.forall(_.nonEmpty),
         s"$procName: bad table identifier '${input.getUTF8String(0)}'")
       val ident = Identifier.of(parts.dropRight(1), parts.last)
-      oneRow(run(cat.tableOptions(ident), input))
+      val opts = cat.tableOptions(ident)
+      oneRow(
+        if (retriesCommits)
+          graft.streaming.MergeSink.withCommitRetry()(run(opts, input))
+        else run(opts, input))
     }
 
     /** The one-row `resultCol = n` report relation every procedure
@@ -998,6 +1033,7 @@ object GraftProcedures {
   final class CompactProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "compact", "buckets_written",
         Seq(ProcedureParameter.in("target_buckets", IntegerType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "full sorted rewrite of a merge table at a new bucket count"
     override protected def run(
@@ -1014,6 +1050,7 @@ object GraftProcedures {
       extends MaintenanceProc(cat, "compact_incremental",
         "buckets_rewritten",
         Seq(ProcedureParameter.in("since_version", LongType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "re-sort only buckets dirtied since the given table version"
     override protected def run(
@@ -1033,6 +1070,7 @@ object GraftProcedures {
         Seq(
           ProcedureParameter.in("target_buckets", IntegerType).build(),
           ProcedureParameter.in("cols", StringType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "full rewrite z-ordered by 2-4 clustering columns (N-D pruning)"
     override protected def run(
@@ -1051,6 +1089,7 @@ object GraftProcedures {
       extends MaintenanceProc(cat, "expire_tombstones",
         "buckets_rewritten",
         Seq(ProcedureParameter.in("horizon", LongType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "retire tombstones with seq <= horizon (frees space; older " +
         "replays already fail loudly past retention)"
@@ -1100,6 +1139,7 @@ object GraftProcedures {
     */
   final class AnalyzeProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "analyze", "columns_analyzed", Seq.empty) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "compute per-column NDV/nulls/min-max for the optimizer (one pass)"
     override protected def run(
@@ -1113,6 +1153,7 @@ object GraftProcedures {
   final class RestoreProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "restore", "restored_as_version",
         Seq(ProcedureParameter.in("to_version", LongType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "roll back to a retained version (metadata-only; zero data copied)"
     override protected def run(
@@ -1130,6 +1171,7 @@ object GraftProcedures {
   final class RestoreTsProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "restore_ts", "restored_as_version",
         Seq(ProcedureParameter.in("to_timestamp", StringType).build())) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "roll back to the snapshot as of a timestamp (metadata-only)"
     override protected def run(
@@ -1149,6 +1191,7 @@ object GraftProcedures {
     */
   final class VacuumProc(cat: GraftCatalog)
       extends MaintenanceProc(cat, "vacuum", "paths_removed", Seq.empty) {
+    override protected def retriesCommits: Boolean = true
     override def description(): String =
       "run retention GC and sweep torn claims/tmp/staging leftovers"
     override protected def run(
@@ -1217,9 +1260,11 @@ object GraftProcedures {
     override protected def run(
         opts: Map[String, String], input: InternalRow): Int = 0 // unused
     override def call(input: InternalRow): java.util.Iterator[Scan] =
-      // resolves BOTH the view's and the source's options itself
-      oneRow(MaterializedViews.refresh(
-        SparkSession.active, cat, input.getUTF8String(0).toString).toInt)
+      // resolves BOTH the view's and the source's options itself;
+      // refresh recomputes from the heads on entry → retriable
+      oneRow(graft.streaming.MergeSink.withCommitRetry()(
+        MaterializedViews.refresh(
+          SparkSession.active, cat, input.getUTF8String(0).toString).toInt))
   }
 
   /** `CALL cat.sys.create_tag('ns.t', 'name', version)` — pin a human
@@ -1319,8 +1364,11 @@ object GraftProcedures {
     override protected def run(
         opts: Map[String, String], input: InternalRow): Int = 0 // unused
     override def call(input: InternalRow): java.util.Iterator[Scan] =
-      oneRow(MaterializedViews.refreshDependents(
-        SparkSession.active, cat, input.getUTF8String(0).toString).size)
+      // each per-view refresh is independently exactly-once and
+      // recomputes from the heads — the whole sweep is retriable
+      oneRow(graft.streaming.MergeSink.withCommitRetry()(
+        MaterializedViews.refreshDependents(
+          SparkSession.active, cat, input.getUTF8String(0).toString).size))
   }
 
   /** `CALL cat.sys.drop_check('ns.t', 'name')`. */

@@ -1030,6 +1030,23 @@ object MergeSink {
           s"publishTransaction: no staged participant for '$wapId' on $d"))
       (d, staged)
     }
+    // EVERY pending participant must still be promotable — a staged
+    // transaction that outlived its claim lease may have been overtaken
+    // on one table by a concurrent writer minting that version; creating
+    // the txn file then would validate the stale pending and leave two
+    // conflicting markers for the same version. Same check as
+    // [[wapPublish]], run per participant BEFORE the commit point.
+    parts.foreach { case (d, (v, r, _, pending)) =>
+      if (pending) {
+        val (fs, p) = fsOf(spark, d)
+        if (!stageIntact(fs, p, v, r))
+          throw new ConcurrentCommitException(
+            s"publishTransaction: participant $d (v$v) of '$wapId' " +
+              "outlived its claim lease and was overtaken — " +
+              "abortTransaction the leftovers and re-stage against " +
+              "the new heads")
+      }
+    }
     tfs.create(txnFile, false).close() // ---- THE COMMIT POINT ----
     parts.foreach { case (d, (v, r, e, pending)) =>
       if (pending) promotePending(spark, d, v, r, e)
@@ -1052,7 +1069,29 @@ object MergeSink {
       val (fs, p) = fsOf(spark, d)
       fs.listStatus(p).iterator.map(_.getPath.getName).foreach {
         case PendingRe(pv, pr, pe) if pr == runId =>
-          abortPending(spark, d, pv.toLong, pr, pe.toLong)
+          val v = pv.toLong
+          val cs = commits(spark, d)
+          if (!cs.exists(_.version == v))
+            abortPending(spark, d, v, pr, pe.toLong)
+          else {
+            // OVERTAKEN participant (lease expired, another writer
+            // minted this version): its manifest and bucket data now
+            // belong to that writer — remove only our pending marker
+            // and bucket dirs no retained manifest references (the
+            // wapAbort rule; blind abortPending would delete the
+            // winner's committed v)
+            fs.delete(new Path(p, s"_pending_v${v}_r${pr}_e$pe"), false)
+            val live: Set[(Int, Long)] = cs.map(_.version).toSet
+              .flatMap((cv: Long) => manifest(spark, d, cv).toSeq)
+            val dataRoot = new Path(p, "data")
+            if (fs.exists(dataRoot))
+              fs.listStatus(dataRoot).foreach { b =>
+                val bid = b.getPath.getName.stripPrefix("b").toInt
+                val vd = new Path(b.getPath, s"v$v")
+                if (fs.exists(vd) && !live.contains((bid, v)))
+                  fs.delete(vd, true)
+              }
+          }
         case _ => ()
       }
     }
@@ -1167,13 +1206,16 @@ object MergeSink {
     * minted the version): nothing half-published, re-stage against
     * the new head. Returns the published version.
     */
-  def wapPublish(spark: SparkSession, dir: String, wapId: String): Long = {
-    val (fs, p) = fsOf(spark, dir)
-    val (v, runId, epoch) = wapPending(spark, fs, p, wapId).getOrElse(
-      throw new IllegalArgumentException(
-        s"wapPublish: no staged wap '$wapId' on $dir"))
-    // the claim must still be OURS and the version unminted — a stale
-    // stage whose lease expired may have been overtaken
+  /** Is a staged (pending) commit still PROMOTABLE? True iff version
+    * `v`'s claim is still held by `runId` and no other writer has
+    * minted a marker for `v`. False means the stage outlived its claim
+    * lease and was overtaken — promoting it would mint a second,
+    * conflicting marker for the same version (corrupted history).
+    * Every deferred commit point ([[wapPublish]],
+    * [[publishTransaction]]) must check this before going visible.
+    */
+  private def stageIntact(
+      fs: FileSystem, p: Path, v: Long, runId: String): Boolean = {
     val claim = new Path(p, s"_claim_v$v")
     val ours = fs.exists(claim) && {
       val in = fs.open(claim)
@@ -1185,7 +1227,17 @@ object MergeSink {
     val overtaken = fs.listStatus(p).iterator.map(_.getPath.getName)
       .exists { n => MarkerRe.findFirstMatchIn(n)
         .exists(m => m.group(1).toLong == v && !n.contains(s"_r${runId}_")) }
-    if (!ours || overtaken)
+    ours && !overtaken
+  }
+
+  def wapPublish(spark: SparkSession, dir: String, wapId: String): Long = {
+    val (fs, p) = fsOf(spark, dir)
+    val (v, runId, epoch) = wapPending(spark, fs, p, wapId).getOrElse(
+      throw new IllegalArgumentException(
+        s"wapPublish: no staged wap '$wapId' on $dir"))
+    // the claim must still be OURS and the version unminted — a stale
+    // stage whose lease expired may have been overtaken
+    if (!stageIntact(fs, p, v, runId))
       throw new ConcurrentCommitException(
         s"wapPublish: stage '$wapId' (v$v) outlived its claim lease and " +
           s"was overtaken on $dir — wapAbort the leftovers and re-stage " +
@@ -2823,6 +2875,43 @@ object MergeSink {
     finally out.close()
   }
 
+  /** Constraints declared inside a STAGED CTAS/RTAS (`check.*` options)
+    * must (a) validate the statement's own write, (b) NOT take effect
+    * on the live table until the statement commits — an aborted RTAS
+    * leaves the old definition untouched, constraints included — and
+    * (c) leave no sidecar behind when the statement fails. They wait in
+    * this driver-local pending registry until the staged metadata
+    * publishes; [[enforceConstraints]] reads it IN ADDITION to the
+    * sidecar, so the staging writer's own batches are checked while
+    * other writers (other drivers) correctly never see uncommitted DDL.
+    */
+  private val stagedChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  def stageCheckConstraint(
+      spark: SparkSession, dir: String, name: String, exprSql: String): Unit = {
+    require(ConstraintNameRe.pattern.matcher(name).matches(),
+      s"stageCheckConstraint: bad constraint name '$name'")
+    require(!exprSql.contains("\t") && !exprSql.contains("\n"),
+      "stageCheckConstraint: expression must be a single line")
+    spark.sessionState.sqlParser.parseExpression(exprSql) // fail fast
+    stagedChecks.compute(dir, (_, cur) =>
+      Option(cur).getOrElse(Seq.empty).filterNot(_._1 == name) :+
+        (name -> exprSql))
+  }
+
+  /** Publish this table's pending staged constraints into the sidecar
+    * — called from the staged statement's commit.
+    */
+  def commitStagedChecks(spark: SparkSession, dir: String): Unit =
+    Option(stagedChecks.remove(dir)).getOrElse(Seq.empty)
+      .foreach { case (n, e) => setCheckConstraint(spark, dir, n, e) }
+
+  /** Drop this table's pending staged constraints without publishing —
+    * called from the staged statement's abort.
+    */
+  def discardStagedChecks(dir: String): Unit = stagedChecks.remove(dir)
+
   /** Thrown when an admitted batch violates a declared constraint. */
   final class ConstraintViolationException(msg: String)
       extends RuntimeException(msg)
@@ -2831,7 +2920,9 @@ object MergeSink {
     * naming every violated constraint plus a sample row.
     */
   private def enforceConstraints(batch: DataFrame, dir: String): Unit = {
+    val pending = Option(stagedChecks.get(dir)).getOrElse(Seq.empty)
     val cs = checkConstraints(batch.sparkSession, dir)
+      .filterNot(c => pending.exists(_._1 == c._1)) ++ pending
     if (cs.isEmpty) return
     val live =
       if (batch.columns.contains(DeletedCol))

@@ -864,6 +864,46 @@ class CatalogSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("maintenance procedures retry a lost claim race to success") {
+    val cat = freshCatalog()
+    val dir = java.nio.file.Files.createTempDirectory("graft_procrace").toString
+    spark.sql(
+      s"""CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge`
+         |OPTIONS (key 'id', seq 'rv', path '$dir')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10, 1), (2, 20, 1)")
+    // forced race: v1's claim is held by 'other', who commits 300 ms
+    // later — the procedure must back off, recompute from the new
+    // head, and land, instead of surfacing ConcurrentCommitException
+    // to the scheduler
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "_claim_v1"), false)
+    out.write("other".getBytes("UTF-8")); out.close()
+    val s2 = spark
+    import s2.implicits._
+    @volatile var helperErr: Throwable = null
+    val helper = new Thread(() => {
+      try {
+        Thread.sleep(300)
+        MergeSink.upsertBatch(
+          Seq((3L, 30L, 1L)).toDF("id", "v", "rv"),
+          dir, "id", "rv", 0L, "other", reRegister = true)
+      } catch { case t: Throwable => helperErr = t }
+    })
+    helper.start()
+    val written = spark.sql(s"CALL $cat.sys.compact('db.t', 2)")
+      .head().getInt(0)
+    helper.join()
+    assert(helperErr == null, s"racing writer failed: $helperErr")
+    assert(written > 0)
+    // both landed: the other's insert AND the compaction rewrite —
+    // and the compaction saw the other's row (recompute, not replay)
+    val cs = MergeSink.commits(spark, dir)
+    assert(cs.exists(_.runId == "other"), cs.toString)
+    assert(spark.table(s"$cat.db.t").count() == 3L)
+  }
+
   test("CALL restore rolls a table back through pure SQL") {
     val cat = freshCatalog()
     spark.sql(

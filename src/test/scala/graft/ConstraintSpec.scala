@@ -96,6 +96,59 @@ class ConstraintSpec extends SparkSpec {
     assert(spark.table(s"$cat.c.t").count() == 1L)
   }
 
+  test("staged CTAS/RTAS: check.* constraints commit with the statement, not before") {
+    val cat = "ckstg"
+    val wh = tmp("ckstg_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.c")
+    // a CTAS whose own rows violate its inline constraint: the staged
+    // write enforces it, the whole statement aborts, and NO table and
+    // NO _constraints sidecar survive for a later CREATE to inherit
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.c.t USING `graft-merge`
+           |OPTIONS (key 'id', seq 'rv', `check.positive` 'v >= 0')
+           |AS SELECT CAST(1 AS BIGINT) AS id, CAST(-5 AS BIGINT) AS v,
+           |  CAST(1 AS BIGINT) AS rv""".stripMargin)
+    }
+    assert(e.getMessage.contains("positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive")))
+    assert(spark.sql(s"SHOW TABLES IN $cat.c").count() == 0L)
+    val strandedSidecars = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      .filter(_.getFileName.toString == "_constraints").count()
+    assert(strandedSidecars == 0L, "failed CTAS stranded a _constraints file")
+    // the same CTAS with valid rows commits table AND constraint together
+    spark.sql(
+      s"""CREATE TABLE $cat.c.t USING `graft-merge`
+         |OPTIONS (key 'id', seq 'rv', `check.positive` 'v >= 0')
+         |AS SELECT CAST(1 AS BIGINT) AS id, CAST(5 AS BIGINT) AS v,
+         |  CAST(1 AS BIGINT) AS rv""".stripMargin)
+    assert(spark.sql(s"SELECT name FROM $cat.c.t.constraints")
+      .collect().map(_.getString(0)).toSeq == Seq("positive"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.c.t VALUES (2, -1, 2)")
+    }
+    // an aborted staged REPLACE leaves the OLD constraint set active —
+    // the new rule must not leak onto the live table
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""REPLACE TABLE $cat.c.t USING `graft-merge`
+           |OPTIONS (key 'id', seq 'rv', `check.tiny` 'v < 3')
+           |AS SELECT CAST(1 AS BIGINT) AS id, CAST(5 AS BIGINT) AS v,
+           |  CAST(2 AS BIGINT) AS rv""".stripMargin)
+    }
+    assert(e2.getMessage.contains("tiny") ||
+      Option(e2.getCause).exists(_.getMessage.contains("tiny")))
+    assert(spark.sql(s"SELECT name FROM $cat.c.t.constraints")
+      .collect().map(_.getString(0)).toSeq == Seq("positive"),
+      "aborted RTAS leaked its staged constraint onto the live table")
+    // v = 5 still admits: 'tiny' is really gone, 'positive' still bites
+    spark.sql(s"INSERT INTO $cat.c.t VALUES (3, 5, 3)")
+    assert(spark.table(s"$cat.c.t").count() == 2L)
+  }
+
   test("SQL surface: add_check/drop_check procedures guard INSERT and DML") {
     val cat = "ckspec"
     val wh = tmp("ck_wh")

@@ -232,6 +232,41 @@ class WapSpec extends SparkSpec {
     assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L, 1L))
   }
 
+  test("an overtaken participant fails publishTransaction BEFORE the commit point") {
+    val a = tmp("wap_txo_a")
+    val b = tmp("wap_txo_b")
+    val txn = tmp("wap_txo_log")
+    MergeSink.setHistoryKeep(spark, a, 8)
+    MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), a, "id", "rv", 0L, "load")
+    MergeSink.upsertBatch(df(Seq((1L, -10L)), 1L), b, "id", "rv", 0L, "load")
+    MergeSink.stageTransaction(spark, txn, Seq(
+      MergeSink.TxnWrite(a, "id", "rv", df(Seq((2L, 20L)), 2L)),
+      MergeSink.TxnWrite(b, "id", "rv", df(Seq((2L, -20L)), 2L))),
+      "stale2")
+    // age participant a's claim past the TTL; a concurrent writer
+    // steals and commits v1 there
+    val p = new org.apache.hadoop.fs.Path(a)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(p, "_claim_v1"),
+      System.currentTimeMillis() - 16L * 60L * 1000L, -1L)
+    MergeSink.upsertBatch(df(Seq((3L, 30L)), 2L), a, "id", "rv", 1L, "other",
+      reRegister = true)
+    assert(MergeSink.commits(spark, a).map(_.version) == Seq(0L, 1L))
+    // publish must fail LOUDLY before creating the txn file — trusting
+    // the stale pending would mint two conflicting markers for a's v1
+    val e = intercept[MergeSink.ConcurrentCommitException] {
+      MergeSink.publishTransaction(spark, txn, Seq(a, b), "stale2")
+    }
+    assert(e.getMessage.contains("overtaken"))
+    // no commit point happened: b is untouched, a serves the winner
+    assert(MergeSink.commits(spark, b).map(_.version) == Seq(0L))
+    assert(ids(MergeSink.currentState(spark, a).get) == Set(1L, 3L))
+    // abort clears the leftovers WITHOUT touching the winner's v1
+    MergeSink.abortTransaction(spark, txn, Seq(a, b), "stale2")
+    assert(ids(MergeSink.currentState(spark, a).get) == Set(1L, 3L))
+    assert(ids(MergeSink.currentState(spark, b).get) == Set(1L))
+  }
+
   test("a publish crashed after its commit point completes via vacuum") {
     val t = tmp("wap_crash")
     MergeSink.upsertBatch(df(Seq((1L, 10L)), 1L), t, "id", "rv", 0L, "load")
