@@ -275,14 +275,40 @@ class GraftCatalog
     new GraftMergeTable(schema, opts)
   }
 
+  /** Parse `PARTITIONED BY (days(ts) | months(ts) | identity-col)` into
+    * the merge layout's transform kind + source column. One transform,
+    * over a top-level column; the column must be one of the merge key
+    * columns (validated against `key` by the caller's write path).
+    */
+  private def parsePartitioning(
+      partitions: Array[Transform]): Option[(String, String)] = {
+    if (partitions.isEmpty) return None
+    require(partitions.length == 1,
+      "graft-merge: at most ONE partition transform (days/months/" +
+        "identity) — the second level is always the hash bucket")
+    val t = partitions.head
+    val refs = t.references()
+    require(refs.length == 1 && refs.head.fieldNames().length == 1,
+      s"graft-merge: partition transform must reference one top-level " +
+        s"column, got $t")
+    val c = refs.head.fieldNames().head
+    val kind = t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "days" | "day" => "day"
+      case "months" | "month" => "month"
+      case "identity" => "identity"
+      case other => throw new IllegalArgumentException(
+        s"graft-merge: unsupported partition transform '$other' " +
+          "(days | months | identity)")
+    }
+    Some(kind -> c)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-merge tables own their layout (hash buckets); " +
-        "PARTITIONED BY is not supported")
+    val partSpec = parsePartitioning(partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val given = properties.asScala
     // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX; accept bare
@@ -318,6 +344,15 @@ class GraftCatalog
           props.setProperty(bare, v)
       }
     }
+    partSpec.foreach { case (kind, c) =>
+      require(schema.fieldNames.contains(c),
+        s"graft-merge: partition column '$c' not in declared schema")
+      require(graft.streaming.MergeSink.keyCols(key).contains(c),
+        s"graft-merge: partition column '$c' must be one of the merge " +
+          s"key columns ($key) — a key's bucket must be stable across " +
+          "upserts")
+      props.setProperty("partition", s"$kind($c)")
+    }
     props.setProperty("path", path)
     props.setProperty("key", key)
     props.setProperty("seq", seq)
@@ -329,6 +364,12 @@ class GraftCatalog
     // sidecar only AFTER the metadata publish — a CREATE that loses its
     // race must not strand a _constraints file in the data directory
     // for a later CREATE at the same path to silently inherit
+    partSpec.foreach { case (kind, c) =>
+      graft.streaming.MergeSink.setPartitionSpec(
+        SparkSession.active, path, kind, c,
+        opt("buckets").map(_.toInt)
+          .getOrElse(graft.streaming.MergeSink.DefaultBuckets))
+    }
     checks.foreach { case (n, e) =>
       graft.streaming.MergeSink.setCheckConstraint(
         SparkSession.active, path, n, e)
@@ -378,10 +419,12 @@ class GraftCatalog
       properties: util.Map[String, String],
       replace: Boolean,
       orCreate: Boolean): StagedTable = {
-    require(partitions.isEmpty,
-      "graft-merge tables own their layout (hash buckets); " +
-        "PARTITIONED BY is not supported")
+    val partSpec = parsePartitioning(partitions)
     val exists = tableExists(ident)
+    require(partSpec.isEmpty || !exists,
+      "graft catalog: REPLACE TABLE cannot change the partition " +
+        "layout — it is the table's physical identity; DROP and " +
+        "re-create to re-partition")
     if (!replace && exists) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
     val given = properties.asScala
@@ -431,6 +474,21 @@ class GraftCatalog
         else if (bare != "key" && bare != "seq" && bare != "path")
           props.setProperty(bare, v)
       }
+    }
+    // a NEW partitioned table's layout must exist BEFORE the staged
+    // CTAS write runs (the write buckets through it); the managed-new
+    // abort path removes the whole directory, spec included
+    partSpec.foreach { case (kind, c) =>
+      require(schema.fieldNames.contains(c),
+        s"graft-merge: partition column '$c' not in the staged schema")
+      require(graft.streaming.MergeSink.keyCols(key).contains(c),
+        s"graft-merge: partition column '$c' must be one of the merge " +
+          s"key columns ($key)")
+      graft.streaming.MergeSink.setPartitionSpec(
+        SparkSession.active, path, kind, c,
+        opt("buckets").map(_.toInt)
+          .getOrElse(graft.streaming.MergeSink.DefaultBuckets))
+      props.setProperty("partition", s"$kind($c)")
     }
     props.setProperty("path", path)
     props.setProperty("key", key)
@@ -937,7 +995,8 @@ object GraftProcedures {
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
       "create_mv", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
-      "add_check", "drop_check", "refresh_dependents")
+      "add_check", "drop_check", "refresh_dependents",
+      "drop_partitions")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -961,6 +1020,7 @@ object GraftProcedures {
       case "add_check" => Some(new AddCheckProc(cat))
       case "drop_check" => Some(new DropCheckProc(cat))
       case "refresh_dependents" => Some(new RefreshDependentsProc(cat))
+      case "drop_partitions" => Some(new DropPartitionsProc(cat))
       case _ => None
     }
 
@@ -1098,6 +1158,36 @@ object GraftProcedures {
       MergeSink.expireTombstones(
         SparkSession.active, opts("path"), opts("key"), opts("seq"),
         input.getLong(1))
+  }
+
+  /** `CALL cat.sys.drop_partitions('ns.t', 'lt', '2024-01-15')` —
+    * retire whole partitions as a PURE METADATA commit
+    * ([[MergeSink.dropPartitions]]): the new manifest omits every
+    * bucket of the matching periods; zero data moved, the pre-drop
+    * snapshot stays time-travelable for the retention window. THE
+    * retention move on a day-partitioned 100 TB fact table.
+    */
+  final class DropPartitionsProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "drop_partitions", "entries_dropped",
+        Seq(ProcedureParameter.in("op", StringType)
+          .comment("lt | le | eq over the partition index").build(),
+          ProcedureParameter.in("value", StringType)
+            .comment("cutoff: '2024-01-15' (day), '2024-01' via day 1 " +
+              "(month), or an integer (identity)").build())) {
+    override protected def retriesCommits: Boolean = true
+    override def description(): String =
+      "retire whole partitions as a metadata-only commit"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val raw = input.getUTF8String(2).toString
+      val value: Any =
+        if (raw.matches("-?\\d+")) raw.toLong
+        else if (raw.matches("\\d{4}-\\d{2}")) raw + "-01"
+        else raw
+      MergeSink.dropPartitions(
+        SparkSession.active, opts("path"),
+        input.getUTF8String(1).toString, value)
+    }
   }
 
   /** `CALL cat.sys.set_history_keep('ns.t', 5)` — per-table snapshot

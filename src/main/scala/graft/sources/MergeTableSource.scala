@@ -235,6 +235,9 @@ private[graft] object MergeTableUtil {
           case Some(a) => if (a.isAdjustedToUTC) TimestampType else TimestampNTZType
           case None => requirePlainInt(64); LongType
         }
+      case INT32 if f.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        DateType
       case INT32 => requirePlainInt(32); IntegerType
       case DOUBLE => DoubleType
       case FLOAT => FloatType
@@ -1036,7 +1039,11 @@ class GraftMergeScan(
         f.name == kcols.head && f.dataType == LongType) &&
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean &&
-      resolvedVersion.isDefined
+      resolvedVersion.isDefined &&
+      // a partitioned layout's physical grouping is (partition, hash),
+      // NOT bucket(nb, key) — reporting the plain transform would let
+      // a shuffle-free join misalign; stay UnknownPartitioning there
+      tableSpec.isEmpty
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
@@ -1256,6 +1263,10 @@ class GraftMergeScan(
     case None => MergeSink.lastCommit(spark, dir).map(_.version)
   }
 
+  /** The table's partition layout, if declared (read once per scan). */
+  private lazy val tableSpec: Option[MergeSink.PartitionSpec] =
+    MergeSink.partitionSpec(spark, dir)
+
   /** The snapshot's bucket files, listed ONCE per scan (statistics,
     * fileCounts, and planning all reuse it — formerly three listings).
     */
@@ -1274,29 +1285,86 @@ class GraftMergeScan(
       GraftMergeScan.lastPrune.set((0, 0, runtimeKeys.isDefined))
       return Seq.empty
     }
+    // nb must be the WRITER's bucket count, from the manifest header
+    // of the version this scan reads (per-partition modulus when the
+    // table is partitioned)
+    lazy val writerNb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
+    // PARTITION PRUNING (partitioned layout): the pushed comparison
+    // conjuncts on the transform's SOURCE column bound the partition
+    // index range — `day(ts)` is monotone in ts, so ts >= X implies
+    // idx >= day(X) — and the global bucket id encodes the index as
+    // `id / nb`, so whole periods drop out of the manifest BEFORE any
+    // file (or even footer) is touched. A conservative SUPERSET prune:
+    // unrecognized literal types or filter shapes simply don't narrow,
+    // and Spark re-evaluates every filter post-scan regardless.
+    val partPruned: Map[Int, (Long, Seq[String])] = tableSpec match {
+      case None => all
+      case Some(ps) =>
+        val pcol = ps.column
+        var lo = Int.MinValue
+        var hi = Int.MaxValue
+        var inSet: Option[Set[Int]] = None
+        pushed.foreach {
+          case org.apache.spark.sql.sources.EqualTo(`pcol`, v) =>
+            MergeSink.partIdxOf(ps, v).foreach { i =>
+              lo = math.max(lo, i); hi = math.min(hi, i)
+            }
+          case org.apache.spark.sql.sources.In(`pcol`, vs)
+              if vs.nonEmpty && !vs.contains(null) =>
+            val idxs = vs.toSeq.map(v => MergeSink.partIdxOf(ps, v))
+            if (idxs.forall(_.isDefined)) {
+              val s = idxs.flatten.toSet
+              inSet = Some(inSet.fold(s)(_ intersect s))
+            }
+          case org.apache.spark.sql.sources.GreaterThan(`pcol`, v) =>
+            MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
+          case org.apache.spark.sql.sources.GreaterThanOrEqual(`pcol`, v) =>
+            MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
+          case org.apache.spark.sql.sources.LessThan(`pcol`, v) =>
+            MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
+          case org.apache.spark.sql.sources.LessThanOrEqual(`pcol`, v) =>
+            MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
+          case _ => ()
+        }
+        if (lo == Int.MinValue && hi == Int.MaxValue && inSet.isEmpty) all
+        else all.filter { case (b, _) =>
+          val idx = Math.floorDiv(b, writerNb)
+          idx >= lo && idx <= hi && inSet.forall(_.contains(idx))
+        }
+    }
     // compile-time pushed key tuples AND runtime (join-driven) keys each
     // bound the bucket set; both present -> intersection
     val keySets = Seq(keyValues, runtimeKeys).flatten
     val buckets =
-      if (keySets.isEmpty) all.keySet
+      if (keySets.isEmpty) partPruned.keySet
       else {
         val dts = kcols.map(k =>
           fullSchema.fields.find(_.name == k).map(_.dataType)
             .getOrElse(LongType))
-        // nb must be the WRITER's bucket count, from the manifest header
-        // of the version this scan reads
-        val writerNb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
-        keySets
-          .map(ts => ts.map(t =>
-            MergeTableUtil.bucketOfTuple(t, dts, writerNb)).toSet)
-          .reduce(_ intersect _)
+        // partitioned layout: the key tuple CONTAINS the transform
+        // column (declared contract), so a key-equality read resolves
+        // to exactly one (partition, hash) pair
+        val pcolPos = tableSpec.map(ps => kcols.indexOf(ps.column))
+        def globalBucket(t: Seq[Any]): Option[Int] = (tableSpec, pcolPos) match {
+          case (Some(ps), Some(pos)) if pos >= 0 =>
+            MergeSink.partIdxOf(ps, t(pos)).map(pi =>
+              pi * writerNb + MergeTableUtil.bucketOfTuple(t, dts, writerNb))
+          case (Some(_), _) => None // column not in the tuple: no prune
+          case _ => Some(MergeTableUtil.bucketOfTuple(t, dts, writerNb))
+        }
+        val sets = keySets.map { ts =>
+          val bs = ts.map(globalBucket)
+          if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+        }
+        if (sets.exists(_.isEmpty)) partPruned.keySet
+        else sets.flatten.reduce(_ intersect _)
       }
     // _version of a batch-read row = the manifest's content version for
     // its bucket (the commit that wrote the file), same meaning as replay
     val recordedBytes = resolvedVersion
       .map(v => MergeSink.manifestBytes(spark, dir, v))
       .getOrElse(Map.empty[Int, Long])
-    val planned = all.toSeq.sortBy(_._1)
+    val planned = partPruned.toSeq.sortBy(_._1)
       .filter { case (b, _) => buckets.contains(b) }
       .flatMap { case (b, (cv, fs)) =>
         // per-file packing estimate: the bucket total spread evenly
@@ -1880,7 +1948,7 @@ class MergeColumnarReader(
           else required.fields(c).dataType match {
             case LongType | TimestampType | TimestampNTZType =>
               ov.putLong(o, sv.getLong(i))
-            case IntegerType => ov.putInt(o, sv.getInt(i))
+            case IntegerType | DateType => ov.putInt(o, sv.getInt(i))
             case DoubleType => ov.putDouble(o, sv.getDouble(i))
             case FloatType => ov.putFloat(o, sv.getFloat(i))
             case BooleanType => ov.putBoolean(o, sv.getBoolean(i))

@@ -112,6 +112,9 @@ private[graft] object MergeWriteUtil {
       val fb = f.dataType match {
         case LongType => b.optional(PrimitiveTypeName.INT64)
         case IntegerType => b.optional(PrimitiveTypeName.INT32)
+        case DateType =>
+          b.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType())
         case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
         case FloatType => b.optional(PrimitiveTypeName.FLOAT)
         case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN)

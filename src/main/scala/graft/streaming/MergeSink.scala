@@ -93,6 +93,188 @@ object MergeSink {
     */
   val DefaultBuckets = 16
 
+  // ------------------------------------------------------------------
+  // TIME/DATE PARTITIONED LAYOUT — the two-level p=<period>/b=<bucket>
+  // organization a 100 TB fact table lives in, expressed WITHOUT
+  // changing the manifest format: the global bucket id is
+  // `partitionIndex * nb + hash(key) % nb`, where the partition index
+  // is INTRINSIC to the value (days/months since epoch, or the integer
+  // itself for identity) — no registry, no coordination, and a time
+  // RANGE maps to a CONTIGUOUS id range, so (a) a pushed time
+  // predicate prunes manifest entries before any file is touched and
+  // (b) retiring an expired period is a pure metadata commit
+  // ([[dropPartitions]]). The transform column must be one of the
+  // MERGE KEY columns: the bucket of a key must be stable across
+  // upserts (same reason hash bucketing keys on the key), and that is
+  // also what lets a key-equality read prune to ONE (partition,
+  // bucket) pair. The spec is the table's physical identity — declared
+  // before the first commit, immutable after.
+  // ------------------------------------------------------------------
+
+  final case class PartitionSpec(kind: String, column: String, nb: Int)
+
+  /** Max partition index (~27k days ≈ year 2045; guards a mis-typed
+    * identity column from minting billions of bucket ids).
+    */
+  private val MaxPartIdx = 8 * 1000 * 1000
+
+  def setPartitionSpec(
+      spark: SparkSession,
+      dir: String,
+      kind: String,
+      column: String,
+      nb: Int): Unit = {
+    require(Set("day", "month", "identity")(kind),
+      s"setPartitionSpec: unknown transform '$kind' (day | month | identity)")
+    require(nb >= 1 && nb <= 65536, s"setPartitionSpec: bad bucket count $nb")
+    require(lastCommit(spark, dir).isEmpty,
+      s"setPartitionSpec: $dir already has commits — the partition " +
+        "layout is the table's physical identity; declare it before " +
+        "the first commit (or compact into a new table)")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_partition_spec"), true)
+    try out.write(s"$kind\t$column\t$nb\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def partitionSpec(spark: SparkSession, dir: String): Option[PartitionSpec] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_partition_spec")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().nextOption().map(_.trim).getOrElse("")
+      finally in.close()
+      line.split('\t') match {
+        case Array(k, c, n) => Some(PartitionSpec(k, c, n.toInt))
+        case _ => throw new IllegalStateException(
+          s"corrupt _partition_spec on $dir: '$line'")
+      }
+    }
+  }
+
+  /** The partition index as a Column over the source column —
+    * days/months since epoch (timestamps resolve through the session
+    * time zone, as every date_trunc does), or the integer itself.
+    */
+  private[graft] def partIdxExpr(spec: PartitionSpec): Column = {
+    val c = col(spec.column)
+    spec.kind match {
+      case "day" => datediff(c, to_date(lit("1970-01-01")))
+      case "month" =>
+        (year(c) - lit(1970)) * lit(12) + (month(c) - lit(1))
+      case "identity" => c.cast("int")
+    }
+  }
+
+  /** The same partition index evaluated driver-side on a pushed
+    * literal (pruning, drop cutoffs). None = unrecognized value type,
+    * which simply disables the prune — never mis-prunes.
+    */
+  private[graft] def partIdxOf(spec: PartitionSpec, value: Any): Option[Int] = {
+    def dayOfMillis(ms: Long): Int = Math.floorDiv(ms, 86400000L).toInt
+    def local(value: Any): Option[java.time.LocalDate] = value match {
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case d: java.time.LocalDate => Some(d)
+      case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
+      case t: java.time.LocalDateTime => Some(t.toLocalDate)
+      case t: java.time.Instant =>
+        // driver dual of the session-tz cast; sessions run UTC here
+        Some(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+          .toLocalDate)
+      case s: String => scala.util.Try(java.time.LocalDate.parse(s)).toOption
+      case _ => None
+    }
+    spec.kind match {
+      case "day" => value match {
+        case t: java.time.Instant => Some(dayOfMillis(t.toEpochMilli))
+        case t: java.sql.Timestamp => Some(dayOfMillis(t.getTime))
+        case other => local(other).map(_.toEpochDay.toInt)
+      }
+      case "month" =>
+        local(value).map(d => (d.getYear - 1970) * 12 + d.getMonthValue - 1)
+      case "identity" => value match {
+        case i: Int => Some(i)
+        case l: Long => Some(l.toInt)
+        case s: Short => Some(s.toInt)
+        case b: Byte => Some(b.toInt)
+        case _ => None
+      }
+    }
+  }
+
+  /** The writer's bucket expression honoring the table's layout:
+    * partitioned tables interleave the partition index above the
+    * per-partition hash; plain tables hash only.
+    */
+  private[graft] def tableBucketExpr(
+      spec: Option[PartitionSpec], key: String, nb: Int): Column =
+    spec match {
+      case None => bucketExpr(key, nb)
+      case Some(ps) =>
+        val idx = partIdxExpr(ps)
+        val guarded = when(
+          idx.isNull || idx < 0 || idx > MaxPartIdx,
+          raise_error(concat(
+            lit(s"partitioned write: ${ps.kind}(${ps.column}) index "),
+            idx.cast("string"),
+            lit(s" out of range [0, $MaxPartIdx] — partition values " +
+              "must be non-null and bounded")))).otherwise(idx)
+        (guarded * lit(nb) +
+          pmod(xxhash64(keyCols(key).map(col): _*), lit(nb))).cast("int")
+    }
+
+  /** Retire whole partitions as a PURE METADATA commit: the new
+    * manifest simply omits every bucket of the matching partitions —
+    * zero data moved, the dropped snapshot stays time-travelable until
+    * retention GC, and the freed bytes return when old manifests age
+    * out. The 100 TB retention move (`drop WHERE day < today - 90`)
+    * that tombstoning every expired key could never be. `op` is one of
+    * lt | le | eq (cutoff semantics over the partition index). Returns
+    * the number of manifest entries dropped (0 = nothing matched, no
+    * commit minted).
+    */
+  def dropPartitions(
+      spark: SparkSession,
+      dir: String,
+      op: String,
+      value: Any): Int = withCommitRetry() {
+    val spec = partitionSpec(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropPartitions: $dir is not a partitioned table"))
+    val cut = partIdxOf(spec, value).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropPartitions: cannot interpret '$value' as a " +
+          s"${spec.kind} partition value"))
+    val pred: Int => Boolean = op match {
+      case "lt" => _ < cut
+      case "le" => _ <= cut
+      case "eq" => _ == cut
+      case other => throw new IllegalArgumentException(
+        s"dropPartitions: unknown op '$other' (lt | le | eq)")
+    }
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"dropPartitions: $dir has no committed version"))
+    val nb = numBuckets(spark, dir, last.version)
+    val m = manifest(spark, dir, last.version)
+    val dropped = m.keySet.filter(b => pred(Math.floorDiv(b, nb)))
+    if (dropped.isEmpty) return 0
+    publish(
+      spark, dir, nb, m,
+      touched = dropped,
+      rows = None,
+      last.version + 1,
+      runId = "maintenance",
+      epochId = last.version + 1,
+      prevVersion = Some(last.version),
+      sortedBy = manifestSortedBy(spark, dir, last.version),
+      schemaOverride = manifestSchema(spark, dir, last.version))
+    dropped.size
+  }
+
   // runId is a UUID or a short tag (hex + '-'; never '_'), so the
   // underscore-free group cannot swallow the `_e<epoch>` suffix.
   private val MarkerRe = "_commit_v(\\d+)_r([^_]+)_e(\\d+)".r
@@ -717,14 +899,20 @@ object MergeSink {
             s"committed epoch ${c.epoch} with no matching commit marker")
     }
     val newV = last.map(_.version + 1).getOrElse(0L)
-    val nb = last.map(c => numBuckets(spark, dir, c.version)).getOrElse(DefaultBuckets)
+    val spec = partitionSpec(spark, dir)
+    val nb = last.map(c => numBuckets(spark, dir, c.version))
+      .getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
     val prevManifest =
       last.map(c => manifest(spark, dir, c.version)).getOrElse(Map.empty[Int, Long])
 
     val kcols = keyCols(key)
     kcols.foreach(k => require(batch.columns.contains(k),
       s"merge batch lacks key column '$k' (${batch.columns.mkString(",")})"))
-    val bucketOf = bucketExpr(key, nb)
+    spec.foreach(ps => require(kcols.contains(ps.column),
+      s"partitioned table: transform column '${ps.column}' must be one " +
+        s"of the merge key columns (${kcols.mkString(",")}) — a key's " +
+        "bucket must be stable across upserts"))
+    val bucketOf = tableBucketExpr(spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     // Which buckets does this batch touch? (≤ nb values — metadata, not data)
@@ -1369,11 +1557,16 @@ object MergeSink {
             s"committed epoch ${c.epoch} with no matching commit marker")
     }
     val newV = last.map(_.version + 1).getOrElse(0L)
-    val nb = last.map(c => numBuckets(spark, dir, c.version)).getOrElse(DefaultBuckets)
+    val spec = partitionSpec(spark, dir)
+    val nb = last.map(c => numBuckets(spark, dir, c.version))
+      .getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
     val kcols = keyCols(key)
     kcols.foreach(k => require(batch.columns.contains(k),
       s"overwrite batch lacks key column '$k' (${batch.columns.mkString(",")})"))
-    val bucketOf = bucketExpr(key, nb)
+    spec.foreach(ps => require(kcols.contains(ps.column),
+      s"partitioned table: transform column '${ps.column}' must be one " +
+        s"of the merge key columns (${kcols.mkString(",")})"))
+    val bucketOf = tableBucketExpr(spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     val touched = batchC
@@ -2059,7 +2252,7 @@ object MergeSink {
         val raw = currentViewAt(spark, dir, c.version,
           spark.read.option("mergeSchema", true).parquet(allPaths: _*))
         if (!raw.columns.contains(DeletedCol)) return 0
-        val bucketOf = bucketExpr(key, nb)
+        val bucketOf = tableBucketExpr(partitionSpec(spark, dir), key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
         // bounded set (deleted keys inside the horizon), so this
         // distinct is metadata-scale.
@@ -2696,7 +2889,8 @@ object MergeSink {
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
           spark.read.option("mergeSchema", true).parquet(allPaths: _*))
-        val bucketOf = bucketExpr(key, targetBuckets)
+        val spec = partitionSpec(spark, dir)
+        val bucketOf = tableBucketExpr(spec, key, targetBuckets)
         // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
         // every row group's key min/max would otherwise span the whole
         // key range, and the reader's row-group skipping (pushed
@@ -2710,11 +2904,22 @@ object MergeSink {
           .sortWithinPartitions(
             (col("__b") +: keyCols(key).map(col)).toIndexedSeq: _*)
         val newV = c.version + 1
+        // rewritten bucket ids: dense 0..nb for a plain table; for a
+        // partitioned layout, the old manifest's live partitions × the
+        // new modulus — a metadata-derived SUPERSET (publish skips ids
+        // the write left empty), no second pass over the data
+        val rewritten: Set[Int] = spec match {
+          case None => (0 until targetBuckets).toSet
+          case Some(_) =>
+            val oldNb = numBuckets(spark, dir, c.version)
+            m.keySet.map(b => Math.floorDiv(b, oldNb)).flatMap(pi =>
+              (0 until targetBuckets).map(pi * targetBuckets + _))
+        }
         // prevManifest = empty: the new manifest lists ONLY the rewritten
         // buckets (the whole table), under the new bucket count
         publish(
           spark, dir, targetBuckets, Map.empty,
-          touched = (0 until targetBuckets).toSet, Some(rows), newV,
+          touched = rewritten, Some(rows), newV,
           runId = "maintenance", epochId = newV,
           // every bucket rewritten key-sorted: the manifest records the
           // table-wide sort (what SupportsReportOrdering keys on)
@@ -3079,14 +3284,22 @@ object MergeSink {
             graft.plans.ZOrder2.zorder(scaled(0), scaled(1))
           else
             graft.plans.ZOrderN.zorder(zCols.indices.map(scaled), bits)
+        val zSpec = partitionSpec(spark, dir)
         val rows = raw
-          .withColumn("__b", bucketExpr(key, targetBuckets))
+          .withColumn("__b", tableBucketExpr(zSpec, key, targetBuckets))
           .repartition(col("__b"))
           .sortWithinPartitions(col("__b"), z)
         val newV = c.version + 1
+        val zTouched: Set[Int] = zSpec match {
+          case None => (0 until targetBuckets).toSet
+          case Some(_) =>
+            val oldNb = numBuckets(spark, dir, c.version)
+            m.keySet.map(b => Math.floorDiv(b, oldNb)).flatMap(pi =>
+              (0 until targetBuckets).map(pi * targetBuckets + _))
+        }
         publish(
           spark, dir, targetBuckets, Map.empty,
-          touched = (0 until targetBuckets).toSet, Some(rows), newV,
+          touched = zTouched, Some(rows), newV,
           runId = "maintenance", epochId = newV,
           // a full rewrite must not let the recorded schema forget its
           // column-mapping metadata (rows-derived schemas are plain)
@@ -3118,7 +3331,7 @@ object MergeSink {
         // same modulus: every row re-hashes to the bucket it came from,
         // so the rewrite is a per-bucket sort, not a shuffle across the
         // carried buckets
-        val bucketOf = bucketExpr(key, nb)
+        val bucketOf = tableBucketExpr(partitionSpec(spark, dir), key, nb)
         val rows = raw
           .withColumn("__b", bucketOf)
           .repartition(col("__b"))

@@ -2695,6 +2695,73 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_partitioned — TIME-PARTITIONED MERGE TABLE gated end to
+  // end: the event ledger lands in a day-partitioned layout (global
+  // bucket id = epochDay * nb + hash(key) % nb — the two-level
+  // p=<day>/b=<bucket> organization a 100 TB fact table lives in). The
+  // gate REQUIREs (1) a mid-month window read plans only the window's
+  // partitions (manifest-level pruning, before any file or footer),
+  // (2) retiring the first week via dropPartitions is ONE metadata
+  // commit — zero data moved, and (3) the pre-drop snapshot still
+  // time-travels in full. Output: the per-day aggregate over the
+  // retained days — the DuckDB oracle recomputes it from the raw
+  // events with the same date cutoff.
+  // ---------------------------------------------------------------------
+  val mergePartitionedGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MS = graft.streaming.MergeSink
+    val t = java.nio.file.Files.createTempDirectory("graft_part_tbl").toString
+    MS.setPartitionSpec(s, t, "day", "day", 4)
+    MS.setHistoryKeep(s, t, 8)
+    val e = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val total = e.count()
+    MS.upsertBatch(e.withColumn("rv", lit(1L)),
+      t, "day,event_id", "rv", 0L, "load")
+    def read() = s.read.format("graft-merge")
+      .option("path", t).option("key", "day,event_id").option("seq", "rv")
+      .load()
+    val days = e.select(col("day")).distinct().count()
+    // (1) window read prunes to the window's partitions
+    graft.sources.GraftMergeScan.lastPrune.set(null)
+    read()
+      .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-10")) &&
+        col("day") <= lit(java.sql.Date.valueOf("2024-01-12")))
+      .agg(count(lit(1))).head()
+    val prune = graft.sources.GraftMergeScan.lastPrune.get()
+    require(prune != null && prune._1 <= 3 * 4 && prune._1 < prune._2,
+      s"3 of $days days must plan <= 12 bucket files, planned $prune")
+    // (2) retention = metadata commit
+    val dropped = MS.dropPartitions(s, t, "lt", "2024-01-08")
+    require(dropped >= 7, s"a week of partitions must drop, got $dropped")
+    require(MS.commits(s, t).map(_.version) == Seq(0L, 1L),
+      "drop_partitions must be exactly one commit")
+    // (3) the pre-drop snapshot still answers in full
+    val v0 = s.read.format("graft-merge")
+      .option("path", t).option("key", "day,event_id").option("seq", "rv")
+      .option("versionAsOf", "0").load()
+    require(v0.count() == total, "pre-drop snapshot must time-travel whole")
+    read()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("long").as("cents_total"))
+      .orderBy(col("day"))
+      // DATE dtypes differ across engines' parquet/pandas bridges —
+      // gate the ISO string form
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("cents_total"))
+  }
+
+  val mergePartitionedGatedSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_evolution — MERGE ... WITH SCHEMA EVOLUTION gated end to
   // end: the day-2 source carries a column the target never declared
   // (`flag`); Spark derives the AddColumn change from the source
@@ -4234,6 +4301,7 @@ object Streams {
     "q_mv_stream" -> mvStreamGated,
     "q_merge_wap" -> mergeWapGated,
     "q_merge_constraint" -> mergeConstraintGated,
+    "q_merge_partitioned" -> mergePartitionedGated,
     "q_merge_evolution" -> mergeEvolutionGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
@@ -4294,6 +4362,7 @@ object Streams {
     "q_mv_stream" -> mvStreamGatedSql,
     "q_merge_wap" -> mergeWapGatedSql,
     "q_merge_constraint" -> mergeConstraintGatedSql,
+    "q_merge_partitioned" -> mergePartitionedGatedSql,
     "q_merge_evolution" -> mergeEvolutionGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
