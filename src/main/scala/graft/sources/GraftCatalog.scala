@@ -993,7 +993,7 @@ object GraftProcedures {
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
-      "create_mv", "refresh_mv",
+      "create_mv", "create_mv_join", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
       "add_check", "drop_check", "refresh_dependents",
       "drop_partitions")
@@ -1012,6 +1012,7 @@ object GraftProcedures {
       case "vacuum" => Some(new VacuumProc(cat))
       case "zorder" => Some(new ZOrderProc(cat))
       case "create_mv" => Some(new CreateMvProc(cat))
+      case "create_mv_join" => Some(new CreateMvJoinProc(cat))
       case "refresh_mv" => Some(new RefreshMvProc(cat))
       case "create_tag" => Some(new CreateTagProc(cat))
       case "drop_tag" => Some(new DropTagProc(cat))
@@ -1334,6 +1335,37 @@ object GraftProcedures {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         aggs = MaterializedViews.parseAggs(input.getUTF8String(3).toString),
         mode = input.getUTF8String(4).toString).toInt)
+  }
+
+  /** `CALL cat.sys.create_mv_join('db.mv', 'db.fact', 'db.dim',
+    * 'fk=pk', 'g1[,g2]', 'total=sum:cents,m=avg:cents', 'algebraic')`
+    * — a MATERIALIZED VIEW over a star join, maintained by delta-join
+    * IVM ([[MaterializedViews.refreshJoinDir]]).
+    */
+  final class CreateMvJoinProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_mv_join", "groups_materialized",
+        Seq(ProcedureParameter.in("fact", StringType).build(),
+          ProcedureParameter.in("dim", StringType).build(),
+          ProcedureParameter.in("on", StringType)
+            .comment("fact_fk=dim_pk").build(),
+          ProcedureParameter.in("group_cols", StringType).build(),
+          ProcedureParameter.in("aggs", StringType).build(),
+          ProcedureParameter.in("mode", StringType).build())) {
+    override def description(): String =
+      "create a materialized view over fact JOIN dim (delta-join IVM)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      oneRow(MaterializedViews.createJoin(
+        SparkSession.active, cat,
+        mvIdent = input.getUTF8String(0).toString,
+        factIdent = input.getUTF8String(1).toString,
+        dimIdent = input.getUTF8String(2).toString,
+        on = input.getUTF8String(3).toString,
+        groupCols = input.getUTF8String(4).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        aggs = MaterializedViews.parseAggs(input.getUTF8String(5).toString),
+        mode = input.getUTF8String(6).toString).toInt)
   }
 
   /** `CALL cat.sys.refresh_mv('db.mv')` — advance the view to its

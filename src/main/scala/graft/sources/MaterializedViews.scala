@@ -42,10 +42,34 @@ import graft.streaming.MergeSink
 object MaterializedViews {
 
   /** One aggregate column of the view: `alias = kind(input)` where
-    * kind ∈ sum|count|min|max (input `*` for count). Parsed from the
-    * spec string `"total=sum:cents,n=count:*"`.
+    * kind ∈ sum|count|min|max|avg (input `*` for count). Parsed from
+    * the spec string `"total=sum:cents,n=count:*"`. `avg` is a DERIVED
+    * measure: the view maintains hidden `__<alias>_s` / `__<alias>_c`
+    * columns (self-maintainable sum/count) and recomputes the visible
+    * quotient for changed groups only — derived measures cost a
+    * projection, never a scan.
     */
   final case class Agg(alias: String, kind: String, input: String)
+
+  /** Expand derived kinds into their self-maintainable parts; all
+    * storage and folding operates on the expanded list.
+    */
+  private def expand(aggs: Seq[Agg]): Seq[Agg] = aggs.flatMap {
+    case Agg(a, "avg", c) =>
+      Seq(Agg(s"__${a}_s", "sum", c), Agg(s"__${a}_c", "count", c))
+    case x => Seq(x)
+  }
+
+  /** Visible derived columns recomputed from the expanded parts:
+    * avg = sum / count (NULL on the empty/all-NULL group). ONE
+    * division — bit-identical to the oracle's SUM/COUNT quotient.
+    */
+  private def derived(aggs: Seq[Agg]): Seq[Column] = aggs.collect {
+    case Agg(a, "avg", _) =>
+      when(col(s"__${a}_c") === 0L, lit(null))
+        .otherwise(col(s"__${a}_s").cast(DoubleType) / col(s"__${a}_c"))
+        .cast(DoubleType).as(a)
+  }
 
   /** Hidden maintenance columns: `__n` (live rows per group — the
     * group-liveness counter that decides tombstoning) and `__rv` (the
@@ -64,9 +88,11 @@ object MaterializedViews {
       val agg = Agg(s.substring(0, eq).trim,
         s.substring(eq + 1, co).trim.toLowerCase(java.util.Locale.ROOT),
         s.substring(co + 1).trim)
-      require(Set("sum", "count", "min", "max")(agg.kind),
+      require(Set("sum", "count", "min", "max", "avg")(agg.kind),
         s"materialized view: unsupported aggregate '${agg.kind}' " +
-          "(have sum, count, min, max)")
+          "(have sum, count, min, max, avg)")
+      require(agg.kind != "avg" || agg.input != "*",
+        s"materialized view: avg needs a column input (${agg.alias})")
       require(agg.input != "*" || agg.kind == "count",
         s"materialized view: '*' input is only valid for count (${agg.alias})")
       agg
@@ -74,21 +100,29 @@ object MaterializedViews {
     require(out.nonEmpty, "materialized view: empty aggregate spec")
     require(out.map(_.alias).distinct.size == out.size,
       s"materialized view: duplicate aggregate aliases in '$spec'")
+    require(out.forall(!_.alias.startsWith("__")),
+      s"materialized view: '__' aliases are reserved (hidden columns)")
     out
   }
 
   /** The full (non-incremental) aggregate — definition of the view's
     * content; `refresh` must converge to exactly this at every head.
+    * Emits the expanded (stored) columns AND the derived quotients.
     */
   private def fullAggregate(
       src: DataFrame,
       groupCols: Seq[String],
-      aggs: Seq[Agg]): DataFrame =
-    src
+      aggs: Seq[Agg]): DataFrame = {
+    val ex = expand(aggs)
+    val agged = src
       .groupBy(groupCols.map(col): _*)
-      .agg(aggExpr(aggs.head),
-        (aggs.tail.map(aggExpr) :+
+      .agg(aggExpr(ex.head),
+        (ex.tail.map(aggExpr) :+
           count(lit(1)).as(RowCountCol)): _*)
+    agged.select(
+      (groupCols.map(col) ++ ex.map(a => col(a.alias)) ++
+        derived(aggs) :+ col(RowCountCol)): _*)
+  }
 
   private def aggExpr(a: Agg): Column = a.kind match {
     case "sum" => sum(col(a.input)).as(a.alias)
@@ -212,6 +246,175 @@ object MaterializedViews {
     }
   }
 
+  // ------------------------------------------------------------------
+  // MV OVER A JOIN (star-schema IVM): view = GROUP BY over
+  // `fact ⋈ dim ON fact.fk = dim.pk`. Delta-join maintenance — the
+  // established algebra (F'⋈D' − F⋈D = ΔF⋈D' + F⋈ΔD, bag semantics):
+  // the fact's retraction delta joins the dim's NEW state, the dim's
+  // retraction delta joins the fact's OLD snapshot (time travel), and
+  // the union folds through the same algebraic machinery as the
+  // single-table view. A day of fact changes costs O(Δ ⋈ dim) — the
+  // dim broadcast the fact commit already paid; a dim change costs one
+  // semi-pruned fact pass against Δdim (rare for slowly-changing
+  // dims, and inherent to delta-join IVM without an FK index).
+  // ------------------------------------------------------------------
+
+  /** Both applied versions ride ONE commit epoch: (factV << 31) | dimV.
+    * 2^31 versions per table ≈ 68 years of per-second commits; the
+    * pack is monotone in each head, so `maxOption` over commit epochs
+    * keeps meaning "latest applied".
+    */
+  private val VBits = 31
+  private def packVersions(f: Long, d: Long): Long = {
+    require(f >= 0 && f < (1L << VBits) && d >= 0 && d < (1L << VBits),
+      s"join view: versions out of packable range: fact=$f dim=$d")
+    (f << VBits) | d
+  }
+  private def unpackVersions(e: Long): (Long, Long) =
+    (e >> VBits, e & ((1L << VBits) - 1))
+
+  /** Advance a JOIN view to both sources' heads. Same exactly-once
+    * contract as [[refreshDir]] (runId = view identity, epoch = packed
+    * source versions). Returns groups written (0 = already current).
+    */
+  def refreshJoinDir(
+      spark: SparkSession,
+      factDir: String,
+      factKey: String,
+      dimDir: String,
+      dimKey: String,
+      fk: String,
+      pk: String,
+      mvDir: String,
+      groupCols: Seq[String],
+      aggs: Seq[Agg],
+      mode: String): Long = {
+    require(mode == "algebraic" || mode == "rescan",
+      s"materialized view: unknown mode '$mode' (algebraic | rescan)")
+    val groupCsv = groupCols.mkString(",")
+    val runId = mvRunId(mvDir)
+    val (fHead, dHead) = (
+      MergeSink.lastCommit(spark, factDir).map(_.version),
+      MergeSink.lastCommit(spark, dimDir).map(_.version)) match {
+      case (Some(f), Some(dv)) => (f, dv)
+      case _ => return 0L // a side unborn: nothing joinable yet
+    }
+    val packed = packVersions(fHead, dHead)
+    val applied = MergeSink.commits(spark, mvDir)
+      .filter(_.runId == runId).map(_.epoch).maxOption
+    if (applied.contains(packed)) return 0L
+
+    // the needed columns and which side serves each (must be unique)
+    val needed = (groupCols ++
+      expand(aggs).map(_.input).filter(_ != "*")).distinct
+    def joinedCurrentOpt: Option[DataFrame] = for {
+      f <- MergeSink.currentState(spark, factDir)
+      dm <- MergeSink.currentState(spark, dimDir)
+    } yield selectSides(f.as("f").join(dm.as("dm"),
+      col(s"f.$fk") === col(s"dm.$pk"), "inner"), f, dm, needed, Nil)
+    def fullRebuild(): Long = joinedCurrentOpt match {
+      case None => 0L // a side holds no live rows yet: nothing to join
+      case Some(j) =>
+        val full = fullAggregate(j, groupCols, aggs)
+          .withColumn(RefreshCol, lit(packed))
+        MergeSink.overwriteBatch(
+          full, mvDir, groupCsv, RefreshCol, epochId = packed, runId = runId)
+        MergeSink.currentState(spark, mvDir).map(_.count()).getOrElse(0L)
+    }
+
+    applied match {
+      case Some(prev) =>
+        val (f0, d0) = unpackVersions(prev)
+        val retainedF = MergeSink.commits(spark, factDir)
+          .exists(_.version == f0)
+        val retainedD = MergeSink.commits(spark, dimDir)
+          .exists(_.version == d0)
+        if (!retainedF || !retainedD) return fullRebuild()
+        val dF = if (f0 == fHead) None
+          else MergeSink.changeDelta(spark, factDir, factKey, f0, fHead)
+        val dD = if (d0 == dHead) None
+          else MergeSink.changeDelta(spark, dimDir, dimKey, d0, dHead)
+        val parts = Seq.newBuilder[DataFrame]
+        dF.foreach { df =>
+          // ΔF ⋈ D' — mult rides the fact delta
+          val dimNew = MergeSink.currentState(spark, dimDir)
+            .getOrElse(df.limit(0))
+          parts += selectSides(
+            df.as("f").join(dimNew.as("dm"),
+              col(s"f.$fk") === col(s"dm.$pk"), "inner"),
+            df, dimNew, needed, Seq(col("f.__mult").as("__mult")))
+        }
+        dD.foreach { dd =>
+          // F@f0 ⋈ ΔD — mult rides the dim delta; the fact side is the
+          // OLD snapshot (time travel), exactly the algebra's F term
+          val factOld = MergeSink.stateAt(spark, factDir, f0)
+            .getOrElse(dd.limit(0))
+          parts += selectSides(
+            factOld.as("f").join(dd.as("dm"),
+              col(s"f.$fk") === col(s"dm.$pk"), "inner"),
+            factOld, dd, needed, Seq(col("dm.__mult").as("__mult")))
+        }
+        val deltas = parts.result()
+        if (deltas.isEmpty) {
+          // metadata-only movement on both sides: record the applied
+          // heads with an empty idempotent commit
+          MergeSink.currentState(spark, mvDir).foreach(st =>
+            MergeSink.upsertBatch(
+              st.limit(0), mvDir, groupCsv, RefreshCol,
+              epochId = packed, runId = runId))
+          return 0L
+        }
+        val delta = deltas.reduce(_ unionByName _)
+        mode match {
+          case "algebraic"
+              if hasMinMax(aggs) && {
+                val retracting = delta
+                  .filter(col("__mult") < 0).limit(1).count() > 0
+                if (retracting) minmaxRescanCount.incrementAndGet()
+                else minmaxFoldCount.incrementAndGet()
+                retracting
+              } =>
+            refreshRescan(
+              spark, delta,
+              joinedCurrentOpt.getOrElse(delta.drop("__mult").limit(0)),
+              mvDir, groupCols, aggs, groupCsv, packed, runId)
+          case "algebraic" => refreshAlgebraic(
+            spark, delta, mvDir, groupCols, aggs, groupCsv, packed, runId)
+          case "rescan" => refreshRescan(
+            spark, delta,
+            joinedCurrentOpt.getOrElse(delta.drop("__mult").limit(0)),
+            mvDir, groupCols, aggs, groupCsv, packed, runId)
+        }
+      case None => fullRebuild()
+    }
+  }
+
+  /** Qualified projection of the join: each needed column must live on
+    * exactly ONE side — ambiguity rejects at refresh time, loudly.
+    */
+  private def selectSides(
+      joined: DataFrame,
+      fact: DataFrame,
+      dim: DataFrame,
+      needed: Seq[String],
+      extra: Seq[Column]): DataFrame = {
+    val fCols = fact.columns.toSet - "__mult"
+    val dCols = dim.columns.toSet - "__mult"
+    val picks = needed.map { c =>
+      (fCols.contains(c), dCols.contains(c)) match {
+        case (true, false) => col(s"f.$c").as(c)
+        case (false, true) => col(s"dm.$c").as(c)
+        case (true, true) => throw new IllegalArgumentException(
+          s"join view: column '$c' exists on BOTH sides — rename one " +
+            "(view columns must be unambiguous)")
+        case _ => throw new IllegalArgumentException(
+          s"join view: column '$c' exists on NEITHER side " +
+            s"(fact: ${fCols.mkString(",")}; dim: ${dCols.mkString(",")})")
+      }
+    }
+    joined.select(picks ++ extra: _*)
+  }
+
   /** Fold the retraction delta into the stored aggregates: one grouped
     * pass over the delta, one key join against ONLY the changed view
     * rows, one upsert. A group whose live-row count reaches zero is
@@ -222,10 +425,11 @@ object MaterializedViews {
       delta: DataFrame,
       mvDir: String,
       groupCols: Seq[String],
-      aggs: Seq[Agg],
+      aggs0: Seq[Agg],
       groupCsv: String,
       srcHead: Long,
       runId: String): Long = {
+    val aggs = expand(aggs0) // fold the stored (self-maintainable) parts
     val dAgg = delta
       .groupBy(groupCols.map(col): _*)
       .agg(deltaExpr(aggs.head),
@@ -258,6 +462,8 @@ object MaterializedViews {
         foldedN.cast(LongType).as(RowCountCol) :+
         lit(srcHead).as(RefreshCol) :+
         (foldedN === 0L).as(MergeSink.DeletedCol)): _*)
+      // derived quotients recompute from the freshly-folded parts
+      .select((col("*") +: derived(aggs0)): _*)
       .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count() // O(changed groups) — the refresh's report
     MergeSink.upsertBatch(
@@ -281,10 +487,12 @@ object MaterializedViews {
     val touched = delta.select(groupCols.map(col): _*).distinct()
     val recomputed = fullAggregate(
       srcState.join(touched, groupCols, "left_semi"), groupCols, aggs)
+    val tombAliases = expand(aggs).map(_.alias) ++
+      aggs.collect { case Agg(a, "avg", _) => a }
     val vanished = touched
       .join(recomputed, groupCols, "left_anti")
       .select((groupCols.map(col) ++
-        aggs.map(a => lit(null).as(a.alias)) :+
+        tombAliases.map(a => lit(null).as(a)) :+
         lit(0L).as(RowCountCol)): _*)
     val out = recomputed
       .withColumn(MergeSink.DeletedCol, lit(false))
@@ -323,11 +531,12 @@ object MaterializedViews {
     }
     StructType(
       groupCols.map(srcField) ++
-        aggs.map {
+        expand(aggs).map {
           case Agg(a, "count", _) => StructField(a, LongType)
           case Agg(a, "sum", c) => StructField(a, sumType(srcField(c).dataType))
           case Agg(a, _, c) => StructField(a, srcField(c).dataType)
         } ++
+        aggs.collect { case Agg(a, "avg", _) => StructField(a, DoubleType) } ++
         Seq(StructField(RowCountCol, LongType),
           StructField(RefreshCol, LongType)))
   }
@@ -363,6 +572,56 @@ object MaterializedViews {
     refresh(spark, cat, mvIdent)
   }
 
+  /** Define a JOIN view in the catalog: `CALL cat.sys.create_mv_join
+    * ('db.mv', 'db.fact', 'db.dim', 'fk=pk', 'grp', 'total=sum:cents',
+    * 'algebraic')`. Persists the two-table definition as `graft.mv.*`
+    * properties and runs the first (full) refresh.
+    */
+  private[sources] def createJoin(
+      spark: SparkSession,
+      cat: GraftCatalog,
+      mvIdent: String,
+      factIdent: String,
+      dimIdent: String,
+      on: String,
+      groupCols: Seq[String],
+      aggs: Seq[Agg],
+      mode: String): Long = {
+    require(mode == "algebraic" || mode == "rescan",
+      s"create_mv_join: unknown mode '$mode' (algebraic | rescan)")
+    val (fk, pk) = on.split('=') match {
+      case Array(a, b) => (a.trim, b.trim)
+      case _ => throw new IllegalArgumentException(
+        s"create_mv_join: bad join spec '$on' (want 'fact_fk=dim_pk')")
+    }
+    val factOpts = cat.tableOptions(identOf(factIdent))
+    val dimOpts = cat.tableOptions(identOf(dimIdent))
+    val factSchema = DataType.fromJson(factOpts("schema"))
+      .asInstanceOf[StructType]
+    val dimSchema = DataType.fromJson(dimOpts("schema"))
+      .asInstanceOf[StructType]
+    // resolve each view column on exactly one side
+    val joint = StructType(factSchema.fields ++
+      dimSchema.fields.filterNot(f =>
+        factSchema.fieldNames.contains(f.name)))
+    val schema = mvSchema(joint, groupCols, aggs)
+    val P = org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX
+    val props = new java.util.HashMap[String, String]()
+    props.put("key", groupCols.mkString(","))
+    props.put("seq", RefreshCol)
+    props.put(P + "graft.mv.source", factIdent)
+    props.put(P + "graft.mv.dim", dimIdent)
+    props.put(P + "graft.mv.on", s"$fk=$pk")
+    props.put(P + "graft.mv.group", groupCols.mkString(","))
+    props.put(P + "graft.mv.aggs",
+      aggs.map(a => s"${a.alias}=${a.kind}:${a.input}").mkString(","))
+    props.put(P + "graft.mv.mode", mode)
+    cat.createTable(identOf(mvIdent), schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      props)
+    refresh(spark, cat, mvIdent)
+  }
+
   private[sources] def refresh(
       spark: SparkSession,
       cat: GraftCatalog,
@@ -373,14 +632,30 @@ object MaterializedViews {
         s"refresh_mv: '$mvIdent' is not a materialized view " +
           "(no graft.mv.source property)"))
     val srcOpts = cat.tableOptions(identOf(srcIdent))
-    refreshDir(
-      spark,
-      srcDir = srcOpts("path"),
-      srcKey = srcOpts("key"),
-      mvDir = mvOpts("path"),
-      groupCols = mvOpts("graft.mv.group").split(',').toSeq.map(_.trim),
-      aggs = parseAggs(mvOpts("graft.mv.aggs")),
-      mode = mvOpts.getOrElse("graft.mv.mode", "algebraic"))
+    val groupCols = mvOpts("graft.mv.group").split(',').toSeq.map(_.trim)
+    val aggs = parseAggs(mvOpts("graft.mv.aggs"))
+    val mode = mvOpts.getOrElse("graft.mv.mode", "algebraic")
+    mvOpts.get("graft.mv.dim") match {
+      case Some(dimIdent) =>
+        val dimOpts = cat.tableOptions(identOf(dimIdent))
+        val Array(fk, pk) = mvOpts("graft.mv.on").split('=').map(_.trim)
+        refreshJoinDir(
+          spark,
+          factDir = srcOpts("path"), factKey = srcOpts("key"),
+          dimDir = dimOpts("path"), dimKey = dimOpts("key"),
+          fk = fk, pk = pk,
+          mvDir = mvOpts("path"),
+          groupCols = groupCols, aggs = aggs, mode = mode)
+      case None =>
+        refreshDir(
+          spark,
+          srcDir = srcOpts("path"),
+          srcKey = srcOpts("key"),
+          mvDir = mvOpts("path"),
+          groupCols = groupCols,
+          aggs = aggs,
+          mode = mode)
+    }
   }
 
   /** CONTINUOUSLY MAINTAINED VIEW: a streaming sink whose every
@@ -441,11 +716,12 @@ object MaterializedViews {
         cat.listTables(ns.toArray).toSeq.flatMap { id =>
           val full = (id.namespace() :+ id.name()).mkString(".")
           val opts = cat.tableOptions(id)
-          opts.get("graft.mv.source") match {
-            case Some(src) if identKey(src) == want =>
-              Some(full -> refresh(spark, cat, full))
-            case _ => None
-          }
+          // a JOIN view depends on BOTH its fact and its dim
+          val sources =
+            opts.get("graft.mv.source").toSeq ++ opts.get("graft.mv.dim")
+          if (sources.exists(s => identKey(s) == want))
+            Some(full -> refresh(spark, cat, full))
+          else None
         }
     }
   }

@@ -2695,6 +2695,76 @@ object Streams {
       |FROM st GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_mv_join — MATERIALIZED VIEW OVER A STAR JOIN, maintained by
+  // delta-join IVM (ΔF⋈D' ∪ F@old⋈ΔD over the retraction streams,
+  // MaterializedViews.refreshJoinDir): the event ledger is the fact
+  // (reusing the q_mv_* v0/v1 load shapes incl. the NULL-cents lane),
+  // a 97-row gid→category dim is the dimension, and the view holds
+  // sum + count + the DERIVED avg per category. Day 2 changes BOTH
+  // sides — fact inserts/updates/deletes confined to grp % 5 = 0
+  // (≤ 2 of the 10 categories, cost bound REQUIREd) and a dim
+  // recategorization + dim-row deletion (≤ 3 categories) — and the
+  // gate REQUIREs each refresh wrote only the touched categories.
+  // Oracle: the from-scratch join aggregate over the raw events.
+  // ---------------------------------------------------------------------
+  val mvJoinGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val MS = graft.streaming.MergeSink
+    val fact = java.nio.file.Files.createTempDirectory("graft_mvj_f").toString
+    val dim = java.nio.file.Files.createTempDirectory("graft_mvj_d").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvj_v").toString
+    MS.setHistoryKeep(s, fact, 8)
+    MS.setHistoryKeep(s, dim, 8)
+    val e = mvSourceRows(s, d)
+    mvLoadV0(e, fact)
+    MS.upsertBatch(
+      s.range(97).select(col("id").as("gid"),
+        (col("id") % 10).as("category")).withColumn("drv", lit(1L)),
+      dim, "gid", "drv", 0L, "load")
+    val aggs = Seq(MV.Agg("total", "sum", "cents"),
+      MV.Agg("n", "count", "*"), MV.Agg("avgc", "avg", "cents"))
+    def refresh(): Long = MV.refreshJoinDir(
+      s, fact, "event_id", dim, "gid", "grp", "gid",
+      mv, Seq("category"), aggs, "algebraic")
+    val g0 = refresh()
+    require(g0 >= 3, s"initial join materialization too small: $g0")
+    // day 2a: FACT side — the shared v1 shape (grp % 5 = 0 only)
+    mvLoadV1(e, fact)
+    val g1 = refresh()
+    require(g1 >= 1 && g1 <= 2,
+      s"fact delta (grps % 5 = 0 -> categories 0,5) must fold <= 2 " +
+        s"categories, wrote $g1")
+    // day 2b: DIM side — gid 5 recategorizes 5 -> 7; gid 0 leaves
+    // (its facts drop out of the inner join): F@old ⋈ ΔD at work
+    MS.upsertBatch(
+      s.range(1).select(lit(5L).as("gid"), lit(7L).as("category"),
+        lit(2L).as("drv"), lit(false).as("__deleted"))
+        .unionByName(s.range(1).select(lit(0L).as("gid"),
+          lit(0L).as("category"), lit(2L).as("drv"),
+          lit(true).as("__deleted"))),
+      dim, "gid", "drv", 1L, "load")
+    val g2 = refresh()
+    require(g2 >= 1 && g2 <= 3,
+      s"dim delta (cats 0, 5, 7) must fold <= 3 categories, wrote $g2")
+    require(refresh() == 0L, "refresh at both heads must be a no-op")
+    MS.currentState(s, mv).get
+      .select(col("category"), col("total"), col("n"), col("avgc"))
+      .orderBy(col("category"))
+  }
+
+  val mvJoinGatedSql: String =
+    mvOracleWith +
+      """, dim AS (
+        |  SELECT gid, CASE WHEN gid = 5 THEN 7 ELSE gid % 10 END AS category
+        |  FROM (SELECT unnest(range(0, 97)) AS gid) WHERE gid <> 0)
+        |SELECT category, CAST(SUM(cents) AS BIGINT) AS total,
+        |  count(*) AS n,
+        |  CASE WHEN count(cents) = 0 THEN NULL
+        |    ELSE CAST(SUM(cents) AS DOUBLE) / count(cents) END AS avgc
+        |FROM final JOIN dim ON final.grp = dim.gid
+        |GROUP BY category ORDER BY category""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_partitioned — TIME-PARTITIONED MERGE TABLE gated end to
   // end: the event ledger lands in a day-partitioned layout (global
   // bucket id = epochDay * nb + hash(key) % nb — the two-level
@@ -4296,6 +4366,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGated,
     "q_merge_race" -> mergeRaceGated,
     "q_mv_refresh" -> mvRefreshGated,
+    "q_mv_join" -> mvJoinGated,
     "q_mv_rescan" -> mvRescanGated,
     "q_catalog_mv" -> catalogMvGated,
     "q_mv_stream" -> mvStreamGated,
@@ -4357,6 +4428,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_race" -> mergeRaceGatedSql,
     "q_mv_refresh" -> mvRefreshGatedSql,
+    "q_mv_join" -> mvJoinGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,
     "q_catalog_mv" -> catalogMvGatedSql,
     "q_mv_stream" -> mvStreamGatedSql,

@@ -425,9 +425,10 @@ class Dsv2Spec extends SparkSpec {
     val s2 = spark
     import s2.implicits._
     val dir = freshTable()
-    // decimal(9,2) -> INT32-annotated, decimal(15,2) -> INT64-annotated,
-    // date -> INT32-annotated: each would silently surface unscaled
-    // physical integers if mapped by physical type alone
+    // decimal(9,2) -> INT32-annotated, decimal(15,2) -> INT64-annotated:
+    // each would silently surface unscaled physical integers if mapped
+    // by physical type alone. DATE-annotated INT32 is a SUPPORTED type
+    // (partition columns) and must decode as DateType, not fail.
     spark.sql(
       """select cast(1.23 as decimal(9,2)) d32,
         |       cast(4.56 as decimal(15,2)) d64,
@@ -438,10 +439,16 @@ class Dsv2Spec extends SparkSpec {
     val footer = graft.sources.MergeTableUtil.footerOf(
       spark.sessionState.newHadoopConf(), f.toString)
     footer.getFields.asScala.foreach { t =>
-      val err = intercept[IllegalArgumentException] {
-        graft.sources.MergeTableUtil.sparkFieldOf(t.asPrimitiveType())
+      val prim = t.asPrimitiveType()
+      if (prim.getName == "dt")
+        assert(graft.sources.MergeTableUtil.sparkFieldOf(prim).dataType ==
+          org.apache.spark.sql.types.DateType)
+      else {
+        val err = intercept[IllegalArgumentException] {
+          graft.sources.MergeTableUtil.sparkFieldOf(prim)
+        }
+        assert(err.getMessage.contains("logical type"), err.getMessage)
       }
-      assert(err.getMessage.contains("logical type"), err.getMessage)
     }
   }
 
