@@ -627,12 +627,41 @@ class GraftCatalog
           } else props.setProperty(
             "schema", StructType(cur.fields.filter(_.name != name)).json)
         }
+      // ALTER COLUMN TYPE: SAFE WIDENING ONLY (int->long, float->
+      // double, decimal precision growth) as a schema-only commit —
+      // old files keep the narrow physical type, readers up-cast
+      // through parquet type promotion. Anything lossy still rejects.
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns only")
+        val name = upd.fieldNames.head
+        val path = props.getProperty("path")
+        if (graft.streaming.MergeSink.lastCommit(
+            SparkSession.active, path).isDefined)
+          graft.streaming.MergeSink.widenColumn(
+            SparkSession.active, path, props.getProperty("key"),
+            name, upd.newDataType())
+        else {
+          val cur = DataType.fromJson(props.getProperty("schema"))
+            .asInstanceOf[StructType]
+          val f = cur.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: no column $name"))
+          require(graft.streaming.MergeSink.widensTo(
+            f.dataType, upd.newDataType()),
+            s"graft catalog: ${f.dataType.simpleString} -> " +
+              s"${upd.newDataType().simpleString} is not a safe widening")
+          props.setProperty("schema", StructType(cur.fields.map(x =>
+            if (x.name == name) x.copy(dataType = upd.newDataType())
+            else x)).json)
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-            "the schema evolves by ADD/RENAME/DROP COLUMN or committed " +
-            "CDC batches (no type changes over committed data); " +
-            "otherwise SET/UNSET TBLPROPERTIES is the metadata surface")
+            "the schema evolves by ADD/RENAME/DROP COLUMN, safe type " +
+            "WIDENING (ALTER COLUMN ... TYPE), or committed CDC " +
+            "batches; otherwise SET/UNSET TBLPROPERTIES is the " +
+            "metadata surface")
     }
     writeMeta(ident, props, overwrite = true)
     // ENGINE-backed properties take effect in the data dir too:
@@ -1532,7 +1561,11 @@ object MergeMetadataTable {
         StructField("bloom_cols", StringType, nullable = true),
         StructField("history_keep", IntegerType, nullable = false),
         StructField("history_keep_ms", LongType, nullable = true),
-        StructField("retained_versions", IntegerType, nullable = false)))
+        StructField("retained_versions", IntegerType, nullable = false),
+        // materialized-view staleness (null on non-view tables):
+        // source dir(s) and how many source versions are unapplied
+        StructField("mv_sources", StringType, nullable = true),
+        StructField("mv_lag_versions", LongType, nullable = true)))
     case "history" =>
       StructType(Seq(
         StructField("version", LongType, nullable = false),
@@ -1609,6 +1642,7 @@ class MergeMetadataTable(kind: String, path: String)
         val sorted = head.flatMap(c =>
           MergeSink.manifestSortedBy(spark, path, c.version))
         val blooms = MergeSink.bloomIndexCols(spark, path)
+        val mvLag = MaterializedViews.viewLag(spark, path)
         Array(new GenericInternalRow(Array[Any](
           UTF8String.fromString(path),
           head.map(_.version).orNull,
@@ -1625,7 +1659,9 @@ class MergeMetadataTable(kind: String, path: String)
           }.mkString(",")),
           MergeSink.historyKeep(spark, path),
           MergeSink.historyKeepMs(spark, path).orNull,
-          commits.size
+          commits.size,
+          mvLag.map(l => UTF8String.fromString(l._1)).orNull,
+          mvLag.map(_._2).orNull
         )): InternalRow)
       case "history" =>
         val times = MergeSink.commitTimes(spark, path)

@@ -158,6 +158,148 @@ object MaterializedViews {
   val minmaxFoldCount = new java.util.concurrent.atomic.AtomicLong()
   val minmaxRescanCount = new java.util.concurrent.atomic.AtomicLong()
 
+  // ------------------------------------------------------------------
+  // AUTO-REFRESH INSIDE COMMITS + STALENESS. Every refresh self-
+  // registers in the SOURCE table's `_dependents` sidecar (and records
+  // its sources in its own `_mv_sources`), so (1) with
+  // `spark.graft.autoRefreshMv=true` any commit to a source runs
+  // refresh for every dependent view as part of the publish — the
+  // autoAnalyze pattern: the cost is O(changed groups) of exactly the
+  // buckets the commit already has hot — and (2) the view's `.detail`
+  // reports its lag (source head versions minus applied) so a stale
+  // view is observable, never silent. Off by default: streaming sinks
+  // with strict latency budgets schedule refresh themselves.
+  // ------------------------------------------------------------------
+
+  private def sidecarLines(
+      spark: SparkSession, dir: String, name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  private def writeSidecar(
+      spark: SparkSession, dir: String, name: String,
+      lines: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def aggsSpecOf(aggs: Seq[Agg]): String =
+    aggs.map(a => s"${a.alias}=${a.kind}:${a.input}").mkString(",")
+
+  /** Idempotent registration, keyed by view dir (a re-definition
+    * replaces its line). One small sidecar read per refresh; rewritten
+    * only when the definition actually changed.
+    */
+  private def registerDependent(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      line: String): Unit = {
+    val cur = sidecarLines(spark, srcDir, "_dependents")
+    val kept = cur.filterNot(_.split('\t').lift(1).contains(mvDir))
+    if (!cur.contains(line))
+      writeSidecar(spark, srcDir, "_dependents", kept :+ line)
+  }
+
+  /** First line records the view's writer runId verbatim — `.detail`
+    * may see the view under a QUALIFIED path (file:/…), so the id must
+    * not be re-derived from the path string there.
+    */
+  private def recordSources(
+      spark: SparkSession, mvDir: String, dirs: Seq[String]): Unit = {
+    val lines = s"run\t${mvRunId(mvDir)}" +: dirs
+    if (sidecarLines(spark, mvDir, "_mv_sources") != lines)
+      writeSidecar(spark, mvDir, "_mv_sources", lines)
+  }
+
+  /** Re-entrancy guard: a refresh commits to the VIEW table, whose own
+    * publish would auto-refresh views-of-views — wanted — but a cycle
+    * of definitions must not recurse forever.
+    */
+  private val inAutoRefresh =
+    new ThreadLocal[java.util.HashSet[String]] {
+      override def initialValue() = new java.util.HashSet[String]()
+    }
+
+  /** Spec observability: (view dir, groups written) of the most recent
+    * auto-refresh sweep on this JVM.
+    */
+  val lastAutoRefresh =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Long)]](Nil)
+
+  /** Called from the commit publish path when
+    * `spark.graft.autoRefreshMv` is set: refresh every registered
+    * dependent of `srcDir`. Each refresh is independently exactly-once;
+    * a failure propagates (the DATA commit is already published — the
+    * view stays stale and observable via lag, never half-applied).
+    */
+  def autoRefresh(spark: SparkSession, srcDir: String): Unit = {
+    val lines = sidecarLines(spark, srcDir, "_dependents")
+    if (lines.isEmpty) return
+    val set = inAutoRefresh.get()
+    if (!set.add(srcDir)) return
+    try {
+      val results = lines.flatMap { l =>
+        l.split('\t') match {
+          case Array("single", mvDir, srcKey, group, aggsSpec, mode) =>
+            Some(mvDir -> refreshDir(spark, srcDir, srcKey, mvDir,
+              group.split(',').toSeq.map(_.trim), parseAggs(aggsSpec), mode))
+          case Array("join", mvDir, fDir, fKey, dDir, dKey, fk, pk,
+              group, aggsSpec, mode) =>
+            Some(mvDir -> refreshJoinDir(spark, fDir, fKey, dDir, dKey,
+              fk, pk, mvDir, group.split(',').toSeq.map(_.trim),
+              parseAggs(aggsSpec), mode))
+          case _ => None
+        }
+      }
+      lastAutoRefresh.set(results)
+    } finally set.remove(srcDir)
+  }
+
+  /** The view's staleness: (its source dirs, lag in source versions not
+    * yet applied). None when the dir is not a refreshed view (or never
+    * refreshed — nothing applied to measure against). Surfaces in the
+    * `.detail` metadata table as mv_sources / mv_lag_versions.
+    */
+  def viewLag(spark: SparkSession, mvDir: String): Option[(String, Long)] = {
+    val lines = sidecarLines(spark, mvDir, "_mv_sources")
+    if (lines.isEmpty) return None
+    val runId = lines.head.split('\t') match {
+      case Array("run", id) => id
+      case _ => mvRunId(mvDir) // legacy sidecar without the id line
+    }
+    val srcs =
+      if (lines.head.startsWith("run\t")) lines.tail else lines
+    if (srcs.isEmpty) return None
+    val applied = MergeSink.commits(spark, mvDir)
+      .filter(_.runId == runId).map(_.epoch).maxOption
+    applied.map { a =>
+      val lag = srcs match {
+        case Seq(s) =>
+          MergeSink.lastCommit(spark, s).map(_.version - a).getOrElse(0L)
+        case Seq(f, dm) =>
+          val (f0, d0) = unpackVersions(a)
+          val fh = MergeSink.lastCommit(spark, f)
+            .map(_.version).getOrElse(f0)
+          val dh = MergeSink.lastCommit(spark, dm)
+            .map(_.version).getOrElse(d0)
+          (fh - f0) + (dh - d0)
+        case _ => 0L
+      }
+      (srcs.mkString(","), math.max(lag, 0L))
+    }
+  }
+
   /** Stable per-view writer identity: commits under it carry the
     * applied source version as their epoch. Digest of the view path —
     * runIds ride marker FILENAMES, so no separators allowed.
@@ -185,6 +327,10 @@ object MaterializedViews {
     require(mode == "algebraic" || mode == "rescan",
       s"materialized view: unknown mode '$mode' (algebraic | rescan)")
     val groupCsv = groupCols.mkString(",")
+    registerDependent(spark, srcDir, mvDir,
+      Seq("single", mvDir, srcKey, groupCsv, aggsSpecOf(aggs), mode)
+        .mkString("\t"))
+    recordSources(spark, mvDir, Seq(srcDir))
     val runId = mvRunId(mvDir)
     val srcHead = MergeSink.lastCommit(spark, srcDir) match {
       case Some(c) => c.version
@@ -292,6 +438,11 @@ object MaterializedViews {
     require(mode == "algebraic" || mode == "rescan",
       s"materialized view: unknown mode '$mode' (algebraic | rescan)")
     val groupCsv = groupCols.mkString(",")
+    val joinLine = Seq("join", mvDir, factDir, factKey, dimDir, dimKey,
+      fk, pk, groupCsv, aggsSpecOf(aggs), mode).mkString("\t")
+    registerDependent(spark, factDir, mvDir, joinLine)
+    registerDependent(spark, dimDir, mvDir, joinLine)
+    recordSources(spark, mvDir, Seq(factDir, dimDir))
     val runId = mvRunId(mvDir)
     val (fHead, dHead) = (
       MergeSink.lastCommit(spark, factDir).map(_.version),

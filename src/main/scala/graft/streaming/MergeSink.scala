@@ -611,6 +611,28 @@ object MergeSink {
     raw.select(cols: _*)
   }
 
+  /** Bucket-file read for the engine's internal paths. With a RECORDED
+    * schema and no renamed physical names, the files are read under
+    * that schema EXPLICITLY: parquet's type promotion then serves
+    * mixed-width generations — int32 files under a column widened to
+    * LONG ([[widenColumn]]) — which footer-merge inference rejects
+    * outright. Column-mapped (renamed) tables and legacy tables
+    * without a recorded schema keep the mergeSchema inference path.
+    */
+  private def bucketRead(
+      spark: SparkSession,
+      dir: String,
+      version: Long,
+      paths: Seq[String]): DataFrame =
+    manifestSchema(spark, dir, version) match {
+      case Some(s) if columnAliases(s).isEmpty =>
+        // all-nullable: parquet round-trips flip nullability freely
+        spark.read.schema(StructType(s.fields.map(_.copy(nullable = true))))
+          .parquet(paths: _*)
+      case _ =>
+        spark.read.option("mergeSchema", true).parquet(paths: _*)
+    }
+
   /** [[currentView]] against the schema RECORDED at `version`; raw
     * passes through untouched for legacy tables without one.
     */
@@ -633,7 +655,7 @@ object MergeSink {
     else {
       val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
       val raw = currentViewAt(spark, dir, version,
-        spark.read.option("mergeSchema", true).parquet(paths: _*))
+        bucketRead(spark, dir, version, paths))
       // CDC tables retain tombstones physically; the TABLE is its live rows
       if (raw.columns.contains(DeletedCol))
         Some(raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol))
@@ -944,7 +966,7 @@ object MergeSink {
             // column mapping: files written before a RENAME still
             // carry the old physical name (no-op when never renamed)
             val stored = currentViewAt(spark, dir, last.get.version,
-              spark.read.option("mergeSchema", true).parquet(touchedPaths: _*))
+              bucketRead(spark, dir, last.get.version, touchedPaths))
             if (stored.columns.contains(DeletedCol) ||
               cols.contains(DeletedCol))
               withDeleted(stored)
@@ -1815,6 +1837,11 @@ object MergeSink {
         y: org.apache.spark.sql.types.DataType)
         : Option[org.apache.spark.sql.types.DataType] = (x, y) match {
       case (a, b) if a == b => Some(a)
+      // SAFE WIDENING across generations ([[widenColumn]]): files
+      // written before the widening keep the narrow physical type;
+      // the union schema records the wide one (readers up-cast)
+      case (a, b) if widensTo(a, b) => Some(b)
+      case (a, b) if widensTo(b, a) => Some(a)
       case (org.apache.spark.sql.types.ArrayType(ae, an),
             org.apache.spark.sql.types.ArrayType(be, bn)) =>
         unify(ae, be).map(
@@ -1898,6 +1925,15 @@ object MergeSink {
             .exists(_.toBoolean) &&
           latestPartials(spark, dir).nonEmpty)
           analyze(spark, dir)
+        // AUTO-REFRESH DEPENDENT VIEWS (opt-in, the autoAnalyze dual):
+        // every materialized view registered over this table advances
+        // inside the commit — O(changed groups) of exactly the buckets
+        // this commit touched, and each refresh is independently
+        // exactly-once. A scheduler-owned `CALL refresh_dependents`
+        // stops being a correctness requirement.
+        if (spark.conf.getOption("spark.graft.autoRefreshMv")
+            .exists(_.toBoolean))
+          graft.sources.MaterializedViews.autoRefresh(spark, dir)
       case Some(txn) =>
         // MULTI-TABLE participant: a PENDING marker naming the txn
         // file. Invisible until that file exists (the shared commit
@@ -2209,9 +2245,7 @@ object MergeSink {
           .reduce(_ || _)
       val head = lastCommit(spark, dir).get // files nonEmpty => committed
       val raw = currentViewAt(spark, dir, head.version,
-        spark.read
-          .option("mergeSchema", true)
-          .parquet(files: _*))
+        bucketRead(spark, dir, head.version, files))
         .filter(cond)
       Some(
         if (raw.columns.contains(DeletedCol))
@@ -2250,7 +2284,7 @@ object MergeSink {
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
-          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
+          bucketRead(spark, dir, c.version, allPaths))
         if (!raw.columns.contains(DeletedCol)) return 0
         val bucketOf = tableBucketExpr(partitionSpec(spark, dir), key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
@@ -2267,9 +2301,7 @@ object MergeSink {
         val touchedPaths = touched.toSeq.sorted
           .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
         val kept = currentViewAt(spark, dir, c.version,
-          spark.read
-            .option("mergeSchema", true)
-            .parquet(touchedPaths: _*))
+          bucketRead(spark, dir, c.version, touchedPaths))
           .filter(!(coalesce(col(DeletedCol), lit(false)) && col(seq) < lit(horizon)))
           .withColumn("__b", bucketOf)
           .repartition(col("__b")) // publish expects bucket-partitioned rows
@@ -2424,8 +2456,7 @@ object MergeSink {
           // per-bucket column-mapping resolution: a bucket written
           // before a RENAME profiles under the CURRENT names
           currentViewAt(spark, dir, c.version,
-            spark.read.option("mergeSchema", true)
-              .parquet(s"$dir/data/b$b/v${m(b)}"))
+            bucketRead(spark, dir, c.version, Seq(s"$dir/data/b$b/v${m(b)}")))
             .withColumn("__bkt", lit(b))
         }
         var df = scans.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2701,6 +2732,86 @@ object MergeSink {
     newV
   }
 
+  /** The safe type-widening lattice (Iceberg/Delta's): values written
+    * narrow read back wide with zero information loss, and parquet's
+    * reader promotes the physical narrow type under a wide requested
+    * schema. Anything else would misread committed bytes and rejects.
+    */
+  private[graft] def widensTo(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType) => true
+    case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) => true
+    case (f: org.apache.spark.sql.types.DecimalType,
+        t: org.apache.spark.sql.types.DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision
+    case _ => false
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` — TYPE WIDENING as a
+    * SCHEMA-ONLY commit: the manifest records the wide type, zero data
+    * rewritten; readers up-cast old narrow files through parquet type
+    * promotion (explicit-schema reads, [[bucketRead]]). Rejected for
+    * the merge KEY columns (xxhash64 of int and long differ — widening
+    * a key would split every existing key's bucket identity) and for
+    * the partition transform column (same bucket-stability argument).
+    * Returns the minted version.
+    */
+  def widenColumn(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"widenColumn: $dir has no committed version (change the " +
+          "declared schema instead)"))
+    val base = manifestSchema(spark, dir, last.version).getOrElse(
+      throw new IllegalStateException(
+        s"widenColumn: $dir's manifest predates the recorded-schema " +
+          "format; run compaction once to re-base it, then evolve"))
+    require(columnAliases(base).isEmpty,
+      s"widenColumn: $dir uses column mapping (renamed physical " +
+        "names) — run full compaction first, then widen")
+    val f = base.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn: no column '$name' in ${base.fieldNames.mkString(",")}"))
+    require(widensTo(f.dataType, to),
+      s"widenColumn: ${f.dataType.simpleString} -> ${to.simpleString} is " +
+        "not a safe widening (int->long, float->double, decimal " +
+        "precision growth at the same scale)")
+    require(!keyCols(key).contains(name),
+      s"widenColumn: '$name' is a merge key column — its hash IS the " +
+        "bucket identity (xxhash64 of int and long differ); re-key via " +
+        "compact into a new table instead")
+    require(!partitionSpec(spark, dir).exists(_.column == name),
+      s"widenColumn: '$name' is the partition transform column — " +
+        "its value IS the partition identity")
+    val newV = last.version + 1
+    publish(
+      spark, dir,
+      bucketCount(spark, dir, last.version),
+      manifest(spark, dir, last.version),
+      touched = Set.empty,
+      rows = None,
+      newV,
+      runId = "maintenance",
+      epochId = newV,
+      prevVersion = Some(last.version),
+      sortedBy = manifestSortedBy(spark, dir, last.version),
+      schemaOverride = Some(StructType(base.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))))
+    newV
+  }
+
   /** Names of DROPPED columns (and their whole alias chains) that may
     * still exist in retained data files — recorded in the
     * `_dropped_cols` table file so a later ADD/RENAME COLUMN cannot
@@ -2888,7 +2999,7 @@ object MergeSink {
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
-          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
+          bucketRead(spark, dir, c.version, allPaths))
         val spec = partitionSpec(spark, dir)
         val bucketOf = tableBucketExpr(spec, key, targetBuckets)
         // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
@@ -3248,7 +3359,7 @@ object MergeSink {
           m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
-          spark.read.option("mergeSchema", true).parquet(allPaths: _*))
+          bucketRead(spark, dir, c.version, allPaths))
         zCols.foreach { zc =>
           val f = raw.schema.fields.find(_.name == zc).getOrElse(
             throw new IllegalArgumentException(
@@ -3327,7 +3438,7 @@ object MergeSink {
         val nb = numBuckets(spark, dir, c.version)
         val paths = dirty.toSeq.sorted.map(b => s"$dir/data/b$b/v${m(b)}")
         val raw = currentViewAt(spark, dir, c.version,
-          spark.read.option("mergeSchema", true).parquet(paths: _*))
+          bucketRead(spark, dir, c.version, paths))
         // same modulus: every row re-hashes to the bucket it came from,
         // so the rewrite is a per-bucket sort, not a shuffle across the
         // carried buckets
@@ -3478,7 +3589,7 @@ object MergeSink {
       if (paths.isEmpty) None
       else {
         val raw = currentViewAt(spark, dir, atV,
-          spark.read.option("mergeSchema", true).parquet(paths: _*))
+          bucketRead(spark, dir, atV, paths))
         Some(
           if (raw.columns.contains(DeletedCol))
             raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)

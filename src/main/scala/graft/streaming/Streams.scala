@@ -2832,6 +2832,62 @@ object Streams {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_widen — TYPE WIDENING gated end to end: the ledger lands
+  // with INT cents, `ALTER COLUMN cents TYPE BIGINT` evolves it as a
+  // SCHEMA-ONLY commit (the gate REQUIREs zero data files moved), and
+  // the day-2 inserts carry values beyond the int range. One scan then
+  // reads BOTH generations — old int32 files up-cast through parquet
+  // type promotion under the recorded wide schema. Oracle: the same
+  // arithmetic over the raw events.
+  // ---------------------------------------------------------------------
+  val mergeWidenGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gwid$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_wid_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.w")
+    s.sql(
+      s"""CREATE TABLE $cat.w.ledger (event_id BIGINT, cents INT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'event_id', seq 'rv')
+         |""".stripMargin)
+    val view = s"graft_widen_events_$nRun"
+    Tables.events(s, d).select(col("event_id"),
+      round(col("value") * 100).cast("int").as("cents"))
+      .createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.w.ledger
+             |SELECT event_id, cents, 1 AS rv FROM $view
+             |WHERE event_id % 2 = 0""".stripMargin)
+    val dir = s.sql(s"SELECT location FROM $cat.w.ledger.detail")
+      .head().getString(0)
+    val before = graft.streaming.MergeSink.currentFiles(s, dir)
+    s.sql(s"ALTER TABLE $cat.w.ledger ALTER COLUMN cents TYPE BIGINT")
+    require(graft.streaming.MergeSink.currentFiles(s, dir) == before,
+      "widening must be a schema-only commit: zero data files moved")
+    require(s.table(s"$cat.w.ledger").schema("cents").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "catalog schema must follow the widening commit")
+    // day 2: values beyond the int range land in the SAME buckets as
+    // the int32 generation
+    s.sql(s"""INSERT INTO $cat.w.ledger
+             |SELECT event_id, CAST(cents AS BIGINT) + 5000000000, 2 AS rv
+             |FROM $view WHERE event_id % 2 = 1""".stripMargin)
+    s.sql(
+      s"""SELECT event_id % 10 AS bucket, count(*) AS n,
+         |CAST(SUM(cents) AS BIGINT) AS cents_total
+         |FROM $cat.w.ledger GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val mergeWidenGatedSql: String =
+    """SELECT event_id % 10 AS bucket, count(*) AS n,
+      |CAST(SUM(CASE WHEN event_id % 2 = 0
+      |  THEN CAST(CAST(round(value * 100) AS INT) AS BIGINT)
+      |  ELSE CAST(CAST(round(value * 100) AS INT) AS BIGINT)
+      |    + 5000000000 END) AS BIGINT) AS cents_total
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_evolution — MERGE ... WITH SCHEMA EVOLUTION gated end to
   // end: the day-2 source carries a column the target never declared
   // (`flag`); Spark derives the AddColumn change from the source
@@ -4373,6 +4429,7 @@ object Streams {
     "q_merge_wap" -> mergeWapGated,
     "q_merge_constraint" -> mergeConstraintGated,
     "q_merge_partitioned" -> mergePartitionedGated,
+    "q_merge_widen" -> mergeWidenGated,
     "q_merge_evolution" -> mergeEvolutionGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
@@ -4435,6 +4492,7 @@ object Streams {
     "q_merge_wap" -> mergeWapGatedSql,
     "q_merge_constraint" -> mergeConstraintGatedSql,
     "q_merge_partitioned" -> mergePartitionedGatedSql,
+    "q_merge_widen" -> mergeWidenGatedSql,
     "q_merge_evolution" -> mergeEvolutionGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,

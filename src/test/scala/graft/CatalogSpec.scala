@@ -310,8 +310,8 @@ class CatalogSpec extends SparkSpec {
     assert(e1.getMessage.contains("immutable"), e1.getMessage)
     // destructive schema changes stay rejected with the documented
     // reason: key/seq are the table's physical identity even now that
-    // RENAME/DROP COLUMN exist for data columns; type changes stay
-    // unsupported outright
+    // RENAME/DROP COLUMN exist for data columns; LOSSY type changes
+    // stay rejected (safe widening is a separate, supported path)
     for (bad <- Seq(
         s"ALTER TABLE $cat.db.p DROP COLUMN seq",
         s"ALTER TABLE $cat.db.p RENAME COLUMN seq TO s2",
@@ -319,6 +319,7 @@ class CatalogSpec extends SparkSpec {
       val e2 = intercept[Exception] { spark.sql(bad) }
       assert(e2.getMessage.contains("physical identity") ||
         e2.getMessage.contains("key/seq") ||
+        e2.getMessage.contains("not a safe widening") ||
         e2.getMessage.contains("unsupported ALTER TABLE"),
         s"$bad: ${e2.getMessage}")
     }
@@ -862,6 +863,45 @@ class CatalogSpec extends SparkSpec {
     assert(versions.sameElements(Array(0L, 1L, 2L, 3L, 4L)),
       versions.mkString(","))
     spark.catalog.dropTempView(name)
+  }
+
+  test("ALTER COLUMN TYPE widening: metadata-only, old narrow files read wide") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.w (id BIGINT, v INT, f FLOAT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.w VALUES (1, 10, CAST(1.5 AS FLOAT), 1)")
+    val dir = spark.sql(s"SELECT location FROM $cat.db.w.detail")
+      .head().getString(0)
+    val v0files = MergeSink.currentFiles(spark, dir)
+    // widen: int -> bigint, float -> double — each ONE metadata commit
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN f TYPE DOUBLE")
+    assert(MergeSink.currentFiles(spark, dir) == v0files,
+      "widening must not rewrite any data file")
+    // the catalog schema follows the committed evolution
+    val sch = spark.table(s"$cat.db.w").schema
+    assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // a post-widening write lands values beyond int range; BOTH
+    // generations read back through one scan, old files up-cast
+    spark.sql(s"INSERT INTO $cat.db.w VALUES (2, 5000000000, 2.5, 2)")
+    val rows = spark.sql(
+      s"SELECT id, v, f FROM $cat.db.w ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 1.5), (2L, 5000000000L, 2.5)),
+      rows.toSeq.toString)
+    // the MERGE path reads mixed generations too: upsert key 1 (its
+    // bucket still holds an int32 file) and aggregate
+    spark.sql(s"INSERT INTO $cat.db.w VALUES (1, 7, 1.0, 3)")
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.db.w")
+      .head().getLong(0) == 5000000007L)
+    // key columns stay unwidenable (hash identity)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN id TYPE DECIMAL(38,0)")
+    }
+    assert(e.getMessage.contains("not a safe widening") ||
+      e.getMessage.contains("key"), e.getMessage)
   }
 
   test("maintenance procedures retry a lost claim race to success") {

@@ -295,6 +295,52 @@ class MvSpec extends SparkSpec {
     assert(MergeSink.commits(spark, mv).size == nC)
   }
 
+  test("autoRefreshMv: a source commit advances dependent views in-commit; .detail reports lag") {
+    val src = tmp("mv_auto_src")
+    val mv = tmp("mv_auto_v")
+    MergeSink.setHistoryKeep(spark, src, 8)
+    MergeSink.upsertBatch(
+      df(Seq((1L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L)), 1L),
+      src, "id", "rv", 0L, "load")
+    // first refresh registers the dependency (sidecar) and materializes
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), sumAggs, "algebraic") == 3L)
+    // lag surfaces through the catalog's .detail on the VIEW table
+    val cat = "mvlag"
+    val wh = tmp("mvlag_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.v (grp BIGINT, total BIGINT, n BIGINT,
+         |__n BIGINT, __rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'grp', seq '__rv', path '$mv')
+         |""".stripMargin)
+    def lag(): java.lang.Long = spark.table(s"$cat.m.v.detail")
+      .head().getAs[java.lang.Long]("mv_lag_versions")
+    assert(lag() == 0L, "fresh view must report zero lag")
+    // WITHOUT auto-refresh: a source commit leaves the view stale,
+    // and the staleness is OBSERVABLE, not silent
+    MergeSink.upsertBatch(df(Seq((4L, 0L, 5L)), 2L),
+      src, "id", "rv", 1L, "load")
+    assert(lag() == 1L, ".detail must report one unapplied source version")
+    // WITH auto-refresh: the next source commit advances the view
+    // inside the publish, folding ONLY the touched group
+    spark.conf.set("spark.graft.autoRefreshMv", "true")
+    try {
+      MergeSink.upsertBatch(df(Seq((5L, 2L, 7L)), 3L),
+        src, "id", "rv", 2L, "load")
+      val swept = MaterializedViews.lastAutoRefresh.get()
+      assert(swept.map(_._1) == Seq(mv), s"auto-refresh swept: $swept")
+      // versions 1 (grp 0) and 2 (grp 2) both folded: 2 changed groups
+      assert(swept.head._2 == 2L,
+        s"in-commit refresh must fold only the changed groups: $swept")
+      assert(lag() == 0L, "auto-refreshed view must be at head")
+      assert(viewState(mv, sumAggs) == fullAgg(src, sumAggs))
+    } finally spark.conf.unset("spark.graft.autoRefreshMv")
+  }
+
   test("refresh is exactly-once: a replayed refresh commit is a no-op") {
     val src = tmp("mv_once_src")
     val mv = tmp("mv_once_v")
