@@ -2149,7 +2149,8 @@ object Embeddings {
       srcDir: String,
       srcKey: String,
       ixDir: String,
-      ck2: DataFrame): Long = {
+      ck2: DataFrame,
+      vecCol: String = "embedding"): Long = {
     val MS = graft.streaming.MergeSink
     val md = java.security.MessageDigest.getInstance("MD5")
     val runId = "annix-" + md.digest(ixDir.getBytes("UTF-8"))
@@ -2161,6 +2162,12 @@ object Embeddings {
     val applied = MS.commits(s, ixDir)
       .filter(_.runId == runId).map(_.epoch).maxOption
     if (applied.contains(srcHead)) return 0L
+    // the postings table's OWN columns are engine-owned (vec_id/cell/
+    // embedding/nrm) regardless of the source's naming — normalize the
+    // source frames once at the boundary (no-op when names already match)
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumnRenamed(srcKey, "vec_id")
+      .withColumnRenamed(vecCol, "embedding")
     def assignRows(vecs: DataFrame): DataFrame =
       kmAssign(
         vecs.select(col("vec_id"), col("embedding"))
@@ -2190,7 +2197,8 @@ object Embeddings {
               MS.upsertBatch(st.limit(0), ixDir, "vec_id", "__rv",
                 epochId = srcHead, runId = runId))
             0L
-          case Some(delta) =>
+          case Some(delta0) =>
+            val delta = normalized(delta0)
             val plus = assignRows(delta.filter(col("__mult") === 1))
               .withColumn(MS.DeletedCol, lit(false))
             // a key whose multiplicities net negative vanished entirely
@@ -2209,10 +2217,69 @@ object Embeddings {
         // first build, or the delta's base left retention: full
         // re-assignment as ONE overwrite commit
         commitIx(
-          MS.currentState(s, srcDir).map(assignRows)
+          MS.currentState(s, srcDir).map(st => assignRows(normalized(st)))
             .getOrElse(return 0L),
           overwrite = true)
     }
+  }
+
+  /** Train the frozen coarse quantizer for the CATALOG ANN surface
+    * (`CALL cat.sys.create_ann` — [[graft.sources.AnnCatalog]]): the
+    * standard 2-Lloyd-iteration recipe over `vecs` (vec_id, embedding)
+    * with the deterministic stride seed — exactly the [[km2Cached]]
+    * training chain, but materialized for the caller to PERSIST (the
+    * catalog index stores its centroids as a parquet sidecar, not in a
+    * per-JVM registry: any later session serves the same frozen model).
+    * Returns the driver-sized (cent_id, cv, cnrm2) literal frame —
+    * O(centroidCap × dim), broadcastable at any corpus size.
+    */
+  private[graft] def annTrain(s: SparkSession, vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm2", fdot(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val c0 = e
+      .filter(centroidPick)
+      .select(
+        col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"),
+        col("nrm2").as("cnrm2"))
+    require(!c0.isEmpty,
+      "create_ann: no seed centroids — the stride seed picked nothing " +
+        s"(need keys with vec_id % $centroidStride = 0 below " +
+        s"${centroidStride * centroidCap})")
+    val ck1 = kmMaterialize(
+      s, kmRecompute(kmAssign(e, c0, Seq("vec_id", "embedding"))))
+    kmMaterialize(s, kmRecompute(kmAssign(e, ck1, Seq("vec_id", "embedding"))))
+  }
+
+  /** Multi-probe cell pick for an EXPLICIT query panel (the catalog
+    * `ann_search` path): ranks all centroids per query and keeps the
+    * `p` nearest. `queries` is (query_id, qv); the centroid frame is
+    * O(centroidCap) and broadcast, so the cross is bounded panel ×
+    * model — never panel × corpus. Returns (query_id, qv, qnrm, cell).
+    */
+  private[graft] def annProbe(
+      queries: DataFrame,
+      ck2: DataFrame,
+      p: Int): DataFrame = {
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    queries
+      .select(col("query_id"), col("qv"),
+        fdot(col("qv"), col("qv")).as("qnrm2"))
+      .join(broadcast(ck2), lit(true))
+      .withColumn(
+        "l2",
+        col("qnrm2") - lit(2.0) * pdot(col("cv"), col("qv")) + col("cnrm2"))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= p)
+      .select(
+        col("query_id"),
+        col("qv"),
+        sqrt(col("qnrm2")).as("qnrm"),
+        col("cent_id").as("cell"))
   }
 
   // ---------------------------------------------------------------------
@@ -2298,7 +2365,12 @@ object Embeddings {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annIncrementalSql: String = {
+  /** Shared oracle body for q_ann_incremental and q_ann_sql: DuckDB
+    * re-derives the day-1-trained quantizer, assigns the FINAL vector
+    * set from scratch, and ranks the same multi-probe candidates —
+    * both lanes must be indistinguishable from a fresh build.
+    */
+  private val annIncrementalWith: String = {
     s"""WITH n1 AS (SELECT vec_id, embedding,
        |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings
        |  WHERE vec_id % 4 <> 0),
@@ -2345,13 +2417,99 @@ object Embeddings {
        |    neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM cand)
-       |SELECT query_id, cell, n_candidates, rank, neighbor_id, cos
-       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |""".stripMargin
+  }
+
+  val annIncrementalSql: String =
+    annIncrementalWith +
+      """SELECT query_id, cell, n_candidates, rank, neighbor_id, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_sql oracle: the `ann_search` relation (query_id, rank,
+    * neighbor_id, cos) over the same fixture — the pure-SQL consumer's
+    * answer must hash-match the from-scratch rebuild.
+    */
+  val annSqlSql: String =
+    annIncrementalWith +
+      """SELECT query_id, rank, neighbor_id, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val annGateN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ---------------------------------------------------------------------
+  // q_ann_sql — the maintained ANN index as a PURE-SQL CATALOG CITIZEN:
+  // the whole q_ann_incremental life cycle driven through SQL alone.
+  // CREATE the vector table + INSERT day 1; CALL cat.sys.create_ann
+  // (trains + FREEZES the quantizer as a parquet sidecar, builds the
+  // postings); day 2 arrives as three ordinary DML commits (DELETE the
+  // %9=0 keys, UPDATE re-embeds the %10=1 keys to their negations,
+  // INSERT the held-out quarter); CALL cat.sys.refresh_ann folds the
+  // change feed — REQUIREd to write exactly the changed keys and to be
+  // FREE at head; then CALL cat.sys.ann_search answers cosine top-3
+  // for a CTAS'd query panel. Oracle: the same from-scratch rebuild as
+  // q_ann_incremental — the SQL surface must be indistinguishable from
+  // the Scala one, which is itself indistinguishable from a fresh
+  // build.
+  // ---------------------------------------------------------------------
+  val annSqlLane: Q = (s, d) => {
+    val n = annGateN.incrementAndGet()
+    val cat = s"gann$n"
+    val wh = java.nio.file.Files.createTempDirectory("graft_ann_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.a")
+    s.sql(
+      s"""CREATE TABLE $cat.a.vecs
+         |(vec_id BIGINT, embedding ARRAY<FLOAT>, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'vec_id', seq 'rv')
+         |""".stripMargin)
+    // the source accrues 4 commits before refresh reads v0 -> head;
+    // default retention would GC v0 and force the full-rebuild fallback
+    s.sql(s"CALL $cat.sys.set_history_keep('a.vecs', 8)")
+    val view = s"graft_ann_emb_$n"
+    checked(s, d).select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.a.vecs
+             |SELECT vec_id, embedding, 1 AS rv FROM $view
+             |WHERE vec_id % 4 <> 0""".stripMargin)
+    val built = s.sql(
+      s"CALL $cat.sys.create_ann('a.vix', 'a.vecs', 'vec_id', 'embedding')")
+      .head().getInt(0)
+    require(built > 0, "create_ann built an empty index")
+    // day 2, in three ordinary DML commits against the SOURCE
+    s.sql(s"DELETE FROM $cat.a.vecs WHERE vec_id % 9 = 0")
+    s.sql(s"""UPDATE $cat.a.vecs
+             |SET embedding = transform(embedding, x -> -x)
+             |WHERE vec_id % 10 = 1""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.a.vecs
+             |SELECT vec_id, embedding, 2 AS rv FROM $view
+             |WHERE vec_id % 4 = 0""".stripMargin)
+    val expected = s.sql(
+      s"""SELECT count(*) FROM $view
+         |WHERE (vec_id % 4 <> 0 AND vec_id % 9 = 0)
+         |   OR (vec_id % 4 <> 0 AND vec_id % 9 <> 0 AND vec_id % 10 = 1)
+         |   OR vec_id % 4 = 0""".stripMargin).head().getLong(0)
+    val refreshed = s.sql(s"CALL $cat.sys.refresh_ann('a.vix')")
+      .head().getInt(0)
+    require(refreshed == expected,
+      s"refresh_ann must fold exactly the changed keys: " +
+        s"$refreshed != $expected")
+    require(s.sql(s"CALL $cat.sys.refresh_ann('a.vix')").head().getInt(0) == 0,
+      "refresh_ann at head must be free")
+    // the query panel: the queryN smallest FINAL vectors, as a table
+    s.sql(s"""CREATE TABLE $cat.a.q
+             |USING `graft-merge` OPTIONS (key 'vec_id', seq 'rv')
+             |AS SELECT vec_id, embedding, CAST(1 AS BIGINT) AS rv
+             |FROM $cat.a.vecs ORDER BY vec_id LIMIT $queryN""".stripMargin)
+    s.sql(s"CALL $cat.sys.ann_search('a.vix', 'a.q', 3, $probeP)")
+      .orderBy(col("query_id"), col("rank"))
   }
 
   val queries: Map[String, Q] = Map(
     "q_similarity_pq" -> similarityPq,
     "q_ann_incremental" -> annIncremental,
+    "q_ann_sql" -> annSqlLane,
     "q_similarity_ivfpq" -> similarityIvfPq,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqLoaded,
     "q_similarity_ivfpq_served" -> similarityIvfPqServed,
@@ -2369,6 +2527,7 @@ object Embeddings {
   val oracleSql: Map[String, String] = Map(
     "q_similarity_pq" -> similarityPqSql,
     "q_ann_incremental" -> annIncrementalSql,
+    "q_ann_sql" -> annSqlSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqSql,
     "q_similarity_ivfpq_served" -> similarityIvfPqSql,

@@ -1025,7 +1025,7 @@ object GraftProcedures {
       "create_mv", "create_mv_join", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
       "add_check", "drop_check", "refresh_dependents",
-      "drop_partitions")
+      "drop_partitions", "create_ann", "refresh_ann", "ann_search")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -1051,6 +1051,9 @@ object GraftProcedures {
       case "drop_check" => Some(new DropCheckProc(cat))
       case "refresh_dependents" => Some(new RefreshDependentsProc(cat))
       case "drop_partitions" => Some(new DropPartitionsProc(cat))
+      case "create_ann" => Some(new CreateAnnProc(cat))
+      case "refresh_ann" => Some(new RefreshAnnProc(cat))
+      case "ann_search" => Some(new AnnSearchProc(cat))
       case _ => None
     }
 
@@ -1520,6 +1523,89 @@ object GraftProcedures {
       oneRow(graft.streaming.MergeSink.withCommitRetry()(
         MaterializedViews.refreshDependents(
           SparkSession.active, cat, input.getUTF8String(0).toString).size))
+  }
+
+  /** `CALL cat.sys.create_ann('db.ix', 'db.vecs', 'vec_id',
+    * 'embedding')` — train + freeze the coarse quantizer, create the
+    * postings table, first full build ([[AnnCatalog.create]]).
+    */
+  final class CreateAnnProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_ann", "postings_written",
+        Seq(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("key_col", StringType).build(),
+          ProcedureParameter.in("vec_col", StringType).build())) {
+    override def description(): String =
+      "create a maintained ANN (IVF) index over a vector table"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      // the index table does not exist yet — no tableOptions resolution
+      oneRow(AnnCatalog.create(
+        SparkSession.active, cat,
+        ixIdent = input.getUTF8String(0).toString,
+        srcIdent = input.getUTF8String(1).toString,
+        keyCol = input.getUTF8String(2).toString,
+        vecCol = input.getUTF8String(3).toString).toInt)
+  }
+
+  /** `CALL cat.sys.refresh_ann('db.ix')` — advance the postings to the
+    * source's head via the change feed: O(changed keys × centroids),
+    * 0 = already current ([[AnnCatalog.refresh]]).
+    */
+  final class RefreshAnnProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "refresh_ann", "postings_written",
+        Seq.empty) {
+    override def description(): String =
+      "incrementally refresh an ANN index to its source's head"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      // resolves its own options; recomputes from the heads → retriable
+      oneRow(graft.streaming.MergeSink.withCommitRetry()(
+        AnnCatalog.refresh(
+          SparkSession.active, cat, input.getUTF8String(0).toString).toInt))
+  }
+
+  /** `CALL cat.sys.ann_search('db.ix', 'db.queries', k, probes)` —
+    * cosine top-k per query-panel row via multi-probe IVF over the
+    * SERVED postings; returns the (query_id, rank, neighbor_id, cos)
+    * relation ([[AnnCatalog.search]]). The materialized result is the
+    * ANSWER itself — k × panel rows, panel capped at
+    * `spark.graft.annMaxQueryPanel` — never table-sized.
+    */
+  final class AnnSearchProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "ann_search", "unused",
+        Seq(ProcedureParameter.in("queries", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).build(),
+          ProcedureParameter.in("probes", IntegerType).build())) {
+    override def description(): String =
+      "cosine top-k over a maintained ANN index (multi-probe IVF)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val df = AnnCatalog.search(
+        SparkSession.active, cat,
+        ixIdent = input.getUTF8String(0).toString,
+        queriesIdent = input.getUTF8String(1).toString,
+        k = input.getInt(2),
+        probes = input.getInt(3))
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(df.schema)
+      val out: Scan = RelationScan(
+        df.schema,
+        df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+      java.util.Collections.singletonList(out).iterator()
+    }
+  }
+
+  /** Multi-row procedure result: a bounded, already-computed relation
+    * (the heavy lifting ran as distributed jobs inside the procedure;
+    * only the response rows live here).
+    */
+  private case class RelationScan(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
   }
 
   /** `CALL cat.sys.drop_check('ns.t', 'name')`. */

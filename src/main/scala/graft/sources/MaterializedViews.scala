@@ -888,7 +888,7 @@ object MaterializedViews {
       id.name().toLowerCase(java.util.Locale.ROOT))
   }
 
-  private def identOf(s: String)
+  private[sources] def identOf(s: String)
       : org.apache.spark.sql.connector.catalog.Identifier = {
     val parts = s.split("\\.")
     require(parts.nonEmpty && parts.forall(_.nonEmpty),

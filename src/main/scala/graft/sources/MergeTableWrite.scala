@@ -103,13 +103,36 @@ private[graft] object MergeWriteUtil {
   def stagingDir(dir: String, queryId: String): String =
     s"$dir/_staging_$queryId"
 
-  /** Parquet schema for the staged files: flat optional primitives,
-    * the exact inverse of the read side's mapping.
+  /** Parquet schema for the staged files: optional primitives plus
+    * lists of primitives (vector columns — the read side's columnar
+    * copy path decodes exactly this set), the exact inverse of the
+    * read side's mapping.
     */
   def parquetSchema(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val fb = f.dataType match {
+      f.dataType match {
+        case ArrayType(et, _) =>
+          val e = et match {
+            case FloatType => PrimitiveTypeName.FLOAT
+            case DoubleType => PrimitiveTypeName.DOUBLE
+            case LongType => PrimitiveTypeName.INT64
+            case IntegerType => PrimitiveTypeName.INT32
+            case other => throw new IllegalArgumentException(
+              s"graft-merge write: unsupported array element type $other " +
+                s"for ${f.name} (primitive elements only)")
+          }
+          b.optionalList().optionalElement(e).named(f.name)
+        case _ => flatField(b, f).named(f.name)
+      }
+    }
+    b.named("graft_merge_staging")
+  }
+
+  private def flatField(
+      b: Types.MessageTypeBuilder,
+      f: StructField) = {
+    f.dataType match {
         case LongType => b.optional(PrimitiveTypeName.INT64)
         case IntegerType => b.optional(PrimitiveTypeName.INT32)
         case DateType =>
@@ -130,11 +153,8 @@ private[graft] object MergeWriteUtil {
         case other =>
           throw new IllegalArgumentException(
             s"graft-merge write: unsupported type $other for ${f.name} " +
-              "(flat primitive tables only)")
-      }
-      fb.named(f.name)
+              "(primitives and arrays of primitives only)")
     }
-    b.named("graft_merge_staging")
   }
 
   /** Driver-side commit: merge EXACTLY the files the committed tasks
@@ -352,9 +372,9 @@ class MergeStagingWriter(
     extends DataWriter[InternalRow] {
 
   private val file = new Path(s"$staging/part-$partitionId-$taskId.parquet")
-  // fail-early type guard: the merge table stays flat-primitive (the
-  // read side decodes exactly this set), even though Spark's write
-  // support could serialize more
+  // fail-early type guard: the merge table stays primitives + arrays of
+  // primitives (the read side's columnar copy decodes exactly this
+  // set), even though Spark's write support could serialize more
   MergeWriteUtil.parquetSchema(schema)
 
   private var opened: ParquetWriter[InternalRow] = _
