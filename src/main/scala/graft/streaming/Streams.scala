@@ -4298,27 +4298,28 @@ object Streams {
       d,
       _ => {
         val dir = java.nio.file.Files.createTempDirectory("graft_stream_bin")
-        val rows = graft.Tables
+        val dirStr = dir.toString
+        val docs = graft.Tables
           .documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
-          .collect()
-        // one loose file per document; pre-create the per-source dirs
-        // serially, then write the (independent) files concurrently —
-        // this harness-side corpus materialization is NOT part of the
-        // ingest path being measured at scale, so keep it cheap
-        rows.map(_.getString(1)).distinct.foreach { src =>
-          java.nio.file.Files.createDirectories(dir.resolve(src))
+        // one loose file per document, written BY THE TASKS — nothing
+        // corpus-sized ever reaches the driver (only the bounded
+        // distinct-source list does, to pre-create the directories);
+        // at scale the target is shared storage and this IS how a
+        // corpus materializes: a distributed file fan-out
+        docs.select(col("source")).distinct().collect().foreach { r =>
+          java.nio.file.Files.createDirectories(dir.resolve(r.getString(0)))
         }
-        java.util.Arrays
-          .stream(rows.asInstanceOf[Array[AnyRef]])
-          .parallel()
-          .forEach { r0 =>
-            val r = r0.asInstanceOf[org.apache.spark.sql.Row]
-            java.nio.file.Files.write(
-              dir.resolve(r.getString(1)).resolve(s"doc_${r.getLong(0)}.bin"),
-              r.getString(2).getBytes("UTF-8"))
-          }
-        dir.toString
+        docs.foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(
+                  dirStr, r.getString(1), s"doc_${r.getLong(0)}.bin"),
+                r.getString(2).getBytes("UTF-8"))
+            }
+        }
+        dirStr
       })
 
   // binaryFile's schema is fixed by the source (BinaryFileFormat) —
