@@ -1025,7 +1025,8 @@ object GraftProcedures {
       "create_mv", "create_mv_join", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
       "add_check", "drop_check", "refresh_dependents",
-      "drop_partitions", "create_ann", "refresh_ann", "ann_search")
+      "drop_partitions", "create_ann", "refresh_ann", "ann_search",
+      "create_branch", "fast_forward")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -1054,6 +1055,8 @@ object GraftProcedures {
       case "create_ann" => Some(new CreateAnnProc(cat))
       case "refresh_ann" => Some(new RefreshAnnProc(cat))
       case "ann_search" => Some(new AnnSearchProc(cat))
+      case "create_branch" => Some(new CreateBranchProc(cat))
+      case "fast_forward" => Some(new FastForwardProc(cat))
       case _ => None
     }
 
@@ -1523,6 +1526,65 @@ object GraftProcedures {
       oneRow(graft.streaming.MergeSink.withCommitRetry()(
         MaterializedViews.refreshDependents(
           SparkSession.active, cat, input.getUTF8String(0).toString).size))
+  }
+
+  /** `CALL cat.sys.create_branch('db.t_dev', 'db.t')` — a ZERO-COPY
+    * writable branch of `db.t`'s head snapshot: a new catalog table
+    * whose data is hard-linked (server-side-copied off file://) and
+    * whose first version IS the branch point
+    * ([[MergeSink.branchTable]]). The branch is an ordinary table —
+    * every operation works on it — and publishes back via
+    * `fast_forward`. Returns the base version.
+    */
+  final class CreateBranchProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_branch", "base_version",
+        Seq(ProcedureParameter.in("source", StringType).build())) {
+    override def description(): String =
+      "create a zero-copy writable branch of a table's head snapshot"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // the branch table does not exist yet — no tableOptions resolution
+      val spark = SparkSession.active
+      val branchIdent = input.getUTF8String(0).toString
+      val srcIdent = input.getUTF8String(1).toString
+      val srcOpts = cat.tableOptions(MaterializedViews.identOf(srcIdent))
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(srcOpts("schema")).asInstanceOf[StructType]
+      val P = org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX
+      val props = new java.util.HashMap[String, String]()
+      props.put("key", srcOpts("key"))
+      srcOpts.get("seq").foreach(props.put("seq", _))
+      props.put(P + "graft.branch.source", srcIdent)
+      cat.createTable(MaterializedViews.identOf(branchIdent), schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        props)
+      val dst = cat.tableOptions(
+        MaterializedViews.identOf(branchIdent))("path")
+      val (base, _) = MergeSink.branchTable(spark, srcOpts("path"), dst)
+      oneRow(base.toInt)
+    }
+  }
+
+  /** `CALL cat.sys.fast_forward('db.t', 'db.t_dev')` — publish the
+    * branch's commits onto the table, iff the table has not advanced
+    * past the branch point ([[MergeSink.fastForward]]). Returns the
+    * number of versions published (0 = already up to date). A
+    * divergence surfaces as ConcurrentCommitException — the branch
+    * must rebase, so this deliberately does NOT auto-retry.
+    */
+  final class FastForwardProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "fast_forward", "versions_published",
+        Seq(ProcedureParameter.in("branch", StringType).build())) {
+    override def description(): String =
+      "fast-forward publish a branch's commits onto its source table"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      val bOpts = cat.tableOptions(MaterializedViews.identOf(
+        input.getUTF8String(1).toString))
+      MergeSink.fastForward(
+        SparkSession.active, opts("path"), bOpts("path")).toInt
+    }
   }
 
   /** `CALL cat.sys.create_ann('db.ix', 'db.vecs', 'vec_id',

@@ -2663,6 +2663,200 @@ object MergeSink {
     newV
   }
 
+  // ------------------------------------------------------------------
+  // BRANCHES: zero-copy writable clones + fast-forward publish.
+  //
+  // A branch IS an ordinary merge table — its own directory, its own
+  // marker/manifest chain, every existing operation (DML, procedures,
+  // time travel, CDC, views) works on it unchanged. What makes it a
+  // branch is how it starts and how it ends:
+  //
+  //  - [[branchTable]] roots the new directory at the source's head:
+  //    the head manifest is copied VERBATIM and every data file it
+  //    references is HARD-LINKED (object-store deployments substitute
+  //    server-side copy — O(files) metadata ops either way, zero data
+  //    bytes through the engine). The branch's first version number IS
+  //    the base version, so content versions minted by later branch
+  //    commits (> base ≥ every referenced content version) can never
+  //    collide with a linked directory. Data files are immutable after
+  //    commit and links are reference-counted by the filesystem, so
+  //    either side's retention GC deletes only its own references.
+  //  - [[fastForward]] publishes the branch's commits back onto the
+  //    source IFF the source has not advanced past the branch point
+  //    (the git fast-forward rule): it claims EVERY version to promote
+  //    up front (all-or-nothing against rival writers), then per
+  //    version links the branch's new data dirs, copies its manifest
+  //    verbatim, and mints the marker with the branch commit's own
+  //    (runId, epoch) — so CDC replay, time travel and the commit
+  //    clock over the promoted range behave as if the commits had
+  //    landed on the source directly. Resumable: a crash mid-promote
+  //    leaves a valid prefix, and re-running recognizes the prefix
+  //    (identical manifest at the source's head) and continues.
+  //
+  // The WAP story completes here: a stage audits ONE commit behind a
+  // withheld marker; a branch audits ARBITRARILY MANY commits behind
+  // a table boundary, then publishes them atomically-per-version with
+  // the same claim discipline. The reference's dual is the STM
+  // in-transaction view — writes visible to the transaction, invisible
+  // to the world until commit (stm.clj:18-42 make-transaction /
+  // apply-writes!).
+  // ------------------------------------------------------------------
+
+  /** Sidecar files a branch inherits from its source (constraints,
+    * retention, layout, column-mapping drops, bloom config — the
+    * table DEFINITION). Tags (`_refs`) and in-flight WAP staging stay
+    * behind: they name source-history versions.
+    */
+  private val BranchSidecars = Seq(
+    "_constraints", "_dropped_cols", "_bloom_cols",
+    "_history_keep", "_history_keep_ms", "_partition_spec")
+
+  /** Link (file://) or copy (other schemes) one committed data dir. */
+  private def linkDataDir(
+      fs: FileSystem,
+      srcDir: Path,
+      dstDir: Path): Int = {
+    fs.mkdirs(dstDir)
+    var n = 0
+    fs.listStatus(srcDir).foreach { st =>
+      val dst = new Path(dstDir, st.getPath.getName)
+      if (!fs.exists(dst)) {
+        if (fs.getUri.getScheme == "file")
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(st.getPath.toUri.getPath))
+        else
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath, fs, dst, false, fs.getConf)
+        n += 1
+      }
+    }
+    n
+  }
+
+  private def copyFileVerbatim(
+      fs: FileSystem, src: Path, dst: Path): Unit = {
+    val in = fs.open(src)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val out = fs.create(dst, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Create a BRANCH of `srcDir`'s head snapshot at `dstDir`: verbatim
+    * head manifest + linked data + inherited definition sidecars, first
+    * version = the base version. Returns (base version, files linked).
+    */
+  def branchTable(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String): (Long, Long) = {
+    val (sfs, sp) = fsOf(spark, srcDir)
+    val (dfs, dp) = fsOf(spark, dstDir)
+    val base = lastCommit(spark, srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"create_branch: $srcDir has no committed version")).version
+    require(!commits(spark, dstDir).exists(_ => true),
+      s"create_branch: $dstDir already has commits")
+    dfs.mkdirs(dp)
+    var linked = 0L
+    manifest(spark, srcDir, base).foreach { case (b, cv) =>
+      linked += linkDataDir(
+        sfs, new Path(sp, s"data/b$b/v$cv"), new Path(dp, s"data/b$b/v$cv"))
+    }
+    BranchSidecars.foreach { n =>
+      if (sfs.exists(new Path(sp, n)))
+        copyFileVerbatim(sfs, new Path(sp, n), new Path(dp, n))
+    }
+    // current statistics (if kept) ride along — ANALYZE would rebuild
+    // them, but the branch starts with the optimizer as informed as
+    // its source
+    Seq(s"_stats_v$base", s"_statsparts_v$base").foreach { n =>
+      if (sfs.exists(new Path(sp, n)))
+        copyFileVerbatim(sfs, new Path(sp, n), new Path(dp, n))
+    }
+    copyFileVerbatim(
+      sfs, new Path(sp, s"_manifest_v$base"), new Path(dp, s"_manifest_v$base"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val runId = "branch-" + md.digest(dstDir.getBytes("UTF-8"))
+      .take(6).map(x => f"$x%02x").mkString
+    dfs.create(new Path(dp, s"_commit_v${base}_r${runId}_e0"), true).close()
+    (base, linked)
+  }
+
+  /** Publish `branchDir`'s commits onto `mainDir` (git fast-forward):
+    * requires main's head to BE the branch point — or, for resumption,
+    * an already-promoted prefix (identical manifest bytes at main's
+    * head version). Claims every version to promote before minting any
+    * marker; preserves each branch commit's (runId, epoch). Returns
+    * the number of versions promoted (0 = already up to date).
+    */
+  def fastForward(
+      spark: SparkSession,
+      mainDir: String,
+      branchDir: String): Long = {
+    val (mfs, mp) = fsOf(spark, mainDir)
+    val (bfs, bp) = fsOf(spark, branchDir)
+    val mainHead = lastCommit(spark, mainDir).getOrElse(
+      throw new IllegalStateException(
+        s"fast_forward: $mainDir has no committed version")).version
+    def mfBytes(dir: String, v: Long): Option[Seq[String]] =
+      manifestLines(spark, dir, v)
+    // the fast-forward rule: main's head state must be ON the branch
+    // (verbatim-copied manifests make byte equality the exact test)
+    if (!commits(spark, branchDir).exists(_.version == mainHead) ||
+      mfBytes(mainDir, mainHead) != mfBytes(branchDir, mainHead))
+      throw new ConcurrentCommitException(
+        s"fast_forward: $mainDir advanced past the branch point " +
+          s"(head $mainHead is not on the branch) — the branch must " +
+          "rebase (re-branch from the new head and replay) before it " +
+          "can publish")
+    val toPromote = commits(spark, branchDir)
+      .filter(_.version > mainHead).sortBy(_.version)
+    if (toPromote.isEmpty) return 0L
+    toPromote.foreach { c =>
+      if (mfBytes(branchDir, c.version).isEmpty)
+        throw new IllegalStateException(
+          s"fast_forward: branch version ${c.version} left the branch's " +
+            "retention window — raise history_keep on the branch before " +
+            "long-running divergence")
+    }
+    // all-or-nothing against rival writers: claim EVERY version first
+    val claimed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      toPromote.foreach { c =>
+        claimVersion(spark, mfs, mp, c.version, mainDir, "branchff")
+        claimed += c.version
+      }
+    } catch {
+      case e: Throwable =>
+        claimed.foreach(v => mfs.delete(new Path(mp, s"_claim_v$v"), false))
+        throw e
+    }
+    toPromote.foreach { c =>
+      val v = c.version
+      // new content this commit minted (content version == v); carried
+      // entries (< v) were linked by the base snapshot or a previous
+      // promoted version
+      manifest(spark, branchDir, v).foreach { case (b, cv) =>
+        if (cv == v)
+          linkDataDir(
+            bfs, new Path(bp, s"data/b$b/v$cv"), new Path(mp, s"data/b$b/v$cv"))
+      }
+      copyFileVerbatim(
+        bfs, new Path(bp, s"_manifest_v$v"), new Path(mp, s"_manifest_v$v"))
+      mfs.create(
+        new Path(mp, s"_commit_v${v}_r${c.runId}_e${c.epoch}"), true).close()
+      mfs.delete(new Path(mp, s"_claim_v$v"), false)
+    }
+    gc(spark, mfs, mp, mainDir, toPromote.last.version)
+    toPromote.size.toLong
+  }
+
   /** `ALTER TABLE … ADD COLUMN(S)` — a SCHEMA-ONLY commit: a new
     * version whose manifest carries every bucket forward untouched and
     * records the extended union schema. Zero data rewritten (existing

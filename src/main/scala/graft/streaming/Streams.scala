@@ -2832,6 +2832,89 @@ object Streams {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_merge_branch — BRANCHES gated end to end: the ledger lands on
+  // MAIN, `CALL cat.sys.create_branch` forks a zero-copy writable
+  // branch at the head (hard-linked data — O(files) metadata, zero
+  // bytes), the whole day-2 batch (inserts+updates via INSERT, deletes
+  // via row-level DELETE) runs ON THE BRANCH while the gate REQUIREs
+  // main's head version, row count and aggregate are byte-for-byte
+  // untouched (the audit window), then ONE `CALL cat.sys.fast_forward`
+  // publishes the branch's commits onto main — REQUIREd to promote
+  // exactly the branch's commit count, be idempotent at head, and
+  // leave main equal to the branch. WAP generalized: a stage audits
+  // one commit behind a withheld marker; a branch audits MANY commits
+  // behind a table boundary. Oracle: the same final-state arithmetic
+  // as q_mv_refresh over the raw events.
+  // ---------------------------------------------------------------------
+  val mergeBranchGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gbr$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_br_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    s.sql(
+      s"""CREATE TABLE $cat.g.ledger (event_id BIGINT, grp BIGINT,
+         |cents BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'event_id', seq 'rv')
+         |""".stripMargin)
+    s.sql(s"CALL $cat.sys.set_history_keep('g.ledger', 8)")
+    val view = s"graft_branch_events_$nRun"
+    mvSourceRows(s, d).createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.g.ledger
+             |SELECT event_id, grp, cents, 1 AS rv FROM $view
+             |WHERE event_id % 3 <> 0""".stripMargin)
+    val preCount = s.sql(s"SELECT count(*) FROM $cat.g.ledger")
+      .head().getLong(0)
+    val preAgg = s.sql(
+      s"SELECT CAST(sum(cents) AS BIGINT) FROM $cat.g.ledger").head().get(0)
+    val base = s.sql(s"CALL $cat.sys.create_branch('g.dev', 'g.ledger')")
+      .head().getInt(0)
+    // the branch starts byte-identical
+    require(s.sql(s"SELECT count(*) FROM $cat.g.dev").head().getLong(0)
+      == preCount, "branch must open at the source's head state")
+    // ---- day 2, entirely ON THE BRANCH (the audit window) ----
+    s.sql(s"""INSERT INTO $cat.g.dev
+             |SELECT event_id, grp,
+             |  CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0
+             |    THEN cents + 7 ELSE cents END,
+             |  2 AS rv
+             |FROM $view
+             |WHERE grp % 5 = 0 AND (event_id % 3 = 0 OR event_id % 5 = 0)
+             |""".stripMargin)
+    s.sql(s"""DELETE FROM $cat.g.dev
+             |WHERE grp % 5 = 0 AND event_id % 3 <> 0
+             |  AND event_id % 5 <> 0 AND event_id % 7 = 0""".stripMargin)
+    // MAIN is untouched through the whole audit window: same rows,
+    // same aggregate, before anything publishes
+    require(s.sql(s"SELECT count(*) FROM $cat.g.ledger")
+      .head().getLong(0) == preCount,
+      "branch writes must not reach the source table")
+    require(s.sql(s"SELECT CAST(sum(cents) AS BIGINT) FROM $cat.g.ledger")
+      .head().get(0) == preAgg,
+      "branch writes must not change the source aggregate")
+    val published = s.sql(s"CALL $cat.sys.fast_forward('g.ledger', 'g.dev')")
+      .head().getInt(0)
+    require(published == 2,
+      s"fast_forward must publish the branch's 2 commits, got $published")
+    require(s.sql(s"CALL $cat.sys.fast_forward('g.ledger', 'g.dev')")
+      .head().getInt(0) == 0, "fast_forward at head must be a no-op")
+    // the pre-publish snapshot still time-travels: version `base` IS
+    // the audited state
+    require(s.sql(
+      s"""SELECT CAST(sum(cents) AS BIGINT)
+         |FROM $cat.g.ledger VERSION AS OF $base""".stripMargin)
+      .head().get(0) == preAgg,
+      "the branch-point snapshot must survive publication")
+    s.sql(s"""SELECT grp, sum(cents) AS total, count(*) AS n
+             |FROM $cat.g.ledger GROUP BY grp ORDER BY grp""".stripMargin)
+  }
+
+  val mergeBranchGatedSql: String =
+    mvRefreshGatedSql
+
+  // ---------------------------------------------------------------------
   // q_merge_widen — TYPE WIDENING gated end to end: the ledger lands
   // with INT cents, `ALTER COLUMN cents TYPE BIGINT` evolves it as a
   // SCHEMA-ONLY commit (the gate REQUIREs zero data files moved), and
@@ -4431,6 +4514,7 @@ object Streams {
     "q_merge_constraint" -> mergeConstraintGated,
     "q_merge_partitioned" -> mergePartitionedGated,
     "q_merge_widen" -> mergeWidenGated,
+    "q_merge_branch" -> mergeBranchGated,
     "q_merge_evolution" -> mergeEvolutionGated,
     "q_txn_transfer" -> txnTransferGated,
     "q_txn_stream" -> txnStreamGated,
@@ -4494,6 +4578,7 @@ object Streams {
     "q_merge_constraint" -> mergeConstraintGatedSql,
     "q_merge_partitioned" -> mergePartitionedGatedSql,
     "q_merge_widen" -> mergeWidenGatedSql,
+    "q_merge_branch" -> mergeBranchGatedSql,
     "q_merge_evolution" -> mergeEvolutionGatedSql,
     "q_txn_transfer" -> txnTransferGatedSql,
     "q_txn_stream" -> txnTransferGatedSql,
