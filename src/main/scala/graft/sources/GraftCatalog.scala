@@ -508,7 +508,14 @@ class GraftCatalog
       // abort of a NEW managed table removes the data its write
       // committed; an aborted REPLACE keeps the old definition (the
       // overwrite commit, if it happened, stays time-travelable)
-      abortCleanupPath = if (managedNew) Some(path) else None)
+      abortCleanupPath = if (managedNew) Some(path) else None,
+      // a NEW EXTERNAL partitioned CTAS staged its _partition_spec at
+      // the external path before the write (the write buckets through
+      // it); abort must remove it or a later CREATE at the same path
+      // silently inherits a stale layout (the managed-new cleanup
+      // already removes the whole directory)
+      abortSpecPath =
+        if (partSpec.nonEmpty && !managedNew) Some(path) else None)
   }
 
   private[sources] def commitStagedMeta(
@@ -824,7 +831,8 @@ private[sources] class GraftStagedTable(
     inner: GraftMergeTable,
     meta: util.Properties,
     replaceData: Boolean,
-    abortCleanupPath: Option[String])
+    abortCleanupPath: Option[String],
+    abortSpecPath: Option[String] = None)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -861,6 +869,14 @@ private[sources] class GraftStagedTable(
       val fs = path.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       fs.delete(path, true)
+    }
+    // external-path partitioned CTAS: the staged layout sidecar must
+    // not outlive the aborted statement
+    abortSpecPath.foreach { p =>
+      val f = new Path(p, "_partition_spec")
+      val fs = f.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.delete(f, false)
     }
   }
 }
@@ -1210,7 +1226,9 @@ object GraftProcedures {
           ProcedureParameter.in("value", StringType)
             .comment("cutoff: '2024-01-15' (day), '2024-01' via day 1 " +
               "(month), or an integer (identity)").build())) {
-    override protected def retriesCommits: Boolean = true
+    // NOT retriesCommits: MergeSink.dropPartitions wraps ITSELF in
+    // withCommitRetry — nesting two capped-backoff loops would
+    // multiply worst-case wall time under contention
     override def description(): String =
       "retire whole partitions as a metadata-only commit"
     override protected def run(

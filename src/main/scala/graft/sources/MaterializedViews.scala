@@ -54,11 +54,36 @@ object MaterializedViews {
   /** Expand derived kinds into their self-maintainable parts; all
     * storage and folding operates on the expanded list.
     */
-  private def expand(aggs: Seq[Agg]): Seq[Agg] = aggs.flatMap {
-    case Agg(a, "avg", c) =>
-      Seq(Agg(s"__${a}_s", "sum", c), Agg(s"__${a}_c", "count", c))
-    case x => Seq(x)
+  private def expand(aggs: Seq[Agg]): Seq[Agg] = {
+    val base = aggs.flatMap {
+      case Agg(a, "avg", c) =>
+        Seq(Agg(s"__${a}_s", "sum", c), Agg(s"__${a}_c", "count", c))
+      case x => Seq(x)
+    }
+    // Every stored SUM carries a non-NULL-input count companion
+    // (reusing any count over the same column already stored): SQL SUM
+    // over an all-NULL input set is NULL, and the additive fold alone
+    // cannot RETURN to NULL once a retraction removes a group's last
+    // non-NULL contributor (stored 5 + delta -5 folds to 0, the true
+    // aggregate is NULL) — `when(companion == 0, NULL)` can.
+    var have = base.collect {
+      case Agg(_, "count", c) if c != "*" => c
+    }.toSet
+    val companions = base.flatMap {
+      case Agg(a, "sum", c) if !have.contains(c) =>
+        have += c; Seq(Agg(s"__${a}_nn", "count", c))
+      case _ => Seq.empty
+    }
+    base ++ companions
   }
+
+  /** The stored count-over-the-same-column companion of a SUM alias
+    * (guaranteed to exist post-[[expand]]).
+    */
+  private def sumCompanion(ex: Seq[Agg], a: Agg): Option[String] =
+    ex.collectFirst {
+      case Agg(al, "count", c) if c == a.input => al
+    }
 
   /** Visible derived columns recomputed from the expanded parts:
     * avg = sum / count (NULL on the empty/all-NULL group). ONE
@@ -202,9 +227,18 @@ object MaterializedViews {
     * replaces its line). One small sidecar read per refresh; rewritten
     * only when the definition actually changed.
     */
+  /** Serializes the _dependents read-filter-write within one JVM —
+    * two views' first refreshes racing would otherwise lose one
+    * registration. Cross-driver races remain possible but SELF-HEAL:
+    * every refresh re-registers its own line, so a clobbered view
+    * re-appears at its next refresh (and refresh_dependents /
+    * autoRefreshMv pick it up from then on).
+    */
+  private val dependentsLock = new Object
+
   private def registerDependent(
       spark: SparkSession, srcDir: String, mvDir: String,
-      line: String): Unit = {
+      line: String): Unit = dependentsLock.synchronized {
     val cur = sidecarLines(spark, srcDir, "_dependents")
     val kept = cur.filterNot(_.split('\t').lift(1).contains(mvDir))
     if (!cur.contains(line))
@@ -364,7 +398,14 @@ object MaterializedViews {
                 st.limit(0), mvDir, groupCsv, RefreshCol,
                 epochId = srcHead, runId = runId))
             0L
-          case Some(delta) => mode match {
+          case Some(delta0) =>
+            // the retraction probe is a SECOND consumer of the delta —
+            // materialize once so probe + refresh share the blocks
+            val delta =
+              if (mode == "algebraic" && hasMinMax(aggs))
+                delta0.localCheckpoint()
+              else delta0
+            mode match {
             case "algebraic"
                 // min/max fold only over an insert-only range: a
                 // retraction could remove the stored extremum, which
@@ -487,23 +528,28 @@ object MaterializedViews {
           else MergeSink.changeDelta(spark, dimDir, dimKey, d0, dHead)
         val parts = Seq.newBuilder[DataFrame]
         dF.foreach { df =>
-          // ΔF ⋈ D' — mult rides the fact delta
-          val dimNew = MergeSink.currentState(spark, dimDir)
-            .getOrElse(df.limit(0))
-          parts += selectSides(
-            df.as("f").join(dimNew.as("dm"),
-              col(s"f.$fk") === col(s"dm.$pk"), "inner"),
-            df, dimNew, needed, Seq(col("f.__mult").as("__mult")))
+          // ΔF ⋈ D' — mult rides the fact delta. D' is PINNED to the
+          // dim head this refresh RECORDS (stateAt, not currentState):
+          // a dim commit landing mid-refresh must not be absorbed now
+          // and then re-applied by the next refresh's Δdim. An empty
+          // dim side makes the inner join empty — contribute nothing.
+          MergeSink.stateAt(spark, dimDir, dHead).foreach { dimNew =>
+            parts += selectSides(
+              df.as("f").join(dimNew.as("dm"),
+                col(s"f.$fk") === col(s"dm.$pk"), "inner"),
+              df, dimNew, needed, Seq(col("f.__mult").as("__mult")))
+          }
         }
         dD.foreach { dd =>
           // F@f0 ⋈ ΔD — mult rides the dim delta; the fact side is the
-          // OLD snapshot (time travel), exactly the algebra's F term
-          val factOld = MergeSink.stateAt(spark, factDir, f0)
-            .getOrElse(dd.limit(0))
-          parts += selectSides(
-            factOld.as("f").join(dd.as("dm"),
-              col(s"f.$fk") === col(s"dm.$pk"), "inner"),
-            factOld, dd, needed, Seq(col("dm.__mult").as("__mult")))
+          // OLD snapshot (time travel), exactly the algebra's F term.
+          // An empty old fact makes the inner join empty — skip.
+          MergeSink.stateAt(spark, factDir, f0).foreach { factOld =>
+            parts += selectSides(
+              factOld.as("f").join(dd.as("dm"),
+                col(s"f.$fk") === col(s"dm.$pk"), "inner"),
+              factOld, dd, needed, Seq(col("dm.__mult").as("__mult")))
+          }
         }
         val deltas = parts.result()
         if (deltas.isEmpty) {
@@ -515,7 +561,13 @@ object MaterializedViews {
               epochId = packed, runId = runId))
           return 0L
         }
-        val delta = deltas.reduce(_ unionByName _)
+        val delta0 = deltas.reduce(_ unionByName _)
+        // for join views the delta IS the delta-join — materialize once
+        // when the retraction probe adds a second consumer
+        val delta =
+          if (mode == "algebraic" && hasMinMax(aggs))
+            delta0.localCheckpoint()
+          else delta0
         mode match {
           case "algebraic"
               if hasMinMax(aggs) && {
@@ -604,6 +656,16 @@ object MaterializedViews {
     def foldedAgg(a: Agg): Column = a.kind match {
       case "min" => folded(a.alias, least(_, _))
       case "max" => folded(a.alias, greatest(_, _))
+      case "sum" =>
+        // a group whose folded non-NULL-input count reaches 0 must
+        // store NULL, not the additive residue (SQL SUM of an all-NULL
+        // set is NULL) — the companion's fold decides
+        sumCompanion(aggs, a) match {
+          case Some(nn) =>
+            when(folded(nn, _ + _) === 0L, lit(null))
+              .otherwise(folded(a.alias, _ + _))
+          case None => folded(a.alias, _ + _)
+        }
       case _ => folded(a.alias, _ + _)
     }
     val foldedN = folded(RowCountCol, _ + _)

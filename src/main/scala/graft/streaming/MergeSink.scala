@@ -159,40 +159,45 @@ object MergeSink {
     * days/months since epoch (timestamps resolve through the session
     * time zone, as every date_trunc does), or the integer itself.
     */
-  private[graft] def partIdxExpr(spec: PartitionSpec): Column = {
-    val c = col(spec.column)
+  private[graft] def partIdxExpr(spec: PartitionSpec): Column =
+    partIdxExprOn(spec, col(spec.column))
+
+  /** The same index over an arbitrary expression (a pushed literal in
+    * point lookups) — ONE definition of the arithmetic, so reader-side
+    * bucket derivation can never drift from the writer's.
+    */
+  private[graft] def partIdxExprOn(spec: PartitionSpec, c: Column): Column =
     spec.kind match {
       case "day" => datediff(c, to_date(lit("1970-01-01")))
       case "month" =>
         (year(c) - lit(1970)) * lit(12) + (month(c) - lit(1))
       case "identity" => c.cast("int")
     }
-  }
 
   /** The same partition index evaluated driver-side on a pushed
     * literal (pruning, drop cutoffs). None = unrecognized value type,
-    * which simply disables the prune — never mis-prunes.
+    * which simply disables the prune — never mis-prunes. Instants
+    * resolve through the SESSION time zone, exactly as the executor
+    * expression's datediff/year/month do — a clock divergence here
+    * would MIS-PRUNE (drop a manifest partition whose files hold
+    * matching rows, which no post-scan re-filter can resurrect);
+    * TIMESTAMP_NTZ values (LocalDateTime) keep their wall-clock date.
     */
   private[graft] def partIdxOf(spec: PartitionSpec, value: Any): Option[Int] = {
-    def dayOfMillis(ms: Long): Int = Math.floorDiv(ms, 86400000L).toInt
+    lazy val zone = java.time.ZoneId.of(
+      SparkSession.active.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     def local(value: Any): Option[java.time.LocalDate] = value match {
       case d: java.sql.Date => Some(d.toLocalDate)
       case d: java.time.LocalDate => Some(d)
-      case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
+      case t: java.sql.Timestamp => Some(t.toInstant.atZone(zone).toLocalDate)
       case t: java.time.LocalDateTime => Some(t.toLocalDate)
-      case t: java.time.Instant =>
-        // driver dual of the session-tz cast; sessions run UTC here
-        Some(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
-          .toLocalDate)
+      case t: java.time.Instant => Some(t.atZone(zone).toLocalDate)
       case s: String => scala.util.Try(java.time.LocalDate.parse(s)).toOption
       case _ => None
     }
     spec.kind match {
-      case "day" => value match {
-        case t: java.time.Instant => Some(dayOfMillis(t.toEpochMilli))
-        case t: java.sql.Timestamp => Some(dayOfMillis(t.getTime))
-        case other => local(other).map(_.toEpochDay.toInt)
-      }
+      case "day" => local(value).map(_.toEpochDay.toInt)
       case "month" =>
         local(value).map(d => (d.getYear - 1970) * 12 + d.getMonthValue - 1)
       case "identity" => value match {
@@ -2190,19 +2195,41 @@ object MergeSink {
   def lookupFilesTuples(
       spark: SparkSession,
       dir: String,
-      tuples: Seq[Seq[Any]]): Seq[String] =
+      tuples: Seq[Seq[Any]],
+      key: String = ""): Seq[String] =
     lastCommit(spark, dir) match {
       case None => Seq.empty
       case Some(c) =>
         val nb = numBuckets(spark, dir, c.version)
         val m = manifest(spark, dir, c.version)
+        val spec = partitionSpec(spark, dir)
+        def hashOf(t: Seq[Any]): Column =
+          pmod(xxhash64(t.map(lit).toIndexedSeq: _*), lit(nb)).cast("int")
+        // partitioned layout: the global bucket id interleaves the
+        // partition index above the hash — derive it with the WRITER'S
+        // OWN expression over the pushed literal (same session-tz
+        // arithmetic), or the lookup silently reads the wrong buckets
+        val bucketExprs: Seq[Column] = spec match {
+          case None => tuples.map(hashOf)
+          case Some(ps) =>
+            require(key.nonEmpty,
+              s"lookupFilesTuples: $dir is partitioned — pass the key " +
+                "column list so the partition value can be located")
+            val kcols = keyCols(key)
+            val pi = kcols.indexOf(ps.column)
+            require(pi >= 0,
+              s"lookupFilesTuples: partition column ${ps.column} not in " +
+                s"key $kcols")
+            tuples.map { t =>
+              val idx = partIdxExprOn(ps, lit(t(pi)))
+              // unresolvable partition value -> impossible bucket -> miss
+              (when(idx.isNull || idx < 0, lit(-1)).otherwise(idx) *
+                lit(nb) + hashOf(t)).cast("int")
+            }
+        }
         val buckets = spark
           .range(1)
-          .select(
-            array(tuples.map(t =>
-              pmod(xxhash64(t.map(lit).toIndexedSeq: _*), lit(nb))
-                .cast("int")).toIndexedSeq: _*)
-              .as("bs"))
+          .select(array(bucketExprs.toIndexedSeq: _*).as("bs"))
           .head()
           .getSeq[Int](0)
           .toSet
@@ -2234,7 +2261,7 @@ object MergeSink {
     val kcols = keyCols(key)
     require(tuples.forall(_.size == kcols.size),
       s"pointLookup: each tuple needs ${kcols.size} values for keys $kcols")
-    val files = lookupFilesTuples(spark, dir, tuples)
+    val files = lookupFilesTuples(spark, dir, tuples, key)
     if (files.isEmpty) None
     else {
       val cond =
@@ -2825,11 +2852,18 @@ object MergeSink {
             "retention window — raise history_keep on the branch before " +
             "long-running divergence")
     }
-    // all-or-nothing against rival writers: claim EVERY version first
+    // all-or-nothing against rival writers: claim EVERY version first.
+    // The claim owner id must be UNIQUE PER INVOCATION — claimVersion
+    // lets an owner steal its OWN stale claim regardless of TTL, so a
+    // shared constant would let two concurrent fast-forwards (different
+    // branches, same base) steal each other's claims and double-mint a
+    // version.
+    val ffId = "ff" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
     val claimed = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       toPromote.foreach { c =>
-        claimVersion(spark, mfs, mp, c.version, mainDir, "branchff")
+        claimVersion(spark, mfs, mp, c.version, mainDir, ffId)
         claimed += c.version
       }
     } catch {

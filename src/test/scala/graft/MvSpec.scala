@@ -220,6 +220,37 @@ class MvSpec extends SparkSpec {
     assert(got(1L) == Seq(7L, 1L), "NULL stored sum must take the delta's value")
   }
 
+  test("algebraic sum returns to NULL when a retraction removes the last non-NULL value") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("mv_nullret_src")
+    val mv = tmp("mv_nullret_v")
+    MergeSink.setHistoryKeep(spark, src, 8)
+    def rows(t: Seq[(Long, Long, java.lang.Long)], rv: Long): DataFrame =
+      t.toDF("id", "grp", "v").withColumn("rv", lit(rv))
+    // grp 0: one non-NULL (5) and one NULL row; SUM-ONLY view (no user
+    // count over v — the hidden companion must carry the knowledge)
+    MergeSink.upsertBatch(
+      rows(Seq((1L, 0L, 5L), (2L, 0L, null)), 1L),
+      src, "id", "rv", 0L, "load")
+    val aggs = Seq(Agg("total", "sum", "v"))
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), aggs, "algebraic") == 1L)
+    assert(viewState(mv, aggs)(0L) == Seq(5L))
+    // retract the ONLY non-NULL contributor: stored 5 + delta -5 would
+    // fold to 0; the true SUM over the remaining all-NULL group is NULL
+    MergeSink.upsertBatch(
+      rows(Seq((1L, 0L, 5L)), 2L).withColumn("__deleted", lit(true)),
+      src, "id", "rv", 1L, "load")
+    assert(MaterializedViews.refreshDir(
+      spark, src, "id", mv, Seq("grp"), aggs, "algebraic") == 1L)
+    val got = viewState(mv, aggs)
+    assert(got == fullAgg(src, aggs),
+      s"retraction-to-all-NULL diverged from the from-scratch aggregate: $got")
+    assert(got(0L) == Seq(null),
+      "the stored sum must return to NULL, not the additive residue 0")
+  }
+
   test("join view: delta-join IVM converges under fact AND dim changes; avg derived") {
     val s = spark
     import s.implicits._

@@ -63,6 +63,30 @@ class PartitionedTableSpec extends SparkSpec {
       ("2024-01-11", 1L, 30L)))
   }
 
+  test("point lookup derives the partitioned global bucket id (not the bare hash)") {
+    val t = newTable(nb = 4)
+    MergeSink.upsertBatch(
+      df(Seq(("2024-01-10", 1L, 10L), ("2024-01-10", 2L, 20L),
+        ("2024-01-11", 1L, 30L)), 1L),
+      t, "day,id", "rv", 0L, "load")
+    // the key tuple carries the partition value; the lookup must land
+    // on bucket partIdx*nb + hash%nb — the bare hash would miss every
+    // bucket and silently answer "absent" for a present key
+    val hit = MergeSink.pointLookupTuples(
+      spark, t, "day,id", Seq(Seq(Date.valueOf("2024-01-11"), 1L)))
+    assert(hit.isDefined, "a present key must be found on a partitioned table")
+    val rows = hit.get.select("day", "id", "v").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("2024-01-11", 1L, 30L)))
+    // and exactly ONE (partition, bucket) pair's files are read
+    val files = MergeSink.lookupFilesTuples(
+      spark, t, Seq(Seq(Date.valueOf("2024-01-11"), 1L)), "day,id")
+    assert(files.size == 1, s"lookup must prune to one bucket: $files")
+    // an absent key stays absent (impossible-bucket guard, not a crash)
+    assert(MergeSink.pointLookupTuples(
+      spark, t, "day,id", Seq(Seq(Date.valueOf("2030-06-01"), 1L))).isEmpty)
+  }
+
   test("the partition spec is layout identity: immutable after commit, col must be a key") {
     val t = newTable()
     MergeSink.upsertBatch(df(Seq(("2024-01-10", 1L, 10L)), 1L),
