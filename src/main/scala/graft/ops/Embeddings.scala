@@ -2144,6 +2144,16 @@ object Embeddings {
     * back to a full re-assignment when the last applied source version
     * left retention.
     */
+  /** The ANN maintainer's writer id for an index dir — commits tagged
+    * with it carry the applied source version as their epoch (the
+    * staleness bookkeeping `.detail` and refresh idempotence key on).
+    */
+  private[graft] def annRunId(ixDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "annix-" + md.digest(ixDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   def annIndexRefresh(
       s: SparkSession,
       srcDir: String,
@@ -2152,9 +2162,7 @@ object Embeddings {
       ck2: DataFrame,
       vecCol: String = "embedding"): Long = {
     val MS = graft.streaming.MergeSink
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val runId = "annix-" + md.digest(ixDir.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    val runId = annRunId(ixDir)
     val srcHead = MS.lastCommit(s, srcDir) match {
       case Some(c) => c.version
       case None => return 0L
@@ -2173,8 +2181,12 @@ object Embeddings {
         vecs.select(col("vec_id"), col("embedding"))
           .withColumn("nrm2", fdot(col("embedding"), col("embedding"))),
         ck2, Seq("vec_id", "embedding", "nrm2"))
-        .select(col("vec_id"), col("cell"), col("embedding"),
-          sqrt(col("nrm2")).as("nrm"))
+        // cell inherits cent_id's type = the SOURCE KEY's type; the
+        // postings table declares cell BIGINT, so a non-BIGINT key
+        // (INT vec ids) would otherwise write INT parquet cells under
+        // a BIGINT catalog schema and mis-decode on read
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("embedding"), sqrt(col("nrm2")).as("nrm"))
     def commitIx(rows: DataFrame, overwrite: Boolean): Long = {
       // computed once: the report count AND the commit read the
       // checkpointed blocks (assignment is the expensive part)

@@ -19,10 +19,17 @@ import graft.streaming.MergeSink
   *    is a rebuild, not a refresh — the standard IVF maintenance
   *    discipline), creates the postings table with the source binding
   *    persisted as `graft.ann.*` table properties, and runs the first
-  *    (full) build.
+  *    (full) build. Failure-atomic: the source is validated and the
+  *    quantizer trained BEFORE the table registers, and any failure
+  *    after registration drops the staged table — a failed CALL never
+  *    strands a broken index.
   *  - `CALL cat.sys.refresh_ann('db.ix')` advances the postings to the
   *    source's head through the change feed: O(changed keys ×
   *    centroids), never a corpus re-index; free when already at head.
+  *    With `spark.graft.autoRefreshAnn=true` the same advance rides
+  *    every SOURCE commit's publish hook (the autoRefreshMv dual), and
+  *    the index's `.detail` reports `ann_source` / `ann_lag_versions`
+  *    either way — a stale index is observable, never silent.
   *  - `CALL cat.sys.ann_search('db.ix', 'db.queries', k, probes)`
   *    answers cosine top-k per query-panel row via multi-probe IVF
   *    against the SERVED postings — the one query the index exists for,
@@ -32,10 +39,11 @@ import graft.streaming.MergeSink
   * broadcast centroid frame picks probe cells (bounded cross — never
   * panel × corpus); candidates arrive by EQUI-join on `cell`, so
   * candidate work is linear in the probed cells' sizes. The returned
-  * relation is the ANSWER itself — k rows per panel query — and the
-  * panel is capped (`spark.graft.annMaxQueryPanel`, default 10k), so
-  * the procedure's result materialization is bounded by the response
-  * size, not by any table.
+  * relation is the ANSWER itself — k rows per panel query. A panel
+  * larger than `spark.graft.annMaxQueryPanel` (default 10k) answers in
+  * panel-sized BATCHES (each batch a bounded broadcast probe) instead
+  * of throwing, so result materialization stays bounded per batch at
+  * any panel size.
   *
   * The analytic dual of the reference's derived-ref pattern (a ref
   * holding an index of others, advanced inside the same transaction —
@@ -90,6 +98,16 @@ object AnnCatalog {
     require(vecType == ArrayType(FloatType, containsNull = true) ||
       vecType == ArrayType(FloatType, containsNull = false),
       s"create_ann: '$vecCol' must be ARRAY<FLOAT>, got ${vecType.sql}")
+    // VALIDATE + TRAIN BEFORE REGISTERING: an empty source or a failed
+    // training must leave no table behind (a stranded half-index would
+    // make the re-run hit TableAlreadyExists with no centroid sidecar)
+    val st = MergeSink.currentState(spark, srcOpts("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"create_ann: source '$srcIdent' is empty — nothing to train on"))
+    val ck2 = Embeddings.annTrain(
+      spark, st.select(col(keyCol).as("vec_id"), col(vecCol).as("embedding")))
+      // force training NOW — errors must surface before createTable
+      .localCheckpoint()
     // postings schema is engine-owned: (vec_id, cell, embedding, nrm)
     // keyed by vec_id — the source's naming maps at refresh time
     val schema = StructType(Seq(
@@ -105,40 +123,123 @@ object AnnCatalog {
     props.put(P + PSrc, srcIdent)
     props.put(P + PKey, keyCol)
     props.put(P + PVec, vecCol)
-    cat.createTable(MaterializedViews.identOf(ixIdent), schema,
+    val ixTableIdent = MaterializedViews.identOf(ixIdent)
+    cat.createTable(ixTableIdent, schema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform],
       props)
-    val ixPath = cat.tableOptions(MaterializedViews.identOf(ixIdent))("path")
-    val st = MergeSink.currentState(spark, srcOpts("path"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"create_ann: source '$srcIdent' is empty — nothing to train on"))
-    val ck2 = Embeddings.annTrain(
-      spark, st.select(col(keyCol).as("vec_id"), col(vecCol).as("embedding")))
-    // one tiny file, written once: the model is frozen at create time
-    ck2.coalesce(1).write.mode("overwrite").parquet(sidecar(ixPath))
-    refresh(spark, cat, ixIdent)
+    // anything failing past this point drops the staged table — the
+    // CALL either completes (table + sidecar + first build) or leaves
+    // the catalog as it found it
+    try {
+      val ixPath = cat.tableOptions(ixTableIdent)("path")
+      // one tiny file, written once: the model is frozen at create time
+      ck2.coalesce(1).write.mode("overwrite").parquet(sidecar(ixPath))
+      refresh(spark, cat, ixIdent)
+    } catch {
+      case e: Throwable =>
+        try cat.dropTable(ixTableIdent)
+        catch { case d: Throwable => e.addSuppressed(d) }
+        throw e
+    }
   }
 
-  /** Advance the postings to the source's head (0 = already current). */
+  /** Advance the postings to the source's head (0 = already current).
+    * Also (re-)registers the index in the source's `_dependents`
+    * sidecar and records its source in the index's own `_ann_source`,
+    * so `spark.graft.autoRefreshAnn` and `.detail` staleness both see
+    * it from then on.
+    */
   def refresh(
       spark: SparkSession,
       cat: GraftCatalog,
       ixIdent: String): Long = {
     val ixOpts = annOpts(cat, ixIdent)
     val srcOpts = cat.tableOptions(MaterializedViews.identOf(ixOpts(PSrc)))
-    Embeddings.annIndexRefresh(
-      spark,
+    refreshDirs(spark,
       srcDir = srcOpts("path"),
       srcKey = ixOpts(PKey),
       ixDir = ixOpts("path"),
-      ck2 = centroids(spark, ixOpts("path")),
       vecCol = ixOpts(PVec))
+  }
+
+  /** Dir-level refresh + registration (shared by the procedure path and
+    * the in-commit auto-refresh hook).
+    */
+  def refreshDirs(
+      spark: SparkSession,
+      srcDir: String,
+      srcKey: String,
+      ixDir: String,
+      vecCol: String): Long = {
+    MaterializedViews.registerDependentLine(spark, srcDir,
+      depDir = ixDir, line = Seq("ann", ixDir, srcDir, srcKey, vecCol))
+    MaterializedViews.recordSidecar(spark, ixDir, "_ann_source",
+      Seq(srcDir, srcKey, vecCol))
+    Embeddings.annIndexRefresh(
+      spark,
+      srcDir = srcDir,
+      srcKey = srcKey,
+      ixDir = ixDir,
+      ck2 = centroids(spark, ixDir),
+      vecCol = vecCol)
+  }
+
+  /** Re-entrancy guard for the in-commit hook (an index commit's own
+    * publish must not recurse).
+    */
+  private val inAutoRefresh =
+    new ThreadLocal[java.util.HashSet[String]] {
+      override def initialValue() = new java.util.HashSet[String]()
+    }
+
+  /** Called from the commit publish path when
+    * `spark.graft.autoRefreshAnn` is set: advance every ANN index
+    * registered over `srcDir` — O(changed keys × centroids) of exactly
+    * the commit's delta, the autoRefreshMv discipline.
+    */
+  def autoRefresh(spark: SparkSession, srcDir: String): Unit = {
+    val lines = MaterializedViews.dependentLines(spark, srcDir)
+      .flatMap(_.split('\t') match {
+        case Array("ann", ixDir, sd, srcKey, vecCol) =>
+          Some((ixDir, sd, srcKey, vecCol))
+        case _ => None
+      })
+    if (lines.isEmpty) return
+    val set = inAutoRefresh.get()
+    if (!set.add(srcDir)) return
+    try lines.foreach { case (ixDir, sd, srcKey, vecCol) =>
+      refreshDirs(spark, sd, srcKey, ixDir, vecCol)
+    } finally set.remove(srcDir)
+  }
+
+  /** The index's staleness: (source dir, source versions not yet
+    * applied). None when `dir` is not a maintained ANN index (or never
+    * refreshed). Surfaces in `.detail` as ann_source /
+    * ann_lag_versions.
+    */
+  def indexLag(spark: SparkSession, ixDir: String): Option[(String, Long)] = {
+    val lines = MaterializedViews.sidecarOf(spark, ixDir, "_ann_source")
+    lines.headOption.map { srcDir =>
+      val runId = Embeddings.annRunId(ixDir)
+      val applied = MergeSink.commits(spark, ixDir)
+        .filter(_.runId == runId).map(_.epoch).maxOption
+      val head = MergeSink.lastCommit(spark, srcDir).map(_.version)
+      val lag = (applied, head) match {
+        case (Some(a), Some(h)) => math.max(h - a, 0L)
+        case (None, Some(h)) => h + 1 // never applied: everything lags
+        case _ => 0L
+      }
+      srcDir -> lag
+    }
   }
 
   /** Cosine top-k per query-panel row, multi-probe IVF over the served
     * postings. The panel table exposes the SAME key/vector columns as
     * the index's source. Self-matches (panel key == posting key) are
-    * excluded. Returns (query_id, rank, neighbor_id, cos).
+    * excluded. Returns (query_id, rank, neighbor_id, cos). A panel
+    * larger than the cap answers in cap-sized batches — each batch is
+    * an independent bounded probe, so per-batch materialization never
+    * exceeds the response size the cap was chosen for.
     */
   def search(
       spark: SparkSession,
@@ -153,37 +254,54 @@ object AnnCatalog {
     val keyCol = ixOpts(PKey)
     val vecCol = ixOpts(PVec)
     val qOpts = cat.tableOptions(MaterializedViews.identOf(queriesIdent))
+    // LAZY checkpoint: the cap count below is the materializing job —
+    // one job total, and every batch then reads the checkpointed blocks
     val panel = MergeSink.currentState(spark, qOpts("path"))
       .getOrElse(throw new IllegalArgumentException(
         s"ann_search: query table '$queriesIdent' is empty"))
       .select(col(keyCol).as("query_id"), col(vecCol).as("qv"))
-      .localCheckpoint() // probed once, ranked once — read it once
-    // the procedure materializes k rows per panel query: cap the panel
-    // so the response stays response-sized at any corpus scale
+      .localCheckpoint(eager = false)
     val maxPanel = spark.conf.getOption("spark.graft.annMaxQueryPanel")
       .map(_.toInt).getOrElse(10000)
-    val qn = panel.count()
-    require(qn <= maxPanel,
-      s"ann_search: query panel has $qn rows, cap is $maxPanel " +
-        "(spark.graft.annMaxQueryPanel) — batch the panel instead")
-    val probe = Embeddings.annProbe(panel, centroids(spark, ixOpts("path")),
-      probes)
+    val ck2 = centroids(spark, ixOpts("path"))
     val served = spark.read.format("graft-merge")
       .option("path", ixOpts("path"))
       .option("key", "vec_id").option("seq", "__rv")
       .load()
-    val wRank = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    served
-      .join(broadcast(probe), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-          .as("cos"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    def searchPanel(p: DataFrame): DataFrame = {
+      val probe = Embeddings.annProbe(p, ck2, probes)
+        // probe cell inherits the source key's type; the served
+        // postings' cell is BIGINT — align the equi-join key exactly
+        .withColumn("cell", col("cell").cast("long"))
+      val wRank = Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      served
+        .join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+            .as("cos"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }
+    val qn = panel.count() // materializes the lazy checkpoint
+    val out =
+      if (qn <= maxPanel) searchPanel(panel)
+      else {
+        // batch the panel: each query rides exactly one batch (panel
+        // keys are unique — it is a merge table's latest state), so the
+        // union of per-batch top-k IS the whole answer
+        val nb = ((qn + maxPanel - 1) / maxPanel).toInt
+        val batched = panel.withColumn("__batch",
+          pmod(xxhash64(col("query_id")), lit(nb)))
+          .localCheckpoint() // assign once; every batch filters from it
+        (0 until nb)
+          .map(b => searchPanel(
+            batched.filter(col("__batch") === b).drop("__batch")))
+          .reduce(_ unionAll _)
+      }
+    out.orderBy(col("query_id"), col("rank"))
   }
 }

@@ -295,10 +295,12 @@ class GraftCatalog
     val kind = t.name().toLowerCase(java.util.Locale.ROOT) match {
       case "days" | "day" => "day"
       case "months" | "month" => "month"
+      case "hours" | "hour" => "hour"
+      case "years" | "year" => "year"
       case "identity" => "identity"
       case other => throw new IllegalArgumentException(
         s"graft-merge: unsupported partition transform '$other' " +
-          "(days | months | identity)")
+          "(hours | days | months | years | identity)")
     }
     Some(kind -> c)
   }
@@ -369,6 +371,17 @@ class GraftCatalog
         SparkSession.active, path, kind, c,
         opt("buckets").map(_.toInt)
           .getOrElse(graft.streaming.MergeSink.DefaultBuckets))
+    }
+    // `bucket_by 'col'`: hash only the declared key column(s) — a
+    // single column keeps the layout expressible to Spark's SPJ
+    // machinery (see [[MergeSink.setBucketBy]])
+    opt("bucket_by").map(graft.streaming.MergeSink.keyCols).foreach { bc =>
+      bc.foreach(c =>
+        require(graft.streaming.MergeSink.keyCols(key).contains(c),
+          s"graft-merge: bucket_by column '$c' must be one of the merge " +
+            s"key columns ($key) — a key's bucket must be stable " +
+            "across upserts"))
+      graft.streaming.MergeSink.setBucketBy(SparkSession.active, path, bc)
     }
     checks.foreach { case (n, e) =>
       graft.streaming.MergeSink.setCheckConstraint(
@@ -490,6 +503,21 @@ class GraftCatalog
           .getOrElse(graft.streaming.MergeSink.DefaultBuckets))
       props.setProperty("partition", s"$kind($c)")
     }
+    // bucket_by: the hash layout, like the partition spec, is the
+    // table's physical identity — REPLACE cannot change it, and a new
+    // table's sidecar must exist before the staged write buckets rows
+    val bucketByCols = opt("bucket_by")
+      .map(graft.streaming.MergeSink.keyCols)
+    require(bucketByCols.isEmpty || !exists,
+      "graft catalog: REPLACE TABLE cannot change bucket_by — it is " +
+        "the table's physical identity; DROP and re-create to re-key")
+    bucketByCols.foreach { bc =>
+      bc.foreach(c =>
+        require(graft.streaming.MergeSink.keyCols(key).contains(c),
+          s"graft-merge: bucket_by column '$c' must be one of the " +
+            s"merge key columns ($key)"))
+      graft.streaming.MergeSink.setBucketBy(SparkSession.active, path, bc)
+    }
     props.setProperty("path", path)
     props.setProperty("key", key)
     props.setProperty("seq", seq)
@@ -515,7 +543,9 @@ class GraftCatalog
       // silently inherits a stale layout (the managed-new cleanup
       // already removes the whole directory)
       abortSpecPath =
-        if (partSpec.nonEmpty && !managedNew) Some(path) else None)
+        if ((partSpec.nonEmpty || bucketByCols.nonEmpty) && !managedNew)
+          Some(path)
+        else None)
   }
 
   private[sources] def commitStagedMeta(
@@ -733,6 +763,10 @@ class GraftCatalog
     if (!fs.exists(mp)) return false
     val props = readMeta(ident)
     val managed = props.getProperty(TableCatalog.PROP_EXTERNAL) == "false"
+    // a reference-sharing branch releases its pin on the source (the
+    // source's GC may then age the base out normally)
+    graft.streaming.MergeSink
+      .releaseBranchRefs(SparkSession.active, props.getProperty("path"))
     fs.delete(mp, false)
     if (managed) fs.delete(new Path(props.getProperty("path")), true)
     // the path's history is destroyed, not extended: a re-CREATE at
@@ -870,13 +904,13 @@ private[sources] class GraftStagedTable(
         SparkSession.active.sparkContext.hadoopConfiguration)
       fs.delete(path, true)
     }
-    // external-path partitioned CTAS: the staged layout sidecar must
-    // not outlive the aborted statement
+    // external-path partitioned/bucket_by CTAS: the staged layout
+    // sidecars must not outlive the aborted statement
     abortSpecPath.foreach { p =>
-      val f = new Path(p, "_partition_spec")
-      val fs = f.getFileSystem(
+      val fs = new Path(p).getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      fs.delete(f, false)
+      fs.delete(new Path(p, "_partition_spec"), false)
+      fs.delete(new Path(p, "_bucket_by"), false)
     }
   }
 }
@@ -893,13 +927,16 @@ object GraftFunctions {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Array[String] = Array("damerau", "xxbucket", "bucket")
+  val names: Array[String] = Array("damerau", "xxbucket", "bucket",
+    "days", "months", "hours", "years")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "damerau" => Some(DamerauUnbound)
       case "xxbucket" => Some(XxBucketUnbound)
       case "bucket" => Some(BucketUnbound)
+      case n @ ("days" | "months" | "hours" | "years") =>
+        Some(TimeTransformUnbound(n))
       case _ => None
     }
 
@@ -991,15 +1028,29 @@ object GraftFunctions {
   object BucketUnbound extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(numBuckets INT, key BIGINT) -> INT: merge-table layout bucket"
+      "bucket(numBuckets INT, key...) -> INT: merge-table layout bucket " +
+        "(xxhash64 over the key columns in declared order, mod numBuckets)"
     override def bind(inputType: StructType): BoundFunction = {
-      if (inputType.fields.length != 2 ||
+      if (inputType.fields.length < 2 ||
         inputType.fields(0).dataType != IntegerType ||
-        inputType.fields(1).dataType != LongType)
+        !inputType.fields.tail.forall(f =>
+          GraftFunctions.bucketableType(f.dataType)))
         throw new UnsupportedOperationException(
-          s"bucket expects (INT numBuckets, BIGINT key), got $inputType")
-      BucketBound
+          s"bucket expects (INT numBuckets, key columns...), got $inputType")
+      if (inputType.fields.length == 2 &&
+        inputType.fields(1).dataType == LongType) BucketBound
+      else BucketTupleBound(inputType.fields.tail.map(_.dataType).toSeq)
     }
+  }
+
+  /** The key-column types xxhash64 (and therefore the layout bucket)
+    * accepts through the V2 function surface — every type the writer's
+    * `xxhash64(k1, k2, …)` hashes from its InternalRow representation.
+    */
+  def bucketableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+        DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
   }
 
   object BucketBound extends ScalarFunction[Integer] {
@@ -1012,6 +1063,115 @@ object GraftFunctions {
     override def produceResult(
         input: org.apache.spark.sql.catalyst.InternalRow): Integer =
       Integer.valueOf(invoke(input.getInt(0), input.getLong(1)))
+  }
+
+  /** Composite / non-BIGINT key form of [[BucketBound]]: hashes the
+    * key columns IN SEQUENCE exactly as the writer's catalyst
+    * `xxhash64(k1, k2, …)` does (each column's hash seeds the next,
+    * seed 42), so a scan-reported multi-column
+    * `Expressions.bucket(nb, k1, k2)` resolves to the true physical
+    * placement. Same canonicalName as the single-column form — it IS
+    * the same layout function, so two co-bucketed sides compare equal
+    * in Spark's SPJ compatibility check.
+    */
+  case class BucketTupleBound(dts: Seq[DataType])
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      (IntegerType +: dts).toArray
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      val nb = input.getInt(0)
+      var h = 42L
+      var i = 0
+      while (i < dts.length) {
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(input.get(i + 1, dts(i)), dts(i), h)
+        i += 1
+      }
+      Integer.valueOf((((h % nb) + nb) % nb).toInt)
+    }
+  }
+
+  /** Time partition-transform functions (`days`/`months`/`hours`/
+    * `years`), resolved by Spark's SPJ machinery when a scan reports a
+    * partitioned layout's clustering as `[days(ts), bucket(nb, key…)]`.
+    * Each computes EXACTLY the writer's partition index
+    * ([[graft.streaming.MergeSink.partIdxExprOn]]): days/months/years
+    * resolve instants through the session time zone (as the writer's
+    * datediff/year/month do), hours are zone-independent instant
+    * arithmetic. Result type is INT (the manifest partition index),
+    * and the scan's reported partition key values carry the same ints.
+    */
+  case class TimeTransformUnbound(fname: String) extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(ts) -> INT: merge-table partition index of the value"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 1 ||
+        !Set[DataType](DateType, TimestampType, TimestampNTZType)
+          .contains(inputType.fields(0).dataType))
+        throw new UnsupportedOperationException(
+          s"$fname expects one DATE/TIMESTAMP column, got $inputType")
+      TimeTransformBound(fname, inputType.fields(0).dataType)
+    }
+  }
+
+  case class TimeTransformBound(fname: String, dt: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = fname
+    override def canonicalName(): String = s"graft.$fname"
+    override def isResultNullable: Boolean = true
+    private def localDate(raw: Long): java.time.LocalDate = dt match {
+      case DateType => java.time.LocalDate.ofEpochDay(raw)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(raw).toLocalDate
+      case _ => // TimestampType: instant through the session zone
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(raw, 1000000L),
+          Math.floorMod(raw, 1000000L) * 1000L)
+          .atZone(java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .toLocalDate
+    }
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      if (input.isNullAt(0)) return null
+      val raw = dt match {
+        case DateType => input.getInt(0).toLong
+        case _ => input.getLong(0)
+      }
+      fname match {
+        case "hours" =>
+          // instant hours since epoch; dates/NTZ resolve to an instant
+          // through the session zone (CAST-to-TIMESTAMP semantics),
+          // matching the writer's partIdxExprOn("hour")
+          lazy val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val sec = dt match {
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(raw)
+                .atStartOfDay(zone).toEpochSecond
+            case TimestampNTZType =>
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .microsToLocalDateTime(raw).atZone(zone).toEpochSecond
+            case _ => Math.floorDiv(raw, 1000000L)
+          }
+          Integer.valueOf(Math.floorDiv(sec, 3600L).toInt)
+        case "days" => Integer.valueOf(localDate(raw).toEpochDay.toInt)
+        case "months" =>
+          val d = localDate(raw)
+          Integer.valueOf((d.getYear - 1970) * 12 + d.getMonthValue - 1)
+        case "years" =>
+          Integer.valueOf(localDate(raw).getYear - 1970)
+      }
+    }
   }
 }
 
@@ -1038,7 +1198,7 @@ object GraftProcedures {
     Array("compact", "compact_incremental", "expire_tombstones",
       "set_bloom_index", "set_history_keep", "set_history_keep_ms",
       "analyze", "restore", "restore_ts", "vacuum", "zorder",
-      "create_mv", "create_mv_join", "refresh_mv",
+      "create_mv", "create_mv_join", "create_mv_star", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
       "add_check", "drop_check", "refresh_dependents",
       "drop_partitions", "create_ann", "refresh_ann", "ann_search",
@@ -1059,6 +1219,7 @@ object GraftProcedures {
       case "zorder" => Some(new ZOrderProc(cat))
       case "create_mv" => Some(new CreateMvProc(cat))
       case "create_mv_join" => Some(new CreateMvJoinProc(cat))
+      case "create_mv_star" => Some(new CreateMvStarProc(cat))
       case "refresh_mv" => Some(new RefreshMvProc(cat))
       case "create_tag" => Some(new CreateTagProc(cat))
       case "drop_tag" => Some(new DropTagProc(cat))
@@ -1421,6 +1582,36 @@ object GraftProcedures {
         mode = input.getUTF8String(6).toString).toInt)
   }
 
+  /** `CALL cat.sys.create_mv_star('db.mv', 'db.fact',
+    * 'db.d1:fk1=pk1;db.d2:fk2=pk2', 'g1[,g2]', 'total=sum:cents',
+    * 'algebraic')` — a MATERIALIZED VIEW over one fact ⋈ N dims,
+    * maintained by per-source delta-join IVM
+    * ([[MaterializedViews.refreshStarDir]]).
+    */
+  final class CreateMvStarProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "create_mv_star", "groups_materialized",
+        Seq(ProcedureParameter.in("fact", StringType).build(),
+          ProcedureParameter.in("dims", StringType)
+            .comment("db.dim:fact_fk=dim_pk;db.dim2:fk2=pk2").build(),
+          ProcedureParameter.in("group_cols", StringType).build(),
+          ProcedureParameter.in("aggs", StringType).build(),
+          ProcedureParameter.in("mode", StringType).build())) {
+    override def description(): String =
+      "create a materialized view over fact JOIN n dims (delta-join IVM)"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = 0 // unused
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      oneRow(MaterializedViews.createStar(
+        SparkSession.active, cat,
+        mvIdent = input.getUTF8String(0).toString,
+        factIdent = input.getUTF8String(1).toString,
+        dimsSpec = input.getUTF8String(2).toString,
+        groupCols = input.getUTF8String(3).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        aggs = MaterializedViews.parseAggs(input.getUTF8String(4).toString),
+        mode = input.getUTF8String(5).toString).toInt)
+  }
+
   /** `CALL cat.sys.refresh_mv('db.mv')` — advance the view to its
     * source's head: algebraic delta fold or touched-group rescan,
     * O(changed groups) either way; full rebuild only when the last
@@ -1731,7 +1922,12 @@ object MergeMetadataTable {
         // materialized-view staleness (null on non-view tables):
         // source dir(s) and how many source versions are unapplied
         StructField("mv_sources", StringType, nullable = true),
-        StructField("mv_lag_versions", LongType, nullable = true)))
+        StructField("mv_lag_versions", LongType, nullable = true),
+        // ANN-index staleness (null on non-index tables): the source
+        // table and how many of its versions the postings have not
+        // applied — a stale index is observable, never silent
+        StructField("ann_source", StringType, nullable = true),
+        StructField("ann_lag_versions", LongType, nullable = true)))
     case "history" =>
       StructType(Seq(
         StructField("version", LongType, nullable = false),
@@ -1809,6 +2005,7 @@ class MergeMetadataTable(kind: String, path: String)
           MergeSink.manifestSortedBy(spark, path, c.version))
         val blooms = MergeSink.bloomIndexCols(spark, path)
         val mvLag = MaterializedViews.viewLag(spark, path)
+        val annLag = AnnCatalog.indexLag(spark, path)
         Array(new GenericInternalRow(Array[Any](
           UTF8String.fromString(path),
           head.map(_.version).orNull,
@@ -1827,7 +2024,9 @@ class MergeMetadataTable(kind: String, path: String)
           MergeSink.historyKeepMs(spark, path).orNull,
           commits.size,
           mvLag.map(l => UTF8String.fromString(l._1)).orNull,
-          mvLag.map(_._2).orNull
+          mvLag.map(_._2).orNull,
+          annLag.map(l => UTF8String.fromString(l._1)).orNull,
+          annLag.map(_._2).orNull
         )): InternalRow)
       case "history" =>
         val times = MergeSink.commitTimes(spark, path)

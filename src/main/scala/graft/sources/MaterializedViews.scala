@@ -245,13 +245,38 @@ object MaterializedViews {
       writeSidecar(spark, srcDir, "_dependents", kept :+ line)
   }
 
+  // shared sidecar surface for OTHER maintained dependents (the ANN
+  // index rides the same `_dependents` registration + staleness
+  // discipline — [[AnnCatalog]]); lines are tab-joined, field 1 is
+  // always the dependent's dir (the dedup key)
+  private[graft] def dependentLines(
+      spark: SparkSession, srcDir: String): Seq[String] =
+    sidecarLines(spark, srcDir, "_dependents")
+
+  private[graft] def registerDependentLine(
+      spark: SparkSession, srcDir: String, depDir: String,
+      line: Seq[String]): Unit =
+    registerDependent(spark, srcDir, depDir, line.mkString("\t"))
+
+  private[graft] def sidecarOf(
+      spark: SparkSession, dir: String, name: String): Seq[String] =
+    sidecarLines(spark, dir, name)
+
+  private[graft] def recordSidecar(
+      spark: SparkSession, dir: String, name: String,
+      lines: Seq[String]): Unit =
+    if (sidecarLines(spark, dir, name) != lines)
+      writeSidecar(spark, dir, name, lines)
+
   /** First line records the view's writer runId verbatim — `.detail`
     * may see the view under a QUALIFIED path (file:/…), so the id must
     * not be re-derived from the path string there.
     */
   private def recordSources(
-      spark: SparkSession, mvDir: String, dirs: Seq[String]): Unit = {
-    val lines = s"run\t${mvRunId(mvDir)}" +: dirs
+      spark: SparkSession, mvDir: String, dirs: Seq[String],
+      star: Boolean = false): Unit = {
+    val kind = if (star) "runstar" else "run"
+    val lines = s"$kind\t${mvRunId(mvDir)}" +: dirs
     if (sidecarLines(spark, mvDir, "_mv_sources") != lines)
       writeSidecar(spark, mvDir, "_mv_sources", lines)
   }
@@ -293,6 +318,12 @@ object MaterializedViews {
             Some(mvDir -> refreshJoinDir(spark, fDir, fKey, dDir, dKey,
               fk, pk, mvDir, group.split(',').toSeq.map(_.trim),
               parseAggs(aggsSpec), mode))
+          case Array("star", mvDir, fDir, fKey, dimsSpec, group,
+              aggsSpec, mode) =>
+            Some(mvDir -> refreshStarDir(spark, fDir, fKey,
+              parseStarDims(dimsSpec), mvDir,
+              group.split(',').toSeq.map(_.trim),
+              parseAggs(aggsSpec), mode))
           case _ => None
         }
       }
@@ -308,6 +339,24 @@ object MaterializedViews {
   def viewLag(spark: SparkSession, mvDir: String): Option[(String, Long)] = {
     val lines = sidecarLines(spark, mvDir, "_mv_sources")
     if (lines.isEmpty) return None
+    // star views: the applied-version VECTOR rides the newest commit's
+    // manifest note; lag = total unapplied versions across all sources
+    if (lines.head.startsWith("runstar\t")) {
+      val srcs = lines.tail
+      val runId = lines.head.split('\t') match {
+        case Array("runstar", id) => id
+        case _ => mvRunId(mvDir)
+      }
+      val vec = starVector(spark, mvDir, runId) match {
+        case Some(v) if v.size == srcs.size => v
+        case _ => return None // never refreshed (or torn sidecar)
+      }
+      val lag = srcs.zip(vec).map { case (s, a) =>
+        MergeSink.lastCommit(spark, s).map(h => math.max(h.version - a, 0L))
+          .getOrElse(0L)
+      }.sum
+      return Some((srcs.mkString(","), lag))
+    }
     val runId = lines.head.split('\t') match {
       case Array("run", id) => id
       case _ => mvRunId(mvDir) // legacy sidecar without the id line
@@ -592,6 +641,205 @@ object MaterializedViews {
     }
   }
 
+  // ------------------------------------------------------------------
+  // STAR VIEWS: one fact ⋈ N dims. The delta algebra telescopes —
+  // advancing the vector (a0, a1, …, an) to the heads (h0, h1, …, hn)
+  // is N+1 SEQUENTIAL single-source passes, each the two-table
+  // discipline refreshJoinDir already implements: pass i applies
+  // Δsource_i ⋈ (every other source PINNED at its currently-applied
+  // version) and commits with a PER-SOURCE writer id whose epoch is
+  // source i's new head. Each pass is independently exactly-once (the
+  // watermark lives in the commit log, per source — no out-of-band
+  // state), a crash between passes leaves a consistent mixed cut that
+  // the next refresh completes, and no bit-packing caps how many
+  // versions any source may mint.
+  // ------------------------------------------------------------------
+
+  /** One dimension of a star view: its table dir, merge key, and the
+    * fact-side / dim-side join columns.
+    */
+  final case class StarDim(dir: String, key: String, fk: String, pk: String)
+
+  /** The star view's applied-version vector rides the commit artifact
+    * itself — a `W mvv <v0>,<v1>,…` manifest note under the view's ONE
+    * writer id, with `epoch = Σ versions` (strictly monotone: every
+    * pass advances one component). The NEWEST commit therefore always
+    * carries the whole vector, so no retention setting can age a
+    * watermark out from under the view.
+    */
+  private def starNote(vs: Seq[Long]): String = "mvv " + vs.mkString(",")
+
+  private def starVector(
+      spark: SparkSession, mvDir: String, runId: String): Option[Seq[Long]] =
+    MergeSink.commits(spark, mvDir).filter(_.runId == runId).lastOption
+      .flatMap(c => MergeSink.manifestNote(spark, mvDir, c.version))
+      .filter(_.startsWith("mvv "))
+      .map(_.stripPrefix("mvv ").split(',').toSeq.map(_.trim.toLong))
+
+  /** `dir,key,fk,pk;dir,key,fk,pk` — the registration-line encoding. */
+  private def parseStarDims(spec: String): Seq[StarDim] =
+    spec.split(';').toSeq.map(_.split(',') match {
+      case Array(d, k, fk, pk) => StarDim(d, k, fk, pk)
+      case other => throw new IllegalArgumentException(
+        s"star view: bad dim spec '${other.mkString(",")}'")
+    })
+
+  /** Advance a STAR view (fact ⋈ dims) to every source's head. Returns
+    * groups written across all passes (0 = already current everywhere).
+    */
+  def refreshStarDir(
+      spark: SparkSession,
+      factDir: String,
+      factKey: String,
+      dims: Seq[StarDim],
+      mvDir: String,
+      groupCols: Seq[String],
+      aggs: Seq[Agg],
+      mode: String): Long = {
+    require(mode == "algebraic" || mode == "rescan",
+      s"materialized view: unknown mode '$mode' (algebraic | rescan)")
+    require(dims.nonEmpty, "star view: at least one dimension")
+    val groupCsv = groupCols.mkString(",")
+    val starLine = Seq("star", mvDir, factDir, factKey,
+      dims.map(d => s"${d.dir},${d.key},${d.fk},${d.pk}").mkString(";"),
+      groupCsv, aggsSpecOf(aggs), mode).mkString("\t")
+    val srcDirs = factDir +: dims.map(_.dir)
+    val srcKeys = factKey +: dims.map(_.key)
+    srcDirs.foreach(d => registerDependent(spark, d, mvDir, starLine))
+    recordSources(spark, mvDir, srcDirs, star = true)
+    val heads: Seq[Long] = srcDirs.map(d =>
+      MergeSink.lastCommit(spark, d).map(_.version) match {
+        case Some(v) => v
+        case None => return 0L // a side unborn: nothing joinable yet
+      })
+    val runId = mvRunId(mvDir)
+    val appliedVec: Option[Seq[Long]] =
+      starVector(spark, mvDir, runId).filter(_.size == srcDirs.size)
+    if (appliedVec.contains(heads)) return 0L
+
+    val needed = (groupCols ++
+      expand(aggs).map(_.input).filter(_ != "*")).distinct
+
+    /** Inner-join the given per-source frames in star shape
+      * (s0 = fact; si = dim i) and project the needed columns, each
+      * resolved on exactly one side; `multFrom` carries the delta
+      * side's multiplicity through.
+      */
+    def joinStar(frames: Seq[DataFrame], multFrom: Option[Int]): DataFrame = {
+      val aliased = frames.zipWithIndex.map { case (f, i) => f.as(s"s$i") }
+      val joined = dims.zipWithIndex.foldLeft(aliased.head) {
+        case (acc, (d, i)) =>
+          acc.join(aliased(i + 1),
+            col(s"s0.${d.fk}") === col(s"s${i + 1}.${d.pk}"), "inner")
+      }
+      val colSets = frames.map(_.columns.toSet - "__mult")
+      val picks = needed.map { c =>
+        colSets.zipWithIndex.filter(_._1.contains(c)) match {
+          case Seq((_, i)) => col(s"s$i.$c").as(c)
+          case Seq() => throw new IllegalArgumentException(
+            s"star view: column '$c' exists on NO side")
+          case many => throw new IllegalArgumentException(
+            s"star view: column '$c' exists on sides " +
+              s"${many.map(_._2).mkString(",")} — rename (view columns " +
+              "must be unambiguous)")
+        }
+      }
+      val extra = multFrom.toSeq.map(i => col(s"s$i.__mult").as("__mult"))
+      joined.select(picks ++ extra: _*)
+    }
+
+    def statesAt(vs: Seq[Long]): Option[Seq[DataFrame]] = {
+      val sts = srcDirs.zip(vs).map { case (d, v) =>
+        MergeSink.stateAt(spark, d, v)
+      }
+      if (sts.forall(_.isDefined)) Some(sts.map(_.get)) else None
+    }
+
+    def emptyAdvance(target: Seq[Long]): Unit =
+      MergeSink.currentState(spark, mvDir).foreach(st =>
+        MergeSink.upsertBatch(st.limit(0), mvDir, groupCsv, RefreshCol,
+          epochId = target.sum, runId = runId,
+          note = Some(starNote(target))))
+
+    def fullRebuild(): Long = {
+      val joinedOpt = srcDirs.zipWithIndex
+        .map { case (d, _) => MergeSink.currentState(spark, d) } match {
+        case sts if sts.forall(_.isDefined) =>
+          Some(joinStar(sts.map(_.get), None))
+        case _ => None
+      }
+      joinedOpt match {
+        case None => 0L // a side holds no live rows yet
+        case Some(j) =>
+          val full = fullAggregate(j, groupCols, aggs)
+            .withColumn(RefreshCol, lit(heads.sum))
+          MergeSink.overwriteBatch(
+            full, mvDir, groupCsv, RefreshCol,
+            epochId = heads.sum, runId = runId,
+            note = Some(starNote(heads)))
+          MergeSink.currentState(spark, mvDir).map(_.count()).getOrElse(0L)
+      }
+    }
+
+    val allRetained = appliedVec.exists(vec =>
+      srcDirs.indices.forall(i =>
+        MergeSink.commits(spark, srcDirs(i))
+          .exists(_.version == vec(i))))
+    if (!allRetained) return fullRebuild()
+
+    // sequential single-source passes over the working vector
+    var cur = appliedVec.get.toIndexedSeq
+    var written = 0L
+    srcDirs.indices.foreach { i =>
+      if (cur(i) != heads(i)) {
+        val h = heads(i)
+        val target = cur.updated(i, h)
+        MergeSink.changeDelta(spark, srcDirs(i), srcKeys(i), cur(i), h) match {
+          case None => emptyAdvance(target) // metadata-only movement
+          case Some(delta) =>
+            // every OTHER source pinned at its current working version
+            // (earlier passes already advanced theirs — the telescoping
+            // term Δi ⋈ ⨝_{j<i} Sj@head ⋈ ⨝_{j>i} Sj@applied)
+            val others = statesAt(target)
+            others match {
+              case None =>
+                // a pinned side holds no live rows: the inner join is
+                // empty — advance the watermark with an empty commit
+                emptyAdvance(target)
+              case Some(sts) =>
+                val delta0 = joinStar(sts.updated(i, delta), Some(i))
+                val d =
+                  if (mode == "algebraic" && hasMinMax(aggs))
+                    delta0.localCheckpoint()
+                  else delta0
+                val rescan = mode == "rescan" ||
+                  (hasMinMax(aggs) && {
+                    val retracting =
+                      d.filter(col("__mult") < 0).limit(1).count() > 0
+                    if (retracting) minmaxRescanCount.incrementAndGet()
+                    else minmaxFoldCount.incrementAndGet()
+                    retracting
+                  })
+                written +=
+                  (if (rescan)
+                    refreshRescan(
+                      spark, d,
+                      statesAt(target).map(joinStar(_, None))
+                        .getOrElse(d.drop("__mult").limit(0)),
+                      mvDir, groupCols, aggs, groupCsv, target.sum,
+                      runId, note = Some(starNote(target)))
+                  else
+                    refreshAlgebraic(
+                      spark, d, mvDir, groupCols, aggs, groupCsv,
+                      target.sum, runId, note = Some(starNote(target))))
+            }
+        }
+        cur = target
+      }
+    }
+    written
+  }
+
   /** Qualified projection of the join: each needed column must live on
     * exactly ONE side — ambiguity rejects at refresh time, loudly.
     */
@@ -631,14 +879,37 @@ object MaterializedViews {
       aggs0: Seq[Agg],
       groupCsv: String,
       srcHead: Long,
-      runId: String): Long = {
-    val aggs = expand(aggs0) // fold the stored (self-maintainable) parts
+      runId: String,
+      reRegister: Boolean = false,
+      note: Option[String] = None): Long = {
+    val mvStored = MergeSink.currentState(spark, mvDir)
+    // fold the stored (self-maintainable) parts. A view MATERIALIZED
+    // BEFORE the sum-companion format lacks the hidden __<alias>_nn
+    // columns — selecting them would fail the refresh outright; such a
+    // legacy view keeps the plain additive fold (its pre-existing
+    // all-NULL-sum edge) instead of breaking. Only COMPANIONS may be
+    // dropped; a missing BASE column is a real schema error and still
+    // fails loudly.
+    val aggs = {
+      val full = expand(aggs0)
+      mvStored match {
+        case Some(m) =>
+          val have = m.columns.toSet
+          val baseAliases = aggs0.flatMap {
+            case Agg(a, "avg", c) => Seq(s"__${a}_s", s"__${a}_c")
+            case Agg(a, _, _) => Seq(a)
+          }.toSet
+          full.filter(a => have.contains(a.alias) ||
+            baseAliases.contains(a.alias))
+        case None => full
+      }
+    }
     val dAgg = delta
       .groupBy(groupCols.map(col): _*)
       .agg(deltaExpr(aggs.head),
         (aggs.tail.map(deltaExpr) :+
           sum(col("__mult")).cast(LongType).as(RowCountCol)): _*)
-    val mv = MergeSink.currentState(spark, mvDir)
+    val mv = mvStored
       .getOrElse(dAgg.limit(0)) // view born empty (source was empty at create)
     val mvCols = (aggs.map(_.alias) :+ RowCountCol)
     val joined = dAgg.as("d").join(
@@ -680,7 +951,8 @@ object MaterializedViews {
       .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count() // O(changed groups) — the refresh's report
     MergeSink.upsertBatch(
-      out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId)
+      out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId,
+      reRegister = reRegister, note = note)
     written
   }
 
@@ -696,7 +968,9 @@ object MaterializedViews {
       aggs: Seq[Agg],
       groupCsv: String,
       srcHead: Long,
-      runId: String): Long = {
+      runId: String,
+      reRegister: Boolean = false,
+      note: Option[String] = None): Long = {
     val touched = delta.select(groupCols.map(col): _*).distinct()
     val recomputed = fullAggregate(
       srcState.join(touched, groupCols, "left_semi"), groupCols, aggs)
@@ -714,7 +988,8 @@ object MaterializedViews {
       .localCheckpoint() // computed once: the report count AND the commit
     val written = out.count()
     MergeSink.upsertBatch(
-      out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId)
+      out, mvDir, groupCsv, RefreshCol, epochId = srcHead, runId = runId,
+      reRegister = reRegister, note = note)
     written
   }
 
@@ -835,6 +1110,63 @@ object MaterializedViews {
     refresh(spark, cat, mvIdent)
   }
 
+  /** Define a STAR view in the catalog: `CALL cat.sys.create_mv_star
+    * ('db.mv', 'db.fact', 'db.d1:fk1=pk1;db.d2:fk2=pk2', 'grp',
+    * 'total=sum:cents', 'algebraic')` — one fact ⋈ N dims maintained
+    * by per-source delta-join IVM ([[refreshStarDir]]).
+    */
+  private[sources] def createStar(
+      spark: SparkSession,
+      cat: GraftCatalog,
+      mvIdent: String,
+      factIdent: String,
+      dimsSpec: String,
+      groupCols: Seq[String],
+      aggs: Seq[Agg],
+      mode: String): Long = {
+    require(mode == "algebraic" || mode == "rescan",
+      s"create_mv_star: unknown mode '$mode' (algebraic | rescan)")
+    val dims = dimsSpec.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { s =>
+        s.split(':') match {
+          case Array(ident, on) => on.split('=') match {
+            case Array(fk, pk) => (ident.trim, fk.trim, pk.trim)
+            case _ => throw new IllegalArgumentException(
+              s"create_mv_star: bad join spec '$on' (want 'fk=pk')")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"create_mv_star: bad dim spec '$s' (want 'db.dim:fk=pk')")
+        }
+      }
+    require(dims.nonEmpty, "create_mv_star: at least one dimension")
+    val factOpts = cat.tableOptions(identOf(factIdent))
+    val factSchema = DataType.fromJson(factOpts("schema"))
+      .asInstanceOf[StructType]
+    val joint = dims.foldLeft(factSchema) { case (acc, (ident, _, _)) =>
+      val ds = DataType.fromJson(
+        cat.tableOptions(identOf(ident))("schema"))
+        .asInstanceOf[StructType]
+      StructType(acc.fields ++
+        ds.fields.filterNot(f => acc.fieldNames.contains(f.name)))
+    }
+    val schema = mvSchema(joint, groupCols, aggs)
+    val P = org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX
+    val props = new java.util.HashMap[String, String]()
+    props.put("key", groupCols.mkString(","))
+    props.put("seq", RefreshCol)
+    props.put(P + "graft.mv.source", factIdent)
+    props.put(P + "graft.mv.dims",
+      dims.map { case (i, fk, pk) => s"$i:$fk=$pk" }.mkString(";"))
+    props.put(P + "graft.mv.group", groupCols.mkString(","))
+    props.put(P + "graft.mv.aggs",
+      aggs.map(a => s"${a.alias}=${a.kind}:${a.input}").mkString(","))
+    props.put(P + "graft.mv.mode", mode)
+    cat.createTable(identOf(mvIdent), schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      props)
+    refresh(spark, cat, mvIdent)
+  }
+
   private[sources] def refresh(
       spark: SparkSession,
       cat: GraftCatalog,
@@ -848,6 +1180,20 @@ object MaterializedViews {
     val groupCols = mvOpts("graft.mv.group").split(',').toSeq.map(_.trim)
     val aggs = parseAggs(mvOpts("graft.mv.aggs"))
     val mode = mvOpts.getOrElse("graft.mv.mode", "algebraic")
+    mvOpts.get("graft.mv.dims").foreach { dimsSpec =>
+      val dims = dimsSpec.split(';').toSeq.map { s =>
+        val Array(ident, on) = s.split(':')
+        val Array(fk, pk) = on.split('=').map(_.trim)
+        val dOpts = cat.tableOptions(identOf(ident.trim))
+        StarDim(dOpts("path"), dOpts("key"), fk, pk)
+      }
+      return refreshStarDir(
+        spark,
+        factDir = srcOpts("path"), factKey = srcOpts("key"),
+        dims = dims,
+        mvDir = mvOpts("path"),
+        groupCols = groupCols, aggs = aggs, mode = mode)
+    }
     mvOpts.get("graft.mv.dim") match {
       case Some(dimIdent) =>
         val dimOpts = cat.tableOptions(identOf(dimIdent))

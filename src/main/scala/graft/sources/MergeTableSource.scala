@@ -266,10 +266,11 @@ private[graft] object MergeTableUtil {
     MergeSink.manifest(spark, dir, version).map { case (b, v) =>
       val files = recorded.get(b) match {
         // manifest-recorded names: zero listings per planning
-        case Some(names) => names.map(n => s"$dir/data/b$b/v$v/$n")
+        case Some(names) =>
+          names.map(n => MergeSink.dataPath(spark, dir, b, v) + "/" + n)
         case None =>
           MergeSink.metadataFallbacks.incrementAndGet()
-          val d = new Path(s"$dir/data/b$b/v$v")
+          val d = new Path(MergeSink.dataPath(spark, dir, b, v))
           val fs = d.getFileSystem(conf)
           if (!fs.exists(d)) Seq.empty[String]
           else fs.listStatus(d).iterator.map(_.getPath.toString)
@@ -904,13 +905,15 @@ case class MergeFileSplit(file: String, bucket: Int, version: Long, bytes: Long)
   */
 case class MergeFilePartition(
     splits: Seq[MergeFileSplit],
-    spjBucket: Option[Int] = None)
+    spjKey: Option[Seq[Int]] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](spjBucket.getOrElse(
-      throw new IllegalStateException(
-        "partitionKey() on a packed (non-SPJ) merge partition"))))
+    new GenericInternalRow(
+      spjKey.getOrElse(
+        throw new IllegalStateException(
+          "partitionKey() on a packed (non-SPJ) merge partition"))
+        .map(i => i: Any).toArray)
 }
 
 private[graft] object MergePartitionPacker {
@@ -1033,33 +1036,76 @@ class GraftMergeScan(
   // must not let packed partitions ride under a KeyGroupedPartitioning
   // plan (partitionKey() would throw — or worse, a shuffle-free join
   // would misalign)
+  /** The columns the layout's hash actually covers: the table's
+    * `bucket_by` declaration when present, else the full merge key.
+    */
+  private lazy val hashCols: Seq[String] =
+    MergeSink.bucketBy(spark, dir).getOrElse(kcols)
+
+  // Spark's SPJ machinery only accepts SINGLE-REFERENCE transforms
+  // (KeyGroupedPartitioning.supportsExpressions requires each
+  // TransformExpression to have exactly one bare-column child), so the
+  // physical clustering is reportable iff the hash covers ONE column —
+  // the default single-column key, or a composite key declared with
+  // `bucket_by` — and, on a partitioned layout, the period transform
+  // has a catalog function. A joint hash over a composite key (the
+  // default layout) can never be claimed without lying about
+  // co-location; it stays UnknownPartitioning.
   private lazy val spjMode: Boolean =
-    kcols.size == 1 && !cdc &&
-      fullSchema.fields.exists(f =>
-        f.name == kcols.head && f.dataType == LongType) &&
+    hashCols.size == 1 && !cdc &&
+      hashCols.forall(k => fullSchema.fields.exists(f =>
+        f.name == k && GraftFunctions.bucketableType(f.dataType))) &&
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean &&
       resolvedVersion.isDefined &&
-      // a partitioned layout's physical grouping is (partition, hash),
-      // NOT bucket(nb, key) — reporting the plain transform would let
-      // a shuffle-free join misalign; stay UnknownPartitioning there
-      tableSpec.isEmpty
+      (tableSpec.isEmpty || spjPartTransform.isDefined)
+
+  /** The partition-level V2 transform of a partitioned layout —
+    * `days(col)`/`months(col)`/`hours(col)`/`years(col)` resolve
+    * through the catalog's FunctionCatalog to EXACTLY the writer's
+    * partition-index arithmetic ([[GraftFunctions.TimeTransformBound]]
+    * vs [[MergeSink.partIdxExprOn]]); identity partitioning reports
+    * the bare column (sound only for INT columns, where the column
+    * value IS the partition index the scan's partition keys carry).
+    */
+  private lazy val spjPartTransform
+      : Option[org.apache.spark.sql.connector.expressions.Transform] =
+    tableSpec.flatMap { ps =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val srcType =
+        fullSchema.fields.find(_.name == ps.column).map(_.dataType)
+      val timeOk = srcType.exists(t =>
+        t == DateType || t == TimestampType ||
+          t == org.apache.spark.sql.types.TimestampNTZType)
+      ps.kind match {
+        case "day" if timeOk => Some(Expressions.days(ps.column))
+        case "month" if timeOk => Some(Expressions.months(ps.column))
+        case "hour" if timeOk => Some(Expressions.hours(ps.column))
+        case "year" if timeOk => Some(Expressions.years(ps.column))
+        case "identity" if srcType.contains(IntegerType) =>
+          Some(Expressions.identity(ps.column))
+        case _ => None
+      }
+    }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
     if (spjMode) {
-      // the STANDARD bucket transform (not a generic named transform):
-      // Spark's SPJ machinery special-cases it — numBuckets rides the
-      // TransformExpression's bucket slot, the single child stays a
-      // bare column reference (the only shape physical
-      // KeyGroupedPartitioning accepts), and the catalog resolves the
-      // backing function under the name "bucket"
+      // the STANDARD bucket transform: Spark's SPJ machinery
+      // special-cases the single-column form (numBuckets rides the
+      // TransformExpression's bucket slot) and resolves the
+      // multi-column form through the generic named-transform path —
+      // both land on the catalog's "bucket" function, which hashes the
+      // key columns exactly as the writer did. A partitioned layout
+      // prepends its period transform, so the reported clustering is
+      // the true two-level (partition, hash) physical grouping.
       val nb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
+      val transforms =
+        (spjPartTransform.toSeq :+ Expressions.bucket(nb, hashCols.head))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression]
       new org.apache.spark.sql.connector.read.partitioning
-        .KeyGroupedPartitioning(
-          Array(Expressions.bucket(nb, kcols.head)),
-          snapshotFiles.size)
+        .KeyGroupedPartitioning(transforms, snapshotFiles.size)
     } else
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
@@ -1193,34 +1239,35 @@ class GraftMergeScan(
   // -------------------------------------------------------------------
   @volatile private var runtimeKeys: Option[Seq[Seq[Any]]] = None
 
-  // Runtime filtering is declared for SINGLE-column keys only: the
-  // bucket is a hash of ALL key columns, and a join typically builds
-  // runtime IN-sets for one attribute — useless (and unsound to prune
-  // on) without the others. Composite tables still get compile-time
-  // tuple pruning through pushFilters.
+  // Runtime filtering is declared for the HASHED columns (the
+  // `bucket_by` set, default = every key column): the bucket is a
+  // joint hash of exactly those columns, so pruning is sound only when
+  // EVERY hashed column receives a runtime value set. A single-column
+  // `bucket_by` layout therefore gets join-driven pruning from a
+  // one-attribute IN-set — the common fact-to-dim shape.
   /** Spark's DPP rule RESOLVES every declared attribute against the
     * scan's (column-pruned) output and throws on a miss — so declare
-    * the key columns only when the projection kept them ALL. All or
-    * nothing is also the semantic truth: the bucket hashes every key
-    * column, so a partial tuple can never prune.
+    * the hashed columns only when the projection kept them ALL. All or
+    * nothing is also the semantic truth: the bucket hashes every
+    * declared column, so a partial tuple can never prune.
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (kcols.nonEmpty && kcols.forall(k => required.fieldNames.contains(k)))
-      kcols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    if (hashCols.nonEmpty &&
+      hashCols.forall(k => required.fieldNames.contains(k)))
+      hashCols
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
         .toArray
     else Array.empty
 
-  /** Runtime (DPP-dual) bucket pruning. Single key: the pushed In/=
-    * set prunes directly. Composite key: the bucket hashes ALL key
-    * columns, so pruning is sound only when EVERY key column received
-    * a runtime value set — then the capped cross product of the
-    * per-column sets bounds the tuple set (the same 256-tuple cap as
-    * static pushdown); any missing column means scan everything rather
-    * than mis-prune.
+  /** Runtime (DPP-dual) bucket pruning over the hashed columns: the
+    * capped cross product of the per-column runtime sets bounds the
+    * hash-tuple set (the same 256-tuple cap as static pushdown); any
+    * missing column means scan everything rather than mis-prune.
+    * Tuples are aligned with [[hashCols]].
     */
   override def filter(filters: Array[Filter]): Unit = {
-    val perCol: Seq[Option[Seq[Any]]] = kcols.map { k =>
+    val perCol: Seq[Option[Seq[Any]]] = hashCols.map { k =>
       filters.collectFirst {
         case In(`k`, vs) if vs.nonEmpty => vs.filter(_ != null).toSeq
         case EqualTo(`k`, v) if v != null => Seq(v)
@@ -1332,33 +1379,56 @@ class GraftMergeScan(
           idx >= lo && idx <= hi && inSet.forall(_.contains(idx))
         }
     }
-    // compile-time pushed key tuples AND runtime (join-driven) keys each
-    // bound the bucket set; both present -> intersection
-    val keySets = Seq(keyValues, runtimeKeys).flatten
-    val buckets =
-      if (keySets.isEmpty) partPruned.keySet
+    // compile-time pushed key tuples AND runtime (join-driven) hash
+    // tuples each bound the bucket set; both present -> intersection.
+    // Static tuples are kcols-aligned (they may also pin the partition
+    // index); runtime tuples are hashCols-aligned (hash-component-only
+    // pruning: still an nb-fold cut on a partitioned table).
+    def dtOf(c: String): DataType =
+      fullSchema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(LongType)
+    val hashIdx = hashCols.map(kcols.indexOf)
+    val hashDts = hashCols.map(dtOf)
+    def hashOf(hv: Seq[Any]): Int =
+      MergeTableUtil.bucketOfTuple(hv, hashDts, writerNb)
+    // per-source predicate over the GLOBAL bucket id; None = that
+    // source cannot narrow (never mis-prunes)
+    val staticPred: Option[Int => Boolean] = keyValues.flatMap { ts =>
+      if (!hashIdx.forall(_ >= 0)) None
       else {
-        val dts = kcols.map(k =>
-          fullSchema.fields.find(_.name == k).map(_.dataType)
-            .getOrElse(LongType))
-        // partitioned layout: the key tuple CONTAINS the transform
-        // column (declared contract), so a key-equality read resolves
-        // to exactly one (partition, hash) pair
         val pcolPos = tableSpec.map(ps => kcols.indexOf(ps.column))
-        def globalBucket(t: Seq[Any]): Option[Int] = (tableSpec, pcolPos) match {
-          case (Some(ps), Some(pos)) if pos >= 0 =>
-            MergeSink.partIdxOf(ps, t(pos)).map(pi =>
-              pi * writerNb + MergeTableUtil.bucketOfTuple(t, dts, writerNb))
-          case (Some(_), _) => None // column not in the tuple: no prune
-          case _ => Some(MergeTableUtil.bucketOfTuple(t, dts, writerNb))
+        val perTuple: Seq[Option[Int => Boolean]] = ts.map { t =>
+          val h = hashOf(hashIdx.map(t))
+          (tableSpec, pcolPos) match {
+            case (Some(ps), Some(pos)) if pos >= 0 =>
+              MergeSink.partIdxOf(ps, t(pos)) match {
+                // the key tuple CONTAINS the transform column, so an
+                // equality read resolves to ONE (partition, hash) pair
+                case Some(pi) =>
+                  Some((b: Int) => b == pi * writerNb + h)
+                // unrecognized partition value type: the hash component
+                // still prunes nb-fold
+                case None =>
+                  Some((b: Int) => Math.floorMod(b, writerNb) == h)
+              }
+            case (Some(_), _) =>
+              Some((b: Int) => Math.floorMod(b, writerNb) == h)
+            case _ => Some((b: Int) => b == h)
+          }
         }
-        val sets = keySets.map { ts =>
-          val bs = ts.map(globalBucket)
-          if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
-        }
-        if (sets.exists(_.isEmpty)) partPruned.keySet
-        else sets.flatten.reduce(_ intersect _)
+        if (perTuple.forall(_.isDefined))
+          Some((b: Int) => perTuple.exists(_.get(b)))
+        else None
       }
+    }
+    val runtimePred: Option[Int => Boolean] = runtimeKeys.map { ts =>
+      val hs = ts.map(hashOf).toSet
+      (b: Int) => hs.contains(Math.floorMod(b, writerNb))
+    }
+    val preds = Seq(staticPred, runtimePred).flatten
+    val buckets =
+      if (preds.isEmpty) partPruned.keySet
+      else partPruned.keySet.filter(b => preds.forall(_(b)))
     // _version of a batch-read row = the manifest's content version for
     // its bucket (the commit that wrote the file), same meaning as replay
     val recordedBytes = resolvedVersion
@@ -1415,14 +1485,22 @@ class GraftMergeScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      if (spjMode)
-        // SPJ planning: one task per bucket, keyed by bucket id —
-        // Spark groups same-key partitions itself, so a multi-file
-        // bucket still reads in one key group
+      if (spjMode) {
+        // SPJ planning: one task per (global) bucket, keyed by the
+        // reported transform values — (partIdx, hash) on a partitioned
+        // layout (global id = partIdx * nb + hash), bare bucket id
+        // otherwise. Spark groups same-key partitions itself, so a
+        // multi-file bucket still reads in one key group.
+        val nb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
         plannedFiles(snapshotFiles).groupBy(_.bucket).toSeq.sortBy(_._1)
           .map { case (b, fs) =>
-            MergeFilePartition(fs, Some(b)): InputPartition
+            val key =
+              if (tableSpec.isDefined)
+                Seq(Math.floorDiv(b, nb), Math.floorMod(b, nb))
+              else Seq(b)
+            MergeFilePartition(fs, Some(key)): InputPartition
           }.toArray
+      }
       else
         MergePartitionPacker.pack(spark, plannedFiles(snapshotFiles))
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -1579,10 +1657,11 @@ class GraftMergeMicroBatchStream(
       m.toSeq.sorted.collect { case (b, cv) if cv == v =>
         val files = recorded.get(b) match {
           // manifest-recorded names: zero listings per replayed version
-          case Some(names) => names.map(n => s"$dir/data/b$b/v$cv/$n")
+          case Some(names) =>
+            names.map(n => MergeSink.dataPath(spark, dir, b, cv) + "/" + n)
           case None =>
             MergeSink.metadataFallbacks.incrementAndGet()
-            val d = new Path(s"$dir/data/b$b/v$cv")
+            val d = new Path(MergeSink.dataPath(spark, dir, b, cv))
             val fs = d.getFileSystem(conf)
             if (!fs.exists(d)) Seq.empty[String]
             else fs.listStatus(d).iterator.map(_.getPath.toString)

@@ -124,8 +124,9 @@ object MergeSink {
       kind: String,
       column: String,
       nb: Int): Unit = {
-    require(Set("day", "month", "identity")(kind),
-      s"setPartitionSpec: unknown transform '$kind' (day | month | identity)")
+    require(Set("hour", "day", "month", "year", "identity")(kind),
+      s"setPartitionSpec: unknown transform '$kind' " +
+        "(hour | day | month | year | identity)")
     require(nb >= 1 && nb <= 65536, s"setPartitionSpec: bad bucket count $nb")
     require(lastCommit(spark, dir).isEmpty,
       s"setPartitionSpec: $dir already has commits — the partition " +
@@ -171,6 +172,12 @@ object MergeSink {
       case "day" => datediff(c, to_date(lit("1970-01-01")))
       case "month" =>
         (year(c) - lit(1970)) * lit(12) + (month(c) - lit(1))
+      case "hour" =>
+        // instant hours since epoch (dates/NTZ resolve to an instant
+        // through the session zone, exactly like a CAST to TIMESTAMP)
+        floor(unix_micros(c.cast("timestamp")) / lit(3600L * 1000000L))
+          .cast("int")
+      case "year" => (year(c) - lit(1970)).cast("int")
       case "identity" => c.cast("int")
     }
 
@@ -187,19 +194,47 @@ object MergeSink {
     lazy val zone = java.time.ZoneId.of(
       SparkSession.active.conf.get(
         "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    // a pushed string literal may be a bare date OR a timestamp shape
+    // ('2024-01-08 00:00:00' / ISO-T / trailing zone) — parse through
+    // the same session zone as typed instants, so the common
+    // string-timestamp predicate keeps its prune instead of silently
+    // scanning everything
+    def parseString(s: String): Option[Any] =
+      scala.util.Try[Any](java.time.LocalDate.parse(s)).toOption
+        .orElse(scala.util.Try[Any](
+          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))).toOption)
+        .orElse(scala.util.Try[Any](
+          java.time.Instant.parse(s.trim.replace(' ', 'T'))).toOption)
+        .orElse(scala.util.Try[Any](java.time.OffsetDateTime
+          .parse(s.trim.replace(' ', 'T')).toInstant).toOption)
     def local(value: Any): Option[java.time.LocalDate] = value match {
       case d: java.sql.Date => Some(d.toLocalDate)
       case d: java.time.LocalDate => Some(d)
       case t: java.sql.Timestamp => Some(t.toInstant.atZone(zone).toLocalDate)
       case t: java.time.LocalDateTime => Some(t.toLocalDate)
       case t: java.time.Instant => Some(t.atZone(zone).toLocalDate)
-      case s: String => scala.util.Try(java.time.LocalDate.parse(s)).toOption
+      case s: String => parseString(s).flatMap(local)
+      case _ => None
+    }
+    // the instant of the value (hour partitioning): dates resolve to
+    // session-zone midnight, matching the writer's CAST-to-TIMESTAMP
+    def instant(value: Any): Option[java.time.Instant] = value match {
+      case d: java.sql.Date =>
+        Some(d.toLocalDate.atStartOfDay(zone).toInstant)
+      case d: java.time.LocalDate => Some(d.atStartOfDay(zone).toInstant)
+      case t: java.sql.Timestamp => Some(t.toInstant)
+      case t: java.time.LocalDateTime => Some(t.atZone(zone).toInstant)
+      case t: java.time.Instant => Some(t)
+      case s: String => parseString(s).flatMap(instant)
       case _ => None
     }
     spec.kind match {
       case "day" => local(value).map(_.toEpochDay.toInt)
       case "month" =>
         local(value).map(d => (d.getYear - 1970) * 12 + d.getMonthValue - 1)
+      case "hour" =>
+        instant(value).map(i => Math.floorDiv(i.getEpochSecond, 3600L).toInt)
+      case "year" => local(value).map(_.getYear - 1970)
       case "identity" => value match {
         case i: Int => Some(i)
         case l: Long => Some(l.toInt)
@@ -210,14 +245,67 @@ object MergeSink {
     }
   }
 
+  /** BUCKET-BY sidecar: the subset of the merge key the layout's hash
+    * covers (default: every key column, the joint-hash layout).
+    * Declared ONCE before the first commit — like the partition spec,
+    * it is the table's physical identity. The point of a single-column
+    * `bucket_by` is storage-partitioned joins: Spark's SPJ machinery
+    * only accepts single-reference transforms
+    * (KeyGroupedPartitioning.supportsExpressions), so a joint hash
+    * over a composite key can never be reported as a co-partitioning —
+    * hashing one declared column keeps the layout expressible as
+    * `bucket(nb, col)` (plus the period transform on a partitioned
+    * table) and two such tables join with zero shuffle.
+    */
+  def setBucketBy(
+      spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty),
+      s"setBucketBy: empty column list")
+    require(lastCommit(spark, dir).isEmpty,
+      s"setBucketBy: $dir already has commits — the hash layout is the " +
+        "table's physical identity; declare it before the first commit")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_bucket_by"), true)
+    try out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def bucketBy(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_bucket_by")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().nextOption().map(_.trim).getOrElse("")
+      finally in.close()
+      Some(keyCols(line))
+    }
+  }
+
+  /** The key list whose columns the layout actually hashes — the
+    * `bucket_by` declaration when present, else the full merge key.
+    */
+  private[graft] def hashKeyOf(
+      spark: SparkSession, dir: String, key: String): String =
+    bucketBy(spark, dir).map(_.mkString(",")).getOrElse(key)
+
   /** The writer's bucket expression honoring the table's layout:
     * partitioned tables interleave the partition index above the
-    * per-partition hash; plain tables hash only.
+    * per-partition hash; plain tables hash only. The hash covers the
+    * `bucket_by` columns (default: the whole key) — resolved through
+    * the table's sidecar so writer and reader can never disagree.
     */
   private[graft] def tableBucketExpr(
-      spec: Option[PartitionSpec], key: String, nb: Int): Column =
+      spark: SparkSession,
+      dir: String,
+      spec: Option[PartitionSpec],
+      key: String,
+      nb: Int): Column = {
+    val hk = hashKeyOf(spark, dir, key)
     spec match {
-      case None => bucketExpr(key, nb)
+      case None => bucketExpr(hk, nb)
       case Some(ps) =>
         val idx = partIdxExpr(ps)
         val guarded = when(
@@ -228,8 +316,9 @@ object MergeSink {
             lit(s" out of range [0, $MaxPartIdx] — partition values " +
               "must be non-null and bounded")))).otherwise(idx)
         (guarded * lit(nb) +
-          pmod(xxhash64(keyCols(key).map(col): _*), lit(nb))).cast("int")
+          pmod(xxhash64(keyCols(hk).map(col): _*), lit(nb))).cast("int")
     }
+  }
 
   /** Retire whole partitions as a PURE METADATA commit: the new
     * manifest simply omits every bucket of the matching partitions —
@@ -448,7 +537,17 @@ object MergeSink {
 
   private def entryLines(lines: Seq[String]): Seq[String] =
     lines.filterNot(l => l.isEmpty || l.startsWith("B ") ||
-      l.startsWith("S ") || l.startsWith("O "))
+      l.startsWith("S ") || l.startsWith("O ") || l.startsWith("W "))
+
+  /** The commit's free-form NOTE header (`W <text>`), if the writer
+    * recorded one — e.g. a star view's applied-version vector, which
+    * must travel IN the commit artifact so the newest commit always
+    * carries it regardless of retention.
+    */
+  def manifestNote(
+      spark: SparkSession, dir: String, version: Long): Option[String] =
+    manifestLines(spark, dir, version).flatMap(
+      _.collectFirst { case l if l.startsWith("W ") => l.substring(2) })
 
   /** The bucket -> content-version map for a committed version.
     * Manifest lines are `b v [bytes rows deletedFlag [files]]` — the
@@ -658,7 +757,7 @@ object MergeSink {
     val m = manifest(spark, dir, version)
     if (m.isEmpty) None
     else {
-      val paths = m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+      val paths = m.toSeq.sorted.map { case (b, v) => dataPath(spark, dir, b, v) }
       val raw = currentViewAt(spark, dir, version,
         bucketRead(spark, dir, version, paths))
       // CDC tables retain tombstones physically; the TABLE is its live rows
@@ -694,10 +793,11 @@ object MergeSink {
         val recorded = manifestFiles(spark, dir, c.version)
         manifest(spark, dir, c.version).map { case (b, v) =>
           val files = recorded.get(b) match {
-            case Some(names) => names.map(n => s"$dir/data/b$b/v$v/$n")
+            case Some(names) =>
+              names.map(n => dataPath(spark, dir, b, v) + "/" + n)
             case None =>
               metadataFallbacks.incrementAndGet()
-              val d = new Path(s"$dir/data/b$b/v$v")
+              val d = new Path(dataPath(spark, dir, b, v))
               if (!fs.exists(d)) Seq.empty[String]
               else
                 fs.listStatus(d)
@@ -813,7 +913,8 @@ object MergeSink {
       seq: String,
       epochId: Long,
       runId: String = "batch",
-      reRegister: Boolean = false): Unit =
+      reRegister: Boolean = false,
+      note: Option[String] = None): Unit =
     planUpsert(batch, dir, key, seq, epochId, runId, reRegister).foreach {
       pc0 =>
         var pc = pc0
@@ -822,7 +923,8 @@ object MergeSink {
           try {
             publish(
               pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
-              pc.newV, runId, epochId, prevVersion = pc.prevVersion)
+              pc.newV, runId, epochId, prevVersion = pc.prevVersion,
+              note = note)
             done = true
           } catch {
             case e: ConcurrentCommitException =>
@@ -939,7 +1041,7 @@ object MergeSink {
       s"partitioned table: transform column '${ps.column}' must be one " +
         s"of the merge key columns (${kcols.mkString(",")}) — a key's " +
         "bucket must be stable across upserts"))
-    val bucketOf = tableBucketExpr(spec, key, nb)
+    val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     // Which buckets does this batch touch? (≤ nb values — metadata, not data)
@@ -954,7 +1056,7 @@ object MergeSink {
       if (touched.isEmpty) None // empty batch: commit a no-data-change version
       else {
         val touchedPaths = touched.toSeq.sorted
-          .flatMap(b => prevManifest.get(b).map(v => s"$dir/data/b$b/v$v"))
+          .flatMap(b => prevManifest.get(b).map(v => dataPath(spark, dir, b, v)))
         // The tombstone column may exist on either side only (a CDC
         // batch onto a pre-CDC table, or a pure-upsert batch onto a CDC
         // table): absent means "not deleted" on both. Any OTHER column
@@ -1569,7 +1671,8 @@ object MergeSink {
       epochId: Long,
       runId: String = "batch",
       keepSchema: Boolean = true,
-      reRegister: Boolean = false): Unit = {
+      reRegister: Boolean = false,
+      note: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val all = commits(spark, dir)
     if (all.exists(c => c.runId == runId && c.epoch == epochId))
@@ -1593,7 +1696,7 @@ object MergeSink {
     spec.foreach(ps => require(kcols.contains(ps.column),
       s"partitioned table: transform column '${ps.column}' must be one " +
         s"of the merge key columns (${kcols.mkString(",")})"))
-    val bucketOf = tableBucketExpr(spec, key, nb)
+    val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     val touched = batchC
@@ -1627,7 +1730,8 @@ object MergeSink {
     // travel.
     publish(
       spark, dir, nb, Map.empty, touched, merged, newV, runId, epochId,
-      prevVersion = if (keepSchema) last.map(_.version) else None)
+      prevVersion = if (keepSchema) last.map(_.version) else None,
+      note = note)
   }
 
   /** Durably publish version `newV`: write `rows` (bucketed by their
@@ -1727,7 +1831,8 @@ object MergeSink {
       prevVersion: Option[Long] = None,
       sortedBy: Option[Seq[String]] = None,
       schemaOverride: Option[StructType] = None,
-      pendingTxnFile: Option[String] = None): Unit = {
+      pendingTxnFile: Option[String] = None,
+      note: Option[String] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     // ---- concurrent-commit claim (BEFORE any data movement) ----
     // Exactly one publish attempt may own version `newV`: an atomic
@@ -1894,7 +1999,8 @@ object MergeSink {
     try {
       val body = ((s"B $nb" +:
         (unionSchema.map(s => s"S ${s.json}").toSeq ++
-          sortedBy.map(ks => s"O ${ks.mkString(",")}").toSeq)) ++
+          sortedBy.map(ks => s"O ${ks.mkString(",")}").toSeq ++
+          note.map(n => s"W $n").toSeq)) ++
         newManifest.toSeq.sorted.map { case (b, v) =>
         (bytesOf(b), rowsOf(b), delOf(b), filesOf(b)) match {
           case (Some(sz), Some(rc), Some(dl), Some(fns)) =>
@@ -1939,6 +2045,13 @@ object MergeSink {
         if (spark.conf.getOption("spark.graft.autoRefreshMv")
             .exists(_.toBoolean))
           graft.sources.MaterializedViews.autoRefresh(spark, dir)
+        // AUTO-REFRESH ANN INDEXES (opt-in, same hook): every
+        // maintained ANN index registered over this table advances
+        // inside the commit — O(changed keys × centroids) of the
+        // commit's own delta
+        if (spark.conf.getOption("spark.graft.autoRefreshAnn")
+            .exists(_.toBoolean))
+          graft.sources.AnnCatalog.autoRefresh(spark, dir)
       case Some(txn) =>
         // MULTI-TABLE participant: a PENDING marker naming the txn
         // file. Invisible until that file exists (the shared commit
@@ -2039,16 +2152,22 @@ object MergeSink {
         .minOption.getOrElse(newV)
     }.getOrElse(Long.MaxValue)
     val earliestKept = math.min(newV - keep + 1, earliestByTime)
-    val keepVersions = (math.max(earliestKept, 0L) to newV).toSet
+    // reference-sharing branch pins: a registered branch resolves its
+    // base content INTO THIS TABLE'S data tree, so the base version's
+    // marker + manifest (and every data dir that manifest names) must
+    // survive retention until the branch unregisters
+    val pins = branchRefBases(spark, dir)
+    val keepVersions = (math.max(earliestKept, 0L) to newV).toSet ++ pins
     val live: Set[(Int, Long)] = keepVersions.flatMap(v =>
       manifest(spark, dir, v).toSeq.map { case (b, cv) => (b, cv) })
+    def aged(v: Long): Boolean = v < earliestKept && !pins.contains(v)
     fs.listStatus(p)
       .iterator
       .map(_.getPath)
       .filter { q =>
         val n = q.getName
-        (MarkerRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
-        (ManifestRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
+        (MarkerRe.findFirstMatchIn(n).exists(m => aged(m.group(1).toLong))) ||
+        (ManifestRe.findFirstMatchIn(n).exists(m => aged(m.group(1).toLong))) ||
         (StatsRe.findFirstMatchIn(n).exists(_.group(1).toLong < earliestKept)) ||
         ("_statsparts_v(\\d+)".r.findFirstMatchIn(n)
           .exists(_.group(1).toLong < earliestKept))
@@ -2203,8 +2322,23 @@ object MergeSink {
         val nb = numBuckets(spark, dir, c.version)
         val m = manifest(spark, dir, c.version)
         val spec = partitionSpec(spark, dir)
-        def hashOf(t: Seq[Any]): Column =
-          pmod(xxhash64(t.map(lit).toIndexedSeq: _*), lit(nb)).cast("int")
+        // bucket_by layout: the hash covers only the declared columns —
+        // select their positions out of the full key tuple (requires
+        // the key list to locate them)
+        val hashPos: Option[Seq[Int]] = bucketBy(spark, dir).map { bc =>
+          require(key.nonEmpty,
+            s"lookupFilesTuples: $dir declares bucket_by — pass the key " +
+              "column list so the hashed columns can be located")
+          val kcols = keyCols(key)
+          val pos = bc.map(kcols.indexOf)
+          require(pos.forall(_ >= 0),
+            s"lookupFilesTuples: bucket_by $bc not within key $kcols")
+          pos
+        }
+        def hashOf(t: Seq[Any]): Column = {
+          val hv = hashPos.map(_.map(t)).getOrElse(t)
+          pmod(xxhash64(hv.map(lit).toIndexedSeq: _*), lit(nb)).cast("int")
+        }
         // partitioned layout: the global bucket id interleaves the
         // partition index above the hash — derive it with the WRITER'S
         // OWN expression over the pushed literal (same session-tz
@@ -2234,7 +2368,7 @@ object MergeSink {
           .getSeq[Int](0)
           .toSet
         buckets.toSeq.sorted.flatMap(b =>
-          m.get(b).map(v => s"$dir/data/b$b/v$v"))
+          m.get(b).map(v => dataPath(spark, dir, b, v)))
     }
 
   /** Point lookup: the current visible rows for `keys`, reading ONLY the
@@ -2308,12 +2442,12 @@ object MergeSink {
         val nb = numBuckets(spark, dir, c.version)
         val m = manifest(spark, dir, c.version)
         val allPaths =
-          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+          m.toSeq.sorted.map { case (b, v) => dataPath(spark, dir, b, v) }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, allPaths))
         if (!raw.columns.contains(DeletedCol)) return 0
-        val bucketOf = tableBucketExpr(partitionSpec(spark, dir), key, nb)
+        val bucketOf = tableBucketExpr(spark, dir, partitionSpec(spark, dir), key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
         // bounded set (deleted keys inside the horizon), so this
         // distinct is metadata-scale.
@@ -2326,7 +2460,7 @@ object MergeSink {
           .toSet
         if (touched.isEmpty) return 0
         val touchedPaths = touched.toSeq.sorted
-          .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
+          .flatMap(b => m.get(b).map(v => dataPath(spark, dir, b, v)))
         val kept = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, touchedPaths))
           .filter(!(coalesce(col(DeletedCol), lit(false)) && col(seq) < lit(horizon)))
@@ -2483,7 +2617,7 @@ object MergeSink {
           // per-bucket column-mapping resolution: a bucket written
           // before a RENAME profiles under the CURRENT names
           currentViewAt(spark, dir, c.version,
-            bucketRead(spark, dir, c.version, Seq(s"$dir/data/b$b/v${m(b)}")))
+            bucketRead(spark, dir, c.version, Seq(dataPath(spark, dir, b, m(b)))))
             .withColumn("__bkt", lit(b))
         }
         var df = scans.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2699,15 +2833,19 @@ object MergeSink {
   // branch is how it starts and how it ends:
   //
   //  - [[branchTable]] roots the new directory at the source's head:
-  //    the head manifest is copied VERBATIM and every data file it
-  //    references is HARD-LINKED (object-store deployments substitute
-  //    server-side copy — O(files) metadata ops either way, zero data
-  //    bytes through the engine). The branch's first version number IS
-  //    the base version, so content versions minted by later branch
-  //    commits (> base ≥ every referenced content version) can never
-  //    collide with a linked directory. Data files are immutable after
-  //    commit and links are reference-counted by the filesystem, so
-  //    either side's retention GC deletes only its own references.
+  //    the head manifest is copied VERBATIM and the base data is
+  //    shared, not moved — HARD-LINKED on a same-file:// filesystem
+  //    (fs-ref-counted inodes), REFERENCE-SHARED everywhere else (the
+  //    `_data_base` redirect: the branch's manifest entries at-or-below
+  //    the base resolve into the source's data tree, and a
+  //    `_branch_refs` pin keeps the source's GC off the shared content
+  //    until the branch drops). Zero data bytes through the engine on
+  //    EVERY scheme. The branch's first version number IS the base
+  //    version, so content versions minted by later branch commits
+  //    (> base ≥ every referenced content version) can never collide
+  //    with a shared directory. Data files are immutable after commit,
+  //    so either side's retention GC deletes only its own references
+  //    (fs ref-counts under links; the explicit pin under sharing).
   //  - [[fastForward]] publishes the branch's commits back onto the
   //    source IFF the source has not advanced past the branch point
   //    (the git fast-forward rule): it claims EVERY version to promote
@@ -2736,7 +2874,128 @@ object MergeSink {
     */
   private val BranchSidecars = Seq(
     "_constraints", "_dropped_cols", "_bloom_cols",
-    "_history_keep", "_history_keep_ms", "_partition_spec")
+    "_history_keep", "_history_keep_ms", "_partition_spec", "_bucket_by")
+
+  // ------------------------------------------------------------------
+  // REFERENCE-SHARING BRANCH DATA (`_data_base` sidecar): on schemes
+  // without hard links (object stores, cross-filesystem branches) a
+  // branch carries NO copy of the base data at all — its manifest
+  // entries at-or-below the base version RESOLVE into the source's
+  // data tree (the Iceberg snapshot-sharing shape: metadata points at
+  // files wherever they live). Zero data bytes move on ANY scheme;
+  // the source pins the shared content via `_branch_refs` ref-counts
+  // (its GC keeps the base manifest + the data dirs it names while a
+  // branch is registered). Branch-local GC is unaffected: content
+  // <= base never exists under the branch's own data root.
+  // ------------------------------------------------------------------
+
+  private val dataBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, Long)]]()
+
+  /** The branch's (source dir, base version) redirect — None for an
+    * ordinary (or hard-linked) table. Cached: the sidecar is written
+    * once at branch creation, before the table has any commits.
+    */
+  def dataBase(spark: SparkSession, dir: String): Option[(String, Long)] =
+    dataBaseCache.computeIfAbsent(dir, d => {
+      val (fs, p) = fsOf(spark, d)
+      val f = new Path(p, "_data_base")
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().map(_.trim).getOrElse("")
+        finally in.close()
+        line.split('\t') match {
+          case Array(src, base) => Some((src, base.toLong))
+          case _ => throw new IllegalStateException(
+            s"corrupt _data_base on $d: '$line'")
+        }
+      }
+    })
+
+  /** The PHYSICAL directory of (bucket, content version): a
+    * reference-sharing branch redirects content at-or-below its base
+    * into its source's tree (recursively — a branch of a branch
+    * resolves through both). Writers never consult this: new content
+    * always lands under the table's own data root.
+    */
+  def dataPath(spark: SparkSession, dir: String, b: Int, cv: Long): String =
+    dataBase(spark, dir) match {
+      case Some((src, base)) if cv <= base => dataPath(spark, src, b, cv)
+      case _ => s"$dir/data/b$b/v$cv"
+    }
+
+  private val branchRefsLock = new Object
+
+  /** Branch ref-count registration on the SOURCE: lines
+    * `<branchDir>\t<base>` in `_branch_refs`. GC keeps each registered
+    * base's manifest and the data dirs it names alive until the branch
+    * unregisters (drop, or explicit detach).
+    */
+  private[graft] def registerBranchRef(
+      spark: SparkSession, srcDir: String, branchDir: String,
+      base: Long): Unit = branchRefsLock.synchronized {
+    val (fs, p) = fsOf(spark, srcDir)
+    val f = new Path(p, "_branch_refs")
+    val cur = if (!fs.exists(f)) Seq.empty[String] else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val kept = cur.filterNot(_.split('\t').headOption.contains(branchDir))
+    val out = fs.create(f, true)
+    try out.write((kept :+ s"$branchDir\t$base")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def unregisterBranchRef(
+      spark: SparkSession, srcDir: String,
+      branchDir: String): Unit = branchRefsLock.synchronized {
+    val (fs, p) = fsOf(spark, srcDir)
+    val f = new Path(p, "_branch_refs")
+    if (!fs.exists(f)) return
+    val in = fs.open(f)
+    val cur = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    val kept = cur.filterNot(_.split('\t').headOption.contains(branchDir))
+    if (kept == cur) return
+    if (kept.isEmpty) { fs.delete(f, false); return }
+    val out = fs.create(f, true)
+    try out.write(kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Base versions pinned by registered reference-sharing branches. */
+  private[graft] def branchRefBases(
+      spark: SparkSession, dir: String): Set[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, "_branch_refs")
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      lines.flatMap(_.split('\t') match {
+        case Array(_, base) => Some(base.toLong)
+        case _ => None
+      }).toSet
+    }
+  }
+
+  /** Called when a table directory is dropped: if it was a
+    * reference-sharing branch, release its pin on the source.
+    * Best-effort — a failure here must not block the drop.
+    */
+  def releaseBranchRefs(spark: SparkSession, dir: String): Unit =
+    try dataBase(spark, dir).foreach { case (src, _) =>
+      unregisterBranchRef(spark, src, dir)
+      dataBaseCache.remove(dir)
+    } catch { case _: Throwable => () }
 
   /** Link (file://) or copy (other schemes) one committed data dir. */
   private def linkDataDir(
@@ -2775,8 +3034,15 @@ object MergeSink {
   }
 
   /** Create a BRANCH of `srcDir`'s head snapshot at `dstDir`: verbatim
-    * head manifest + linked data + inherited definition sidecars, first
-    * version = the base version. Returns (base version, files linked).
+    * head manifest + inherited definition sidecars, first version = the
+    * base version. The base DATA is hard-linked where the filesystem
+    * supports it (same file:// fs — true zero-copy, fs-ref-counted), and
+    * REFERENCE-SHARED everywhere else (`_data_base` redirect + a
+    * `_branch_refs` pin on the source — zero data bytes move on any
+    * scheme; see the reference-sharing section above).
+    * `spark.graft.branchMode=refs` forces reference sharing even on
+    * file:// (the testable path of the object-store behavior).
+    * Returns (base version, files linked — 0 under reference sharing).
     */
   def branchTable(
       spark: SparkSession,
@@ -2790,10 +3056,24 @@ object MergeSink {
     require(!commits(spark, dstDir).exists(_ => true),
       s"create_branch: $dstDir already has commits")
     dfs.mkdirs(dp)
+    val canLink = sfs.getUri.getScheme == "file" &&
+      sfs.getUri == dfs.getUri &&
+      !spark.conf.getOption("spark.graft.branchMode").contains("refs")
     var linked = 0L
-    manifest(spark, srcDir, base).foreach { case (b, cv) =>
-      linked += linkDataDir(
-        sfs, new Path(sp, s"data/b$b/v$cv"), new Path(dp, s"data/b$b/v$cv"))
+    if (canLink)
+      manifest(spark, srcDir, base).foreach { case (b, cv) =>
+        linked += linkDataDir(
+          sfs, new Path(sp, s"data/b$b/v$cv"), new Path(dp, s"data/b$b/v$cv"))
+      }
+    else {
+      // reference sharing: pin the base on the source FIRST (the pin
+      // must exist before any reader depends on the redirect), then
+      // write the redirect sidecar
+      registerBranchRef(spark, srcDir, dstDir, base)
+      val out = dfs.create(new Path(dp, "_data_base"), true)
+      try out.write(s"$srcDir\t$base\n".getBytes("UTF-8"))
+      finally out.close()
+      dataBaseCache.remove(dstDir) // a cached pre-branch None is stale now
     }
     BranchSidecars.foreach { n =>
       if (sfs.exists(new Path(sp, n)))
@@ -2834,9 +3114,22 @@ object MergeSink {
     def mfBytes(dir: String, v: Long): Option[Seq[String]] =
       manifestLines(spark, dir, v)
     // the fast-forward rule: main's head state must be ON the branch
-    // (verbatim-copied manifests make byte equality the exact test)
-    if (!commits(spark, branchDir).exists(_.version == mainHead) ||
-      mfBytes(mainDir, mainHead) != mfBytes(branchDir, mainHead))
+    // (verbatim-copied manifests make byte equality the exact test).
+    // A long-lived branch whose OWN retention GC aged the branch-point
+    // version out (every retained branch version is newer than main's
+    // head) is a retention problem, not a divergence — raise the
+    // actionable raise-history_keep error, not a misleading rebase
+    // demand.
+    val branchVersions = commits(spark, branchDir).map(_.version)
+    val onBranch = branchVersions.contains(mainHead)
+    val branchBaseMf = mfBytes(branchDir, mainHead)
+    if ((!onBranch || branchBaseMf.isEmpty) &&
+      branchVersions.minOption.exists(_ > mainHead))
+      throw new IllegalStateException(
+        s"fast_forward: the branch-point version $mainHead left the " +
+          "branch's retention window — raise history_keep on the " +
+          "branch before long-running divergence")
+    if (!onBranch || mfBytes(mainDir, mainHead) != branchBaseMf)
       throw new ConcurrentCommitException(
         s"fast_forward: $mainDir advanced past the branch point " +
           s"(head $mainHead is not on the branch) — the branch must " +
@@ -2853,13 +3146,18 @@ object MergeSink {
             "long-running divergence")
     }
     // all-or-nothing against rival writers: claim EVERY version first.
-    // The claim owner id must be UNIQUE PER INVOCATION — claimVersion
-    // lets an owner steal its OWN stale claim regardless of TTL, so a
-    // shared constant would let two concurrent fast-forwards (different
-    // branches, same base) steal each other's claims and double-mint a
-    // version.
-    val ffId = "ff" + java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
+    // The claim owner id is DETERMINISTIC over (main, branch, branch
+    // head): distinct branches (or the same branch after further
+    // commits) get distinct owners — so rival fast-forwards cannot
+    // steal each other's claims (claimVersion lets an owner steal its
+    // OWN stale claim regardless of TTL) — while a rerun of the SAME
+    // publish after a crash re-takes its own leftover claims
+    // immediately instead of waiting out the 15-minute TTL (the
+    // documented resumable contract).
+    val branchHead = commits(spark, branchDir).map(_.version).max
+    val ffId = "ff" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$mainDir $branchDir $branchHead".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
     val claimed = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       toPromote.foreach { c =>
@@ -3224,12 +3522,12 @@ object MergeSink {
       case Some(c) =>
         val m = manifest(spark, dir, c.version)
         val allPaths =
-          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+          m.toSeq.sorted.map { case (b, v) => dataPath(spark, dir, b, v) }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, allPaths))
         val spec = partitionSpec(spark, dir)
-        val bucketOf = tableBucketExpr(spec, key, targetBuckets)
+        val bucketOf = tableBucketExpr(spark, dir, spec, key, targetBuckets)
         // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
         // every row group's key min/max would otherwise span the whole
         // key range, and the reader's row-group skipping (pushed
@@ -3584,7 +3882,7 @@ object MergeSink {
       case Some(c) =>
         val m = manifest(spark, dir, c.version)
         val allPaths =
-          m.toSeq.sorted.map { case (b, v) => s"$dir/data/b$b/v$v" }
+          m.toSeq.sorted.map { case (b, v) => dataPath(spark, dir, b, v) }
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, allPaths))
@@ -3625,7 +3923,7 @@ object MergeSink {
             graft.plans.ZOrderN.zorder(zCols.indices.map(scaled), bits)
         val zSpec = partitionSpec(spark, dir)
         val rows = raw
-          .withColumn("__b", tableBucketExpr(zSpec, key, targetBuckets))
+          .withColumn("__b", tableBucketExpr(spark, dir, zSpec, key, targetBuckets))
           .repartition(col("__b"))
           .sortWithinPartitions(col("__b"), z)
         val newV = c.version + 1
@@ -3664,13 +3962,13 @@ object MergeSink {
         }.toSet
         if (dirty.isEmpty) return Set.empty
         val nb = numBuckets(spark, dir, c.version)
-        val paths = dirty.toSeq.sorted.map(b => s"$dir/data/b$b/v${m(b)}")
+        val paths = dirty.toSeq.sorted.map(b => dataPath(spark, dir, b, m(b)))
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, paths))
         // same modulus: every row re-hashes to the bucket it came from,
         // so the rewrite is a per-bucket sort, not a shuffle across the
         // carried buckets
-        val bucketOf = tableBucketExpr(partitionSpec(spark, dir), key, nb)
+        val bucketOf = tableBucketExpr(spark, dir, partitionSpec(spark, dir), key, nb)
         val rows = raw
           .withColumn("__b", bucketOf)
           .repartition(col("__b"))
@@ -3813,7 +4111,7 @@ object MergeSink {
       .filter(b => mPrev.get(b) != mCur.get(b))
     def visible(m: Map[Int, Long], atV: Long): Option[DataFrame] = {
       val paths = touched.toSeq.sorted
-        .flatMap(b => m.get(b).map(v => s"$dir/data/b$b/v$v"))
+        .flatMap(b => m.get(b).map(v => dataPath(spark, dir, b, v)))
       if (paths.isEmpty) None
       else {
         val raw = currentViewAt(spark, dir, atV,

@@ -2765,6 +2765,116 @@ object Streams {
         |GROUP BY category ORDER BY category""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_mv_star — MATERIALIZED VIEW OVER A MULTI-DIM STAR (one fact ⋈
+  // TWO dims), maintained by per-source delta-join IVM
+  // (MaterializedViews.refreshStarDir): the delta algebra telescopes
+  // into one single-source pass per moved source — Δsource ⋈ every
+  // other side PINNED at its applied version — each pass exactly-once
+  // under its own per-source watermark (no bit-packed version vector,
+  // no out-of-band state). Day 2 moves ALL THREE sources (the shared
+  // fact v1 shape incl. the NULL-cents lane, a dim-1 recategorize +
+  // delete, a dim-2 rezone + delete) and the gate REQUIREs each
+  // refresh wrote only the touched (category, zone) groups. Oracle:
+  // the from-scratch 3-table join aggregate over the raw events.
+  // ---------------------------------------------------------------------
+  val mvStarGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val MS = graft.streaming.MergeSink
+    val fact = java.nio.file.Files.createTempDirectory("graft_mvs_f").toString
+    val dim1 = java.nio.file.Files.createTempDirectory("graft_mvs_d1").toString
+    val dim2 = java.nio.file.Files.createTempDirectory("graft_mvs_d2").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvs_v").toString
+    Seq(fact, dim1, dim2).foreach(MS.setHistoryKeep(s, _, 8))
+    // fact: the shared mv ledger + a SECOND fk (site, stable in
+    // event_id so updates never move a row between dims' keys)
+    val e = mvSourceRows(s, d).withColumn("site", col("event_id") % 7)
+    mvLoadV0(e, fact)
+    MS.upsertBatch(
+      s.range(97).select(col("id").as("gid"),
+        (col("id") % 10).as("category")).withColumn("drv", lit(1L)),
+      dim1, "gid", "drv", 0L, "load")
+    MS.upsertBatch(
+      s.range(7).select(col("id").as("sid"),
+        (col("id") % 3).as("zone")).withColumn("drv", lit(1L)),
+      dim2, "sid", "drv", 0L, "load")
+    val aggs = Seq(MV.Agg("total", "sum", "cents"),
+      MV.Agg("n", "count", "*"), MV.Agg("avgc", "avg", "cents"))
+    val dims = Seq(
+      MV.StarDim(dim1, "gid", "grp", "gid"),
+      MV.StarDim(dim2, "sid", "site", "sid"))
+    def refresh(): Long = MV.refreshStarDir(
+      s, fact, "event_id", dims, mv, Seq("category", "zone"),
+      aggs, "algebraic")
+    val g0 = refresh()
+    require(g0 >= 6, s"initial star materialization too small: $g0")
+    // day 2a: FACT — the shared v1 shape (grp % 5 = 0 -> categories
+    // {0,5} x <= 7 zones)
+    mvLoadV1(e, fact)
+    val g1 = refresh()
+    require(g1 >= 1 && g1 <= 14,
+      s"fact delta must fold <= 14 (category,zone) groups, wrote $g1")
+    // day 2b: DIM 1 — gid 5 recategorizes 5 -> 7; gid 0 leaves (its
+    // facts drop out of the join): Δdim1 ⋈ fact@applied ⋈ dim2@applied
+    MS.upsertBatch(
+      s.range(1).select(lit(5L).as("gid"), lit(7L).as("category"),
+        lit(2L).as("drv"), lit(false).as("__deleted"))
+        .unionByName(s.range(1).select(lit(0L).as("gid"),
+          lit(0L).as("category"), lit(2L).as("drv"),
+          lit(true).as("__deleted"))),
+      dim1, "gid", "drv", 1L, "load")
+    val g2 = refresh()
+    require(g2 >= 1 && g2 <= 21,
+      s"dim-1 delta (cats 0,5,7) must fold <= 21 groups, wrote $g2")
+    // day 2c: DIM 2 — sid 3 rezones 0 -> 9; sid 6 leaves
+    MS.upsertBatch(
+      s.range(1).select(lit(3L).as("sid"), lit(9L).as("zone"),
+        lit(2L).as("drv"), lit(false).as("__deleted"))
+        .unionByName(s.range(1).select(lit(6L).as("sid"),
+          lit(0L).as("zone"), lit(2L).as("drv"),
+          lit(true).as("__deleted"))),
+      dim2, "sid", "drv", 1L, "load")
+    val g3 = refresh()
+    require(g3 >= 1 && g3 <= 22,
+      s"dim-2 delta (zones 0,9) must fold <= 22 groups, wrote $g3")
+    require(refresh() == 0L, "refresh at all three heads must be a no-op")
+    MS.currentState(s, mv).get
+      .select(col("category"), col("zone"), col("total"), col("n"),
+        col("avgc"))
+      .orderBy(col("category"), col("zone"))
+  }
+
+  val mvStarGatedSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id % 97 AS grp,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |      ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+      |  FROM events),
+      |final AS (
+      |  SELECT event_id, grp, CASE WHEN grp % 5 = 0 AND event_id % 5 = 0
+      |    THEN cents + 7 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE event_id % 3 <> 0
+      |    AND NOT (grp % 5 = 0 AND event_id % 5 <> 0 AND event_id % 7 = 0)
+      |  UNION ALL
+      |  SELECT event_id, grp, cents FROM base
+      |  WHERE event_id % 3 = 0 AND grp % 5 = 0)
+      |""".stripMargin +
+      """, dim1 AS (
+        |  SELECT gid, CASE WHEN gid = 5 THEN 7 ELSE gid % 10 END AS category
+        |  FROM (SELECT unnest(range(0, 97)) AS gid) WHERE gid <> 0),
+        |dim2 AS (
+        |  SELECT sid, CASE WHEN sid = 3 THEN 9 ELSE sid % 3 END AS zone
+        |  FROM (SELECT unnest(range(0, 7)) AS sid) WHERE sid <> 6)
+        |SELECT category, zone, CAST(SUM(cents) AS BIGINT) AS total,
+        |  count(*) AS n,
+        |  CASE WHEN count(cents) = 0 THEN NULL
+        |    ELSE CAST(SUM(cents) AS DOUBLE) / count(cents) END AS avgc
+        |FROM final
+        |JOIN dim1 ON final.grp = dim1.gid
+        |JOIN dim2 ON (final.event_id % 7) = dim2.sid
+        |GROUP BY category, zone ORDER BY category, zone""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_partitioned — TIME-PARTITIONED MERGE TABLE gated end to
   // end: the event ledger lands in a day-partitioned layout (global
   // bucket id = epochDay * nb + hash(key) % nb — the two-level
@@ -3508,6 +3618,115 @@ object Streams {
       |SELECT user_id % 10 AS bucket, count(*) AS n_keys,
       |CAST(SUM(cents) AS BIGINT) AS cents_total
       |FROM pk GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_merge_spj_part — STORAGE-PARTITIONED JOIN ON THE PARTITIONED
+  // LAYOUT: two day-partitioned fact tables (key (user_id, day),
+  // `bucket_by 'user_id'` so the hash is single-reference) joined on
+  // the full key with ZERO shuffle. The scan reports the true
+  // two-level physical grouping as the Iceberg multi-transform shape
+  // [days(day), bucket(nb, user_id)] — Spark's SPJ machinery resolves
+  // both transforms through the catalog's FunctionCatalog and matches
+  // the two sides (partition, hash)-group for group. This is THE
+  // 100 TB fact-to-fact shape: day-partitioned for retention, hash-
+  // bucketed for joins, and the join (plus the follow-on aggregate on
+  // the key) runs without a single exchange. The gate REQUIREs the
+  // shuffle-free plan for both; the DuckDB oracle recomputes the
+  // aggregate from the raw events' declarative latest-wins state.
+  // ---------------------------------------------------------------------
+  val mergeSpjPartGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gspjp$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_spjp_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.g")
+    for (t <- Seq("fa", "fb"))
+      s.sql(
+        s"""CREATE TABLE $cat.g.$t (user_id BIGINT, day DATE,
+           |event_id BIGINT, value DOUBLE)
+           |USING `graft-merge`
+           |OPTIONS (key 'user_id,day', seq 'event_id', bucket_by 'user_id')
+           |PARTITIONED BY (days(day))""".stripMargin)
+    val view = s"graft_spjp_events_$nRun"
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_id"), col("value"))
+      .createOrReplaceTempView(view)
+    s.sql(
+      s"INSERT INTO $cat.g.fa SELECT user_id, day, event_id, value FROM $view")
+    s.sql(
+      s"""INSERT INTO $cat.g.fb SELECT user_id, day, event_id, value * 2
+         |FROM $view WHERE user_id % 3 = 0""".stripMargin)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def shuffles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      val joined = s.sql(
+        s"""SELECT a.user_id, a.day, a.value, b.value AS w FROM $cat.g.fa a
+           |JOIN $cat.g.fb b ON a.user_id = b.user_id AND a.day = b.day
+           |""".stripMargin)
+      require(shuffles(joined) == 0,
+        s"partitioned storage-partitioned join did not engage:\n" +
+          joined.queryExecution.executedPlan)
+      val perKey = s.sql(
+        s"""SELECT a.user_id, a.day,
+           |CAST(round((a.value + b.value) * 100) AS BIGINT) AS cents
+           |FROM $cat.g.fa a
+           |JOIN $cat.g.fb b ON a.user_id = b.user_id AND a.day = b.day
+           |""".stripMargin)
+      val agg = s.sql(
+        s"""SELECT a.user_id, a.day,
+           |CAST(SUM(CAST(round((a.value + b.value) * 100) AS BIGINT))
+           |  AS BIGINT) AS cents
+           |FROM $cat.g.fa a
+           |JOIN $cat.g.fb b ON a.user_id = b.user_id AND a.day = b.day
+           |GROUP BY a.user_id, a.day""".stripMargin)
+      require(shuffles(agg) == 0,
+        s"join+agg on the partitioned key re-shuffled:\n" +
+          agg.queryExecution.executedPlan)
+      val out = perKey
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cents")).cast("long").as("cents_total"))
+        .orderBy(col("day"))
+      // materialize the SHUFFLE-FREE physical scan plans BEFORE confs
+      // restore (a Dataset caches its QueryExecution once built)
+      out.queryExecution.executedPlan
+      out
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  val mergeSpjPartGatedSql: String =
+    """WITH fa AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    arg_max(value, event_id) AS v
+      |  FROM events GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    arg_max(value * 2, event_id) AS w
+      |  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2),
+      |pk AS (
+      |  SELECT fa.user_id, fa.day,
+      |    CAST(round((fa.v + fb.w) * 100) AS BIGINT) AS cents
+      |  FROM fa JOIN fb ON fa.user_id = fb.user_id AND fa.day = fb.day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_keys,
+      |CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_dsv2_overwrite — INSERT OVERWRITE as a versioned truncate-and-
@@ -4507,6 +4726,7 @@ object Streams {
     "q_merge_race" -> mergeRaceGated,
     "q_mv_refresh" -> mvRefreshGated,
     "q_mv_join" -> mvJoinGated,
+    "q_mv_star" -> mvStarGated,
     "q_mv_rescan" -> mvRescanGated,
     "q_catalog_mv" -> catalogMvGated,
     "q_mv_stream" -> mvStreamGated,
@@ -4527,6 +4747,7 @@ object Streams {
     "q_dsv2_overwrite" -> dsv2OverwriteGated,
     "q_dsv2_evolution" -> dsv2EvolutionGated,
     "q_merge_spj" -> mergeSpjGated,
+    "q_merge_spj_part" -> mergeSpjPartGated,
     "q_merge_sortjoin" -> mergeSortJoinGated,
     "q_merge_zorder" -> mergeZOrderGated,
     "q_merge_zorder3" -> mergeZOrder3Gated,
@@ -4571,6 +4792,7 @@ object Streams {
     "q_merge_race" -> mergeRaceGatedSql,
     "q_mv_refresh" -> mvRefreshGatedSql,
     "q_mv_join" -> mvJoinGatedSql,
+    "q_mv_star" -> mvStarGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,
     "q_catalog_mv" -> catalogMvGatedSql,
     "q_mv_stream" -> mvStreamGatedSql,
@@ -4591,6 +4813,7 @@ object Streams {
     "q_dsv2_overwrite" -> dsv2OverwriteGatedSql,
     "q_dsv2_evolution" -> dsv2EvolutionGatedSql,
     "q_merge_spj" -> mergeSpjGatedSql,
+    "q_merge_spj_part" -> mergeSpjPartGatedSql,
     "q_merge_sortjoin" -> mergeSpjGatedSql,
     "q_merge_zorder" -> mergeZOrderGatedSql,
     "q_merge_zorder3" -> mergeZOrder3GatedSql,

@@ -160,7 +160,7 @@ class AnnCatalogSpec extends SparkSpec {
     assert(after == before)
   }
 
-  test("ann_search rejects non-index tables and oversized panels") {
+  test("ann_search rejects non-index tables; oversized panels batch") {
     val cat = freshCat("guard")
     spark.sql(s"CALL $cat.sys.create_ann('a.vix', 'a.vecs', 'vec_id', 'embedding')")
     makePanel(cat, Seq(1L, 2L, 3L))
@@ -169,13 +169,108 @@ class AnnCatalogSpec extends SparkSpec {
         .collect()
     }
     assert(e1.getMessage.contains("not an ANN index"))
+    def answers(): Seq[(Long, Long, Long)] =
+      spark.sql(s"CALL $cat.sys.ann_search('a.vix', 'a.panel', 3, 2)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val whole = answers()
+    // a panel LARGER than the cap answers in cap-sized batches — same
+    // rows, never a throw (each query rides exactly one batch)
     spark.conf.set("spark.graft.annMaxQueryPanel", "2")
+    try assert(answers() == whole,
+      "a batched oversized panel must answer exactly like one pass")
+    finally spark.conf.unset("spark.graft.annMaxQueryPanel")
+  }
+
+  test("ann_search serves a non-BIGINT (INT) key layout correctly") {
+    val cat = freshCat("intkey")
+    spark.sql(
+      s"""CREATE TABLE $cat.a.ivecs (vec_id INT, embedding ARRAY<FLOAT>,
+         |rv BIGINT) USING `graft-merge`
+         |OPTIONS (key 'vec_id', seq 'rv')""".stripMargin)
+    val s = spark
+    import s.implicits._
+    (0 until 64)
+      .map(i => (i, Array.tabulate(4)(j =>
+        math.cos(i * 0.37 + j).toFloat), 1L))
+      .toDF("vec_id", "embedding", "rv")
+      .createOrReplaceTempView("ivecs_src")
+    spark.sql(s"INSERT INTO $cat.a.ivecs SELECT * FROM ivecs_src")
+    spark.sql(
+      s"CALL $cat.sys.create_ann('a.iix', 'a.ivecs', 'vec_id', 'embedding')")
+    // the postings' cell column is BIGINT even for an INT key (the
+    // assignment casts) — reading the index table through the catalog
+    // must decode cleanly and the search must answer
+    val cells = spark.sql(s"SELECT DISTINCT cell FROM $cat.a.iix")
+      .collect().map(_.getLong(0))
+    assert(cells.nonEmpty)
+    spark.sql(
+      s"""CREATE TABLE $cat.a.ipanel (vec_id INT, embedding ARRAY<FLOAT>,
+         |rv BIGINT) USING `graft-merge`
+         |OPTIONS (key 'vec_id', seq 'rv')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.a.ipanel SELECT * FROM ivecs_src WHERE vec_id < 3")
+    val hits = spark.sql(
+      s"CALL $cat.sys.ann_search('a.iix', 'a.ipanel', 3, 99)")
+      .collect()
+    assert(hits.length == 9, s"3 queries x top-3, got ${hits.length}")
+  }
+
+  test("create_ann is failure-atomic: a failed CALL strands no table") {
+    val cat = freshCat("atomic")
+    spark.sql(
+      s"""CREATE TABLE $cat.a.empty (vec_id BIGINT, embedding ARRAY<FLOAT>,
+         |rv BIGINT) USING `graft-merge`
+         |OPTIONS (key 'vec_id', seq 'rv')""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.sys.create_ann('a.eix', 'a.empty', 'vec_id', 'embedding')")
+        .collect()
+    }
+    assert(e.getMessage.contains("empty"))
+    // nothing stranded: the index name is free, and create over the
+    // now-populated source succeeds on the SAME identifier
+    spark.sql(
+      s"""INSERT INTO $cat.a.empty
+         |SELECT vec_id, embedding, rv FROM $cat.a.vecs""".stripMargin)
+    spark.sql(
+      s"CALL $cat.sys.create_ann('a.eix', 'a.empty', 'vec_id', 'embedding')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.a.eix")
+      .head().getLong(0) > 0)
+  }
+
+  test(".detail reports ann_source/ann_lag; autoRefreshAnn advances in-commit") {
+    val cat = freshCat("lag")
+    spark.sql(s"CALL $cat.sys.create_ann('a.lix', 'a.vecs', 'vec_id', 'embedding')")
+    def detail(): (String, Long) = {
+      val r = spark.table(s"$cat.a.lix.detail").head()
+      (r.getAs[String]("ann_source"),
+        r.getAs[java.lang.Long]("ann_lag_versions"): Long)
+    }
+    val (src0, lag0) = detail()
+    assert(src0 != null && lag0 == 0L, s"fresh index must report lag 0, got $lag0")
+    // a source commit WITHOUT refresh: lag becomes observable
+    spark.sql(
+      s"""INSERT INTO $cat.a.vecs
+         |SELECT vec_id + 1000, embedding, 2 AS rv FROM $cat.a.vecs
+         |WHERE vec_id < 3""".stripMargin)
+    assert(detail()._2 == 1L, "a stale index must report its lag")
+    spark.sql(s"CALL $cat.sys.refresh_ann('a.lix')")
+    assert(detail()._2 == 0L)
+    // autoRefreshAnn: the NEXT source commit advances the index inside
+    // the commit — no CALL, lag stays 0 and the new key is served
+    spark.conf.set("spark.graft.autoRefreshAnn", "true")
     try {
-      val e2 = intercept[Exception] {
-        spark.sql(s"CALL $cat.sys.ann_search('a.vix', 'a.panel', 3, 2)")
-          .collect()
-      }
-      assert(e2.getMessage.contains("cap is 2"))
-    } finally spark.conf.unset("spark.graft.annMaxQueryPanel")
+      spark.sql(
+        s"""INSERT INTO $cat.a.vecs
+           |SELECT vec_id + 2000, embedding, 3 AS rv FROM $cat.a.vecs
+           |WHERE vec_id < 2""".stripMargin)
+      assert(detail()._2 == 0L,
+        "autoRefreshAnn must advance the index inside the source commit")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.a.lix WHERE vec_id >= 2000")
+        .head().getLong(0) > 0,
+        "the in-commit refresh must serve the new keys")
+    } finally spark.conf.unset("spark.graft.autoRefreshAnn")
   }
 }

@@ -102,6 +102,115 @@ class BranchSpec extends SparkSpec {
     assert(state(main) == before)
   }
 
+  test("reference-sharing branch moves zero data bytes and isolates") {
+    val main = tmp("graft_br_main5")
+    val dev = tmp("graft_br_dev5")
+    MergeSink.setHistoryKeep(spark, main, 8)
+    MergeSink.upsertBatch(rows(0 until 50, 1), main, "id", "rv", 0L, "w")
+    spark.conf.set("spark.graft.branchMode", "refs")
+    try {
+      val (base, linked) = MergeSink.branchTable(spark, main, dev)
+      assert(base == 0L && linked == 0L)
+      // ZERO data bytes in the branch: no data directory at all — the
+      // manifest resolves into main's tree via the _data_base redirect
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dev, "data")),
+        "a reference-sharing branch must carry no base data")
+      assert(state(dev) == state(main))
+      // divergence isolates both ways; the branch's own writes land in
+      // ITS data tree
+      val before = state(main)
+      MergeSink.setHistoryKeep(spark, dev, 8)
+      MergeSink.upsertBatch(rows(100 until 110, 2), dev, "id", "rv", 1L, "b")
+      assert(state(main) == before)
+      assert(state(dev).size == before.size + 10)
+      // point lookup + time travel on the branch read through the
+      // redirect too
+      assert(MergeSink.stateAt(spark, dev, 0L).get.count() == 50)
+      // publish back: the promoted content is the branch's OWN new
+      // files (bounded by the branch's writes, never the base)
+      assert(MergeSink.fastForward(spark, main, dev) == 1L)
+      assert(state(main) == state(dev))
+    } finally spark.conf.unset("spark.graft.branchMode")
+  }
+
+  test("source GC never eats a reference-shared branch's base content") {
+    val main = tmp("graft_br_main6")
+    val dev = tmp("graft_br_dev6")
+    MergeSink.setHistoryKeep(spark, main, 8)
+    MergeSink.upsertBatch(rows(0 until 40, 1), main, "id", "rv", 0L, "w")
+    val before = state(main)
+    spark.conf.set("spark.graft.branchMode", "refs")
+    try MergeSink.branchTable(spark, main, dev)
+    finally spark.conf.unset("spark.graft.branchMode")
+    // tight retention + repeated full-bucket rewrites on MAIN would
+    // normally GC version 0's manifest and data — the branch's
+    // registered pin must keep both alive
+    MergeSink.setHistoryKeep(spark, main, 1)
+    MergeSink.upsertBatch(rows(0 until 40, 2), main, "id", "rv", 1L, "w")
+    MergeSink.upsertBatch(rows(0 until 40, 3), main, "id", "rv", 2L, "w")
+    MergeSink.vacuum(spark, main)
+    assert(state(dev) == before,
+      "the branch must read its full base state after source GC")
+    // releasing the pin (the drop path) lets the source age the base
+    // out normally
+    MergeSink.releaseBranchRefs(spark, dev)
+    MergeSink.upsertBatch(rows(0 until 40, 4), main, "id", "rv", 3L, "w")
+    MergeSink.vacuum(spark, main)
+    assert(MergeSink.stateAt(spark, main, 0L).isEmpty,
+      "after release the base version ages out of the source")
+  }
+
+  test("fast-forward re-takes its own stale claims (deterministic owner)") {
+    val main = tmp("graft_br_main7")
+    val dev = tmp("graft_br_dev7")
+    MergeSink.setHistoryKeep(spark, main, 8)
+    MergeSink.upsertBatch(rows(0 until 10, 1), main, "id", "rv", 0L, "w")
+    MergeSink.branchTable(spark, main, dev)
+    MergeSink.setHistoryKeep(spark, dev, 8)
+    MergeSink.upsertBatch(rows(10 until 15, 2), dev, "id", "rv", 1L, "b")
+    val branchHead = MergeSink.commits(spark, dev).map(_.version).max
+    def ownerOf(head: Long): String =
+      "ff" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$main $dev $head".getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    // a crashed previous run of the SAME publish left its claim behind:
+    // the rerun must steal it immediately (no 15-minute TTL wait)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(main, "_claim_v1"),
+      ownerOf(branchHead).getBytes("UTF-8"))
+    assert(MergeSink.fastForward(spark, main, dev) == 1L)
+    assert(state(main) == state(dev))
+    // …while a FOREIGN owner's fresh claim (another branch publishing)
+    // still blocks: distinct publishes can never steal each other
+    MergeSink.upsertBatch(rows(15 until 20, 3), dev, "id", "rv", 2L, "b")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(main, "_claim_v2"),
+      "ffdeadbeef00".getBytes("UTF-8"))
+    intercept[Exception] { MergeSink.fastForward(spark, main, dev) }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(main, "_claim_v2"))
+    assert(MergeSink.fastForward(spark, main, dev) == 1L)
+  }
+
+  test("fast-forward names the retention window when the branch aged out its base manifest") {
+    val main = tmp("graft_br_main8")
+    val dev = tmp("graft_br_dev8")
+    MergeSink.setHistoryKeep(spark, main, 8)
+    MergeSink.upsertBatch(rows(0 until 10, 1), main, "id", "rv", 0L, "w")
+    MergeSink.branchTable(spark, main, dev)
+    // long-lived branch with tiny retention: enough commits age the
+    // branch-point manifest out of the BRANCH's own window
+    MergeSink.setHistoryKeep(spark, dev, 1)
+    (1 to 3).foreach(i =>
+      MergeSink.upsertBatch(rows(10 until 15, i + 1), dev, "id", "rv",
+        i.toLong, "b"))
+    val e = intercept[IllegalStateException] {
+      MergeSink.fastForward(spark, main, dev)
+    }
+    assert(e.getMessage.contains("retention window"),
+      s"must raise the actionable retention error, got: ${e.getMessage}")
+  }
+
   test("fast-forward resumes over an already-promoted prefix") {
     val main = tmp("graft_br_main4")
     val dev = tmp("graft_br_dev4")
