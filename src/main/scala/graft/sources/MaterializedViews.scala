@@ -1275,9 +1275,13 @@ object MaterializedViews {
         cat.listTables(ns.toArray).toSeq.flatMap { id =>
           val full = (id.namespace() :+ id.name()).mkString(".")
           val opts = cat.tableOptions(id)
-          // a JOIN view depends on BOTH its fact and its dim
+          // a JOIN view depends on BOTH its fact and its dim; a STAR
+          // view on its fact and EVERY dim
           val sources =
-            opts.get("graft.mv.source").toSeq ++ opts.get("graft.mv.dim")
+            opts.get("graft.mv.source").toSeq ++
+              opts.get("graft.mv.dim") ++
+              opts.get("graft.mv.dims").toSeq
+                .flatMap(_.split(';').map(_.split(':').head.trim))
           if (sources.exists(s => identKey(s) == want))
             Some(full -> refresh(spark, cat, full))
           else None
