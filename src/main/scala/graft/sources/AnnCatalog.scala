@@ -292,10 +292,14 @@ object AnnCatalog {
       else {
         // batch the panel: each query rides exactly one batch (panel
         // keys are unique — it is a merge table's latest state), so the
-        // union of per-batch top-k IS the whole answer
+        // union of per-batch top-k IS the whole answer. row_number
+        // batching makes the ≤ maxPanel bound EXACT (a hash split
+        // would only bound it in expectation); the single-partition
+        // window is over the response-sized panel, never a table.
         val nb = ((qn + maxPanel - 1) / maxPanel).toInt
         val batched = panel.withColumn("__batch",
-          pmod(xxhash64(col("query_id")), lit(nb)))
+          ((row_number().over(Window.orderBy(col("query_id"))) - 1)
+            / lit(maxPanel)).cast("int"))
           .localCheckpoint() // assign once; every batch filters from it
         (0 until nb)
           .map(b => searchPanel(

@@ -1890,27 +1890,63 @@ object MergeSink {
             on.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
         }
       w.parquet(tmp.toString)
-      touched.toSeq.sorted.foreach { b =>
-        val src = new Path(tmp, s"__b=$b")
-        if (fs.exists(src)) {
-          val dst = new Path(p, s"data/b$b/v$newV")
-          fs.mkdirs(dst.getParent)
-          if (fs.exists(dst)) fs.delete(dst, true) // torn unpublished attempt
-          if (!fs.rename(src, dst))
-            throw new IllegalStateException(s"rename failed for bucket $b -> $dst")
+      // finalize the touched buckets CONCURRENTLY: each is an
+      // independent rename + listing + footer record-count — pure
+      // filesystem metadata, 10s of ms apiece, and a partitioned
+      // commit touches day×bucket of them (a 30-day load at nb=4 is
+      // 120). Sequential, that loop dominated partitioned-table write
+      // latency; a bounded pool turns it into one metadata round.
+      // Hadoop FileSystem instances are thread-safe by contract.
+      val finalized =
+        new java.util.concurrent.ConcurrentHashMap[Int,
+          (Seq[String], Long, Long)]()
+      val tb = touched.toSeq.sorted
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, tb.size)))
+      try {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        tb.map { b =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val src = new Path(tmp, s"__b=$b")
+              if (fs.exists(src)) {
+                val dst = new Path(p, s"data/b$b/v$newV")
+                fs.mkdirs(dst.getParent)
+                // torn unpublished attempt
+                if (fs.exists(dst)) fs.delete(dst, true)
+                if (!fs.rename(src, dst))
+                  throw new IllegalStateException(
+                    s"rename failed for bucket $b -> $dst")
+                val parts = fs.listStatus(dst).iterator
+                  .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+                val rc = parts.map { st =>
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                    org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(st.getPath, hconf))
+                  try r.getRecordCount
+                  finally r.close()
+                }.sum
+                finalized.put(b,
+                  (parts.map(_.getPath.getName).sorted,
+                    parts.map(_.getLen).sum, rc))
+              } // else: the bucket lost all its rows — drop its entry
+            }
+          })
+        }.foreach(f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+      } finally pool.shutdown()
+      tb.foreach { b =>
+        val v = finalized.get(b)
+        if (v != null) {
           written += b
-          val parts = fs.listStatus(dst).iterator
-            .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-          newFiles += b -> parts.map(_.getPath.getName).sorted
-          newBytes += b -> parts.map(_.getLen).sum
-          newRows += b -> parts.map { st =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                st.getPath, spark.sparkContext.hadoopConfiguration))
-            try r.getRecordCount
-            finally r.close()
-          }.sum
-        } // else: the bucket lost all its rows — drop its manifest entry
+          newFiles += b -> v._1
+          newBytes += b -> v._2
+          newRows += b -> v._3
+        }
       }
       fs.delete(tmp, true)
     }

@@ -3643,11 +3643,15 @@ object Streams {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     s.sql(s"CREATE NAMESPACE $cat.g")
     for (t <- Seq("fa", "fb"))
+      // buckets '4': the fixture spans ~30 days — 4 hash buckets per
+      // day keeps the gate's file count proportionate at sf0.1 (a real
+      // 100 TB table sizes nb so day×bucket ≈ 100 MB–1 GB files)
       s.sql(
         s"""CREATE TABLE $cat.g.$t (user_id BIGINT, day DATE,
            |event_id BIGINT, value DOUBLE)
            |USING `graft-merge`
-           |OPTIONS (key 'user_id,day', seq 'event_id', bucket_by 'user_id')
+           |OPTIONS (key 'user_id,day', seq 'event_id',
+           |  bucket_by 'user_id', buckets '4')
            |PARTITIONED BY (days(day))""".stripMargin)
     val view = s"graft_spjp_events_$nRun"
     Tables.events(s, d)
