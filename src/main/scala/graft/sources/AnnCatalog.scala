@@ -173,8 +173,12 @@ object AnnCatalog {
       vecCol: String): Long = {
     MaterializedViews.registerDependentLine(spark, srcDir,
       depDir = ixDir, line = Seq("ann", ixDir, srcDir, srcKey, vecCol))
+    // first line records the maintainer's runId VERBATIM — `.detail`
+    // may resolve the index under a QUALIFIED path (file:/…), and a
+    // re-derived md5 of that string would never match the commits
+    // (the exact pitfall the MV sidecar documents)
     MaterializedViews.recordSidecar(spark, ixDir, "_ann_source",
-      Seq(srcDir, srcKey, vecCol))
+      Seq(s"run\t${Embeddings.annRunId(ixDir)}", srcDir, srcKey, vecCol))
     Embeddings.annIndexRefresh(
       spark,
       srcDir = srcDir,
@@ -219,8 +223,14 @@ object AnnCatalog {
     */
   def indexLag(spark: SparkSession, ixDir: String): Option[(String, Long)] = {
     val lines = MaterializedViews.sidecarOf(spark, ixDir, "_ann_source")
-    lines.headOption.map { srcDir =>
-      val runId = Embeddings.annRunId(ixDir)
+    // recorded verbatim (see refreshDirs); sidecars predating the id
+    // line fall back to the path derivation
+    val runId = lines.headOption.collect {
+      case l if l.startsWith("run\t") => l.stripPrefix("run\t")
+    }.getOrElse(Embeddings.annRunId(ixDir))
+    val srcLines = if (lines.headOption.exists(_.startsWith("run\t")))
+      lines.tail else lines
+    srcLines.headOption.map { srcDir =>
       val applied = MergeSink.commits(spark, ixDir)
         .filter(_.runId == runId).map(_.epoch).maxOption
       val head = MergeSink.lastCommit(spark, srcDir).map(_.version)
@@ -292,14 +302,23 @@ object AnnCatalog {
       else {
         // batch the panel: each query rides exactly one batch (panel
         // keys are unique — it is a merge table's latest state), so the
-        // union of per-batch top-k IS the whole answer. row_number
-        // batching makes the ≤ maxPanel bound EXACT (a hash split
-        // would only bound it in expectation); the single-partition
-        // window is over the response-sized panel, never a table.
+        // union of per-batch top-k IS the whole answer. zipWithIndex
+        // assigns batch ids DISTRIBUTED with an EXACT ≤ maxPanel bound
+        // (a global row_number window would funnel the whole — by
+        // definition over-cap — panel through one task; a hash split
+        // bounds only in expectation). Each batch re-probes the
+        // postings independently: total work is panels × probe cost,
+        // each slice response-sized — the bound the cap exists for.
         val nb = ((qn + maxPanel - 1) / maxPanel).toInt
-        val batched = panel.withColumn("__batch",
-          ((row_number().over(Window.orderBy(col("query_id"))) - 1)
-            / lit(maxPanel)).cast("int"))
+        val pSchema = panel.schema
+          .add(org.apache.spark.sql.types.StructField(
+            "__batch", org.apache.spark.sql.types.IntegerType,
+            nullable = false))
+        val batched = spark.createDataFrame(
+          panel.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (i / maxPanel).toInt)
+          }, pSchema)
           .localCheckpoint() // assign once; every batch filters from it
         (0 until nb)
           .map(b => searchPanel(

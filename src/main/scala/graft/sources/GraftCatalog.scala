@@ -776,6 +776,22 @@ class GraftCatalog
     // source's GC may then age the base out normally)
     graft.streaming.MergeSink
       .releaseBranchRefs(SparkSession.active, props.getProperty("path"))
+    // a DERIVED table (materialized view / ANN index) unregisters from
+    // every source's _dependents sidecar: a ghost line would make each
+    // later source commit under autoRefreshMv/autoRefreshAnn
+    // re-materialize — or fail against — a dropped table. Best-effort:
+    // an unresolvable source must not block the drop.
+    Seq("graft.ann.source", "graft.mv.source", "graft.mv.dim")
+      .flatMap(k => Option(props.getProperty(k)))
+      .++(Option(props.getProperty("graft.mv.dims")).toSeq
+        .flatMap(_.split(';').map(_.split(':').head.trim)))
+      .foreach { srcIdent =>
+        try MaterializedViews.unregisterDependent(
+          SparkSession.active,
+          tableOptions(MaterializedViews.identOf(srcIdent))("path"),
+          props.getProperty("path"))
+        catch { case _: Throwable => () }
+      }
     fs.delete(mp, false)
     if (managed) fs.delete(new Path(props.getProperty("path")), true)
     // the path's history is destroyed, not extended: a re-CREATE at

@@ -258,6 +258,19 @@ object MaterializedViews {
       line: Seq[String]): Unit =
     registerDependent(spark, srcDir, depDir, line.mkString("\t"))
 
+  /** Remove a dependent's registration (DROP TABLE of a view/index):
+    * a ghost line would make every later source commit under
+    * autoRefreshMv/autoRefreshAnn re-materialize — or fail against —
+    * a table that no longer exists.
+    */
+  private[graft] def unregisterDependent(
+      spark: SparkSession, srcDir: String,
+      depDir: String): Unit = dependentsLock.synchronized {
+    val cur = sidecarLines(spark, srcDir, "_dependents")
+    val kept = cur.filterNot(_.split('\t').lift(1).contains(depDir))
+    if (kept != cur) writeSidecar(spark, srcDir, "_dependents", kept)
+  }
+
   private[graft] def sidecarOf(
       spark: SparkSession, dir: String, name: String): Seq[String] =
     sidecarLines(spark, dir, name)
@@ -824,8 +837,10 @@ object MaterializedViews {
                   (if (rescan)
                     refreshRescan(
                       spark, d,
-                      statesAt(target).map(joinStar(_, None))
-                        .getOrElse(d.drop("__mult").limit(0)),
+                      // sts IS the pinned target-vector state (we are
+                      // inside its Some) — the full star join at the
+                      // versions this pass records
+                      joinStar(sts, None),
                       mvDir, groupCols, aggs, groupCsv, target.sum,
                       runId, note = Some(starNote(target)))
                   else

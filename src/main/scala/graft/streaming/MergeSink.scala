@@ -1905,7 +1905,7 @@ object MergeSink {
         math.max(1, math.min(16, tb.size)))
       try {
         val hconf = spark.sparkContext.hadoopConfiguration
-        tb.map { b =>
+        val futs = tb.map { b =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
             override def call(): Unit = {
               val src = new Path(tmp, s"__b=$b")
@@ -1932,12 +1932,24 @@ object MergeSink {
               } // else: the bucket lost all its rows — drop its entry
             }
           })
-        }.foreach(f =>
+        }
+        try futs.foreach(f =>
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause
           })
+        catch {
+          case t: Throwable =>
+            // no ZOMBIE renames may land after the failure propagates
+            // (the abort path cleans data/b*/vN; a late rename would
+            // re-create an orphan dir a rival claimant could race) —
+            // cancel what hasn't run and WAIT for in-flight tasks
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw t
+        }
       } finally pool.shutdown()
       tb.foreach { b =>
         val v = finalized.get(b)
@@ -2359,17 +2371,26 @@ object MergeSink {
         val m = manifest(spark, dir, c.version)
         val spec = partitionSpec(spark, dir)
         // bucket_by layout: the hash covers only the declared columns —
-        // select their positions out of the full key tuple (requires
-        // the key list to locate them)
-        val hashPos: Option[Seq[Int]] = bucketBy(spark, dir).map { bc =>
-          require(key.nonEmpty,
-            s"lookupFilesTuples: $dir declares bucket_by — pass the key " +
-              "column list so the hashed columns can be located")
-          val kcols = keyCols(key)
-          val pos = bc.map(kcols.indexOf)
-          require(pos.forall(_ >= 0),
-            s"lookupFilesTuples: bucket_by $bc not within key $kcols")
-          pos
+        // select their positions out of the full key tuple. Without a
+        // key list, tuples whose arity EQUALS the bucket_by arity ARE
+        // the hashed columns (the single-key lookupFiles fast path on a
+        // bucket_by='the key' table); any other arity is ambiguous and
+        // must name the key.
+        val hashPos: Option[Seq[Int]] = bucketBy(spark, dir).flatMap { bc =>
+          if (key.nonEmpty) {
+            val kcols = keyCols(key)
+            val pos = bc.map(kcols.indexOf)
+            require(pos.forall(_ >= 0),
+              s"lookupFilesTuples: bucket_by $bc not within key $kcols")
+            // identity positions = the tuple IS the hashed column list
+            if (pos == kcols.indices) None else Some(pos)
+          } else {
+            require(tuples.forall(_.size == bc.size),
+              s"lookupFilesTuples: $dir declares bucket_by $bc — pass " +
+                "the key column list so the hashed columns can be " +
+                "located (or pass exactly the hashed columns' values)")
+            None // tuples are already the hashed columns
+          }
         }
         def hashOf(t: Seq[Any]): Column = {
           val hv = hashPos.map(_.map(t)).getOrElse(t)
@@ -3033,7 +3054,12 @@ object MergeSink {
       dataBaseCache.remove(dir)
     } catch { case _: Throwable => () }
 
-  /** Link (file://) or copy (other schemes) one committed data dir. */
+  /** Link (file://) or copy (other schemes) one committed data dir.
+    * Tolerates a CONCURRENT identical publisher (two fast-forwards of
+    * the same branch share a deterministic claim owner — see
+    * [[fastForward]]): both sides place IDENTICAL content, so a
+    * lost create race is completion by the rival, not an error.
+    */
   private def linkDataDir(
       fs: FileSystem,
       srcDir: Path,
@@ -3044,9 +3070,12 @@ object MergeSink {
       val dst = new Path(dstDir, st.getPath.getName)
       if (!fs.exists(dst)) {
         if (fs.getUri.getScheme == "file")
-          java.nio.file.Files.createLink(
+          try java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
             java.nio.file.Paths.get(st.getPath.toUri.getPath))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         else
           org.apache.hadoop.fs.FileUtil.copy(
             fs, st.getPath, fs, dst, false, fs.getConf)
@@ -3098,8 +3127,12 @@ object MergeSink {
     var linked = 0L
     if (canLink)
       manifest(spark, srcDir, base).foreach { case (b, cv) =>
+        // resolve through the source's OWN redirect: a branch of a
+        // reference-sharing branch links the PHYSICAL files wherever
+        // the chain puts them (fs ref-counts protect them from there)
         linked += linkDataDir(
-          sfs, new Path(sp, s"data/b$b/v$cv"), new Path(dp, s"data/b$b/v$cv"))
+          sfs, new Path(dataPath(spark, srcDir, b, cv)),
+          new Path(dp, s"data/b$b/v$cv"))
       }
     else {
       // reference sharing: pin the base on the source FIRST (the pin
@@ -3110,6 +3143,14 @@ object MergeSink {
       try out.write(s"$srcDir\t$base\n".getBytes("UTF-8"))
       finally out.close()
       dataBaseCache.remove(dstDir) // a cached pre-branch None is stale now
+    }
+    // the branch POINT, recorded in both modes: fast_forward needs it
+    // to tell "my own retention aged the branch point out" from "main
+    // truly advanced past it" after the manifests are gone
+    locally {
+      val out = dfs.create(new Path(dp, "_branch_base"), true)
+      try out.write(s"$srcDir\t$base\n".getBytes("UTF-8"))
+      finally out.close()
     }
     BranchSidecars.foreach { n =>
       if (sfs.exists(new Path(sp, n)))
@@ -3151,21 +3192,53 @@ object MergeSink {
       manifestLines(spark, dir, v)
     // the fast-forward rule: main's head state must be ON the branch
     // (verbatim-copied manifests make byte equality the exact test).
-    // A long-lived branch whose OWN retention GC aged the branch-point
-    // version out (every retained branch version is newer than main's
-    // head) is a retention problem, not a divergence — raise the
-    // actionable raise-history_keep error, not a misleading rebase
-    // demand.
+    // When the branch no longer RETAINS main's head version, the
+    // recorded branch point (`_branch_base`, written at creation)
+    // distinguishes the cases: main still AT the branch point = the
+    // branch's own retention aged the proof out (raise history_keep);
+    // main PAST it = ambiguous between a promoted-prefix that aged and
+    // true divergence — both named, since no manifest remains to tell.
     val branchVersions = commits(spark, branchDir).map(_.version)
     val onBranch = branchVersions.contains(mainHead)
     val branchBaseMf = mfBytes(branchDir, mainHead)
-    if ((!onBranch || branchBaseMf.isEmpty) &&
-      branchVersions.minOption.exists(_ > mainHead))
-      throw new IllegalStateException(
-        s"fast_forward: the branch-point version $mainHead left the " +
-          "branch's retention window — raise history_keep on the " +
-          "branch before long-running divergence")
-    if (!onBranch || mfBytes(mainDir, mainHead) != branchBaseMf)
+    if (!onBranch || branchBaseMf.isEmpty) {
+      val basePoint: Option[Long] = {
+        val f = new Path(bp, "_branch_base")
+        if (!bfs.exists(f)) None
+        else {
+          val in = bfs.open(f)
+          val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().nextOption().map(_.trim).getOrElse("")
+          finally in.close()
+          line.split('\t') match {
+            case Array(_, b) => Some(b.toLong)
+            case _ => None
+          }
+        }
+      }
+      basePoint match {
+        case Some(b) if mainHead == b =>
+          throw new IllegalStateException(
+            s"fast_forward: the branch-point version $mainHead left " +
+              "the branch's retention window — raise history_keep on " +
+              "the branch before long-running divergence")
+        case Some(b) if mainHead > b =>
+          throw new IllegalStateException(
+            s"fast_forward: the branch no longer retains version " +
+              s"$mainHead — either $mainDir advanced past the branch " +
+              "point (re-branch from the new head and replay) or a " +
+              "promoted prefix aged out of the branch's retention " +
+              "window (raise history_keep); no branch manifest remains " +
+              "to tell")
+        case _ =>
+          throw new ConcurrentCommitException(
+            s"fast_forward: $mainDir advanced past the branch point " +
+              s"(head $mainHead is not on the branch) — the branch " +
+              "must rebase (re-branch from the new head and replay) " +
+              "before it can publish")
+      }
+    }
+    if (mfBytes(mainDir, mainHead) != branchBaseMf)
       throw new ConcurrentCommitException(
         s"fast_forward: $mainDir advanced past the branch point " +
           s"(head $mainHead is not on the branch) — the branch must " +
@@ -3189,7 +3262,12 @@ object MergeSink {
     // OWN stale claim regardless of TTL) — while a rerun of the SAME
     // publish after a crash re-takes its own leftover claims
     // immediately instead of waiting out the 15-minute TTL (the
-    // documented resumable contract).
+    // documented resumable contract). The deliberate flip side: two
+    // LIVE invocations of the same publish share the owner and both
+    // proceed — safe because they place byte-IDENTICAL content
+    // (idempotent links, verbatim manifests, same markers;
+    // linkDataDir tolerates the create race), so concurrent identical
+    // publishes CONVERGE rather than mutually exclude.
     val branchHead = commits(spark, branchDir).map(_.version).max
     val ffId = "ff" + java.security.MessageDigest.getInstance("MD5")
       .digest(s"$mainDir $branchDir $branchHead".getBytes("UTF-8"))

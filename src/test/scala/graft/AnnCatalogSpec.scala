@@ -239,6 +239,29 @@ class AnnCatalogSpec extends SparkSpec {
       .head().getLong(0) > 0)
   }
 
+  test("DROP TABLE unregisters the index: later source commits stay clean") {
+    val cat = freshCat("ghost")
+    spark.sql(s"CALL $cat.sys.create_ann('a.gix', 'a.vecs', 'vec_id', 'embedding')")
+    spark.sql(s"DROP TABLE $cat.a.gix")
+    spark.conf.set("spark.graft.autoRefreshAnn", "true")
+    try {
+      // a ghost _dependents line would resurrect the dropped index dir
+      // (or fail the commit outright) — the INSERT must just work
+      spark.sql(
+        s"""INSERT INTO $cat.a.vecs
+           |SELECT vec_id + 5000, embedding, 2 AS rv FROM $cat.a.vecs
+           |WHERE vec_id < 2""".stripMargin)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.a.vecs WHERE vec_id >= 5000")
+        .head().getLong(0) == 2)
+      // and the index name is reusable
+      spark.sql(
+        s"CALL $cat.sys.create_ann('a.gix', 'a.vecs', 'vec_id', 'embedding')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a.gix")
+        .head().getLong(0) > 0)
+    } finally spark.conf.unset("spark.graft.autoRefreshAnn")
+  }
+
   test(".detail reports ann_source/ann_lag; autoRefreshAnn advances in-commit") {
     val cat = freshCat("lag")
     spark.sql(s"CALL $cat.sys.create_ann('a.lix', 'a.vecs', 'vec_id', 'embedding')")

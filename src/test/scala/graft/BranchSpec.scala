@@ -211,6 +211,28 @@ class BranchSpec extends SparkSpec {
       s"must raise the actionable retention error, got: ${e.getMessage}")
   }
 
+  test("aged promoted prefix names BOTH possibilities (no manifest to tell)") {
+    val main = tmp("graft_br_main9")
+    val dev = tmp("graft_br_dev9")
+    MergeSink.setHistoryKeep(spark, main, 8)
+    MergeSink.upsertBatch(rows(0 until 10, 1), main, "id", "rv", 0L, "w")
+    MergeSink.branchTable(spark, main, dev)
+    MergeSink.setHistoryKeep(spark, dev, 1)
+    MergeSink.upsertBatch(rows(10 until 12, 2), dev, "id", "rv", 1L, "b")
+    assert(MergeSink.fastForward(spark, main, dev) == 1L)
+    // more branch commits age the PROMOTED version 1 out of the
+    // branch's own window; main sits at 1 (> base 0) — the branch can
+    // no longer prove whether main diverged or the prefix simply aged
+    (2 to 4).foreach(i =>
+      MergeSink.upsertBatch(rows(10 until 12, i + 1), dev, "id", "rv",
+        i.toLong, "b"))
+    val e = intercept[IllegalStateException] {
+      MergeSink.fastForward(spark, main, dev)
+    }
+    assert(e.getMessage.contains("no branch manifest remains"),
+      s"ambiguous case must name both causes, got: ${e.getMessage}")
+  }
+
   test("fast-forward resumes over an already-promoted prefix") {
     val main = tmp("graft_br_main4")
     val dev = tmp("graft_br_dev4")
