@@ -3194,14 +3194,20 @@ object MergeSink {
     // (verbatim-copied manifests make byte equality the exact test).
     // When the branch no longer RETAINS main's head version, the
     // recorded branch point (`_branch_base`, written at creation)
-    // distinguishes the cases: main still AT the branch point = the
-    // branch's own retention aged the proof out (raise history_keep);
-    // main PAST it = ambiguous between a promoted-prefix that aged and
-    // true divergence — both named, since no manifest remains to tell.
+    // distinguishes the cases: main still AT the branch point = PROVEN
+    // unchanged — every write (including RESTORE) mints a NEW higher
+    // version, so head version == branch-point version proves main
+    // never moved since the branch was cut, and promotion is sound
+    // even with zero retained branch manifests (this is what lets a
+    // history_keep=1 branch publish at all); main PAST it = ambiguous
+    // between a promoted prefix that aged and true divergence — both
+    // named, since no manifest remains to tell.
     val branchVersions = commits(spark, branchDir).map(_.version)
     val onBranch = branchVersions.contains(mainHead)
     val branchBaseMf = mfBytes(branchDir, mainHead)
-    if (!onBranch || branchBaseMf.isEmpty) {
+    val provenAtBase: Boolean = if (onBranch && branchBaseMf.nonEmpty) {
+      false // the manifest byte-equality check below is the proof
+    } else {
       val basePoint: Option[Long] = {
         val f = new Path(bp, "_branch_base")
         if (!bfs.exists(f)) None
@@ -3217,11 +3223,7 @@ object MergeSink {
         }
       }
       basePoint match {
-        case Some(b) if mainHead == b =>
-          throw new IllegalStateException(
-            s"fast_forward: the branch-point version $mainHead left " +
-              "the branch's retention window — raise history_keep on " +
-              "the branch before long-running divergence")
+        case Some(b) if mainHead == b => true
         case Some(b) if mainHead > b =>
           throw new IllegalStateException(
             s"fast_forward: the branch no longer retains version " +
@@ -3238,7 +3240,7 @@ object MergeSink {
               "before it can publish")
       }
     }
-    if (mfBytes(mainDir, mainHead) != branchBaseMf)
+    if (!provenAtBase && mfBytes(mainDir, mainHead) != branchBaseMf)
       throw new ConcurrentCommitException(
         s"fast_forward: $mainDir advanced past the branch point " +
           s"(head $mainHead is not on the branch) — the branch must " +
@@ -3283,13 +3285,19 @@ object MergeSink {
         claimed.foreach(v => mfs.delete(new Path(mp, s"_claim_v$v"), false))
         throw e
     }
+    // every content dir minted on the branch past main's head must
+    // reach main — NOT just cv == v: when branch retention aged out
+    // intermediate commits (e.g. history_keep=1), the surviving head
+    // manifest still CARRIES entries minted by the aged versions
+    // (bucket last written at cv=2 while only v4's manifest survives),
+    // and their data dirs survive GC because the retained manifest
+    // references them. cv <= mainHead entries already exist on main
+    // (the base snapshot or a previously promoted prefix).
+    val linkedCv = scala.collection.mutable.HashSet.empty[(Int, Long)]
     toPromote.foreach { c =>
       val v = c.version
-      // new content this commit minted (content version == v); carried
-      // entries (< v) were linked by the base snapshot or a previous
-      // promoted version
       manifest(spark, branchDir, v).foreach { case (b, cv) =>
-        if (cv == v)
+        if (cv > mainHead && linkedCv.add((b, cv)))
           linkDataDir(
             bfs, new Path(bp, s"data/b$b/v$cv"), new Path(mp, s"data/b$b/v$cv"))
       }

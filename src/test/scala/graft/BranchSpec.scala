@@ -192,23 +192,30 @@ class BranchSpec extends SparkSpec {
     assert(MergeSink.fastForward(spark, main, dev) == 1L)
   }
 
-  test("fast-forward names the retention window when the branch aged out its base manifest") {
+  test("keep=1 branch publishes from an untouched main (version equality proves it never moved)") {
     val main = tmp("graft_br_main8")
     val dev = tmp("graft_br_dev8")
     MergeSink.setHistoryKeep(spark, main, 8)
     MergeSink.upsertBatch(rows(0 until 10, 1), main, "id", "rv", 0L, "w")
     MergeSink.branchTable(spark, main, dev)
-    // long-lived branch with tiny retention: enough commits age the
-    // branch-point manifest out of the BRANCH's own window
+    // long-lived branch with tiny retention: commits age BOTH the
+    // branch-point manifest AND the intermediate branch manifests out
+    // of the branch's own window — main's head version still equals
+    // `_branch_base`, which proves main never moved (every write mints
+    // a new higher version), so publication is sound: only the
+    // surviving head version is promoted, and every data dir its
+    // manifest carries (including ones minted by the aged commits)
+    // reaches main
     MergeSink.setHistoryKeep(spark, dev, 1)
     (1 to 3).foreach(i =>
       MergeSink.upsertBatch(rows(10 until 15, i + 1), dev, "id", "rv",
         i.toLong, "b"))
-    val e = intercept[IllegalStateException] {
-      MergeSink.fastForward(spark, main, dev)
-    }
-    assert(e.getMessage.contains("retention window"),
-      s"must raise the actionable retention error, got: ${e.getMessage}")
+    assert(MergeSink.fastForward(spark, main, dev) == 1L,
+      "only the retained head version can be (and is) promoted")
+    assert(state(main) == state(dev))
+    // main's history records the gap honestly: v1 (pre-branch) then
+    // the promoted branch head, nothing fabricated in between
+    assert(MergeSink.commits(spark, main).map(_.version) == Seq(0L, 3L))
   }
 
   test("aged promoted prefix names BOTH possibilities (no manifest to tell)") {
