@@ -2129,8 +2129,9 @@ object Embeddings {
   // TABLE fed by the vector table's change feed. The coarse quantizer
   // is FROZEN at build time (the standard IVF maintenance discipline —
   // re-training is a rebuild, not a refresh); day-2 maintenance
-  // assigns ONLY the changed vectors (one bounded kmAssign over the
-  // delta's assertions, tombstones for net-deleted keys) and commits
+  // assigns ONLY the changed vectors (one bounded kmAssign over each
+  // side of the delta; tombstones for deleted keys and for re-embedded
+  // keys whose cell moved) and commits
   // exactly-once under the (runId, epoch = source version) contract —
   // the same discipline as MaterializedViews. At 100 TB: a day of new
   // embeddings costs O(batch × centroids), never a corpus re-index,
@@ -2139,10 +2140,14 @@ object Embeddings {
   // ---------------------------------------------------------------------
 
   /** Advance the postings table at `ixDir` to `srcDir`'s head under
-    * the frozen quantizer `ck2` (cent_id, cv, cnrm2). Returns rows
-    * written (assignments + tombstones; 0 = already current). Falls
-    * back to a full re-assignment when the last applied source version
-    * left retention.
+    * the frozen quantizer `ck2` (cent_id, cv, cnrm2). Returns the
+    * number of CHANGED KEYS folded in (rows written on a full build;
+    * 0 = already current). Falls back to a full re-assignment when the
+    * last applied source version left retention. The postings live
+    * under the cell-prunable layout: key (vec_id, cell),
+    * identity(cell) partitioning, bucket_by(vec_id) — bucket count
+    * from `spark.graft.annIndexBuckets` (default 2; size it so
+    * corpus / (centroids × buckets) rows fit one task's file).
     */
   /** The ANN maintainer's writer id for an index dir — commits tagged
     * with it carry the applied source version as their epoch (the
@@ -2170,6 +2175,25 @@ object Embeddings {
     val applied = MS.commits(s, ixDir)
       .filter(_.runId == runId).map(_.epoch).maxOption
     if (applied.contains(srcHead)) return 0L
+    // CELL-PRUNABLE LAYOUT, laid down before the index's first commit:
+    // key (vec_id, cell) with identity(cell) partitioning and
+    // bucket_by(vec_id). A search's probe cells then prune at the
+    // MANIFEST level (whole partitions of files drop before any footer
+    // is touched) while point lookups by vec_id still hash-prune
+    // through the bucket_by component. cell is a KEY column because a
+    // partition column must be bucket-stable across upserts — a
+    // re-embedded vector that moves cells is an explicit DELETE of
+    // (vec_id, oldCell) plus an INSERT of (vec_id, newCell), both
+    // derivable from the retraction delta alone (the frozen quantizer
+    // makes old-cell re-derivation deterministic).
+    if (MS.lastCommit(s, ixDir).isEmpty &&
+        MS.partitionSpec(s, ixDir).isEmpty) {
+      val nb = s.conf.getOption("spark.graft.annIndexBuckets")
+        .map(_.toInt).getOrElse(2)
+      MS.setPartitionSpec(s, ixDir, "identity", "cell", nb)
+      MS.setBucketBy(s, ixDir, Seq("vec_id"))
+    }
+    val ixKey = "vec_id,cell"
     // the postings table's OWN columns are engine-owned (vec_id/cell/
     // embedding/nrm) regardless of the source's naming — normalize the
     // source frames once at the boundary (no-op when names already match)
@@ -2193,10 +2217,10 @@ object Embeddings {
       val out = rows.withColumn("__rv", lit(srcHead)).localCheckpoint()
       val n = out.count()
       if (overwrite)
-        MS.overwriteBatch(out, ixDir, "vec_id", "__rv",
+        MS.overwriteBatch(out, ixDir, ixKey, "__rv",
           epochId = srcHead, runId = runId)
       else
-        MS.upsertBatch(out, ixDir, "vec_id", "__rv",
+        MS.upsertBatch(out, ixDir, ixKey, "__rv",
           epochId = srcHead, runId = runId)
       n
     }
@@ -2206,30 +2230,44 @@ object Embeddings {
         MS.changeDelta(s, srcDir, srcKey, fromV, srcHead) match {
           case None =>
             MS.currentState(s, ixDir).foreach(st =>
-              MS.upsertBatch(st.limit(0), ixDir, "vec_id", "__rv",
+              MS.upsertBatch(st.limit(0), ixDir, ixKey, "__rv",
                 epochId = srcHead, runId = runId))
             0L
           case Some(delta0) =>
+            // bounded by the changed keys; read three times below
+            // (plus-assignment, old-cell re-derivation, key count)
             val delta = normalized(delta0)
+              .filter(col("embedding").isNotNull)
+              .localCheckpoint()
             val plus = assignRows(delta.filter(col("__mult") === 1))
               .withColumn(MS.DeletedCol, lit(false))
-            // a key whose multiplicities net negative vanished entirely
-            val gone = delta
-              .groupBy(col("vec_id"))
-              .agg(sum(col("__mult")).as("m"))
-              .filter(col("m") < 0)
-              .select(col("vec_id"),
-                lit(null).cast("long").as("cell"),
+              .localCheckpoint()
+            // the -1 side carries each changed key's OLD embedding; the
+            // frozen quantizer re-derives its old cell deterministically.
+            // Tombstone every (vec_id, oldCell) the key does not re-land
+            // on: a pure delete, or a re-embedding that moved cells —
+            // the composite (vec_id, cell) key makes the old posting a
+            // distinct row that an upsert at the new cell cannot replace
+            val tombs = assignRows(delta.filter(col("__mult") === -1))
+              .select(col("vec_id"), col("cell"))
+              .join(plus.select(col("vec_id"), col("cell").as("__ncell")),
+                Seq("vec_id"), "left")
+              .filter(col("__ncell").isNull || col("__ncell") =!= col("cell"))
+              .select(col("vec_id"), col("cell"),
                 lit(null).cast("array<float>").as("embedding"),
                 lit(null).cast("double").as("nrm"),
                 lit(true).as(MS.DeletedCol))
-            commitIx(plus.unionByName(gone), overwrite = false)
+            commitIx(plus.unionByName(tombs), overwrite = false)
+            // the refresh's contract reports CHANGED KEYS, not batch
+            // rows (a moved cell costs two rows but is one key)
+            delta.select(col("vec_id")).distinct().count()
         }
       case _ =>
         // first build, or the delta's base left retention: full
         // re-assignment as ONE overwrite commit
         commitIx(
-          MS.currentState(s, srcDir).map(st => assignRows(normalized(st)))
+          MS.currentState(s, srcDir).map(st =>
+            assignRows(normalized(st).filter(col("embedding").isNotNull)))
             .getOrElse(return 0L),
           overwrite = true)
     }
@@ -2269,18 +2307,21 @@ object Embeddings {
     * `ann_search` path): ranks all centroids per query and keeps the
     * `p` nearest. `queries` is (query_id, qv); the centroid frame is
     * O(centroidCap) and broadcast, so the cross is bounded panel ×
-    * model — never panel × corpus. Returns (query_id, qv, qnrm, cell).
+    * model — never panel × corpus. Returns (query_id, qv, qnrm, cell)
+    * plus any `carry` columns passed through from the panel (the
+    * batched-search path rides its batch id along).
     */
   private[graft] def annProbe(
       queries: DataFrame,
       ck2: DataFrame,
-      p: Int): DataFrame = {
+      p: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("cent_id").asc)
     queries
-      .select(col("query_id"), col("qv"),
-        fdot(col("qv"), col("qv")).as("qnrm2"))
+      .select(col("query_id") +: col("qv") +:
+        fdot(col("qv"), col("qv")).as("qnrm2") +: carry.map(col): _*)
       .join(broadcast(ck2), lit(true))
       .withColumn(
         "l2",
@@ -2288,10 +2329,10 @@ object Embeddings {
       .withColumn("prb", row_number().over(wProbe))
       .filter(col("prb") <= p)
       .select(
-        col("query_id"),
-        col("qv"),
-        sqrt(col("qnrm2")).as("qnrm"),
-        col("cent_id").as("cell"))
+        col("query_id") +:
+        col("qv") +:
+        sqrt(col("qnrm2")).as("qnrm") +:
+        col("cent_id").as("cell") +: carry.map(col): _*)
   }
 
   // ---------------------------------------------------------------------
@@ -2350,7 +2391,7 @@ object Embeddings {
     require(MS.commits(s, ix).map(_.version) == Seq(0L, 1L))
     // ---- query the SERVED postings table (multi-probe IVF) ----
     val served = s.read.format("graft-merge")
-      .option("path", ix).option("key", "vec_id").option("seq", "__rv")
+      .option("path", ix).option("key", "vec_id,cell").option("seq", "__rv")
       .load()
     val eFinal = MS.currentState(s, src).get
       .select(col("vec_id"), col("embedding"))

@@ -109,7 +109,11 @@ object AnnCatalog {
       // force training NOW — errors must surface before createTable
       .localCheckpoint()
     // postings schema is engine-owned: (vec_id, cell, embedding, nrm)
-    // keyed by vec_id — the source's naming maps at refresh time
+    // under the CELL-PRUNABLE layout — key (vec_id, cell),
+    // identity(cell) partitioning, bucket_by(vec_id) — so a search's
+    // probe cells prune whole manifest partitions while vec_id point
+    // lookups still hash-prune (see [[Embeddings.annIndexRefresh]],
+    // which lays the same layout down for non-catalog index dirs)
     val schema = StructType(Seq(
       StructField("vec_id", keyType),
       StructField("cell", LongType),
@@ -118,14 +122,18 @@ object AnnCatalog {
       StructField("__rv", LongType)))
     val P = org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX
     val props = new java.util.HashMap[String, String]()
-    props.put("key", "vec_id")
+    props.put("key", "vec_id,cell")
     props.put("seq", "__rv")
+    props.put(P + "bucket_by", "vec_id")
+    props.put(P + "buckets",
+      spark.conf.getOption("spark.graft.annIndexBuckets").getOrElse("2"))
     props.put(P + PSrc, srcIdent)
     props.put(P + PKey, keyCol)
     props.put(P + PVec, vecCol)
     val ixTableIdent = MaterializedViews.identOf(ixIdent)
     cat.createTable(ixTableIdent, schema,
-      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("cell")),
       props)
     // anything failing past this point drops the staged table — the
     // CALL either completes (table + sidecar + first build) or leaves
@@ -276,18 +284,64 @@ object AnnCatalog {
     val ck2 = centroids(spark, ixOpts("path"))
     val served = spark.read.format("graft-merge")
       .option("path", ixOpts("path"))
-      .option("key", "vec_id").option("seq", "__rv")
+      // the index table's OWN key — (vec_id, cell) on the
+      // cell-prunable layout; a pre-layout index reads under its
+      // recorded single key
+      .option("key", ixOpts.getOrElse("key", "vec_id"))
+      .option("seq", "__rv")
       .load()
-    def searchPanel(p: DataFrame): DataFrame = {
-      val probe = Embeddings.annProbe(p, ck2, probes)
-        // probe cell inherits the source key's type; the served
-        // postings' cell is BIGINT — align the equi-join key exactly
-        .withColumn("cell", col("cell").cast("long"))
+    val qn = panel.count() // materializes the lazy checkpoint
+    // batch the panel: each query rides exactly one batch (panel keys
+    // are unique — it is a merge table's latest state), so the union
+    // of per-batch top-k IS the whole answer. zipWithIndex assigns
+    // batch ids DISTRIBUTED with an EXACT ≤ maxPanel bound (a global
+    // row_number window would funnel the whole — by definition
+    // over-cap — panel through one task; a hash split bounds only in
+    // expectation).
+    val nBatches = math.max(1, ((qn + maxPanel - 1) / maxPanel).toInt)
+    val withBatch =
+      if (nBatches == 1) panel.withColumn("__batch", lit(0))
+      else {
+        val pSchema = panel.schema
+          .add(org.apache.spark.sql.types.StructField(
+            "__batch", org.apache.spark.sql.types.IntegerType,
+            nullable = false))
+        spark.createDataFrame(
+          panel.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (i / maxPanel).toInt)
+          }, pSchema)
+          .localCheckpoint() // assign once; every batch filters from it
+      }
+    // ONE probe pass for the WHOLE panel (the batch id rides through),
+    // checkpointed so the cell collect below and every per-batch
+    // broadcast read the same blocks
+    val probe = Embeddings
+      .annProbe(withBatch, ck2, probes, carry = Seq("__batch"))
+      // probe cell inherits the source key's type; the served
+      // postings' cell is BIGINT — align the equi-join key exactly
+      .withColumn("cell", col("cell").cast("long"))
+      .localCheckpoint(eager = false)
+    // the probed cells are DRIVER-BOUNDED (≤ centroidCap distinct
+    // values, whatever the panel size): collect them and push a STATIC
+    // `cell IN (...)` predicate into the served scan. On the
+    // cell-prunable layout that is manifest-level file pruning —
+    // candidate IO is the probed cells' files, never the whole index;
+    // a pre-layout index still gets parquet row-group skipping from
+    // the same pushed predicate.
+    val cells = probe.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned0 = served.filter(col("cell").isin(cells.map(c => c: Any): _*))
+    // one pruned scan serves every batch
+    val pruned =
+      if (nBatches == 1) pruned0 else pruned0.localCheckpoint(eager = false)
+    def searchBatch(b: Int): DataFrame = {
+      val bp = probe.filter(col("__batch") === b).drop("__batch")
       val wRank = Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      served
-        .join(broadcast(probe), Seq("cell"))
+      pruned
+        .join(broadcast(bp), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
@@ -296,35 +350,7 @@ object AnnCatalog {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }
-    val qn = panel.count() // materializes the lazy checkpoint
-    val out =
-      if (qn <= maxPanel) searchPanel(panel)
-      else {
-        // batch the panel: each query rides exactly one batch (panel
-        // keys are unique — it is a merge table's latest state), so the
-        // union of per-batch top-k IS the whole answer. zipWithIndex
-        // assigns batch ids DISTRIBUTED with an EXACT ≤ maxPanel bound
-        // (a global row_number window would funnel the whole — by
-        // definition over-cap — panel through one task; a hash split
-        // bounds only in expectation). Each batch re-probes the
-        // postings independently: total work is panels × probe cost,
-        // each slice response-sized — the bound the cap exists for.
-        val nb = ((qn + maxPanel - 1) / maxPanel).toInt
-        val pSchema = panel.schema
-          .add(org.apache.spark.sql.types.StructField(
-            "__batch", org.apache.spark.sql.types.IntegerType,
-            nullable = false))
-        val batched = spark.createDataFrame(
-          panel.rdd.zipWithIndex().map { case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(
-              r.toSeq :+ (i / maxPanel).toInt)
-          }, pSchema)
-          .localCheckpoint() // assign once; every batch filters from it
-        (0 until nb)
-          .map(b => searchPanel(
-            batched.filter(col("__batch") === b).drop("__batch")))
-          .reduce(_ unionAll _)
-      }
-    out.orderBy(col("query_id"), col("rank"))
+    (0 until nBatches).map(searchBatch).reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("rank"))
   }
 }

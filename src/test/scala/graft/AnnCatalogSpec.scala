@@ -107,6 +107,29 @@ class AnnCatalogSpec extends SparkSpec {
     assert(got == bruteTopK(cat, panelIds, 4))
   }
 
+  test("probes-limited ann_search plans strictly fewer postings files than the manifest total") {
+    val cat = freshCat("prune")
+    spark.sql(
+      s"CALL $cat.sys.create_ann('a.vix', 'a.vecs', 'vec_id', 'embedding')")
+    makePanel(cat, Seq(42L))
+    // probes=1 → one probed cell of the 7 the stride seed mints; the
+    // static cell IN (...) pushed into the served scan must drop every
+    // other identity(cell) partition at the MANIFEST level — the scan
+    // plans a strict subset of the postings files (the postings scan
+    // is the LAST graft scan the search plans: panel + probe read
+    // checkpointed blocks)
+    graft.sources.GraftMergeScan.lastPrune.set(null)
+    val rows = spark
+      .sql(s"CALL $cat.sys.ann_search('a.vix', 'a.panel', 3, 1)")
+      .collect()
+    assert(rows.nonEmpty, "probes=1 search returned nothing")
+    val prune = graft.sources.GraftMergeScan.lastPrune.get()
+    assert(prune != null, "postings scan never planned")
+    val (planned, total, _) = prune
+    assert(planned < total,
+      s"probe cells did not prune postings files: planned $planned of $total")
+  }
+
   test("refresh_ann folds exactly the changed keys and is free at head") {
     val cat = freshCat("incr")
     spark.sql(s"CALL $cat.sys.create_ann('a.vix', 'a.vecs', 'vec_id', 'embedding')")
