@@ -1066,7 +1066,9 @@ class GraftMergeScan(
     * partition-index arithmetic ([[GraftFunctions.TimeTransformBound]]
     * vs [[MergeSink.partIdxExprOn]]); identity partitioning reports
     * the bare column (sound only for INT columns, where the column
-    * value IS the partition index the scan's partition keys carry).
+    * value IS the partition index the scan's partition keys carry) —
+    * except DATE, whose int cast is exactly epoch days, reported as
+    * the equivalent `days(col)`.
     */
   private lazy val spjPartTransform
       : Option[org.apache.spark.sql.connector.expressions.Transform] =
@@ -1084,6 +1086,12 @@ class GraftMergeScan(
         case "year" if timeOk => Some(Expressions.years(ps.column))
         case "identity" if srcType.contains(IntegerType) =>
           Some(Expressions.identity(ps.column))
+        // identity over DATE casts to int = epoch days — the layout's
+        // grouping IS days(col), so report it as such (sound: same
+        // arithmetic both sides; LONG stays out — the int cast
+        // truncates high bits, which identity would misreport)
+        case "identity" if srcType.contains(DateType) =>
+          Some(Expressions.days(ps.column))
         case _ => None
       }
     }

@@ -174,11 +174,26 @@ object MergeSink {
         (year(c) - lit(1970)) * lit(12) + (month(c) - lit(1))
       case "hour" =>
         // instant hours since epoch (dates/NTZ resolve to an instant
-        // through the session zone, exactly like a CAST to TIMESTAMP)
-        floor(unix_micros(c.cast("timestamp")) / lit(3600L * 1000000L))
-          .cast("int")
+        // through the session zone, exactly like a CAST to TIMESTAMP).
+        // EXACT for every long: a double division of the raw micros
+        // rounds for |micros| > 2^53 and could disagree with the
+        // reader's Math.floorDiv by one hour (a silent mis-prune) —
+        // subtract pmod first (an exact multiple of the divisor), so
+        // the quotient's double error is < 3e-7 and round() recovers
+        // the exact integer
+        {
+          val um = unix_micros(c.cast("timestamp"))
+          val d = lit(3600L * 1000000L)
+          round((um - pmod(um, d)) / d).cast("int")
+        }
       case "year" => (year(c) - lit(1970)).cast("int")
-      case "identity" => c.cast("int")
+      case "identity" =>
+        // type-dispatching at resolution: DATE's internal int IS the
+        // epoch day (ANSI forbids the SQL-level cast), BIGINT range-
+        // checks, INT passes through — see [[graft.plans.IdentityPartIdx]]
+        org.apache.spark.sql.graft.Exprs.column(
+          graft.plans.IdentityPartIdx(
+            org.apache.spark.sql.graft.Exprs.expression(c)))
     }
 
   /** The same partition index evaluated driver-side on a pushed
@@ -237,9 +252,13 @@ object MergeSink {
       case "year" => local(value).map(_.getYear - 1970)
       case "identity" => value match {
         case i: Int => Some(i)
-        case l: Long => Some(l.toInt)
+        case l: Long => if (l == l.toInt) Some(l.toInt) else None
         case s: Short => Some(s.toInt)
         case b: Byte => Some(b.toInt)
+        // identity over DATE: the index is the epoch day (the writer's
+        // internal int — see [[graft.plans.IdentityPartIdx]])
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
         case _ => None
       }
     }
@@ -1041,6 +1060,16 @@ object MergeSink {
       s"partitioned table: transform column '${ps.column}' must be one " +
         s"of the merge key columns (${kcols.mkString(",")}) — a key's " +
         "bucket must be stable across upserts"))
+    // the DDL path validates this at CREATE; a direct-API caller who
+    // laid down _bucket_by by hand gets the same check at the first
+    // write — a non-key hash column would move an updated key to a
+    // different bucket and leave its old version live in the previous
+    // one (silent duplicate keys on read)
+    bucketBy(spark, dir).foreach(_.foreach(c =>
+      require(kcols.contains(c),
+        s"bucket_by column '$c' must be one of the merge key columns " +
+          s"(${kcols.mkString(",")}) — a key's bucket must be stable " +
+          "across upserts")))
     val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
@@ -1696,6 +1725,13 @@ object MergeSink {
     spec.foreach(ps => require(kcols.contains(ps.column),
       s"partitioned table: transform column '${ps.column}' must be one " +
         s"of the merge key columns (${kcols.mkString(",")})"))
+    // same stability rule as planUpsert: a non-key hash column would
+    // split one key across buckets on later upserts
+    bucketBy(spark, dir).foreach(_.foreach(c =>
+      require(kcols.contains(c),
+        s"bucket_by column '$c' must be one of the merge key columns " +
+          s"(${kcols.mkString(",")}) — a key's bucket must be stable " +
+          "across upserts")))
     val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)

@@ -145,6 +145,74 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("DATE identity partitioning reports days(col): SPJ zero-shuffle join") {
+    val cat = freshCatalog()
+    for ((t, m) <- Seq("ia" -> 1, "ib" -> 7)) {
+      spark.sql(
+        s"""CREATE TABLE $cat.db.$t (uid BIGINT, d DATE, seq BIGINT, v DOUBLE)
+           |USING `graft-merge`
+           |OPTIONS (key 'uid,d', seq 'seq', bucket_by 'uid')
+           |PARTITIONED BY (d)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $cat.db.$t
+           |SELECT id, date_add(DATE '2024-03-01', CAST(id % 5 AS INT)),
+           |  1L, id * $m.0
+           |FROM range(250)""".stripMargin)
+    }
+    withSpjConfs {
+      // identity over DATE groups by the int cast = epoch days, so the
+      // scan reports days(d) — the same clustering a days() layout
+      // reports, and the join runs shuffle-free
+      val j = spark.sql(
+        s"""SELECT a.uid, a.d, a.v, b.v AS w FROM $cat.db.ia a
+           |JOIN $cat.db.ib b ON a.uid = b.uid AND a.d = b.d""".stripMargin)
+      assert(shufflesOf(j) == 0,
+        s"DATE identity SPJ did not engage:\n${j.queryExecution.executedPlan}")
+      val got = j.collect()
+      assert(got.length == 250)
+      assert(got.forall(r => r.getDouble(3) == 7 * r.getDouble(2)))
+    }
+  }
+
+  test("bucket_by lookups locate the hashed columns with and without a key list") {
+    val MS = graft.streaming.MergeSink
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i % 10, i, 1L, i * 2.0))
+      .toDF("k1", "k2", "seq", "v")
+    // bucket_by a SUBSET of the composite key
+    val dir = java.nio.file.Files.createTempDirectory("graft_spj_lkp").toString
+    MS.setBucketBy(spark, dir, Seq("k2"))
+    MS.upsertBatch(df, dir, "k1,k2", "seq", 0L, "w")
+    val withKey =
+      MS.lookupFilesTuples(spark, dir, Seq(Seq(3L, 13L)), key = "k1,k2")
+    assert(withKey.nonEmpty)
+    // no key list, arity == bucket_by arity: the values ARE the hashed
+    // columns (the runtime-filter path's contract)
+    assert(MS.lookupFilesTuples(spark, dir, Seq(Seq(13L))) == withKey)
+    // the pruned bucket really holds the row
+    val rows = MS.pointLookupTuples(spark, dir, "k1,k2", Seq(Seq(3L, 13L)))
+      .get.collect()
+    assert(rows.length == 1 && rows.head.getDouble(3) == 26.0)
+    // no key list + arity matching neither contract: ambiguous — refuse
+    intercept[IllegalArgumentException] {
+      MS.lookupFilesTuples(spark, dir, Seq(Seq(3L, 13L)))
+    }
+    // composite bucket_by in NON-declared-key order: a key list resolves
+    // positions; without one the tuple must arrive in bucket_by order —
+    // and the ambiguous full-arity case (tuple size == bucket_by size ==
+    // key size) resolves to the bucket_by-order reading
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_spj_lkp2").toString
+    MS.setBucketBy(spark, dir2, Seq("k2", "k1"))
+    MS.upsertBatch(df, dir2, "k1,k2", "seq", 0L, "w")
+    val wk2 = MS.lookupFilesTuples(spark, dir2, Seq(Seq(3L, 13L)), key = "k1,k2")
+    assert(wk2.nonEmpty)
+    assert(MS.lookupFilesTuples(spark, dir2, Seq(Seq(13L, 3L))) == wk2)
+    val rows2 = MS.pointLookupTuples(spark, dir2, "k1,k2", Seq(Seq(3L, 13L)))
+      .get.collect()
+    assert(rows2.length == 1 && rows2.head.getDouble(3) == 26.0)
+  }
+
   test("hours-partitioned table round-trips and prunes") {
     val cat = freshCatalog()
     spark.sql(
