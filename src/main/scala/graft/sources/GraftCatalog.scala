@@ -1226,8 +1226,8 @@ object GraftProcedures {
       "create_mv", "create_mv_join", "create_mv_star", "refresh_mv",
       "create_tag", "drop_tag", "wap_publish", "wap_abort",
       "add_check", "drop_check", "refresh_dependents",
-      "drop_partitions", "create_ann", "refresh_ann", "ann_search",
-      "create_branch", "fast_forward")
+      "drop_partitions", "evolve_partition", "create_ann", "refresh_ann",
+      "ann_search", "create_branch", "fast_forward")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -1254,6 +1254,7 @@ object GraftProcedures {
       case "drop_check" => Some(new DropCheckProc(cat))
       case "refresh_dependents" => Some(new RefreshDependentsProc(cat))
       case "drop_partitions" => Some(new DropPartitionsProc(cat))
+      case "evolve_partition" => Some(new EvolvePartitionProc(cat))
       case "create_ann" => Some(new CreateAnnProc(cat))
       case "refresh_ann" => Some(new RefreshAnnProc(cat))
       case "ann_search" => Some(new AnnSearchProc(cat))
@@ -1427,6 +1428,38 @@ object GraftProcedures {
       MergeSink.dropPartitions(
         SparkSession.active, opts("path"),
         input.getUTF8String(1).toString, value)
+    }
+  }
+
+  /** `CALL cat.sys.evolve_partition('ns.t', 'hours', 4)` —
+    * PARTITION-SPEC EVOLUTION ([[MergeSink.evolvePartitionSpec]], the
+    * Iceberg shape): the new transform (same column) applies to data
+    * written from now on; existing partitions keep their generation's
+    * layout and prune under it; upserts migrate touched old buckets
+    * lazily; a full `CALL compact` migrates everything and re-earns
+    * storage-partitioned joins. Returns the new generation's bucket-id
+    * offset.
+    */
+  final class EvolvePartitionProc(cat: GraftCatalog)
+      extends MaintenanceProc(cat, "evolve_partition", "gen_offset",
+        Seq(ProcedureParameter.in("kind", StringType)
+          .comment("hour | day | month | year | identity").build(),
+          ProcedureParameter.in("buckets", IntegerType)
+            .comment("hash buckets per new-generation partition").build())) {
+    override protected def retriesCommits: Boolean = true
+    override def description(): String =
+      "evolve the partition transform: new data under the new layout, " +
+        "old partitions read under theirs"
+    override protected def run(
+        opts: Map[String, String], input: InternalRow): Int = {
+      // accept the DDL spellings (days/months/hours/years) too
+      val kind = input.getUTF8String(1).toString
+        .toLowerCase(java.util.Locale.ROOT).stripSuffix("s") match {
+        case "identitie" | "identity" => "identity"
+        case k => k
+      }
+      MergeSink.evolvePartitionSpec(
+        SparkSession.active, opts("path"), kind, input.getInt(2))
     }
   }
 

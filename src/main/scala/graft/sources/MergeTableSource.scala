@@ -1058,7 +1058,14 @@ class GraftMergeScan(
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean &&
       resolvedVersion.isDefined &&
-      (tableSpec.isEmpty || spjPartTransform.isDefined)
+      (tableSpec.isEmpty || spjPartTransform.isDefined) &&
+      // an EVOLVED table co-locates only once every bucket lives under
+      // the current generation (a retired generation's ids decode with
+      // different arithmetic — claiming the current transform over
+      // them would lie); a full compaction migrates everything and
+      // re-earns the shuffle-free plan
+      (tableGens.size <= 1 ||
+        snapshotFiles.keySet.forall(_ >= tableGens.last.offset))
 
   /** The partition-level V2 transform of a partitioned layout —
     * `days(col)`/`months(col)`/`hours(col)`/`years(col)` resolve
@@ -1318,9 +1325,28 @@ class GraftMergeScan(
     case None => MergeSink.lastCommit(spark, dir).map(_.version)
   }
 
-  /** The table's partition layout, if declared (read once per scan). */
+  /** Every partition-spec generation (read once per scan); empty =
+    * not a partitioned table. See [[MergeSink.evolvePartitionSpec]].
+    */
+  private lazy val tableGens: Seq[MergeSink.SpecGen] =
+    MergeSink.partitionSpecGens(spark, dir)
+
+  /** The generation decode table for THIS snapshot: retired
+    * generations' moduli are frozen in their spec lines; the CURRENT
+    * generation's is the resolved version's manifest header (the
+    * rebucketing-compaction authority, exactly as before evolution
+    * existed).
+    */
+  private lazy val decodeGens: Seq[MergeSink.SpecGen] =
+    if (tableGens.isEmpty || resolvedVersion.isEmpty) tableGens
+    else tableGens.init :+ MergeSink.SpecGen(
+      tableGens.last.spec.copy(
+        nb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)),
+      tableGens.last.offset)
+
+  /** The table's CURRENT partition layout, if declared. */
   private lazy val tableSpec: Option[MergeSink.PartitionSpec] =
-    MergeSink.partitionSpec(spark, dir)
+    tableGens.lastOption.map(_.spec)
 
   /** The snapshot's bucket files, listed ONCE per scan (statistics,
     * fileCounts, and planning all reuse it — formerly three listings).
@@ -1348,45 +1374,64 @@ class GraftMergeScan(
     // conjuncts on the transform's SOURCE column bound the partition
     // index range — `day(ts)` is monotone in ts, so ts >= X implies
     // idx >= day(X) — and the global bucket id encodes the index as
-    // `id / nb`, so whole periods drop out of the manifest BEFORE any
-    // file (or even footer) is touched. A conservative SUPERSET prune:
-    // unrecognized literal types or filter shapes simply don't narrow,
-    // and Spark re-evaluates every filter post-scan regardless.
-    val partPruned: Map[Int, (Long, Seq[String])] = tableSpec match {
-      case None => all
-      case Some(ps) =>
-        val pcol = ps.column
-        var lo = Int.MinValue
-        var hi = Int.MaxValue
-        var inSet: Option[Set[Int]] = None
-        pushed.foreach {
-          case org.apache.spark.sql.sources.EqualTo(`pcol`, v) =>
-            MergeSink.partIdxOf(ps, v).foreach { i =>
-              lo = math.max(lo, i); hi = math.min(hi, i)
-            }
-          case org.apache.spark.sql.sources.In(`pcol`, vs)
-              if vs.nonEmpty && !vs.contains(null) =>
-            val idxs = vs.toSeq.map(v => MergeSink.partIdxOf(ps, v))
-            if (idxs.forall(_.isDefined)) {
-              val s = idxs.flatten.toSet
-              inSet = Some(inSet.fold(s)(_ intersect s))
-            }
-          case org.apache.spark.sql.sources.GreaterThan(`pcol`, v) =>
-            MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
-          case org.apache.spark.sql.sources.GreaterThanOrEqual(`pcol`, v) =>
-            MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
-          case org.apache.spark.sql.sources.LessThan(`pcol`, v) =>
-            MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
-          case org.apache.spark.sql.sources.LessThanOrEqual(`pcol`, v) =>
-            MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
-          case _ => ()
+    // `(id - gen offset) / gen nb`, so whole periods drop out of the
+    // manifest BEFORE any file (or even footer) is touched. On an
+    // evolved table each GENERATION prunes at its own granularity
+    // (bounds re-derived per generation from the same predicates). A
+    // conservative SUPERSET prune: unrecognized literal types or
+    // filter shapes simply don't narrow, and Spark re-evaluates every
+    // filter post-scan regardless.
+    val partPruned: Map[Int, (Long, Seq[String])] =
+      if (decodeGens.isEmpty) all
+      else {
+        def boundsOf(ps: MergeSink.PartitionSpec)
+            : (Int, Int, Option[Set[Int]]) = {
+          val pcol = ps.column
+          var lo = Int.MinValue
+          var hi = Int.MaxValue
+          var inSet: Option[Set[Int]] = None
+          pushed.foreach {
+            case org.apache.spark.sql.sources.EqualTo(`pcol`, v) =>
+              MergeSink.partIdxOf(ps, v).foreach { i =>
+                lo = math.max(lo, i); hi = math.min(hi, i)
+              }
+            case org.apache.spark.sql.sources.In(`pcol`, vs)
+                if vs.nonEmpty && !vs.contains(null) =>
+              val idxs = vs.toSeq.map(v => MergeSink.partIdxOf(ps, v))
+              if (idxs.forall(_.isDefined)) {
+                val s = idxs.flatten.toSet
+                inSet = Some(inSet.fold(s)(_ intersect s))
+              }
+            case org.apache.spark.sql.sources.GreaterThan(`pcol`, v) =>
+              MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
+            case org.apache.spark.sql.sources.GreaterThanOrEqual(`pcol`, v) =>
+              MergeSink.partIdxOf(ps, v).foreach(i => lo = math.max(lo, i))
+            case org.apache.spark.sql.sources.LessThan(`pcol`, v) =>
+              MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
+            case org.apache.spark.sql.sources.LessThanOrEqual(`pcol`, v) =>
+              MergeSink.partIdxOf(ps, v).foreach(i => hi = math.min(hi, i))
+            case _ => ()
+          }
+          (lo, hi, inSet)
         }
-        if (lo == Int.MinValue && hi == Int.MaxValue && inSet.isEmpty) all
+        // an `eq`/`in` bound on a COARSER retired generation than the
+        // literal (a timestamp equality against a days() generation)
+        // is exact because partIdxOf maps the literal into THAT
+        // generation's index space; range bounds are monotone in every
+        // kind, so each generation's bounds are sound independently
+        val genBounds: Map[Int, (Int, Int, Option[Set[Int]])] =
+          decodeGens.map(g => g.offset -> boundsOf(g.spec)).toMap
+        val narrows = genBounds.values.exists { case (lo, hi, s) =>
+          lo != Int.MinValue || hi != Int.MaxValue || s.isDefined
+        }
+        if (!narrows) all
         else all.filter { case (b, _) =>
-          val idx = Math.floorDiv(b, writerNb)
+          val g = MergeSink.genOfBucket(decodeGens, b)
+          val idx = Math.floorDiv(b - g.offset, g.spec.nb)
+          val (lo, hi, inSet) = genBounds(g.offset)
           idx >= lo && idx <= hi && inSet.forall(_.contains(idx))
         }
-    }
+      }
     // compile-time pushed key tuples AND runtime (join-driven) hash
     // tuples each bound the bucket set; both present -> intersection.
     // Static tuples are kcols-aligned (they may also pin the partition
@@ -1397,31 +1442,51 @@ class GraftMergeScan(
         .getOrElse(LongType)
     val hashIdx = hashCols.map(kcols.indexOf)
     val hashDts = hashCols.map(dtOf)
-    def hashOf(hv: Seq[Any]): Int =
-      MergeTableUtil.bucketOfTuple(hv, hashDts, writerNb)
+    def hashOf(hv: Seq[Any], modulus: Int): Int =
+      MergeTableUtil.bucketOfTuple(hv, hashDts, modulus)
+    // the hash component of a global id under ITS generation's modulus
+    def hashCompOf(b: Int): (MergeSink.SpecGen, Int) = {
+      val g = MergeSink.genOfBucket(decodeGens, b)
+      (g, Math.floorMod(b - g.offset, g.spec.nb))
+    }
     // per-source predicate over the GLOBAL bucket id; None = that
-    // source cannot narrow (never mis-prunes)
+    // source cannot narrow (never mis-prunes). On an evolved table a
+    // key may live under ANY generation (lazy migration): a tuple's
+    // candidate set is one bucket per generation, each derived at that
+    // generation's granularity and modulus.
     val staticPred: Option[Int => Boolean] = keyValues.flatMap { ts =>
       if (!hashIdx.forall(_ >= 0)) None
       else {
         val pcolPos = tableSpec.map(ps => kcols.indexOf(ps.column))
         val perTuple: Seq[Option[Int => Boolean]] = ts.map { t =>
-          val h = hashOf(hashIdx.map(t))
-          (tableSpec, pcolPos) match {
-            case (Some(ps), Some(pos)) if pos >= 0 =>
-              MergeSink.partIdxOf(ps, t(pos)) match {
-                // the key tuple CONTAINS the transform column, so an
-                // equality read resolves to ONE (partition, hash) pair
-                case Some(pi) =>
-                  Some((b: Int) => b == pi * writerNb + h)
-                // unrecognized partition value type: the hash component
-                // still prunes nb-fold
-                case None =>
-                  Some((b: Int) => Math.floorMod(b, writerNb) == h)
+          (decodeGens, pcolPos) match {
+            case (gens, Some(pos)) if gens.nonEmpty && pos >= 0 =>
+              val perGen: Seq[Int => Boolean] = gens.map { g =>
+                val h = hashOf(hashIdx.map(t), g.spec.nb)
+                MergeSink.partIdxOf(g.spec, t(pos)) match {
+                  // the key tuple CONTAINS the transform column, so an
+                  // equality read resolves to ONE (partition, hash)
+                  // pair per generation
+                  case Some(pi) =>
+                    (b: Int) => b == g.offset + pi * g.spec.nb + h
+                  // unrecognized partition value type: the hash
+                  // component still prunes nb-fold within the gen
+                  case None =>
+                    (b: Int) => {
+                      val (bg, bh) = hashCompOf(b)
+                      bg.offset == g.offset && bh == h
+                    }
+                }
               }
-            case (Some(_), _) =>
-              Some((b: Int) => Math.floorMod(b, writerNb) == h)
-            case _ => Some((b: Int) => b == h)
+              Some((b: Int) => perGen.exists(_(b)))
+            case (gens, _) if gens.nonEmpty =>
+              Some((b: Int) => {
+                val (bg, bh) = hashCompOf(b)
+                bh == hashOf(hashIdx.map(t), bg.spec.nb)
+              })
+            case _ =>
+              val h = hashOf(hashIdx.map(t), writerNb)
+              Some((b: Int) => b == h)
           }
         }
         if (perTuple.forall(_.isDefined))
@@ -1430,8 +1495,18 @@ class GraftMergeScan(
       }
     }
     val runtimePred: Option[Int => Boolean] = runtimeKeys.map { ts =>
-      val hs = ts.map(hashOf).toSet
-      (b: Int) => hs.contains(Math.floorMod(b, writerNb))
+      if (decodeGens.isEmpty) {
+        val hs = ts.map(hashOf(_, writerNb)).toSet
+        (b: Int) => hs.contains(Math.floorMod(b, writerNb))
+      } else {
+        // per-generation hash sets (moduli differ across generations)
+        val byNb = decodeGens.map(_.spec.nb).distinct
+          .map(nb => nb -> ts.map(hashOf(_, nb)).toSet).toMap
+        (b: Int) => {
+          val (bg, bh) = hashCompOf(b)
+          byNb(bg.spec.nb).contains(bh)
+        }
+      }
     }
     val preds = Seq(staticPred, runtimePred).flatten
     val buckets =
@@ -1500,11 +1575,14 @@ class GraftMergeScan(
         // otherwise. Spark groups same-key partitions itself, so a
         // multi-file bucket still reads in one key group.
         val nb = MergeSink.bucketCount(spark, dir, resolvedVersion.get)
+        // spjMode guarantees every id is current-generation (offset 0
+        // on a never-evolved table)
+        val off = tableGens.lastOption.map(_.offset).getOrElse(0)
         plannedFiles(snapshotFiles).groupBy(_.bucket).toSeq.sortBy(_._1)
           .map { case (b, fs) =>
             val key =
               if (tableSpec.isDefined)
-                Seq(Math.floorDiv(b, nb), Math.floorMod(b, nb))
+                Seq(Math.floorDiv(b - off, nb), Math.floorMod(b - off, nb))
               else Seq(b)
             MergeFilePartition(fs, Some(key)): InputPartition
           }.toArray

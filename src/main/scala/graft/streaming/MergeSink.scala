@@ -139,21 +139,157 @@ object MergeSink {
     finally out.close()
   }
 
-  def partitionSpec(spark: SparkSession, dir: String): Option[PartitionSpec] = {
+  /** One generation of a table's partition layout: its transform plus
+    * the base offset of its global-bucket-id range. Generation i owns
+    * ids `[offset_i, offset_{i+1})` (the last generation is unbounded
+    * above) — [[evolvePartitionSpec]] appends generations, so a bucket
+    * id's generation is decidable forever, including for time travel.
+    */
+  final case class SpecGen(spec: PartitionSpec, offset: Int)
+
+  /** Every recorded partition-spec generation, creation order (the
+    * LAST one is current — what new writes route by). Empty = not a
+    * partitioned table. Legacy single-line files parse as one
+    * generation at offset 0.
+    */
+  def partitionSpecGens(spark: SparkSession, dir: String): Seq[SpecGen] = {
     val (fs, p) = fsOf(spark, dir)
     val f = new Path(p, "_partition_spec")
-    if (!fs.exists(f)) None
+    if (!fs.exists(f)) Seq.empty
     else {
       val in = fs.open(f)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().nextOption().map(_.trim).getOrElse("")
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
-      line.split('\t') match {
-        case Array(k, c, n) => Some(PartitionSpec(k, c, n.toInt))
-        case _ => throw new IllegalStateException(
-          s"corrupt _partition_spec on $dir: '$line'")
+      lines.map { line =>
+        line.split('\t') match {
+          case Array(k, c, n) => SpecGen(PartitionSpec(k, c, n.toInt), 0)
+          case Array(k, c, n, o) =>
+            SpecGen(PartitionSpec(k, c, n.toInt), o.toInt)
+          case _ => throw new IllegalStateException(
+            s"corrupt _partition_spec on $dir: '$line'")
+        }
       }
     }
+  }
+
+  /** The generation a global bucket id belongs to: the last one whose
+    * offset is <= the id (offsets ascend by construction).
+    */
+  private[graft] def genOfBucket(gens: Seq[SpecGen], b: Int): SpecGen =
+    gens.reverse.find(_.offset <= b).getOrElse(gens.head)
+
+  /** The CURRENT partition spec (what new writes route by); see
+    * [[partitionSpecGens]] for the full evolution history.
+    */
+  def partitionSpec(spark: SparkSession, dir: String): Option[PartitionSpec] =
+    partitionSpecGens(spark, dir).lastOption.map(_.spec)
+
+  /** PARTITION-SPEC EVOLUTION (the Iceberg shape): the new transform
+    * applies to data written FROM NOW ON; existing partitions stay in
+    * their generation's layout and read/prune under it. Mechanics: the
+    * new generation's bucket ids start ABOVE every id the table has
+    * ever minted (offset = head manifest's max id + 1), so the two id
+    * ranges never collide; an upsert that touches a key still living
+    * in a retired generation's bucket migrates that WHOLE bucket to
+    * the current layout (bucket-granular copy-on-write — the engine's
+    * unit of rewrite); a full compaction migrates everything, after
+    * which storage-partitioned joins re-engage. Same column only —
+    * re-partitioning on a different column is a rebuild (CTAS), not an
+    * evolution.
+    *
+    * Refuses while a RETAINED version predates a bucket-count change
+    * (rebucketing compaction): a retired generation's modulus is
+    * frozen at evolve time, so every retained version must agree on it
+    * or time travel would mis-decode old ids. Let retention age the
+    * pre-rebucket versions out (or VACUUM), then evolve.
+    *
+    * Returns the new generation's offset.
+    */
+  def evolvePartitionSpec(
+      spark: SparkSession,
+      dir: String,
+      kind: String,
+      nb: Int): Int = {
+    require(Set("hour", "day", "month", "year", "identity")(kind),
+      s"evolvePartitionSpec: unknown transform '$kind' " +
+        "(hour | day | month | year | identity)")
+    require(nb >= 1 && nb <= 65536, s"evolvePartitionSpec: bad bucket count $nb")
+    val gens = partitionSpecGens(spark, dir)
+    require(gens.nonEmpty,
+      s"evolvePartitionSpec: $dir is not a partitioned table — declare " +
+        "the first layout with setPartitionSpec before any commit")
+    val cur = gens.last.spec
+    val last = lastCommit(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"evolvePartitionSpec: $dir has no commits — use setPartitionSpec " +
+          "to (re)declare the layout of an empty table"))
+    if (cur.kind == kind && cur.nb == nb) {
+      // idempotent completion: an earlier evolve wrote the spec file
+      // but crashed before its pin commit — if the pin is missing,
+      // mint it now; a truly already-evolved table is a no-op re-CALL
+      require(gens.size > 1,
+        s"evolvePartitionSpec: $dir already partitions by " +
+          s"$kind(${cur.column}) with $nb buckets")
+      if (numBuckets(spark, dir, last.version) != nb &&
+          !manifest(spark, dir, last.version).keySet
+            .exists(_ >= gens.last.offset)) {
+        publish(
+          spark, dir, nb,
+          manifest(spark, dir, last.version),
+          touched = Set.empty,
+          rows = None,
+          last.version + 1,
+          runId = "maintenance",
+          epochId = last.version + 1,
+          prevVersion = Some(last.version),
+          sortedBy = manifestSortedBy(spark, dir, last.version),
+          schemaOverride = manifestSchema(spark, dir, last.version))
+      }
+      return gens.last.offset
+    }
+    val cs = commits(spark, dir)
+    val headNb = numBuckets(spark, dir, last.version)
+    require(cs.forall(c => numBuckets(spark, dir, c.version) == headNb),
+      s"evolvePartitionSpec: a retained version of $dir predates a " +
+        "bucket-count change — the retiring generation's modulus must be " +
+        "single-valued across retained history (let retention age the " +
+        "pre-rebucket versions out, then evolve)")
+    val m = manifest(spark, dir, last.version)
+    // above every id ever minted AND never below the current range's
+    // base (offsets must ascend for generation decode); an empty or
+    // fully-dropped current generation reuses its range
+    val newOffset =
+      math.max(m.keySet.maxOption.map(_ + 1).getOrElse(0), gens.last.offset)
+    val (fs, p) = fsOf(spark, dir)
+    // freeze the retiring generation's TRUE modulus (the head
+    // manifest's, which a rebucketing compaction may have moved off
+    // the originally declared one), then append the new generation
+    val retired = gens.init :+
+      SpecGen(gens.last.spec.copy(nb = headNb), gens.last.offset)
+    val all = retired :+ SpecGen(PartitionSpec(kind, cur.column, nb), newOffset)
+    val out = fs.create(new Path(p, "_partition_spec"), true)
+    try out.write(all.map(g =>
+      s"${g.spec.kind}\t${g.spec.column}\t${g.spec.nb}\t${g.offset}\n")
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+    // a schema-only commit pins the evolution point in the version
+    // history: any racing writer planned under the old layout loses
+    // the version claim and replans under the new one (and the
+    // B header from here on records the new generation's modulus)
+    publish(
+      spark, dir,
+      nb,
+      m,
+      touched = Set.empty,
+      rows = None,
+      last.version + 1,
+      runId = "maintenance",
+      epochId = last.version + 1,
+      prevVersion = Some(last.version),
+      sortedBy = manifestSortedBy(spark, dir, last.version),
+      schemaOverride = manifestSchema(spark, dir, last.version))
+    newOffset
   }
 
   /** The partition index as a Column over the source column —
@@ -321,22 +457,69 @@ object MergeSink {
       dir: String,
       spec: Option[PartitionSpec],
       key: String,
+      nb: Int): Column =
+    // the spec param is the caller's (possibly stale) read — route by
+    // a FRESH single read of the generations so routing and the
+    // publish-time spec fence cannot straddle an evolve
+    tableBucketExprGens(spark, dir, partitionSpecGens(spark, dir), key, nb)
+
+  /** Bucket routing for IN-PLACE maintenance rewrites
+    * (expireTombstones, compactIncremental): on a single-generation
+    * table the current-layout hash re-derives each row's own bucket
+    * (same modulus invariant); on an EVOLVED table re-deriving would
+    * silently migrate retired-generation rows into buckets the commit
+    * neither read nor listed — route by the bucket the row's FILE PATH
+    * names instead (data/b<id>/v<cv>/… is authoritative, including
+    * through a branch's `_data_base` redirect).
+    */
+  private def inPlaceBucketExpr(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      nb: Int): Column = {
+    val gens = partitionSpecGens(spark, dir)
+    if (gens.size <= 1) tableBucketExprGens(spark, dir, gens, key, nb)
+    else regexp_extract(input_file_name(), "/b(\\d+)/v\\d+/", 1).cast("int")
+  }
+
+  /** [[tableBucketExpr]] against an EXPLICIT generation list — the one
+    * read the caller also records for publish's spec fence.
+    */
+  private[graft] def tableBucketExprGens(
+      spark: SparkSession,
+      dir: String,
+      gens: Seq[SpecGen],
+      key: String,
       nb: Int): Column = {
     val hk = hashKeyOf(spark, dir, key)
-    spec match {
+    gens.lastOption match {
       case None => bucketExpr(hk, nb)
-      case Some(ps) =>
-        val idx = partIdxExpr(ps)
-        val guarded = when(
-          idx.isNull || idx < 0 || idx > MaxPartIdx,
-          raise_error(concat(
-            lit(s"partitioned write: ${ps.kind}(${ps.column}) index "),
-            idx.cast("string"),
-            lit(s" out of range [0, $MaxPartIdx] — partition values " +
-              "must be non-null and bounded")))).otherwise(idx)
-        (guarded * lit(nb) +
-          pmod(xxhash64(keyCols(hk).map(col): _*), lit(nb))).cast("int")
+      case Some(g) =>
+        // new writes route under the CURRENT generation's id range
+        genBucketExpr(SpecGen(g.spec.copy(nb = nb), g.offset), hk)
     }
+  }
+
+  /** The global bucket id of a row under ONE spec generation:
+    * `offset + partIdx * nb + hash(bucket_by cols) % nb`. `hk` is the
+    * already-resolved hash-column list ([[hashKeyOf]]).
+    */
+  private def genBucketExpr(g: SpecGen, hk: String): Column = {
+    val ps = g.spec
+    val nb = ps.nb
+    val idx = partIdxExpr(ps)
+    // the upper bound also keeps offset + idx*nb inside Int range
+    val maxIdx = math.min(
+      MaxPartIdx.toLong, (Int.MaxValue.toLong - g.offset) / nb - 1).toInt
+    val guarded = when(
+      idx.isNull || idx < 0 || idx > maxIdx,
+      raise_error(concat(
+        lit(s"partitioned write: ${ps.kind}(${ps.column}) index "),
+        idx.cast("string"),
+        lit(s" out of range [0, $maxIdx] — partition values " +
+          "must be non-null and bounded")))).otherwise(idx)
+    (lit(g.offset) + guarded * lit(nb) +
+      pmod(xxhash64(keyCols(hk).map(col): _*), lit(nb))).cast("int")
   }
 
   /** Retire whole partitions as a PURE METADATA commit: the new
@@ -354,29 +537,49 @@ object MergeSink {
       dir: String,
       op: String,
       value: Any): Int = withCommitRetry() {
-    val spec = partitionSpec(spark, dir).getOrElse(
+    val gens = partitionSpecGens(spark, dir)
+    val spec = gens.lastOption.map(_.spec).getOrElse(
       throw new IllegalArgumentException(
         s"dropPartitions: $dir is not a partitioned table"))
-    val cut = partIdxOf(spec, value).getOrElse(
+    require(Set("lt", "le", "eq")(op),
+      s"dropPartitions: unknown op '$op' (lt | le | eq)")
+    // the CURRENT generation must interpret the value (the hard error
+    // a mistyped CALL deserves); a retired generation that cannot — or
+    // whose granularity is finer than the value (le/eq land mid-period)
+    // — simply keeps its buckets: under-dropping is the safe direction,
+    // and the retired data ages out on migration/compaction anyway
+    partIdxOf(spec, value).getOrElse(
       throw new IllegalArgumentException(
         s"dropPartitions: cannot interpret '$value' as a " +
           s"${spec.kind} partition value"))
-    val pred: Int => Boolean = op match {
-      case "lt" => _ < cut
-      case "le" => _ <= cut
-      case "eq" => _ == cut
-      case other => throw new IllegalArgumentException(
-        s"dropPartitions: unknown op '$other' (lt | le | eq)")
-    }
     val last = lastCommit(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"dropPartitions: $dir has no committed version"))
-    val nb = numBuckets(spark, dir, last.version)
+    val headNb = numBuckets(spark, dir, last.version)
+    // decode table: retired generations' moduli are frozen in their
+    // spec lines; the CURRENT generation's is the head manifest's
+    val decode =
+      if (gens.isEmpty) gens
+      else gens.init :+
+        SpecGen(gens.last.spec.copy(nb = headNb), gens.last.offset)
+    val predOf: SpecGen => Option[Int => Boolean] = g =>
+      partIdxOf(g.spec, value).map { cut =>
+        op match {
+          case "lt" => (i: Int) => i < cut
+          case "le" => (i: Int) => i <= cut
+          case "eq" => (i: Int) => i == cut
+        }
+      }
+    val genPreds: Map[Int, Option[Int => Boolean]] =
+      decode.map(g => g.offset -> predOf(g)).toMap
     val m = manifest(spark, dir, last.version)
-    val dropped = m.keySet.filter(b => pred(Math.floorDiv(b, nb)))
+    val dropped = m.keySet.filter { b =>
+      val g = genOfBucket(decode, b)
+      genPreds(g.offset).exists(_(Math.floorDiv(b - g.offset, g.spec.nb)))
+    }
     if (dropped.isEmpty) return 0
     publish(
-      spark, dir, nb, m,
+      spark, dir, headNb, m,
       touched = dropped,
       rows = None,
       last.version + 1,
@@ -943,7 +1146,7 @@ object MergeSink {
             publish(
               pc.spark, dir, pc.nb, pc.prevManifest, pc.touched, pc.rows,
               pc.newV, runId, epochId, prevVersion = pc.prevVersion,
-              note = note)
+              note = note, specGens = Some(pc.specGens))
             done = true
           } catch {
             case e: ConcurrentCommitException =>
@@ -987,8 +1190,10 @@ object MergeSink {
         case Some(h) if h.version >= pc.newV =>
           // the claim holder (and possibly more) committed: my merge
           // stays valid iff no landed commit moved a bucket I touched
-          // (or changed the modulus my rows are hashed by)
+          // (or changed the modulus my rows are hashed by, or evolved
+          // the partition spec my rows are routed by)
           if (numBuckets(spark, dir, h.version) != pc.nb) return None
+          if (partitionSpecGens(spark, dir) != pc.specGens) return None
           val mh = manifest(spark, dir, h.version)
           val changed = (mh.keySet ++ pc.prevManifest.keySet)
             .filter(b => mh.get(b) != pc.prevManifest.get(b))
@@ -1020,7 +1225,12 @@ object MergeSink {
       touched: Set[Int],
       rows: Option[DataFrame],
       newV: Long,
-      prevVersion: Option[Long])
+      prevVersion: Option[Long],
+      // the partition-spec generations this plan ROUTED by — publish
+      // re-validates them inside the claim window, so a commit racing
+      // an evolvePartitionSpec can never land rows under a layout the
+      // spec file no longer describes
+      specGens: Seq[SpecGen] = Seq.empty)
 
   private def planUpsert(
       batch: DataFrame,
@@ -1047,11 +1257,23 @@ object MergeSink {
             s"committed epoch ${c.epoch} with no matching commit marker")
     }
     val newV = last.map(_.version + 1).getOrElse(0L)
-    val spec = partitionSpec(spark, dir)
-    val nb = last.map(c => numBuckets(spark, dir, c.version))
-      .getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
+    // ONE read of the spec generations serves routing, the cross-gen
+    // probe, and publish's spec fence — they must be the same snapshot
+    val gens = partitionSpecGens(spark, dir)
+    val spec = gens.lastOption.map(_.spec)
     val prevManifest =
       last.map(c => manifest(spark, dir, c.version)).getOrElse(Map.empty[Int, Long])
+    val nb = last.map { c =>
+      gens.lastOption match {
+        // nothing written under a freshly evolved generation yet: the
+        // DECLARED modulus governs (the previous B header is the
+        // retiring generation's — also heals an evolve whose pin
+        // commit crashed after the spec-file write)
+        case Some(g) if g.offset > 0 &&
+            !prevManifest.keySet.exists(_ >= g.offset) => g.spec.nb
+        case _ => numBuckets(spark, dir, c.version)
+      }
+    }.getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
 
     val kcols = keyCols(key)
     kcols.foreach(k => require(batch.columns.contains(k),
@@ -1070,16 +1292,51 @@ object MergeSink {
         s"bucket_by column '$c' must be one of the merge key columns " +
           s"(${kcols.mkString(",")}) — a key's bucket must be stable " +
           "across upserts")))
-    val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
+    val bucketOf = tableBucketExprGens(spark, dir, gens, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     // Which buckets does this batch touch? (≤ nb values — metadata, not data)
-    val touched = batchC
+    val touched0 = batchC
       .select(bucketOf.as("__b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
       .toSet
+    // PARTITION-SPEC EVOLUTION, lazy migration on touch: a batch key
+    // may still live in a RETIRED generation's bucket — include every
+    // retired-generation bucket the batch's keys hash into (and that
+    // still holds data) in the merge read set. The merge recomputes
+    // __b from row VALUES under the current layout, so the whole old
+    // bucket migrates (bucket-granular copy-on-write) and its entry
+    // drops; the current-generation buckets its rows land in are read
+    // too, so their existing content survives the rewrite.
+    val hk0 = hashKeyOf(spark, dir, key)
+    val oldGenTouched: Set[Int] =
+      if (gens.size <= 1 || touched0.isEmpty) Set.empty
+      else batchC
+        .select(explode(array(
+          gens.init.map(g => genBucketExpr(g, hk0)): _*)).as("__b"))
+        .distinct()
+        .collect()
+        .map(_.getInt(0))
+        .toSet
+        .intersect(prevManifest.keySet)
+    val migratedOut: Set[Int] =
+      if (oldGenTouched.isEmpty) Set.empty
+      else {
+        val paths = oldGenTouched.toSeq.sorted
+          .flatMap(b => prevManifest.get(b).map(v => dataPath(spark, dir, b, v)))
+        // one column-pruned pass over the migrating buckets: where do
+        // their rows land under the current layout?
+        currentViewAt(spark, dir, last.get.version,
+          bucketRead(spark, dir, last.get.version, paths))
+          .select(bucketOf.as("__b"))
+          .distinct()
+          .collect()
+          .map(_.getInt(0))
+          .toSet
+      }
+    val touched = touched0 ++ oldGenTouched ++ migratedOut
 
     val merged =
       if (touched.isEmpty) None // empty batch: commit a no-data-change version
@@ -1130,7 +1387,8 @@ object MergeSink {
       }
 
     Some(PlannedCommit(
-      spark, nb, prevManifest, touched, merged, newV, last.map(_.version)))
+      spark, nb, prevManifest, touched, merged, newV, last.map(_.version),
+      specGens = gens))
   }
 
   /** One participant of a multi-table transaction: a merge-upsert
@@ -1716,9 +1974,18 @@ object MergeSink {
             s"committed epoch ${c.epoch} with no matching commit marker")
     }
     val newV = last.map(_.version + 1).getOrElse(0L)
-    val spec = partitionSpec(spark, dir)
-    val nb = last.map(c => numBuckets(spark, dir, c.version))
-      .getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
+    // one read serves routing and publish's spec fence
+    val specGens = partitionSpecGens(spark, dir)
+    val spec = specGens.lastOption.map(_.spec)
+    val nb = last.map { c =>
+      specGens.lastOption match {
+        // same freshly-evolved-generation rule as planUpsert
+        case Some(g) if g.offset > 0 &&
+            !manifest(spark, dir, c.version).keySet.exists(_ >= g.offset) =>
+          g.spec.nb
+        case _ => numBuckets(spark, dir, c.version)
+      }
+    }.getOrElse(spec.map(_.nb).getOrElse(DefaultBuckets))
     val kcols = keyCols(key)
     kcols.foreach(k => require(batch.columns.contains(k),
       s"overwrite batch lacks key column '$k' (${batch.columns.mkString(",")})"))
@@ -1732,7 +1999,7 @@ object MergeSink {
         s"bucket_by column '$c' must be one of the merge key columns " +
           s"(${kcols.mkString(",")}) — a key's bucket must be stable " +
           "across upserts")))
-    val bucketOf = tableBucketExpr(spark, dir, spec, key, nb)
+    val bucketOf = tableBucketExprGens(spark, dir, specGens, key, nb)
     val cols = batch.columns.filter(_ != "__b")
     val batchC = batch.select(cols.map(col).toIndexedSeq: _*)
     val touched = batchC
@@ -1767,7 +2034,7 @@ object MergeSink {
     publish(
       spark, dir, nb, Map.empty, touched, merged, newV, runId, epochId,
       prevVersion = if (keepSchema) last.map(_.version) else None,
-      note = note)
+      note = note, specGens = Some(specGens))
   }
 
   /** Durably publish version `newV`: write `rows` (bucketed by their
@@ -1868,7 +2135,8 @@ object MergeSink {
       sortedBy: Option[Seq[String]] = None,
       schemaOverride: Option[StructType] = None,
       pendingTxnFile: Option[String] = None,
-      note: Option[String] = None): Unit = {
+      note: Option[String] = None,
+      specGens: Option[Seq[SpecGen]] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
     // ---- concurrent-commit claim (BEFORE any data movement) ----
     // Exactly one publish attempt may own version `newV`: an atomic
@@ -1881,6 +2149,20 @@ object MergeSink {
     // writer legitimately slower than the TTL must be fenced first
     // (ensureWriter), which streaming incarnations already are.
     claimVersion(spark, fs, p, newV, dir, runId)
+    // spec-generation fence, INSIDE the claim window: a plan routed
+    // under generations the spec file no longer records must not land
+    // (evolvePartitionSpec rewrites the file before pinning its
+    // commit; the claim serializes us against that pin, so this
+    // compare-after-claim is race-free)
+    specGens.foreach { planned =>
+      if (partitionSpecGens(spark, dir) != planned) {
+        fs.delete(new Path(p, s"_claim_v$newV"), false)
+        throw new ConcurrentCommitException(
+          s"graft-merge: the partition spec of $dir evolved since this " +
+            "batch was planned — replan against the new layout " +
+            "(withCommitRetry wraps exactly this loop)")
+      }
+    }
     var written = Set.empty[Int]
     // bucket -> (data bytes, row count) for the new manifest: rewritten
     // buckets are measured once right after their rename (one listing +
@@ -2405,7 +2687,14 @@ object MergeSink {
       case Some(c) =>
         val nb = numBuckets(spark, dir, c.version)
         val m = manifest(spark, dir, c.version)
-        val spec = partitionSpec(spark, dir)
+        val gens = partitionSpecGens(spark, dir)
+        // decode table: retired generations' moduli frozen in their
+        // lines; the current generation's is the head manifest's
+        val decode =
+          if (gens.isEmpty) gens
+          else gens.init :+
+            SpecGen(gens.last.spec.copy(nb = nb), gens.last.offset)
+        val spec = decode.lastOption.map(_.spec)
         // bucket_by layout: the hash covers only the declared columns —
         // select their positions out of the full key tuple. Without a
         // key list, tuples whose arity EQUALS the bucket_by arity ARE
@@ -2428,16 +2717,21 @@ object MergeSink {
             None // tuples are already the hashed columns
           }
         }
-        def hashOf(t: Seq[Any]): Column = {
+        def hashOf(t: Seq[Any], modulus: Int): Column = {
           val hv = hashPos.map(_.map(t)).getOrElse(t)
-          pmod(xxhash64(hv.map(lit).toIndexedSeq: _*), lit(nb)).cast("int")
+          pmod(xxhash64(hv.map(lit).toIndexedSeq: _*), lit(modulus))
+            .cast("int")
         }
         // partitioned layout: the global bucket id interleaves the
         // partition index above the hash — derive it with the WRITER'S
         // OWN expression over the pushed literal (same session-tz
-        // arithmetic), or the lookup silently reads the wrong buckets
+        // arithmetic), or the lookup silently reads the wrong buckets.
+        // On an EVOLVED table a key may still live in any retired
+        // generation's bucket (migration is lazy): probe one candidate
+        // bucket PER GENERATION, each at that generation's granularity
+        // and modulus.
         val bucketExprs: Seq[Column] = spec match {
-          case None => tuples.map(hashOf)
+          case None => tuples.map(hashOf(_, nb))
           case Some(ps) =>
             require(key.nonEmpty,
               s"lookupFilesTuples: $dir is partitioned — pass the key " +
@@ -2447,11 +2741,15 @@ object MergeSink {
             require(pi >= 0,
               s"lookupFilesTuples: partition column ${ps.column} not in " +
                 s"key $kcols")
-            tuples.map { t =>
-              val idx = partIdxExprOn(ps, lit(t(pi)))
+            for {
+              t <- tuples
+              g <- decode
+            } yield {
+              val idx = partIdxExprOn(g.spec, lit(t(pi)))
               // unresolvable partition value -> impossible bucket -> miss
-              (when(idx.isNull || idx < 0, lit(-1)).otherwise(idx) *
-                lit(nb) + hashOf(t)).cast("int")
+              (when(idx.isNull || idx < 0, lit(-1 - g.offset))
+                .otherwise(idx) * lit(g.spec.nb) +
+                lit(g.offset) + hashOf(t, g.spec.nb)).cast("int")
             }
         }
         val buckets = spark
@@ -2540,7 +2838,7 @@ object MergeSink {
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, allPaths))
         if (!raw.columns.contains(DeletedCol)) return 0
-        val bucketOf = tableBucketExpr(spark, dir, partitionSpec(spark, dir), key, nb)
+        val bucketOf = inPlaceBucketExpr(spark, dir, key, nb)
         // Which buckets hold an expired tombstone? Tombstones are a
         // bounded set (deleted keys inside the horizon), so this
         // distinct is metadata-scale.
@@ -3684,8 +3982,9 @@ object MergeSink {
         if (allPaths.isEmpty) return 0
         val raw = currentViewAt(spark, dir, c.version,
           bucketRead(spark, dir, c.version, allPaths))
-        val spec = partitionSpec(spark, dir)
-        val bucketOf = tableBucketExpr(spark, dir, spec, key, targetBuckets)
+        val gens = partitionSpecGens(spark, dir)
+        val spec = gens.lastOption.map(_.spec)
+        val bucketOf = tableBucketExprGens(spark, dir, gens, key, targetBuckets)
         // SORT WITHIN BUCKETS by the key columns: inside a hash bucket
         // every row group's key min/max would otherwise span the whole
         // key range, and the reader's row-group skipping (pushed
@@ -3702,13 +4001,21 @@ object MergeSink {
         // rewritten bucket ids: dense 0..nb for a plain table; for a
         // partitioned layout, the old manifest's live partitions × the
         // new modulus — a metadata-derived SUPERSET (publish skips ids
-        // the write left empty), no second pass over the data
+        // the write left empty), no second pass over the data. An
+        // EVOLVED table (retired generations still holding buckets)
+        // derives the set from the data instead: every row migrates to
+        // the current layout here, and the retired ids' partition
+        // arithmetic differs per generation — this compact is exactly
+        // how a user finishes an evolution and re-earns SPJ.
         val rewritten: Set[Int] = spec match {
           case None => (0 until targetBuckets).toSet
-          case Some(_) =>
+          case Some(_) if gens.size <= 1 =>
             val oldNb = numBuckets(spark, dir, c.version)
             m.keySet.map(b => Math.floorDiv(b, oldNb)).flatMap(pi =>
               (0 until targetBuckets).map(pi * targetBuckets + _))
+          case Some(_) =>
+            raw.select(bucketOf.as("__b")).distinct()
+              .collect().map(_.getInt(0)).toSet
         }
         // prevManifest = empty: the new manifest lists ONLY the rewritten
         // buckets (the whole table), under the new bucket count
@@ -3721,7 +4028,8 @@ object MergeSink {
           sortedBy = Some(keyCols(key)), // all buckets rewritten: sizes measured fresh
           // a full rewrite must not let the recorded schema forget its
           // column-mapping metadata (rows-derived schemas are plain)
-          schemaOverride = manifestSchema(spark, dir, c.version))
+          schemaOverride = manifestSchema(spark, dir, c.version),
+          specGens = Some(gens))
         // every file now carries only current columns under current
         // names: dropped-name bytes are gone, the block list clears
         writeDroppedCols(spark, dir, Seq.empty)
@@ -4079,18 +4387,26 @@ object MergeSink {
             graft.plans.ZOrder2.zorder(scaled(0), scaled(1))
           else
             graft.plans.ZOrderN.zorder(zCols.indices.map(scaled), bits)
-        val zSpec = partitionSpec(spark, dir)
+        val zGens = partitionSpecGens(spark, dir)
+        val zSpec = zGens.lastOption.map(_.spec)
+        val zBucketOf = tableBucketExprGens(spark, dir, zGens, key, targetBuckets)
         val rows = raw
-          .withColumn("__b", tableBucketExpr(spark, dir, zSpec, key, targetBuckets))
+          .withColumn("__b", zBucketOf)
           .repartition(col("__b"))
           .sortWithinPartitions(col("__b"), z)
         val newV = c.version + 1
+        // same evolved-table rule as [[compact]]: a full rewrite
+        // migrates every generation into the current layout, so the
+        // output set comes from the data when generations remain
         val zTouched: Set[Int] = zSpec match {
           case None => (0 until targetBuckets).toSet
-          case Some(_) =>
+          case Some(_) if zGens.size <= 1 =>
             val oldNb = numBuckets(spark, dir, c.version)
             m.keySet.map(b => Math.floorDiv(b, oldNb)).flatMap(pi =>
               (0 until targetBuckets).map(pi * targetBuckets + _))
+          case Some(_) =>
+            raw.select(zBucketOf.as("__b")).distinct()
+              .collect().map(_.getInt(0)).toSet
         }
         publish(
           spark, dir, targetBuckets, Map.empty,
@@ -4098,7 +4414,8 @@ object MergeSink {
           runId = "maintenance", epochId = newV,
           // a full rewrite must not let the recorded schema forget its
           // column-mapping metadata (rows-derived schemas are plain)
-          schemaOverride = manifestSchema(spark, dir, c.version))
+          schemaOverride = manifestSchema(spark, dir, c.version),
+          specGens = Some(zGens))
         // every file now carries only current columns under current
         // names: dropped-name bytes are gone, the block list clears
         writeDroppedCols(spark, dir, Seq.empty)
@@ -4125,8 +4442,8 @@ object MergeSink {
           bucketRead(spark, dir, c.version, paths))
         // same modulus: every row re-hashes to the bucket it came from,
         // so the rewrite is a per-bucket sort, not a shuffle across the
-        // carried buckets
-        val bucketOf = tableBucketExpr(spark, dir, partitionSpec(spark, dir), key, nb)
+        // carried buckets (origin-derived on an evolved table)
+        val bucketOf = inPlaceBucketExpr(spark, dir, key, nb)
         val rows = raw
           .withColumn("__b", bucketOf)
           .repartition(col("__b"))

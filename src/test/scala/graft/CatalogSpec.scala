@@ -90,6 +90,50 @@ class CatalogSpec extends SparkSpec {
     assert(now == 2.0 && then == 1.0, s"now=$now then=$then")
   }
 
+  test("CALL evolve_partition: days -> hours on a live SQL table, both generations serve") {
+    val cat = freshCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ev (uid BIGINT, ts TIMESTAMP, seq BIGINT, v DOUBLE)
+         |USING `graft-merge`
+         |OPTIONS (key 'uid,ts', seq 'seq', buckets '2')
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(s"CALL $cat.sys.set_history_keep('db.ev', 8)")
+    spark.sql(
+      s"""INSERT INTO $cat.db.ev
+         |SELECT id, TIMESTAMP '2024-02-01 00:30:00' + make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0), 1L, id * 1.0
+         |FROM range(48)""".stripMargin)
+    val off = spark
+      .sql(s"CALL $cat.sys.evolve_partition('db.ev', 'hours', 2)")
+      .head().getInt(0)
+    assert(off > 0)
+    spark.sql(
+      s"""INSERT INTO $cat.db.ev
+         |SELECT id + 100, TIMESTAMP '2024-02-03 00:30:00' + make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0), 1L, id * 2.0
+         |FROM range(48)""".stripMargin)
+    // both generations answer one query; predicates prune each at its
+    // own granularity
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").head().getLong(0) == 96)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.db.ev
+         |WHERE ts < TIMESTAMP '2024-02-02 00:00:00'""".stripMargin)
+      .head().getLong(0) == 24)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.db.ev
+         |WHERE ts >= TIMESTAMP '2024-02-04 12:00:00'""".stripMargin)
+      .head().getLong(0) == 12)
+    // a second CALL with the same layout is an idempotent no-op
+    assert(spark.sql(s"CALL $cat.sys.evolve_partition('db.ev', 'hours', 2)")
+      .head().getInt(0) == off)
+    // DML across generations: UPDATE an old-generation row migrates
+    // its bucket, row count and values stay exact
+    spark.sql(
+      s"""UPDATE $cat.db.ev SET v = 999.0, seq = 9
+         |WHERE uid = 5""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").head().getLong(0) == 96)
+    assert(spark.sql(s"SELECT v FROM $cat.db.ev WHERE uid = 5")
+      .head().getDouble(0) == 999.0)
+  }
+
   test("external tables keep their data on DROP; managed tables do not") {
     val cat = freshCatalog()
     val ext = java.nio.file.Files.createTempDirectory("graft_ext_tbl").toString

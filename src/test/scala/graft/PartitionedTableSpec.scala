@@ -207,6 +207,89 @@ class PartitionedTableSpec extends SparkSpec {
     assert(read(t).count() == 36L)
   }
 
+  test("partition-spec evolution: days -> hours, both generations prune, upserts migrate") {
+    val s = spark
+    import s.implicits._
+    val t = tmp("part_evolve")
+    MergeSink.setHistoryKeep(spark, t, 8)
+    MergeSink.setPartitionSpec(spark, t, "day", "ts", 2)
+    def rows(day: Int, v: Long): DataFrame =
+      (0 until 24).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-0$day%d $i%02d:15:00"),
+          i.toLong, v)
+      }.toDF("ts", "id", "v").withColumn("rv", lit(v))
+    MergeSink.upsertBatch(rows(1, 1L), t, "ts,id", "rv", 0L, "w")
+    MergeSink.upsertBatch(rows(2, 2L), t, "ts,id", "rv", 1L, "w")
+    val headBefore = MergeSink.lastCommit(spark, t).get.version
+    val off = MergeSink.evolvePartitionSpec(spark, t, "hour", 2)
+    assert(off > 0)
+    // the evolution pins itself as a schema-only commit
+    assert(MergeSink.lastCommit(spark, t).get.version == headBefore + 1)
+    // new data lands under hours(ts); old days stay in their layout
+    MergeSink.upsertBatch(rows(3, 3L), t, "ts,id", "rv", 2L, "w")
+    val m = MergeSink.manifest(
+      spark, t, MergeSink.lastCommit(spark, t).get.version)
+    assert(m.keySet.exists(_ < off) && m.keySet.exists(_ >= off),
+      s"both generations must hold buckets (offset $off, ids ${m.keySet})")
+    def readEv(): DataFrame = spark.read.format("graft-merge")
+      .option("path", t).option("key", "ts,id").option("seq", "rv").load()
+    assert(readEv().count() == 72)
+    // the RETIRED generation prunes at day granularity
+    GraftMergeScan.lastPrune.set(null)
+    assert(readEv().filter(
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .count() == 24)
+    val p1 = GraftMergeScan.lastPrune.get()
+    assert(p1._1 < p1._2, s"old-generation prune: ${p1._1}/${p1._2}")
+    // the CURRENT generation prunes at hour granularity — finer than
+    // any day bucket could
+    GraftMergeScan.lastPrune.set(null)
+    assert(readEv().filter(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 12:00:00")))
+      .count() == 12)
+    val p2 = GraftMergeScan.lastPrune.get()
+    assert(p2._1 < p2._2, s"new-generation prune: ${p2._1}/${p2._2}")
+    // point lookups find keys in BOTH generations (one candidate
+    // bucket per generation)
+    val oldKey = Seq(java.sql.Timestamp.valueOf("2024-01-01 05:15:00"), 5L)
+    val newKey = Seq(java.sql.Timestamp.valueOf("2024-01-03 07:15:00"), 7L)
+    assert(MergeSink.pointLookupTuples(spark, t, "ts,id", Seq(oldKey))
+      .get.count() == 1)
+    assert(MergeSink.pointLookupTuples(spark, t, "ts,id", Seq(newKey))
+      .get.count() == 1)
+    // an upsert touching an old-generation key migrates its whole
+    // bucket to the current layout: no duplicates, seq still wins
+    MergeSink.upsertBatch(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 05:15:00"), 5L, 99L))
+        .toDF("ts", "id", "v").withColumn("rv", lit(9L)),
+      t, "ts,id", "rv", 3L, "w")
+    val st = readEv().collect()
+    assert(st.length == 72, "migration must not duplicate or lose rows")
+    assert(st.count(r => r.getLong(1) == 5L && r.getLong(2) == 99L) == 1)
+    // time travel to the pre-evolution snapshot decodes the day layout
+    val tt = spark.read.format("graft-merge")
+      .option("path", t).option("key", "ts,id").option("seq", "rv")
+      .option("versionAsOf", headBefore.toString).load()
+    assert(tt.count() == 48)
+    // full compaction migrates every remaining retired bucket — the
+    // state a storage-partitioned join is allowed to co-locate on again
+    MergeSink.compact(spark, t, "ts,id", 2)
+    val mc = MergeSink.manifest(
+      spark, t, MergeSink.lastCommit(spark, t).get.version)
+    assert(mc.keySet.forall(_ >= off),
+      s"compaction must migrate everything to the current generation " +
+        s"(offset $off, ids ${mc.keySet})")
+    assert(readEv().count() == 72)
+    GraftMergeScan.lastPrune.set(null)
+    assert(readEv().filter(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 20:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .count() == 4)
+    val p3 = GraftMergeScan.lastPrune.get()
+    assert(p3._1 < p3._2,
+      s"post-compact hour pruning over migrated day-1 rows: ${p3._1}/${p3._2}")
+  }
+
   test("SQL end to end: PARTITIONED BY (days(day)), pruned SELECT, CALL drop_partitions") {
     val cat = "pcat"
     val wh = tmp("pcat_wh")
