@@ -329,6 +329,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPruning)
+    // opt-in transparent MV rewrite (spark.graft.mvRewrite=true):
+    // fresh single-table views serve matching source aggregates
+    ext.injectOptimizerRule(_ => graft.sources.MvRewrite)
     // SQL names for the custom expressions (zorder2, kmin_distinct,
     // log_histogram, minhash_union, …) — see GraftFunctions
     GraftFunctions.all.foreach(ext.injectFunction)

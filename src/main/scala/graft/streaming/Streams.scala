@@ -2413,6 +2413,43 @@ object Streams {
         |FROM final GROUP BY grp ORDER BY grp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_mv_rewrite — TRANSPARENT VIEW ROUTING: the same maintained view
+  // as q_mv_refresh, but the measured query is a plain GROUP BY over
+  // the SOURCE scan with spark.graft.mvRewrite=true — the optimizer
+  // must route it to the fresh view (REQUIREd: the executed plan scans
+  // the view directory and contains NO aggregate operator at all; the
+  // answer is the stored one, read, not recomputed). The oracle is the
+  // direct aggregate over the raw events — a wrong or stale rewrite is
+  // hash-visible. At 100 TB this is O(groups) read vs O(fact) scan +
+  // shuffle + aggregate.
+  // ---------------------------------------------------------------------
+  val mvRewriteGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val src = java.nio.file.Files.createTempDirectory("graft_mvw_src").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvw_v").toString
+    val aggs = Seq(MV.Agg("total", "sum", "cents"), MV.Agg("n", "count", "*"))
+    val e = mvSourceRows(s, d)
+    mvLoadV0(e, src)
+    MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
+    mvLoadV1(e, src)
+    MV.refreshDir(s, src, "event_id", mv, Seq("grp"), aggs, "algebraic")
+    s.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val scan = s.read.format("graft-merge")
+        .option("path", src).option("key", "event_id").option("seq", "rv")
+        .load()
+      val out = scan.groupBy(col("grp"))
+        .agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(mv),
+        s"mv rewrite did not engage (no view scan in plan):\n$plan")
+      require(!plan.toLowerCase(java.util.Locale.ROOT).contains("aggregate"),
+        s"mv rewrite must READ the answer, not re-aggregate:\n$plan")
+      out.orderBy(col("grp"))
+    } finally s.conf.unset("spark.graft.mvRewrite")
+  }
+
+  // ---------------------------------------------------------------------
   // q_mv_rescan — the same view maintenance for NON-self-maintainable
   // aggregates (min/max cannot fold a delete): rescan mode recomputes
   // ONLY the groups the delta touched via a semi-join-pruned source
@@ -4729,6 +4766,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGated,
     "q_merge_race" -> mergeRaceGated,
     "q_mv_refresh" -> mvRefreshGated,
+    "q_mv_rewrite" -> mvRewriteGated,
     "q_mv_join" -> mvJoinGated,
     "q_mv_star" -> mvStarGated,
     "q_mv_rescan" -> mvRescanGated,
@@ -4795,6 +4833,7 @@ object Streams {
     "q_merge_restore" -> mergeRestoreGatedSql,
     "q_merge_race" -> mergeRaceGatedSql,
     "q_mv_refresh" -> mvRefreshGatedSql,
+    "q_mv_rewrite" -> mvRefreshGatedSql,
     "q_mv_join" -> mvJoinGatedSql,
     "q_mv_star" -> mvStarGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,

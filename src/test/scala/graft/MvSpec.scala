@@ -449,6 +449,65 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("transparent rewrite: a fresh MV serves the source aggregate; stale never does") {
+    val cat = "mvrw"
+    val wh = tmp("mv_rw_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.src (id BIGINT, grp BIGINT, v BIGINT, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'id', seq 'rv')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.m.src VALUES (1, 0, 10, 1), (2, 0, 20, 1), (3, 1, 30, 1)")
+    spark.sql(
+      s"""CALL $cat.sys.create_mv('m.mv', 'm.src', 'grp',
+         |'total=sum:v,n=count:*,hi=max:v', 'algebraic')""".stripMargin)
+    val q =
+      s"""SELECT grp, sum(v) AS total, count(*) AS n, max(v) AS hi
+         |FROM $cat.m.src GROUP BY grp""".stripMargin
+    val direct = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def mvScanned(plan: String): Boolean = plan.contains("_data/m/mv")
+    // conf off (default): no rewrite
+    assert(!mvScanned(spark.sql(q).queryExecution.executedPlan.toString))
+    spark.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val rq = spark.sql(q)
+      val plan = rq.queryExecution.executedPlan.toString
+      assert(mvScanned(plan), s"fresh view must serve the aggregate:\n$plan")
+      assert(!plan.toLowerCase.contains("aggregate"),
+        s"rewritten plan must READ the answer, not re-aggregate:\n$plan")
+      val got = rq.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == direct, s"rewritten answer diverged: $got vs $direct")
+      // a source commit WITHOUT refresh makes the view stale: the
+      // rewrite must step aside (never serve silently-stale data)
+      spark.sql(s"INSERT INTO $cat.m.src VALUES (4, 1, 40, 2)")
+      val sq = spark.sql(q)
+      assert(!mvScanned(sq.queryExecution.executedPlan.toString),
+        "a stale view must not serve")
+      assert(sq.collect().length == 2)
+      // refresh -> fresh again -> serves again, with the new data
+      spark.sql(s"CALL $cat.sys.refresh_mv('m.mv')")
+      val rq2 = spark.sql(q)
+      assert(mvScanned(rq2.queryExecution.executedPlan.toString))
+      val got2 = rq2.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got2.contains((1L, 70L, 2L, 40L)))
+      // an aggregate the view cannot answer (different grouping) is
+      // untouched
+      val other = spark.sql(
+        s"SELECT id, sum(v) AS s FROM $cat.m.src GROUP BY id")
+      assert(!mvScanned(other.queryExecution.executedPlan.toString))
+      assert(other.collect().length == 4)
+    } finally spark.conf.unset("spark.graft.mvRewrite")
+  }
+
   test("maintained view: a crash between source commit and refresh replays clean") {
     val src = tmp("mv_crash_src")
     val mv = tmp("mv_crash_v")
