@@ -763,15 +763,13 @@ class GraftCatalog
     if (!fs.exists(mp)) return false
     val props = readMeta(ident)
     val managed = props.getProperty(TableCatalog.PROP_EXTERNAL) == "false"
-    // a table with LIVE reference-sharing branches is a dependency
-    // root: deleting it would tear their shared base data out from
-    // under them — refuse, like any drop with dependents
-    require(
-      graft.streaming.MergeSink
-        .branchRefBases(SparkSession.active, props.getProperty("path"))
-        .isEmpty,
-      s"graft catalog: cannot drop ${ident}: reference-sharing " +
-        "branches still point at its data — drop the branches first")
+    // a table with LIVE reference-sharing branches re-pins them onto
+    // ITS base before dying (promote-and-delete: drop an intermediate
+    // branch, grandchildren keep reading through the grandparent) —
+    // content the dying table minted materializes into each child
+    // first, so no child ever resolves into deleted bytes
+    graft.streaming.MergeSink
+      .repinBranchChildren(SparkSession.active, props.getProperty("path"))
     // a reference-sharing branch releases its pin on the source (the
     // source's GC may then age the base out normally)
     graft.streaming.MergeSink

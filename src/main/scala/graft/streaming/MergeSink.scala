@@ -3378,6 +3378,78 @@ object MergeSink {
     }
   }
 
+  /** RE-PIN a dying table's reference-sharing children before it is
+    * dropped (the promote-and-delete workflow: branch b1 off main,
+    * branch b2 off b1, publish b1, drop b1 — b2 must keep reading).
+    * For each registered child:
+    *
+    *  1. every data dir the child's retained manifests resolve INTO
+    *     the dying table's own tree (content the dying table minted —
+    *     above ITS base, at-or-below the child's) is linked (file://)
+    *     or copied into the child's tree;
+    *  2. the child's `_data_base` redirect re-points to the dying
+    *     table's OWN base (the grandparent) — or disappears entirely
+    *     when the dying table was a root / hard-linked branch — and
+    *     the grandparent gains the child's `_branch_refs` pin.
+    *
+    * Ordering is crash-safe for readers: content materializes first,
+    * the redirect flips second, the caller deletes the directory last
+    * — at every instant the child's manifests resolve to live bytes.
+    * The per-JVM redirect cache is invalidated here; a DIFFERENT
+    * long-lived driver that cached the old redirect must re-open the
+    * table after the drop (the same staleness window every metadata
+    * sidecar shares).
+    */
+  def repinBranchChildren(spark: SparkSession, dyingDir: String): Unit = {
+    val (dfs, dpp) = fsOf(spark, dyingDir)
+    val f = new Path(dpp, "_branch_refs")
+    if (!dfs.exists(f)) return
+    val lines = {
+      val in = dfs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val gp = dataBase(spark, dyingDir)
+    val cutoff = gp.map(_._2).getOrElse(-1L)
+    lines.foreach(_.split('\t') match {
+      case Array(childDir, baseStr) =>
+        val base = baseStr.toLong
+        val (cfs, cp) = fsOf(spark, childDir)
+        if (cfs.exists(cp)) {
+          // content the dying table owns physically and the child
+          // still references: every retained manifest's entries in
+          // (grandparent base, child base]
+          val needed: Set[(Int, Long)] = commits(spark, childDir)
+            .flatMap(c => manifest(spark, childDir, c.version).toSeq)
+            .filter { case (_, cv) => cv <= base && cv > cutoff }
+            .toSet
+          needed.toSeq.sorted.foreach { case (b, cv) =>
+            val src = new Path(dataPath(spark, dyingDir, b, cv))
+            val dst = new Path(childDir, s"data/b$b/v$cv")
+            if (cfs.getUri == dfs.getUri) linkDataDir(dfs, src, dst)
+            else if (!cfs.exists(dst)) {
+              cfs.mkdirs(dst.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(
+                dfs, src, cfs, dst, false, dfs.getConf)
+            }
+          }
+          gp match {
+            case Some((g, gb)) =>
+              val out = cfs.create(new Path(cp, "_data_base"), true)
+              try out.write(s"$g\t$gb\n".getBytes("UTF-8"))
+              finally out.close()
+              registerBranchRef(spark, g, childDir, gb)
+            case None =>
+              cfs.delete(new Path(cp, "_data_base"), false)
+          }
+          dataBaseCache.remove(childDir)
+        }
+        unregisterBranchRef(spark, dyingDir, childDir)
+      case _ => ()
+    })
+  }
+
   /** Called when a table directory is dropped: if it was a
     * reference-sharing branch, release its pin on the source.
     * Best-effort — a failure here must not block the drop.

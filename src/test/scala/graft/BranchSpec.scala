@@ -240,6 +240,42 @@ class BranchSpec extends SparkSpec {
       s"ambiguous case must name both causes, got: ${e.getMessage}")
   }
 
+  test("dropping an intermediate branch re-pins its children onto the grandparent") {
+    val g = tmp("graft_br_gp")
+    val m = tmp("graft_br_mid")
+    val c = tmp("graft_br_child")
+    spark.conf.set("spark.graft.branchMode", "refs")
+    try {
+      MergeSink.setHistoryKeep(spark, g, 8)
+      MergeSink.upsertBatch(rows(0 until 20, 1), g, "id", "rv", 0L, "w")
+      MergeSink.branchTable(spark, g, m) // m: redirect -> g @ base 0
+      MergeSink.setHistoryKeep(spark, m, 8)
+      // content MINTED BY the intermediate — the bytes that must
+      // materialize into the child before m dies
+      MergeSink.upsertBatch(rows(20 until 30, 2), m, "id", "rv", 1L, "b")
+      MergeSink.branchTable(spark, m, c) // c: redirect -> m @ base 1
+      MergeSink.setHistoryKeep(spark, c, 8)
+      MergeSink.upsertBatch(rows(30 until 35, 3), c, "id", "rv", 2L, "c")
+      val before = state(c)
+      assert(before.size == 35)
+      // the promote-and-delete move: re-pin children, then delete m
+      MergeSink.repinBranchChildren(spark, m)
+      MergeSink.releaseBranchRefs(spark, m)
+      val mp = new org.apache.hadoop.fs.Path(m)
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mp, true)
+      assert(state(c) == before,
+        "child must keep reading after the intermediate branch is dropped")
+      // the grandparent now carries the child's pin: even under
+      // keep=1 churn, the shared base content survives g's GC
+      MergeSink.setHistoryKeep(spark, g, 1)
+      MergeSink.upsertBatch(rows(0 until 3, 4), g, "id", "rv", 1L, "w")
+      MergeSink.upsertBatch(rows(3 until 6, 5), g, "id", "rv", 2L, "w")
+      assert(state(c) == before,
+        "grandparent GC must keep the re-pinned child's base content")
+    } finally spark.conf.unset("spark.graft.branchMode")
+  }
+
   test("fast-forward resumes over an already-promoted prefix") {
     val main = tmp("graft_br_main4")
     val dev = tmp("graft_br_dev4")
