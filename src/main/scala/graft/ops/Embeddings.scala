@@ -1551,23 +1551,31 @@ object Embeddings {
     * the O(k) seed collect and one partial-aggregated update pass.
     */
   private def pqLitModel(s: SparkSession, d: String): PqLitModel =
-    cachedModel(s"pq:$d") { pqLitModelTrain(s, d) }
+    cachedModel(s"pq:$d") { toPqModel(pqTrainRows(checked(s, d))) }
 
-  private def pqLitModelTrain(s: SparkSession, d: String): PqLitModel = {
-    def toModel(rows: Seq[(Int, Int, Array[Long])]): PqLitModel = {
-      val bySub = rows.groupBy(_._1)
-      val js = Array.tabulate(pqM)(sb =>
-        bySub.getOrElse(sb, Nil).map(_._2).sorted.toArray)
-      val cq = Array.tabulate(pqM) { sb =>
-        val m = bySub.getOrElse(sb, Nil).map(r => r._2 -> r._3).toMap
-        js(sb).map(m)
-      }
-      PqLitModel(js, cq)
+  private def toPqModel(rows: Seq[(Int, Int, Array[Long])]): PqLitModel = {
+    val bySub = rows.groupBy(_._1)
+    val js = Array.tabulate(pqM)(sb =>
+      bySub.getOrElse(sb, Nil).map(_._2).sorted.toArray)
+    val cq = Array.tabulate(pqM) { sb =>
+      val m = bySub.getOrElse(sb, Nil).map(r => r._2 -> r._3).toMap
+      js(sb).map(m)
     }
+    PqLitModel(js, cq)
+  }
+
+  /** Train the PQ codebook over an arbitrary (vec_id, embedding) frame
+    * — the catalog's `create_ann(..., 'ivfpq')` trains on the SOURCE
+    * TABLE's state through this, the fixture lanes through
+    * [[pqLitModel]]'s registry. Returns (sub, entry id, centroid)
+    * rows, ready to persist as the codebook sidecar.
+    */
+  private[graft] def pqTrainRows(
+      vecs: DataFrame): Seq[(Int, Int, Array[Long])] = {
     // seed codebook: every strideth vector's subvectors, entry id j =
     // seed ordinal — O(1) rows collected (quantization stays a Spark
     // expression so driver float semantics never enter the model)
-    val seed = checked(s, d)
+    val seed = vecs
       .filter(
         col("vec_id") % pqSeedStride === pqSeedOff &&
           col("vec_id") < pqSeedStride * pqKsub + pqSeedOff)
@@ -1583,14 +1591,18 @@ object Embeddings {
         (0 until pqM).map(sb =>
           (sb, r.getInt(0), xqa.slice(sb * pqDsub, (sb + 1) * pqDsub).toArray))
       }
-    val m0 = toModel(seed)
+    require(seed.nonEmpty,
+      "pq training: the stride seed picked no codebook entries — need " +
+        s"keys with vec_id % $pqSeedStride = $pqSeedOff below " +
+        s"${pqSeedStride * pqKsub + pqSeedOff}")
+    val m0 = toPqModel(seed)
     // one Lloyd update: assign every vector with the seed model (narrow
     // encode), then per (sub, cell, dsub) the floored quantized mean —
     // ONE map-side-combined aggregation over N×dim rows, 2,048 out.
     // The encode and quantization ride the GENERATOR INPUT (evaluated
     // once per row); projecting them beside a posexplode would let
     // CollapseProject inline them into per-exploded-row recomputation.
-    val upd = checked(s, d)
+    vecs
       .select(
         posexplode(
           zip_with(
@@ -1615,7 +1627,6 @@ object Embeddings {
         (sb, cell, Array.tabulate(pqDsub)(byD))
       }
       .toSeq
-    toModel(upd)
   }
 
   val similarityPq: Q = (s, d) => {
@@ -2335,6 +2346,81 @@ object Embeddings {
         col("cent_id").as("cell") +: carry.map(col): _*)
   }
 
+  /** IVF+PQ serving for the CATALOG's `ann_search` over a cell-pruned
+    * postings slice: ADC-shortlist by compressed distance against the
+    * persisted codebook FRAME (every model access a broadcast join —
+    * nothing model-sized in the plan), then exact cosine re-rank of
+    * the top [[ivfpqShortC]] per query. `pruned` is (vec_id, cell,
+    * embedding, nrm); `probe` is (query_id, qv, qnrm, cell); `cb` is
+    * the (sub, j, cq) codebook. Returns (query_id, rank, neighbor_id,
+    * cos), rank ≤ k.
+    */
+  private[graft] def annPqSearchServed(
+      pruned: DataFrame,
+      probe: DataFrame,
+      cb: DataFrame,
+      k: Int): DataFrame = {
+    val qs = probe.select(col("query_id"), col("qv"), col("qnrm")).distinct()
+    // candidates with quantized subvectors, checkpointed: the HOF
+    // quantization runs once per candidate and two joins read the frame
+    val cand = pruned
+      .join(broadcast(probe.select(col("query_id"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), xqSubs(col("embedding")).as("xsubs"))
+      .localCheckpoint()
+    // encode as a join: per (candidate, sub) argmin over the codebook
+    // frame — min distance, ties to the smallest entry id
+    val codes = cand
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("xsubs")).as(Seq("sub", "xsub")))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", subD2(col("xsub"), col("cq")))
+      .groupBy(col("query_id"), col("neighbor_id"), col("sub"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("cj"))
+    // per-query ADC distance tables (O(panel × M × k) rows)
+    val dtab = qs
+      .select(col("query_id"), xqSubs(col("qv")).as("xsubs"))
+      .localCheckpoint()
+      .select(col("query_id").as("dq"),
+        posexplode(col("xsubs")).as(Seq("dsub0", "xsub")))
+      .join(broadcast(cb.select(
+        col("sub").as("dsub0"), col("j").as("dj"), col("cq"))), Seq("dsub0"))
+      .withColumn("d2", subD2(col("xsub"), col("cq")))
+      .select(col("dq"), col("dsub0"), col("dj"), col("d2"))
+    val adc = codes
+      .join(
+        broadcast(dtab),
+        col("query_id") === col("dq") && col("sub") === col("dsub0") &&
+          col("cj") === col("dj"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = adc
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= ivfpqShortC)
+      .select(col("query_id"), col("neighbor_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(cand.select(col("query_id"), col("neighbor_id"),
+        col("embedding"), col("nrm")), Seq("query_id", "neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** The IVF+PQ serving constants, for the catalog surface. */
+  private[graft] def ivfpqServeShortC: Int = ivfpqShortC
+  private[graft] def ivfpqServeProbes: Int = ivfpqProbeP
+  private[graft] def pqServeTopK: Int = pqTopK
+  private[graft] def pqDim: Int = pqM * pqDsub
+
   // ---------------------------------------------------------------------
   // q_ann_incremental — the index maintenance lane, gated end to end:
   // day 1 loads 3/4 of the vectors into a merge table, trains the
@@ -2559,10 +2645,157 @@ object Embeddings {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_ann_sql_pq — the IVF+PQ index as a PURE-SQL CATALOG CITIZEN:
+  // CALL cat.sys.create_ann(..., 'ivfpq') trains BOTH frozen models
+  // (coarse quantizer + PQ codebook sidecars), and ann_search serves
+  // by ADC shortlist + exact re-rank — the billion-scale memory shape,
+  // now reachable by a consumer who only speaks SQL. Oracle: DuckDB
+  // re-derives the quantizer, the codebook (stride seed + one
+  // quantized-integer Lloyd update), the ADC shortlist and the exact
+  // re-rank from scratch — integer-exact end to end, so the CALL's
+  // relation hash-matches a from-scratch rebuild.
+  // ---------------------------------------------------------------------
+  val annSqlPqLane: Q = (s, d) => {
+    val n = annGateN.incrementAndGet()
+    val cat = s"gannpq$n"
+    val wh = java.nio.file.Files.createTempDirectory("graft_annpq_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.a")
+    s.sql(
+      s"""CREATE TABLE $cat.a.vecs
+         |(vec_id BIGINT, embedding ARRAY<FLOAT>, rv BIGINT)
+         |USING `graft-merge` OPTIONS (key 'vec_id', seq 'rv')
+         |""".stripMargin)
+    val view = s"graft_annpq_emb_$n"
+    checked(s, d).select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView(view)
+    s.sql(s"""INSERT INTO $cat.a.vecs
+             |SELECT vec_id, embedding, 1 AS rv FROM $view""".stripMargin)
+    val built = s.sql(
+      s"CALL $cat.sys.create_ann('a.pix', 'a.vecs', 'vec_id', " +
+        "'embedding', 'ivfpq')")
+      .head().getInt(0)
+    require(built > 0, "create_ann(ivfpq) built an empty index")
+    s.sql(s"""CREATE TABLE $cat.a.q
+             |USING `graft-merge` OPTIONS (key 'vec_id', seq 'rv')
+             |AS SELECT vec_id, embedding, CAST(1 AS BIGINT) AS rv
+             |FROM $cat.a.vecs ORDER BY vec_id LIMIT $queryN""".stripMargin)
+    s.sql(
+      s"CALL $cat.sys.ann_search('a.pix', 'a.q', $pqTopK, $ivfpqProbeP)")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q_ann_sql_pq oracle: the `similarityIvfPqSql` pipeline under
+    * `create_ann`'s OWN frozen quantizer (the [[annTrain]] seed, not
+    * the fixture lane's), final shape = the `ann_search` relation.
+    */
+  val annSqlPqSql: String = {
+    val seedHi = pqSeedStride * pqKsub + pqSeedOff
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |           ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS cv, nrm2 AS cnrm2
+       |  FROM n WHERE $sqlCentroidPick),
+       |ka0 AS (
+       |  ${sqlKmAssign("n", "c0")}),
+       |r1 AS (
+       |  ${sqlKmRecompute("ka0")}),
+       |c1 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r1),
+       |ka1 AS (
+       |  ${sqlKmAssign("n", "c1")}),
+       |r2 AS (
+       |  ${sqlKmRecompute("ka1")}),
+       |c2 AS (SELECT cent_id, cv, ${sqlDot("cv", "cv")} AS cnrm2 FROM r2),
+       |assigned AS (
+       |  SELECT vec_id, embedding, sqrt(nrm2) AS nrm, cell FROM (
+       |  ${sqlKmAssign("n", "c2")}) a),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |       sqrt(nrm2) AS qnrm, nrm2 AS qnrm2 FROM n
+       |       $sqlQuerySample),
+       |qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qnrm2 - 2.0 * (${sqlDot("c.cv", "q.qv")}) + c.cnrm2 ASC, c.cent_id ASC) AS prb
+       |    FROM q0 q CROSS JOIN c2 c) t
+       |  WHERE prb <= $ivfpqProbeP),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id
+       |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+       |  WHERE a.vec_id != q.query_id),
+       |comps AS (
+       |  SELECT vec_id, CAST((t.i - 1) // $pqDsub AS INT) AS sub,
+       |    (t.i - 1) % $pqDsub AS dsub,
+       |    CAST(round(embedding[t.i]::DOUBLE * $kmQ.0) AS BIGINT) AS xq
+       |  FROM embeddings, range(1, ${embedDim + 1}) AS t(i)),
+       |seedcb AS (
+       |  SELECT sub, dsub, (vec_id - $pqSeedOff) // $pqSeedStride AS j,
+       |    xq AS cq
+       |  FROM comps
+       |  WHERE vec_id % $pqSeedStride = $pqSeedOff AND vec_id < $seedHi),
+       |pa0 AS (
+       |  SELECT vec_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, s.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - s.cq) * (c.xq - s.cq)) ASC, s.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN seedcb s ON c.sub = s.sub AND c.dsub = s.dsub
+       |    GROUP BY c.vec_id, c.sub, s.j) t WHERE rn = 1),
+       |cb AS (
+       |  SELECT pa0.sub, pa0.cell AS j, c.dsub,
+       |    CAST(floor(CAST(SUM(c.xq) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS cq
+       |  FROM pa0 JOIN comps c ON pa0.vec_id = c.vec_id AND pa0.sub = c.sub
+       |  GROUP BY pa0.sub, pa0.cell, c.dsub),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, sub, j AS cell FROM (
+       |    SELECT c.vec_id, c.sub, b.j,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY SUM((c.xq - b.cq) * (c.xq - b.cq)) ASC, b.j ASC)
+       |        AS rn
+       |    FROM comps c JOIN cb b ON c.sub = b.sub AND c.dsub = b.dsub
+       |    GROUP BY c.vec_id, c.sub, b.j) t WHERE rn = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, q.sub, b.j,
+       |    SUM((q.xq - b.cq) * (q.xq - b.cq)) AS d2
+       |  FROM comps q JOIN cb b ON q.sub = b.sub AND q.dsub = b.dsub
+       |  WHERE q.vec_id IN (SELECT query_id FROM q0)
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM(d.d2) AS BIGINT) AS adc_dist
+       |  FROM cand c
+       |  JOIN codes e ON e.neighbor_id = c.neighbor_id
+       |  JOIN dtab d ON d.query_id = c.query_id
+       |    AND d.sub = e.sub AND d.j = e.cell
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
+       |    FROM adc) t WHERE srn <= $ivfpqShortC),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sqlDot("q.qv", "a.embedding")} / (q.qnrm * a.nrm) AS cos
+       |  FROM short s
+       |  JOIN assigned a ON a.vec_id = s.neighbor_id
+       |  JOIN q0 q ON q.query_id = s.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM rer) r
+       |WHERE rank <= $pqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_pq" -> similarityPq,
     "q_ann_incremental" -> annIncremental,
     "q_ann_sql" -> annSqlLane,
+    "q_ann_sql_pq" -> annSqlPqLane,
     "q_similarity_ivfpq" -> similarityIvfPq,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqLoaded,
     "q_similarity_ivfpq_served" -> similarityIvfPqServed,
@@ -2581,6 +2814,7 @@ object Embeddings {
     "q_similarity_pq" -> similarityPqSql,
     "q_ann_incremental" -> annIncrementalSql,
     "q_ann_sql" -> annSqlSql,
+    "q_ann_sql_pq" -> annSqlPqSql,
     "q_similarity_ivfpq" -> similarityIvfPqSql,
     "q_similarity_ivfpq_loaded" -> similarityIvfPqSql,
     "q_similarity_ivfpq_served" -> similarityIvfPqSql,

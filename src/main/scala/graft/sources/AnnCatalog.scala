@@ -55,6 +55,7 @@ object AnnCatalog {
   private val PSrc = "graft.ann.source"
   private val PKey = "graft.ann.key"
   private val PVec = "graft.ann.vec"
+  private val PMode = "graft.ann.mode"
 
   /** The frozen-quantizer sidecar: O(centroidCap × dim) parquet inside
     * the index table's directory. Not data, not a commit artifact —
@@ -62,6 +63,11 @@ object AnnCatalog {
     * patterns and never touch it.
     */
   private def sidecar(ixPath: String): String = ixPath + "/_ann_centroids"
+
+  /** The IVF+PQ mode's persisted codebook sidecar: O(M·k) rows of
+    * (sub, j, cq) — like the centroids, frozen at create time.
+    */
+  private def pqSidecar(ixPath: String): String = ixPath + "/_ann_pq_codebook"
 
   private def centroids(spark: SparkSession, ixPath: String): DataFrame =
     spark.read.parquet(sidecar(ixPath))
@@ -77,14 +83,23 @@ object AnnCatalog {
     o
   }
 
-  /** Create + first full build. Returns postings rows written. */
+  /** Create + first full build. Returns postings rows written. `mode`
+    * is `ivf` (uncompressed postings, exact cosine over probed cells)
+    * or `ivfpq` (additionally trains and freezes a product-quantizer
+    * codebook sidecar; `ann_search` then ADC-shortlists by compressed
+    * distance before the exact re-rank — the memory/IO shape that
+    * serves at billion-vector scale).
+    */
   def create(
       spark: SparkSession,
       cat: GraftCatalog,
       ixIdent: String,
       srcIdent: String,
       keyCol: String,
-      vecCol: String): Long = {
+      vecCol: String,
+      mode: String = "ivf"): Long = {
+    require(mode == "ivf" || mode == "ivfpq",
+      s"create_ann: unknown mode '$mode' (ivf | ivfpq)")
     val srcOpts = cat.tableOptions(MaterializedViews.identOf(srcIdent))
     val srcSchema = DataType.fromJson(srcOpts("schema"))
       .asInstanceOf[StructType]
@@ -108,6 +123,20 @@ object AnnCatalog {
       spark, st.select(col(keyCol).as("vec_id"), col(vecCol).as("embedding")))
       // force training NOW — errors must surface before createTable
       .localCheckpoint()
+    // ivfpq: the product-quantizer codebook also trains (and fails)
+    // BEFORE the table registers — driver-bounded (sub, j, cq) rows
+    val pqRows =
+      if (mode != "ivfpq") Seq.empty
+      else {
+        val dim = st.select(org.apache.spark.sql.functions
+          .size(col(vecCol))).head().getInt(0)
+        require(dim == Embeddings.pqDim,
+          s"create_ann: ivfpq mode quantizes ${Embeddings.pqDim}-dim " +
+            s"vectors (M×dsub subspaces); '$vecCol' has $dim dims — " +
+            "use mode 'ivf'")
+        Embeddings.pqTrainRows(
+          st.select(col(keyCol).as("vec_id"), col(vecCol).as("embedding")))
+      }
     // postings schema is engine-owned: (vec_id, cell, embedding, nrm)
     // under the CELL-PRUNABLE layout — key (vec_id, cell),
     // identity(cell) partitioning, bucket_by(vec_id) — so a search's
@@ -130,6 +159,7 @@ object AnnCatalog {
     props.put(P + PSrc, srcIdent)
     props.put(P + PKey, keyCol)
     props.put(P + PVec, vecCol)
+    props.put(P + PMode, mode)
     val ixTableIdent = MaterializedViews.identOf(ixIdent)
     cat.createTable(ixTableIdent, schema,
       Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -142,6 +172,14 @@ object AnnCatalog {
       val ixPath = cat.tableOptions(ixTableIdent)("path")
       // one tiny file, written once: the model is frozen at create time
       ck2.coalesce(1).write.mode("overwrite").parquet(sidecar(ixPath))
+      if (pqRows.nonEmpty) {
+        val s2 = spark
+        import s2.implicits._
+        pqRows.map { case (sb, j, cq) => (sb, j, cq.toSeq) }
+          .toDF("sub", "j", "cq")
+          .repartition(1)
+          .write.mode("overwrite").parquet(pqSidecar(ixPath))
+      }
       refresh(spark, cat, ixIdent)
     } catch {
       case e: Throwable =>
@@ -335,20 +373,32 @@ object AnnCatalog {
     // one pruned scan serves every batch
     val pruned =
       if (nBatches == 1) pruned0 else pruned0.localCheckpoint(eager = false)
+    // ivfpq index: ADC-shortlist against the frozen codebook sidecar,
+    // exact re-rank of the shortlist — candidate IO identical (the same
+    // pruned cells), candidate COMPUTE compressed
+    val pqCb: Option[DataFrame] =
+      if (ixOpts.getOrElse(PMode, "ivf") != "ivfpq") None
+      else Some(spark.read.parquet(pqSidecar(ixOpts("path")))
+        .select(col("sub"), col("j"), col("cq")))
     def searchBatch(b: Int): DataFrame = {
       val bp = probe.filter(col("__batch") === b).drop("__batch")
-      val wRank = Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      pruned
-        .join(broadcast(bp), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-            .as("cos"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      pqCb match {
+        case Some(cb) => Embeddings.annPqSearchServed(pruned, bp, cb, k)
+        case None =>
+          val wRank = Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+          pruned
+            .join(broadcast(bp), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+                .as("cos"))
+            .withColumn("rank", row_number().over(wRank).cast("long"))
+            .filter(col("rank") <= k)
+            .select(
+              col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      }
     }
     (0 until nBatches).map(searchBatch).reduce(_ unionAll _)
       .orderBy(col("query_id"), col("rank"))

@@ -1860,9 +1860,14 @@ object GraftProcedures {
       extends MaintenanceProc(cat, "create_ann", "postings_written",
         Seq(ProcedureParameter.in("source", StringType).build(),
           ProcedureParameter.in("key_col", StringType).build(),
-          ProcedureParameter.in("vec_col", StringType).build())) {
+          ProcedureParameter.in("vec_col", StringType).build(),
+          ProcedureParameter.in("mode", StringType)
+            .defaultValue("'ivf'")
+            .comment("ivf | ivfpq (adds a frozen PQ codebook sidecar; " +
+              "searches ADC-shortlist before the exact re-rank)")
+            .build())) {
     override def description(): String =
-      "create a maintained ANN (IVF) index over a vector table"
+      "create a maintained ANN (IVF or IVF+PQ) index over a vector table"
     override protected def run(
         opts: Map[String, String], input: InternalRow): Int = 0 // unused
     override def call(input: InternalRow): java.util.Iterator[Scan] =
@@ -1872,7 +1877,10 @@ object GraftProcedures {
         ixIdent = input.getUTF8String(0).toString,
         srcIdent = input.getUTF8String(1).toString,
         keyCol = input.getUTF8String(2).toString,
-        vecCol = input.getUTF8String(3).toString).toInt)
+        vecCol = input.getUTF8String(3).toString,
+        mode =
+          if (input.isNullAt(4)) "ivf"
+          else input.getUTF8String(4).toString).toInt)
   }
 
   /** `CALL cat.sys.refresh_ann('db.ix')` — advance the postings to the

@@ -130,6 +130,61 @@ class AnnCatalogSpec extends SparkSpec {
       s"probe cells did not prune postings files: planned $planned of $total")
   }
 
+  test("create_ann ivfpq: frozen codebook sidecar; search re-ranks the ADC shortlist exactly") {
+    val cat = freshCat("pq")
+    // PQ quantizes pqM x pqDsub subspaces: the index's vectors must be
+    // full-width (64) — replace the dim-4 fixture table's contents
+    val s2 = spark
+    import s2.implicits._
+    (0L until nVec.toLong)
+      .map(i => (i, Array.tabulate(64)(k =>
+        (((i + 1) * (k + 3) % 17).toFloat) + (if (k == 63) 1.0f else 0.0f)),
+        2L))
+      .toDF("vec_id", "embedding", "rv")
+      .createOrReplaceTempView("annspec_pq_vecs")
+    spark.sql(s"INSERT INTO $cat.a.vecs SELECT * FROM annspec_pq_vecs")
+    spark.sql(
+      s"CALL $cat.sys.create_ann('a.pix', 'a.vecs', 'vec_id', " +
+        "'embedding', 'ivfpq')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.a.pix")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.ann.mode") == "ivfpq")
+    // the codebook persisted beside the centroids
+    val ixPath = props("path").stripPrefix("file:")
+    assert(new java.io.File(s"$ixPath/_ann_pq_codebook").exists())
+    val panelIds = Seq(7L, 123L, 250L)
+    makePanel(cat, panelIds)
+    val got = spark
+      .sql(s"CALL $cat.sys.ann_search('a.pix', 'a.panel', 3, 99)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // shape: exactly k ranked rows per query, ranks 1..3
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)
+    })
+    // the re-rank is EXACT: every returned cosine equals the true
+    // cosine of that (query, neighbor) pair
+    val st = spark.table(s"$cat.a.vecs")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Float](1).toArray, r.getDouble(2))).toMap
+    got.foreach { case (q, _, nb, cos) =>
+      val (qv, qn) = st(q); val (nv, nn) = st(nb)
+      val dot = qv.zip(nv).map { case (a, b) => a.toDouble * b.toDouble }
+        .foldLeft(0.0)(_ + _)
+      assert(math.abs(cos - dot / (qn * nn)) == 0.0,
+        s"re-ranked cosine must be exact for ($q, $nb)")
+    }
+    // an unknown mode fails loudly, leaving no table behind
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.create_ann('a.bad', 'a.vecs', 'vec_id', " +
+        "'embedding', 'blah')").collect()
+    }
+    assert(e.getMessage.contains("unknown mode"))
+    assert(!spark.catalog.tableExists(s"$cat.a.bad"))
+  }
+
   test("refresh_ann folds exactly the changed keys and is free at head") {
     val cat = freshCat("incr")
     spark.sql(s"CALL $cat.sys.create_ann('a.vix', 'a.vecs', 'vec_id', 'embedding')")
