@@ -2138,6 +2138,22 @@ object MergeSink {
       note: Option[String] = None,
       specGens: Option[Seq[SpecGen]] = None): Unit = {
     val (fs, p) = fsOf(spark, dir)
+    // ---- same-JVM same-writer exclusion (BEFORE the claim) ----
+    // The claim's same-owner steal exists for CRASH RESUMPTION (a
+    // retry of a writer whose previous attempt died re-takes its own
+    // claim without waiting out the TTL). Two LIVE publishes under one
+    // runId in one JVM — e.g. two threads racing the same view refresh
+    // — would steal each other's claim mid-publish and overwrite each
+    // other's staging; the in-flight registry turns the second into
+    // the retryable ConcurrentCommitException it semantically is.
+    // (Two live drivers sharing a runId remain outside the writer-id
+    // contract, as ever.)
+    val inFlightKey = s"$dir#v$newV"
+    if (!MergeSink.inFlightPublishes.add(inFlightKey))
+      throw new ConcurrentCommitException(
+        s"graft-merge: version $newV of $dir is being published by " +
+          "another thread of this process — retry against the new head")
+    try {
     // ---- concurrent-commit claim (BEFORE any data movement) ----
     // Exactly one publish attempt may own version `newV`: an atomic
     // exclusive create of `_claim_v<N>`. A loser discovers the claim
@@ -2193,7 +2209,11 @@ object MergeSink {
       // the CoW contract of a bucket as a unit of O(100 MB-1 GB) at
       // production scale. Without that layout every upstream task would
       // write its own shard of every bucket (tasks × buckets files).
-      val tmp = new Path(p, s"_tmp_v$newV")
+      // per-attempt staging (vacuum's TmpRe tolerates the suffix): a
+      // rival claimant — cross-process, where the in-flight registry
+      // cannot see it — must never overwrite this attempt's staging
+      val tmp = new Path(p,
+        s"_tmp_v${newV}a${MergeSink.tmpNonce.incrementAndGet()}")
       // Bloom-indexed columns ride parquet's own bloom-filter support:
       // writer options pass through newHadoopConfWithOptions into the
       // parquet job conf, so every bucket file written by this commit
@@ -2428,7 +2448,16 @@ object MergeSink {
         try out.write((txn + "\n").getBytes("UTF-8"))
         finally out.close()
     }
+    } finally MergeSink.inFlightPublishes.remove(inFlightKey)
   }
+
+  /** LIVE publishes of this JVM, keyed `dir#v<version>` — see the
+    * exclusion note at the top of [[publish]].
+    */
+  private val inFlightPublishes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong()
 
   /** Complete a committed transaction participant: the pending marker
     * becomes a direct `_commit_` marker, the claim releases, retention

@@ -449,6 +449,80 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("two racing star refreshers converge exactly-once (loser skips or recomputes)") {
+    val MV = graft.sources.MaterializedViews
+    val MS = graft.streaming.MergeSink
+    val s = spark
+    import s.implicits._
+    val fact = tmp("mv_race_fact")
+    val d1 = tmp("mv_race_d1")
+    val d2 = tmp("mv_race_d2")
+    val mv = tmp("mv_race_v")
+    Seq(fact, d1, d2, mv).foreach(MS.setHistoryKeep(spark, _, 8))
+    def factRows(ids: Range, bump: Long, rv: Long): DataFrame =
+      ids.map(i => (i.toLong, i.toLong % 5, i.toLong % 3, i.toLong + bump))
+        .toDF("id", "k1", "k2", "v").withColumn("rv", lit(rv))
+    MS.upsertBatch(factRows(0 until 60, 0, 1), fact, "id", "rv", 0L, "w")
+    MS.upsertBatch(
+      (0L until 5L).map(k => (k, s"g${k % 2}")).toDF("k1", "w1")
+        .withColumn("rv", lit(1L)), d1, "k1", "rv", 0L, "w")
+    MS.upsertBatch(
+      (0L until 3L).map(k => (k, k * 7)).toDF("k2", "w2")
+        .withColumn("rv", lit(1L)), d2, "k2", "rv", 0L, "w")
+    val dims = Seq(
+      MV.StarDim(d1, "k1", "k1", "k1"), MV.StarDim(d2, "k2", "k2", "k2"))
+    val aggs = Seq(MV.Agg("total", "sum", "v"), MV.Agg("n", "count", "*"))
+    def refresh(): Long = MV.refreshStarDir(
+      spark, fact, "id", dims, mv, Seq("w1"), aggs, "algebraic")
+    assert(refresh() > 0, "initial star materialization")
+    // day 2: the fact AND one dim move — two passes pending
+    MS.upsertBatch(factRows(0 until 10, 1000, 2), fact, "id", "rv", 1L, "w")
+    MS.upsertBatch(
+      Seq((2L, "g9")).toDF("k1", "w1").withColumn("rv", lit(2L)),
+      d1, "k1", "rv", 1L, "w")
+    // two refreshers race from the same applied vector: the commit
+    // claim + the (runId, epoch) idempotency must make them converge —
+    // a loser either skips a pass another already committed (identical
+    // content by construction) or recomputes after the claim loss
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def racer(): Long = {
+      barrier.await()
+      var attempts = 0
+      while (true) {
+        try return refresh()
+        catch {
+          case _: MergeSink.ConcurrentCommitException if attempts < 30 =>
+            attempts += 1
+        }
+      }
+      -1L
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (ra, rb) = (Future(racer()), Future(racer()))
+    Await.result(ra, 120.seconds)
+    Await.result(rb, 120.seconds)
+    // at head afterwards, and EXACTLY at head: one more refresh is free
+    assert(refresh() == 0L, "view must be at every source's head")
+    // convergence: the view equals a from-scratch join + aggregate
+    val expected = MS.currentState(spark, fact).get.as("f")
+      .join(MS.currentState(spark, d1).get.as("d1"), "k1")
+      .join(MS.currentState(spark, d2).get.as("d2"), "k2")
+      .groupBy(col("w1"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = MS.currentState(spark, mv).get
+      .select(col("w1"), col("total"), col("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected, s"racing refreshers diverged: $got vs $expected")
+    // exactly-once: no duplicate (runId, epoch) commits ever landed
+    val epochs = MS.commits(spark, mv).map(c => (c.runId, c.epoch))
+    assert(epochs.distinct == epochs, s"duplicate refresh commits: $epochs")
+  }
+
   test("transparent rewrite: a fresh MV serves the source aggregate; stale never does") {
     val cat = "mvrw"
     val wh = tmp("mv_rw_wh")
