@@ -10,13 +10,20 @@ import graft.streaming.MergeSink
 
 /** Randomized DIFFERENTIAL DML fuzzing: seeded random programs of
   * upsert / delete / intra-batch-duplicate / compact / vacuum /
-  * restore / branch+fast-forward, each step checked against a trivial
-  * in-memory latest-wins model, and every retained version checked
-  * against the model snapshot recorded when it committed. The round-14
-  * adversarial review found defect classes (partitioned point-lookup
-  * offsets, sum-to-NULL folds) that 270 example-based gates missed —
-  * this is that review, institutionalized: a failure prints the
-  * program seed so any counterexample replays deterministically.
+  * restore / branch+fast-forward / partition-spec evolution /
+  * concurrent disjoint writers / maintained-view refresh / maintained
+  * ANN-index refresh, over a LAYOUT ALPHABET of plain, composite-key,
+  * bucket_by, identity- and days()-partitioned tables — each step
+  * checked against a trivial in-memory latest-wins model (plus
+  * point-lookup parity and derived-structure convergence), and every
+  * retained version checked against the model snapshot recorded when
+  * it committed. The round-14 adversarial review found defect classes
+  * (partitioned point-lookup offsets, sum-to-NULL folds) that 270
+  * example-based gates missed — this is that review,
+  * institutionalized; the round-16 extension covers exactly the
+  * surfaces rounds 14–16 added (the concurrent-writer mode flushed a
+  * live same-runId claim-steal bug on its first run). A failure prints
+  * the program seed so any counterexample replays deterministically.
   */
 class FuzzSpec extends SparkSpec {
 
@@ -30,6 +37,14 @@ class FuzzSpec extends SparkSpec {
     * key → x (latest-wins by rv, tombstones removed).
     */
   private type Model = Map[Long, Long]
+
+  /** One of the five physical layouts a program runs under. */
+  private final case class Layout(
+      key: String, // declared merge key (id first)
+      partKind: Option[String], // identity | day
+      bucketBy: Option[String],
+      nb: Int,
+      ann: Boolean) // single-key plain layouts carry an embedding
 
   private def frame(rows: Seq[(Long, Long, Long, Boolean)],
       withDeleted: Boolean): DataFrame = {
@@ -55,15 +70,63 @@ class FuzzSpec extends SparkSpec {
     val rnd = new Random(Seed0 + p)
     val dir = tmp(f"graft_fuzz_$p%03d_")
     MergeSink.setHistoryKeep(spark, dir, 4)
-    if (rnd.nextInt(6) == 0) MergeSink.setPartitionSpec(
-      spark, dir, "identity", "part", 2)
-    val partitioned = MergeSink.partitionSpec(spark, dir).isDefined
-    // partitioned layout needs the partition column in the key; use a
-    // derived int column `part` = id % 3 declared as part of the key
-    val key = if (partitioned) "id,part" else "id"
-    def withPart(df: DataFrame): DataFrame =
-      if (partitioned) df.withColumn("part", (col("id") % 3).cast("int"))
-      else df
+    // ---- layout alphabet ----
+    val layout = rnd.nextInt(6) match {
+      case 0 | 1 => Layout("id", None, None, 2, ann = true)
+      case 2 => // identity-partitioned, composite key
+        Layout("id,part", Some("identity"), None, 2, ann = false)
+      case 3 => // days()-partitioned, composite key, bucket_by subset
+        Layout("id,day", Some("day"), Some("id"), 2, ann = false)
+      case 4 => // composite key, bucket_by subset (no partitioning)
+        Layout("id,part", None, Some("id"), 2, ann = false)
+      case 5 => // composite key hashed jointly
+        Layout("id,part", None, None, 2, ann = false)
+    }
+    layout.partKind.foreach { k =>
+      val c = if (k == "day") "day" else "part"
+      MergeSink.setPartitionSpec(spark, dir, k, c, layout.nb)
+    }
+    layout.bucketBy.foreach(c =>
+      MergeSink.setBucketBy(spark, dir, Seq(c)))
+    val key = layout.key
+    val hasPart = key.contains("part")
+    val hasDay = key.contains("day")
+    /** Derived layout columns are FUNCTIONS OF id, so the scalar model
+      * stays key→x: part = id % 3, day = 2024-01-01 + id % 3 days,
+      * emb = [x, id, 1] floats.
+      */
+    def decorate(df: DataFrame): DataFrame = {
+      var out = df
+      if (hasPart) out = out.withColumn("part", (col("id") % 3).cast("int"))
+      if (hasDay) out = out.withColumn(
+        "day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 3).cast("int")))
+      if (layout.ann) out = out.withColumn("emb", array(
+        col("x").cast("float"), col("id").cast("float"), lit(1.0f)))
+      out
+    }
+    def keyTuple(id: Long): Seq[Any] =
+      // Seq[Any](...) defeats Scala's numeric widening: a bare
+      // Seq(longId, int) infers Seq[Long] and silently widens the int,
+      // and xxhash64 of a LONG differs from the INT column's — the
+      // exact-type contract lookupFiles documents
+      if (hasPart) Seq[Any](id, (id % 3).toInt)
+      else if (hasDay) Seq[Any](id,
+        java.sql.Date.valueOf(
+          java.time.LocalDate.parse("2024-01-01").plusDays(id % 3)))
+      else Seq[Any](id)
+    // frozen toy quantizer for the maintained-index op (2 cells)
+    lazy val ck2 = {
+      val s = spark
+      import s.implicits._
+      Seq((0L, Seq(0.0, 0.0, 1.0), 1.0), (1L, Seq(80.0, 10.0, 1.0), 6501.0))
+        .toDF("cent_id", "cv", "cnrm2")
+    }
+    lazy val ixDir = tmp(f"graft_fuzz_ix_$p%03d_")
+    lazy val mvDir = tmp(f"graft_fuzz_mv_$p%03d_")
+    var mvUsed = false
+    var ixUsed = false
+
     var rv = 0L
     val model = mutable.Map.empty[Long, Long]
     // recorded (version → model snapshot) at every commit we performed
@@ -73,11 +136,11 @@ class FuzzSpec extends SparkSpec {
         if (!snaps.lastOption.exists(_._1 == c.version))
           snaps += c.version -> model.toMap)
     def ctx(op: String): String =
-      s"fuzz program $p (seed ${Seed0 + p}) op $op"
+      s"fuzz program $p (seed ${Seed0 + p}, layout $layout) op $op"
 
     val steps = 4 + rnd.nextInt(5)
     for (_ <- 0 until steps) {
-      val opK = rnd.nextInt(12)
+      val opK = rnd.nextInt(16)
       opK match {
         case k if k <= 5 => // upsert (sometimes with intra-batch dups)
           rv += 1
@@ -93,8 +156,8 @@ class FuzzSpec extends SparkSpec {
               val x2 = rnd.nextInt(100).toLong
               dedup :+ ((id, x2, rv, false))
             } else dedup
-          MergeSink.upsertBatch(withPart(frame(rows, withDeleted = false)),
-            dir, key, "rv", rv, "fuzz")
+          MergeSink.upsertBatch(decorate(frame(rows, withDeleted = false)),
+            dir, key, "rv", rv, "fuzz", reRegister = true)
           rows.groupBy(_._1).foreach { case (id, vs) =>
             val w = vs.maxBy(_._3); model(id) = w._2
           }
@@ -104,9 +167,9 @@ class FuzzSpec extends SparkSpec {
           val ids = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(18).toLong)
             .distinct
           MergeSink.upsertBatch(
-            withPart(frame(ids.map(id => (id, 0L, rv, true)),
+            decorate(frame(ids.map(id => (id, 0L, rv, true)),
               withDeleted = true)),
-            dir, key, "rv", rv, "fuzz")
+            dir, key, "rv", rv, "fuzz", reRegister = true)
           ids.foreach(model.remove)
           snap()
         case 8 => // compact: content-preserving rewrite
@@ -140,18 +203,117 @@ class FuzzSpec extends SparkSpec {
               (rnd.nextInt(16).toLong, rnd.nextInt(100).toLong, rv, false))
               .groupBy(_._1).map(_._2.last).toSeq
             MergeSink.upsertBatch(
-              withPart(frame(rows, withDeleted = false)),
-              dev, key, "rv", rv, "fuzzbr")
+              decorate(frame(rows, withDeleted = false)),
+              dev, key, "rv", rv, "fuzzbr", reRegister = true)
             assert(engineState(dir) == model.toMap,
               s"${ctx("branch-isolation")}: main moved under a branch write")
             MergeSink.fastForward(spark, dir, dev)
             rows.foreach { case (id, x, _, _) => model(id) = x }
             snap()
           }
+        case 12 => // partition-spec evolution (same column, new shape)
+          if (layout.partKind.isDefined &&
+            MergeSink.lastCommit(spark, dir).isDefined) {
+            val kind = layout.partKind.get match {
+              case "day" => if (rnd.nextBoolean()) "hour" else "day"
+              case k => k
+            }
+            try {
+              MergeSink.evolvePartitionSpec(
+                spark, dir, kind, 1 + rnd.nextInt(3))
+              snap()
+            } catch {
+              // same layout re-rolled, or a retained pre-rebucket
+              // version blocks the freeze — both documented refusals
+              case _: IllegalArgumentException => ()
+            }
+          }
+        case 13 => // concurrent DISJOINT writers race one table
+          if (MergeSink.lastCommit(spark, dir).isDefined) {
+            rv += 2
+            val (rvA, rvB) = (rv - 1, rv)
+            val rowsA = Seq.fill(1 + rnd.nextInt(3))(
+              (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, rvA, false))
+              .groupBy(_._1).map(_._2.last).toSeq
+            val rowsB = Seq.fill(1 + rnd.nextInt(3))(
+              (8L + rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, rvB,
+                false)).groupBy(_._1).map(_._2.last).toSeq
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            def write(rows: Seq[(Long, Long, Long, Boolean)], rvi: Long,
+                run: String): Unit = {
+              var attempts = 0
+              var done = false
+              while (!done) {
+                try {
+                  MergeSink.upsertBatch(
+                    decorate(frame(rows, withDeleted = false)),
+                    dir, key, "rv", rvi, run, reRegister = true)
+                  done = true
+                } catch {
+                  case _: MergeSink.ConcurrentCommitException
+                      if attempts < 30 => attempts += 1
+                }
+              }
+            }
+            val fa = Future(write(rowsA, rvA, "fuzzca"))
+            val fb = Future(write(rowsB, rvB, "fuzzcb"))
+            Await.result(fa, 120.seconds)
+            Await.result(fb, 120.seconds)
+            (rowsA ++ rowsB).foreach { case (id, x, _, _) => model(id) = x }
+            snap()
+          }
+        case 14 => // maintained single-table view converges
+          if (hasPart && MergeSink.lastCommit(spark, dir).isDefined) {
+            val MV = graft.sources.MaterializedViews
+            mvUsed = true
+            MV.refreshDir(spark, dir, key, mvDir, Seq("part"),
+              Seq(MV.Agg("total", "sum", "x"), MV.Agg("n", "count", "*")),
+              if (rnd.nextBoolean()) "algebraic" else "rescan")
+            val got = MergeSink.currentState(spark, mvDir)
+              .map(_.select(col("part"), col("total"), col("n")).collect()
+                .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+                .toMap)
+              .getOrElse(Map.empty)
+            val want = model.toMap.groupBy(kv => (kv._1 % 3).toInt)
+              .map { case (g, kvs) =>
+                g -> (kvs.values.sum, kvs.size.toLong)
+              }
+            assert(got == want,
+              s"${ctx("mv-refresh")}: view=$got want=$want")
+          }
+        case 15 => // maintained ANN postings: no ghosts, no duplicates
+          if (layout.ann && MergeSink.lastCommit(spark, dir).isDefined) {
+            ixUsed = true
+            graft.ops.Embeddings.annIndexRefresh(
+              spark, dir, "id", ixDir, ck2, vecCol = "emb")
+            val vecs = MergeSink.currentState(spark, ixDir)
+              .map(_.select(col("vec_id")).collect().map(_.getLong(0)).toSeq)
+              .getOrElse(Seq.empty)
+            assert(vecs.distinct.size == vecs.size,
+              s"${ctx("ann-refresh")}: duplicate postings $vecs")
+            assert(vecs.toSet == model.keySet,
+              s"${ctx("ann-refresh")}: postings=${vecs.toSet} " +
+                s"model=${model.keySet}")
+          }
       }
       val got = engineState(dir)
       assert(got == model.toMap,
         s"${ctx(s"step-check k=$opK")}: engine=$got model=$model")
+      // point-lookup parity: the bucket/generation pruning paths must
+      // find (exactly) what the model holds for a random key
+      if (rnd.nextInt(3) == 0) {
+        val probe = rnd.nextInt(18).toLong
+        val found = MergeSink
+          .pointLookupTuples(spark, dir, key, Seq(keyTuple(probe)))
+          .map(_.select(col("id"), col("x")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty)
+        val want = model.get(probe).map(probe -> _).toMap
+        assert(found == want,
+          s"${ctx(s"point-lookup id=$probe")}: got=$found want=$want")
+      }
     }
     // every retained version we committed must still read as the model
     // state it captured
@@ -160,6 +322,31 @@ class FuzzSpec extends SparkSpec {
       val got = engineStateAt(dir, v)
       assert(got.contains(m) || (m.isEmpty && got.isEmpty),
         s"${ctx(s"time-travel v$v")}: got=$got want=$m")
+    }
+    // derived structures end the program at the table's head state
+    if (mvUsed || ixUsed) {
+      val MV = graft.sources.MaterializedViews
+      if (mvUsed) {
+        MV.refreshDir(spark, dir, key, mvDir, Seq("part"),
+          Seq(MV.Agg("total", "sum", "x"), MV.Agg("n", "count", "*")),
+          "rescan")
+        val got = MergeSink.currentState(spark, mvDir)
+          .map(_.select(col("part"), col("total"), col("n")).collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap)
+          .getOrElse(Map.empty)
+        val want = model.toMap.groupBy(kv => (kv._1 % 3).toInt)
+          .map { case (g, kvs) => g -> (kvs.values.sum, kvs.size.toLong) }
+        assert(got == want, s"${ctx("mv-final")}: view=$got want=$want")
+      }
+      if (ixUsed) {
+        graft.ops.Embeddings.annIndexRefresh(
+          spark, dir, "id", ixDir, ck2, vecCol = "emb")
+        val vecs = MergeSink.currentState(spark, ixDir)
+          .map(_.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+          .getOrElse(Set.empty[Long])
+        assert(vecs == model.keySet,
+          s"${ctx("ann-final")}: postings=$vecs model=${model.keySet}")
+      }
     }
   }
 
