@@ -2979,6 +2979,107 @@ object Streams {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_part_evolution — PARTITION-SPEC EVOLUTION gated end to end: the
+  // fact lands under days(ts); `CALL cat.sys.evolve_partition` moves
+  // the layout to hours(ts); day-2 data lands under the NEW transform
+  // while the old days stay in theirs; a row-level UPDATE touching
+  // old-generation keys migrates their buckets (bucket-granular CoW);
+  // one query answers across BOTH generations, with pruning REQUIREd
+  // at each generation's own granularity. Oracle: the same per-day
+  // roll-up over the raw events — a mis-decoded generation, a lost
+  // migration row or a wrong-generation prune is hash-visible.
+  // ---------------------------------------------------------------------
+  val partEvolutionGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val nRun = gateN.incrementAndGet()
+    val cat = s"gevo$nRun"
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_wh").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.db")
+    s.sql(
+      s"""CREATE TABLE $cat.db.ev
+         |(event_id BIGINT, ts TIMESTAMP_NTZ, seq BIGINT, cents BIGINT)
+         |USING `graft-merge`
+         |OPTIONS (key 'event_id,ts', seq 'seq', buckets '2')
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    s.sql(s"CALL $cat.sys.set_history_keep('db.ev', 8)")
+    val view = s"graft_evo_events_$nRun"
+    Tables.events(s, d).select(
+      col("event_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView(view)
+    // day 1: half the fact, under days(ts)
+    s.sql(s"""INSERT INTO $cat.db.ev
+             |SELECT event_id, ts, 1L, cents FROM $view
+             |WHERE event_id % 2 = 0""".stripMargin)
+    val off = s.sql(s"CALL $cat.sys.evolve_partition('db.ev', 'hours', 2)")
+      .head().getInt(0)
+    require(off > 0, "evolution must mint a fresh bucket-id range")
+    // day 2: the other half, bounded to two calendar days so the new
+    // generation's hour grain stays a bounded file count at any SF —
+    // lands under hours(ts)
+    s.sql(s"""INSERT INTO $cat.db.ev
+             |SELECT event_id, ts, 1L, cents FROM $view
+             |WHERE event_id % 2 = 1
+             |  AND ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+    // both generations hold buckets
+    val path = s.sql(s"SHOW TBLPROPERTIES $cat.db.ev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("path")
+    val MS = graft.streaming.MergeSink
+    val m0 = MS.manifest(s, path, MS.lastCommit(s, path).get.version)
+    require(m0.keySet.exists(_ < off) && m0.keySet.exists(_ >= off),
+      s"both generations must hold buckets (offset $off, ids ${m0.keySet})")
+    // a row-level UPDATE whose keys live in the OLD generation
+    // migrates their buckets to the current layout
+    s.sql(
+      s"""UPDATE $cat.db.ev SET cents = cents + 7, seq = 2
+         |WHERE event_id % 31 = 5
+         |  AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin)
+    // pruning bites at EACH generation's granularity: an hour window
+    // over day-2 data and a day window over the retired generation
+    // both plan strict file subsets
+    def prunedCount(cond: org.apache.spark.sql.Column): Long = {
+      graft.sources.GraftMergeScan.lastPrune.set(null)
+      val n = s.table(s"$cat.db.ev").filter(cond).count()
+      val p = graft.sources.GraftMergeScan.lastPrune.get()
+      require(p != null && p._1 < p._2,
+        s"generation prune did not engage: $p")
+      n
+    }
+    prunedCount(col("ts") >= lit("2024-01-02 12:00:00").cast("timestamp_ntz")
+      && col("ts") < lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+    prunedCount(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+      && col("ts") < lit("2024-01-11 00:00:00").cast("timestamp_ntz"))
+    // the answer spans both generations and the migrated rows
+    s.table(s"$cat.db.ev")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("long").as("cents_total"))
+      .orderBy(col("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("cents_total"))
+  }
+
+  val partEvolutionGatedSql: String =
+    """WITH rows0 AS (
+      |  SELECT event_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_id % 2 = 0
+      |     OR (event_id % 2 = 1 AND ts < TIMESTAMP '2024-01-03 00:00:00')),
+      |final AS (
+      |  SELECT event_id, ts,
+      |    CASE WHEN event_id % 31 = 5
+      |      AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+      |      AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |      THEN cents + 7 ELSE cents END AS cents
+      |  FROM rows0)
+      |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_merge_branch — BRANCHES gated end to end: the ledger lands on
   // MAIN, `CALL cat.sys.create_branch` forks a zero-copy writable
   // branch at the head (hard-linked data — O(files) metadata, zero
@@ -4775,6 +4876,7 @@ object Streams {
     "q_merge_wap" -> mergeWapGated,
     "q_merge_constraint" -> mergeConstraintGated,
     "q_merge_partitioned" -> mergePartitionedGated,
+    "q_part_evolution" -> partEvolutionGated,
     "q_merge_widen" -> mergeWidenGated,
     "q_merge_branch" -> mergeBranchGated,
     "q_merge_evolution" -> mergeEvolutionGated,
@@ -4842,6 +4944,7 @@ object Streams {
     "q_merge_wap" -> mergeWapGatedSql,
     "q_merge_constraint" -> mergeConstraintGatedSql,
     "q_merge_partitioned" -> mergePartitionedGatedSql,
+    "q_part_evolution" -> partEvolutionGatedSql,
     "q_merge_widen" -> mergeWidenGatedSql,
     "q_merge_branch" -> mergeBranchGatedSql,
     "q_merge_evolution" -> mergeEvolutionGatedSql,
