@@ -2204,7 +2204,16 @@ object Embeddings {
       MS.setPartitionSpec(s, ixDir, "identity", "cell", nb)
       MS.setBucketBy(s, ixDir, Seq("vec_id"))
     }
-    val ixKey = "vec_id,cell"
+    // A PRE-LAYOUT index (commits but no partition spec — built when
+    // postings were keyed by vec_id alone) keeps refreshing under ITS
+    // recorded contract: refreshing it with the composite key would
+    // hash batch rows into different buckets than the stored postings,
+    // so a re-embedded key's old row would never be read or replaced
+    // (stale duplicates serving both embeddings). The search path
+    // reads both layouts; cell pruning is earned by rebuilding.
+    val legacy = MS.partitionSpec(s, ixDir).isEmpty &&
+      MS.lastCommit(s, ixDir).nonEmpty
+    val ixKey = if (legacy) "vec_id" else "vec_id,cell"
     // the postings table's OWN columns are engine-owned (vec_id/cell/
     // embedding/nrm) regardless of the source's naming — normalize the
     // source frames once at the boundary (no-op when names already match)
@@ -2259,15 +2268,29 @@ object Embeddings {
             // on: a pure delete, or a re-embedding that moved cells —
             // the composite (vec_id, cell) key makes the old posting a
             // distinct row that an upsert at the new cell cannot replace
-            val tombs = assignRows(delta.filter(col("__mult") === -1))
-              .select(col("vec_id"), col("cell"))
-              .join(plus.select(col("vec_id"), col("cell").as("__ncell")),
-                Seq("vec_id"), "left")
-              .filter(col("__ncell").isNull || col("__ncell") =!= col("cell"))
-              .select(col("vec_id"), col("cell"),
-                lit(null).cast("array<float>").as("embedding"),
-                lit(null).cast("double").as("nrm"),
-                lit(true).as(MS.DeletedCol))
+            val tombs =
+              if (legacy)
+                // single-key postings: an upsert at vec_id REPLACES the
+                // old cell's row in place, so only PURE deletes (keys
+                // with no re-landed embedding) need a tombstone
+                delta.filter(col("__mult") === -1)
+                  .select(col("vec_id")).distinct()
+                  .join(plus.select(col("vec_id")), Seq("vec_id"),
+                    "left_anti")
+                  .select(col("vec_id"),
+                    lit(null).cast("long").as("cell"),
+                    lit(null).cast("array<float>").as("embedding"),
+                    lit(null).cast("double").as("nrm"),
+                    lit(true).as(MS.DeletedCol))
+              else assignRows(delta.filter(col("__mult") === -1))
+                .select(col("vec_id"), col("cell"))
+                .join(plus.select(col("vec_id"), col("cell").as("__ncell")),
+                  Seq("vec_id"), "left")
+                .filter(col("__ncell").isNull || col("__ncell") =!= col("cell"))
+                .select(col("vec_id"), col("cell"),
+                  lit(null).cast("array<float>").as("embedding"),
+                  lit(null).cast("double").as("nrm"),
+                  lit(true).as(MS.DeletedCol))
             commitIx(plus.unionByName(tombs), overwrite = false)
             // the refresh's contract reports CHANGED KEYS, not batch
             // rows (a moved cell costs two rows but is one key)

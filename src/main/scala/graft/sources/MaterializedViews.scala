@@ -690,7 +690,7 @@ object MaterializedViews {
       .map(_.stripPrefix("mvv ").split(',').toSeq.map(_.trim.toLong))
 
   /** `dir,key,fk,pk;dir,key,fk,pk` — the registration-line encoding. */
-  private def parseStarDims(spec: String): Seq[StarDim] =
+  private[graft] def parseStarDims(spec: String): Seq[StarDim] =
     spec.split(';').toSeq.map(_.split(',') match {
       case Array(d, k, fk, pk) => StarDim(d, k, fk, pk)
       case other => throw new IllegalArgumentException(

@@ -256,11 +256,17 @@ object MergeSink {
         "single-valued across retained history (let retention age the " +
         "pre-rebucket versions out, then evolve)")
     val m = manifest(spark, dir, last.version)
-    // above every id ever minted AND never below the current range's
-    // base (offsets must ascend for generation decode); an empty or
-    // fully-dropped current generation reuses its range
-    val newOffset =
-      math.max(m.keySet.maxOption.map(_ + 1).getOrElse(0), gens.last.offset)
+    // above every id EVERY RETAINED VERSION has ever minted (not just
+    // the head's: a dropPartitions may have emptied the current range
+    // at head while older retained snapshots still hold buckets there
+    // — reusing their ids would make genOfBucket decode those
+    // time-travel reads under the NEW transform), and never below the
+    // current range's base (offsets must ascend for generation decode)
+    val newOffset = math.max(
+      cs.iterator
+        .flatMap(c => manifest(spark, dir, c.version).keySet)
+        .maxOption.map(_ + 1).getOrElse(0),
+      gens.last.offset)
     val (fs, p) = fsOf(spark, dir)
     // freeze the retiring generation's TRUE modulus (the head
     // manifest's, which a rebucketing compaction may have moved off
@@ -268,15 +274,34 @@ object MergeSink {
     val retired = gens.init :+
       SpecGen(gens.last.spec.copy(nb = headNb), gens.last.offset)
     val all = retired :+ SpecGen(PartitionSpec(kind, cur.column, nb), newOffset)
-    val out = fs.create(new Path(p, "_partition_spec"), true)
-    try out.write(all.map(g =>
-      s"${g.spec.kind}\t${g.spec.column}\t${g.spec.nb}\t${g.offset}\n")
-      .mkString.getBytes("UTF-8"))
-    finally out.close()
+    // CLAIM THE PIN VERSION FIRST, then rewrite the spec file under
+    // the claim (the fence order publish itself uses): two concurrent
+    // evolves can no longer interleave a loser's spec-file write with
+    // the winner's pin commit — the loser fails the claim (or the
+    // re-read below) having written NOTHING, and withCommitRetry
+    // replans it against the winner's generations.
+    val evolveRun = s"maintenance-evolve-${tmpNonce.incrementAndGet()}"
+    claimVersion(spark, fs, p, last.version + 1, dir, evolveRun)
+    try {
+      if (partitionSpecGens(spark, dir) != gens)
+        throw new ConcurrentCommitException(
+          s"evolvePartitionSpec: the generations of $dir moved while " +
+            "claiming the pin version — replan against the new layout")
+      val out = fs.create(new Path(p, "_partition_spec"), true)
+      try out.write(all.map(g =>
+        s"${g.spec.kind}\t${g.spec.column}\t${g.spec.nb}\t${g.offset}\n")
+        .mkString.getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case t: Throwable =>
+        fs.delete(new Path(p, s"_claim_v${last.version + 1}"), false)
+        throw t
+    }
     // a schema-only commit pins the evolution point in the version
     // history: any racing writer planned under the old layout loses
     // the version claim and replans under the new one (and the
-    // B header from here on records the new generation's modulus)
+    // B header from here on records the new generation's modulus).
+    // publish re-takes the claim via the same-owner steal path.
     publish(
       spark, dir,
       nb,
@@ -284,7 +309,7 @@ object MergeSink {
       touched = Set.empty,
       rows = None,
       last.version + 1,
-      runId = "maintenance",
+      runId = evolveRun,
       epochId = last.version + 1,
       prevVersion = Some(last.version),
       sortedBy = manifestSortedBy(spark, dir, last.version),

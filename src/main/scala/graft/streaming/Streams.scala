@@ -2445,9 +2445,127 @@ object Streams {
         s"mv rewrite did not engage (no view scan in plan):\n$plan")
       require(!plan.toLowerCase(java.util.Locale.ROOT).contains("aggregate"),
         s"mv rewrite must READ the answer, not re-aggregate:\n$plan")
-      out.orderBy(col("grp"))
+      val ordered = out.orderBy(col("grp"))
+      // Return the REWRITTEN logical plan itself (optimization already
+      // replaced the aggregate with the view projection), so the frame
+      // Verify/Bench materialize AFTER the conf resets still executes
+      // the rewrite — the oracle hash pins the rewritten VALUES, not
+      // the fallback aggregate's. Re-optimizing this plan with the
+      // rule off is a no-op: there is no Aggregate left to rewrite.
+      val rewritten = ordered.queryExecution.optimizedPlan
+      require(rewritten.toString.contains(mv),
+        s"rewritten logical plan lost the view scan:\n$rewritten")
+      org.apache.spark.sql.graft.Exprs.ofRows(s, rewritten)
     } finally s.conf.unset("spark.graft.mvRewrite")
   }
+
+  // ---------------------------------------------------------------------
+  // q_mv_rollup — ROLLUP REWRITE: the maintained view groups by the
+  // FINER set (grp, sub); the measured query groups by grp alone. The
+  // optimizer must serve it by RE-AGGREGATING the O(groups) view —
+  // sum of stored sums, sum of stored counts — never the fact.
+  // REQUIREd: the executed plan scans the view directory and does NOT
+  // scan the source. Oracle: the direct aggregate over the raw
+  // events. At 100 TB every coarser-than-the-view grouping (daily →
+  // monthly, per-sku → per-category) rides the same view.
+  // ---------------------------------------------------------------------
+  val mvRollupGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val src = java.nio.file.Files.createTempDirectory("graft_mvu_src").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvu_v").toString
+    val aggs = Seq(MV.Agg("total", "sum", "cents"), MV.Agg("n", "count", "*"))
+    val e = mvSourceRows(s, d)
+      .withColumn("sub", (col("event_id") % 2).cast("long"))
+    mvLoadV0(e, src)
+    MV.refreshDir(s, src, "event_id", mv, Seq("grp", "sub"), aggs, "algebraic")
+    mvLoadV1(e, src)
+    MV.refreshDir(s, src, "event_id", mv, Seq("grp", "sub"), aggs, "algebraic")
+    s.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val scan = s.read.format("graft-merge")
+        .option("path", src).option("key", "event_id").option("seq", "rv")
+        .load()
+      val out = scan.groupBy(col("grp"))
+        .agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(mv),
+        s"rollup rewrite did not engage (no view scan in plan):\n$plan")
+      require(!plan.contains(src),
+        s"rollup rewrite must never scan the FACT:\n$plan")
+      val ordered = out.orderBy(col("grp"))
+      val rewritten = ordered.queryExecution.optimizedPlan
+      require(rewritten.toString.contains(mv),
+        s"rewritten logical plan lost the view scan:\n$rewritten")
+      org.apache.spark.sql.graft.Exprs.ofRows(s, rewritten)
+    } finally s.conf.unset("spark.graft.mvRewrite")
+  }
+
+  val mvRollupGatedSql: String = mvRefreshGatedSql
+
+  // ---------------------------------------------------------------------
+  // q_mv_rewrite_join — JOIN-VIEW REWRITE: the measured query is the
+  // full fact ⋈ dim GROUP BY category aggregate (incl. the derived
+  // avg); the optimizer must recognize the join graph as the one a
+  // maintained join view was declared on and serve the STORED answer —
+  // the join AND the aggregate both disappear (REQUIREd: no aggregate,
+  // no join, no fact/dim scan in the executed plan). Oracle: the
+  // from-scratch join aggregate over the raw events.
+  // ---------------------------------------------------------------------
+  val mvRewriteJoinGated: (SparkSession, String) => DataFrame = (s, d) => {
+    val MV = graft.sources.MaterializedViews
+    val MS = graft.streaming.MergeSink
+    val fact = java.nio.file.Files.createTempDirectory("graft_mvwj_f").toString
+    val dim = java.nio.file.Files.createTempDirectory("graft_mvwj_d").toString
+    val mv = java.nio.file.Files.createTempDirectory("graft_mvwj_v").toString
+    val e = mvSourceRows(s, d)
+    mvLoadV0(e, fact)
+    MS.upsertBatch(
+      s.range(97).select(col("id").as("gid"),
+        (col("id") % 10).as("category")).withColumn("drv", lit(1L)),
+      dim, "gid", "drv", 0L, "load")
+    val aggs = Seq(MV.Agg("total", "sum", "cents"),
+      MV.Agg("n", "count", "*"), MV.Agg("avgc", "avg", "cents"))
+    MV.refreshJoinDir(s, fact, "event_id", dim, "gid", "grp", "gid",
+      mv, Seq("category"), aggs, "algebraic")
+    s.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      def scanOf(dir: String, key: String, seq: String) =
+        s.read.format("graft-merge")
+          .option("path", dir).option("key", key).option("seq", seq).load()
+      val out = scanOf(fact, "event_id", "rv")
+        .join(scanOf(dim, "gid", "drv"), col("grp") === col("gid"))
+        .groupBy(col("category"))
+        .agg(sum(col("cents")).as("total"), count(lit(1)).as("n"),
+          avg(col("cents")).as("avgc"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(mv),
+        s"join-view rewrite did not engage (no view scan in plan):\n$plan")
+      val lower = plan.toLowerCase(java.util.Locale.ROOT)
+      require(!lower.contains("aggregate") && !lower.contains("join"),
+        s"join-view rewrite must READ the answer (no agg, no join):\n$plan")
+      require(!plan.contains(fact) && !plan.contains(dim),
+        s"join-view rewrite must scan neither source:\n$plan")
+      val ordered = out.orderBy(col("category"))
+      val rewritten = ordered.queryExecution.optimizedPlan
+      require(rewritten.toString.contains(mv),
+        s"rewritten logical plan lost the view scan:\n$rewritten")
+      org.apache.spark.sql.graft.Exprs.ofRows(s, rewritten)
+    } finally s.conf.unset("spark.graft.mvRewrite")
+  }
+
+  val mvRewriteJoinGatedSql: String =
+    mvOracleWith +
+      """, v0 AS (
+        |  SELECT grp, cents FROM base WHERE event_id % 3 <> 0),
+        |dim AS (
+        |  SELECT gid, gid % 10 AS category
+        |  FROM (SELECT unnest(range(0, 97)) AS gid))
+        |SELECT category, CAST(SUM(cents) AS BIGINT) AS total,
+        |  count(*) AS n,
+        |  CASE WHEN count(cents) = 0 THEN NULL
+        |    ELSE CAST(SUM(cents) AS DOUBLE) / count(cents) END AS avgc
+        |FROM v0 JOIN dim ON v0.grp = dim.gid
+        |GROUP BY category ORDER BY category""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_mv_rescan — the same view maintenance for NON-self-maintainable
@@ -4868,6 +4986,8 @@ object Streams {
     "q_merge_race" -> mergeRaceGated,
     "q_mv_refresh" -> mvRefreshGated,
     "q_mv_rewrite" -> mvRewriteGated,
+    "q_mv_rollup" -> mvRollupGated,
+    "q_mv_rewrite_join" -> mvRewriteJoinGated,
     "q_mv_join" -> mvJoinGated,
     "q_mv_star" -> mvStarGated,
     "q_mv_rescan" -> mvRescanGated,
@@ -4936,6 +5056,8 @@ object Streams {
     "q_merge_race" -> mergeRaceGatedSql,
     "q_mv_refresh" -> mvRefreshGatedSql,
     "q_mv_rewrite" -> mvRefreshGatedSql,
+    "q_mv_rollup" -> mvRollupGatedSql,
+    "q_mv_rewrite_join" -> mvRewriteJoinGatedSql,
     "q_mv_join" -> mvJoinGatedSql,
     "q_mv_star" -> mvStarGatedSql,
     "q_mv_rescan" -> mvRescanGatedSql,
