@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.attribute.PosixFilePermission
+import java.nio.file.attribute.PosixFilePermission._
+
+import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+
+/** Local filesystem with JVM-native chmod (optimization round, guide §1
+  * empirical loop).
+  *
+  * Without libhadoop, Hadoop's `RawLocalFileSystem.setPermission` falls
+  * back to FORKING a `chmod` subprocess — and every `create()` /
+  * `mkdirs()` on the local FS calls it (createOutputStreamWithMode and
+  * mkOneDirWithMode both apply the requested mode). Driver stack
+  * sampling during the bench showed `Shell.runCommand` as a top-3
+  * driver-side frame: each commit's marker/manifest/bucket-file writes
+  * pay a process fork apiece, thousands across a bench run. Production
+  * deployments don't have this cost — with libhadoop present the same
+  * call is a JNI `chmod(2)` — so the fork storm is a sandbox artifact
+  * that distorts measurement AND a real cost on any native-lib-less
+  * deployment.
+  *
+  * The fix is semantics-preserving: override `setPermission` with
+  * `java.nio.file.Files.setPosixFilePermissions` (one syscall, no
+  * fork). Special bits (setuid/setgid/sticky) that POSIX-NIO cannot
+  * express fall back to the shell path — nothing in the engine sets
+  * them, but correctness must not depend on that.
+  */
+class NioRawLocalFileSystem extends RawLocalFileSystem {
+  override def setPermission(p: Path, permission: FsPermission): Unit = {
+    val s: Int = permission.toShort.toInt
+    if ((s & 0xE00) != 0) {
+      // setuid/setgid/sticky: not expressible via PosixFilePermission
+      super.setPermission(p, permission)
+    } else {
+      val perms = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
+      def add(bit: Int, perm: PosixFilePermission): Unit =
+        if ((s & bit) != 0) { perms.add(perm); () }
+      add(0x100, OWNER_READ); add(0x80, OWNER_WRITE); add(0x40, OWNER_EXECUTE)
+      add(0x20, GROUP_READ); add(0x10, GROUP_WRITE); add(0x8, GROUP_EXECUTE)
+      add(0x4, OTHERS_READ); add(0x2, OTHERS_WRITE); add(0x1, OTHERS_EXECUTE)
+      try java.nio.file.Files.setPosixFilePermissions(
+        pathToFile(p).toPath, perms)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(e.getMessage)
+      }
+    }
+  }
+}
+
+/** `fs.file.impl` drop-in: LocalFileSystem (checksum semantics
+  * unchanged — .crc sidecars exactly as the default) over the
+  * fork-free raw layer.
+  */
+class NioLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem)
+
+// NOTE: an `fs.AbstractFileSystem.file.impl` counterpart (FileContext
+// side, which streaming checkpoint managers use) was tried and
+// REGRESSED streaming lanes 3-7x — AbstractFileSystem instances are
+// not cached the way FileSystem instances are, so every checkpoint
+// operation re-constructed and re-initialized the delegate. The
+// FileContext path keeps Hadoop's default LocalFs.
