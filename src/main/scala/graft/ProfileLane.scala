@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
 
 /** Optimization-round profiler (guide §1): runs selected lanes once and
   * attributes time to Spark STAGES by call site (stage names embed the
@@ -43,8 +44,17 @@ object ProfileLane {
         stages.merge(si.name, (1, wall, task),
           (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       }
+      val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case e: SparkListenerSQLExecutionStart =>
+          execDesc.put(e.executionId,
+            e.description.replaceAll("\\s+", " ").take(110))
+        case _ => ()
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val d = Option(js.properties.getProperty("spark.job.description"))
+        val d = Option(js.properties.getProperty("spark.sql.execution.id"))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+          .orElse(Option(js.properties.getProperty("spark.job.description")))
           .orElse(Option(js.properties.getProperty("callSite.short")))
           .getOrElse("?").replaceAll("\\s+", " ").take(110)
         jobSpans.put(js.jobId, (System.currentTimeMillis(), -1L, d))

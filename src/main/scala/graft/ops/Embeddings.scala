@@ -2383,41 +2383,36 @@ object Embeddings {
       probe: DataFrame,
       cb: DataFrame,
       k: Int): DataFrame = {
+    // The codebook sidecar is O(M·k) = 2,048 rows — the kmMaterialize
+    // broadcastability contract — so serve through the SAME literal
+    // model the fixture lanes use: encode is one narrow codegen
+    // projection per CANDIDATE VECTOR and the ADC distance is M array
+    // lookups per pair. The former formulation encoded per
+    // (query, neighbor) PAIR through an explode + codebook join — the
+    // panel multiplied the encode cost (measured: the encode dominated
+    // q_ann_sql_pq's 5.1 s ann_search), even though a vector's code is
+    // query-independent. Same integer arithmetic (quantized L2², argmin
+    // ties to the smallest entry id), so ADC distances, the shortlist
+    // and the exact re-rank are bit-identical.
+    val m = toPqModel(cb.collect().toSeq.map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray)))
     val qs = probe.select(col("query_id"), col("qv"), col("qnrm")).distinct()
-    // candidates with quantized subvectors, checkpointed: the HOF
-    // quantization runs once per candidate and two joins read the frame
-    val cand = pruned
+    // neighbor-level encode: once per candidate vector, never per pair;
+    // checkpointed so the ADC pass and the re-rank read the same blocks
+    val enc = pruned
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"),
+        pqEncode(m, col("embedding")).as("codes"))
+      .localCheckpoint()
+    // per-query ADC tables ride the O(panel) broadcast frame
+    val qTab = qs.select(col("query_id"),
+      pqDtabArr(m, col("qv")).as("dtab"))
+    val adc = enc
       .join(broadcast(probe.select(col("query_id"), col("cell"))), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("nrm"), xqSubs(col("embedding")).as("xsubs"))
-      .localCheckpoint()
-    // encode as a join: per (candidate, sub) argmin over the codebook
-    // frame — min distance, ties to the smallest entry id
-    val codes = cand
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qTab), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("xsubs")).as(Seq("sub", "xsub")))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", subD2(col("xsub"), col("cq")))
-      .groupBy(col("query_id"), col("neighbor_id"), col("sub"))
-      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("cj"))
-    // per-query ADC distance tables (O(panel × M × k) rows)
-    val dtab = qs
-      .select(col("query_id"), xqSubs(col("qv")).as("xsubs"))
-      .localCheckpoint()
-      .select(col("query_id").as("dq"),
-        posexplode(col("xsubs")).as(Seq("dsub0", "xsub")))
-      .join(broadcast(cb.select(
-        col("sub").as("dsub0"), col("j").as("dj"), col("cq"))), Seq("dsub0"))
-      .withColumn("d2", subD2(col("xsub"), col("cq")))
-      .select(col("dq"), col("dsub0"), col("dj"), col("d2"))
-    val adc = codes
-      .join(
-        broadcast(dtab),
-        col("query_id") === col("dq") && col("sub") === col("dsub0") &&
-          col("cj") === col("dj"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2")).as("adc_dist"))
+        adcScore.as("adc_dist"))
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     val short = adc
@@ -2427,8 +2422,8 @@ object Embeddings {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     short
-      .join(cand.select(col("query_id"), col("neighbor_id"),
-        col("embedding"), col("nrm")), Seq("query_id", "neighbor_id"))
+      .join(enc.select(col("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
       .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (fdot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
