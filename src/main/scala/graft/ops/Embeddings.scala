@@ -1448,16 +1448,15 @@ object Embeddings {
     * task burned 53 s of CPU). As the HOF input it evaluates exactly
     * once per row — dim BigDecimal roundings, then pure long math.
     */
-  private def xqSubs(v: Column): Column =
-    transform(
-      sequence(lit(0), lit(pqM - 1)),
-      s =>
-        transform(
-          sequence(lit(0), lit(pqDsub - 1)),
-          t =>
-            round(
-              element_at(v, s * pqDsub + t + 1).cast("double") * kmQ)
-              .cast("long")))
+  private def xqSubs(v: Column): Column = {
+    // native since round 17 (graft.plans.PqQuantSubsExpr): the HOF
+    // transform×transform ran 64 interpreted BigDecimal roundings per
+    // row through boxed lambdas; the expression runs the identical
+    // Spark-Round-exact arithmetic as a primitive loop.
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.PqQuantSubsExpr(
+      Exprs.expression(v), kmQ.toDouble, pqM, pqDsub))
+  }
 
   /** Integer L2² from a subvector to one centroid array — exact in a
     * long (|dq| ≤ 2·kmQ ⇒ Σ of 4 squares < 2^44). A compact
@@ -1472,35 +1471,17 @@ object Embeddings {
       lit(0L),
       (acc, x) => acc + x)
 
-  /** Per-sub codebook as a (centroid, entry-id) struct list literal,
-    * entry ids ascending.
-    */
-  private def cjsLit(m: PqLitModel): Column =
-    typedLit(
-      (0 until pqM)
-        .map(s => m.js(s).indices.map(sl => (m.cq(s)(sl).toSeq, m.js(s)(sl))).toSeq)
-        .toSeq)
-
-  /** PQ encode as ONE narrow projection: per subspace a single argmin
-    * FOLD over the entries, strict-less so ties keep the earliest
-    * (lowest) entry id — the same tie the former row_number window
-    * ordered by (d2, j) broke.
+  /** PQ encode as ONE narrow projection: per subspace an argmin over
+    * the entries, strict-less so ties keep the earliest (lowest) entry
+    * id. Native since round 17 (graft.plans.PqEncodeExpr): the HOF
+    * fold walked M×k entries per row through interpreted lambdas —
+    * the dominant cost of every PQ scoring pass and, under full-run
+    * GC pressure, a 3x swing on q_ann_sql_pq.
     */
   private def pqEncode(m: PqLitModel, v: Column): Column = {
-    val cjs = cjsLit(m)
-    transform(
-      xqSubs(v),
-      (xsub, s) =>
-        aggregate(
-          element_at(cjs, s + 1),
-          struct(lit(Long.MaxValue).as("bd"), lit(-1).as("bj")),
-          (acc, e) => {
-            val d2 = subD2(xsub, e.getField("_1"))
-            when(
-              d2 < acc.getField("bd"),
-              struct(d2.as("bd"), e.getField("_2").as("bj")))
-              .otherwise(acc)
-          }).getField("bj"))
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.PqEncodeExpr(
+      Exprs.expression(v), m.cq, m.js, kmQ.toDouble, pqDsub))
   }
 
   /** Per-query ADC table as a flat array projection: index sub·k + j
@@ -1509,40 +1490,32 @@ object Embeddings {
     * unreachable — codes only ever index PRESENT entries.
     */
   private def pqDtabArr(m: PqLitModel, v: Column): Column = {
+    import org.apache.spark.sql.graft.Exprs
     val slots: Array[Map[Int, Int]] = m.js.map(_.zipWithIndex.toMap)
-    // dense [sub][j][dsub] table, absent entries zero-filled
-    val cqFull = typedLit(
-      (0 until pqM)
-        .map(s =>
-          (0 until pqKsub)
-            .map(j =>
-              slots(s)
-                .get(j)
-                .map(sl => m.cq(s)(sl).toSeq)
-                .getOrElse(Seq.fill(pqDsub)(0L)))
-            .toSeq)
-        .toSeq)
-    flatten(
-      transform(
-        xqSubs(v),
-        (xsub, s) =>
-          transform(
-            sequence(lit(0), lit(pqKsub - 1)),
-            j => subD2(xsub, element_at(element_at(cqFull, s + 1), j + 1)))))
+    // dense [sub][j][dsub] table, absent entries zero-filled; native
+    // since round 17 (graft.plans.PqDtabExpr) — same table, primitive
+    // loop instead of the interpreted flatten(transform(transform))
+    val cqFull: Array[Array[Array[Long]]] =
+      Array.tabulate(pqM)(s =>
+        Array.tabulate(pqKsub)(j =>
+          slots(s)
+            .get(j)
+            .map(sl => m.cq(s)(sl))
+            .getOrElse(Array.fill(pqDsub)(0L))))
+    Exprs.column(graft.plans.PqDtabExpr(
+      Exprs.expression(v), cqFull, kmQ.toDouble, pqDsub))
   }
 
   /** ADC distance: M table lookups against the broadcast `dtab` array —
     * Σ over subspaces of dtab[sub·k + codes[sub]], a long (matches the
-    * former 16-row sum(d2) bit-for-bit).
+    * former 16-row sum(d2) bit-for-bit). Native since round 17
+    * (graft.plans.PqAdcExpr): this runs once per candidate PAIR.
     */
-  private def adcScore: Column =
-    aggregate(
-      sequence(lit(0), lit(pqM - 1)),
-      lit(0L),
-      (acc, s) =>
-        acc + element_at(
-          col("dtab"),
-          s * pqKsub + element_at(col("codes"), s + 1) + 1))
+  private def adcScore: Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.PqAdcExpr(
+      Exprs.expression(col("codes")), Exprs.expression(col("dtab")), pqKsub))
+  }
 
   /** Train the PQ codebook: stride-seed entries, one Lloyd update in
     * quantized-integer arithmetic (floor(Σxq/n) per component — order

@@ -427,18 +427,22 @@ class PlanSpec extends SparkSpec {
       s"codebook not scanned as a frame:\n${plan.take(4000)}")
     assert(plan.contains("ivf_centroids"),
       s"centroids not scanned as a frame:\n${plan.take(4000)}")
-    // ...and never as an inlined constant. Detector: an actual trained
-    // codebook centroid (a quantized-long quartet) read back from the
-    // artifact — it can only appear in a plan that inlined the model.
+    // ...and never as a driver-resident model. Detector: the
+    // model-carrying native expressions (pq_encode / pq_dtab hold the
+    // codebook as an expression-referenced object — round 17's
+    // replacement for the nested-array literal, which printed the
+    // centroid values into the plan string; both forms mean the model
+    // was inlined rather than joined as data).
+    val inlineSigs = Seq("pq_encode", "pq_dtab")
     val firstCq = spark.read.parquet(s"$path/pq_codebook")
       .orderBy("sub", "j").head().getSeq[Long](2)
-    val sigs = Seq(firstCq.mkString(","), firstCq.mkString(", "))
-    assert(!sigs.exists(plan.contains),
-      "codebook centroid values inlined in the served plan")
+    val litSigs = Seq(firstCq.mkString(","), firstCq.mkString(", "))
+    assert(!(inlineSigs ++ litSigs).exists(plan.contains),
+      "codebook model inlined in the served plan")
     // the literal lane (same model bits) DOES carry it — proving the
     // detector sees what this lane avoids
     val loadedPlan = executed(ops.Embeddings.serveAnnFrom(spark, sf, path))
-    assert(sigs.exists(loadedPlan.contains),
-      "detector failed to flag the literal lane's codebook constant")
+    assert(inlineSigs.exists(loadedPlan.contains),
+      "detector failed to flag the literal lane's codebook model")
   }
 }
