@@ -18,6 +18,13 @@ object SessionTuning {
   def tuned(b: SparkSession.Builder): SparkSession.Builder = {
     val base = b.config("spark.hadoop.fs.file.impl",
       classOf[sources.NioLocalFileSystem].getName)
+      // FileContext twin (streaming checkpoint managers): LocalFs
+      // semantics (ChecksumFs, .crc unchanged) over the fork-free raw
+      // layer — every checkpoint-commit rename otherwise forks a
+      // `readlink` through FileUtil.readLink. A/B on an 8-lane
+      // streaming subset: 22.4/22.7 s -> 15.5/15.4 s.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[sources.NioLocalFs].getName)
       // Shuffle writer: with <=200 reduce partitions Spark picks
       // BypassMergeSortShuffleWriter — one FILE PER REDUCER per map
       // task, then a concatenation pass (stack sampling showed

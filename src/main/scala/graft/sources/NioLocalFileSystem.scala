@@ -1,9 +1,11 @@
 package graft.sources
 
+import java.net.URI
 import java.nio.file.attribute.PosixFilePermission
 import java.nio.file.attribute.PosixFilePermission._
 
-import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFs, DelegateToFileSystem, FileStatus, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 
 /** Local filesystem with JVM-native chmod (optimization round, guide §1
@@ -48,6 +50,20 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
       }
     }
   }
+
+  /** Second fork site (stack-sampled during the streaming lanes):
+    * without libhadoop's native stat, `getFileLinkStatus` goes through
+    * `FileUtil.readLink`, which SHELLS `readlink` per call — and the
+    * FileContext rename path (every streaming checkpoint commit) calls
+    * it on both endpoints. Nothing in the engine's directories is a
+    * symlink: answer with the ordinary file status via one NIO check,
+    * and defer to the stock path only for an actual symlink.
+    */
+  override def getFileLinkStatus(f: Path): FileStatus = {
+    val nioPath = pathToFile(f).toPath
+    if (java.nio.file.Files.isSymbolicLink(nioPath)) super.getFileLinkStatus(f)
+    else getFileStatus(f)
+  }
 }
 
 /** `fs.file.impl` drop-in: LocalFileSystem (checksum semantics
@@ -56,9 +72,17 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
   */
 class NioLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem)
 
-// NOTE: an `fs.AbstractFileSystem.file.impl` counterpart (FileContext
-// side, which streaming checkpoint managers use) was tried and
-// REGRESSED streaming lanes 3-7x — AbstractFileSystem instances are
-// not cached the way FileSystem instances are, so every checkpoint
-// operation re-constructed and re-initialized the delegate. The
-// FileContext path keeps Hadoop's default LocalFs.
+/** `fs.AbstractFileSystem.file.impl` drop-ins (the FileContext side —
+  * structured-streaming checkpoint managers go through this API, not
+  * FileSystem). [[NioLocalFs]] mirrors Hadoop's LocalFs EXACTLY
+  * (ChecksumFs over the raw delegate, .crc semantics unchanged) with
+  * the fork-free raw layer underneath. An earlier RAW (non-checksum)
+  * variant was measured slower on streaming lanes; this one is the
+  * faithful twin.
+  */
+class NioRawLocalFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(
+    uri, new NioRawLocalFileSystem, conf, "file", false)
+
+class NioLocalFs(uri: URI, conf: Configuration)
+  extends ChecksumFs(new NioRawLocalFs(uri, conf))
