@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout contract (the driver parses the LAST stdout lines of
+// `sbt -batch "runMain graft.Bench"` as JSON — and its PERF per_query
+// table has been empty EVERY round): sbt's default LoggedOutput
+// re-logs every line of the forked JVM with an `[info] ` prefix and
+// appends its own `[success] Total time: ...` banner after the run,
+// so the last captured line was never parseable JSON. StdoutOutput
+// passes the child's stdout/stderr through unmodified, and
+// showSuccess=false drops the trailing banner — the bench's own
+// summary JSON line is then the literal last line of stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
