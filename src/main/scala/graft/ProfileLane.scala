@@ -17,18 +17,15 @@ object ProfileLane {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b0 = SessionTuning.tuned(SparkSession.builder()
+    // SessionTuning.tuned applies the SPARK_GRAFT_CONF experiment knob
+    // as its last step — no second fold here (it would only drift from
+    // the canonical application).
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
-    // experiment knob: SPARK_GRAFT_CONF="k=v;k=v" applied on top
-    val b = sys.env.get("SPARK_GRAFT_CONF").map(_.split(';').toSeq).getOrElse(Seq.empty)
-      .map(_.trim).filter(_.contains("="))
-      .foldLeft(b0) { (acc, kv) =>
-        val Array(k, v) = kv.split("=", 2); acc.config(k, v)
-      }
-    val spark = b.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // stage name -> (count, wall-ms of the stage, task-time-ms summed)

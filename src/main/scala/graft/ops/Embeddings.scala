@@ -1429,7 +1429,7 @@ object Embeddings {
     * join-based encode materialized N×M×k rows plus two window
     * shuffles, all pure overhead at any scale).
     */
-  private case class PqLitModel(
+  private[graft] case class PqLitModel(
       js: Array[Array[Int]], // [sub] -> present entry ids, ascending
       cq: Array[Array[Array[Long]]]) // [sub][slot][dsub] -> centroid
 
@@ -1459,17 +1459,19 @@ object Embeddings {
   }
 
   /** Integer L2² from a subvector to one centroid array — exact in a
-    * long (|dq| ≤ 2·kmQ ⇒ Σ of 4 squares < 2^44). A compact
-    * zip_with/aggregate tree over stored arrays, so the model rides
-    * the plan as a single nested-array literal instead of thousands of
-    * expression nodes (the expanded-literal formulation serialized a
-    * 31 MiB task binary and spent minutes in codegen).
+    * long (|dq| ≤ 2·kmQ ⇒ Σ of 4 squares < 2^44). Native since
+    * round 18 (graft.plans.SubD2Expr): the zip_with/aggregate HOF
+    * chain evaluated INTERPRETED per (candidate, sub, entry) row —
+    * the dominant compute of the file-served ADC. Both operands are
+    * COLUMNS (subvector, codebook-frame centroid), so nothing
+    * model-sized enters the plan — the served lane's model-as-data
+    * contract holds (PlanSpec).
     */
-  private def subD2(xsub: Column, cent: Column): Column =
-    aggregate(
-      zip_with(xsub, cent, (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      (acc, x) => acc + x)
+  private def subD2(xsub: Column, cent: Column): Column = {
+    import org.apache.spark.sql.graft.Exprs
+    Exprs.column(graft.plans.SubD2Expr(
+      Exprs.expression(xsub), Exprs.expression(cent)))
+  }
 
   /** PQ encode as ONE narrow projection: per subspace an argmin over
     * the entries, strict-less so ties keep the earliest (lowest) entry
@@ -2342,41 +2344,65 @@ object Embeddings {
         col("cent_id").as("cell") +: carry.map(col): _*)
   }
 
-  /** IVF+PQ serving for the CATALOG's `ann_search` over a cell-pruned
-    * postings slice: ADC-shortlist by compressed distance against the
-    * persisted codebook FRAME (every model access a broadcast join —
-    * nothing model-sized in the plan), then exact cosine re-rank of
-    * the top [[ivfpqShortC]] per query. `pruned` is (vec_id, cell,
-    * embedding, nrm); `probe` is (query_id, qv, qnrm, cell); `cb` is
-    * the (sub, j, cq) codebook. Returns (query_id, rank, neighbor_id,
-    * cos), rank ≤ k.
+  /** The batch-invariant half of the catalog's served IVF+PQ search —
+    * built ONCE per `ann_search` CALL and reused by every panel batch.
+    * `model` is the collected codebook sidecar as a literal
+    * ([[PqLitModel]]); `enc` is the cell-pruned postings slice with
+    * each candidate's PQ code, localCheckpointed (the ADC pass and the
+    * exact re-rank of every batch read the same blocks).
     */
-  private[graft] def annPqSearchServed(
-      pruned: DataFrame,
-      probe: DataFrame,
-      cb: DataFrame,
-      k: Int): DataFrame = {
-    // The codebook sidecar is O(M·k) = 2,048 rows — the kmMaterialize
-    // broadcastability contract — so serve through the SAME literal
-    // model the fixture lanes use: encode is one narrow codegen
-    // projection per CANDIDATE VECTOR and the ADC distance is M array
-    // lookups per pair. The former formulation encoded per
-    // (query, neighbor) PAIR through an explode + codebook join — the
-    // panel multiplied the encode cost (measured: the encode dominated
-    // q_ann_sql_pq's 5.1 s ann_search), even though a vector's code is
-    // query-independent. Same integer arithmetic (quantized L2², argmin
-    // ties to the smallest entry id), so ADC distances, the shortlist
-    // and the exact re-rank are bit-identical.
+  private[graft] final case class ServedPqIndex(
+      model: PqLitModel, enc: DataFrame)
+
+  /** Build [[ServedPqIndex]] for one `ann_search` call: collect the
+    * codebook sidecar and encode every candidate of the pruned slice.
+    *
+    * DESIGN NOTE (literal model, deliberately): the codebook is served
+    * as a PLAN LITERAL, not a joined frame — the sidecar is gated at
+    * O(M·k) = 2,048 rows by the kmMaterialize broadcastability
+    * contract, so the collect is bounded and every encode/ADC-table
+    * projection is one narrow codegen expression per row instead of a
+    * posexplode + codebook join per (query, neighbor) PAIR (measured
+    * round 17: the pair-level join encode dominated q_ann_sql_pq's
+    * 5.1 s ann_search collect). The frame-joined shape — the right one
+    * when the model outgrows a task binary — lives on in
+    * [[serveAnnJoined]] (q_similarity_ivfpq_served), which PlanSpec
+    * pins model-literal-free. Round 18 hoists this prep out of the
+    * panel-batch loop: a code is query-independent, so re-collecting
+    * the model and re-encoding (and re-checkpointing) the full slice
+    * per batch multiplied compute by nBatches on oversized panels.
+    */
+  private[graft] def annPqServedPrep(
+      pruned: DataFrame, cb: DataFrame): ServedPqIndex = {
     val m = toPqModel(cb.collect().toSeq.map(r =>
       (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray)))
-    val qs = probe.select(col("query_id"), col("qv"), col("qnrm")).distinct()
-    // neighbor-level encode: once per candidate vector, never per pair;
-    // checkpointed so the ADC pass and the re-rank read the same blocks
+    // neighbor-level encode: once per candidate vector, never per pair
     val enc = pruned
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding"), col("nrm"),
         pqEncode(m, col("embedding")).as("codes"))
       .localCheckpoint()
+    ServedPqIndex(m, enc)
+  }
+
+  /** IVF+PQ serving for the CATALOG's `ann_search` over one panel
+    * batch: ADC-shortlist by compressed distance (M array lookups per
+    * pair against the batch's per-query tables), then exact cosine
+    * re-rank of the top [[ivfpqShortC]] per query. `ix` is the
+    * call-scoped [[ServedPqIndex]]; `probe` is the batch's
+    * (query_id, qv, qnrm, cell). Returns (query_id, rank, neighbor_id,
+    * cos), rank ≤ k. Same integer arithmetic as the fixture lanes
+    * (quantized L2², argmin ties to the smallest entry id), so ADC
+    * distances, the shortlist and the re-rank are bit-identical to the
+    * pre-hoist shape (oracle-verified).
+    */
+  private[graft] def annPqSearchServed(
+      ix: ServedPqIndex,
+      probe: DataFrame,
+      k: Int): DataFrame = {
+    val m = ix.model
+    val enc = ix.enc
+    val qs = probe.select(col("query_id"), col("qv"), col("qnrm")).distinct()
     // per-query ADC tables ride the O(panel) broadcast frame
     val qTab = qs.select(col("query_id"),
       pqDtabArr(m, col("qv")).as("dtab"))

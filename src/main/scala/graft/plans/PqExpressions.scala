@@ -33,6 +33,21 @@ import org.apache.spark.sql.types._
   * embedding path.
   */
 object PqOps {
+  /** `ann_search`'s query panel is USER data: a wrong-dimension vector
+    * must raise a descriptive error, not an
+    * ArrayIndexOutOfBoundsException from generated code (or a silent
+    * garbage read). One integer compare per ROW — noise next to the
+    * M×k×dsub loops it guards.
+    */
+  def checkDim(v: ArrayData, m: Int, dsub: Int, op: String): Unit = {
+    val n = v.numElements()
+    if (n != m * dsub)
+      throw new IllegalArgumentException(
+        s"$op: vector has $n components, the PQ model expects " +
+          s"${m * dsub} (m=$m subspaces x dsub=$dsub) — wrong-dimension " +
+          "query vector in the panel?")
+  }
+
   /** Spark-Round-exact quantization of one float component. */
   def quant(x: Float, q: Double): Long = {
     val d = x.toDouble * q
@@ -72,6 +87,7 @@ case class PqEncodeExpr(
   def encode(a: Any): ArrayData = {
     val v = a.asInstanceOf[ArrayData]
     val m = cq.length
+    PqOps.checkDim(v, m, dsub, prettyName)
     val codes = new Array[Int](m)
     val xq = new Array[Long](dsub)
     var s = 0
@@ -138,6 +154,7 @@ case class PqDtabExpr(
   def dtab(a: Any): ArrayData = {
     val v = a.asInstanceOf[ArrayData]
     val m = cqFull.length
+    PqOps.checkDim(v, m, dsub, prettyName)
     val k = if (m == 0) 0 else cqFull(0).length
     val out = new Array[Long](m * k)
     val xq = new Array[Long](dsub)
@@ -231,6 +248,87 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer L2² between two long arrays — the native form of the
+  * served-PQ ADC's `aggregate(zip_with(x, c, (a,b) => (a-b)²), 0L, +)`
+  * HOF chain, which evaluated INTERPRETED per (candidate, sub, entry)
+  * row (round-18, guide §4). Unlike [[PqEncodeExpr]]/[[PqDtabExpr]]
+  * this carries NO model data — both sides are columns (the quantized
+  * subvector and the codebook frame's centroid), so the served lane's
+  * model-as-data contract (PlanSpec: no codebook literal or
+  * model-carrying expression in the plan) is preserved.
+  *
+  * Null contract mirrors the HOF form bit for bit: NULL array in →
+  * NULL out; arrays of DIFFERENT lengths → NULL (zip_with pads the
+  * short side with nulls, whose (a-b)² is null, and aggregate's `+`
+  * then poisons the sum); a NULL element likewise → NULL.
+  */
+case class SubD2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<long>, array<long>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  // can return NULL even for non-null inputs (length mismatch /
+  // null element) — must not advertise null-intolerance
+  override def nullable: Boolean = true
+  override def prettyName: String = "sub_d2"
+
+  /** Boxed Long sum, or null — shared by eval and codegen. */
+  def d2(a: Any, b: Any): java.lang.Long = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (c.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || c.isNullAt(i)) return null
+      val d = x.getLong(i) - c.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = d2(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val bad = ctx.freshName("bad")
+        s"""
+           |int $n = $a.numElements();
+           |boolean $bad = $b.numElements() != $n;
+           |long $acc = 0L;
+           |for (int $i = 0; !$bad && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+           |  else {
+           |    long $d = $a.getLong($i) - $b.getLong($i);
+           |    $acc += $d * $d;
+           |  }
+           |}
+           |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         """.stripMargin
+      })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Quantized subvectors [m][dsub] of a float vector — the native form
   * of the `xqSubs` HOF (64 Spark-Round-exact roundings per row, no
   * interpreted lambdas). Output: array<array<long>>.
@@ -250,6 +348,7 @@ case class PqQuantSubsExpr(child: Expression, q: Double, m: Int, dsub: Int)
 
   def subs(a: Any): ArrayData = {
     val v = a.asInstanceOf[ArrayData]
+    PqOps.checkDim(v, m, dsub, prettyName)
     val out = new Array[ArrayData](m)
     var s = 0
     while (s < m) {

@@ -370,20 +370,30 @@ object AnnCatalog {
     val cells = probe.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val pruned0 = served.filter(col("cell").isin(cells.map(c => c: Any): _*))
-    // one pruned scan serves every batch
+    // one pruned scan serves every batch. Under ivfpq the ONLY reader
+    // of `pruned` is the call-scoped encode (annPqServedPrep), whose
+    // output is itself checkpointed — a second checkpoint of the raw
+    // slice would only duplicate executor storage.
+    val isPq = ixOpts.getOrElse(PMode, "ivf") == "ivfpq"
     val pruned =
-      if (nBatches == 1) pruned0 else pruned0.localCheckpoint(eager = false)
+      if (nBatches == 1 || isPq) pruned0
+      else pruned0.localCheckpoint(eager = false)
     // ivfpq index: ADC-shortlist against the frozen codebook sidecar,
     // exact re-rank of the shortlist — candidate IO identical (the same
-    // pruned cells), candidate COMPUTE compressed
-    val pqCb: Option[DataFrame] =
-      if (ixOpts.getOrElse(PMode, "ivf") != "ivfpq") None
-      else Some(spark.read.parquet(pqSidecar(ixOpts("path")))
-        .select(col("sub"), col("j"), col("cq")))
+    // pruned cells), candidate COMPUTE compressed. The model collect
+    // and the candidate-level encode are BATCH-INVARIANT (a vector's
+    // code is query-independent), so they are built once here and
+    // every batch reuses them — the former per-batch prep re-encoded
+    // and re-checkpointed the full pruned slice nBatches times.
+    val pqIx: Option[Embeddings.ServedPqIndex] =
+      if (!isPq) None
+      else Some(Embeddings.annPqServedPrep(pruned,
+        spark.read.parquet(pqSidecar(ixOpts("path")))
+          .select(col("sub"), col("j"), col("cq"))))
     def searchBatch(b: Int): DataFrame = {
       val bp = probe.filter(col("__batch") === b).drop("__batch")
-      pqCb match {
-        case Some(cb) => Embeddings.annPqSearchServed(pruned, bp, cb, k)
+      pqIx match {
+        case Some(ix) => Embeddings.annPqSearchServed(ix, bp, k)
         case None =>
           val wRank = Window
             .partitionBy(col("query_id"))

@@ -65,6 +65,74 @@ class VecExprSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("SubD2Expr == HOF aggregate(zip_with) integer L2², incl. null/length edges") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.Exprs
+    def subD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Exprs.column(graft.plans.SubD2Expr(
+        Exprs.expression(a), Exprs.expression(b)))
+    val rnd = new scala.util.Random(11)
+    // random equal-length pairs + a length-mismatch pair + a null array
+    // + empty arrays (HOF: zip_with pads with null -> null sum; empty
+    // arrays -> the 0L seed)
+    val rows = (0 until 400).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i.toLong,
+        Some(Array.fill(n)(rnd.nextLong() % 100000L)),
+        Some(Array.fill(n)(rnd.nextLong() % 100000L)))
+    } ++ Seq(
+      (400L, Some(Array(1L, 2L, 3L)), Some(Array(1L, 2L))), // length mismatch
+      (401L, None, Some(Array(1L))), // null side
+      (402L, Some(Array.empty[Long]), Some(Array.empty[Long]))) // empty
+    val df = rows.toDF("id", "a", "b")
+    val got = df
+      .select(
+        col("id"),
+        subD2(col("a"), col("b")).as("fast"),
+        aggregate(
+          zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L),
+          (acc, x) => acc + x).as("ref"))
+      .collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      val fast = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val ref = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(fast == ref, s"id ${r.getLong(0)}: $fast != $ref")
+    }
+  }
+
+  test("SubD2Expr participates in whole-stage codegen") {
+    import org.apache.spark.sql.graft.Exprs
+    // non-foldable source: a literal row would be constant-folded into
+    // a LocalTableScan before any codegen stage exists
+    val df = spark.range(4).select(
+      array(col("id"), col("id") + 1).as("a"),
+      array(col("id") * 2, col("id")).as("b"))
+    val plan = df
+      .select(Exprs.column(graft.plans.SubD2Expr(
+        Exprs.expression(col("a")), Exprs.expression(col("b")))).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [sub_d2"),
+      s"sub_d2 not inside a codegen stage:\n$plan")
+  }
+
+  test("PQ expressions reject a wrong-dimension panel vector loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array.fill(7)(0.5f))).toDF("id", "v") // dim 7, not m*dsub
+    import org.apache.spark.sql.graft.Exprs
+    val bad = df.select(Exprs.column(graft.plans.PqQuantSubsExpr(
+      Exprs.expression(col("v")), 1000.0, 16, 4)).as("q"))
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("wrong-dimension")),
+      s"expected a descriptive dimension error, got: $e")
+  }
+
   test("JaccardGE == rearranged array_intersect threshold on random sorted sets") {
     val s = spark
     import s.implicits._
